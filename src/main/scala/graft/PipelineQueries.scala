@@ -1,0 +1,279 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+
+/**
+ * Training-data pipeline operators as driver-contract queries with DuckDB
+ * oracles. Hashes are md5-derived (engine-portable), arithmetic is explicit
+ * double/bigint, so every operator except the LSH-ANN variant has an exact
+ * relational oracle.
+ */
+object PipelineQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+  private def embs(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** documents ∪ shifted exact copies ∪ shifted near-copies — gives the
+    * dedup operators real duplicates to find. */
+  private def corpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir).select(col("doc_id"), col("text"))
+    d.unionAll(d.filter(col("doc_id") % 7 === 0)
+      .select(col("doc_id") + 1000000, concat(col("text"), lit(" extra token tail"))))
+  }
+
+  private val corpusSqlWithDups: String =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000 AS doc_id, text || ' extra token tail' AS text
+      |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  // portable md5-based 60-bit hash (Spark: conv(substr(md5(x),1,15),16,10))
+  private def oH(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
+  private val oToks = "string_split(lower(trim(text)), ' ')"
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "p01_dedup_exact" -> ((s, dir) => {
+      // exact byte-identical copies under fresh ids: dedup must remove all
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.select(col("doc_id") + 1000000, col("text")))
+      Dedup.exactDedup(corpus, col("text"), col("doc_id"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
+    "p02_token_stats" -> ((s, dir) => {
+      docs(s, dir).select(
+        col("doc_id"),
+        TextOps.tokenCount(col("text")).as("n_tokens"),
+        size(array_distinct(TextOps.charNgrams(col("text"), 8))).cast("long").as("n_grams8"),
+        TextOps.fingerprint(col("text")).as("fingerprint"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p03_quality" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"), TextOps.qualityScore(col("text")).as("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p04_langid" -> ((s, dir) => {
+      val scores = TextOps.langScores(col("text"))
+      docs(s, dir).select(
+        (Seq(col("doc_id"), TextOps.langId(col("text")).as("pred_lang")) ++
+          scores.map { case (l, c) => c.as(s"score_$l") }): _*)
+        .orderBy(col("doc_id"))
+    }),
+
+    "p05_minhash_sigs" -> ((s, dir) => {
+      Dedup.minHashSignatures(docs(s, dir), col("doc_id"), col("text"), k = 8)
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "p06_lsh_pairs" -> ((s, dir) => {
+      Dedup.lshCandidatePairs(corpusWithDups(s, dir), col("doc_id"), col("text"), k = 8)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "p07_jaccard_pairs" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(length(col("text")) < 150)
+      Dedup.ngramJaccardPairs(c, col("doc_id"), col("text"), n = 8, threshold = 0.5)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    "p08_ann_cosine" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.cosineTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"), k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    "p09_simhash" -> ((s, dir) => {
+      Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))
+        .withColumnRenamed("__id", "doc_id")
+        .orderBy(col("doc_id"))
+    }),
+
+    "p10_multimodal_meta" -> ((s, dir) => {
+      val withPayload = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.withDecodedMeta(withPayload, "payload")
+        .select(col("doc_id"), col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.channels").as("channels"), col("meta.brightness").as("brightness"),
+          col("meta.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
+    "p11_frame_sample" -> ((s, dir) => {
+      val withPayload = docs(s, dir).filter(col("doc_id") < 100)
+        .select(col("doc_id"), col("text").cast("binary").as("payload"))
+      Multimodal.sampleFrames(withPayload, "doc_id", "payload")
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
+    // LSH-bucketed ANN: scale path; no SQL oracle (rows-only check) — the
+    // ScalaTest suite checks its recall against brute force instead.
+    "p12_ann_lsh_bucketed" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.bucketedCosineTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        dim = 64, bits = 4, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+
+  private def langIdOracle: String = {
+    val counts = TextOps.LangMarkers.map { case (lang, markers) =>
+      val in = markers.map(m => s"'$m'").mkString(", ")
+      s"len(list_filter($oToks, t -> t IN ($in)))::BIGINT AS score_$lang"
+    }.mkString(",\n    ")
+    // fold over languages in declaration order, strict > replaces
+    val langs = TextOps.LangMarkers.map(_._1)
+    val pred = langs.tail.foldLeft(s"'${langs.head}'" -> s"score_${langs.head}") {
+      case ((pl, ps), l) =>
+        (s"(CASE WHEN score_$l > $ps THEN '$l' ELSE $pl END)",
+          s"greatest(score_$l, $ps)")
+    }
+    s"""WITH scored AS (
+       |  SELECT doc_id,
+       |    $counts
+       |  FROM documents)
+       |SELECT doc_id,
+       |  (CASE WHEN ${pred._2} > 0 THEN ${pred._1} ELSE 'und' END) AS pred_lang,
+       |  ${langs.map(l => s"score_$l").mkString(", ")}
+       |FROM scored ORDER BY doc_id""".stripMargin
+  }
+
+  private def simhashOracle: String = {
+    val bitSums = (0 until Dedup.SimHashBits)
+      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+      .mkString(",\n    ")
+    val assemble = (0 until Dedup.SimHashBits)
+      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+      .mkString(" + ")
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest($oToks) AS t FROM documents),
+       |h AS (SELECT doc_id, (${oH("t")} % 2147483648) AS h FROM toks),
+       |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
+       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+  }
+
+  private def minhashAggSql: String = (0 until 8).map { i =>
+    val (a, b) = Dedup.minHashCoeffs(i)
+    s"min((h * $a + $b) % ${Dedup.MinHashPrime}) AS minhash_$i"
+  }.mkString(",\n    ")
+
+  private def shinglesSql(src: String): String =
+    s"""toks AS (SELECT doc_id, $oToks AS tk FROM $src),
+       |sh AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS sh FROM toks),
+       |h AS (SELECT doc_id, (${oH("sh")} % ${Dedup.MinHashPrime}) AS h FROM sh)""".stripMargin
+
+  private def brightnessSql: String =
+    "round((" + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ") + ") / 16.0, 2)"
+
+  def oracleSql: Map[String, String] = Map(
+    "p01_dedup_exact" ->
+      "SELECT doc_id FROM documents ORDER BY doc_id",
+
+    "p02_token_stats" ->
+      s"""SELECT doc_id,
+         |  len($oToks)::BIGINT AS n_tokens,
+         |  len(list_distinct([substr(lower(trim(text)), i, 8)
+         |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]))::BIGINT AS n_grams8,
+         |  ${oH("array_to_string($oToks, ' ')").replace("$oToks", oToks)} AS fingerprint
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p03_quality" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, $oToks AS tk, text FROM documents)
+         |SELECT doc_id,
+         |  floor((0.3 * least(len(tk)::DOUBLE / 100.0, 1.0)
+         |    + 0.4 * (len(list_filter(tk, x -> x IN (${TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE / len(tk)::DOUBLE)
+         |    + 0.3 * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE))
+         |    * 10000.0 + 0.5) / 10000.0 AS quality
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "p04_langid" -> langIdOracle,
+
+    "p05_minhash_sigs" ->
+      s"""WITH ${shinglesSql("documents")}
+         |SELECT doc_id,
+         |    $minhashAggSql
+         |FROM h GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p06_lsh_pairs" ->
+      s"""WITH corpus AS ($corpusSqlWithDups),
+         |${shinglesSql("corpus")},
+         |sig AS (SELECT doc_id,
+         |    $minhashAggSql
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, minhash_0 * ${Dedup.MinHashPrime} + minhash_1 AS band_val FROM sig
+         |  UNION ALL SELECT doc_id, 1, minhash_2 * ${Dedup.MinHashPrime} + minhash_3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, minhash_4 * ${Dedup.MinHashPrime} + minhash_5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, minhash_6 * ${Dedup.MinHashPrime} + minhash_7 FROM sig)
+         |SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |FROM bands a JOIN bands b
+         |  ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "p07_jaccard_pairs" ->
+      s"""WITH corpus AS (SELECT * FROM ($corpusSqlWithDups) WHERE len(text) < 150),
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    ${oH("g")} AS g
+         |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
+         |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g FROM corpus)),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b,
+         |  floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = id_a
+         |JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "p08_ann_cosine" ->
+      """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
+        |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
+        |scored AS (
+        |  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  FROM q CROSS JOIN c)
+        |SELECT query_id, neighbor_id, sim,
+        |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+        |FROM scored
+        |QUALIFY rank <= 5
+        |ORDER BY query_id, rank""".stripMargin,
+
+    "p09_simhash" -> simhashOracle,
+
+    "p10_multimodal_meta" ->
+      s"""SELECT doc_id,
+         |  octet_length(text::BLOB) % 640 AS width,
+         |  (octet_length(text::BLOB) * 7) % 480 AS height,
+         |  CAST(3 AS BIGINT) AS channels,
+         |  $brightnessSql AS brightness,
+         |  CAST(FLOOR((octet_length(text::BLOB) + 31) / 32.0) AS BIGINT) AS n_frames
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p11_frame_sample" ->
+      """WITH frames AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(0, CAST(CEIL(octet_length(text::BLOB) / 32.0) AS BIGINT))) AS f
+        |  FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, f AS frame_idx,
+        |  CAST(list_sum([ascii(substr(text, CAST(f * 32 + i AS INTEGER), 1))
+        |    FOR i IN range(1, least(32, octet_length(text::BLOB) - f * 32) + 1)]) AS BIGINT) AS frame_bytes
+        |FROM frames
+        |ORDER BY doc_id, frame_idx""".stripMargin
+    // p12_ann_lsh_bucketed: intentionally no oracle (rows-only check)
+  )
+}

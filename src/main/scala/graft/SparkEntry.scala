@@ -66,7 +66,9 @@ object SparkEntry {
   //  * double outputs rounded on both sides
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ PipelineQueries.queries
+
+  private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_quantity") > 5)
@@ -214,7 +216,9 @@ object SparkEntry {
   private def oracleSynthEvents(res: Int, k: String = "event_id"): String =
     s"SELECT *, ${Synth.oracleCellSql(k, res)} AS cell FROM events"
 
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] = coreOracleSql ++ PipelineQueries.oracleSql
+
+  private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
       """SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,

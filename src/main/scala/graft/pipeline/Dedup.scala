@@ -1,0 +1,117 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+ * SimHash, and n-gram Jaccard (engine extension beyond the reference).
+ *
+ * Scale design (100 TB): every operator is a declarative plan —
+ *  - exact dedup shuffles a 64-bit content hash, never the full text;
+ *  - MinHash signatures are one explode + one hash-partitioned aggregate
+ *    with map-side partial min; LSH candidate generation is an equi-join on
+ *    (band index, band value), i.e. the classic bucket join, skew-safe under
+ *    AQE;
+ *  - pairwise verification only runs on LSH candidates, never all pairs.
+ */
+object Dedup {
+
+  val MinHashPrime: Long = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Exact dedup: keep the row with the smallest `tieBreak` per distinct
+    * `key`. Shuffles (hash(key), tieBreak) — the text itself only rides
+    * along to the winning row. */
+  def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
+    val w = Window.partitionBy(TextOps.md5Long(key)).orderBy(tieBreak.asc)
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** (a_i, b_i) coefficients for the i-th MinHash permutation — fixed,
+    * engine-independent constants. */
+  def minHashCoeffs(i: Int): (Long, Long) = (1000003L * (i + 1) + 12345L, 7919L * (i + 1) + 104729L)
+
+  /** Per-document MinHash signature over word-`ngram` shingles.
+    * Output: idCol, minhash_0..minhash_{k-1}. */
+  def minHashSignatures(df: DataFrame, id: Column, text: Column, k: Int, ngram: Int = 2): DataFrame = {
+    val shingled = df.select(id.as("__id"), explode(TextOps.wordNgrams(text, ngram)).as("__sh"))
+      .select(col("__id"), (TextOps.md5Long(col("__sh")) % MinHashPrime).as("__h"))
+    val aggs = (0 until k).map { i =>
+      val (a, b) = minHashCoeffs(i)
+      min((col("__h") * a + b) % MinHashPrime).as(s"minhash_$i")
+    }
+    shingled.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
+    * signature rows, each band packed into one 64-bit value
+    * (m1 * p + m2 fits: p^2 < 2^63). Output: __id, band_idx, band_val. */
+  def lshBands(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
+    require(k % rowsPerBand == 0)
+    val bands = k / rowsPerBand
+    val bandCols = (0 until bands).map { b =>
+      (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))
+        .reduce((x, y) => x * MinHashPrime + y)
+    }
+    sig.select(col("__id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+  }
+
+  /** Candidate near-dup pairs: documents sharing at least one LSH band.
+    * Equi-join on (band_idx, band_val); dedup to distinct (a < b) pairs. */
+  def lshCandidatePairs(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      rowsPerBand: Int = 2, ngram: Int = 2): DataFrame = {
+    val bands = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
+    val l = bands.select(col("band_idx"), col("band_val"), col("__id").as("id_a"))
+    val r = bands.select(col("band_idx"), col("band_val"), col("__id").as("id_b"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for candidate pairs: distinct character
+    * `n`-gram sets, pairs sharing >= 1 gram, similarity >= `threshold`.
+    * This is the verification-quality op; at scale, feed it LSH candidates
+    * instead of the full corpus. */
+  def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double): DataFrame = {
+    val grams = df.select(id.as("__id"), explode(array_distinct(TextOps.charNgrams(text, n))).as("__g"))
+      .select(col("__id"), TextOps.md5Long(col("__g")).as("__g"))
+    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val l = grams.select(col("__g"), col("__id").as("id_a"))
+    val r = grams.select(col("__g"), col("__id").as("id_b"))
+    val inter = l.join(r, Seq("__g")).filter(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
+      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .withColumn("jaccard", // floor-quantized: see TextOps.qualityScore note
+        floor(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  val SimHashBits: Int = 31 // stay within positive int64 bit arithmetic
+
+  /** 31-bit SimHash per document over whitespace tokens (duplicates
+    * weighted by frequency). One explode + one aggregate. */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("__id"), explode(TextOps.tokens(text)).as("__t"))
+      .select(col("__id"), (TextOps.md5Long(col("__t")) % (MinHashPrime + 1)).as("__h"))
+    val bitSums = (0 until SimHashBits).map { j =>
+      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$j")
+    }
+    val agged = toks.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
+    val hash = (0 until SimHashBits).map { j =>
+      when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    agged.select(col("__id"), hash.as("simhash"))
+  }
+
+  /** Hamming distance between two SimHash values (codegen'd bit_count). */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+}

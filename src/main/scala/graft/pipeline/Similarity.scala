@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Embedding similarity search (engine extension beyond the reference).
+ *
+ * Two paths, mirroring what a 100 TB pipeline needs:
+ *  - [[cosineTopK]]: exact brute force — broadcast the (small) query set,
+ *    scan the corpus once, rank per query. The scan is embarrassingly
+ *    parallel; no shuffle except the final per-query top-k.
+ *  - [[hyperplaneBuckets]] + [[bucketedCosineTopK]]: LSH scale path — a
+ *    deterministic random-hyperplane signature buckets the corpus; queries
+ *    only scan their own bucket (candidate set ~ corpus/2^bits), trading
+ *    recall for a 2^bits scan reduction.
+ */
+object Similarity {
+
+  /** dot(a, b) over array<double> columns, sequential fold (deterministic). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column =
+    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+
+  def cosine(a: Column, b: Column): Column = {
+    val ad = a.cast("array<double>")
+    val bd = b.cast("array<double>")
+    dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
+  }
+
+  /** Exact top-k neighbors for each query vector. `queries` must be small
+    * enough to broadcast (it is hint-broadcast here). Deterministic
+    * ordering: (rounded cosine desc, corpus id asc). */
+  def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
+    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component j of plane i —
+    * integers in [-48, 48] scaled; fixed across engines and runs. */
+  private def planeComponent(i: Int, j: Int): Double =
+    (((1009 * i + 9176 * j + 31) % 97) - 48) / 48.0
+
+  /** `bits`-bit signature: bit i = (dot(v, plane_i) > 0). */
+  def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
+    val vd = vec.cast("array<double>")
+    (0 until bits).map { i =>
+      val d = (0 until dim).map(j => element_at(vd, j + 1) * lit(planeComponent(i, j)))
+        .reduce(_ + _)
+      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+  }
+
+  /** Corpus bucketed by hyperplane signature. */
+  def hyperplaneBuckets(corpus: DataFrame, id: Column, vec: Column, dim: Int, bits: Int): DataFrame =
+    corpus.select(id.as("vec_id"), vec.as("embedding"),
+      hyperplaneSignature(vec, dim, bits).as("bucket"))
+
+  /** Approximate top-k: candidates restricted to the query's bucket. */
+  def bucketedCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      dim: Int, bits: Int, k: Int): DataFrame = {
+    val c = hyperplaneBuckets(corpus, corpusId, corpusVec, dim, bits)
+      .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "__cv")
+    val q = hyperplaneBuckets(queries, queryId, queryVec, dim, bits)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
+    val scored = c.join(broadcast(q), "bucket")
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
+  }
+}

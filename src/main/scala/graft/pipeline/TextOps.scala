@@ -1,0 +1,94 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/**
+ * Text-analysis operators for large-scale training-data pipelines
+ * (engine extension beyond the reference; SURVEY.md §7.1 step 8).
+ *
+ * Everything is built from codegen'd Spark SQL functions — no UDFs — so
+ * Catalyst can push, prune and pipeline these inside whole-stage codegen.
+ * Hash-derived values use md5 (not Spark's murmur/xxhash) so every operator
+ * stays replayable in any engine with md5 (the correctness oracles rely on
+ * this).
+ */
+object TextOps {
+
+  /** whitespace tokenization of trimmed, lowercased text. */
+  def tokens(text: Column): Column = split(lower(trim(text)), "\\s+")
+
+  def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
+
+  /** Stable 60-bit hash from the first 15 hex chars of md5 — portable across
+    * engines, uniform enough for sketching. */
+  def md5Long(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long")
+
+  /** Document fingerprint: hash of whitespace-normalized lowercase text. */
+  def fingerprint(text: Column): Column =
+    md5Long(concat_ws(" ", tokens(text)))
+
+  /** Character n-grams (1-based substrings, length n). */
+  def charNgrams(text: Column, n: Int): Column = {
+    val t = lower(trim(text))
+    transform(
+      sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
+      i => t.substr(i, lit(n)))
+  }
+
+  /** Word n-grams joined with single spaces. */
+  def wordNgrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    transform(
+      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
+  }
+
+  val EnStopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "as", "by", "at", "or")
+
+  /** Quality heuristics (length / stopword / digit signals), composite in
+    * [0,1]. Deterministic double arithmetic, no RNG. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val n = size(toks).cast("double")
+    val stopRatio = size(filter(toks, t => t.isin(EnStopwords: _*))).cast("double") / n
+    val digitRatio = length(regexp_replace(text, "[^0-9]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val lengthTerm = least(n / lit(100.0), lit(1.0))
+    val score = lit(0.3) * lengthTerm + lit(0.4) * stopRatio + lit(0.3) * (lit(1.0) - digitRatio)
+    // floor-quantize instead of round(): both engines compute bit-identical
+    // doubles here, so floor(x*1e4+0.5) is deterministic across engines,
+    // while decimal-string HALF_UP (Spark round) vs binary rounding (DuckDB)
+    // disagree on exact .5 boundaries like 0.53575.
+    floor(score * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
+  }
+
+  /** Marker lexicons for the language-ID heuristic. Order matters: ties are
+    * broken by this priority. */
+  val LangMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "and", "of", "to", "in", "is"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "eine"),
+    "es" -> Seq("el", "los", "las", "y", "un", "una", "es"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "du", "une"),
+    "zh" -> Seq("的", "是", "在", "了", "和"))
+
+  /** Per-language marker-token counts. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(text)
+    LangMarkers.map { case (lang, markers) =>
+      lang -> size(filter(toks, t => t.isin(markers: _*))).cast("long")
+    }
+  }
+
+  /** argmax over [[langScores]] with declaration-order tiebreak; "und"
+    * (undetermined) when no marker hits at all. */
+  def langId(text: Column): Column = {
+    val scores = langScores(text)
+    val best = scores.tail.foldLeft[(Column, Column)](lit(scores.head._1) -> scores.head._2) {
+      case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
+    }
+    when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+}

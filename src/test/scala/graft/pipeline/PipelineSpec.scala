@@ -1,0 +1,107 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+  lazy val embs = spark.read.parquet(s"$sfDir/embeddings.parquet")
+
+  test("exact dedup removes byte-identical copies, keeps min id") {
+    val d = docs.select($"doc_id", $"text")
+    val corpus = d.unionAll(d.select($"doc_id" + 1000000, $"text"))
+    val out = Dedup.exactDedup(corpus, $"text", $"doc_id")
+    assert(out.count() == d.count())
+    assert(out.agg(max($"doc_id")).as[Long].head() < 1000000)
+  }
+
+  test("minhash signature is permutation-min and stable") {
+    val sig = Dedup.minHashSignatures(docs.limit(20), $"doc_id", $"text", k = 4)
+    assert(sig.count() == 20)
+    val row = sig.orderBy($"__id").first()
+    // recompute independently for doc 0
+    val text = docs.filter($"doc_id" === row.getLong(0)).select($"text").as[String].head()
+    val toks = text.trim.toLowerCase.split("\\s+")
+    val shingles = toks.sliding(2).map(_.mkString(" ")).toSeq
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    val hs = shingles.map(md5Long(_) % Dedup.MinHashPrime)
+    val (a, b) = Dedup.minHashCoeffs(0)
+    val expected = hs.map(h => (h * a + b) % Dedup.MinHashPrime).min
+    assert(row.getLong(1) == expected)
+  }
+
+  test("lsh candidates contain planted near-duplicates") {
+    val d = docs.select($"doc_id", $"text").limit(50)
+    val corpus = d.unionAll(
+      d.filter($"doc_id" % 5 === 0).select($"doc_id" + 1000000, concat($"text", lit(" tail"))))
+    val pairs = Dedup.lshCandidatePairs(corpus, $"doc_id", $"text", k = 8)
+      .as[(Long, Long)].collect().toSet
+    val planted = d.filter($"doc_id" % 5 === 0).select($"doc_id").as[Long].collect()
+    val found = planted.count(id => pairs.contains((id, id + 1000000)))
+    assert(found >= planted.length * 8 / 10, s"found only $found of ${planted.length} planted pairs")
+  }
+
+  test("simhash: near-identical docs have small hamming distance") {
+    val d = docs.select($"doc_id", $"text").limit(30)
+    val corpus = d.unionAll(d.select($"doc_id" + 1000000, concat($"text", lit(" tail"))))
+    val sh = Dedup.simHash(corpus, $"doc_id", $"text")
+    val a = sh.filter($"__id" < 1000000).select($"__id".as("ida"), $"simhash".as("ha"))
+    val b = sh.filter($"__id" >= 1000000).select(($"__id" - 1000000).as("ida"), $"simhash".as("hb"))
+    val dists = a.join(b, "ida")
+      .select(Dedup.hammingDistance($"ha", $"hb").as("d")).as[Int].collect()
+    assert(dists.nonEmpty && dists.forall(_ <= 8), s"max hamming ${dists.max}")
+  }
+
+  test("brute-force ANN: self is rank 1 with sim 1.0") {
+    val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
+      embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
+      .filter($"rank" === 1).collect()
+    assert(out.length == 5)
+    assert(out.forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0))
+  }
+
+  test("bucketed ANN recall vs brute force is reasonable") {
+    val q = embs.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.bucketedCosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding",
+      dim = 64, bits = 4, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall") // 4-bit buckets: coarse but useful
+    // every query finds at least itself
+    assert(approx.count { case (a, b) => a == b } == 20)
+  }
+
+  test("multimodal stub: meta matches direct byte arithmetic") {
+    val withPayload = docs.limit(10).select($"doc_id", $"text".cast("binary").as("payload"), $"text")
+    val out = Multimodal.withDecodedMeta(withPayload, "payload")
+      .select($"doc_id", $"text", $"meta.width", $"meta.brightness").collect()
+    out.foreach { r =>
+      val bytes = r.getString(1).getBytes("UTF-8")
+      assert(r.getLong(2) == bytes.length % 640)
+      val expected = BigDecimal(bytes.take(16).map(_ & 0xff).sum / 16.0)
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getDouble(3) == expected)
+    }
+  }
+
+  test("langId picks declared language on marker-rich text") {
+    val df = Seq(
+      (1L, "the cat and the dog of a house is in the garden"),
+      (2L, "der hund und die katze ist ein tier"),
+      (3L, "le chat et la maison est une du les"),
+      (4L, "xyzzy qwerty asdf")).toDF("id", "text")
+    val out = df.select($"id", TextOps.langId($"text").as("lang")).as[(Long, String)].collect().toMap
+    assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" && out(4L) == "und")
+  }
+}
