@@ -21,10 +21,12 @@ object Dedup {
   val MinHashPrime: Long = 2147483647L // 2^31 - 1, Mersenne
 
   /** Exact dedup: keep the row with the smallest `tieBreak` per distinct
-    * `key`. Shuffles (hash(key), tieBreak) — the text itself only rides
-    * along to the winning row. */
+    * `key`. Partitions by (60-bit hash, key): the hash spreads giant keys
+    * evenly across the shuffle while the full key disambiguates hash
+    * collisions — at billions of documents, 60-bit birthday collisions are
+    * expected, and hashing alone would silently drop distinct rows. */
   def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(TextOps.md5Long(key)).orderBy(tieBreak.asc)
+    val w = Window.partitionBy(TextOps.md5Long(key), key).orderBy(tieBreak.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -51,6 +53,9 @@ object Dedup {
     * (m1 * p + m2 fits: p^2 < 2^63). Output: __id, band_idx, band_val. */
   def lshBands(sig: DataFrame, k: Int, rowsPerBand: Int = 2): DataFrame = {
     require(k % rowsPerBand == 0)
+    // positional packing m1 * p + m2 requires p^rowsPerBand < 2^63; beyond
+    // two rows it overflows int64 and bands silently collide
+    require(rowsPerBand <= 2, s"rowsPerBand=$rowsPerBand overflows 64-bit band packing (max 2)")
     val bands = k / rowsPerBand
     val bandCols = (0 until bands).map { b =>
       (0 until rowsPerBand).map(r => col(s"minhash_${b * rowsPerBand + r}"))

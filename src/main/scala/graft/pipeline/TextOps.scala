@@ -29,19 +29,27 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5Long(concat_ws(" ", tokens(text)))
 
-  /** Character n-grams (1-based substrings, length n). */
+  /** Guarded 1..cnt index sequence: empty array when cnt < 1. Spark's 2-arg
+    * sequence(1, 0) defaults to step -1 (the [1, 0] bug from round-1
+    * ADVICE), and sequence(1, 0, 1) throws on Spark 4 — so short inputs
+    * must be guarded out before sequence is evaluated. */
+  private def indices1To(cnt: Column): Column =
+    when(cnt >= 1, sequence(lit(1), greatest(cnt, lit(1)), lit(1)))
+      .otherwise(array().cast("array<int>"))
+
+  /** Character n-grams (1-based substrings, length n). Text shorter than n
+    * chars yields an empty array. */
   def charNgrams(text: Column, n: Int): Column = {
     val t = lower(trim(text))
-    transform(
-      sequence(lit(1), greatest(length(t) - (n - 1), lit(0))),
-      i => t.substr(i, lit(n)))
+    transform(indices1To(length(t) - (n - 1)), i => t.substr(i, lit(n)))
   }
 
-  /** Word n-grams joined with single spaces. */
+  /** Word n-grams joined with single spaces. Documents with fewer than n
+    * tokens yield an empty array (before the guard, sequence(1, 0) ->
+    * [1, 0] made the element_at(toks, 0) lookup below throw). */
   def wordNgrams(text: Column, n: Int): Column = {
     val toks = tokens(text)
-    transform(
-      sequence(lit(1), greatest(size(toks) - (n - 1), lit(0))),
+    transform(indices1To(size(toks) - (n - 1)),
       i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
   }
 

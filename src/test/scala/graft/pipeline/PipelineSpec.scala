@@ -95,6 +95,29 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("ngrams on short inputs are empty, not corrupt (ADVICE r01)") {
+    // docs shorter than the gram size must yield empty arrays; before the
+    // explicit sequence step, sequence(1,0) -> [1,0] crashed wordNgrams
+    // (element_at index 0) and gave charNgrams two truncated grams
+    val df = Seq((1L, "ab"), (2L, "one two"), (3L, ""), (4L, "exactly eight chars!")).toDF("id", "text")
+    val out = df.select($"id",
+      TextOps.charNgrams($"text", 8).as("cg"),
+      TextOps.wordNgrams($"text", 3).as("wg")).collect().map(r =>
+        r.getLong(0) -> (r.getSeq[String](1), r.getSeq[String](2))).toMap
+    assert(out(1L)._1.isEmpty && out(1L)._2.isEmpty)
+    assert(out(2L)._1.isEmpty && out(2L)._2.isEmpty) // 7 chars, 2 tokens
+    assert(out(3L)._1.isEmpty && out(3L)._2.isEmpty)
+    assert(out(4L)._1.length == 13 && out(4L)._2.length == 1)
+    // minhash pipeline end-to-end survives short docs now
+    val sig = Dedup.minHashSignatures(df, $"id", $"text", k = 4)
+    assert(sig.count() == 2) // only docs with >= 1 shingle produce rows
+  }
+
+  test("lshBands rejects band packing that would overflow int64") {
+    val sig = Dedup.minHashSignatures(docs.limit(5), $"doc_id", $"text", k = 8)
+    intercept[IllegalArgumentException] { Dedup.lshBands(sig, k = 8, rowsPerBand = 4) }
+  }
+
   test("langId picks declared language on marker-rich text") {
     val df = Seq(
       (1L, "the cat and the dog of a house is in the garden"),
