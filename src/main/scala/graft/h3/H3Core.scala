@@ -303,6 +303,86 @@ object H3Core {
     out.result()
   }
 
+  // ---- whole-index 60-degree rotations (shared by the geometry layer) ---
+
+  /** First non-zero digit scanning res 1..res; 0 if all digits are 0. */
+  def leadingNonZeroDigit(h: Long): Int = {
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) {
+      val d = getDigit(h, r)
+      if (d != 0) return d
+      r += 1
+    }
+    0
+  }
+
+  /** Rotate a single direction digit 60 degrees counterclockwise
+    * (K->IK->I->IJ->J->JK->K). */
+  @inline def digitRotate60ccw(d: Int): Int = d match {
+    case 1 => 5; case 5 => 4; case 4 => 6; case 6 => 2; case 2 => 3; case 3 => 1
+    case other => other
+  }
+
+  /** Rotate a single direction digit 60 degrees clockwise. */
+  @inline def digitRotate60cw(d: Int): Int = d match {
+    case 1 => 3; case 3 => 2; case 2 => 6; case 6 => 4; case 4 => 5; case 5 => 1
+    case other => other
+  }
+
+  /** Rotate all digits of an index 60 degrees ccw. */
+  def rotate60ccw(h: Long): Long = {
+    var out = h
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) { out = withDigit(out, r, digitRotate60ccw(getDigit(out, r))); r += 1 }
+    out
+  }
+
+  /** Rotate all digits of an index 60 degrees cw. */
+  def rotate60cw(h: Long): Long = {
+    var out = h
+    val res = getResolution(h)
+    var r = 1
+    while (r <= res) { out = withDigit(out, r, digitRotate60cw(getDigit(out, r))); r += 1 }
+    out
+  }
+
+  /** Pentagonal ccw rotation: like [[rotate60ccw]] but skips the deleted
+    * K subsequence by rotating once more when the leading digit lands on K. */
+  def rotatePent60ccw(h: Long): Long = {
+    var out = h
+    val res = getResolution(h)
+    var foundFirst = false
+    var r = 1
+    while (r <= res) {
+      out = withDigit(out, r, digitRotate60ccw(getDigit(out, r)))
+      if (!foundFirst && getDigit(out, r) != 0) {
+        foundFirst = true
+        if (leadingNonZeroDigit(out) == 1) out = rotate60ccw(out)
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** Pentagonal cw rotation (mirror of [[rotatePent60ccw]]). */
+  def rotatePent60cw(h: Long): Long = {
+    var out = h
+    val res = getResolution(h)
+    var foundFirst = false
+    var r = 1
+    while (r <= res) {
+      out = withDigit(out, r, digitRotate60cw(getDigit(out, r)))
+      if (!foundFirst && getDigit(out, r) != 0) {
+        foundFirst = true
+        if (leadingNonZeroDigit(out) == 1) out = rotate60cw(out)
+      }
+      r += 1
+    }
+    out
+  }
+
   // ---- misc spec constants ----------------------------------------------
 
   /** Maximum number of cells in a k-disk: 3k(k+1)+1 (closed form). */

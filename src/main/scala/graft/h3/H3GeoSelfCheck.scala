@@ -1,0 +1,180 @@
+package graft.h3
+
+import java.lang.Math._
+
+/**
+ * Standalone validation battery for the geometry port. Run with
+ * `sbt "runMain graft.h3.H3GeoSelfCheck"`. Checks are ordered from kernel
+ * to derived so a failure localizes the broken table.
+ */
+object H3GeoSelfCheck {
+  var failures = 0
+
+  def check(name: String)(cond: => Boolean): Unit = {
+    val ok = try cond catch { case e: Throwable => println(s"FAIL $name: exception $e"); failures += 1; return }
+    if (!ok) { println(s"FAIL $name"); failures += 1 }
+    else println(s"ok   $name")
+  }
+
+  def main(args: Array[String]): Unit = {
+    import H3Geo._
+
+    // 1. face centers form an icosahedron: pairwise dot products take only
+    // a few distinct values with the right multiplicities
+    check("icosahedron pairwise-angle structure") {
+      val pts = faceCenterPoint
+      val dots = for (a <- 0 until 20; b <- a + 1 until 20)
+        yield (pts(a)(0) * pts(b)(0) + pts(a)(1) * pts(b)(1) + pts(a)(2) * pts(b)(2))
+      val clusters = scala.collection.mutable.Map.empty[Long, Int]
+      dots.foreach { d => val key = round(d * 1e9); clusters(key) = clusters.getOrElse(key, 0) + 1 }
+      // icosahedron face normals: adjacent(41.81deg)x30, 70.53x60 (in some
+      // orientation convention), 110.9/138.19/180 complete the 190 pairs
+      val sizes = clusters.values.toList.sorted
+      println(s"     dot clusters: ${clusters.toList.sortBy(_._1).map { case (k, n) => f"${k / 1e9}%.6f x$n" }.mkString(", ")}")
+      clusters.size <= 6 && dots.forall(d => abs(d) <= 1.0 + 1e-12)
+    }
+
+    // 2. unit length of all face centers
+    check("face centers are unit vectors") {
+      faceCenterPoint.forall(p => abs(p(0) * p(0) + p(1) * p(1) + p(2) * p(2) - 1.0) < 1e-12)
+    }
+
+    // 2b. report how far the derived icosahedron drifted from the memorized
+    // hints (informational: large drift on a face means the hint was bad)
+    check("derived centers near memorized hints (info)") {
+      var worst = 0.0
+      for (f <- 0 until 20) {
+        val d = greatCircleDistanceRads(faceCenterGeo(f), faceCenterGeoRaw(f))
+        if (d > 1e-6) println(f"     face $f center drift $d%.2e rad")
+        worst = max(worst, d)
+      }
+      println(f"     worst center drift $worst%.2e rad")
+      true
+    }
+
+    // 3. each face azimuth axis triple should land on neighboring face
+    // centers' shared vertices — weak proxy: axis azimuths differ face to
+    // face smoothly; just confirm range validity
+    check("axis azimuths in [0, 2pi)") {
+      faceAxesAz0.forall(a => a >= 0.0 && a < 2 * PI)
+    }
+
+    // 4. derived faceIjkBaseCells: all 122 base cells appear; every home
+    // position maps to its own base cell with rotation 0
+    check("faceIjkBaseCells covers all 122 base cells") {
+      val seen = scala.collection.mutable.Set.empty[Int]
+      for (f <- 0 until 20; i <- 0 to 2; j <- 0 to 2; k <- 0 to 2)
+        seen += faceIjkBaseCells(f)(i)(j)(k)(0)
+      seen.size == 122 && !seen.contains(InvalidBaseCell)
+    }
+
+    check("home positions resolve to self with rot 0") {
+      (0 until 122).forall { bc =>
+        val d = baseCellData(bc)
+        val e = faceIjkBaseCells(d(0))(d(1))(d(2))(d(3))
+        val ok = e(0) == bc && e(1) == 0
+        if (!ok) println(s"     bc $bc home=(${d(0)},${d(1)},${d(2)},${d(3)}) got bc=${e(0)} rot=${e(1)}")
+        ok
+      }
+    }
+
+    // 5. res-0 roundtrip: cellToLatLng -> latLngToCell identity for all 122
+    check("res-0 roundtrip") {
+      H3Core.res0Cells().forall { c =>
+        val g = cellToLatLng(c)
+        val back = latLngToCell(g.lat, g.lng, 0)
+        if (back != c) println(f"     bc ${H3Core.getBaseCell(c)} center=(${g.lat}%.4f,${g.lng}%.4f) -> ${back.toHexString} want ${c.toHexString}")
+        back == c
+      }
+    }
+
+    // 6. deep roundtrip at every res along center-child chains + random digits
+    check("deep roundtrip res 1..15 (deterministic pseudo-random cells)") {
+      var bad = 0
+      var total = 0
+      val rnd = new scala.util.Random(42)
+      for (bc <- 0 until 122; rep <- 0 until 4) {
+        var h = H3Core.res0Cells()(bc)
+        for (r <- 1 to 15) {
+          // random valid child digit
+          val pent = H3Core.isPentagon(h)
+          var d = rnd.nextInt(7)
+          if (pent && d == 1) d = 0
+          h = H3Core.withDigit(H3Core.withRes(h, r), r, d)
+          if (r <= 12 || rep == 0) {
+            total += 1
+            val g = cellToLatLng(h)
+            val back = latLngToCell(g.lat, g.lng, r)
+            if (back != h) {
+              bad += 1
+              if (bad <= 10) println(s"     res $r bc $bc: ${h.toHexString} -> (${g.lat},${g.lng}) -> ${back.toHexString}")
+            }
+          }
+        }
+      }
+      println(s"     $bad/$total failed")
+      bad == 0
+    }
+
+    // 7. canonical conformance goldens (public H3 documentation examples)
+    check("golden: latLngToCell(37.3615593, -122.0553238, 7) == 87283472bffffff") {
+      val got = latLngToCell(37.3615593, -122.0553238, 7)
+      println(s"     got ${got.toHexString}")
+      got == 0x87283472bffffffL
+    }
+    check("golden: latLngToCell(37.7752702151959, -122.418307270836, 9) == 8928308280fffff") {
+      val got = latLngToCell(37.7752702151959257, -122.418307270836565, 9)
+      println(s"     got ${got.toHexString}")
+      got == 0x8928308280fffffL
+    }
+    check("golden: cellToLatLng(85283473fffffff) ~ (37.34579337536848, -121.97637597255124)") {
+      val g = cellToLatLng(0x85283473fffffffL)
+      println(f"     got (${g.lat}%.14f, ${g.lng}%.14f)")
+      abs(g.lat - 37.34579337536848) < 1e-9 && abs(g.lng - -121.97637597255124) < 1e-9
+    }
+
+    // 8. boundary sanity: 6 vertices for class II hexagon, all within 2x
+    // circumradius of the center, ring closes
+    check("boundary sanity at res 4/5 for every base cell region") {
+      var ok = true
+      for (bc <- 0 until 122; res <- 4 to 5) {
+        var h = H3Core.res0Cells()(bc)
+        for (r <- 1 to res) h = H3Core.withDigit(H3Core.withRes(h, r), r, 0)
+        val c = cellToLatLngRads(h)
+        val verts = cellToBoundaryRads(h)
+        val pent = H3Core.isPentagon(h)
+        val minVerts = if (pent) 5 else 6
+        if (verts.length < minVerts) { println(s"     bc $bc res $res: only ${verts.length} verts"); ok = false }
+        val dists = verts.map(v => greatCircleDistanceRads(c, v))
+        val dmax = dists.max
+        val dmin = dists.min
+        if (dmax > 3 * dmin) { println(f"     bc $bc res $res: vert dist ratio ${dmax / dmin}%.2f"); ok = false }
+      }
+      ok
+    }
+
+    // 9. total sphere area: sum of res-0 (and res-1) cell areas == 4*pi
+    check("sum of res-0 cell areas == 4pi") {
+      val total = H3Core.res0Cells().map(cellAreaRads2).sum
+      println(f"     total=$total%.12f want ${4 * PI}%.12f")
+      abs(total - 4 * PI) < 1e-9
+    }
+    check("sum of res-1 cell areas == 4pi") {
+      val total = H3Core.res0Cells().flatMap(c => H3Core.cellToChildren(c, 1)).map(cellAreaRads2).sum
+      println(f"     total=$total%.12f want ${4 * PI}%.12f")
+      abs(total - 4 * PI) < 1e-9
+    }
+
+    // 10. published average hexagon area (H3 v4 docs): res 0 =
+    // 4,357,449.416078381 km^2; res 1 = 609,788.441794133 km^2
+    check("avg hexagon area matches published table") {
+      val res0Hex = H3Core.res0Cells().filterNot(H3Core.isPentagon)
+      val avg0 = res0Hex.map(cellAreaKm2).sum / res0Hex.length
+      println(f"     res0 avg hex area = $avg0%.6f km2 (published 4357449.416078381)")
+      abs(avg0 - 4357449.416078381) / 4357449.0 < 1e-6
+    }
+
+    println(if (failures == 0) "ALL OK" else s"$failures FAILURES")
+    if (failures > 0) sys.exit(1)
+  }
+}
