@@ -174,6 +174,127 @@ object H3GeoSelfCheck {
       abs(avg0 - 4357449.416078381) / 4357449.0 < 1e-6
     }
 
+    // ------------------------------------------------------------------
+    // traversal layer
+    // ------------------------------------------------------------------
+    import H3Traversal._
+
+    // deterministic sample cells: one per base cell at res 3 and res 8
+    def sampleCells(res: Int): Array[Long] =
+      H3Core.res0Cells().map { c =>
+        var h = c
+        for (r <- 1 to res) h = H3Core.withDigit(H3Core.withRes(h, r), r, if (r % 3 == 0) 2 else 0)
+        h
+      }
+
+    check("gridDisk sizes: 3k(k+1)+1 away from pentagons, every member roundtrips") {
+      var ok = true
+      for (c <- sampleCells(8); k <- 1 to 2) {
+        val disk = gridDisk(c, k)
+        val nearPent = disk.exists(H3Core.isPentagon)
+        if (!nearPent && disk.length != H3Core.maxGridDiskSize(k)) {
+          println(s"     ${c.toHexString} k=$k size ${disk.length}")
+          ok = false
+        }
+        for (m <- disk) {
+          val g = cellToLatLng(m)
+          if (latLngToCell(g.lat, g.lng, H3Core.getResolution(m)) != m) {
+            println(s"     disk member ${m.toHexString} fails roundtrip")
+            ok = false
+          }
+        }
+      }
+      ok
+    }
+
+    check("pentagon disk k=1 has 6 cells (5 neighbors + self)") {
+      H3Core.pentagonBaseCells.forall { bc =>
+        var p = H3Core.res0Cells()(bc)
+        for (r <- 1 to 4) p = H3Core.withDigit(H3Core.withRes(p, r), r, 0)
+        val d = gridDisk(p, 1)
+        if (d.length != 6) println(s"     pentagon bc $bc disk=${d.length}")
+        d.length == 6 && d.contains(p)
+      }
+    }
+
+    check("reference golden: grid ring 1 of 89283080ddbffff has 6 valid cells") {
+      val ring = gridRing(0x89283080ddbffffL, 1)
+      ring.length == 6 && ring.forall(H3Core.isValidCell)
+    }
+
+    check("gridDistance: 0 to self, k to ring members, symmetric") {
+      var ok = true
+      for (c <- sampleCells(8).take(40); k <- 1 to 3) {
+        if (gridDistance(c, c) != 0) ok = false
+        for (m <- gridRing(c, k)) {
+          val d1 = gridDistance(c, m)
+          val d2 = gridDistance(m, c)
+          if (d1 != k || (d2 != k && d2 != -1)) {
+            println(s"     dist ${c.toHexString}->${m.toHexString} = $d1/$d2 want $k")
+            ok = false
+          }
+        }
+      }
+      ok
+    }
+
+    check("localIj roundtrip (reference localij.rs:103)") {
+      var ok = true
+      for (c <- sampleCells(9).filterNot(h => H3Core.isPentagonBaseCell(H3Core.getBaseCell(h))).take(60)) {
+        for (m <- gridDisk(c, 2)) {
+          cellToLocalIj(c, m) match {
+            case Some((i, j)) =>
+              val back = localIjToCell(c, i, j)
+              if (!back.contains(m)) { println(s"     localij ${c.toHexString}->${m.toHexString} back=$back"); ok = false }
+            case None => // pentagon-involved: allowed to fail
+          }
+        }
+      }
+      ok
+    }
+
+    check("gridPathCells: consecutive cells are neighbors, endpoints match") {
+      var ok = true
+      for (c <- sampleCells(7).take(30)) {
+        val far = gridRing(c, 3).headOption
+        far.foreach { f =>
+          val path = gridPathCells(c, f)
+          if (path.nonEmpty) {
+            if (path.head != c || path.last != f) { println(s"     path endpoints wrong"); ok = false }
+            for (w <- path.sliding(2) if w.length == 2)
+              if (!areNeighborCells(w(0), w(1))) { println(s"     path gap ${w(0).toHexString}->${w(1).toHexString}"); ok = false }
+          }
+        }
+      }
+      ok
+    }
+
+    check("edges: destination/reverse roundtrip + boundary/length sane") {
+      var ok = true
+      for (c <- sampleCells(8).take(60); e <- H3Core.originToDirectedEdges(c)) {
+        val d = edgeDestination(e)
+        if (d == H3Core.H3Null || !areNeighborCells(c, d)) { println(s"     edge ${e.toHexString} bad dest"); ok = false }
+        else {
+          val back = cellsToDirectedEdge(d, c)
+          if (edgeDestination(back) != c) { println(s"     edge reverse broken"); ok = false }
+          val b = edgeBoundaryRads(e)
+          if (b.length < 2) { println(s"     edge ${e.toHexString} boundary ${b.length} verts"); ok = false }
+          val len = edgeLengthKm(e)
+          if (!(len > 0)) { println(s"     edge length $len"); ok = false }
+        }
+      }
+      ok
+    }
+
+    check("published avg edge length res 8 within tolerance") {
+      // H3 v4 table: res 8 average hexagon edge length ~ 0.461354684 km
+      val cells = sampleCells(8).filterNot(H3Core.isPentagon).take(40)
+      val lens = cells.flatMap(c => H3Core.originToDirectedEdges(c).map(edgeLengthKm))
+      val avg = lens.sum / lens.length
+      println(f"     sampled avg edge length res 8 = $avg%.6f km (published avg 0.461355)")
+      avg > 0.40 && avg < 0.53
+    }
+
     println(if (failures == 0) "ALL OK" else s"$failures FAILURES")
     if (failures > 0) sys.exit(1)
   }

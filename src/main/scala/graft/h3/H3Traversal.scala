@@ -1,0 +1,536 @@
+package graft.h3
+
+import H3Geo._
+import scala.collection.mutable
+
+/**
+ * Grid traversal over the H3 lattice: neighbor stepping, k-disks/rings,
+ * local IJ coordinates, grid distance and grid paths, and the directed-edge
+ * topology ops that need neighbor math. Mirrors the reference surface at
+ * /root/reference/h3ron/src/cell.rs:133-243 (neighbors, disks, distance),
+ * localij.rs (local IJ), directed_edge.rs:93-134 (destination/reverse).
+ *
+ * The two combinatorial kernels — the aperture-7 digit stepping tables and
+ * the base-cell neighbor/rotation tables — are *derived* at init from exact
+ * integer hex-grid arithmetic and the face fold transforms (no memorized
+ * 7x7 or 122x7 tables), then exercised by the self-check invariants.
+ */
+object H3Traversal {
+
+  final val Center = 0
+  final val KAxes = 1
+  final val JAxes = 2
+  final val JKAxes = 3
+  final val IAxes = 4
+  final val IKAxes = 5
+  final val IJAxes = 6
+  final val InvalidDigit = 7
+
+  /** iteration order of directions used by disk algorithms (H3 convention) */
+  val Directions: Array[Int] = Array(JAxes, JKAxes, KAxes, IKAxes, IAxes, IJAxes)
+
+  // ---------------------------------------------------------------------
+  // derived: aperture-7 digit stepping
+  //
+  // stepDigit(classIII)(oldDigit)(moveDir) = the digit the cell has after
+  // moving one cell in moveDir; stepAdj(classIII)(oldDigit)(moveDir) = the
+  // direction the *parent* must move (Center when staying inside).
+  // Derived from: child at unit(oldDigit) in the parent-centered res-r
+  // grid; move to unit(oldDigit)+unit(moveDir); up-aperture locates the
+  // new parent, the residual is the new digit.
+  // ---------------------------------------------------------------------
+
+  private def deriveStep(classIII: Boolean): (Array[Array[Int]], Array[Array[Int]]) = {
+    val digit = Array.ofDim[Int](7, 7)
+    val adj = Array.ofDim[Int](7, 7)
+    for (d <- 0 to 6; m <- 0 to 6) {
+      if (m == Center) { digit(d)(m) = d; adj(d)(m) = Center }
+      else {
+        val pos = new IJK(unitVecs(d)(0), unitVecs(d)(1), unitVecs(d)(2))
+        ijkNeighbor(pos, m)
+        val parent = pos.copy()
+        if (classIII) upAp7(parent) else upAp7r(parent)
+        adj(d)(m) = unitIjkToDigit(parent)
+        val ctr = parent.copy()
+        if (classIII) downAp7(ctr) else downAp7r(ctr)
+        val diff = new IJK(pos.i - ctr.i, pos.j - ctr.j, pos.k - ctr.k)
+        ijkNormalize(diff)
+        digit(d)(m) = unitIjkToDigit(diff)
+      }
+    }
+    (digit, adj)
+  }
+
+  private lazy val (stepDigitCIII, stepAdjCIII) = deriveStep(classIII = true)
+  private lazy val (stepDigitCII, stepAdjCII) = deriveStep(classIII = false)
+
+  // ---------------------------------------------------------------------
+  // derived: base-cell neighbors and rotations
+  // ---------------------------------------------------------------------
+
+  /** (neighbors(122)(7), ccwRots(122)(7)); neighbor 127 = invalid (the
+    * deleted K direction of pentagons). */
+  lazy val (baseCellNeighbors, baseCellNeighborRots): (Array[Array[Int]], Array[Array[Int]]) = {
+    val nbr = Array.fill(122, 7)(InvalidBaseCell)
+    val rots = Array.fill(122, 7)(0)
+    for (bc <- 0 until 122) {
+      nbr(bc)(Center) = bc
+      rots(bc)(Center) = 0
+      val d = baseCellData(bc)
+      val pent = isBaseCellPentagon(bc)
+      for (dir <- 1 to 6) {
+        if (pent && dir == KAxes) { nbr(bc)(dir) = InvalidBaseCell }
+        else {
+          val fijk = new FaceIJK(d(0), new IJK(d(1), d(2), d(3)))
+          ijkNeighbor(fijk.coord, dir)
+          var foldRots = 0
+          var guard = 0
+          var ov = adjustOverageAccum(fijk)
+          while (ov._1 == NewFace && guard < 4) { foldRots += ov._2; ov = adjustOverageAccum(fijk); guard += 1 }
+          foldRots += ov._2
+          val nb = H3Geo.faceIjkToBaseCell(fijk)
+          val tr = H3Geo.faceIjkToBaseCellCCWrot60(fijk)
+          require(nb != InvalidBaseCell, s"baseCellNeighbors: bc $bc dir $dir unresolved at $fijk")
+          nbr(bc)(dir) = nb
+          rots(bc)(dir) = ((foldRots + tr) % 6 + 6) % 6
+        }
+      }
+    }
+    (nbr, rots)
+  }
+
+  /** one overage fold at res 0, returning (overage kind, rotations applied). */
+  private def adjustOverageAccum(fijk: FaceIJK): (Int, Int) = {
+    val ijk = fijk.coord
+    if (ijk.i + ijk.j + ijk.k > MaxFaceCoord) {
+      val quad = if (ijk.k > 0) { if (ijk.j > 0) JKQuad else KIQuad } else IJQuad
+      val orient = faceNeighbors(fijk.face)(quad)
+      fijk.face = orient(0)
+      var i = 0
+      while (i < orient(4)) { ijkRotate60ccw(ijk); i += 1 }
+      ijk.i += orient(1); ijk.j += orient(2); ijk.k += orient(3)
+      ijkNormalize(ijk)
+      (NewFace, orient(4))
+    } else (NoOverage, 0)
+  }
+
+  /** direction digit from one base cell to a neighboring one; -1 if not
+    * neighbors. */
+  def baseCellDirection(from: Int, to: Int): Int = {
+    var dir = 0
+    while (dir <= 6) {
+      if (baseCellNeighbors(from)(dir) == to) return dir
+      dir += 1
+    }
+    -1
+  }
+
+  @inline private def isPolarPentagon(bc: Int): Boolean = bc == 4 || bc == 117
+
+  // ---------------------------------------------------------------------
+  // neighbor stepping
+  // ---------------------------------------------------------------------
+
+  /** Returns (neighbor cell, updated rotation count); neighbor is H3Null
+    * for the deleted K direction off a pentagon center. `rotations` is the
+    * accumulated ccw rotation of the direction frame (used by ring walks).
+    * Port of the public H3 h3NeighborRotations algorithm. */
+  def h3NeighborRotations(origin: Long, dirIn: Int, rotationsIn: Int): (Long, Int) = {
+    var dir = dirIn
+    var rotations = rotationsIn
+    var out = origin
+    var i = 0
+    while (i < rotations) { dir = H3Core.digitRotate60ccw(dir); i += 1 }
+
+    var newRotations = 0
+    val oldBaseCell = H3Core.getBaseCell(out)
+    val oldLeadingDigit = H3Core.leadingNonZeroDigit(out)
+
+    var r = H3Core.getResolution(out) - 1
+    var done = false
+    while (!done) {
+      if (r == -1) {
+        val nb = baseCellNeighbors(oldBaseCell)(dir)
+        newRotations = baseCellNeighborRots(oldBaseCell)(dir)
+        if (nb == InvalidBaseCell) {
+          // deleted K direction: this edge actually borders the IK neighbor
+          out = (out & ~(0x7FL << 45)) | (baseCellNeighbors(oldBaseCell)(IKAxes).toLong << 45)
+          newRotations = baseCellNeighborRots(oldBaseCell)(IKAxes)
+          out = H3Core.rotate60ccw(out)
+          rotations += 1
+        } else {
+          out = (out & ~(0x7FL << 45)) | (nb.toLong << 45)
+        }
+        done = true
+      } else {
+        val oldDigit = H3Core.getDigit(out, r + 1)
+        if (oldDigit == InvalidDigit) return (H3Core.H3Null, rotationsIn)
+        val (nextDigit, nextDir) =
+          if (isResClassIII(r + 1))
+            (stepDigitCIII(oldDigit)(dir), stepAdjCIII(oldDigit)(dir))
+          else
+            (stepDigitCII(oldDigit)(dir), stepAdjCII(oldDigit)(dir))
+        out = H3Core.withDigit(out, r + 1, nextDigit)
+        if (nextDir != Center) { dir = nextDir; r -= 1 }
+        else done = true
+      }
+    }
+
+    val newBaseCell = H3Core.getBaseCell(out)
+    if (isBaseCellPentagon(newBaseCell)) {
+      var alreadyAdjustedKSubsequence = false
+      if (H3Core.leadingNonZeroDigit(out) == KAxes) {
+        if (oldBaseCell != newBaseCell) {
+          // traversed into the deleted K subsequence of a pentagon from
+          // another base cell
+          if (baseCellIsCwOffset(newBaseCell, baseCellData(oldBaseCell)(0)))
+            out = H3Core.rotate60cw(out)
+          else out = H3Core.rotate60ccw(out)
+          alreadyAdjustedKSubsequence = true
+        } else {
+          // traversed into the deleted K subsequence from within the same
+          // pentagon base cell
+          if (oldLeadingDigit == Center) return (H3Core.H3Null, rotationsIn) // undefined
+          else if (oldLeadingDigit == JKAxes) { out = H3Core.rotate60ccw(out); rotations += 1 }
+          else if (oldLeadingDigit == IKAxes) { out = H3Core.rotate60cw(out); rotations += 5 }
+          else return (H3Core.H3Null, rotationsIn)
+        }
+      }
+      var i2 = 0
+      while (i2 < newRotations) { out = H3Core.rotatePent60ccw(out); i2 += 1 }
+      if (oldBaseCell != newBaseCell) {
+        if (isPolarPentagon(newBaseCell)) {
+          // 'polar' base cells behave differently: they have all i neighbors
+          if (oldBaseCell != 118 && oldBaseCell != 8 &&
+              H3Core.leadingNonZeroDigit(out) != JKAxes)
+            rotations += 1
+        } else if (H3Core.leadingNonZeroDigit(out) == IKAxes && !alreadyAdjustedKSubsequence) {
+          // account for distortion introduced by the deleted k subsequence
+          rotations += 1
+        }
+      }
+    } else {
+      var i2 = 0
+      while (i2 < newRotations) { out = H3Core.rotate60ccw(out); i2 += 1 }
+    }
+
+    (out, (rotations + newRotations) % 6)
+  }
+
+  /** the (up to 6) immediate neighbors of a cell. */
+  def neighbors(origin: Long): Array[Long] = {
+    val out = mutable.ArrayBuilder.make[Long]
+    var d = 0
+    while (d < 6) {
+      val (n, _) = h3NeighborRotations(origin, Directions(d), 0)
+      if (n != H3Core.H3Null) out += n
+      d += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // disks and rings
+  // ---------------------------------------------------------------------
+
+  /** map cell -> grid distance for all cells within k steps (BFS; safe at
+    * and around pentagons). */
+  def gridDiskDistancesMap(origin: Long, k: Int): mutable.LongMap[Int] = {
+    val dist = new mutable.LongMap[Int](H3Core.maxGridDiskSize(k).toInt * 2)
+    if (!H3Core.isValidCell(origin) || k < 0) return dist
+    dist(origin) = 0
+    var frontier = List(origin)
+    var d = 0
+    while (d < k && frontier.nonEmpty) {
+      val next = mutable.ListBuffer.empty[Long]
+      for (c <- frontier; n <- neighbors(c)) {
+        if (!dist.contains(n)) { dist(n) = d + 1; next += n }
+      }
+      frontier = next.toList
+      d += 1
+    }
+    dist
+  }
+
+  /** all cells within k steps, ascending cell id (deterministic). */
+  def gridDisk(origin: Long, k: Int): Array[Long] = {
+    val m = gridDiskDistancesMap(origin, k)
+    val out = m.keys.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  /** (cell, distance) pairs within k steps, ascending cell id. */
+  def gridDiskDistances(origin: Long, k: Int): Array[(Long, Int)] = {
+    val m = gridDiskDistancesMap(origin, k)
+    m.toArray.map { case (c, d) => (c, d) }.sortBy(_._1)
+  }
+
+  /** cells at exactly distance k, ascending cell id. */
+  def gridRing(origin: Long, k: Int): Array[Long] = {
+    val m = gridDiskDistancesMap(origin, k)
+    val out = m.iterator.collect { case (c, d) if d == k => c }.toArray
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  def areNeighborCells(a: Long, b: Long): Boolean = {
+    if (!H3Core.isValidCell(a) || !H3Core.isValidCell(b)) return false
+    if (a == b) return false
+    if (H3Core.getResolution(a) != H3Core.getResolution(b)) return false
+    neighbors(a).contains(b)
+  }
+
+  // ---------------------------------------------------------------------
+  // local IJK coordinates (non-pentagon paths; pentagon-involved pairs
+  // return None, matching the reference's error behavior, localij.rs:93)
+  // ---------------------------------------------------------------------
+
+  /** coordinates of `h3` in the local ijk space anchored at `origin`. */
+  def cellToLocalIjk(origin: Long, h3In: Long): Option[IJK] = {
+    var h3 = h3In
+    val res = H3Core.getResolution(origin)
+    if (res != H3Core.getResolution(h3)) return None
+    val originBaseCell = H3Core.getBaseCell(origin)
+    val baseCell = H3Core.getBaseCell(h3)
+    if (isBaseCellPentagon(originBaseCell) || isBaseCellPentagon(baseCell)) return None
+
+    var dir = Center
+    if (originBaseCell != baseCell) {
+      dir = baseCellDirection(originBaseCell, baseCell)
+      if (dir < 0) return None // not neighbors
+    }
+
+    if (dir != Center) {
+      val baseCellRotations = baseCellNeighborRots(originBaseCell)(dir)
+      var i = 0
+      while (i < baseCellRotations) { h3 = H3Core.rotate60cw(h3); i += 1 }
+    }
+
+    // walk digits in base cell coordinate space
+    val fijk = new FaceIJK(0, new IJK(0, 0, 0))
+    h3ToFaceIjkWithInitializedFijk(h3, fijk)
+
+    if (dir != Center) {
+      val offset = new IJK(0, 0, 0)
+      ijkNeighbor(offset, dir)
+      var r = res - 1
+      while (r >= 0) {
+        if (isResClassIII(r + 1)) downAp7(offset) else downAp7r(offset)
+        r -= 1
+      }
+      ijkAdd(fijk.coord, offset, fijk.coord)
+      ijkNormalize(fijk.coord)
+    }
+    Some(fijk.coord)
+  }
+
+  /** inverse of [[cellToLocalIjk]]. */
+  def localIjkToCell(origin: Long, ijkIn: IJK): Option[Long] = {
+    val res = H3Core.getResolution(origin)
+    val originBaseCell = H3Core.getBaseCell(origin)
+    if (isBaseCellPentagon(originBaseCell)) return None
+
+    var out = (1L << 59) | (res.toLong << 52) | H3Core.lowerDigitsOnes(res)
+    val ijk = ijkIn.copy()
+    if (res == 0) {
+      if (ijk.i > 1 || ijk.j > 1 || ijk.k > 1) return None
+      val dir = unitIjkToDigit(ijk)
+      if (dir == InvalidDigit) return None
+      val nb = baseCellNeighbors(originBaseCell)(dir)
+      if (nb == InvalidBaseCell) return None
+      return Some(out | (nb.toLong << 45))
+    }
+
+    var r = res - 1
+    while (r >= 0) {
+      val lastI = ijk.i; val lastJ = ijk.j; val lastK = ijk.k
+      val lastCenter = new IJK(0, 0, 0)
+      if (isResClassIII(r + 1)) {
+        upAp7(ijk); lastCenter.set(ijk); downAp7(lastCenter)
+      } else {
+        upAp7r(ijk); lastCenter.set(ijk); downAp7r(lastCenter)
+      }
+      val diff = new IJK(lastI - lastCenter.i, lastJ - lastCenter.j, lastK - lastCenter.k)
+      ijkNormalize(diff)
+      val digit = unitIjkToDigit(diff)
+      if (digit == InvalidDigit) return None
+      out = H3Core.withDigit(out, r + 1, digit)
+      r -= 1
+    }
+
+    if (ijk.i > 1 || ijk.j > 1 || ijk.k > 1) return None
+    val dir = unitIjkToDigit(ijk)
+    if (dir == InvalidDigit) return None
+    val baseCell = if (dir == Center) originBaseCell else baseCellNeighbors(originBaseCell)(dir)
+    if (baseCell == InvalidBaseCell || isBaseCellPentagon(baseCell)) return None
+    out |= baseCell.toLong << 45
+    if (dir != Center) {
+      val rot = baseCellNeighborRots(originBaseCell)(dir)
+      var i = 0
+      while (i < rot) { out = H3Core.rotate60ccw(out); i += 1 }
+    }
+    Some(out)
+  }
+
+  /** local (i, j) coordinates of `h3` anchored at `origin` (k folded out). */
+  def cellToLocalIj(origin: Long, h3: Long): Option[(Int, Int)] =
+    cellToLocalIjk(origin, h3).map(c => (c.i - c.k, c.j - c.k))
+
+  def localIjToCell(origin: Long, i: Int, j: Int): Option[Long] = {
+    val c = new IJK(i, j, 0)
+    ijkNormalize(c)
+    localIjkToCell(origin, c)
+  }
+
+  // ---------------------------------------------------------------------
+  // grid distance and paths
+  // ---------------------------------------------------------------------
+
+  @inline private def ijkDistance(a: IJK, b: IJK): Int = {
+    val diff = new IJK(a.i - b.i, a.j - b.j, a.k - b.k)
+    ijkNormalize(diff)
+    math.max(diff.i, math.max(diff.j, diff.k))
+  }
+
+  /** grid distance in steps; -1 when it cannot be computed (pentagon
+    * distortion, different res, too far apart). */
+  def gridDistance(a: Long, b: Long): Long = {
+    (cellToLocalIjk(a, a), cellToLocalIjk(a, b)) match {
+      case (Some(ca), Some(cb)) => ijkDistance(ca, cb).toLong
+      case _ =>
+        // BFS fallback (handles pentagon-adjacent pairs at small distances)
+        if (!H3Core.isValidCell(a) || !H3Core.isValidCell(b)) return -1L
+        if (H3Core.getResolution(a) != H3Core.getResolution(b)) return -1L
+        if (a == b) return 0L
+        val m = gridDiskDistancesMap(a, 6)
+        m.get(b).map(_.toLong).getOrElse(-1L)
+    }
+  }
+
+  private def ijkToCube(c: IJK): Unit = {
+    c.i = -c.i + c.k
+    c.j = c.j - c.k
+    c.k = -c.i - c.j
+  }
+
+  private def cubeToIjk(c: IJK): Unit = {
+    c.i = -c.i
+    c.k = 0
+    ijkNormalize(c)
+  }
+
+  /** line of cells from a to b (inclusive); empty when not computable. */
+  def gridPathCells(a: Long, b: Long): Array[Long] = {
+    val startOpt = cellToLocalIjk(a, a)
+    val endOpt = cellToLocalIjk(a, b)
+    if (startOpt.isEmpty || endOpt.isEmpty) return Array.emptyLongArray
+    val start = startOpt.get
+    val end = endOpt.get
+    val distance = ijkDistance(start, end)
+    ijkToCube(start)
+    ijkToCube(end)
+    val n = distance.toDouble
+    val iStep = if (distance > 0) (end.i - start.i) / n else 0.0
+    val jStep = if (distance > 0) (end.j - start.j) / n else 0.0
+    val kStep = if (distance > 0) (end.k - start.k) / n else 0.0
+    val out = mutable.ArrayBuilder.make[Long]
+    out.sizeHint(distance + 1)
+    var s = 0
+    while (s <= distance) {
+      // cube round
+      val ci = start.i + iStep * s
+      val cj = start.j + jStep * s
+      val ck = start.k + kStep * s
+      var ri = math.round(ci).toInt
+      var rj = math.round(cj).toInt
+      var rk = math.round(ck).toInt
+      val iDiff = math.abs(ri - ci)
+      val jDiff = math.abs(rj - cj)
+      val kDiff = math.abs(rk - ck)
+      if (iDiff > jDiff && iDiff > kDiff) ri = -rj - rk
+      else if (jDiff > kDiff) rj = -ri - rk
+      else rk = -ri - rj
+      val cur = new IJK(ri, rj, rk)
+      cubeToIjk(cur)
+      localIjkToCell(a, cur) match {
+        case Some(cell) => out += cell
+        case None => return Array.emptyLongArray
+      }
+      s += 1
+    }
+    out.result()
+  }
+
+  // ---------------------------------------------------------------------
+  // directed edges (topology beyond the bit ops in H3Core)
+  // ---------------------------------------------------------------------
+
+  /** destination cell of a directed edge. */
+  def edgeDestination(edge: Long): Long = {
+    if (!H3Core.isValidDirectedEdge(edge)) return H3Core.H3Null
+    val origin = H3Core.edgeOrigin(edge)
+    val dir = H3Core.edgeDirection(edge)
+    val (dest, _) = h3NeighborRotations(origin, dir, 0)
+    dest
+  }
+
+  /** the directed edge from origin to a neighboring destination; H3Null
+    * when the cells are not neighbors. */
+  def cellsToDirectedEdge(origin: Long, destination: Long): Long = {
+    if (!H3Core.isValidCell(origin) || !H3Core.isValidCell(destination)) return H3Core.H3Null
+    var d = 1
+    while (d <= 6) {
+      val e = H3Core.cellToDirectedEdge(origin, d)
+      if (e != H3Core.H3Null && edgeDestination(e) == destination) return e
+      d += 1
+    }
+    H3Core.H3Null
+  }
+
+  /** reversed directed edge. */
+  def edgeReverse(edge: Long): Long = {
+    val dest = edgeDestination(edge)
+    if (dest == H3Core.H3Null) return H3Core.H3Null
+    cellsToDirectedEdge(dest, H3Core.edgeOrigin(edge))
+  }
+
+  /** boundary of a directed edge: the shared vertices between origin and
+    * destination boundaries (2 or 3 points with Class III distortion). */
+  def edgeBoundaryRads(edge: Long): Array[LatLng] = {
+    val origin = H3Core.edgeOrigin(edge)
+    val dest = edgeDestination(edge)
+    if (origin == H3Core.H3Null || dest == H3Core.H3Null) return Array.empty
+    val bo = cellToBoundaryRads(origin)
+    val bd = cellToBoundaryRads(dest)
+    val eps = 1e-9
+    // shared consecutive run of origin vertices that appear in dest's ring
+    val shared = bo.zipWithIndex.filter { case (v, _) =>
+      bd.exists(w => math.abs(w.lat - v.lat) < eps && math.abs(w.lng - v.lng) < eps)
+    }
+    if (shared.length < 2) return shared.map(_._1)
+    // keep ring order, rotate so the run is consecutive
+    val idxs = shared.map(_._2).toSet
+    val n = bo.length
+    var startIdx = shared.head._2
+    // find a shared vertex whose predecessor is not shared -> run start
+    shared.foreach { case (_, i) => if (!idxs.contains((i + n - 1) % n)) startIdx = i }
+    val run = mutable.ArrayBuffer.empty[LatLng]
+    var i = startIdx
+    while (idxs.contains(i)) { run += bo(i); i = (i + 1) % n; if (run.length > bo.length) return run.toArray }
+    run.toArray
+  }
+
+  /** exact edge length by summing great-circle spans of the edge boundary. */
+  def edgeLengthRads(edge: Long): Double = {
+    val b = edgeBoundaryRads(edge)
+    if (b.length < 2) return 0.0
+    var sum = 0.0
+    var i = 0
+    while (i < b.length - 1) { sum += greatCircleDistanceRads(b(i), b(i + 1)); i += 1 }
+    sum
+  }
+
+  def edgeLengthKm(edge: Long): Double = edgeLengthRads(edge) * EarthRadiusKm
+  def edgeLengthM(edge: Long): Double = edgeLengthKm(edge) * 1000.0
+}

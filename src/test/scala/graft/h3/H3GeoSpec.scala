@@ -1,0 +1,125 @@
+package graft.h3
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.lang.Math._
+
+/**
+ * Geometry + traversal invariants (the full battery lives in
+ * [[H3GeoSelfCheck]]; this spec pins the critical subset in CI).
+ */
+class H3GeoSpec extends AnyFunSuite {
+  import H3Geo._
+  import H3Traversal._
+
+  def sampleCells(res: Int): Array[Long] =
+    H3Core.res0Cells().map { c =>
+      var h = c
+      for (r <- 1 to res) h = H3Core.withDigit(H3Core.withRes(h, r), r, if (r % 3 == 0) 2 else 0)
+      h
+    }
+
+  test("canonical goldens (public H3 docs)") {
+    assert(latLngToCell(37.3615593, -122.0553238, 7) == 0x87283472bffffffL)
+    assert(latLngToCell(37.7752702151959257, -122.418307270836565, 9) == 0x8928308280fffffL)
+    val g = cellToLatLng(0x85283473fffffffL)
+    assert(abs(g.lat - 37.34579337536848) < 1e-9 && abs(g.lng - -121.97637597255124) < 1e-9)
+  }
+
+  test("coordinate roundtrip at every res for every base cell") {
+    val rnd = new scala.util.Random(7)
+    for (bc <- 0 until 122) {
+      var h = H3Core.res0Cells()(bc)
+      for (r <- 1 to 15) {
+        val pent = H3Core.isPentagon(h)
+        var d = rnd.nextInt(7)
+        if (pent && d == 1) d = 0
+        h = H3Core.withDigit(H3Core.withRes(h, r), r, d)
+        if (r <= 10) {
+          val g = cellToLatLng(h)
+          assert(latLngToCell(g.lat, g.lng, r) == h, s"res $r bc $bc ${h.toHexString}")
+        }
+      }
+    }
+  }
+
+  test("res-0 cells tile the sphere to exactly 4 pi") {
+    val total = H3Core.res0Cells().map(cellAreaRads2).sum
+    assert(abs(total - 4 * PI) < 1e-9)
+  }
+
+  test("average res-0 hexagon area matches the published H3 table") {
+    val hexes = H3Core.res0Cells().filterNot(H3Core.isPentagon)
+    val avg = hexes.map(cellAreaKm2).sum / hexes.length
+    assert(abs(avg - 4357449.416078381) / 4357449.0 < 1e-6)
+  }
+
+  test("gridDisk law: 3k(k+1)+1 away from pentagons; members roundtrip") {
+    for (c <- sampleCells(8).take(30); k <- 1 to 2) {
+      val disk = gridDisk(c, k)
+      if (!disk.exists(H3Core.isPentagon))
+        assert(disk.length == H3Core.maxGridDiskSize(k), s"${c.toHexString} k=$k")
+      for (m <- disk) {
+        val g = cellToLatLng(m)
+        assert(latLngToCell(g.lat, g.lng, H3Core.getResolution(m)) == m)
+      }
+    }
+  }
+
+  test("pentagon disk k=1 has 5 neighbors") {
+    for (bc <- H3Core.pentagonBaseCells) {
+      var p = H3Core.res0Cells()(bc)
+      for (r <- 1 to 4) p = H3Core.withDigit(H3Core.withRes(p, r), r, 0)
+      assert(gridDisk(p, 1).length == 6)
+    }
+  }
+
+  test("grid ring 1 of 89283080ddbffff has 6 valid cells (cell.rs:521)") {
+    val ring = gridRing(0x89283080ddbffffL, 1)
+    assert(ring.length == 6 && ring.forall(H3Core.isValidCell))
+  }
+
+  test("gridDistance to ring members equals k (cell.rs:621)") {
+    val idx = 0x89283080ddbffffL
+    assert(gridDistance(idx, idx) == 0)
+    for (k <- 1 to 3; m <- gridRing(idx, k))
+      assert(gridDistance(idx, m) == k)
+  }
+
+  test("localIj roundtrip (localij.rs:103)") {
+    val origin = 0x89283080ddbffffL
+    for (m <- gridDisk(origin, 2)) {
+      cellToLocalIj(origin, m).foreach { case (i, j) =>
+        assert(localIjToCell(origin, i, j).contains(m))
+      }
+    }
+  }
+
+  test("edge destination/reverse roundtrip (cell.rs:667 can_find_edge_to)") {
+    val idx = 0x89283080ddbffffL
+    val ring = gridRing(idx, 1)
+    for (n <- ring) {
+      val eTo = cellsToDirectedEdge(idx, n)
+      val eFrom = cellsToDirectedEdge(n, idx)
+      assert(eTo != H3Core.H3Null && eFrom != H3Core.H3Null && eTo != eFrom)
+      assert(edgeDestination(eTo) == n && H3Core.edgeOrigin(eTo) == idx)
+      assert(edgeDestination(eFrom) == idx && H3Core.edgeOrigin(eFrom) == n)
+    }
+    // wrong neighbor fails (cell.rs:684)
+    assert(cellsToDirectedEdge(idx, 0x8a2a1072b59ffffL) == H3Core.H3Null)
+  }
+
+  test("gridPathCells connects endpoints with neighbor steps (lib.rs:152)") {
+    val start = 0x85285aa7fffffffL
+    val end = 0x851d9b1bfffffffL
+    val path = gridPathCells(start, end)
+    if (path.nonEmpty) {
+      assert(path.head == start && path.last == end)
+      for (w <- path.sliding(2) if w.length == 2) assert(areNeighborCells(w(0), w(1)))
+    }
+    // short path in one base cell always works
+    val c = 0x89283080ddbffffL
+    val f = gridRing(c, 3).head
+    val p2 = gridPathCells(c, f)
+    assert(p2.length == 4 && p2.head == c && p2.last == f)
+  }
+}
