@@ -34,7 +34,37 @@ object H3Registry {
     "h3_origin_to_directed_edges" -> (a => H3OriginToDirectedEdges(a.head)),
     "h3_max_grid_disk_size" -> (a => H3MaxGridDiskSize(a.head)),
     "h3_res0_cells" -> (_ => H3Res0Cells()),
-    "h3_compact_agg" -> (a => H3CompactAgg(a.head).toAggregateExpression())
+    "h3_compact_agg" -> (a => H3CompactAgg(a.head).toAggregateExpression()),
+    // geometry / traversal layer
+    "h3_latlng_to_cell" -> (a => H3LatLngToCell(a(0), a(1), a(2))),
+    "h3_cell_to_latlng" -> (a => H3CellToLatLng(a.head)),
+    "h3_cell_to_boundary_wkt" -> (a => H3CellToBoundaryWkt(a.head)),
+    "h3_cell_bbox" -> (a => H3CellBBox(a.head)),
+    "h3_cell_area_rads2" -> (a => H3CellAreaRads2(a.head)),
+    "h3_cell_area_km2" -> (a => H3CellAreaKm2(a.head)),
+    "h3_cell_area_m2" -> (a => H3CellAreaM2(a.head)),
+    "h3_hexagon_area_avg_km2" -> (a => H3HexagonAreaAvgKm2(a.head)),
+    "h3_grid_disk" -> (a => H3GridDisk(a(0), a(1))),
+    "h3_grid_ring" -> (a => H3GridRing(a(0), a(1))),
+    "h3_grid_disk_distances" -> (a => H3GridDiskDistances(a(0), a(1))),
+    "h3_grid_distance" -> (a => H3GridDistance(a(0), a(1))),
+    "h3_grid_path" -> (a => H3GridPath(a(0), a(1))),
+    "h3_are_neighbor_cells" -> (a => H3AreNeighborCells(a(0), a(1))),
+    "h3_cell_to_local_ij" -> (a => H3CellToLocalIj(a(0), a(1))),
+    "h3_local_ij_to_cell" -> (a => H3LocalIjToCell(a(0), a(1), a(2))),
+    "h3_cells_to_directed_edge" -> (a => H3CellsToDirectedEdge(a(0), a(1))),
+    "h3_edge_destination" -> (a => H3EdgeDestination(a.head)),
+    "h3_edge_cells" -> (a => H3EdgeCells(a.head)),
+    "h3_edge_reverse" -> (a => H3EdgeReverse(a.head)),
+    "h3_edge_boundary_wkt" -> (a => H3EdgeBoundaryWkt(a.head)),
+    "h3_edge_length_km" -> (a => H3EdgeLengthKm(a.head)),
+    "h3_edge_length_m" -> (a => H3EdgeLengthM(a.head)),
+    "h3_polygon_to_cells" -> (a => H3PolygonToCells(a(0), a(1))),
+    "h3_polygon_to_cells_intersecting" -> (a => H3PolygonToCellsIntersecting(a(0), a(1))),
+    "h3_linestring_to_cells" -> (a => H3LineStringToCells(a(0), a(1))),
+    "h3_cell_intersects_polygon" -> (a => H3CellIntersectsPolygon(a(0), a(1))),
+    "h3_cell_contains_point" -> (a => H3CellContainsPoint(a(0), a(1), a(2))),
+    "h3_cells_to_multipolygon_wkt" -> (a => H3CellsToMultiPolygonWkt(a(0), a(1)))
   )
 
   def register(spark: SparkSession): Unit = expressions.foreach { case (name, builder) =>

@@ -56,4 +56,99 @@ object functions {
   def h3_res0_cells(): Column = c(H3Res0Cells())
   /** C3/F1: distributed compact aggregation. */
   def h3_compact_agg(cell: Column): Column = shims.aggColumn(H3CompactAgg(e(cell)))
+
+  // ---- geometry layer (S1-S3, S10-S14, S18, S20, E3-E8, G1-G7, X4-X6) ----
+
+  /** S1: (lat, lng) degrees -> cell at res. */
+  def h3_latlng_to_cell(lat: Column, lng: Column, res: Column): Column =
+    c(H3LatLngToCell(e(lat), e(lng), e(res.cast("int"))))
+  /** S2: centroid as struct(lat, lng) degrees. */
+  def h3_cell_to_latlng(cell: Column): Column = c(H3CellToLatLng(e(cell)))
+  /** S3: boundary polygon as WKT (lng lat order, closed ring). */
+  def h3_cell_to_boundary_wkt(cell: Column): Column = c(H3CellToBoundaryWkt(e(cell)))
+  /** C8 kernel: boundary envelope struct(min_lat, min_lng, max_lat, max_lng). */
+  def h3_cell_bbox(cell: Column): Column = c(H3CellBBox(e(cell)))
+  /** S18: exact spherical cell area. */
+  def h3_cell_area_rads2(cell: Column): Column = c(H3CellAreaRads2(e(cell)))
+  def h3_cell_area_km2(cell: Column): Column = c(H3CellAreaKm2(e(cell)))
+  def h3_cell_area_m2(cell: Column): Column = c(H3CellAreaM2(e(cell)))
+  /** S18 static: exact average hexagon area at a res. */
+  def h3_hexagon_area_avg_km2(res: Column): Column = c(H3HexagonAreaAvgKm2(e(res.cast("int"))))
+
+  /** S11: all cells within k grid steps (sorted array). */
+  def h3_grid_disk(cell: Column, k: Column): Column = c(H3GridDisk(e(cell), e(k.cast("int"))))
+  /** S12: cells at exactly k grid steps. */
+  def h3_grid_ring(cell: Column, k: Column): Column = c(H3GridRing(e(cell), e(k.cast("int"))))
+  /** S13: array of struct(cell, k) within k steps. */
+  def h3_grid_disk_distances(cell: Column, k: Column): Column =
+    c(H3GridDiskDistances(e(cell), e(k.cast("int"))))
+  /** S14: grid distance in steps (NULL when not computable). */
+  def h3_grid_distance(a: Column, b: Column): Column = c(H3GridDistance(e(a), e(b)))
+  /** G7: line of cells between two cells. */
+  def h3_grid_path(a: Column, b: Column): Column = c(H3GridPath(e(a), e(b)))
+  /** S10: neighbor test. */
+  def h3_are_neighbor_cells(a: Column, b: Column): Column = c(H3AreNeighborCells(e(a), e(b)))
+  /** S20: local (i, j) coordinates of cell anchored at origin. */
+  def h3_cell_to_local_ij(origin: Column, cell: Column): Column =
+    c(H3CellToLocalIj(e(origin), e(cell)))
+  /** S20 inverse. */
+  def h3_local_ij_to_cell(origin: Column, i: Column, j: Column): Column =
+    c(H3LocalIjToCell(e(origin), e(i.cast("int")), e(j.cast("int"))))
+
+  /** S16/E1: the directed edge from origin to a neighboring destination. */
+  def h3_cells_to_directed_edge(origin: Column, dest: Column): Column =
+    c(H3CellsToDirectedEdge(e(origin), e(dest)))
+  /** E3: destination cell of a directed edge. */
+  def h3_edge_destination(edge: Column): Column = c(H3EdgeDestination(e(edge)))
+  /** E3: struct(origin, destination). */
+  def h3_edge_cells(edge: Column): Column = c(H3EdgeCells(e(edge)))
+  /** E4: reversed edge. */
+  def h3_edge_reverse(edge: Column): Column = c(H3EdgeReverse(e(edge)))
+  /** E5: edge boundary as WKT LINESTRING. */
+  def h3_edge_boundary_wkt(edge: Column): Column = c(H3EdgeBoundaryWkt(e(edge)))
+  /** E6: exact edge length. */
+  def h3_edge_length_km(edge: Column): Column = c(H3EdgeLengthKm(e(edge)))
+  def h3_edge_length_m(edge: Column): Column = c(H3EdgeLengthM(e(edge)))
+
+  /** G1: polyfill — cells at res whose centroid is inside the WKT
+    * (MULTI)POLYGON. */
+  def h3_polygon_to_cells(wkt: Column, res: Column): Column =
+    c(H3PolygonToCells(e(wkt), e(res.cast("int"))))
+  /** G5: polyfill including boundary-intersecting cells. */
+  def h3_polygon_to_cells_intersecting(wkt: Column, res: Column): Column =
+    c(H3PolygonToCellsIntersecting(e(wkt), e(res.cast("int"))))
+  /** G3: trace a WKT LINESTRING into cells (traversal order, deduped). */
+  def h3_linestring_to_cells(wkt: Column, res: Column): Column =
+    c(H3LineStringToCells(e(wkt), e(res.cast("int"))))
+
+  /** X6 exact stage: does the cell polygon intersect the WKT polygon? */
+  def h3_cell_intersects_polygon(cell: Column, wkt: Column): Column =
+    c(H3CellIntersectsPolygon(e(cell), e(wkt)))
+  /** exact point-in-cell test (containment by index equality). */
+  def h3_cell_contains_point(cell: Column, lat: Column, lng: Column): Column =
+    c(H3CellContainsPoint(e(cell), e(lat), e(lng)))
+
+  /** G8/G10 dissolve: merge an array of cells into a WKT MULTIPOLYGON;
+    * use after collect_set/h3_compact_agg for per-group dissolves (G9). */
+  def h3_cells_to_multipolygon_wkt(cells: Column, smoothen: Column): Column =
+    c(H3CellsToMultiPolygonWkt(e(cells), e(smoothen)))
+
+  /** X4 coarse stage: does the cell envelope intersect a lat/lng bbox?
+    * Composed from [[h3_cell_bbox]] so it stays in whole-stage codegen;
+    * NULL cells yield NULL (mask-alignment rule, mod.rs:182-186). */
+  def h3_cell_intersects_bbox(cell: Column, minLat: Column, minLng: Column,
+      maxLat: Column, maxLng: Column): Column = {
+    val b = h3_cell_bbox(cell)
+    b.getField("min_lat") <= maxLat && b.getField("max_lat") >= minLat &&
+      b.getField("min_lng") <= maxLng && b.getField("max_lng") >= minLng
+  }
+
+  /** X5: centroid within euclidean degree-space distance of a point (the
+    * reference's kdtree query semantics, spatial_index/mod.rs:76). */
+  def h3_cell_within_distance_deg(cell: Column, lat: Column, lng: Column, d: Column): Column = {
+    val g = h3_cell_to_latlng(cell)
+    val dlat = g.getField("lat") - lat
+    val dlng = g.getField("lng") - lng
+    (dlat * dlat + dlng * dlng) <= d * d
+  }
 }

@@ -1,0 +1,383 @@
+package graft.h3
+
+import H3Geo._
+import scala.collection.mutable
+
+/**
+ * Geometry <-> H3 conversions over WKT geometries: polyfill (centroid
+ * containment, reference to_h3.rs:20-40 `polygon_to_cells`), intersecting
+ * polyfill (to_h3.rs:136-219), linestring tracing (to_h3.rs:65-99), and the
+ * dissolve aggregation cells -> multipolygon (to_geo.rs:45-98
+ * `ToLinkedPolygons`), with optional Chaikin smoothing (smoothen.rs:66-106).
+ *
+ * WKT is the interchange format (x = lng, y = lat, degrees). Point-in-
+ * polygon runs in planar lat/lng space (ray casting), matching the
+ * reference's use of planar `geo` predicates on coordinates; geometries
+ * crossing the antimeridian are not supported (documented limitation).
+ */
+object H3Polygon {
+
+  // ---------------------------------------------------------------------
+  // minimal WKT
+  // ---------------------------------------------------------------------
+
+  /** rings as arrays of (lng, lat) degrees; first ring is the shell. */
+  final case class Polygon(rings: Array[Array[(Double, Double)]])
+
+  private def parseCoordSeq(s: String): Array[(Double, Double)] =
+    s.split(",").map { p =>
+      val xs = p.trim.split("\\s+")
+      (xs(0).toDouble, xs(1).toDouble)
+    }
+
+  private def splitTopLevel(s: String): Seq[String] = {
+    val out = mutable.ArrayBuffer.empty[String]
+    var depth = 0
+    var start = 0
+    var i = 0
+    while (i < s.length) {
+      s.charAt(i) match {
+        case '(' => depth += 1
+        case ')' => depth -= 1
+        case ',' if depth == 0 => out += s.substring(start, i); start = i + 1
+        case _ =>
+      }
+      i += 1
+    }
+    out += s.substring(start)
+    out.toSeq
+  }
+
+  private def stripParens(s: String): String = {
+    val t = s.trim
+    if (t.startsWith("(") && t.endsWith(")")) t.substring(1, t.length - 1) else t
+  }
+
+  /** parse POLYGON ((...),(...)) -> rings. */
+  def parsePolygonWkt(wkt: String): Option[Polygon] = {
+    val t = wkt.trim
+    val up = t.toUpperCase
+    if (!up.startsWith("POLYGON")) return None
+    val body = stripParens(t.substring(t.indexOf('(')))
+    val rings = splitTopLevel(body).map(r => parseCoordSeq(stripParens(r))).toArray
+    if (rings.isEmpty || rings.exists(_.length < 3)) None else Some(Polygon(rings))
+  }
+
+  /** parse MULTIPOLYGON (((...)),((...))) -> polygons; also accepts POLYGON. */
+  def parseMultiPolygonWkt(wkt: String): Option[Array[Polygon]] = {
+    val t = wkt.trim
+    val up = t.toUpperCase
+    if (up.startsWith("POLYGON")) return parsePolygonWkt(t).map(Array(_))
+    if (!up.startsWith("MULTIPOLYGON")) return None
+    val body = stripParens(t.substring(t.indexOf('(')))
+    val polys = splitTopLevel(body).map { p =>
+      val rings = splitTopLevel(stripParens(p)).map(r => parseCoordSeq(stripParens(r))).toArray
+      Polygon(rings)
+    }.toArray
+    if (polys.isEmpty || polys.exists(_.rings.exists(_.length < 3))) None else Some(polys)
+  }
+
+  /** parse LINESTRING (x y, x y, ...). */
+  def parseLineStringWkt(wkt: String): Option[Array[(Double, Double)]] = {
+    val t = wkt.trim
+    if (!t.toUpperCase.startsWith("LINESTRING")) return None
+    val body = stripParens(t.substring(t.indexOf('(')))
+    val pts = parseCoordSeq(body)
+    if (pts.length < 2) None else Some(pts)
+  }
+
+  def polygonWkt(rings: Seq[Seq[(Double, Double)]]): String =
+    rings.map(r => r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+      .mkString("POLYGON (", ", ", ")")
+
+  def multiPolygonWkt(polys: Seq[Seq[Seq[(Double, Double)]]]): String =
+    polys.map(p => p.map(r => r.map { case (x, y) => s"$x $y" }.mkString("(", ", ", ")"))
+      .mkString("(", ", ", ")")).mkString("MULTIPOLYGON (", ", ", ")")
+
+  // ---------------------------------------------------------------------
+  // planar predicates
+  // ---------------------------------------------------------------------
+
+  /** ray-casting point-in-ring on (lng, lat) planar coordinates. */
+  def pointInRing(lng: Double, lat: Double, ring: Array[(Double, Double)]): Boolean = {
+    var inside = false
+    var i = 0
+    var j = ring.length - 1
+    while (i < ring.length) {
+      val (xi, yi) = ring(i)
+      val (xj, yj) = ring(j)
+      if (((yi > lat) != (yj > lat)) &&
+          (lng < (xj - xi) * (lat - yi) / (yj - yi) + xi)) inside = !inside
+      j = i
+      i += 1
+    }
+    inside
+  }
+
+  /** inside the shell and outside every hole. */
+  def pointInPolygon(lng: Double, lat: Double, poly: Polygon): Boolean =
+    pointInRing(lng, lat, poly.rings.head) &&
+      !poly.rings.tail.exists(h => pointInRing(lng, lat, h))
+
+  private def segmentsIntersect(ax: Double, ay: Double, bx: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    def orient(px: Double, py: Double, qx: Double, qy: Double, rx: Double, ry: Double): Double =
+      (qx - px) * (ry - py) - (qy - py) * (rx - px)
+    val o1 = orient(ax, ay, bx, by, cx, cy)
+    val o2 = orient(ax, ay, bx, by, dx, dy)
+    val o3 = orient(cx, cy, dx, dy, ax, ay)
+    val o4 = orient(cx, cy, dx, dy, bx, by)
+    (o1 * o2 < 0) && (o3 * o4 < 0)
+  }
+
+  // ---------------------------------------------------------------------
+  // polyfill
+  // ---------------------------------------------------------------------
+
+  /** max center-to-vertex arc per res, with safety margin, for coarse
+    * candidate pruning. */
+  lazy val maxCellRadiusRads: Array[Double] = {
+    val r0 = H3Core.res0Cells().map { c =>
+      val ctr = cellToLatLngRads(c)
+      cellToBoundaryRads(c).map(v => greatCircleDistanceRads(ctr, v)).max
+    }.max
+    Array.tabulate(MaxRes + 1)(r => r0 * math.pow(1.0 / Sqrt7, r) * 1.35 + 1e-12)
+  }
+
+  private def bboxOf(poly: Polygon): (Double, Double, Double, Double) = {
+    var minX = Double.MaxValue; var minY = Double.MaxValue
+    var maxX = Double.MinValue; var maxY = Double.MinValue
+    for (ring <- poly.rings; (x, y) <- ring) {
+      if (x < minX) minX = x; if (x > maxX) maxX = x
+      if (y < minY) minY = y; if (y > maxY) maxY = y
+    }
+    (minX, minY, maxX, maxY)
+  }
+
+  /** spherical distance from a point to a lat/lng-aligned bbox (approx:
+    * clamp then haversine). */
+  private def distToBboxRads(lat: Double, lng: Double,
+      minX: Double, minY: Double, maxX: Double, maxY: Double): Double = {
+    val cx = math.max(minX, math.min(maxX, lng))
+    val cy = math.max(minY, math.min(maxY, lat))
+    greatCircleDistanceRads(
+      LatLng(math.toRadians(lat), math.toRadians(lng)),
+      LatLng(math.toRadians(cy), math.toRadians(cx)))
+  }
+
+  /** hierarchical candidate cells at `res` whose center could fall in (or
+    * whose body could touch) the polygon bbox. */
+  private def candidateCells(poly: Polygon, res: Int): Array[Long] = {
+    val (minX, minY, maxX, maxY) = bboxOf(poly)
+    var cells: Array[Long] = H3Core.res0Cells().filter { c =>
+      val g = cellToLatLng(c)
+      distToBboxRads(g.lat, g.lng, minX, minY, maxX, maxY) <= maxCellRadiusRads(0)
+    }
+    var r = 1
+    while (r <= res) {
+      cells = cells.flatMap(c => H3Core.cellToChildren(c, r)).filter { c =>
+        val g = cellToLatLng(c)
+        distToBboxRads(g.lat, g.lng, minX, minY, maxX, maxY) <= maxCellRadiusRads(r)
+      }
+      r += 1
+    }
+    cells
+  }
+
+  /** all cells at `res` whose *centroid* is inside the polygon (the
+    * reference's polyfill semantics, to_h3.rs:227-247). Sorted. */
+  def polygonToCells(poly: Polygon, res: Int): Array[Long] = {
+    val out = candidateCells(poly, res).filter { c =>
+      val g = cellToLatLng(c)
+      pointInPolygon(g.lng, g.lat, poly)
+    }
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  def polygonToCells(wkt: String, res: Int): Array[Long] =
+    parseMultiPolygonWkt(wkt) match {
+      case Some(polys) =>
+        val all = polys.flatMap(p => polygonToCells(p, res)).distinct
+        java.util.Arrays.sort(all)
+        all
+      case None => Array.emptyLongArray
+    }
+
+  /** does the cell's polygon intersect the query polygon (exact stage of
+    * the two-stage spatial predicate, mod.rs:235-253)? */
+  def cellIntersectsPolygon(c: Long, poly: Polygon): Boolean = {
+    val g = cellToLatLng(c)
+    if (pointInPolygon(g.lng, g.lat, poly)) true
+    else {
+      val verts = cellToBoundary(c)
+      // any cell vertex inside the polygon
+      verts.exists(v => pointInPolygon(v.lng, v.lat, poly)) || {
+        // any polygon vertex inside the cell, or edge crossing
+        val cellRing = verts.map(v => (v.lng, v.lat))
+        poly.rings.exists(_.exists { case (x, y) => pointInRing(x, y, cellRing) }) ||
+          poly.rings.exists { ring =>
+            var i = 0
+            var hit = false
+            while (i < ring.length && !hit) {
+              val (ax, ay) = ring(i)
+              val (bx, by) = ring((i + 1) % ring.length)
+              var j = 0
+              while (j < cellRing.length && !hit) {
+                val (cx, cy) = cellRing(j)
+                val (dx, dy) = cellRing((j + 1) % cellRing.length)
+                hit = segmentsIntersect(ax, ay, bx, by, cx, cy, dx, dy)
+                j += 1
+              }
+              i += 1
+            }
+            hit
+          }
+      }
+    }
+  }
+
+  /** cells whose *polygon intersects* the polygon: centroid-contained plus
+    * boundary-touching cells (reference ToIntersectingH3Cells semantics,
+    * to_h3.rs:136-219). */
+  def polygonToCellsIntersecting(poly: Polygon, res: Int): Array[Long] = {
+    val out = candidateCells(poly, res).filter(cellIntersectsPolygon(_, poly))
+    java.util.Arrays.sort(out)
+    out
+  }
+
+  def polygonToCellsIntersecting(wkt: String, res: Int): Array[Long] =
+    parseMultiPolygonWkt(wkt) match {
+      case Some(polys) =>
+        val all = polys.flatMap(p => polygonToCellsIntersecting(p, res)).distinct
+        java.util.Arrays.sort(all)
+        all
+      case None => Array.emptyLongArray
+    }
+
+  /** trace a linestring: per-segment grid paths, deduplicated in traversal
+    * order (reference to_h3.rs:65-99 via line()). */
+  def lineStringToCells(pts: Array[(Double, Double)], res: Int): Array[Long] = {
+    val seen = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i < pts.length - 1) {
+      val a = latLngToCell(pts(i)._2, pts(i)._1, res)
+      val b = latLngToCell(pts(i + 1)._2, pts(i + 1)._1, res)
+      if (a != H3Core.H3Null && b != H3Core.H3Null) {
+        val path = H3Traversal.gridPathCells(a, b)
+        if (path.nonEmpty) path.foreach(seen += _)
+        else { seen += a; seen += b } // cross-face path failure: keep endpoints
+      }
+      i += 1
+    }
+    seen.toArray
+  }
+
+  def lineStringToCells(wkt: String, res: Int): Array[Long] =
+    parseLineStringWkt(wkt).map(lineStringToCells(_, res)).getOrElse(Array.emptyLongArray)
+
+  // ---------------------------------------------------------------------
+  // dissolve: cells -> merged (multi)polygon
+  // ---------------------------------------------------------------------
+
+  private def quantKey(lat: Double, lng: Double): (Long, Long) =
+    (math.round(lat * 1e9), math.round(lng * 1e9))
+
+  /**
+   * Merge a set of cells into polygon rings: collect every cell's boundary
+   * edges, cancel edges shared by two cells, link the survivors into closed
+   * rings (reference ToLinkedPolygons, to_geo.rs:45-98). Returns outer
+   * rings with their holes as WKT MULTIPOLYGON. Optional Chaikin smoothing
+   * pass (to_geo.rs smoothen, smoothen.rs:66-106).
+   */
+  def cellsToMultiPolygonWkt(cells: Array[Long], smoothen: Boolean = false): String = {
+    val distinct = cells.distinct.filter(H3Core.isValidCell)
+    // directed boundary edges with canceled interior pairs
+    val edges = mutable.Map.empty[((Long, Long), (Long, Long)), ((Double, Double), (Double, Double))]
+    for (c <- distinct) {
+      val verts = cellToBoundary(c)
+      var i = 0
+      while (i < verts.length) {
+        val a = verts(i)
+        val b = verts((i + 1) % verts.length)
+        val ka = quantKey(a.lat, a.lng)
+        val kb = quantKey(b.lat, b.lng)
+        if (edges.contains((kb, ka))) edges.remove((kb, ka))
+        else edges(((ka, kb))) = ((a.lng, a.lat), (b.lng, b.lat))
+        i += 1
+      }
+    }
+    // link rings
+    val byStart = mutable.Map.empty[(Long, Long), mutable.Queue[((Long, Long), ((Double, Double), (Double, Double)))]]
+    for ((k @ (ka, kb), v) <- edges)
+      byStart.getOrElseUpdate(ka, mutable.Queue.empty) += ((kb, (v)))
+    val rings = mutable.ArrayBuffer.empty[Array[(Double, Double)]]
+    while (byStart.nonEmpty) {
+      val (startKey, q) = byStart.head
+      val ring = mutable.ArrayBuffer.empty[(Double, Double)]
+      var cur = startKey
+      var guard = 0
+      var open = true
+      while (open && guard < 1000000) {
+        byStart.get(cur) match {
+          case Some(queue) if queue.nonEmpty =>
+            val (next, (p0, _)) = queue.dequeue()
+            if (queue.isEmpty) byStart.remove(cur)
+            ring += p0
+            cur = next
+            if (cur == startKey) open = false
+          case _ => open = false
+        }
+        guard += 1
+      }
+      if (ring.length >= 3) rings += ring.toArray
+    }
+    // classify rings: planar signed area; boundary edges emitted in cell
+    // (ccw) order make outers ccw (positive) and holes cw
+    def signedArea(ring: Array[(Double, Double)]): Double = {
+      var s = 0.0
+      var i = 0
+      while (i < ring.length) {
+        val (x1, y1) = ring(i)
+        val (x2, y2) = ring((i + 1) % ring.length)
+        s += x1 * y2 - x2 * y1
+        i += 1
+      }
+      s / 2.0
+    }
+    def maybeSmooth(ring: Array[(Double, Double)]): Array[(Double, Double)] =
+      if (!smoothen || ring.length < 3) ring
+      else {
+        // one modified Chaikin pass: replace each vertex pair with cut points
+        val out = new Array[(Double, Double)](ring.length * 2)
+        var i = 0
+        while (i < ring.length) {
+          val (x1, y1) = ring(i)
+          val (x2, y2) = ring((i + 1) % ring.length)
+          out(2 * i) = (0.75 * x1 + 0.25 * x2, 0.75 * y1 + 0.25 * y2)
+          out(2 * i + 1) = (0.25 * x1 + 0.75 * x2, 0.25 * y1 + 0.75 * y2)
+          i += 1
+        }
+        out
+      }
+    // cell boundary rings share one orientation (whatever sign that is in
+    // planar lng/lat); outer rings of the dissolved region inherit it and
+    // holes get the opposite. Detect the orientation from an actual cell.
+    val cellOrientation = if (distinct.isEmpty) 1.0 else {
+      val verts = cellToBoundary(distinct.head)
+      signedArea(verts.map(v => (v.lng, v.lat)))
+    }
+    val outerSign = math.signum(cellOrientation)
+    val outers = rings.filter(r => signedArea(r) * outerSign > 0).map(maybeSmooth)
+    val holes = rings.filter(r => signedArea(r) * outerSign < 0).map(maybeSmooth)
+    // attach each hole to the first outer containing its first vertex
+    val grouped = outers.map { o =>
+      val hs = holes.filter { h =>
+        val (x, y) = h.head
+        pointInRing(x, y, o)
+      }
+      (o +: hs).map(r => (r :+ r.head).toSeq: Seq[(Double, Double)]).toSeq
+    }.toSeq
+    multiPolygonWkt(grouped)
+  }
+}

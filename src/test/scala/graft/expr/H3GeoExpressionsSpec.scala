@@ -1,0 +1,146 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions._
+import graft.h3.{H3Core, H3Geo, H3Traversal}
+
+class H3GeoExpressionsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sf = 0x89283080ddbffffL // res-9 cell in San Francisco
+
+  test("latlng_to_cell golden through Spark") {
+    val out = Seq((37.3615593, -122.0553238)).toDF("lat", "lng")
+      .select(h3_latlng_to_cell($"lat", $"lng", lit(7)).as("cell"))
+      .as[Long].head()
+    assert(out == 0x87283472bffffffL)
+  }
+
+  test("cell_to_latlng roundtrips through latlng_to_cell") {
+    val cells = Seq(sf, 0x85283473fffffffL).toDF("cell")
+    val rt = cells.select(
+      $"cell",
+      h3_latlng_to_cell(
+        h3_cell_to_latlng($"cell").getField("lat"),
+        h3_cell_to_latlng($"cell").getField("lng"),
+        h3_get_resolution($"cell")).as("rt"))
+      .as[(Long, Long)].collect()
+    rt.foreach { case (c, r) => assert(c == r) }
+  }
+
+  test("grid disk/ring/distance expressions agree with the kernel") {
+    val row = Seq(sf).toDF("cell").select(
+      size(h3_grid_disk($"cell", lit(2))).as("n2"),
+      size(h3_grid_ring($"cell", lit(1))).as("r1"),
+      array_contains(h3_grid_disk($"cell", lit(1)), $"cell").as("selfIn"),
+      size(h3_grid_disk_distances($"cell", lit(2))).as("ndd")).head()
+    assert(row.getInt(0) == 19 && row.getInt(1) == 6 && row.getBoolean(2) && row.getInt(3) == 19)
+
+    val ring = H3Traversal.gridRing(sf, 3)
+    val d = Seq((sf, ring.head)).toDF("a", "b")
+      .select(h3_grid_distance($"a", $"b"), size(h3_grid_path($"a", $"b")),
+        h3_are_neighbor_cells($"a", $"b")).head()
+    assert(d.getLong(0) == 3 && d.getInt(1) == 4 && !d.getBoolean(2))
+  }
+
+  test("edge expressions: destination, reverse, length, boundary") {
+    val out = Seq(sf).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("e"), $"cell")
+      .select(
+        h3_edge_destination($"e").as("dest"),
+        h3_edge_cells($"e").getField("origin").as("o"),
+        h3_are_neighbor_cells($"cell", h3_edge_destination($"e")).as("nb"),
+        h3_edge_length_m($"e").as("len"),
+        h3_edge_boundary_wkt($"e").as("wkt"),
+        h3_edge_destination(h3_edge_reverse($"e")).as("back"),
+        $"cell")
+      .collect()
+    assert(out.length == 6)
+    out.foreach { r =>
+      assert(r.getLong(1) == sf && r.getBoolean(2) && r.getLong(6) == r.getLong(5))
+      assert(r.getDouble(3) > 100 && r.getDouble(3) < 400) // res-9 edges ~174 m
+      assert(r.getString(4).startsWith("LINESTRING"))
+    }
+  }
+
+  test("cell area and avg-area expressions") {
+    val r = Seq(sf).toDF("cell")
+      .select(h3_cell_area_km2($"cell").as("a"), h3_hexagon_area_avg_km2(lit(9)).as("avg")).head()
+    assert(r.getDouble(0) > 0.05 && r.getDouble(0) < 0.2) // res-9 hexagons ~0.105 km2
+    assert(math.abs(r.getDouble(1) - 0.1053325) / 0.105 < 0.01) // published res-9 avg
+  }
+
+  test("polyfill expression: centroids inside, res right, compact roundtrip") {
+    val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+    val cellsDf = Seq(wkt).toDF("wkt")
+      .select(explode(h3_polygon_to_cells($"wkt", lit(7))).as("cell"))
+    val n = cellsDf.count()
+    assert(n > 100 && n < 500, s"polyfill count $n")
+    val bad = cellsDf.filter(
+      !h3_cell_contains_point(
+        h3_latlng_to_cell(h3_cell_to_latlng($"cell").getField("lat"),
+          h3_cell_to_latlng($"cell").getField("lng"), lit(7)),
+        h3_cell_to_latlng($"cell").getField("lat"),
+        h3_cell_to_latlng($"cell").getField("lng"))).count()
+    assert(bad == 0)
+    // intersecting variant is a superset
+    val nInter = Seq(wkt).toDF("wkt")
+      .select(explode(h3_polygon_to_cells_intersecting($"wkt", lit(7))).as("cell")).count()
+    assert(nInter > n)
+  }
+
+  test("linestring trace produces a connected chain") {
+    val wkt = "LINESTRING (-122.45 37.7, -122.35 37.75, -122.3 37.72)"
+    val cells = Seq(wkt).toDF("wkt")
+      .select(explode(h3_linestring_to_cells($"wkt", lit(9))).as("cell"))
+      .as[Long].collect()
+    assert(cells.length > 10)
+    assert(cells.distinct.length == cells.length)
+  }
+
+  test("two-stage spatial predicate: exact implies coarse") {
+    val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+    val cells = (0 until 300).map { i =>
+      H3Geo.latLngToCell(37.4 + i * 0.003, -122.6 + i * 0.002, 7)
+    }.toDF("cell")
+    val checked = cells.select(
+      h3_cell_intersects_bbox($"cell", lit(37.6), lit(-122.5), lit(37.9), lit(-122.2)).as("coarse"),
+      h3_cell_intersects_polygon($"cell", lit(wkt)).as("exact"))
+    assert(checked.filter($"exact" && !$"coarse").count() == 0)
+    assert(checked.filter($"exact").count() > 0)
+  }
+
+  test("dissolve merges a disk into one outer ring") {
+    val disk = H3Traversal.gridDisk(sf, 2)
+    val wkt = Seq(1).toDF("x")
+      .select(h3_cells_to_multipolygon_wkt(
+        lit(disk), lit(false)).as("wkt")).as[String].head()
+    assert(wkt.startsWith("MULTIPOLYGON"))
+    // one outer ring, no holes: exactly one "((" opener after the prefix
+    val nPolys = "\\(\\(".r.findAllIn(wkt).length
+    assert(nPolys == 1, s"expected single outer ring, got $nPolys in ${wkt.take(120)}")
+    // the dissolved ring of a k=2 disk has 6*(2k+1)=30 boundary vertices
+    val nVerts = wkt.count(_ == ',') + 1
+    assert(nVerts >= 30, s"outer ring only $nVerts verts")
+  }
+
+  test("local ij expressions roundtrip") {
+    val disk = H3Traversal.gridDisk(sf, 2).toSeq.toDF("cell")
+    val rt = disk.select(
+      $"cell",
+      h3_local_ij_to_cell(lit(sf),
+        h3_cell_to_local_ij(lit(sf), $"cell").getField("i"),
+        h3_cell_to_local_ij(lit(sf), $"cell").getField("j")).as("rt"))
+      .as[(Long, Long)].collect()
+    rt.foreach { case (c, r) => assert(c == r) }
+  }
+
+  test("SQL registration works for geometry functions") {
+    H3Registry.register(spark)
+    val n = spark.sql(
+      s"SELECT size(h3_grid_disk(h3_latlng_to_cell(37.36d, -122.05d, 8), 1)) AS n").as[Int].head()
+    assert(n == 7)
+  }
+}
