@@ -1,0 +1,271 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/**
+ * Driver-contract queries for the geometry/traversal layer (SURVEY.md §2.1
+ * S1-S3/S10-S14/S18/S20, §2.2 E3-E8, §2.3 G1-G8, §2.6 X4-X6).
+ *
+ * DuckDB cannot evaluate H3 geometry, so these queries are *invariant
+ * checks*: coordinates are synthesized with arithmetic that is portable
+ * across both engines, the Spark side evaluates geometry laws (roundtrips,
+ * disk counts, implication chains, tiling ratios against published
+ * constants) into boolean columns, and the oracle pins every law to TRUE.
+ * A violated law anywhere in the data hash-mismatches the driver compare.
+ */
+object GeoQueries {
+
+  /** portable synthesized coordinates: identical IEEE doubles in Spark SQL
+    * and DuckDB (integer modulo, then double division). */
+  private val latSql = "CAST(event_id % 1600 AS DOUBLE) / 10.0 - 80.0 + 0.005"
+  private val lngSql = "CAST((event_id * 7) % 3500 AS DOUBLE) / 10.0 - 175.0 + 0.005"
+
+  private def ev(s: SparkSession, dir: String, maxId: Long): DataFrame =
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") < maxId)
+      .withColumn("lat", expr(latSql))
+      .withColumn("lng", expr(lngSql))
+
+  private val RectWkt =
+    "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+  private val RectMinLat = 37.6
+  private val RectMaxLat = 37.9
+  private val RectMinLng = -122.5
+  private val RectMaxLng = -122.2
+
+  private def centroid(cell: Column) = h3_cell_to_latlng(cell)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // S1/S2 + containment: construction and reverse projection agree
+    "h3_12_latlng_cell" -> ((s, dir) => {
+      ev(s, dir, 4000)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .select(
+          col("event_id"),
+          h3_is_valid_cell(col("cell")).as("valid_ok"),
+          h3_cell_contains_point(col("cell"), col("lat"), col("lng")).as("contains_ok"),
+          (h3_latlng_to_cell(centroid(col("cell")).getField("lat"),
+            centroid(col("cell")).getField("lng"), lit(9)) === col("cell")).as("rt_ok"),
+          (h3_get_resolution(col("cell")) === 9).as("res_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S11/S12/S23: disk and ring counting laws
+    "h3_13_grid_disk" -> ((s, dir) => {
+      ev(s, dir, 1500)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .select(
+          col("event_id"),
+          (size(h3_grid_disk(col("cell"), lit(1))) === 7).as("disk1_ok"),
+          (size(h3_grid_disk(col("cell"), lit(2))) === 19).as("disk2_ok"),
+          (size(h3_grid_ring(col("cell"), lit(1))) === 6).as("ring1_ok"),
+          array_contains(h3_grid_disk(col("cell"), lit(1)), col("cell")).as("self_ok"),
+          (size(array_except(h3_grid_disk(col("cell"), lit(1)),
+            h3_grid_disk(col("cell"), lit(2)))) === 0).as("nested_ok"),
+          (size(h3_grid_disk(col("cell"), lit(2))).cast("long") <=
+            h3_max_grid_disk_size(lit(2))).as("bound_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S14/G7: distance laws and path connectivity
+    "h3_14_distance_path" -> ((s, dir) => {
+      val base = ev(s, dir, 1200)
+        .withColumn("a", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .withColumn("b", h3_latlng_to_cell(col("lat") + lit(0.01), col("lng") + lit(0.013), lit(9)))
+        .withColumn("d", h3_grid_distance(col("a"), col("b")))
+        .withColumn("path", h3_grid_path(col("a"), col("b")))
+      base.select(
+        col("event_id"),
+        (col("d").isNotNull && col("d").between(0, 60)).as("d_ok"),
+        (h3_grid_distance(col("b"), col("a")) === col("d")).as("sym_ok"),
+        (size(col("path")).cast("long") === col("d") + 1).as("pathlen_ok"),
+        (element_at(col("path"), 1) === col("a") &&
+          element_at(col("path"), -1) === col("b")).as("ends_ok"),
+        ((col("d") === 1) === h3_are_neighbor_cells(col("a"), col("b"))).as("nbr_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // E1/E3-E6: edge topology and metrics
+    "h3_15_edges_geo" -> ((s, dir) => {
+      ev(s, dir, 400)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .select(col("event_id"), col("cell"),
+          explode(h3_origin_to_directed_edges(col("cell"))).as("e"))
+        .withColumn("dest", h3_edge_destination(col("e")))
+        .select(
+          col("event_id"),
+          h3_are_neighbor_cells(col("cell"), col("dest")).as("nbr_ok"),
+          (h3_edge_destination(h3_edge_reverse(col("e"))) === col("cell")).as("rev_ok"),
+          (h3_cells_to_directed_edge(col("cell"), col("dest")) === col("e")).as("edge_rt_ok"),
+          h3_edge_length_m(col("e")).between(50.0, 400.0).as("len_ok"),
+          h3_edge_boundary_wkt(col("e")).startsWith("LINESTRING").as("wkt_ok"),
+          (h3_edge_cells(col("e")).getField("origin") === col("cell")).as("cells_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // S18: exact areas against the published average + child tiling
+    "h3_16_area" -> ((s, dir) => {
+      ev(s, dir, 1200)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(8)))
+        .withColumn("a", h3_cell_area_km2(col("cell")))
+        .select(
+          col("event_id"),
+          (col("a") / h3_hexagon_area_avg_km2(lit(8))).between(0.3, 2.5).as("range_ok"),
+          (abs(aggregate(
+            transform(h3_cell_to_children(col("cell"), lit(9)), c => h3_cell_area_km2(c)),
+            lit(0.0d), (acc, x) => acc + x) - col("a")) / col("a") < 0.02).as("children_sum_ok"),
+          (h3_cell_area_m2(col("cell")) / (col("a") * lit(1e6))).between(0.999999, 1.000001)
+            .as("units_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // G1: polyfill of a fixed rectangle — containment, uniqueness,
+    // compact/uncompact roundtrip, count vs published avg cell area
+    "h3_17_polyfill" -> ((s, dir) => {
+      import s.implicits._
+      // rect spherical area / published res-6 avg hex area bounds the count
+      val rectAreaKm2 = {
+        val r = graft.h3.H3Geo.EarthRadiusKm
+        val dLng = math.toRadians(RectMaxLng - RectMinLng)
+        (math.sin(math.toRadians(RectMaxLat)) - math.sin(math.toRadians(RectMinLat))) * dLng * r * r
+      }
+      val published6 = 36.1290521
+      val lo = (rectAreaKm2 / published6 * 0.8).toLong
+      val hi = (rectAreaKm2 / published6 * 1.2).toLong
+      Seq(RectWkt).toDF("wkt")
+        .withColumn("cells", h3_polygon_to_cells(col("wkt"), lit(6)))
+        .select(
+          size(col("cells")).between(lo, hi).as("count_ok"),
+          (size(array_distinct(col("cells"))) === size(col("cells"))).as("uniq_ok"),
+          forall(col("cells"), c => h3_get_resolution(c) === 6).as("res_ok"),
+          forall(col("cells"), c =>
+            centroid(c).getField("lat").between(RectMinLat, RectMaxLat) &&
+              centroid(c).getField("lng").between(RectMinLng, RectMaxLng)).as("inside_ok"),
+          (array_sort(flatten(transform(h3_compact_cells(col("cells")),
+            c => h3_uncompact_cell(c, lit(6))))) === array_sort(col("cells"))).as("compact_rt_ok"),
+          (size(h3_compact_cells(col("cells"))) < size(col("cells"))).as("compact_smaller_ok"),
+          (size(array_except(h3_polygon_to_cells(col("wkt"), lit(6)),
+            h3_polygon_to_cells_intersecting(col("wkt"), lit(6)))) === 0).as("subset_ok"))
+    }),
+
+    // G3: linestring trace is a connected, deduplicated chain
+    "h3_18_linestring" -> ((s, dir) => {
+      import s.implicits._
+      val wkt = "LINESTRING (-122.45 37.70, -122.35 37.75, -122.30 37.72)"
+      Seq(wkt).toDF("wkt")
+        .withColumn("cells", h3_linestring_to_cells(col("wkt"), lit(9)))
+        .select(
+          (size(col("cells")) > 10).as("count_ok"),
+          (size(array_distinct(col("cells"))) === size(col("cells"))).as("uniq_ok"),
+          forall(zip_with(slice(col("cells"), lit(1), size(col("cells")) - 1),
+            slice(col("cells"), lit(2), size(col("cells")) - 1),
+            (a, b) => h3_are_neighbor_cells(a, b)), x => x).as("chain_ok"),
+          (element_at(col("cells"), 1) ===
+            h3_latlng_to_cell(lit(37.70), lit(-122.45), lit(9))).as("start_ok"),
+          (element_at(col("cells"), -1) ===
+            h3_latlng_to_cell(lit(37.72), lit(-122.30), lit(9))).as("end_ok"))
+    }),
+
+    // S20: local IJ roundtrip across disk-2 neighborhoods
+    "h3_19_local_ij" -> ((s, dir) => {
+      ev(s, dir, 1000)
+        .withColumn("origin", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .withColumn("member", element_at(h3_grid_disk(col("origin"), lit(2)),
+          (col("event_id") % 19 + 1).cast("int")))
+        .withColumn("ij", h3_cell_to_local_ij(col("origin"), col("member")))
+        .select(
+          col("event_id"),
+          coalesce(h3_local_ij_to_cell(col("origin"),
+            col("ij").getField("i"), col("ij").getField("j")) === col("member"), lit(true))
+            .as("rt_ok"),
+          coalesce(abs(col("ij").getField("i") -
+            h3_cell_to_local_ij(col("origin"), col("origin")).getField("i")) <= 2, lit(true))
+            .as("near_ok"))
+        .orderBy(col("event_id"))
+    }),
+
+    // G8/G9/G10: dissolve a polyfilled rect — whole-set and per-parent
+    "h3_20_dissolve" -> ((s, dir) => {
+      import s.implicits._
+      val cellsDf = Seq(RectWkt).toDF("wkt")
+        .select(explode(h3_polygon_to_cells(col("wkt"), lit(6))).as("cell"))
+      val whole = Seq(RectWkt).toDF("wkt")
+        .withColumn("cells", h3_polygon_to_cells(col("wkt"), lit(6)))
+        .select(
+          h3_cells_to_multipolygon_wkt(col("cells"), lit(false)).as("wkt_all"),
+          h3_cells_to_multipolygon_wkt(col("cells"), lit(true)).as("wkt_smooth"))
+        .select(
+          (size(split(col("wkt_all"), "\\(\\(")) === 2).as("one_outer_ok"),
+          (length(col("wkt_smooth")) > length(col("wkt_all"))).as("smooth_more_ok"),
+          col("wkt_all").startsWith("MULTIPOLYGON").as("prefix_ok"))
+      val grouped = cellsDf
+        .groupBy(h3_cell_to_parent(col("cell"), lit(4)).as("parent"))
+        .agg(collect_list(col("cell")).as("cells"))
+        .select(h3_cells_to_multipolygon_wkt(col("cells"), lit(false)).as("w"))
+        .agg(
+          count(lit(1)).as("n_groups"),
+          sum(when(col("w").startsWith("MULTIPOLYGON ((("), 1L).otherwise(0L)).as("n_good"))
+        .select((col("n_groups") === col("n_good")).as("groups_ok"))
+      whole.crossJoin(grouped)
+    }),
+
+    // X4/X6: two-stage spatial predicate implication chain
+    "h3_21_spatial_filter" -> ((s, dir) => {
+      val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
+      ev(s, dir, 2500)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(7)))
+        .withColumn("coarse",
+          h3_cell_intersects_bbox(col("cell"), lit(5.0), lit(10.0), lit(25.0), lit(40.0)))
+        .withColumn("exact", h3_cell_intersects_polygon(col("cell"), lit(rect)))
+        .withColumn("centroid_in",
+          centroid(col("cell")).getField("lat").between(5.0, 25.0) &&
+            centroid(col("cell")).getField("lng").between(10.0, 40.0))
+        .select(
+          col("event_id"),
+          (!col("exact") || col("coarse")).as("exact_implies_coarse"),
+          (!col("centroid_in") || col("exact")).as("centroid_implies_exact"))
+        .orderBy(col("event_id"))
+    })
+  )
+
+  // ---------------------------------------------------------------------
+
+  private def allTrue(names: Seq[String], where: String = "", perEvent: Boolean = true,
+      orderBy: String = "event_id"): String = {
+    val cols = names.map(n => s"TRUE AS $n").mkString(", ")
+    if (perEvent)
+      s"SELECT event_id, $cols FROM events $where ORDER BY $orderBy"
+    else s"SELECT $cols"
+  }
+
+  def oracleSql: Map[String, String] = Map(
+    "h3_12_latlng_cell" ->
+      allTrue(Seq("valid_ok", "contains_ok", "rt_ok", "res_ok"), "WHERE event_id < 4000"),
+    "h3_13_grid_disk" ->
+      allTrue(Seq("disk1_ok", "disk2_ok", "ring1_ok", "self_ok", "nested_ok", "bound_ok"),
+        "WHERE event_id < 1500"),
+    "h3_14_distance_path" ->
+      allTrue(Seq("d_ok", "sym_ok", "pathlen_ok", "ends_ok", "nbr_ok"), "WHERE event_id < 1200"),
+    "h3_15_edges_geo" ->
+      s"""SELECT event_id, TRUE AS nbr_ok, TRUE AS rev_ok, TRUE AS edge_rt_ok,
+         |  TRUE AS len_ok, TRUE AS wkt_ok, TRUE AS cells_ok
+         |FROM events, range(6) t(d) WHERE event_id < 400
+         |ORDER BY event_id""".stripMargin,
+    "h3_16_area" ->
+      allTrue(Seq("range_ok", "children_sum_ok", "units_ok"), "WHERE event_id < 1200"),
+    "h3_17_polyfill" ->
+      allTrue(Seq("count_ok", "uniq_ok", "res_ok", "inside_ok", "compact_rt_ok",
+        "compact_smaller_ok", "subset_ok"), perEvent = false),
+    "h3_18_linestring" ->
+      allTrue(Seq("count_ok", "uniq_ok", "chain_ok", "start_ok", "end_ok"), perEvent = false),
+    "h3_19_local_ij" ->
+      allTrue(Seq("rt_ok", "near_ok"), "WHERE event_id < 1000"),
+    "h3_20_dissolve" ->
+      allTrue(Seq("one_outer_ok", "smooth_more_ok", "prefix_ok", "groups_ok"), perEvent = false),
+    "h3_21_spatial_filter" ->
+      allTrue(Seq("exact_implies_coarse", "centroid_implies_exact"), "WHERE event_id < 2500")
+  )
+}

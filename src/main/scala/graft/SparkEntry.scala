@@ -66,7 +66,8 @@ object SparkEntry {
   //  * double outputs rounded on both sides
   // ---------------------------------------------------------------------
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = coreQueries ++ PipelineQueries.queries
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -216,7 +217,8 @@ object SparkEntry {
   private def oracleSynthEvents(res: Int, k: String = "event_id"): String =
     s"SELECT *, ${Synth.oracleCellSql(k, res)} AS cell FROM events"
 
-  def oracleSql: Map[String, String] = coreOracleSql ++ PipelineQueries.oracleSql
+  def oracleSql: Map[String, String] =
+    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->

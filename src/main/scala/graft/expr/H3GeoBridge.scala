@@ -192,6 +192,12 @@ object H3GeoBridge {
     (total - 12.0 * pentArea) / (hexCount - 10.0)
   }
 
+  /** C3 as a projection kernel: compact an array of cells. */
+  def compactCells(cells: ArrayData): ArrayData = {
+    if (cells == null) return null
+    new GenericArrayData(H3Core.compactCells(cells.toLongArray()))
+  }
+
   /** G8 dissolve: array of cells -> merged WKT MULTIPOLYGON. */
   def cellsToMultiPolygonWkt(cells: ArrayData, smoothen: Boolean): UTF8String = {
     if (cells == null) return null

@@ -369,6 +369,23 @@ case class H3CellContainsPoint(first: Expression, second: Expression, third: Exp
     copy(first = a, second = b, third = c)
 }
 
+// ---- array compact (C3 projection form) ------------------------------------
+
+case class H3CompactCellsArray(child: Expression)
+    extends UnaryExpression with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_compact_cells"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "compactCells"
+  override def nullSafeEval(v: Any): Any =
+    H3GeoBridge.compactCells(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 // ---- dissolve (G8/G10) -----------------------------------------------------
 
 case class H3CellsToMultiPolygonWkt(left: Expression, right: Expression)

@@ -64,7 +64,8 @@ object H3Registry {
     "h3_linestring_to_cells" -> (a => H3LineStringToCells(a(0), a(1))),
     "h3_cell_intersects_polygon" -> (a => H3CellIntersectsPolygon(a(0), a(1))),
     "h3_cell_contains_point" -> (a => H3CellContainsPoint(a(0), a(1), a(2))),
-    "h3_cells_to_multipolygon_wkt" -> (a => H3CellsToMultiPolygonWkt(a(0), a(1)))
+    "h3_cells_to_multipolygon_wkt" -> (a => H3CellsToMultiPolygonWkt(a(0), a(1))),
+    "h3_compact_cells" -> (a => H3CompactCellsArray(a.head))
   )
 
   def register(spark: SparkSession): Unit = expressions.foreach { case (name, builder) =>

@@ -128,6 +128,9 @@ object functions {
   def h3_cell_contains_point(cell: Column, lat: Column, lng: Column): Column =
     c(H3CellContainsPoint(e(cell), e(lat), e(lng)))
 
+  /** C3 projection form: compact an array column of cells. */
+  def h3_compact_cells(cells: Column): Column = c(H3CompactCellsArray(e(cells)))
+
   /** G8/G10 dissolve: merge an array of cells into a WKT MULTIPOLYGON;
     * use after collect_set/h3_compact_agg for per-group dissolves (G9). */
   def h3_cells_to_multipolygon_wkt(cells: Column, smoothen: Column): Column =

@@ -393,18 +393,48 @@ object H3Traversal {
     math.max(diff.i, math.max(diff.j, diff.k))
   }
 
-  /** grid distance in steps; -1 when it cannot be computed (pentagon
-    * distortion, different res, too far apart). */
+  /** BFS shortest path with parent reconstruction — the fallback for
+    * pentagon-involved pairs where local IJK interpolation fails (the
+    * reference/libh3 error out there; we go one step further and still
+    * answer for nearby pairs). Deterministic: neighbors explored in the
+    * canonical Directions order, first discoverer wins. */
+  private def bfsShortestPath(a: Long, b: Long, maxK: Int = 64): Array[Long] = {
+    if (a == b) return Array(a)
+    val parent = new mutable.LongMap[Long]()
+    parent(a) = a
+    var frontier = List(a)
+    var depth = 0
+    var found = false
+    while (!found && frontier.nonEmpty && depth < maxK) {
+      val next = mutable.ListBuffer.empty[Long]
+      for (c <- frontier if !found; n <- neighbors(c)) {
+        if (!parent.contains(n)) {
+          parent(n) = c
+          if (n == b) found = true
+          next += n
+        }
+      }
+      frontier = next.toList
+      depth += 1
+    }
+    if (!found) return Array.emptyLongArray
+    val path = mutable.ArrayBuffer(b)
+    var cur = b
+    while (cur != a) { cur = parent(cur); path += cur }
+    path.reverse.toArray
+  }
+
+  /** grid distance in steps; -1 when it cannot be computed (different res,
+    * or farther than the BFS fallback bound on pentagon-involved pairs). */
   def gridDistance(a: Long, b: Long): Long = {
     (cellToLocalIjk(a, a), cellToLocalIjk(a, b)) match {
       case (Some(ca), Some(cb)) => ijkDistance(ca, cb).toLong
       case _ =>
-        // BFS fallback (handles pentagon-adjacent pairs at small distances)
         if (!H3Core.isValidCell(a) || !H3Core.isValidCell(b)) return -1L
         if (H3Core.getResolution(a) != H3Core.getResolution(b)) return -1L
         if (a == b) return 0L
-        val m = gridDiskDistancesMap(a, 6)
-        m.get(b).map(_.toLong).getOrElse(-1L)
+        val p = bfsShortestPath(a, b)
+        if (p.isEmpty) -1L else (p.length - 1).toLong
     }
   }
 
@@ -422,9 +452,11 @@ object H3Traversal {
 
   /** line of cells from a to b (inclusive); empty when not computable. */
   def gridPathCells(a: Long, b: Long): Array[Long] = {
+    if (!H3Core.isValidCell(a) || !H3Core.isValidCell(b)) return Array.emptyLongArray
+    if (H3Core.getResolution(a) != H3Core.getResolution(b)) return Array.emptyLongArray
     val startOpt = cellToLocalIjk(a, a)
     val endOpt = cellToLocalIjk(a, b)
-    if (startOpt.isEmpty || endOpt.isEmpty) return Array.emptyLongArray
+    if (startOpt.isEmpty || endOpt.isEmpty) return bfsShortestPath(a, b)
     val start = startOpt.get
     val end = endOpt.get
     val distance = ijkDistance(start, end)
@@ -455,7 +487,7 @@ object H3Traversal {
       cubeToIjk(cur)
       localIjkToCell(a, cur) match {
         case Some(cell) => out += cell
-        case None => return Array.emptyLongArray
+        case None => return bfsShortestPath(a, b)
       }
       s += 1
     }
