@@ -1,0 +1,176 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.graph.H3Graph
+
+/**
+ * Driver-contract queries for the graph module (SURVEY.md §2.8, P1-P11).
+ *
+ * The oracle strategy has two tiers:
+ *  - p14-p17 build an *abstract* weighted path graph whose node ids are
+ *    bit-synthesized cells (portable to DuckDB). On a path graph, shortest
+ *    path cost is a prefix-sum difference, nodes/downsample are pure
+ *    relational logic — so Dijkstra, node typing and downsampling get
+ *    EXACT value oracles in SQL.
+ *  - h3_22 builds an H3-native graph (real directed edges + metric
+ *    weights from a traced linestring) and checks structural laws as
+ *    booleans (oracle = TRUE), covering the geometry-coupled parts.
+ */
+object GraphQueries {
+
+  private val N = 300 // chain nodes 0..N
+
+  /** weight of the k -> k+1 edge; portable arithmetic. */
+  private val wSql = "CAST((event_id * 37) % 100 AS DOUBLE) / 10.0 + 1.0"
+
+  /** the chain edge list (k, cell(k), cell(k+1), w(k)) for k in 0..N-1. */
+  private def chainEdges(s: SparkSession, dir: String): DataFrame = {
+    s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") < N)
+      .select(col("event_id"),
+        expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
+        expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
+        expr(wSql).as("weight"))
+  }
+
+  private def oracleChain: String =
+    s"""chain AS (
+       |  SELECT event_id AS k,
+       |    ${SparkEntry.Synth.oracleCellSql("event_id", 5)} AS origin,
+       |    ${SparkEntry.Synth.oracleCellSql("event_id + 1", 5)} AS destination,
+       |    CAST((event_id * 37) % 100 AS DOUBLE) / 10.0 + 1.0 AS weight
+       |  FROM events WHERE event_id < $N),
+       |pfx AS (
+       |  SELECT k, origin AS cell,
+       |    COALESCE(SUM(weight) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS s
+       |  FROM chain
+       |  UNION ALL
+       |  SELECT $N AS k,
+       |    ${SparkEntry.Synth.oracleCellSql(s"$N", 5)} AS cell,
+       |    (SELECT SUM(weight) FROM chain) AS s)""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // P5-P7: many-to-many Dijkstra on the bidirectional chain — exact costs
+    "p14_graph_sssp" -> ((s, dir) => {
+      val fwd = chainEdges(s, dir).select(col("origin"), col("destination"), col("weight"))
+      val bwd = fwd.select(col("destination").as("origin"), col("origin").as("destination"),
+        col("weight"))
+      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd), "origin", "destination", "weight")
+      val origins = Seq(0L, 100L, 200L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L to N).map(SparkEntry.Synth.cell(_, 5))
+      H3Graph.shortestPaths(s, graph, origins, dests)
+        .select(col("origin"), col("destination"),
+          round(col("cost"), 4).as("cost"),
+          size(col("path")).cast("long").as("path_len"))
+        .orderBy(col("origin"), col("destination"))
+    }),
+
+    // P8: isochrone flood within threshold 80 from node 150 — exact set
+    "p15_graph_isochrone" -> ((s, dir) => {
+      val fwd = chainEdges(s, dir).select(col("origin"), col("destination"), col("weight"))
+      val bwd = fwd.select(col("destination").as("origin"), col("origin").as("destination"),
+        col("weight"))
+      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd), "origin", "destination", "weight")
+      H3Graph.withinWeightThreshold(s, graph, Seq(SparkEntry.Synth.cell(150L, 5)), 80.0)
+        .select(col("cell"), round(col("weight"), 4).as("weight"))
+        .orderBy(col("cell"))
+    }),
+
+    // P2: node typing on the directed chain — exact
+    "p16_graph_nodes" -> ((s, dir) => {
+      val graph = H3Graph.graphFromEdgeList(chainEdges(s, dir), "origin", "destination", "weight")
+      H3Graph.nodes(graph).orderBy(col("cell"))
+    }),
+
+    // P4: downsample to res 3 with min-combine — exact (parents are bit ops)
+    "p17_graph_downsample" -> ((s, dir) => {
+      val graph = H3Graph.graphFromEdgeList(chainEdges(s, dir), "origin", "destination", "weight")
+      H3Graph.downsample(graph, 3, "min")
+        .select(col("origin"), col("destination"), round(col("weight"), 4).as("weight"))
+        .orderBy(col("origin"), col("destination"))
+    }),
+
+    // H3-native graph laws: chain build (P13), metric routing (P6),
+    // differential exclusion (P9), covered area (P11), snapping (P10)
+    "h3_22_graph_native" -> ((s, dir) => {
+      import s.implicits._
+      val wkt = "LINESTRING (-122.45 37.70, -122.35 37.75, -122.30 37.72)"
+      val cells = graft.h3.H3Polygon.lineStringToCells(
+        graft.h3.H3Polygon.parseLineStringWkt(wkt).get, 8)
+      val chainDf = cells.zipWithIndex.toSeq.toDF("cell", "ord")
+      val graph = H3Graph.graphFromCellChain(chainDf, "cell", "ord").cache()
+      val first = cells.head
+      val last = cells.last
+
+      val route = H3Graph.shortestPaths(s, graph, Seq(first), Seq(last))
+      val routeRow = route.select(col("cost"), size(col("path")).as("n")).collect().head
+      val totalLen = graph.filter(col("origin") < col("destination"))
+        .agg(sum(col("weight"))).collect().head.getDouble(0)
+
+      val mid = cells(cells.length / 2)
+      val diff = H3Graph.differentialShortestPaths(s, graph, Seq(first), Seq(last), Set(mid))
+        .select(col("cost_before"), col("cost_after")).collect().head
+
+      val iso = H3Graph.withinWeightThreshold(s, graph, Seq(mid), 1e9).count()
+      val covered = H3Graph.coveredAreaWkt(graph, 3).as[String].collect().head
+      // snapping: a neighbor cell off the chain snaps onto a graph node
+      val offChain = graft.h3.H3Traversal.gridRing(mid, 1)
+        .filterNot(cells.contains).head
+      val snapped = H3Graph.shortestPaths(s, graph, Seq(offChain), Seq(last), maxSnapK = 2).count()
+
+      Seq((
+        routeRow.getInt(1) == cells.length,
+        math.abs(routeRow.getDouble(0) - totalLen) < 1e-6,
+        !diff.isNullAt(0) && diff.isNullAt(1),
+        iso == cells.length,
+        covered.startsWith("MULTIPOLYGON"),
+        snapped == 1L
+      )).toDF("route_ok", "cost_ok", "diff_ok", "iso_ok", "covered_ok", "snap_ok")
+    })
+  )
+
+  // ---------------------------------------------------------------------
+
+  def oracleSql: Map[String, String] = Map(
+    "p14_graph_sssp" ->
+      s"""WITH $oracleChain,
+         |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 100, 200))
+         |SELECT o.cell AS origin, d.cell AS destination,
+         |  round(abs(d.s - o.s), 4) AS cost,
+         |  CAST(abs(d.k - o.k) + 1 AS BIGINT) AS path_len
+         |FROM origins o CROSS JOIN pfx d
+         |ORDER BY origin, destination""".stripMargin,
+
+    "p15_graph_isochrone" ->
+      s"""WITH $oracleChain,
+         |o AS (SELECT s FROM pfx WHERE k = 150)
+         |SELECT pfx.cell, round(abs(pfx.s - o.s), 4) AS weight
+         |FROM pfx, o WHERE abs(pfx.s - o.s) <= 80.0
+         |ORDER BY cell""".stripMargin,
+
+    "p16_graph_nodes" ->
+      s"""WITH $oracleChain
+         |SELECT cell,
+         |  (CASE WHEN k = 0 THEN 'Origin' WHEN k = $N THEN 'Destination'
+         |        ELSE 'OriginAndDestination' END) AS node_type
+         |FROM pfx ORDER BY cell""".stripMargin,
+
+    "p17_graph_downsample" ->
+      s"""WITH $oracleChain,
+         |reanchored AS (
+         |  SELECT ((origin & ~(15::BIGINT << 52)) | (3::BIGINT << 52)) | ((1::BIGINT << 36) - 1) AS origin,
+         |    ((destination & ~(15::BIGINT << 52)) | (3::BIGINT << 52)) | ((1::BIGINT << 36) - 1) AS destination,
+         |    weight
+         |  FROM chain)
+         |SELECT origin, destination, round(min(weight), 4) AS weight
+         |FROM reanchored WHERE origin <> destination
+         |GROUP BY 1, 2 ORDER BY origin, destination""".stripMargin,
+
+    "h3_22_graph_native" ->
+      """SELECT TRUE AS route_ok, TRUE AS cost_ok, TRUE AS diff_ok,
+        |  TRUE AS iso_ok, TRUE AS covered_ok, TRUE AS snap_ok""".stripMargin
+  )
+}

@@ -41,6 +41,16 @@ object SparkEntry {
 
     /** Same fragment runs verbatim in DuckDB. */
     def oracleCellSql(k: String, res: Int): String = cellSql(k, res)
+
+    /** Scala mirror of [[cellSql]] for driver-side construction. */
+    def cell(k: Long, res: Int): Long = {
+      require(res >= 1 && res <= 15)
+      var h = (1L << 59) | (res.toLong << 52) | ((25 + (k % 13)) << 45)
+      (1 to res).foreach { r =>
+        h += ((k / pow7(r - 1)) % 7) * (1L << (3 * (15 - r)))
+      }
+      h + ((1L << (3 * (15 - res))) - 1)
+    }
   }
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -67,7 +77,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries
+    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -218,7 +228,7 @@ object SparkEntry {
     s"SELECT *, ${Synth.oracleCellSql(k, res)} AS cell FROM events"
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql
+    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
