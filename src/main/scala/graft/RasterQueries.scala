@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.functions._
+import graft.raster.H3Raster
+
+/**
+ * Driver-contract query for the raster pipeline (SURVEY.md §2.7 R1-R4).
+ * The raster is synthesized deterministically (value = (x*7 + y*13) % 5,
+ * 0 = nodata) over a fixed geographic window; the oracle pins conversion
+ * laws to TRUE: count bounded by window-area / published cell area, nodata
+ * never emitted, one value per cell, centroids stay inside the window,
+ * value-grouped compaction roundtrips, and R3 picks the expected
+ * resolution for the pixel size.
+ */
+object RasterQueries {
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "r01_raster_to_cells" -> ((s, dir) => {
+      import s.implicits._
+      val width = 64
+      val height = 48
+      val lngMin = -122.6; val lngMax = -121.8
+      val latMin = 37.2; val latMax = 38.0
+      val transform = H3Raster.Transform.northUp(
+        lngMin, latMax, (lngMax - lngMin) / width, (latMax - latMin) / height)
+      val values = Array.tabulate(width * height) { i =>
+        val x = i % width; val y = i / width
+        ((x * 7 + y * 13) % 5).toDouble
+      }
+      val tiles = H3Raster.tileRaster(s, width, height, transform, values, nodata = 0.0, tile = 16)
+      val cells = H3Raster.rasterToCells(tiles, res = 7).cache()
+
+      val n = cells.count()
+      val published7 = 5.1612932
+      val windowAreaKm2 = {
+        val r = graft.h3.H3Geo.EarthRadiusKm
+        val dLng = math.toRadians(lngMax - lngMin)
+        (math.sin(math.toRadians(latMax)) - math.sin(math.toRadians(latMin))) * dLng * r * r
+      }
+      // nodata kills 1/5 of pixels; cells under those pixels are dropped
+      val expect = windowAreaKm2 / published7 * 0.8
+      val stats = cells.agg(
+        bool_and(col("value").between(1.0, 4.0)).as("values_ok"),
+        bool_and(h3_is_valid_cell(col("cell")) &&
+          h3_get_resolution(col("cell")) === 7).as("cells_ok"),
+        (count(lit(1)) === countDistinct(col("cell"))).as("one_value_per_cell_ok"),
+        bool_and(h3_cell_to_latlng(col("cell")).getField("lat").between(latMin - 0.05, latMax + 0.05) &&
+          h3_cell_to_latlng(col("cell")).getField("lng").between(lngMin - 0.05, lngMax + 0.05))
+          .as("window_ok")).collect().head
+
+      val compactOk = H3Raster.rasterToCompactedCells(tiles, res = 7)
+        .select(explode(col("cells")).as("c"))
+        .select(explode(h3_uncompact_cell(col("c"), lit(7))).as("u"))
+        .count() == n
+
+      val resPick = H3Raster.nearestH3Resolution(transform)
+      val resPickSmaller = H3Raster.nearestH3Resolution(transform, smallerThanPixel = true)
+
+      Seq((
+        n > expect * 0.5 && n < expect * 1.8,
+        stats.getBoolean(0), stats.getBoolean(1), stats.getBoolean(2), stats.getBoolean(3),
+        compactOk,
+        resPick == 8 && resPickSmaller == 8
+      )).toDF("count_ok", "values_ok", "cells_ok", "one_value_per_cell_ok", "window_ok",
+        "compact_ok", "res_pick_ok")
+    })
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "r01_raster_to_cells" ->
+      """SELECT TRUE AS count_ok, TRUE AS values_ok, TRUE AS cells_ok,
+        |  TRUE AS one_value_per_cell_ok, TRUE AS window_ok, TRUE AS compact_ok,
+        |  TRUE AS res_pick_ok""".stripMargin
+  )
+}

@@ -77,7 +77,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries
+    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries ++ RasterQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -228,7 +228,7 @@ object SparkEntry {
     s"SELECT *, ${Synth.oracleCellSql(k, res)} AS cell FROM events"
 
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql
+    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql ++ RasterQueries.oracleSql
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->

@@ -1,0 +1,169 @@
+package graft.raster
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.h3.{H3Core, H3Geo, H3Polygon}
+
+/**
+ * Raster -> H3 conversion (SURVEY.md §2.7, reference h3ron-ndarray).
+ *
+ * Model: a raster is a DataFrame of tiles —
+ * `(tile_id, x0, y0, width, height, transform[6], values array<double>,
+ * nodata)` — the Spark analogue of the reference's rect decomposition
+ * (array.rs:166-244): its rayon-parallel tile loop IS Spark's partition
+ * parallelism here. Conversion (R1, array.rs:246-347) runs per tile with no
+ * shuffle: window -> geo bbox -> polyfill at the target res -> sample the
+ * pixel under each cell centroid through the inverse transform -> emit
+ * `(value, cell)`. Value grouping / compaction happen downstream as
+ * ordinary `groupBy(value)` (+ `h3_compact_agg`), where the shuffle
+ * replaces the reference's merge-maps step.
+ *
+ * Nodata pruning (R2): tiles carry `has_data`; `WHERE has_data` prunes
+ * before any H3 work — the analogue of `find_boxes_containing_data`.
+ */
+object H3Raster {
+
+  /** R4: 6-coefficient affine geotransform, GDAL ordering:
+    * xGeo = a*px + b*py + c ; yGeo = d*px + e*py + f (pixel centers at
+    * px+0.5). Mirrors transform.rs:27-110. */
+  final case class Transform(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {
+    def forward(px: Double, py: Double): (Double, Double) =
+      (a * px + b * py + c, d * px + e * py + f)
+    /** inverse transform; requires an invertible matrix. */
+    def invert: Transform = {
+      val det = a * e - b * d
+      require(math.abs(det) > 1e-300, "degenerate geotransform")
+      val ia = e / det; val ib = -b / det
+      val id = -d / det; val ie = a / det
+      Transform(ia, ib, -(ia * c + ib * f), id, ie, -(id * c + ie * f))
+    }
+    def toArray: Array[Double] = Array(a, b, c, d, e, f)
+  }
+
+  object Transform {
+    def fromArray(x: Seq[Double]): Transform = Transform(x(0), x(1), x(2), x(3), x(4), x(5))
+    /** north-up raster over a lng/lat window. */
+    def northUp(lngMin: Double, latMax: Double, pxWidth: Double, pxHeight: Double): Transform =
+      Transform(pxWidth, 0.0, lngMin, 0.0, -pxHeight, latMax)
+  }
+
+  val tileSchema: StructType = StructType(Seq(
+    StructField("tile_id", LongType, nullable = false),
+    StructField("x0", IntegerType, nullable = false),
+    StructField("y0", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("transform", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("nodata", DoubleType, nullable = true),
+    StructField("has_data", BooleanType, nullable = false)))
+
+  /** build a tiled raster DataFrame from a full in-memory grid (test/ingest
+    * helper): row-major `values`, tiles of `tile x tile` pixels. */
+  def tileRaster(spark: SparkSession, width: Int, height: Int, transform: Transform,
+      values: Array[Double], nodata: Double, tile: Int): DataFrame = {
+    val rows = for {
+      ty <- 0 until (height + tile - 1) / tile
+      tx <- 0 until (width + tile - 1) / tile
+    } yield {
+      val x0 = tx * tile
+      val y0 = ty * tile
+      val w = math.min(tile, width - x0)
+      val h = math.min(tile, height - y0)
+      val vals = new Array[Double](w * h)
+      var hasData = false
+      var yy = 0
+      while (yy < h) {
+        var xx = 0
+        while (xx < w) {
+          val v = values((y0 + yy) * width + (x0 + xx))
+          vals(yy * w + xx) = v
+          if (v != nodata) hasData = true
+          xx += 1
+        }
+        yy += 1
+      }
+      Row((ty.toLong << 32) | tx.toLong, x0, y0, w, h, transform.toArray.toSeq, vals.toSeq,
+        nodata, hasData)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.min(rows.size, 32)),
+      tileSchema)
+  }
+
+  val cellValueSchema: StructType = StructType(Seq(
+    StructField("value", DoubleType, nullable = false),
+    StructField("cell", LongType, nullable = false)))
+
+  /**
+   * R1: tiles -> (value, cell) rows at `res`. Per-tile, shuffle-free:
+   * polyfill the tile's geo window (with one pixel of margin), sample the
+   * pixel under each cell centroid via the inverse transform, skip nodata
+   * and out-of-window cells. Mirrors array.rs:303-347
+   * `convert_array_window`.
+   */
+  def rasterToCells(tiles: DataFrame, res: Int): DataFrame = {
+    implicit val enc = RowEncoder.encoderFor(cellValueSchema)
+    tiles.filter(col("has_data")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val x0 = r.getInt(1); val y0 = r.getInt(2)
+        val w = r.getInt(3); val h = r.getInt(4)
+        val t = Transform.fromArray(r.getSeq[Double](5))
+        val values = r.getSeq[Double](6)
+        val nodata = if (r.isNullAt(7)) Double.NaN else r.getDouble(7)
+        val inv = t.invert
+
+        // tile window corners -> geo bbox (1px margin for rotation safety)
+        val corners = Seq(
+          t.forward(x0 - 1, y0 - 1), t.forward(x0 + w + 1, y0 - 1),
+          t.forward(x0 - 1, y0 + h + 1), t.forward(x0 + w + 1, y0 + h + 1))
+        val lngMin = corners.map(_._1).min; val lngMax = corners.map(_._1).max
+        val latMin = corners.map(_._2).min; val latMax = corners.map(_._2).max
+        val windowPoly = H3Polygon.Polygon(Array(Array(
+          (lngMin, latMin), (lngMax, latMin), (lngMax, latMax), (lngMin, latMax),
+          (lngMin, latMin))))
+
+        H3Polygon.polygonToCells(windowPoly, res).iterator.flatMap { cell =>
+          val g = H3Geo.cellToLatLng(cell)
+          val (pxD, pyD) = inv.forward(g.lng, g.lat)
+          val px = math.floor(pxD).toInt
+          val py = math.floor(pyD).toInt
+          if (px < x0 || px >= x0 + w || py < y0 || py >= y0 + h) Iterator.empty
+          else {
+            val v = values((py - y0) * w + (px - x0))
+            if (v == nodata || v.isNaN) Iterator.empty
+            else Iterator.single(Row(v, cell))
+          }
+        }
+      }
+    }
+  }
+
+  /** R1 tail: value-grouped compacted cells — `(value, cells array)`. */
+  def rasterToCompactedCells(tiles: DataFrame, res: Int): DataFrame =
+    rasterToCells(tiles, res)
+      .groupBy(col("value"))
+      .agg(graft.functions.h3_compact_agg(col("cell")).as("cells"))
+
+  /** R3: resolution whose average cell area best matches the pixel area
+    * (resolution.rs:12-99); `smallerThanPixel` forces cells at least as
+    * fine as a pixel. */
+  def nearestH3Resolution(transform: Transform, smallerThanPixel: Boolean = false): Int = {
+    // pixel area on the sphere at the transform origin, km^2
+    val r = H3Geo.EarthRadiusKm
+    val (x1, y1) = transform.forward(0, 0)
+    val (x2, y2) = transform.forward(1, 1)
+    val midLat = math.toRadians((y1 + y2) / 2.0)
+    val dLng = math.toRadians(math.abs(x2 - x1))
+    val dLat = math.toRadians(math.abs(y2 - y1))
+    val pixelAreaKm2 = (dLng * math.cos(midLat) * r) * (dLat * r)
+    val areas = (0 to 15).map(res =>
+      res -> graft.expr.H3GeoBridge.hexagonAreaAvgKm2(res).doubleValue())
+    if (smallerThanPixel) {
+      areas.find(_._2 <= pixelAreaKm2).map(_._1).getOrElse(15)
+    } else {
+      areas.minBy { case (_, a) => math.abs(a - pixelAreaKm2) }._1
+    }
+  }
+}
