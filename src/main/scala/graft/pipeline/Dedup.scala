@@ -37,9 +37,12 @@ object Dedup {
   def minHashCoeffs(i: Int): (Long, Long) = (1000003L * (i + 1) + 12345L, 7919L * (i + 1) + 104729L)
 
   /** Per-document MinHash signature over word-`ngram` shingles.
-    * Output: idCol, minhash_0..minhash_{k-1}. */
+    * Output: idCol, minhash_0..minhash_{k-1}. Shingles are deduplicated
+    * per document before hashing — min over a set equals min over the
+    * multiset, and it cuts the explode+md5 volume on repetitive text. */
   def minHashSignatures(df: DataFrame, id: Column, text: Column, k: Int, ngram: Int = 2): DataFrame = {
-    val shingled = df.select(id.as("__id"), explode(TextOps.wordNgrams(text, ngram)).as("__sh"))
+    val shingled = df.select(id.as("__id"),
+      explode(array_distinct(TextOps.wordNgrams(text, ngram))).as("__sh"))
       .select(col("__id"), (TextOps.md5Long(col("__sh")) % MinHashPrime).as("__h"))
     val aggs = (0 until k).map { i =>
       val (a, b) = minHashCoeffs(i)
@@ -65,15 +68,24 @@ object Dedup {
   }
 
   /** Candidate near-dup pairs: documents sharing at least one LSH band.
-    * Equi-join on (band_idx, band_val); dedup to distinct (a < b) pairs. */
+    * Bucket-local pair generation: group by (band_idx, band_val), collect
+    * the (small) member set per bucket, and explode its ordered pairs —
+    * ONE pass over the signature pipeline and one shuffle, where a
+    * self-join would evaluate the whole MinHash subtree twice (aliased
+    * branches defeat exchange reuse). Near-dup buckets are tiny by
+    * construction, so the per-bucket quadratic blowup is bounded; at 100 TB
+    * a hot bucket means near-identical spam — cap it upstream, not here. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column, k: Int = 8,
       rowsPerBand: Int = 2, ngram: Int = 2): DataFrame = {
     val bands = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
-    val l = bands.select(col("band_idx"), col("band_val"), col("__id").as("id_a"))
-    val r = bands.select(col("band_idx"), col("band_val"), col("__id").as("id_b"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
+    bands
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(sort_array(collect_set(col("__id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
   /** Exact n-gram Jaccard similarity for candidate pairs: distinct character

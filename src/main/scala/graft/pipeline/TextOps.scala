@@ -29,29 +29,31 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5Long(concat_ws(" ", tokens(text)))
 
-  /** Guarded 1..cnt index sequence: empty array when cnt < 1. Spark's 2-arg
-    * sequence(1, 0) defaults to step -1 (the [1, 0] bug from round-1
-    * ADVICE), and sequence(1, 0, 1) throws on Spark 4 — so short inputs
-    * must be guarded out before sequence is evaluated. */
-  private def indices1To(cnt: Column): Column =
-    when(cnt >= 1, sequence(lit(1), greatest(cnt, lit(1)), lit(1)))
-      .otherwise(array().cast("array<int>"))
+  /** n-grams of an array column by zipping n shifted slices, joined with
+    * `sep`. The slices evaluate the underlying array expression once per
+    * ROW; the zip lambdas touch only their element arguments. (The naive
+    * `transform(sequence(...), i => f(arr, i))` form captures `arr` in the
+    * lambda body and re-evaluates it once per ELEMENT — quadratic in
+    * document length, and sequence(1, 0) stepping -1 crashed short inputs,
+    * round-1 ADVICE.) Inputs shorter than n yield an empty array. */
+  private def sliceNgrams(arr: Column, n: Int, sep: String): Column = {
+    val cnt = size(arr) - (n - 1)
+    val len = greatest(cnt, lit(0))
+    val joined = (1 until n).foldLeft(slice(arr, lit(1), len)) { (acc, j) =>
+      zip_with(acc, slice(arr, lit(j + 1), len), (a, b) => concat_ws(sep, a, b))
+    }
+    when(cnt >= 1, joined).otherwise(array().cast("array<string>"))
+  }
 
   /** Character n-grams (1-based substrings, length n). Text shorter than n
     * chars yields an empty array. */
-  def charNgrams(text: Column, n: Int): Column = {
-    val t = lower(trim(text))
-    transform(indices1To(length(t) - (n - 1)), i => t.substr(i, lit(n)))
-  }
+  def charNgrams(text: Column, n: Int): Column =
+    sliceNgrams(split(lower(trim(text)), ""), n, "")
 
-  /** Word n-grams joined with single spaces. Documents with fewer than n
-    * tokens yield an empty array (before the guard, sequence(1, 0) ->
-    * [1, 0] made the element_at(toks, 0) lookup below throw). */
-  def wordNgrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
-    transform(indices1To(size(toks) - (n - 1)),
-      i => concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j))): _*))
-  }
+  /** Word n-grams joined with single spaces; fewer than n tokens yields an
+    * empty array. */
+  def wordNgrams(text: Column, n: Int): Column =
+    sliceNgrams(tokens(text), n, " ")
 
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "as", "by", "at", "or")
