@@ -212,6 +212,52 @@ object GeoQueries {
       whole.crossJoin(grouped)
     }),
 
+    // C5/C8: connected-component clustering (label propagation) + bounds
+    "h3_23_clusters" -> ((s, dir) => {
+      import s.implicits._
+      import graft.df.H3Clusters
+      import graft.h3.{H3Geo, H3Traversal}
+      // three well-separated disks + one singleton; disk 1 split into two
+      // values along a lat half-plane (each half stays connected)
+      val centers = Seq((37.7, -122.4), (48.85, 2.35), (-33.9, 151.2))
+      val disks = centers.zipWithIndex.flatMap { case ((lat, lng), i) =>
+        H3Traversal.gridDisk(H3Geo.latLngToCell(lat, lng, 7), 2).map(c => (c, i.toLong))
+      }
+      val single = Seq((H3Geo.latLngToCell(0.0, 0.0, 7), 3L))
+      val df = (disks ++ single).toDF("cell", "disk_id")
+      val lat1 = centers(1)._1
+      val withVal = df.withColumn("value",
+        when(col("disk_id") === 1 &&
+          h3_cell_to_latlng(col("cell")).getField("lat") >= lat1, lit(10L))
+          .otherwise(col("disk_id")))
+
+      val plain = H3Clusters.cellClusters(df, "cell")
+      val byValue = H3Clusters.cellClusters(withVal, "cell", Some("value"))
+
+      val plainStats = plain.groupBy(col("disk_id"))
+        .agg(countDistinct(col("cluster")).as("nc"))
+        .agg(bool_and(col("nc") === 1).as("one_label_per_disk"),
+          count(lit(1)).as("n_disks")).collect().head
+      val nClusters = plain.select(countDistinct(col("cluster"))).as[Long].head()
+      val nClustersByValue = byValue.select(countDistinct(col("cluster"))).as[Long].head()
+
+      val bounds = H3Clusters.boundingRect(df.filter(col("disk_id") === 0), "cell")
+        .collect().head
+      val disk0 = df.filter(col("disk_id") === 0)
+      val inBounds = disk0.filter(
+        !h3_cell_to_latlng(col("cell")).getField("lat")
+          .between(bounds.getDouble(0), bounds.getDouble(2)) ||
+        !h3_cell_to_latlng(col("cell")).getField("lng")
+          .between(bounds.getDouble(1), bounds.getDouble(3))).count() == 0
+
+      Seq((
+        nClusters == 4L,
+        plainStats.getBoolean(0) && plainStats.getLong(1) == 4L,
+        nClustersByValue == 5L,
+        inBounds
+      )).toDF("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok")
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -266,6 +312,9 @@ object GeoQueries {
     "h3_20_dissolve" ->
       allTrue(Seq("one_outer_ok", "smooth_more_ok", "prefix_ok", "groups_ok"), perEvent = false),
     "h3_21_spatial_filter" ->
-      allTrue(Seq("exact_implies_coarse", "centroid_implies_exact"), "WHERE event_id < 2500")
+      allTrue(Seq("exact_implies_coarse", "centroid_implies_exact"), "WHERE event_id < 2500"),
+    "h3_23_clusters" ->
+      allTrue(Seq("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok"),
+        perEvent = false)
   )
 }

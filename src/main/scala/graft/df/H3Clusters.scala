@@ -1,0 +1,77 @@
+package graft.df
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions._
+
+/**
+ * C5: connected components of neighboring cells (reference
+ * `h3_cell_clusters` / `h3_cell_clusters_eq_value`,
+ * h3ron-polars/src/algorithm/chunkedarray/cell_clusters.rs:7-81; core
+ * union-find h3ron/src/algorithm/cell_clusters.rs:12-151).
+ *
+ * The reference runs a single-machine union-find over grid-disk probes. At
+ * scale that is iterative *label propagation*: every cell starts labeled by
+ * itself, each round joins the frontier against the neighbor relation
+ * (explode of grid-ring-1, so the join key is the cell id — an equi-join
+ * Catalyst shuffles on cell) and adopts the minimum label seen; converged
+ * when no label changes. Rounds = component diameter; each round is one
+ * shuffle, AQE-sized. Cluster ids are the minimum member cell (stable and
+ * deterministic, unlike the reference's arbitrary u32 ids — cluster
+ * *membership* is what tests compare, cell_clusters.rs:10-13).
+ */
+object H3Clusters {
+
+  /** cluster cells into connected components; when `valueCol` is set,
+    * neighbors only connect if their values are equal (the `_eq_value`
+    * variant). Output: original columns of `df` (first occurrence per
+    * cell[,value]) + `cluster` = min cell id of the component. */
+  def cellClusters(df: DataFrame, cellCol: String, valueCol: Option[String] = None,
+      maxIterations: Int = 64): DataFrame = {
+    val keyCols: Seq[Column] = col(cellCol) +: valueCol.map(col).toSeq
+    var labels = df.select(keyCols: _*).distinct()
+      .withColumn("cluster", col(cellCol))
+
+    // neighbor relation: (cell, nbr[, value]); computed once per iteration
+    // from the current label set (tiny vs the input at high res)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIterations) {
+      val edges = labels.select(
+        (col(cellCol) +: explode(h3_grid_ring(col(cellCol), lit(1))).as("nbr") +:
+          valueCol.map(col).toSeq): _*)
+      val nbrLabels = labels.select(
+        (col(cellCol).as("nbr") +: col("cluster").as("nbr_cluster") +:
+          valueCol.map(v => col(v).as(s"__v_$v")).toSeq): _*)
+      val joinCond = valueCol match {
+        case Some(v) => edges("nbr") === nbrLabels("nbr") && edges(v) === nbrLabels(s"__v_$v")
+        case None => edges("nbr") === nbrLabels("nbr")
+      }
+      val candidates = edges.join(nbrLabels, joinCond)
+        .groupBy((edges(cellCol) +: valueCol.map(edges(_)).toSeq): _*)
+        .agg(min(col("nbr_cluster")).as("min_nbr_cluster"))
+      val updated = labels.join(candidates, (cellCol +: valueCol.toSeq).toIndexedSeq, "left_outer")
+        .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_nbr_cluster"), col("cluster"))))
+        .drop("min_nbr_cluster")
+      val nChanged = updated.filter(col("new_cluster") =!= col("cluster")).count()
+      labels = updated.drop("cluster").withColumnRenamed("new_cluster", "cluster")
+        .localCheckpoint(eager = true)
+      changed = nChanged > 0
+      iter += 1
+    }
+    df.join(labels.select((col(cellCol) +: valueCol.map(col).toSeq :+ col("cluster")): _*),
+      cellCol +: valueCol.toSeq)
+  }
+
+  /** C8: aggregate bounding rect of all cells in a column — one row
+    * (min_lat, min_lng, max_lat, max_lng) from the per-cell envelopes
+    * (reference bounding_rect.rs:7-74). Pure built-in min/max aggregation. */
+  def boundingRect(df: DataFrame, cellCol: String): DataFrame = {
+    val b = h3_cell_bbox(col(cellCol))
+    df.agg(
+      min(b.getField("min_lat")).as("min_lat"),
+      min(b.getField("min_lng")).as("min_lng"),
+      max(b.getField("max_lat")).as("max_lat"),
+      max(b.getField("max_lng")).as("max_lng"))
+  }
+}

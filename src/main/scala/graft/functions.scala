@@ -136,6 +136,37 @@ object functions {
   def h3_cells_to_multipolygon_wkt(cells: Column, smoothen: Column): Column =
     c(H3CellsToMultiPolygonWkt(e(cells), e(smoothen)))
 
+  /** S9: is `a` an ancestor of `b` (parent at a's res equals a)? False
+    * when resolutions make it impossible; composed bit ops, codegen'd. */
+  def h3_is_parent_of(a: Column, b: Column): Column =
+    h3_cell_to_parent(b, h3_get_resolution(a)) === a
+  /** S9 inverse. */
+  def h3_is_child_of(a: Column, b: Column): Column = h3_is_parent_of(b, a)
+  /** S9 `contains`: ancestor-or-self. */
+  def h3_cell_contains_cell(a: Column, b: Column): Column =
+    (a === b) || h3_is_parent_of(a, b)
+
+  /** great-circle (haversine) distance between two points in km, pure
+    * Column arithmetic (stays in whole-stage codegen). */
+  def h3_great_circle_distance_km(lat1: Column, lng1: Column,
+      lat2: Column, lng2: Column): Column = {
+    import org.apache.spark.sql.functions.{asin => fAsin, sqrt => fSqrt, sin => fSin, cos => fCos, radians, lit, pow}
+    val dLat = radians(lat2 - lat1) / 2
+    val dLng = radians(lng2 - lng1) / 2
+    val h = pow(fSin(dLat), 2) + fCos(radians(lat1)) * fCos(radians(lat2)) * pow(fSin(dLng), 2)
+    lit(2.0 * graft.h3.H3Geo.EarthRadiusKm) * fAsin(fSqrt(h))
+  }
+
+  /** E7: great-circle distance between the centroids of an edge's origin
+    * and destination cells, km. */
+  def h3_edge_centroid_distance_km(edge: Column): Column = {
+    val cells = h3_edge_cells(edge)
+    val o = h3_cell_to_latlng(cells.getField("origin"))
+    val d = h3_cell_to_latlng(cells.getField("destination"))
+    h3_great_circle_distance_km(o.getField("lat"), o.getField("lng"),
+      d.getField("lat"), d.getField("lng"))
+  }
+
   /** X4 coarse stage: does the cell envelope intersect a lat/lng bbox?
     * Composed from [[h3_cell_bbox]] so it stays in whole-stage codegen;
     * NULL cells yield NULL (mask-alignment rule, mod.rs:182-186). */
