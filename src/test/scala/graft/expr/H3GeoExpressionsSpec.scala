@@ -137,6 +137,25 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     rt.foreach { case (c, r) => assert(c == r) }
   }
 
+  test("parent/child predicates and centroid distance compositions") {
+    val parent = graft.h3.H3Core.cellToParent(sf, 5)
+    val other = 0x8a2a1072b59ffffL
+    val r = Seq((parent, sf, other)).toDF("p", "c", "o").select(
+      h3_is_parent_of($"p", $"c").as("a"),
+      h3_is_child_of($"c", $"p").as("b"),
+      h3_cell_contains_cell($"p", $"p").as("self"),
+      h3_is_parent_of($"p", $"o").as("wrong"),
+      h3_great_circle_distance_km(lit(37.0), lit(-122.0), lit(48.85), lit(2.35)).as("km")).head()
+    assert(r.getBoolean(0) && r.getBoolean(1) && r.getBoolean(2) && !r.getBoolean(3))
+    assert(math.abs(r.getDouble(4) - 8980.0) < 150.0) // SF-ish to Paris
+
+    val edges = Seq(sf).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("e"))
+      .select(h3_edge_centroid_distance_km($"e").as("d")).as[Double].collect()
+    // res-9 centroid spacing ~ 2x edge length ~ 350 m
+    assert(edges.forall(d => d > 0.2 && d < 0.6))
+  }
+
   test("SQL registration works for geometry functions") {
     H3Registry.register(spark)
     val n = spark.sql(
