@@ -176,8 +176,10 @@ object PipelineQueries {
     "round((" + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ") + ") / 16.0, 2)"
 
   def oracleSql: Map[String, String] = Map(
+    // min doc_id per distinct text: the source corpus itself may contain
+    // byte-identical texts under different ids (it does at sf0.1)
     "p01_dedup_exact" ->
-      "SELECT doc_id FROM documents ORDER BY doc_id",
+      "SELECT min(doc_id) AS doc_id FROM documents GROUP BY text ORDER BY doc_id",
 
     "p02_token_stats" ->
       s"""SELECT doc_id,

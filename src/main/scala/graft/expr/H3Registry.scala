@@ -68,17 +68,22 @@ object H3Registry {
     "h3_compact_cells" -> (a => H3CompactCellsArray(a.head))
   )
 
-  def register(spark: SparkSession): Unit = expressions.foreach { case (name, builder) =>
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+  def register(spark: SparkSession): Unit = {
+    expressions.foreach { case (name, builder) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
+    H3Optimizations.register(spark)
   }
 
-  private[expr] def injectAll(ext: SparkSessionExtensions): Unit =
+  private[expr] def injectAll(ext: SparkSessionExtensions): Unit = {
     expressions.foreach { case (name, builder) =>
       ext.injectFunction((
         FunctionIdentifier(name),
         new ExpressionInfo("graft", name),
         builder))
     }
+    ext.injectOptimizerRule(_ => H3ConjunctOrdering)
+  }
 }
 
 /** `--conf spark.sql.extensions=graft.expr.H3SparkExtensions` */

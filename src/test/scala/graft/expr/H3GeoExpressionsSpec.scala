@@ -156,6 +156,28 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(edges.forall(d => d > 0.2 && d < 0.6))
   }
 
+  test("conjunct-ordering rule gates exact geometry behind cheap predicates") {
+    H3Optimizations.register(spark)
+    val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+    // parquet-backed source (a local Seq would be folded away entirely);
+    // written with the expensive predicate FIRST
+    val df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(($"doc_id" + 0x8528347fffffffL).as("cell"))
+      .filter(h3_cell_intersects_polygon($"cell", lit(wkt)) && $"cell" % 2 === 1)
+    val optimized = df.queryExecution.optimizedPlan
+    val filterCond = optimized.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _) => c
+    }
+    assert(filterCond.isDefined)
+    // after reordering the top-level And's LEFT side must be the cheap one
+    val top = filterCond.get.asInstanceOf[org.apache.spark.sql.catalyst.expressions.And]
+    assert(!top.left.exists(_.isInstanceOf[H3CellIntersectsPolygon]),
+      s"expensive predicate still first: $top")
+    assert(top.right.exists(_.isInstanceOf[H3CellIntersectsPolygon]))
+    // still executes fine after reordering
+    assert(df.count() >= 0)
+  }
+
   test("SQL registration works for geometry functions") {
     H3Registry.register(spark)
     val n = spark.sql(
