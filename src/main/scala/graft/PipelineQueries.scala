@@ -113,6 +113,12 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // end-to-end near-dedup: LSH candidates -> Jaccard verify -> removal
+    "p13_near_dedup" -> ((s, dir) => {
+      Dedup.nearDedup(corpusWithDups(s, dir), col("doc_id"), col("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // LSH-bucketed ANN: scale path; no SQL oracle (rows-only check) — the
     // ScalaTest suite checks its recall against brute force instead.
     "p12_ann_lsh_bucketed" -> ((s, dir) => {
@@ -256,6 +262,42 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "p09_simhash" -> simhashOracle,
+
+    "p13_near_dedup" ->
+      s"""WITH corpus AS ($corpusSqlWithDups),
+         |${shinglesSql("corpus")},
+         |sig AS (SELECT doc_id,
+         |    $minhashAggSql
+         |  FROM h GROUP BY doc_id),
+         |bands AS (
+         |  SELECT doc_id, 0 AS band_idx, minhash_0 * ${Dedup.MinHashPrime} + minhash_1 AS band_val FROM sig
+         |  UNION ALL SELECT doc_id, 1, minhash_2 * ${Dedup.MinHashPrime} + minhash_3 FROM sig
+         |  UNION ALL SELECT doc_id, 2, minhash_4 * ${Dedup.MinHashPrime} + minhash_5 FROM sig
+         |  UNION ALL SELECT doc_id, 3, minhash_6 * ${Dedup.MinHashPrime} + minhash_7 FROM sig),
+         |pairs AS (
+         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+         |cand_ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
+         |grams AS (
+         |  SELECT DISTINCT c.doc_id, ${oH("g")} AS g
+         |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
+         |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g
+         |    FROM corpus WHERE doc_id IN (SELECT doc_id FROM cand_ids)) c),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT p.id_a, p.id_b, count(*) AS i
+         |  FROM pairs p JOIN grams a ON a.doc_id = p.id_a
+         |  JOIN grams b ON b.doc_id = p.id_b AND b.g = a.g
+         |  GROUP BY 1, 2),
+         |verified AS (
+         |  SELECT id_a, id_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = id_a
+         |  JOIN sizes sb ON sb.doc_id = id_b
+         |  WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5)
+         |SELECT doc_id FROM corpus
+         |WHERE doc_id NOT IN (SELECT id_b FROM verified)
+         |ORDER BY doc_id""".stripMargin,
 
     "p10_multimodal_meta" ->
       s"""SELECT doc_id,

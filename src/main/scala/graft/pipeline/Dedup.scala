@@ -112,6 +112,49 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** Verify candidate pairs by exact character-n-gram Jaccard, computing
+    * gram sets ONLY for documents that appear in a candidate pair (the
+    * scale-critical restriction: verification cost scales with candidates,
+    * not the corpus). Output: (id_a, id_b, jaccard) for pairs at or above
+    * `threshold`. */
+  def ngramJaccardVerify(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, pairs: DataFrame): DataFrame = {
+    val candIds = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
+    val cand = df.select(id.as("__id"), text.as("__text"))
+      .join(candIds, "__id")
+    val grams = cand.select(col("__id"),
+      explode(array_distinct(TextOps.charNgrams(col("__text"), n))).as("__g"))
+      .select(col("__id"), TextOps.md5Long(col("__g")).as("__g"))
+    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    val inter = pairs
+      .join(grams.select(col("__id").as("id_a"), col("__g")), "id_a")
+      .join(grams.select(col("__id").as("id_b"), col("__g").as("__g2")), "id_b")
+      .filter(col("__g") === col("__g2"))
+      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+    inter
+      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
+      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
+      .withColumn("jaccard",
+        floor(col("__inter").cast("double") /
+          (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)
+          .cast("double") / 10000.0)
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
+  /** End-to-end near-duplicate removal: LSH candidate generation, exact
+    * Jaccard verification on candidates only, then drop the higher id of
+    * every verified pair (keep the canonical minimum representative). */
+  def nearDedup(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val pairs = lshCandidatePairs(df, id, text, k, rowsPerBand, ngram)
+    val verified = ngramJaccardVerify(df, id, text, verifyN, threshold, pairs)
+    df.join(verified.select(col("id_b").as("__drop")).distinct(),
+      id === col("__drop"), "left_anti")
+  }
+
   val SimHashBits: Int = 31 // stay within positive int64 bit arithmetic
 
   /** 31-bit SimHash per document over whitespace tokens (duplicates
