@@ -221,7 +221,7 @@ object GeoQueries {
       // values along a lat half-plane (each half stays connected)
       val centers = Seq((37.7, -122.4), (48.85, 2.35), (-33.9, 151.2))
       val disks = centers.zipWithIndex.flatMap { case ((lat, lng), i) =>
-        H3Traversal.gridDisk(H3Geo.latLngToCell(lat, lng, 7), 2).map(c => (c, i.toLong))
+        H3Traversal.gridDisk(H3Geo.latLngToCell(lat, lng, 7), 1).map(c => (c, i.toLong))
       }
       val single = Seq((H3Geo.latLngToCell(0.0, 0.0, 7), 3L))
       val df = (disks ++ single).toDF("cell", "disk_id")
@@ -231,8 +231,8 @@ object GeoQueries {
           h3_cell_to_latlng(col("cell")).getField("lat") >= lat1, lit(10L))
           .otherwise(col("disk_id")))
 
-      val plain = H3Clusters.cellClusters(df, "cell")
-      val byValue = H3Clusters.cellClusters(withVal, "cell", Some("value"))
+      val plain = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(3))
+      val byValue = H3Clusters.cellClusters(withVal, "cell", Some("value"), fixedRounds = Some(3))
 
       val plainStats = plain.groupBy(col("disk_id"))
         .agg(countDistinct(col("cluster")).as("nc"))

@@ -280,7 +280,7 @@ object PipelineQueries {
          |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
          |cand_ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
          |grams AS (
-         |  SELECT DISTINCT c.doc_id, ${oH("g")} AS g
+         |  SELECT DISTINCT c.doc_id, g
          |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
          |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g
          |    FROM corpus WHERE doc_id IN (SELECT doc_id FROM cand_ids)) c),

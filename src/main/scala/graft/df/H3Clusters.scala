@@ -24,23 +24,26 @@ object H3Clusters {
 
   /** cluster cells into connected components; when `valueCol` is set,
     * neighbors only connect if their values are equal (the `_eq_value`
-    * variant). Output: original columns of `df` (first occurrence per
-    * cell[,value]) + `cluster` = min cell id of the component. */
+    * variant). Output: original columns of `df` + `cluster` = min cell id
+    * of the component.
+    *
+    * `fixedRounds = Some(n)` builds n propagation rounds as ONE declarative
+    * plan (no driver actions, no checkpoints) — right when the component
+    * diameter is known-bounded (each round propagates labels one hop, and
+    * min-labels race ahead, so n >= diameter always suffices).
+    * `fixedRounds = None` loops to convergence, materializing each round
+    * (localCheckpoint) and stopping when no label changes. */
   def cellClusters(df: DataFrame, cellCol: String, valueCol: Option[String] = None,
-      maxIterations: Int = 64): DataFrame = {
+      fixedRounds: Option[Int] = None, maxIterations: Int = 64): DataFrame = {
     val keyCols: Seq[Column] = col(cellCol) +: valueCol.map(col).toSeq
     var labels = df.select(keyCols: _*).distinct()
       .withColumn("cluster", col(cellCol))
 
-    // neighbor relation: (cell, nbr[, value]); computed once per iteration
-    // from the current label set (tiny vs the input at high res)
-    var changed = true
-    var iter = 0
-    while (changed && iter < maxIterations) {
-      val edges = labels.select(
+    def propagate(current: DataFrame): DataFrame = {
+      val edges = current.select(
         (col(cellCol) +: explode(h3_grid_ring(col(cellCol), lit(1))).as("nbr") +:
           valueCol.map(col).toSeq): _*)
-      val nbrLabels = labels.select(
+      val nbrLabels = current.select(
         (col(cellCol).as("nbr") +: col("cluster").as("nbr_cluster") +:
           valueCol.map(v => col(v).as(s"__v_$v")).toSeq): _*)
       val joinCond = valueCol match {
@@ -50,14 +53,31 @@ object H3Clusters {
       val candidates = edges.join(nbrLabels, joinCond)
         .groupBy((edges(cellCol) +: valueCol.map(edges(_)).toSeq): _*)
         .agg(min(col("nbr_cluster")).as("min_nbr_cluster"))
-      val updated = labels.join(candidates, (cellCol +: valueCol.toSeq).toIndexedSeq, "left_outer")
-        .withColumn("new_cluster", least(col("cluster"), coalesce(col("min_nbr_cluster"), col("cluster"))))
-        .drop("min_nbr_cluster")
-      val nChanged = updated.filter(col("new_cluster") =!= col("cluster")).count()
-      labels = updated.drop("cluster").withColumnRenamed("new_cluster", "cluster")
-        .localCheckpoint(eager = true)
-      changed = nChanged > 0
-      iter += 1
+      current.join(candidates, (cellCol +: valueCol.toSeq).toIndexedSeq, "left_outer")
+        .withColumn("new_cluster",
+          least(col("cluster"), coalesce(col("min_nbr_cluster"), col("cluster"))))
+        .drop("min_nbr_cluster", "cluster")
+        .withColumnRenamed("new_cluster", "cluster")
+    }
+
+    fixedRounds match {
+      case Some(n) =>
+        (1 to n).foreach(_ => labels = propagate(labels))
+        // materialize once: downstream consumers would otherwise re-plan
+        // and re-execute the n-round join tree per action
+        labels = labels.localCheckpoint(eager = true)
+      case None =>
+        var changed = true
+        var iter = 0
+        while (changed && iter < maxIterations) {
+          val prev = labels
+          val next = propagate(labels).localCheckpoint(eager = true)
+          val nChanged = next.select(col(cellCol), col("cluster"))
+            .exceptAll(prev.select(col(cellCol), col("cluster"))).count()
+          labels = next
+          changed = nChanged > 0
+          iter += 1
+        }
     }
     df.join(labels.select((col(cellCol) +: valueCol.map(col).toSeq :+ col("cluster")): _*),
       cellCol +: valueCol.toSeq)

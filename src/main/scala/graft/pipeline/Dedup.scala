@@ -37,18 +37,25 @@ object Dedup {
   def minHashCoeffs(i: Int): (Long, Long) = (1000003L * (i + 1) + 12345L, 7919L * (i + 1) + 104729L)
 
   /** Per-document MinHash signature over word-`ngram` shingles.
-    * Output: idCol, minhash_0..minhash_{k-1}. Shingles are deduplicated
-    * per document before hashing — min over a set equals min over the
-    * multiset, and it cuts the explode+md5 volume on repetitive text. */
+    * Output: idCol, minhash_0..minhash_{k-1}; documents with no shingles
+    * produce no row.
+    *
+    * Entirely per-row array arithmetic — shingle set, md5, and the k
+    * permutation minima all happen inside one projection, so signatures
+    * need NO explode and NO shuffle (a groupBy formulation shuffles
+    * |docs| x |shingles| rows; at 100 TB that shuffle IS the job).
+    * Shingles are deduplicated first: min over a set equals min over the
+    * multiset. */
   def minHashSignatures(df: DataFrame, id: Column, text: Column, k: Int, ngram: Int = 2): DataFrame = {
-    val shingled = df.select(id.as("__id"),
-      explode(array_distinct(TextOps.wordNgrams(text, ngram))).as("__sh"))
-      .select(col("__id"), (TextOps.md5Long(col("__sh")) % MinHashPrime).as("__h"))
-    val aggs = (0 until k).map { i =>
+    val hashes = transform(array_distinct(TextOps.wordNgrams(text, ngram)),
+      s => TextOps.md5Long(s) % MinHashPrime)
+    val sigs = (0 until k).map { i =>
       val (a, b) = minHashCoeffs(i)
-      min((col("__h") * a + b) % MinHashPrime).as(s"minhash_$i")
+      array_min(transform(col("__hs"), h => (h * a + b) % MinHashPrime)).as(s"minhash_$i")
     }
-    shingled.groupBy(col("__id")).agg(aggs.head, aggs.tail: _*)
+    df.select(id.as("__id"), hashes.as("__hs"))
+      .filter(size(col("__hs")) >= 1)
+      .select((col("__id") +: sigs): _*)
   }
 
   /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
@@ -118,23 +125,36 @@ object Dedup {
     * not the corpus). Output: (id_a, id_b, jaccard) for pairs at or above
     * `threshold`. */
   def ngramJaccardVerify(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double, pairs: DataFrame): DataFrame = {
+      threshold: Double, pairs0: DataFrame): DataFrame = {
+    // pairs feeds three consumers and grams three more; without a
+    // materialization barrier Spark re-evaluates the full upstream pipeline
+    // (the MinHash subtree for pairs, the md5 gram explode) once per
+    // consumer — measured 4x cost at sf0.1. These are the small
+    // intermediates of the pipeline, exactly what production staging would
+    // persist.
+    val pairs = pairs0.localCheckpoint(false)
     val candIds = pairs.select(col("id_a").as("__id"))
       .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
     val cand = df.select(id.as("__id"), text.as("__text"))
       .join(candIds, "__id")
-    val grams = cand.select(col("__id"),
-      explode(array_distinct(TextOps.charNgrams(col("__text"), n))).as("__g"))
-      .select(col("__id"), TextOps.md5Long(col("__g")).as("__g"))
-    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
+    // one gram-set row per candidate doc; intersections then run as cheap
+    // per-pair array ops instead of a pairs x grams fan-out join (which
+    // shuffles |pairs| * |grams/doc| rows — 31M at sf0.1). Grams are
+    // xxhash64'd to longs: codegen-native (25x cheaper than md5), shrinks
+    // the broadcast, and long-array intersection beats string hashing;
+    // intersection counts are unaffected short of a 2^-64 collision.
+    val gramSets = cand.select(col("__id"),
+      transform(array_distinct(TextOps.charNgrams(col("__text"), n)), g => xxhash64(g)).as("__gs"))
+      .localCheckpoint(false)
+    // candidate gram sets are small (candidates only, ~3.6 KB/doc): hash
+    // them to every task instead of shuffling pair rows carrying arrays
     val inter = pairs
-      .join(grams.select(col("__id").as("id_a"), col("__g")), "id_a")
-      .join(grams.select(col("__id").as("id_b"), col("__g").as("__g2")), "id_b")
-      .filter(col("__g") === col("__g2"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
+      .join(broadcast(gramSets.select(col("__id").as("id_a"), col("__gs").as("__ga"))), Seq("id_a"))
+      .join(broadcast(gramSets.select(col("__id").as("id_b"), col("__gs").as("__gb"))), Seq("id_b"))
+      .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
+      .withColumn("__na", size(col("__ga")).cast("long"))
+      .withColumn("__nb", size(col("__gb")).cast("long"))
     inter
-      .join(sizes.select(col("__id").as("id_a"), col("__n").as("__na")), "id_a")
-      .join(sizes.select(col("__id").as("id_b"), col("__n").as("__nb")), "id_b")
       .withColumn("jaccard",
         floor(col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)

@@ -29,31 +29,35 @@ object TextOps {
   def fingerprint(text: Column): Column =
     md5Long(concat_ws(" ", tokens(text)))
 
-  /** n-grams of an array column by zipping n shifted slices, joined with
-    * `sep`. The slices evaluate the underlying array expression once per
-    * ROW; the zip lambdas touch only their element arguments. (The naive
-    * `transform(sequence(...), i => f(arr, i))` form captures `arr` in the
-    * lambda body and re-evaluates it once per ELEMENT — quadratic in
-    * document length, and sequence(1, 0) stepping -1 crashed short inputs,
-    * round-1 ADVICE.) Inputs shorter than n yield an empty array. */
-  private def sliceNgrams(arr: Column, n: Int, sep: String): Column = {
-    val cnt = size(arr) - (n - 1)
-    val len = greatest(cnt, lit(0))
-    val joined = (1 until n).foldLeft(slice(arr, lit(1), len)) { (acc, j) =>
-      zip_with(acc, slice(arr, lit(j + 1), len), (a, b) => concat_ws(sep, a, b))
-    }
-    when(cnt >= 1, joined).otherwise(array().cast("array<string>"))
-  }
+  /** Bind an expensive sub-expression to a lambda VARIABLE so downstream
+    * per-element lambdas reference it without re-evaluation: a naive
+    * `transform(sequence(...), i => f(expensive, i))` form captures the
+    * expression tree in the lambda body and re-evaluates it once per
+    * ELEMENT — quadratic in document length (round-1/2 lesson). Wrapping
+    * in a 1-element array and transforming binds it once per row. */
+  private def bind(c: Column)(f: Column => Column): Column =
+    element_at(transform(array(c), x => f(x)), 1)
+
+  /** Guarded 1..cnt index sequence: empty when cnt < 1 (2-arg sequence
+    * steps -1 and 3-arg throws on Spark 4 for empty ranges). */
+  private def indices1To(cnt: Column): Column =
+    when(cnt >= 1, sequence(lit(1), greatest(cnt, lit(1)), lit(1)))
+      .otherwise(array().cast("array<int>"))
 
   /** Character n-grams (1-based substrings, length n). Text shorter than n
     * chars yields an empty array. */
   def charNgrams(text: Column, n: Int): Column =
-    sliceNgrams(split(lower(trim(text)), ""), n, "")
+    bind(lower(trim(text))) { t =>
+      transform(indices1To(length(t) - (n - 1)), i => t.substr(i, lit(n)))
+    }
 
   /** Word n-grams joined with single spaces; fewer than n tokens yields an
     * empty array. */
   def wordNgrams(text: Column, n: Int): Column =
-    sliceNgrams(tokens(text), n, " ")
+    bind(tokens(text)) { ts =>
+      transform(indices1To(size(ts) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + lit(j))): _*))
+    }
 
   val EnStopwords: Seq[String] =
     Seq("the", "a", "an", "and", "of", "to", "in", "is", "on", "for", "with", "as", "by", "at", "or")
