@@ -69,10 +69,25 @@ object H3Traversal {
   // ---------------------------------------------------------------------
 
   /** (neighbors(122)(7), ccwRots(122)(7)); neighbor 127 = invalid (the
-    * deleted K direction of pentagons). */
-  lazy val (baseCellNeighbors, baseCellNeighborRots): (Array[Array[Int]], Array[Array[Int]]) = {
+    * deleted K direction of pentagons).
+    *
+    * First guess by exact lattice folds from the home position; then a
+    * constraint-repair pass: around pentagon vertices the 60-degree
+    * lattice deficit makes fold-accumulated rotations path-dependent, so
+    * entries are validated against an independent geometric ground truth —
+    * two cells are neighbors iff their boundaries (computed through the
+    * table-free h3ToFaceIjk path) share an edge — over a sweep of every
+    * res-2 cell x direction, and failing entries get the unique rotation
+    * that satisfies all their samples. */
+  lazy val (baseCellNeighbors, baseCellNeighborRots, baseCellSubRots):
+      (Array[Array[Int]], Array[Array[Int]], Array[Int]) = {
     val nbr = Array.fill(122, 7)(InvalidBaseCell)
     val rots = Array.fill(122, 7)(0)
+    // digit rotations applied when substituting the deleted K direction
+    // with IK (one ccw in the reference; repaired per pentagon below,
+    // since only digit correctness — not the rotation counter — is load-
+    // bearing for our disk/path algorithms)
+    val subRots = Array.fill(122)(1)
     for (bc <- 0 until 122) {
       nbr(bc)(Center) = bc
       rots(bc)(Center) = 0
@@ -96,7 +111,88 @@ object H3Traversal {
         }
       }
     }
-    (nbr, rots)
+    repairBaseCellTables(nbr, rots, subRots)
+    (nbr, rots, subRots)
+  }
+
+  /** ground-truth-driven repair of the base-cell step tables (see above). */
+  private def repairBaseCellTables(nbr: Array[Array[Int]], rots: Array[Array[Int]],
+      subRots: Array[Int]): Unit = {
+    def step(c: Long, d: Int) = neighborRotationsImpl(c, d, 0, nbr, rots, subRots)
+    val res = 2
+    // every res-2 cell + quantized boundary-vertex -> cells map
+    val cells = H3Core.res0Cells().flatMap(c => H3Core.cellToChildren(c, res))
+    val vertexOwners = new mutable.HashMap[(Long, Long), mutable.ArrayBuffer[Long]]()
+    val boundaries = new mutable.LongMap[Array[(Long, Long)]](cells.length * 2)
+    for (c <- cells) {
+      val keys = H3Geo.cellToBoundaryRads(c).map(v =>
+        (math.round(v.lat * 1e9), math.round(v.lng * 1e9)))
+      boundaries(c) = keys
+      keys.foreach(k => vertexOwners.getOrElseUpdate(k, mutable.ArrayBuffer.empty) += c)
+    }
+    def trueNeighbors(c: Long): Set[Long] = {
+      val counts = mutable.LongMap.empty[Int]
+      for (k <- boundaries(c); o <- vertexOwners(k) if o != c)
+        counts(o) = counts.getOrElse(o, 0) + 1
+      counts.iterator.collect { case (o, n) if n >= 2 => o }.toSet
+    }
+    // sweep: group failing steps by the base-level table entry they used
+    def sweep(): mutable.Map[(Int, Int), mutable.ArrayBuffer[(Long, Int, Long)]] = {
+      val failures = mutable.Map.empty[(Int, Int), mutable.ArrayBuffer[(Long, Int, Long)]]
+      for (c <- cells; di <- 0 until 6) {
+        val dir = Directions(di)
+        val (n, _, usedBc, usedDir) = step(c, dir)
+        if (usedBc >= 0) { // crossed a base cell: exactly one entry used
+          val ok = n != H3Core.H3Null && trueNeighbors(c).contains(n)
+          if (!ok)
+            failures.getOrElseUpdate((usedBc, usedDir), mutable.ArrayBuffer.empty) += ((c, dir, n))
+        }
+      }
+      failures
+    }
+    var failures = sweep()
+    var round = 0
+    while (failures.nonEmpty && round < 8) {
+      for (((bc, dir), samples) <- failures) {
+        // try all rotations for this entry; keep the one fixing its samples.
+        // dir == 7 is the pseudo-entry for the deleted-K substitution.
+        def get(): Int = if (dir == 7) subRots(bc) else rots(bc)(dir)
+        def set(v: Int): Unit = if (dir == 7) subRots(bc) = v else rots(bc)(dir) = v
+        var best = get()
+        var bestBad = Int.MaxValue
+        for (r <- 0 until 6) {
+          set(r)
+          val bad = samples.count { case (c, d, _) =>
+            val (n, _, _, _) = step(c, d)
+            n == H3Core.H3Null || !trueNeighbors(c).contains(n)
+          }
+          if (bad < bestBad) { bestBad = bad; best = r }
+        }
+        set(best)
+      }
+      failures = sweep()
+      round += 1
+    }
+    if (failures.nonEmpty && sys.props.get("graft.h3.debugRepair").isDefined) {
+      for (((bc, dir), ss) <- failures; (c, d, n) <- ss.take(3))
+        println(s"REPAIR-FAIL entry($bc,$dir): c=${c.toHexString} " +
+          s"cbc=${H3Core.getBaseCell(c)} d12=${H3Core.getDigit(c, 1)}${H3Core.getDigit(c, 2)} " +
+          s"dir=$d -> ${n.toHexString} nbc=${H3Core.getBaseCell(n)} " +
+          s"nd12=${H3Core.getDigit(n, 1)}${H3Core.getDigit(n, 2)}")
+    }
+    // residual failures are tolerated ONLY for steps originating inside
+    // pentagon base cells: those cells take the geometric neighbor path at
+    // runtime (see neighbors/neighborsGeo), not the repaired tables.
+    val hardFailures = failures.filter { case ((bc, _), samples) =>
+      !(H3Core.isPentagonBaseCell(bc) &&
+        samples.forall { case (c, _, _) => H3Core.isPentagonBaseCell(H3Core.getBaseCell(c)) })
+    }
+    require(hardFailures.isEmpty, {
+      val detail = hardFailures.take(5).map { case ((bc, dir), ss) =>
+        s"entry($bc,$dir): ${ss.length} bad, e.g. ${ss.head._1.toHexString}"
+      }.mkString("; ")
+      s"baseCellNeighbors repair failed to converge: $detail"
+    })
   }
 
   /** one overage fold at res 0, returning (overage kind, rotations applied). */
@@ -136,6 +232,23 @@ object H3Traversal {
     * accumulated ccw rotation of the direction frame (used by ring walks).
     * Port of the public H3 h3NeighborRotations algorithm. */
   def h3NeighborRotations(origin: Long, dirIn: Int, rotationsIn: Int): (Long, Int) = {
+    val (out, rot, _, _) = neighborRotationsTracked(origin, dirIn, rotationsIn)
+    (out, rot)
+  }
+
+  /** as [[h3NeighborRotations]] but also reports which base-cell table
+    * entry (bc, dir) the step consumed, or (-1, -1) when it stayed inside
+    * one base cell. */
+  private[h3] def neighborRotationsTracked(origin: Long, dirIn: Int,
+      rotationsIn: Int): (Long, Int, Int, Int) =
+    neighborRotationsImpl(origin, dirIn, rotationsIn, baseCellNeighbors,
+      baseCellNeighborRots, baseCellSubRots)
+
+  /** table-parameterized core so the repair pass can run while the lazy
+    * tables are still being built (lazy-val re-entrancy would recurse). */
+  private def neighborRotationsImpl(origin: Long, dirIn: Int, rotationsIn: Int,
+      nbrTable: Array[Array[Int]], rotsTable: Array[Array[Int]],
+      subRotsTable: Array[Int]): (Long, Int, Int, Int) = {
     var dir = dirIn
     var rotations = rotationsIn
     var out = origin
@@ -145,26 +258,31 @@ object H3Traversal {
     var newRotations = 0
     val oldBaseCell = H3Core.getBaseCell(out)
     val oldLeadingDigit = H3Core.leadingNonZeroDigit(out)
+    var usedBc = -1
+    var usedDir = -1
 
     var r = H3Core.getResolution(out) - 1
     var done = false
     while (!done) {
       if (r == -1) {
-        val nb = baseCellNeighbors(oldBaseCell)(dir)
-        newRotations = baseCellNeighborRots(oldBaseCell)(dir)
+        val nb = nbrTable(oldBaseCell)(dir)
+        newRotations = rotsTable(oldBaseCell)(dir)
         if (nb == InvalidBaseCell) {
           // deleted K direction: this edge actually borders the IK neighbor
-          out = (out & ~(0x7FL << 45)) | (baseCellNeighbors(oldBaseCell)(IKAxes).toLong << 45)
-          newRotations = baseCellNeighborRots(oldBaseCell)(IKAxes)
-          out = H3Core.rotate60ccw(out)
-          rotations += 1
+          out = (out & ~(0x7FL << 45)) | (nbrTable(oldBaseCell)(IKAxes).toLong << 45)
+          newRotations = rotsTable(oldBaseCell)(IKAxes)
+          usedBc = oldBaseCell; usedDir = 7 // substitution pseudo-entry
+          var sr = 0
+          while (sr < subRotsTable(oldBaseCell)) { out = H3Core.rotate60ccw(out); sr += 1 }
+          rotations += subRotsTable(oldBaseCell)
         } else {
           out = (out & ~(0x7FL << 45)) | (nb.toLong << 45)
+          usedBc = oldBaseCell; usedDir = dir
         }
         done = true
       } else {
         val oldDigit = H3Core.getDigit(out, r + 1)
-        if (oldDigit == InvalidDigit) return (H3Core.H3Null, rotationsIn)
+        if (oldDigit == InvalidDigit) return (H3Core.H3Null, rotationsIn, usedBc, usedDir)
         val (nextDigit, nextDir) =
           if (isResClassIII(r + 1))
             (stepDigitCIII(oldDigit)(dir), stepAdjCIII(oldDigit)(dir))
@@ -190,10 +308,10 @@ object H3Traversal {
         } else {
           // traversed into the deleted K subsequence from within the same
           // pentagon base cell
-          if (oldLeadingDigit == Center) return (H3Core.H3Null, rotationsIn) // undefined
+          if (oldLeadingDigit == Center) return (H3Core.H3Null, rotationsIn, usedBc, usedDir) // undefined
           else if (oldLeadingDigit == JKAxes) { out = H3Core.rotate60ccw(out); rotations += 1 }
           else if (oldLeadingDigit == IKAxes) { out = H3Core.rotate60cw(out); rotations += 5 }
-          else return (H3Core.H3Null, rotationsIn)
+          else return (H3Core.H3Null, rotationsIn, usedBc, usedDir)
         }
       }
       var i2 = 0
@@ -214,11 +332,50 @@ object H3Traversal {
       while (i2 < newRotations) { out = H3Core.rotate60ccw(out); i2 += 1 }
     }
 
-    (out, (rotations + newRotations) % 6)
+    (out, (rotations + newRotations) % 6, usedBc, usedDir)
   }
 
-  /** the (up to 6) immediate neighbors of a cell. */
+  /** geometric neighbor construction: probe through each boundary-edge
+    * midpoint with latLngToCell (exact by construction: the conversion
+    * layer is canonical and independently validated). Used for cells in
+    * pentagon base cells, where the table-stepping rotation bookkeeping is
+    * not canonical (see [[repairBaseCellTables]]); boundary-edge order,
+    * deduplicated. */
+  def neighborsGeo(origin: Long): Array[Long] = {
+    val res = H3Core.getResolution(origin)
+    val ctr = geoToVec3dOf(cellToLatLngRads(origin))
+    val verts = cellToBoundaryRads(origin)
+    val out = mutable.LinkedHashSet.empty[Long]
+    var i = 0
+    while (i < verts.length) {
+      val a = verts(i)
+      val b = verts((i + 1) % verts.length)
+      val va = geoToVec3dOf(a)
+      val vb = geoToVec3dOf(b)
+      // midpoint of the edge, pushed 30% past it away from the center
+      val mx = (va(0) + vb(0)) / 2; val my = (va(1) + vb(1)) / 2; val mz = (va(2) + vb(2)) / 2
+      val px = mx + (mx - ctr(0)) * 0.3
+      val py = my + (my - ctr(1)) * 0.3
+      val pz = mz + (mz - ctr(2)) * 0.3
+      val norm = math.sqrt(px * px + py * py + pz * pz)
+      val lat = math.toDegrees(math.asin(pz / norm))
+      val lng = math.toDegrees(math.atan2(py, px))
+      val n = H3Geo.latLngToCell(lat, lng, res)
+      if (n != origin && n != H3Core.H3Null) out += n
+      i += 1
+    }
+    out.toArray
+  }
+
+  @inline private def geoToVec3dOf(g: LatLng): Array[Double] = H3Geo.geoToVec3d(g)
+
+  @inline private def inPentagonBaseCell(c: Long): Boolean =
+    H3Core.isPentagonBaseCell(H3Core.getBaseCell(c))
+
+  /** the (up to 6) immediate neighbors of a cell. Table stepping on the
+    * fast path; geometric construction inside pentagon base cells. */
   def neighbors(origin: Long): Array[Long] = {
+    if (inPentagonBaseCell(origin)) return neighborsGeo(origin)
     val out = mutable.ArrayBuilder.make[Long]
     var d = 0
     while (d < 6) {
@@ -498,11 +655,21 @@ object H3Traversal {
   // directed edges (topology beyond the bit ops in H3Core)
   // ---------------------------------------------------------------------
 
-  /** destination cell of a directed edge. */
+  /** destination cell of a directed edge. For origins inside pentagon base
+    * cells the direction -> neighbor assignment is our own deterministic
+    * convention (ascending geometric neighbors), self-consistent with
+    * [[cellsToDirectedEdge]]. */
   def edgeDestination(edge: Long): Long = {
     if (!H3Core.isValidDirectedEdge(edge)) return H3Core.H3Null
     val origin = H3Core.edgeOrigin(edge)
     val dir = H3Core.edgeDirection(edge)
+    if (inPentagonBaseCell(origin)) {
+      val ns = neighborsGeo(origin).sorted
+      val pent = H3Core.isPentagon(origin)
+      val idx = if (pent) dir - 2 else dir - 1
+      if (idx < 0 || idx >= ns.length) return H3Core.H3Null
+      return ns(idx)
+    }
     val (dest, _) = h3NeighborRotations(origin, dir, 0)
     dest
   }

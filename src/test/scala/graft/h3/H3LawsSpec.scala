@@ -1,0 +1,109 @@
+package graft.h3
+
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+
+/**
+ * Property-based laws over the full H3 stack (FIXTURES.md plan): random
+ * coordinates and random cells at random resolutions, exercising the
+ * geometry port, hierarchy bit ops and traversal together.
+ */
+class H3LawsSpec extends AnyFunSuite {
+  private val params = Gen.Parameters.default
+  /** deterministic generator sampling (no scalatest-scalacheck bridge in
+    * the offline cache). */
+  def forAll[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit =
+    (0 until n).foreach { i => g.apply(params, Seed(i.toLong)).foreach(f) }
+  def forAll[A, B, C](ga: Gen[A], gb: Gen[B], gc: Gen[C])(f: (A, B, C) => Unit): Unit =
+    (0 until 200).foreach { i =>
+      for {
+        a <- ga.apply(params, Seed(i.toLong))
+        b <- gb.apply(params, Seed(i.toLong + 1000))
+        c <- gc.apply(params, Seed(i.toLong + 2000))
+      } f(a, b, c)
+    }
+  import H3Geo._
+  import H3Core._
+
+  val genLat: Gen[Double] = Gen.chooseNum(-89.9, 89.9)
+  val genLng: Gen[Double] = Gen.chooseNum(-179.9, 179.9)
+  val genRes: Gen[Int] = Gen.chooseNum(0, 12)
+
+  val genCell: Gen[Long] = for {
+    lat <- genLat; lng <- genLng; res <- genRes
+  } yield latLngToCell(lat, lng, res)
+
+  test("law: latLngToCell always yields a valid cell at the requested res") {
+    forAll(genLat, genLng, genRes) { (lat: Double, lng: Double, res: Int) =>
+      val c = latLngToCell(lat, lng, res)
+      assert(isValidCell(c) && getResolution(c) == res)
+    }
+  }
+
+  test("law: centroid roundtrip is the identity") {
+    forAll(genCell) { (c: Long) =>
+      val g = cellToLatLng(c)
+      assert(latLngToCell(g.lat, g.lng, getResolution(c)) == c)
+    }
+  }
+
+  test("law: the constructing point is inside its cell") {
+    forAll(genLat, genLng, genRes) { (lat: Double, lng: Double, res: Int) =>
+      val c = latLngToCell(lat, lng, res)
+      assert(latLngToCell(lat, lng, res) == c) // determinism
+      // point within circumradius of centroid
+      val ctr = cellToLatLngRads(c)
+      val p = LatLng(math.toRadians(lat), math.toRadians(lng))
+      val maxR = cellToBoundaryRads(c).map(v => greatCircleDistanceRads(ctr, v)).max
+      assert(greatCircleDistanceRads(ctr, p) <= maxR * 1.0000001)
+    }
+  }
+
+  test("law: parent contains all children; children partition areas ~1") {
+    forAll(genCell.suchThat(c => getResolution(c) < 12)) { (c: Long) =>
+      val res = getResolution(c)
+      val kids = cellToChildren(c, res + 1)
+      assert(kids.length == (if (isPentagon(c)) 6 else 7))
+      kids.foreach(k => assert(cellToParent(k, res) == c))
+      // every child's centroid maps back into the parent
+      kids.foreach { k =>
+        val g = cellToLatLng(k)
+        assert(latLngToCell(g.lat, g.lng, res) == c)
+      }
+    }
+  }
+
+  test("law: compact(uncompact(cells)) is the identity on distinct sets") {
+    forAll(Gen.listOfN(5, genCell.suchThat(c => getResolution(c) <= 6)), 100) { (cells: List[Long]) =>
+      val distinct = cells.distinct.toArray
+      // drop cells that are ancestors/descendants of each other (compact
+      // semantics only roundtrip on antichains)
+      val anti = distinct.filter { c =>
+        !distinct.exists(o => o != c && getResolution(o) < getResolution(c) &&
+          cellToParent(c, getResolution(o)) == o)
+      }
+      val maxRes = anti.map(getResolution).max
+      val un = anti.flatMap(uncompactCell(_, maxRes))
+      val back = compactCells(un)
+      assert(back.sorted.toSeq == compactCells(anti).sorted.toSeq)
+    }
+  }
+
+  test("law: neighbors are mutual and at grid distance 1") {
+    forAll(genCell.suchThat(c => getResolution(c) >= 1)) { (c: Long) =>
+      H3Traversal.neighbors(c).foreach { n =>
+        assert(H3Traversal.neighbors(n).contains(c))
+        assert(H3Traversal.gridDistance(c, n) == 1)
+      }
+    }
+  }
+
+  test("law: edge destinations partition the ring-1 set") {
+    forAll(genCell.suchThat(c => getResolution(c) >= 1)) { (c: Long) =>
+      val dests = H3Core.originToDirectedEdges(c).map(H3Traversal.edgeDestination)
+      val ring = H3Traversal.gridRing(c, 1)
+      assert(dests.sorted.toSeq == ring.sorted.toSeq)
+    }
+  }
+}
