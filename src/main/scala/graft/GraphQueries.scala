@@ -111,8 +111,11 @@ object GraphQueries {
         .agg(sum(col("weight"))).collect().head.getDouble(0)
 
       val mid = cells(cells.length / 2)
-      val diff = H3Graph.differentialShortestPaths(s, graph, Seq(first), Seq(last), Set(mid))
-        .select(col("cost_before"), col("cost_after")).collect().head
+      // differential routing: `route` above IS the before-side; only the
+      // excluded-graph side needs another Dijkstra pass
+      val afterRows = H3Graph.shortestPaths(s,
+        graph.filter(col("origin") =!= mid && col("destination") =!= mid),
+        Seq(first), Seq(last)).collect()
 
       val iso = H3Graph.withinWeightThreshold(s, graph, Seq(mid), 1e9).count()
       val covered = H3Graph.coveredAreaWkt(graph, 3).as[String].collect().head
@@ -124,7 +127,7 @@ object GraphQueries {
       Seq((
         routeRow.getInt(1) == cells.length,
         math.abs(routeRow.getDouble(0) - totalLen) < 1e-6,
-        !diff.isNullAt(0) && diff.isNullAt(1),
+        afterRows.isEmpty, // chain cut at mid: unreachable after exclusion
         iso == cells.length,
         covered.startsWith("MULTIPOLYGON"),
         snapped == 1L
