@@ -136,15 +136,26 @@ object functions {
   def h3_cells_to_multipolygon_wkt(cells: Column, smoothen: Column): Column =
     c(H3CellsToMultiPolygonWkt(e(cells), e(smoothen)))
 
-  /** S9: is `a` an ancestor of `b` (parent at a's res equals a)? False
-    * when resolutions make it impossible; composed bit ops, codegen'd. */
-  def h3_is_parent_of(a: Column, b: Column): Column =
-    h3_cell_to_parent(b, h3_get_resolution(a)) === a
+  /** S9: is `a` an ancestor of `b` (parent at a's res equals a)? False —
+    * not NULL — when resolutions make it impossible (res(a) > res(b) makes
+    * the parent lookup NULL; the coalesce turns that into false so
+    * projections/aggregations see a boolean, not a silent NULL). NULL/
+    * invalid inputs still yield NULL (mask-alignment rule). Composed bit
+    * ops, codegen'd. */
+  def h3_is_parent_of(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{when, coalesce, lit}
+    when(h3_is_valid_cell(a) && h3_is_valid_cell(b),
+      coalesce(h3_cell_to_parent(b, h3_get_resolution(a)) === a, lit(false)))
+  }
   /** S9 inverse. */
   def h3_is_child_of(a: Column, b: Column): Column = h3_is_parent_of(b, a)
-  /** S9 `contains`: ancestor-or-self. */
-  def h3_cell_contains_cell(a: Column, b: Column): Column =
-    (a === b) || h3_is_parent_of(a, b)
+  /** S9 `contains`: ancestor-or-self; same false-on-impossible, NULL-on-
+    * invalid semantics as [[h3_is_parent_of]]. */
+  def h3_cell_contains_cell(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.{when, coalesce, lit}
+    when(h3_is_valid_cell(a) && h3_is_valid_cell(b),
+      (a === b) || coalesce(h3_cell_to_parent(b, h3_get_resolution(a)) === a, lit(false)))
+  }
 
   /** great-circle (haversine) distance between two points in km, pure
     * Column arithmetic (stays in whole-stage codegen). */

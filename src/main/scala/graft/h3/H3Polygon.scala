@@ -370,12 +370,20 @@ object H3Polygon {
     val outerSign = math.signum(cellOrientation)
     val outers = rings.filter(r => signedArea(r) * outerSign > 0).map(maybeSmooth)
     val holes = rings.filter(r => signedArea(r) * outerSign < 0).map(maybeSmooth)
-    // attach each hole to the first outer containing its first vertex
-    val grouped = outers.map { o =>
-      val hs = holes.filter { h =>
-        val (x, y) = h.head
-        pointInRing(x, y, o)
-      }
+    // attach each hole to the *smallest-area* outer ring containing its
+    // first vertex — the innermost parent. With nested outers (an island
+    // inside a hole inside a larger outer) the first-containing rule would
+    // attach the hole to the outermost ring, producing an overlapping
+    // multipolygon.
+    val outerAreas = outers.map(o => math.abs(signedArea(o)))
+    val holeParent: Array[Int] = holes.map { h =>
+      val (x, y) = h.head
+      val containing = outers.indices.filter(oi => pointInRing(x, y, outers(oi)))
+      if (containing.isEmpty) -1 else containing.minBy(outerAreas)
+    }.toArray
+    val grouped = outers.indices.map { oi =>
+      val o = outers(oi)
+      val hs = holes.indices.filter(hi => holeParent(hi) == oi).map(holes)
       (o +: hs).map(r => (r :+ r.head).toSeq: Seq[(Double, Double)]).toSeq
     }.toSeq
     multiPolygonWkt(grouped)

@@ -74,21 +74,32 @@ object Dedup {
     sig.select(col("__id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
 
+  /** Hard ceiling on LSH bucket membership: a bucket larger than this is
+    * truncated (smallest `MaxLshBucket` ids kept) instead of exploding
+    * quadratically. A hot band value — near-empty or templated documents
+    * sharing one signature — would otherwise make a single task's pair
+    * expansion unbounded (OOM/straggler at scale). Truncation degrades
+    * candidate *recall* for that pathological bucket only; members beyond
+    * the cap are near-identical to the kept ones anyway, so their pairs are
+    * redundant for dedup purposes. */
+  val MaxLshBucket: Int = 4096
+
   /** Candidate near-dup pairs: documents sharing at least one LSH band.
     * Bucket-local pair generation: group by (band_idx, band_val), collect
     * the (small) member set per bucket, and explode its ordered pairs —
     * ONE pass over the signature pipeline and one shuffle, where a
     * self-join would evaluate the whole MinHash subtree twice (aliased
     * branches defeat exchange reuse). Near-dup buckets are tiny by
-    * construction, so the per-bucket quadratic blowup is bounded; at 100 TB
-    * a hot bucket means near-identical spam — cap it upstream, not here. */
+    * construction; a pathological hot bucket is truncated at
+    * [[MaxLshBucket]] so it degrades recall instead of killing the job. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column, k: Int = 8,
-      rowsPerBand: Int = 2, ngram: Int = 2): DataFrame = {
+      rowsPerBand: Int = 2, ngram: Int = 2, maxBucket: Int = MaxLshBucket): DataFrame = {
     val bands = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
     bands
       .groupBy(col("band_idx"), col("band_val"))
       .agg(sort_array(collect_set(col("__id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
+      .select(slice(col("ids"), 1, maxBucket).as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))

@@ -156,6 +156,34 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(edges.forall(d => d > 0.2 && d < 0.6))
   }
 
+  test("is_parent_of is false (not NULL) on impossible resolutions, NULL on invalid") {
+    val parent = graft.h3.H3Core.cellToParent(sf, 5)
+    val rows = Seq((parent, sf)).toDF("p", "c").select(
+      // res(c)=9 > res(p)=5 reversed: a finer cell can never be a parent
+      h3_is_parent_of($"c", $"p").as("impossible"),
+      h3_cell_contains_cell($"c", $"p").as("impossible_contains"),
+      h3_is_parent_of(lit(null).cast("long"), $"c").as("null_a"),
+      h3_is_parent_of(lit(12345L), $"c").as("invalid_a")).head()
+    assert(!rows.isNullAt(0) && !rows.getBoolean(0),
+      "res(a)>res(b) must yield false, not NULL")
+    assert(!rows.isNullAt(1) && !rows.getBoolean(1))
+    assert(rows.isNullAt(2), "NULL input must propagate NULL")
+    assert(rows.isNullAt(3), "invalid cell input must yield NULL")
+  }
+
+  test("dissolve attaches a hole to its innermost parent ring") {
+    // ring of cells with the center removed -> one outer ring with one hole
+    val disk = H3Traversal.gridDisk(sf, 1).filterNot(_ == sf)
+    val wkt = Seq(1).toDF("x")
+      .select(h3_cells_to_multipolygon_wkt(lit(disk), lit(false)).as("wkt"))
+      .as[String].head()
+    assert(wkt.startsWith("MULTIPOLYGON"))
+    // one polygon, two rings (outer + hole): "((" appears once, and the
+    // polygon body has exactly one "), (" ring separator
+    assert("\\(\\(".r.findAllIn(wkt).length == 1, wkt.take(120))
+    assert(wkt.contains("), ("), s"expected a hole ring in ${wkt.take(120)}")
+  }
+
   test("conjunct-ordering rule gates exact geometry behind cheap predicates") {
     H3Optimizations.register(spark)
     val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"

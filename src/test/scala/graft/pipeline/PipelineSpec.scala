@@ -113,6 +113,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.count() == 2) // only docs with >= 1 shingle produce rows
   }
 
+  test("hot LSH bucket is capped, not exploded quadratically (ADVICE r02)") {
+    // 40 byte-identical docs land in one bucket for every band; a cap of 5
+    // keeps the 5 smallest ids -> C(5,2)=10 pairs per band, deduped to 10
+    val hot = (0 until 40).map(i => (i.toLong, "identical text body of the hot bucket spam"))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.lshCandidatePairs(hot, $"doc_id", $"text", k = 8, maxBucket = 5)
+      .as[(Long, Long)].collect()
+    assert(pairs.length == 10, s"expected C(5,2)=10 capped pairs, got ${pairs.length}")
+    assert(pairs.forall { case (a, b) => a < 5 && b < 5 })
+    // and the uncapped default still produces the full C(40,2) set
+    val full = Dedup.lshCandidatePairs(hot, $"doc_id", $"text", k = 8).count()
+    assert(full == 40L * 39 / 2)
+  }
+
   test("lshBands rejects band packing that would overflow int64") {
     val sig = Dedup.minHashSignatures(docs.limit(5), $"doc_id", $"text", k = 8)
     intercept[IllegalArgumentException] { Dedup.lshBands(sig, k = 8, rowsPerBand = 4) }
