@@ -754,7 +754,14 @@ object H3Geo {
     * exact integer arithmetic — no angle snapping — and handles the 60
     * degree lattice deficit around icosahedron vertices (pentagons)
     * correctly, where an azimuth-difference heuristic breaks. */
-  lazy val faceIjkBaseCells: Array[Array[Array[Array[Array[Int]]]]] = {
+  lazy val faceIjkBaseCells: Array[Array[Array[Array[Array[Int]]]]] =
+    H3Tables.faceIjkBaseCells
+
+  /** full derivation + repair (see doc above). NOT used at runtime — the
+    * serialized result lives in [[H3Tables]] (generated by H3TableGen), so
+    * executor JVMs skip the BFS + pentagon-sample repair at first use;
+    * H3TablesSpec re-derives and diffs against the constants. */
+  private[h3] def deriveFaceIjkBaseCells(): Array[Array[Array[Array[Array[Int]]]]] = {
     val table = Array.fill(NumIcosaFaces, 3, 3, 3)(Array(InvalidBaseCell, 0))
     val centers3d = baseCellCenterGeo.map(geoToVec3d)
     val maxDim = MaxFaceCoord
