@@ -234,28 +234,30 @@ object GeoQueries {
       val plain = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(3))
       val byValue = H3Clusters.cellClusters(withVal, "cell", Some("value"), fixedRounds = Some(3))
 
-      val plainStats = plain.groupBy(col("disk_id"))
+      // all invariants as ONE declarative plan (single action): per-disk
+      // label counts, global cluster counts for both variants, and the
+      // bounding-rect containment check via crossJoin against the 1-row
+      // aggregate — was 5 separate driver actions before round 3
+      val perDisk = plain.groupBy(col("disk_id"))
         .agg(countDistinct(col("cluster")).as("nc"))
-        .agg(bool_and(col("nc") === 1).as("one_label_per_disk"),
-          count(lit(1)).as("n_disks")).collect().head
-      val nClusters = plain.select(countDistinct(col("cluster"))).as[Long].head()
-      val nClustersByValue = byValue.select(countDistinct(col("cluster"))).as[Long].head()
-
-      val bounds = H3Clusters.boundingRect(df.filter(col("disk_id") === 0), "cell")
-        .collect().head
+        .agg(bool_and(col("nc") === 1).as("one_label"), count(lit(1)).as("n_disks"))
+      val nClusters = plain.agg(countDistinct(col("cluster")).as("ncl"))
+      val nByValue = byValue.agg(countDistinct(col("cluster")).as("nclv"))
       val disk0 = df.filter(col("disk_id") === 0)
-      val inBounds = disk0.filter(
-        !h3_cell_to_latlng(col("cell")).getField("lat")
-          .between(bounds.getDouble(0), bounds.getDouble(2)) ||
-        !h3_cell_to_latlng(col("cell")).getField("lng")
-          .between(bounds.getDouble(1), bounds.getDouble(3))).count() == 0
+      val bounds = H3Clusters.boundingRect(disk0, "cell")
+      val g = h3_cell_to_latlng(col("cell"))
+      val violations = disk0.crossJoin(bounds)
+        .agg(sum(when(
+          !g.getField("lat").between(col("min_lat"), col("max_lat")) ||
+          !g.getField("lng").between(col("min_lng"), col("max_lng")), 1L).otherwise(0L))
+          .as("n_viol"))
 
-      Seq((
-        nClusters == 4L,
-        plainStats.getBoolean(0) && plainStats.getLong(1) == 4L,
-        nClustersByValue == 5L,
-        inBounds
-      )).toDF("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok")
+      perDisk.crossJoin(nClusters).crossJoin(nByValue).crossJoin(violations)
+        .select(
+          (col("ncl") === 4L).as("n_clusters_ok"),
+          (col("one_label") && col("n_disks") === 4L).as("one_label_per_disk_ok"),
+          (col("nclv") === 5L).as("eq_value_ok"),
+          (col("n_viol") === 0L).as("bounds_ok"))
     }),
 
     // X4/X6: two-stage spatial predicate implication chain

@@ -101,28 +101,30 @@ object GraphQueries {
       val cells = graft.h3.H3Polygon.lineStringToCells(
         graft.h3.H3Polygon.parseLineStringWkt(wkt).get, 8)
       val chainDf = cells.zipWithIndex.toSeq.toDF("cell", "ord")
-      val graph = H3Graph.graphFromCellChain(chainDf, "cell", "ord").cache()
+      val graph = H3Graph.graphFromCellChain(chainDf, "cell", "ord")
       val first = cells.head
       val last = cells.last
 
-      val route = H3Graph.shortestPaths(s, graph, Seq(first), Seq(last))
+      // ONE driver collect of the (broadcast-sized) graph serves every
+      // routing call below — the reference likewise prepares the graph
+      // once; before round 3 each call re-collected it (4 extra jobs)
+      val lg = H3Graph.localGraph(graph)
+      val route = H3Graph.shortestPathsLocal(s, lg, Seq(first), Seq(last))
       val routeRow = route.select(col("cost"), size(col("path")).as("n")).collect().head
-      val totalLen = graph.filter(col("origin") < col("destination"))
-        .agg(sum(col("weight"))).collect().head.getDouble(0)
+      val totalLen = lg.totalUndirectedWeight
 
       val mid = cells(cells.length / 2)
       // differential routing: `route` above IS the before-side; only the
       // excluded-graph side needs another Dijkstra pass
-      val afterRows = H3Graph.shortestPaths(s,
-        graph.filter(col("origin") =!= mid && col("destination") =!= mid),
+      val afterRows = H3Graph.shortestPathsLocal(s, lg.excluding(Set(mid)),
         Seq(first), Seq(last)).collect()
 
-      val iso = H3Graph.withinWeightThreshold(s, graph, Seq(mid), 1e9).count()
+      val iso = H3Graph.withinWeightThresholdLocal(s, lg, Seq(mid), 1e9).count()
       val covered = H3Graph.coveredAreaWkt(graph, 3).as[String].collect().head
       // snapping: a neighbor cell off the chain snaps onto a graph node
       val offChain = graft.h3.H3Traversal.gridRing(mid, 1)
         .filterNot(cells.contains).head
-      val snapped = H3Graph.shortestPaths(s, graph, Seq(offChain), Seq(last), maxSnapK = 2).count()
+      val snapped = H3Graph.shortestPathsLocal(s, lg, Seq(offChain), Seq(last), maxSnapK = 2).count()
 
       Seq((
         routeRow.getInt(1) == cells.length,

@@ -1,0 +1,67 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/**
+ * Pipeline-support expressions (engine extension; no reference
+ * counterpart).
+ */
+
+/**
+ * Intersection size of two SORTED long arrays (ascending, distinct
+ * elements) as a single merge walk — no hash set construction per row, no
+ * intermediate array materialization. `array_intersect` builds an
+ * OpenHashSet per evaluation and materializes the intersection; for the
+ * near-dedup verifier (tens of thousands of pairs x ~300-element gram
+ * sets, where only the SIZE is needed) the merge walk is the dominant-cost
+ * remover. Both inputs must be sorted ascending (`sort_array`) and
+ * duplicate-free (`array_distinct`); the result is undefined otherwise.
+ */
+case class SortedLongArrayIntersectSize(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "sorted_long_array_intersect_size"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(LongType, containsNull = false), ArrayType(LongType, containsNull = false))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    var i = 0; var j = 0; var n = 0L
+    val na = a.numElements(); val nb = b.numElements()
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { n += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    n
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val j = ctx.freshName("j"); val n = ctx.freshName("n")
+      val na = ctx.freshName("na"); val nb = ctx.freshName("nb")
+      val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |int $i = 0; int $j = 0; long $n = 0L;
+         |final int $na = $a.numElements();
+         |final int $nb = $b.numElements();
+         |while ($i < $na && $j < $nb) {
+         |  final long $x = $a.getLong($i);
+         |  final long $y = $b.getLong($j);
+         |  if ($x == $y) { $n++; $i++; $j++; }
+         |  else if ($x < $y) { $i++; } else { $j++; }
+         |}
+         |${ev.value} = $n;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

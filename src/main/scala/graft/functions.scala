@@ -196,4 +196,10 @@ object functions {
     val dlng = g.getField("lng") - lng
     (dlat * dlat + dlng * dlng) <= d * d
   }
+
+  /** Intersection size of two sorted, duplicate-free long arrays as one
+    * codegen'd merge walk (pipeline extension; see
+    * [[graft.expr.SortedLongArrayIntersectSize]]). */
+  def sorted_long_array_intersect_size(a: Column, b: Column): Column =
+    c(SortedLongArrayIntersectSize(e(a), e(b)))
 }

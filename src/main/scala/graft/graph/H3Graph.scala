@@ -88,6 +88,27 @@ object H3Graph {
         o -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
       }
 
+  /** P5: a collected graph — adjacency plus derived node set — reusable
+    * across routing calls so one driver collect serves many queries
+    * (mirrors the reference preparing `PreparedH3EdgeGraph` once,
+    * prepared.rs:408-442). */
+  final case class LocalGraph(adj: Map[Long, Array[(Long, Double)]], nodes: Set[Long]) {
+    /** graph view with a cell set removed (ExcludeCells, modifiers.rs:11-93). */
+    def excluding(cells: Set[Long]): LocalGraph = {
+      val adj2 = (adj -- cells).map { case (o, arr) => o -> arr.filterNot(t => cells(t._1)) }
+        .filter(_._2.nonEmpty)
+      LocalGraph(adj2, adj2.keySet ++ adj2.valuesIterator.flatMap(_.map(_._1)))
+    }
+    /** total weight over undirected edges (each symmetric pair once). */
+    def totalUndirectedWeight: Double =
+      adj.iterator.flatMap { case (o, arr) => arr.collect { case (d, w) if o < d => w } }.sum
+  }
+
+  def localGraph(graph: DataFrame): LocalGraph = {
+    val adj = collectAdjacency(graph)
+    LocalGraph(adj, adj.keySet ++ adj.valuesIterator.flatMap(_.map(_._1)))
+  }
+
   /** deterministic local Dijkstra; returns dest -> (cost, predecessor). */
   private def dijkstra(adj: Map[Long, Array[(Long, Double)]], source: Long,
       targets: Set[Long], maxCost: Double): mutable.LongMap[(Double, Long)] = {
@@ -145,9 +166,14 @@ object H3Graph {
    * and destinations not on the graph are snapped within `maxSnapK`.
    */
   def shortestPaths(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
+      destinations: Seq[Long], maxSnapK: Int = 0): DataFrame =
+    shortestPathsLocal(spark, localGraph(graph), origins, destinations, maxSnapK)
+
+  /** [[shortestPaths]] over a pre-collected [[LocalGraph]]. */
+  def shortestPathsLocal(spark: SparkSession, lg: LocalGraph, origins: Seq[Long],
       destinations: Seq[Long], maxSnapK: Int = 0): DataFrame = {
-    val adj = collectAdjacency(graph)
-    val nodeSet: Set[Long] = adj.keySet ++ adj.valuesIterator.flatMap(_.map(_._1))
+    val adj = lg.adj
+    val nodeSet = lg.nodes
     val bAdj = spark.sparkContext.broadcast(adj)
     val bNodes = spark.sparkContext.broadcast(nodeSet)
     val destSnapped: Map[Long, Long] = destinations.flatMap { d =>
@@ -185,9 +211,14 @@ object H3Graph {
     * The merged variant is a plain `groupBy(cell).agg(min(weight))` on
     * this output. */
   def withinWeightThreshold(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
+      threshold: Double, maxSnapK: Int = 0): DataFrame =
+    withinWeightThresholdLocal(spark, localGraph(graph), origins, threshold, maxSnapK)
+
+  /** [[withinWeightThreshold]] over a pre-collected [[LocalGraph]]. */
+  def withinWeightThresholdLocal(spark: SparkSession, lg: LocalGraph, origins: Seq[Long],
       threshold: Double, maxSnapK: Int = 0): DataFrame = {
-    val adj = collectAdjacency(graph)
-    val nodeSet: Set[Long] = adj.keySet ++ adj.valuesIterator.flatMap(_.map(_._1))
+    val adj = lg.adj
+    val nodeSet = lg.nodes
     val bAdj = spark.sparkContext.broadcast(adj)
     val bNodes = spark.sparkContext.broadcast(nodeSet)
     val schema = StructType(Seq(

@@ -26,7 +26,9 @@ object Dedup {
     * collisions — at billions of documents, 60-bit birthday collisions are
     * expected, and hashing alone would silently drop distinct rows. */
   def exactDedup(df: DataFrame, key: Column, tieBreak: Column): DataFrame = {
-    val w = Window.partitionBy(TextOps.md5Long(key), key).orderBy(tieBreak.asc)
+    // xxhash64: the hash is engine-internal (only the shuffle key), so the
+    // codegen-native hash beats md5 with identical semantics
+    val w = Window.partitionBy(xxhash64(key), key).orderBy(tieBreak.asc)
     df.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn")
@@ -112,8 +114,10 @@ object Dedup {
     * instead of the full corpus. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
+    // grams participate only in equi-join + count: xxhash64 keys carry the
+    // same equality semantics as md5 (2^-64 collisions) at codegen speed
     val grams = df.select(id.as("__id"), explode(array_distinct(TextOps.charNgrams(text, n))).as("__g"))
-      .select(col("__id"), TextOps.md5Long(col("__g")).as("__g"))
+      .select(col("__id"), xxhash64(col("__g")).as("__g"))
     val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val l = grams.select(col("__g"), col("__id").as("id_a"))
     val r = grams.select(col("__g"), col("__id").as("id_b"))
@@ -148,30 +152,63 @@ object Dedup {
       .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
     val cand = df.select(id.as("__id"), text.as("__text"))
       .join(candIds, "__id")
-    // one gram-set row per candidate doc; intersections then run as cheap
-    // per-pair array ops instead of a pairs x grams fan-out join (which
-    // shuffles |pairs| * |grams/doc| rows — 31M at sf0.1). Grams are
-    // xxhash64'd to longs: codegen-native (25x cheaper than md5), shrinks
-    // the broadcast, and long-array intersection beats string hashing;
-    // intersection counts are unaffected short of a 2^-64 collision.
-    val gramSets = cand.select(col("__id"),
-      transform(array_distinct(TextOps.charNgrams(col("__text"), n)), g => xxhash64(g)).as("__gs"))
+    // Identical-text fast path: near-dup corpora are dominated by pairs of
+    // byte-identical documents (69k of the sf0.1 candidates), whose gram
+    // sets are equal, so jaccard is exactly 1.0 — no intersection needed.
+    // A text fingerprint routes those pairs around the gram machinery;
+    // `__gn > 0` preserves the NULL-drop semantics of 0/0 for texts
+    // shorter than the gram size. Gram sets are then built ONLY for docs
+    // appearing in some differing-text pair.
+    val textInfo = cand.select(col("__id"), xxhash64(col("__text")).as("__th"),
+      greatest(length(lower(trim(col("__text")))) - (n - 1), lit(0)).as("__gn"))
+      .localCheckpoint(false)
+    val pairsH = pairs
+      .join(broadcast(textInfo.select(col("__id").as("id_a"), col("__th").as("__ta"),
+        col("__gn").as("__gna"))), Seq("id_a"))
+      .join(broadcast(textInfo.select(col("__id").as("id_b"), col("__th").as("__tb"))), Seq("id_b"))
+      .localCheckpoint(false)
+    val identical = pairsH.filter(col("__ta") === col("__tb") && col("__gna") > 0)
+      .select(col("id_a"), col("id_b"), lit(1.0).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+    val differing = pairsH.filter(col("__ta") =!= col("__tb"))
+      .select(col("id_a"), col("id_b"))
+    val diffIds = differing.select(col("id_a").as("__id"))
+      .unionByName(differing.select(col("id_b").as("__id"))).distinct()
+    // one gram-set row per differing-pair doc; intersections then run as
+    // cheap per-pair array ops instead of a pairs x grams fan-out join
+    // (which shuffles |pairs| * |grams/doc| rows — 31M at sf0.1). Grams
+    // are xxhash64'd to longs (codegen-native, 25x cheaper than md5; counts
+    // unaffected short of a 2^-64 collision), deduplicated, and SORTED so
+    // the per-pair intersection is a single merge walk
+    // (SortedLongArrayIntersectSize) instead of a per-evaluation hash set.
+    val gramSets = cand.join(diffIds, "__id")
+      .select(col("__id"),
+        sort_array(transform(array_distinct(TextOps.charNgrams(col("__text"), n)),
+          g => xxhash64(g))).as("__gs"))
+      .select(col("__id"), col("__gs"), size(col("__gs")).cast("long").as("__n"))
       .localCheckpoint(false)
     // candidate gram sets are small (candidates only, ~3.6 KB/doc): hash
-    // them to every task instead of shuffling pair rows carrying arrays
-    val inter = pairs
-      .join(broadcast(gramSets.select(col("__id").as("id_a"), col("__gs").as("__ga"))), Seq("id_a"))
-      .join(broadcast(gramSets.select(col("__id").as("id_b"), col("__gs").as("__gb"))), Seq("id_b"))
-      .withColumn("__inter", size(array_intersect(col("__ga"), col("__gb"))).cast("long"))
-      .withColumn("__na", size(col("__ga")).cast("long"))
-      .withColumn("__nb", size(col("__gb")).cast("long"))
-    inter
+    // them to every task instead of shuffling pair rows carrying arrays.
+    // The slim (ids, counts) projection is checkpointed BEFORE the jaccard
+    // arithmetic: filter pushdown would otherwise inline the intersection
+    // expression into both the predicate and the projection, evaluating
+    // the merge walk several times per pair.
+    val interCol = graft.functions.sorted_long_array_intersect_size(col("__ga"), col("__gb"))
+    val inter = differing
+      .join(broadcast(gramSets.select(col("__id").as("id_a"), col("__gs").as("__ga"),
+        col("__n").as("__na"))), Seq("id_a"))
+      .join(broadcast(gramSets.select(col("__id").as("id_b"), col("__gs").as("__gb"),
+        col("__n").as("__nb"))), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), interCol.as("__inter"), col("__na"), col("__nb"))
+      .localCheckpoint(false)
+    val verified = inter
       .withColumn("jaccard",
         floor(col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)
           .cast("double") / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
+    identical.unionByName(verified)
   }
 
   /** End-to-end near-duplicate removal: LSH candidate generation, exact
