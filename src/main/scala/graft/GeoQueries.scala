@@ -231,7 +231,11 @@ object GeoQueries {
           h3_cell_to_latlng(col("cell")).getField("lat") >= lat1, lit(10L))
           .otherwise(col("disk_id")))
 
-      val plain = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(3))
+      // component diameter: any two cells of a k=1 disk are <= 2 steps
+      // apart (via the center), so 2 rounds provably converge for `plain`;
+      // a value-split half without the center can be a ring arc of 4
+      // (diameter 3), so the eq-value variant keeps 3 rounds
+      val plain = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(2))
       val byValue = H3Clusters.cellClusters(withVal, "cell", Some("value"), fixedRounds = Some(3))
 
       // all invariants as ONE declarative plan (single action): per-disk

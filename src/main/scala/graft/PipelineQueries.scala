@@ -127,8 +127,34 @@ object PipelineQueries {
         e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
         dim = 64, bits = 4, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // embedding-cosine near-dup: exact pairwise over a corpus with planted
+    // positively-scaled copies (cosine exactly 1.0 — scale-invariant)
+    "p18_embed_neardup" -> ((s, dir) => {
+      Dedup.embeddingNearDupPairs(embCorpusWithDups(s, dir),
+        col("vec_id"), col("v"), threshold = 0.995)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
+    // LSH-bucketed embedding near-dedup: scale path; rows-only check, the
+    // ScalaTest suite pins planted-duplicate removal + recall instead
+    "p19_embed_neardup_lsh" -> ((s, dir) => {
+      Dedup.embeddingNearDupLsh(embCorpusWithDups(s, dir),
+        col("vec_id"), col("v"), dim = 64, bits = 4, threshold = 0.995)
+        .select(col("vec_id")).orderBy(col("vec_id"))
     })
   )
+
+  /** embeddings (vec_id < 400) ∪ 1.5x-scaled copies of vec_id % 5 == 0
+    * under shifted ids — gives the embedding dedup ops duplicates whose
+    * cosine is exactly 1.0 (positive scaling is cosine-invariant). */
+  private def embCorpusWithDups(s: SparkSession, dir: String): DataFrame = {
+    val e = embs(s, dir).filter(col("vec_id") < 400)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+    e.unionAll(e.filter(col("vec_id") % 5 === 0)
+      .select(col("vec_id") + 1000000, transform(col("v"), x => x * 1.5d)))
+  }
 
   // ---------------------------------------------------------------------
 
@@ -307,6 +333,23 @@ object PipelineQueries {
          |  $brightnessSql AS brightness,
          |  CAST(FLOOR((octet_length(text::BLOB) + 31) / 32.0) AS BIGINT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p18_embed_neardup" ->
+      """WITH base AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400),
+        |corpus AS (
+        |  SELECT vec_id, v FROM base
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+        |  FROM base WHERE vec_id % 5 = 0),
+        |scored AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
+        |SELECT id_a, id_b, sim FROM scored
+        |WHERE sim >= 0.995
+        |ORDER BY id_a, id_b""".stripMargin,
+    // p19_embed_neardup_lsh: intentionally no oracle (rows-only check)
 
     "p11_frame_sample" ->
       """WITH frames AS (

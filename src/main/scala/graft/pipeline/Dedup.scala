@@ -147,22 +147,18 @@ object Dedup {
     // consumer — measured 4x cost at sf0.1. These are the small
     // intermediates of the pipeline, exactly what production staging would
     // persist.
-    val pairs = pairs0.localCheckpoint(false)
-    val candIds = pairs.select(col("id_a").as("__id"))
-      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
-    val cand = df.select(id.as("__id"), text.as("__text"))
-      .join(candIds, "__id")
-    // Identical-text fast path: near-dup corpora are dominated by pairs of
-    // byte-identical documents (69k of the sf0.1 candidates), whose gram
-    // sets are equal, so jaccard is exactly 1.0 — no intersection needed.
-    // A text fingerprint routes those pairs around the gram machinery;
-    // `__gn > 0` preserves the NULL-drop semantics of 0/0 for texts
-    // shorter than the gram size. Gram sets are then built ONLY for docs
-    // appearing in some differing-text pair.
-    val textInfo = cand.select(col("__id"), xxhash64(col("__text")).as("__th"),
-      greatest(length(lower(trim(col("__text")))) - (n - 1), lit(0)).as("__gn"))
+    // Identical-text fast path: at scale, near-dup corpora are dominated
+    // by pairs of byte-identical documents, whose gram sets are equal, so
+    // jaccard is exactly 1.0 — no intersection needed. Text fingerprints
+    // come from one slim scan of the FULL corpus (id, hash, gram count) —
+    // cheaper than restricting to candidate ids first, which costs a
+    // distinct + join. `__gn > 0` preserves the NULL-drop semantics of 0/0
+    // for texts shorter than the gram size. Gram sets are then built ONLY
+    // for docs appearing in some differing-text pair.
+    val textInfo = df.select(id.as("__id"), xxhash64(text).as("__th"),
+      greatest(length(lower(trim(text))) - (n - 1), lit(0)).as("__gn"))
       .localCheckpoint(false)
-    val pairsH = pairs
+    val pairsH = pairs0
       .join(broadcast(textInfo.select(col("__id").as("id_a"), col("__th").as("__ta"),
         col("__gn").as("__gna"))), Seq("id_a"))
       .join(broadcast(textInfo.select(col("__id").as("id_b"), col("__th").as("__tb"))), Seq("id_b"))
@@ -181,7 +177,7 @@ object Dedup {
     // unaffected short of a 2^-64 collision), deduplicated, and SORTED so
     // the per-pair intersection is a single merge walk
     // (SortedLongArrayIntersectSize) instead of a per-evaluation hash set.
-    val gramSets = cand.join(diffIds, "__id")
+    val gramSets = df.select(id.as("__id"), text.as("__text")).join(diffIds, "__id")
       .select(col("__id"),
         sort_array(transform(array_distinct(TextOps.charNgrams(col("__text"), n)),
           g => xxhash64(g))).as("__gs"))
@@ -219,6 +215,48 @@ object Dedup {
       threshold: Double = 0.5): DataFrame = {
     val pairs = lshCandidatePairs(df, id, text, k, rowsPerBand, ngram)
     val verified = ngramJaccardVerify(df, id, text, verifyN, threshold, pairs)
+    df.join(verified.select(col("id_b").as("__drop")).distinct(),
+      id === col("__drop"), "left_anti")
+  }
+
+  /** Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with
+    * rounded cosine similarity >= `threshold`. Brute-force N^2 — the
+    * verification-quality op; at scale feed it LSH-bucketed candidates
+    * ([[embeddingNearDupLsh]]) instead of the full corpus. The slim
+    * projection is checkpointed before the threshold filter so pushdown
+    * cannot inline the 64-dim cosine into both predicate and projection. */
+  def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
+      threshold: Double): DataFrame = {
+    val a = df.select(id.as("id_a"), vec.cast("array<double>").as("__va"))
+    val b = df.select(id.as("id_b"), vec.cast("array<double>").as("__vb"))
+    a.crossJoin(broadcast(b))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 4).as("sim"))
+      .localCheckpoint(false)
+      .filter(col("sim") >= threshold)
+  }
+
+  /** Embedding near-dedup, scale path: bucket by deterministic
+    * random-hyperplane signature (sign pattern is invariant under positive
+    * scaling, so scaled duplicates always share a bucket), generate pairs
+    * within buckets only, verify by exact cosine, drop the higher id of
+    * each verified pair. Candidate cost ~ corpus^2 / 2^bits; recall is
+    * bounded by bucket collisions (spec-checked against brute force). */
+  def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
+      dim: Int, bits: Int, threshold: Double): DataFrame = {
+    val bk = Similarity.hyperplaneBuckets(df.select(id.as("__id"), vec.as("__v")),
+      col("__id"), col("__v"), dim, bits).localCheckpoint(false)
+    val a = bk.select(col("bucket"), col("vec_id").as("id_a"),
+      col("embedding").cast("array<double>").as("__va"))
+    val b = bk.select(col("bucket"), col("vec_id").as("id_b"),
+      col("embedding").cast("array<double>").as("__vb"))
+    val verified = a.join(b, "bucket")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Similarity.cosine(col("__va"), col("__vb")), 4).as("sim"))
+      .localCheckpoint(false)
+      .filter(col("sim") >= threshold)
     df.join(verified.select(col("id_b").as("__drop")).distinct(),
       id === col("__drop"), "left_anti")
   }

@@ -82,6 +82,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.count { case (a, b) => a == b } == 20)
   }
 
+  test("embedding near-dup: exact finds planted scaled copies; LSH removes them") {
+    val e = embs.filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val corpus = e.unionAll(e.filter($"vec_id" % 5 === 0)
+      .select($"vec_id" + 1000000, transform($"v", x => x * 1.5d)))
+    val planted = e.filter($"vec_id" % 5 === 0).select($"vec_id").as[Long].collect().toSet
+    // exact: every planted (v, 1.5v) pair scores cosine 1.0
+    val pairs = Dedup.embeddingNearDupPairs(corpus, $"vec_id", $"v", 0.995)
+      .as[(Long, Long, Double)].collect()
+    val found = pairs.collect { case (a, b, s) if b == a + 1000000 && s == 1.0 => a }.toSet
+    assert(found == planted, s"missing ${planted -- found}")
+    // LSH path: scaling preserves hyperplane signs -> same bucket -> every
+    // planted duplicate (the higher id) is removed
+    val survivors = Dedup.embeddingNearDupLsh(corpus, $"vec_id", $"v",
+      dim = 64, bits = 4, threshold = 0.995).select($"vec_id").as[Long].collect().toSet
+    assert(planted.forall(a => !survivors.contains(a + 1000000)),
+      "planted scaled copies must be deduplicated")
+    assert(planted.forall(survivors.contains), "canonical representatives must survive")
+  }
+
   test("multimodal stub: meta matches direct byte arithmetic") {
     val withPayload = docs.limit(10).select($"doc_id", $"text".cast("binary").as("payload"), $"text")
     val out = Multimodal.withDecodedMeta(withPayload, "payload")
