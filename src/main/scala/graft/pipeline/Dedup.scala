@@ -51,13 +51,20 @@ object Dedup {
   def minHashSignatures(df: DataFrame, id: Column, text: Column, k: Int, ngram: Int = 2): DataFrame = {
     val hashes = transform(array_distinct(TextOps.wordNgrams(text, ngram)),
       s => TextOps.md5Long(s) % MinHashPrime)
-    val sigs = (0 until k).map { i =>
-      val (a, b) = minHashCoeffs(i)
-      array_min(transform(col("__hs"), h => (h * a + b) % MinHashPrime)).as(s"minhash_$i")
-    }
+    // all k permutation minima in ONE traversal of the hash array: fold
+    // into a k-field struct accumulator (k separate array_min(transform)
+    // calls would re-iterate the array k times per row)
+    val fields = (0 until k).map(i => s"minhash_$i")
+    val init = struct(fields.map(f => lit(Long.MaxValue).as(f)): _*)
+    val folded = aggregate(col("__hs"), init, (acc, h) =>
+      struct((0 until k).map { i =>
+        val (a, b) = minHashCoeffs(i)
+        least(acc.getField(s"minhash_$i"), (h * a + b) % MinHashPrime).as(s"minhash_$i")
+      }: _*))
     df.select(id.as("__id"), hashes.as("__hs"))
       .filter(size(col("__hs")) >= 1)
-      .select((col("__id") +: sigs): _*)
+      .select(col("__id"), folded.as("__sig"))
+      .select((col("__id") +: fields.map(f => col(s"__sig.$f").as(f))): _*)
   }
 
   /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
