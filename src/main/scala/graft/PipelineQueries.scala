@@ -143,6 +143,16 @@ object PipelineQueries {
       Dedup.embeddingNearDupLsh(embCorpusWithDups(s, dir),
         col("vec_id"), col("v"), dim = 64, bits = 4, threshold = 0.995)
         .select(col("vec_id")).orderBy(col("vec_id"))
+    }),
+
+    // IVF ANN: inverted-list scale path (coarse quantize -> probe nprobe
+    // lists); rows-only check, recall spec-checked against brute force
+    "p20_ann_ivf" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.ivfCosineTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        m = 16, nprobe = 4, k = 5)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 
@@ -349,7 +359,8 @@ object PipelineQueries {
         |SELECT id_a, id_b, sim FROM scored
         |WHERE sim >= 0.995
         |ORDER BY id_a, id_b""".stripMargin,
-    // p19_embed_neardup_lsh: intentionally no oracle (rows-only check)
+    // p19_embed_neardup_lsh, p20_ann_ivf: intentionally no oracle
+    // (rows-only checks; recall pinned against brute force in PipelineSpec)
 
     "p11_frame_sample" ->
       """WITH frames AS (

@@ -66,6 +66,53 @@ object Similarity {
     corpus.select(id.as("vec_id"), vec.as("embedding"),
       hyperplaneSignature(vec, dim, bits).as("bucket"))
 
+  /** IVF coarse quantizer: `m` deterministic seed centroids — the first m
+    * corpus vectors by id (TakeOrdered, no global shuffle; reproducible
+    * across engines and runs; a production quantizer would swap in
+    * sampled/trained k-means centroids without touching the rest of the
+    * pipeline). Returns (centroid_id, centroid), broadcast-sized. */
+  def ivfCentroids(corpus: DataFrame, id: Column, vec: Column, m: Int): DataFrame =
+    corpus.select(id.as("__cid"), vec.cast("array<double>").as("centroid"))
+      .orderBy(col("__cid")).limit(m)
+      .withColumn("centroid_id", row_number().over(Window.orderBy(col("__cid"))))
+      .select(col("centroid_id"), col("centroid"))
+
+  /** IVF inverted-list assignment: each vector joins its single nearest
+    * centroid by cosine (ties broken by centroid id). At 100 TB this
+    * column IS the storage layout — `write.bucketBy(centroid_id)` makes
+    * every probe a bucket-pruned scan. */
+  def ivfAssign(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
+      nprobe: Int = 1): DataFrame = {
+    val scored = df.select(id.as("vec_id"), vec.cast("array<double>").as("embedding"))
+      .crossJoin(broadcast(centroids))
+      .withColumn("__csim", cosine(col("embedding"), col("centroid")))
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("centroid_id").asc)
+    scored.withColumn("__crank", row_number().over(w))
+      .filter(col("__crank") <= nprobe)
+      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+  }
+
+  /** IVF approximate top-k: corpus vectors live in their nearest
+    * centroid's inverted list; each query probes its `nprobe` nearest
+    * lists and ranks candidates by exact cosine. Candidate cost ~
+    * nprobe/m of the corpus; recall grows with nprobe (spec-checked
+    * against brute force). */
+  def ivfCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      m: Int, nprobe: Int, k: Int): DataFrame = {
+    val centroids = ivfCentroids(corpus, corpusId, corpusVec, m).localCheckpoint(false)
+    val lists = ivfAssign(corpus, corpusId, corpusVec, centroids, nprobe = 1)
+      .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "__cv")
+    val probes = ivfAssign(queries, queryId, queryVec, centroids, nprobe = nprobe)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
+    val scored = lists.join(broadcast(probes), "centroid_id")
+      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
+  }
+
   /** Approximate top-k: candidates restricted to the query's bucket. */
   def bucketedCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,

@@ -82,6 +82,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.count { case (a, b) => a == b } == 20)
   }
 
+  test("IVF ANN: self found at rank 1; recall vs brute force scales with nprobe") {
+    val q = embs.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    def recallAt(nprobe: Int): (Double, Set[(Long, Long)]) = {
+      val approx = Similarity.ivfCosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding",
+        m = 16, nprobe = nprobe, k = 3)
+        .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+      (exact.count(approx.contains).toDouble / exact.size, approx)
+    }
+    val (r1, _) = recallAt(1)
+    val (r4, a4) = recallAt(4)
+    assert(r4 >= r1, s"recall must not shrink with more probes: $r1 -> $r4")
+    assert(r4 >= 0.3, s"nprobe=4 recall $r4")
+    // every query's own vector lives in the probed list (nearest centroid
+    // is probed first), so self is always found
+    assert(a4.count { case (a, b) => a == b } == 20)
+  }
+
   test("embedding near-dup: exact finds planted scaled copies; LSH removes them") {
     val e = embs.filter($"vec_id" < 100)
       .select($"vec_id", $"embedding".cast("array<double>").as("v"))
