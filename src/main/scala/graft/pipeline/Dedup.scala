@@ -61,8 +61,12 @@ object Dedup {
         val (a, b) = minHashCoeffs(i)
         least(acc.getField(s"minhash_$i"), (h * a + b) % MinHashPrime).as(s"minhash_$i")
       }: _*))
-    df.select(id.as("__id"), hashes.as("__hs"))
-      .filter(size(col("__hs")) >= 1)
+    // the no-shingle filter runs BEFORE hashing, on the cheap token count
+    // (>= 1 shingle <=> >= ngram tokens): filtering on size(__hs) collapsed
+    // into the scan stage and re-evaluated the whole md5 pipeline once for
+    // the predicate and once for the projection (visible in PLANS.md)
+    df.filter(size(TextOps.tokens(text)) >= ngram)
+      .select(id.as("__id"), hashes.as("__hs"))
       .select(col("__id"), folded.as("__sig"))
       .select((col("__id") +: fields.map(f => col(s"__sig.$f").as(f))): _*)
   }
