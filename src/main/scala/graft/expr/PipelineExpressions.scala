@@ -65,3 +65,49 @@ case class SortedLongArrayIntersectSize(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
 }
+
+/**
+ * Dot product of two double arrays as a single codegen'd loop. The
+ * composed `aggregate(zip_with(a, b, *), 0.0, +)` is semantically
+ * identical but higher-order functions are CodegenFallback — every
+ * element costs an interpreted lambda invocation, which dominates ANN
+ * scoring (|pairs| x dim evaluations). Accumulation order is the same
+ * left fold, so results are bit-identical to the composed form. Arrays
+ * shorter than the other operand are truncated to the common prefix
+ * (zip_with would pad with NULL and yield NULL; inputs here are
+ * fixed-dim embeddings, so the case does not arise in practice).
+ */
+case class DoubleArrayDot(left: Expression, right: Expression)
+    extends BinaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "double_array_dot"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), ArrayType(DoubleType, containsNull = false))
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var i = 0; var acc = 0.0
+    while (i < n) { acc += a.getDouble(i) * b.getDouble(i); i += 1 }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
+      s"""
+         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -202,4 +202,9 @@ object functions {
     * [[graft.expr.SortedLongArrayIntersectSize]]). */
   def sorted_long_array_intersect_size(a: Column, b: Column): Column =
     c(SortedLongArrayIntersectSize(e(a), e(b)))
+
+  /** Dot product of two double arrays as one codegen'd loop (pipeline
+    * extension; see [[graft.expr.DoubleArrayDot]]). */
+  def double_array_dot(a: Column, b: Column): Column =
+    c(DoubleArrayDot(e(a), e(b)))
 }

@@ -126,17 +126,26 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
     // grams participate only in equi-join + count: xxhash64 keys carry the
-    // same equality semantics as md5 (2^-64 collisions) at codegen speed
+    // same equality semantics as md5 (2^-64 collisions) at codegen speed.
+    // The slim (id, gram-hash) table is checkpointed once — it feeds the
+    // per-doc sizes and BOTH sides of the pair join, which would otherwise
+    // re-run the explode three times (aliased branches defeat exchange
+    // reuse). The streaming self-join beats bucket-local array explosion
+    // here (measured): a hot gram's C(m,2) pairs stream through the join
+    // instead of materializing one giant array in a single task.
     val grams = df.select(id.as("__id"), explode(array_distinct(TextOps.charNgrams(text, n))).as("__g"))
       .select(col("__id"), xxhash64(col("__g")).as("__g"))
+      .localCheckpoint(false)
     val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val l = grams.select(col("__g"), col("__id").as("id_a"))
     val r = grams.select(col("__g"), col("__id").as("id_b"))
     val inter = l.join(r, Seq("__g")).filter(col("id_a") < col("id_b"))
       .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
     inter
-      .join(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na"), "id_a")
-      .join(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb"), "id_b")
+      .join(broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na")), "id_a")
+      .join(broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb")), "id_b")
+      .select(col("id_a"), col("id_b"), col("__inter"), col("__na"), col("__nb"))
+      .localCheckpoint(false) // barrier: keep the jaccard arithmetic out of pushdown
       .withColumn("jaccard", // floor-quantized: see TextOps.qualityScore note
         floor(col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)
@@ -239,11 +248,13 @@ object Dedup {
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
       threshold: Double): DataFrame = {
     val a = df.select(id.as("id_a"), vec.cast("array<double>").as("__va"))
+      .withColumn("__na", Similarity.l2Norm(col("__va")))
     val b = df.select(id.as("id_b"), vec.cast("array<double>").as("__vb"))
+      .withColumn("__nb", Similarity.l2Norm(col("__vb")))
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("__va"), col("__vb")), 4).as("sim"))
+        round(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4).as("sim"))
       .localCheckpoint(false)
       .filter(col("sim") >= threshold)
   }
@@ -260,12 +271,14 @@ object Dedup {
       col("__id"), col("__v"), dim, bits).localCheckpoint(false)
     val a = bk.select(col("bucket"), col("vec_id").as("id_a"),
       col("embedding").cast("array<double>").as("__va"))
+      .withColumn("__na", Similarity.l2Norm(col("__va")))
     val b = bk.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").cast("array<double>").as("__vb"))
+      .withColumn("__nb", Similarity.l2Norm(col("__vb")))
     val verified = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.cosine(col("__va"), col("__vb")), 4).as("sim"))
+        round(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4).as("sim"))
       .localCheckpoint(false)
       .filter(col("sim") >= threshold)
     df.join(verified.select(col("id_b").as("__drop")).distinct(),

@@ -18,12 +18,12 @@ import org.apache.spark.sql.functions._
  */
 object Similarity {
 
-  /** dot(a, b) over array<double> columns, sequential fold (deterministic). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0d), (acc, x) => acc + x)
+  /** dot(a, b) over array<double> columns: codegen'd loop, same left-fold
+    * accumulation order (bit-identical result) as the composed
+    * `aggregate(zip_with(...))` form, which is interpreted per element. */
+  def dot(a: Column, b: Column): Column = graft.functions.double_array_dot(a, b)
 
-  def l2Norm(a: Column): Column =
-    sqrt(aggregate(transform(a, x => x * x), lit(0.0d), (acc, x) => acc + x))
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = {
     val ad = a.cast("array<double>")
@@ -36,10 +36,15 @@ object Similarity {
     * ordering: (rounded cosine desc, corpus id asc). */
   def cosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column, k: Int): DataFrame = {
-    val q = queries.select(queryId.as("query_id"), queryVec.as("__qv"))
-    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.as("__cv"))
+    // norms are per-VECTOR quantities: compute once on each side instead
+    // of twice per pair (fp-identical — same expression values, same
+    // operand order in the divide)
+    val q = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+    val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.cast("array<double>").as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
@@ -103,10 +108,12 @@ object Similarity {
     val centroids = ivfCentroids(corpus, corpusId, corpusVec, m).localCheckpoint(false)
     val lists = ivfAssign(corpus, corpusId, corpusVec, centroids, nprobe = 1)
       .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "__cv")
+      .withColumn("__cn", l2Norm(col("__cv")))
     val probes = ivfAssign(queries, queryId, queryVec, centroids, nprobe = nprobe)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
+      .withColumn("__qn", l2Norm(col("__qv")))
     val scored = lists.join(broadcast(probes), "centroid_id")
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
@@ -119,10 +126,14 @@ object Similarity {
       dim: Int, bits: Int, k: Int): DataFrame = {
     val c = hyperplaneBuckets(corpus, corpusId, corpusVec, dim, bits)
       .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "__cv")
+      .withColumn("__cv", col("__cv").cast("array<double>"))
+      .withColumn("__cn", l2Norm(col("__cv")))
     val q = hyperplaneBuckets(queries, queryId, queryVec, dim, bits)
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
+      .withColumn("__qv", col("__qv").cast("array<double>"))
+      .withColumn("__qn", l2Norm(col("__qv")))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", round(cosine(col("__qv"), col("__cv")), 4))
+      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
