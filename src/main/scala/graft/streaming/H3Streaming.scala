@@ -41,4 +41,19 @@ object H3Streaming {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(h3_compact_agg(col(cellCol)).as("cells"))
+
+  /** Streaming exact dedup (the training-pipeline ingest shape): drop
+    * documents whose content hash was already seen, with state bounded by
+    * the watermark — a duplicate arriving later than `watermark` after the
+    * original may be re-admitted, which is the standard state/recall
+    * trade; state size = distinct hashes per watermark horizon, not the
+    * corpus. The 64-bit content hash keeps state slim; a 2^-64 collision
+    * drops a non-duplicate. */
+  def streamingExactDedup(stream: DataFrame, tsCol: String, contentCol: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("__h", xxhash64(col(contentCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("__h")
+      .drop("__h")
 }

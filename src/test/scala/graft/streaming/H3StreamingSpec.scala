@@ -40,6 +40,24 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming exact dedup drops in-watermark duplicates, keeps distinct") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Timestamp, Long, String)]
+    val deduped = H3Streaming.streamingExactDedup(
+      input.toDF.toDF("ts", "doc_id", "text"), "ts", "text", watermark = "1 minute")
+    val query = deduped.writeStream
+      .format("memory").queryName("deduped").outputMode("append").start()
+    try {
+      input.addData(
+        (ts(0), 1L, "alpha body"), (ts(1), 2L, "beta body"),
+        (ts(2), 3L, "alpha body"), // duplicate of doc 1 within watermark
+        (ts(3), 4L, "gamma body"))
+      query.processAllAvailable()
+      val ids = spark.table("deduped").select($"doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 4L), s"got $ids")
+    } finally query.stop()
+  }
+
   test("windowed compaction emits compacted cell sets per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
