@@ -105,6 +105,8 @@ class H3ExpressionsSpec extends AnyFunSuite {
   test("filter valid + partition by resolution") {
     val df = Seq(SfCell, 0L, Res5Cell, -5L).toDF("cell")
     assert(df.h3FilterValid("cell").count() == 2)
+    assert(!df.h3AllValid("cell")) // C6 all-reduce: corrupt rows present
+    assert(Seq(SfCell, Res5Cell).toDF("cell").h3AllValid("cell"))
     val parts = Seq(SfCell, Res5Cell).toDF("cell").h3PartitionByResolution("cell")
     assert(parts.map(_._1) == Seq(5, 9))
     assert(parts.forall(_._2.count() == 1))
