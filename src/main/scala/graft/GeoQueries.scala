@@ -264,6 +264,32 @@ object GeoQueries {
           (col("n_viol") === 0L).as("bounds_ok"))
     }),
 
+    // G2/G4: generic geometry dispatch — set-algebra laws tie every WKT
+    // type's output to its dedicated operator
+    "h3_24_geometry_dispatch" -> ((s, dir) => {
+      import s.implicits._
+      val poly = RectWkt
+      val ls = "LINESTRING (-122.45 37.70, -122.35 37.75, -122.30 37.72)"
+      Seq(1).toDF("x")
+        .select(
+          h3_geometry_to_cells(lit("POINT (-122.42 37.77)"), lit(9)).as("pt"),
+          h3_geometry_to_cells(lit("MULTIPOINT ((-122.42 37.77), (2.35 48.85))"), lit(9)).as("mpt"),
+          h3_geometry_to_cells(lit(ls), lit(9)).as("gls"),
+          array_sort(h3_linestring_to_cells(lit(ls), lit(9))).as("dls"),
+          h3_geometry_to_cells(lit(poly), lit(6)).as("gpoly"),
+          h3_polygon_to_cells(lit(poly), lit(6)).as("dpoly"),
+          h3_geometry_to_cells(lit(s"GEOMETRYCOLLECTION (POINT (2.35 48.85), $poly)"), lit(6)).as("gc"),
+          h3_geometry_to_cells(lit("POINT (2.35 48.85)"), lit(6)).as("pt2"))
+        .select(
+          (element_at(col("pt"), 1) ===
+            h3_latlng_to_cell(lit(37.77), lit(-122.42), lit(9))).as("point_ok"),
+          (size(col("mpt")) === 2 && array_contains(col("mpt"), element_at(col("pt"), 1)))
+            .as("multipoint_ok"),
+          (col("gls") === col("dls")).as("linestring_ok"),
+          (col("gpoly") === array_sort(col("dpoly"))).as("polygon_ok"),
+          (array_sort(array_union(col("dpoly"), col("pt2"))) === col("gc")).as("collection_ok"))
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -319,6 +345,9 @@ object GeoQueries {
       allTrue(Seq("one_outer_ok", "smooth_more_ok", "prefix_ok", "groups_ok"), perEvent = false),
     "h3_21_spatial_filter" ->
       allTrue(Seq("exact_implies_coarse", "centroid_implies_exact"), "WHERE event_id < 2500"),
+    "h3_24_geometry_dispatch" ->
+      allTrue(Seq("point_ok", "multipoint_ok", "linestring_ok", "polygon_ok", "collection_ok"),
+        perEvent = false),
     "h3_23_clusters" ->
       allTrue(Seq("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok"),
         perEvent = false)

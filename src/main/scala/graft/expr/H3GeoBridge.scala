@@ -166,6 +166,12 @@ object H3GeoBridge {
     new GenericArrayData(cells)
   }
 
+  def geometryToCells(wkt: UTF8String, res: Int): ArrayData = {
+    if (wkt == null || res < 0 || res > 15) return null
+    val cells = H3Polygon.geometryToCells(wkt.toString, res)
+    new GenericArrayData(cells)
+  }
+
   def cellIntersectsPolygon(h: Long, wkt: UTF8String): java.lang.Boolean = {
     if (!H3Core.isValidCell(h) || wkt == null) return null
     H3Polygon.parseMultiPolygonWkt(wkt.toString) match {

@@ -316,6 +316,15 @@ case class H3PolygonToCells(left: Expression, right: Expression) extends H3WktRe
     copy(left = l, right = r)
 }
 
+case class H3GeometryToCells(left: Expression, right: Expression) extends H3WktResExpr {
+  override def prettyName: String = "h3_geometry_to_cells"
+  override protected def bridgeName: String = "geometryToCells"
+  override protected def bridge(w: org.apache.spark.unsafe.types.UTF8String, res: Int): Any =
+    H3GeoBridge.geometryToCells(w, res)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class H3PolygonToCellsIntersecting(left: Expression, right: Expression) extends H3WktResExpr {
   override def prettyName: String = "h3_polygon_to_cells_intersecting"
   override protected def bridgeName: String = "polygonToCellsIntersecting"

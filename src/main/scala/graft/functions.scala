@@ -120,6 +120,11 @@ object functions {
   /** G3: trace a WKT LINESTRING into cells (traversal order, deduped). */
   def h3_linestring_to_cells(wkt: Column, res: Column): Column =
     c(H3LineStringToCells(e(wkt), e(res.cast("int"))))
+  /** G2/G4: generic WKT geometry -> sorted distinct cells — full ToH3Cells
+    * dispatch incl. POINT/MULTIPOINT/MULTILINESTRING/GEOMETRYCOLLECTION
+    * (to_h3.rs:112-127). */
+  def h3_geometry_to_cells(wkt: Column, res: Column): Column =
+    c(H3GeometryToCells(e(wkt), e(res.cast("int"))))
 
   /** X6 exact stage: does the cell polygon intersect the WKT polygon? */
   def h3_cell_intersects_polygon(cell: Column, wkt: Column): Column =

@@ -276,6 +276,43 @@ object H3Polygon {
   def lineStringToCells(wkt: String, res: Int): Array[Long] =
     parseLineStringWkt(wkt).map(lineStringToCells(_, res)).getOrElse(Array.emptyLongArray)
 
+  /** Generic WKT geometry -> cells, the reference's full `ToH3Cells` enum
+    * dispatch (to_h3.rs:112-127): POINT / MULTIPOINT (containing cell per
+    * point), LINESTRING / MULTILINESTRING (grid-path trace), POLYGON /
+    * MULTIPOLYGON (centroid polyfill), GEOMETRYCOLLECTION (recursive
+    * union). Output: sorted distinct cells; unknown/invalid WKT -> empty
+    * (NULL at the expression layer). */
+  def geometryToCells(wkt: String, res: Int): Array[Long] = {
+    val t = wkt.trim
+    val up = t.toUpperCase
+    def coordsBody: String = stripParens(t.substring(t.indexOf('(')))
+    val cells: Array[Long] =
+      if (up.startsWith("GEOMETRYCOLLECTION")) {
+        splitTopLevel(coordsBody).toArray.flatMap(g => geometryToCells(g.trim, res))
+      } else if (up.startsWith("MULTIPOINT")) {
+        // both MULTIPOINT (1 2, 3 4) and MULTIPOINT ((1 2), (3 4))
+        splitTopLevel(coordsBody).toArray.flatMap { p =>
+          val xs = stripParens(p).trim.split("\\s+")
+          if (xs.length < 2) Array.emptyLongArray
+          else Array(latLngToCell(xs(1).toDouble, xs(0).toDouble, res))
+        }.filter(_ != H3Core.H3Null)
+      } else if (up.startsWith("POINT")) {
+        val xs = coordsBody.trim.split("\\s+")
+        if (xs.length < 2) Array.emptyLongArray
+        else Array(latLngToCell(xs(1).toDouble, xs(0).toDouble, res)).filter(_ != H3Core.H3Null)
+      } else if (up.startsWith("MULTILINESTRING")) {
+        splitTopLevel(coordsBody).toArray
+          .flatMap(l => lineStringToCells(parseCoordSeq(stripParens(l)), res))
+      } else if (up.startsWith("LINESTRING")) {
+        lineStringToCells(t, res)
+      } else if (up.startsWith("POLYGON") || up.startsWith("MULTIPOLYGON")) {
+        polygonToCells(t, res)
+      } else Array.emptyLongArray
+    val out = cells.distinct
+    java.util.Arrays.sort(out)
+    out
+  }
+
   // ---------------------------------------------------------------------
   // dissolve: cells -> merged (multi)polygon
   // ---------------------------------------------------------------------

@@ -206,6 +206,30 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(df.count() >= 0)
   }
 
+  test("generic geometry dispatch covers the full ToH3Cells enum") {
+    val res = 9
+    def cellsOf(wkt: String): Seq[Long] =
+      Seq(wkt).toDF("w").select(h3_geometry_to_cells($"w", lit(res)).as("c"))
+        .as[Seq[Long]].head()
+    val pt = cellsOf("POINT (-122.42 37.77)")
+    assert(pt == Seq(H3Geo.latLngToCell(37.77, -122.42, res)))
+    val mp = cellsOf("MULTIPOINT ((-122.42 37.77), (2.35 48.85))")
+    assert(mp.toSet == Set(H3Geo.latLngToCell(37.77, -122.42, res),
+      H3Geo.latLngToCell(48.85, 2.35, res)))
+    // bare-coordinate MULTIPOINT form
+    assert(cellsOf("MULTIPOINT (-122.42 37.77, 2.35 48.85)").toSet == mp.toSet)
+    val ls = cellsOf("LINESTRING (-122.45 37.70, -122.35 37.75)")
+    assert(ls.nonEmpty && ls == ls.sorted && ls.distinct == ls)
+    val mls = cellsOf("MULTILINESTRING ((-122.45 37.70, -122.35 37.75), (2.30 48.80, 2.40 48.90))")
+    assert(ls.toSet.subsetOf(mls.toSet) && mls.size > ls.size)
+    val poly = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+    val pc = cellsOf(poly)
+    assert(pc.nonEmpty)
+    val gc = cellsOf(s"GEOMETRYCOLLECTION (POINT (2.35 48.85), $poly)")
+    assert(gc.toSet == pc.toSet + H3Geo.latLngToCell(48.85, 2.35, res))
+    assert(cellsOf("TRIANGLEISH (1 2)") == Seq.empty)
+  }
+
   test("SQL registration works for geometry functions") {
     H3Registry.register(spark)
     val n = spark.sql(
