@@ -84,6 +84,7 @@ object H3Registry {
         builder))
     }
     ext.injectOptimizerRule(_ => H3ConjunctOrdering)
+    ext.injectOptimizerRule(_ => H3ParentRangeDerivation)
   }
 }
 

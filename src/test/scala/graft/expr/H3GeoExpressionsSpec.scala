@@ -230,6 +230,35 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(cellsOf("TRIANGLEISH (1 2)") == Seq.empty)
   }
 
+  test("parent-range derivation rule pushes prunable ranges to the scan") {
+    H3Optimizations.register(spark)
+    val res5 = graft.h3.H3Core.cellToParent(sf, 5)
+    // parquet-backed source so pushdown is observable
+    val dir = java.nio.file.Files.createTempDirectory("rangerule").toString
+    val cells = graft.h3.H3Traversal.gridDisk(sf, 3).toSeq.toDF("cell")
+    cells.write.mode("overwrite").parquet(dir)
+    val df = spark.read.parquet(dir)
+      .filter(h3_cell_to_parent($"cell", lit(5)) === res5)
+    // 1. rule fires: optimized plan carries the derived range disjunction
+    val optimized = df.queryExecution.optimizedPlan
+    val hasRange = optimized.collectFirst {
+      case org.apache.spark.sql.catalyst.plans.logical.Filter(c, _)
+        if c.exists(_.isInstanceOf[org.apache.spark.sql.catalyst.expressions.GreaterThanOrEqual]) => c
+    }
+    assert(hasRange.isDefined, s"no derived range in $optimized")
+    // 2. ranges reach the parquet scan as pushed filters
+    val scanStr = df.queryExecution.executedPlan.toString
+    assert(scanStr.contains("GreaterThanOrEqual(cell"), s"no pushed range in:\n$scanStr")
+    // 3. results identical to the unoptimized semantics
+    val expected = cells.collect().map(_.getLong(0))
+      .filter(c => graft.h3.H3Core.cellToParent(c, 5) == res5).sorted
+    assert(df.as[Long].collect().sorted.toSeq == expected.toSeq)
+    // 4. derived bounds are correct: every descendant of res5 at res 9 is
+    // inside its (r=5, R=9) range
+    val (lo, hi) = H3ParentRangeDerivation.childRange(res5, 5, 9)
+    assert(expected.forall(c => c >= lo && c <= hi))
+  }
+
   test("SQL registration works for geometry functions") {
     H3Registry.register(spark)
     val n = spark.sql(
