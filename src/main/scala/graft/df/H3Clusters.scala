@@ -85,9 +85,11 @@ object H3Clusters {
 
   /** C8: aggregate bounding rect of all cells in a column — one row
     * (min_lat, min_lng, max_lat, max_lng) from the per-cell envelopes
-    * (reference bounding_rect.rs:7-74). Pure built-in min/max aggregation. */
-  def boundingRect(df: DataFrame, cellCol: String): DataFrame = {
-    val b = h3_cell_bbox(col(cellCol))
+    * (reference bounding_rect.rs:7-74). Pure built-in min/max aggregation.
+    * `edges = true` treats the column as directed edges (envelope of the
+    * edge boundary segment, the reference's edge impl). */
+  def boundingRect(df: DataFrame, cellCol: String, edges: Boolean = false): DataFrame = {
+    val b = if (edges) h3_edge_bbox(col(cellCol)) else h3_cell_bbox(col(cellCol))
     df.agg(
       min(b.getField("min_lat")).as("min_lat"),
       min(b.getField("min_lng")).as("min_lng"),

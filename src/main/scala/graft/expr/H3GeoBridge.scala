@@ -51,6 +51,30 @@ object H3GeoBridge {
     new GenericInternalRow(Array[Any](minLat, minLng, maxLat, maxLng))
   }
 
+  /** boundary vertices as array of struct (lat, lng), ring order. */
+  def cellToBoundary(h: Long): ArrayData = {
+    if (!H3Core.isValidCell(h)) return null
+    new GenericArrayData(H3Geo.cellToBoundary(h).map { v =>
+      new GenericInternalRow(Array[Any](v.lat, v.lng)): Any
+    })
+  }
+
+  /** envelope of a directed edge's boundary segment (C8 for edge columns,
+    * reference bounding_rect.rs:7-74). */
+  def edgeBBox(e: Long): InternalRow = {
+    if (!H3Core.isValidDirectedEdge(e)) return null
+    val verts = H3Traversal.edgeBoundaryRads(e)
+    if (verts.isEmpty) return null
+    var minLat = Double.MaxValue; var minLng = Double.MaxValue
+    var maxLat = Double.MinValue; var maxLng = Double.MinValue
+    for (v <- verts) {
+      val lat = math.toDegrees(v.lat); val lng = math.toDegrees(v.lng)
+      if (lat < minLat) minLat = lat; if (lat > maxLat) maxLat = lat
+      if (lng < minLng) minLng = lng; if (lng > maxLng) maxLng = lng
+    }
+    new GenericInternalRow(Array[Any](minLat, minLng, maxLat, maxLng))
+  }
+
   def gridDisk(h: Long, k: Int): ArrayData =
     if (!H3Core.isValidCell(h) || k < 0) null
     else new GenericArrayData(H3Traversal.gridDisk(h, k))

@@ -124,6 +124,22 @@ case class H3CellBBox(child: Expression) extends H3GeoUnaryExpr {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+case class H3CellToBoundary(child: Expression) extends H3GeoUnaryExpr {
+  override def prettyName: String = "h3_cell_to_boundary"
+  override def dataType: DataType = ArrayType(H3GeoTypes.latLngStruct, containsNull = false)
+  override protected def bridgeName: String = "cellToBoundary"
+  override protected def bridge(h: Long): Any = H3GeoBridge.cellToBoundary(h)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+case class H3EdgeBBox(child: Expression) extends H3GeoUnaryExpr {
+  override def prettyName: String = "h3_edge_bbox"
+  override def dataType: DataType = H3GeoTypes.bboxStruct
+  override protected def bridgeName: String = "edgeBBox"
+  override protected def bridge(h: Long): Any = H3GeoBridge.edgeBBox(h)
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class H3CellAreaRads2(child: Expression) extends H3GeoUnaryExpr {
   override def prettyName: String = "h3_cell_area_rads2"
   override def dataType: DataType = DoubleType

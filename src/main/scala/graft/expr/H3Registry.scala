@@ -39,7 +39,9 @@ object H3Registry {
     "h3_latlng_to_cell" -> (a => H3LatLngToCell(a(0), a(1), a(2))),
     "h3_cell_to_latlng" -> (a => H3CellToLatLng(a.head)),
     "h3_cell_to_boundary_wkt" -> (a => H3CellToBoundaryWkt(a.head)),
+    "h3_cell_to_boundary" -> (a => H3CellToBoundary(a.head)),
     "h3_cell_bbox" -> (a => H3CellBBox(a.head)),
+    "h3_edge_bbox" -> (a => H3EdgeBBox(a.head)),
     "h3_cell_area_rads2" -> (a => H3CellAreaRads2(a.head)),
     "h3_cell_area_km2" -> (a => H3CellAreaKm2(a.head)),
     "h3_cell_area_m2" -> (a => H3CellAreaM2(a.head)),

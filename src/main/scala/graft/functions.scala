@@ -66,8 +66,12 @@ object functions {
   def h3_cell_to_latlng(cell: Column): Column = c(H3CellToLatLng(e(cell)))
   /** S3: boundary polygon as WKT (lng lat order, closed ring). */
   def h3_cell_to_boundary_wkt(cell: Column): Column = c(H3CellToBoundaryWkt(e(cell)))
+  /** S3: boundary vertices as array<struct(lat, lng)>, ring order. */
+  def h3_cell_to_boundary(cell: Column): Column = c(H3CellToBoundary(e(cell)))
   /** C8 kernel: boundary envelope struct(min_lat, min_lng, max_lat, max_lng). */
   def h3_cell_bbox(cell: Column): Column = c(H3CellBBox(e(cell)))
+  /** C8 kernel for edge columns: envelope of the edge boundary segment. */
+  def h3_edge_bbox(edge: Column): Column = c(H3EdgeBBox(e(edge)))
   /** S18: exact spherical cell area. */
   def h3_cell_area_rads2(cell: Column): Column = c(H3CellAreaRads2(e(cell)))
   def h3_cell_area_km2(cell: Column): Column = c(H3CellAreaKm2(e(cell)))

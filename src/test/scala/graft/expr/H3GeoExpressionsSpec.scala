@@ -206,6 +206,39 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(df.count() >= 0)
   }
 
+  test("boundary struct array and edge bbox agree with cell geometry") {
+    val row = Seq(sf).toDF("cell").select(
+      h3_cell_to_boundary($"cell").as("b"),
+      h3_cell_bbox($"cell").as("cb"),
+      h3_cell_to_boundary_wkt($"cell").as("w")).head()
+    val verts = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(verts.length >= 5 && verts.length <= 7) // hexagon, class III distortion
+    val cb = row.getStruct(1)
+    // struct-array boundary envelope == bbox struct
+    assert(math.abs(verts.map(_.getDouble(0)).min - cb.getDouble(0)) < 1e-12)
+    assert(math.abs(verts.map(_.getDouble(1)).min - cb.getDouble(1)) < 1e-12)
+    // WKT has the same vertex count (+1 for ring closure)
+    assert(row.getString(2).count(_ == ',') == verts.length)
+
+    // edge bbox: contained in the union of origin+destination cell bboxes
+    val er = Seq(sf).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("e"))
+      .select(h3_edge_bbox($"e").as("eb"),
+        h3_cell_bbox(h3_edge_origin($"e")).as("ob"),
+        h3_cell_bbox(h3_edge_destination($"e")).as("db")).collect()
+    er.foreach { r =>
+      val (eb, ob, db) = (r.getStruct(0), r.getStruct(1), r.getStruct(2))
+      assert(eb.getDouble(0) >= math.min(ob.getDouble(0), db.getDouble(0)) - 1e-9)
+      assert(eb.getDouble(2) <= math.max(ob.getDouble(2), db.getDouble(2)) + 1e-9)
+    }
+    // aggregate C8 over the edge column
+    import graft.df.H3Clusters
+    val edf = Seq(sf).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("e"))
+    val agg = H3Clusters.boundingRect(edf, "e", edges = true).head()
+    assert(agg.getDouble(0) < agg.getDouble(2) && agg.getDouble(1) < agg.getDouble(3))
+  }
+
   test("generic geometry dispatch covers the full ToH3Cells enum") {
     val res = 9
     def cellsOf(wkt: String): Seq[Long] =
