@@ -206,6 +206,24 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(df.count() >= 0)
   }
 
+  test("cluster convergence loop handles a long path (diameter >> 1)") {
+    import graft.df.H3Clusters
+    // a grid path of ~20 cells: min-label needs ~path-length rounds under
+    // naive flooding; the convergence loop must iterate until stable
+    val a = sf
+    val g = H3Geo.cellToLatLng(a)
+    val b = H3Geo.latLngToCell(g.lat + 0.04, g.lng, 9)
+    val path = H3Traversal.gridPathCells(a, b)
+    assert(path.length >= 10, s"path only ${path.length} cells")
+    val far = H3Geo.latLngToCell(48.85, 2.35, 9) // disconnected singleton
+    val df = (path :+ far).toSeq.toDF("cell")
+    val out = H3Clusters.cellClusters(df, "cell") // fixedRounds = None
+    val clusters = out.select($"cell", $"cluster").as[(Long, Long)].collect()
+    val pathLabels = clusters.filter(c => path.contains(c._1)).map(_._2).toSet
+    assert(pathLabels == Set(path.min), s"path must converge to one min label, got $pathLabels")
+    assert(clusters.find(_._1 == far).get._2 == far)
+  }
+
   test("boundary struct array and edge bbox agree with cell geometry") {
     val row = Seq(sf).toDF("cell").select(
       h3_cell_to_boundary($"cell").as("b"),
