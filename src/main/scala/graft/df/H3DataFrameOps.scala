@@ -75,6 +75,19 @@ object H3DataFrameOps {
         .select(df.columns.map(col).toIndexedSeq: _*)
     }
 
+    /** G9: aligned dissolve — group cells by their parent at `alignRes`,
+      * dissolve each group to a (multi)polygon WKT (reference
+      * `ToAlignedLinkedPolygons`, to_geo.rs:100-180). One row per parent:
+      * (parent, wkt). The per-parent groupBy IS the parallelism the
+      * reference runs serially — each group dissolves independently in its
+      * task. */
+    def h3AlignedDissolve(cellCol: String, alignRes: Int,
+        smoothen: Boolean = false): DataFrame =
+      df.groupBy(h3_cell_to_parent(col(cellCol), lit(alignRes)).as("parent"))
+        .agg(collect_set(col(cellCol)).as("__cells"))
+        .select(col("parent"),
+          h3_cells_to_multipolygon_wkt(col("__cells"), lit(smoothen)).as("wkt"))
+
     /** F5: split by resolution. Scale note: for writing, prefer
       * `df.withColumn("res", ...).write.partitionBy("res")` — this variant
       * materializes one DataFrame per distinct resolution like the

@@ -206,6 +206,18 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(df.count() >= 0)
   }
 
+  test("aligned dissolve produces one multipolygon per alignment parent") {
+    import graft.df.H3DataFrameOps._
+    val disk = H3Traversal.gridDisk(sf, 3).toSeq.toDF("cell")
+    val out = disk.h3AlignedDissolve("cell", alignRes = 7)
+      .as[(Long, String)].collect()
+    assert(out.length >= 2, "a k=3 res-9 disk spans multiple res-7 parents")
+    assert(out.forall(_._2.startsWith("MULTIPOLYGON")))
+    // every parent is a res-7 ancestor of some disk cell
+    val parents = H3Traversal.gridDisk(sf, 3).map(graft.h3.H3Core.cellToParent(_, 7)).toSet
+    assert(out.map(_._1).toSet == parents)
+  }
+
   test("cluster convergence loop handles a long path (diameter >> 1)") {
     import graft.df.H3Clusters
     // a grid path of ~20 cells: min-label needs ~path-length rounds under
