@@ -1,0 +1,82 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+import graft.h3.{H3Core, H3Geo}
+
+class H3RasterSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import H3Raster._
+
+  test("transform inverse roundtrips pixel coordinates (R4)") {
+    val t = Transform(0.01, 0.002, -122.5, -0.001, -0.01, 37.9)
+    val inv = t.invert
+    for ((px, py) <- Seq((0.0, 0.0), (10.5, 3.25), (-4.0, 100.0))) {
+      val (x, y) = t.forward(px, py)
+      val (rx, ry) = inv.forward(x, y)
+      assert(math.abs(rx - px) < 1e-9 && math.abs(ry - py) < 1e-9)
+    }
+  }
+
+  test("nodata-only tiles are pruned before any H3 work (R2)") {
+    val w = 32; val h = 32
+    val t = Transform.northUp(-122.5, 37.9, 0.01, 0.01)
+    // left half data, right half nodata
+    val values = Array.tabulate(w * h)(i => if (i % w < w / 2) 5.0 else -1.0)
+    val tiles = tileRaster(spark, w, h, t, values, nodata = -1.0, tile = 16)
+    assert(tiles.count() == 4)
+    assert(tiles.filter($"has_data").count() == 2, "right-half tiles are nodata-only")
+    // conversion only reads data-bearing tiles and only emits data pixels
+    val cells = rasterToCells(tiles, res = 7)
+    assert(cells.select($"value").distinct().as[Double].collect().toSeq == Seq(5.0))
+  }
+
+  test("sampled cell values match direct pixel lookup (R1)") {
+    val w = 16; val h = 16
+    val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
+    // value encodes the pixel position -> verifiable per cell
+    val values = Array.tabulate(w * h)(i => (i / w) * 100.0 + (i % w))
+    val tiles = tileRaster(spark, w, h, t, values, nodata = -1.0, tile = 8)
+    val out = rasterToCells(tiles, res = 8).as[(Double, Long)].collect()
+    assert(out.nonEmpty)
+    val inv = t.invert
+    out.foreach { case (v, cell) =>
+      assert(H3Core.isValidCell(cell))
+      val g = H3Geo.cellToLatLng(cell)
+      val (pxD, pyD) = inv.forward(g.lng, g.lat)
+      val px = math.floor(pxD).toInt; val py = math.floor(pyD).toInt
+      assert(v == py * 100.0 + px, s"cell ${cell.toHexString} sampled wrong pixel")
+    }
+    // no duplicate cells across tiles (margin polyfill must not double-emit)
+    assert(out.map(_._2).distinct.length == out.length)
+  }
+
+  test("value-grouped compaction emits compacted arrays (R1 tail)") {
+    val w = 32; val h = 32
+    val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
+    val values = Array.fill(w * h)(7.0)
+    val tiles = tileRaster(spark, w, h, t, values, nodata = -1.0, tile = 16)
+    val grouped = rasterToCompactedCells(tiles, res = 8).as[(Double, Seq[Long])].collect()
+    assert(grouped.length == 1 && grouped.head._1 == 7.0)
+    val cells = grouped.head._2
+    // compaction did something: mixed resolutions present or fewer cells
+    val plain = rasterToCells(tiles, res = 8).count()
+    assert(cells.length < plain, s"compact ${cells.length} !< raw $plain")
+    // roundtrip: uncompacting reproduces exactly the raw cell set
+    val raw = rasterToCells(tiles, res = 8).select($"cell").as[Long].collect().toSet
+    val un = cells.flatMap(H3Core.uncompactCell(_, 8)).toSet
+    assert(un == raw)
+  }
+
+  test("nearest resolution picks by pixel area; smallerThanPixel is finer (R3)") {
+    val coarse = Transform.northUp(0, 45, 1.0, 1.0) // ~1 degree pixels
+    val fine = Transform.northUp(0, 45, 0.001, 0.001)
+    val rc = nearestH3Resolution(coarse)
+    val rf = nearestH3Resolution(fine)
+    assert(rc < rf, s"coarser pixels must pick coarser res ($rc vs $rf)")
+    assert(nearestH3Resolution(coarse, smallerThanPixel = true) >= rc)
+    assert(nearestH3Resolution(fine, smallerThanPixel = true) >= rf)
+  }
+}
