@@ -33,9 +33,17 @@ object H3Graph {
 
   /** P13 (DataFrame part): consecutive cells of an ordered chain become
     * bidirectional edges carrying the H3 directed-edge ids
-    * (iter/edge.rs:89-141 `continuous_cells_to_edges`). */
-  def graphFromCellChain(df: DataFrame, cellCol: String, orderCol: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    * (iter/edge.rs:89-141 `continuous_cells_to_edges`). Pass `chainCol`
+    * (e.g. the OSM way id) when the frame holds MANY chains: the window
+    * then partitions per chain and the lag runs shuffle-parallel instead
+    * of collapsing to a single partition — the scale path for ingesting
+    * millions of ways. */
+  def graphFromCellChain(df: DataFrame, cellCol: String, orderCol: String,
+      chainCol: Option[String] = None): DataFrame = {
+    val w = chainCol match {
+      case Some(c) => org.apache.spark.sql.expressions.Window.partitionBy(col(c)).orderBy(col(orderCol))
+      case None => org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+    }
     val pairs = df.select(col(cellCol).as("a"), lead(col(cellCol), 1).over(w).as("b"))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
     val fwd = pairs.select(col("a").as("origin"), col("b").as("destination"))

@@ -79,6 +79,25 @@ class H3GraphSpec extends AnyFunSuite {
     assert(snapped.count() == 1)
   }
 
+  test("multi-chain build partitions the window per chain (P13 scale path)") {
+    // two disjoint chains under one frame; per-chain lag must not pair
+    // cells across chains
+    val c1 = chainCells.take(5)
+    val a2 = H3Geo.latLngToCell(48.85, 2.35, 8)
+    val g2 = H3Geo.cellToLatLng(a2)
+    val c2 = H3Traversal.gridPathCells(a2, H3Geo.latLngToCell(g2.lat + 0.02, g2.lng, 8))
+    val df = (c1.map((_, 1L)) ++ c2.map((_, 2L))).zipWithIndex
+      .map { case ((cell, chain), i) => (cell, chain, i) }.toSeq
+      .toDF("cell", "chain_id", "ord")
+    val g = H3Graph.graphFromCellChain(df, "cell", "ord", chainCol = Some("chain_id"))
+    assert(g.count() == 2 * ((c1.length - 1) + (c2.length - 1)))
+    // no cross-chain edge: SF and Paris cells never pair
+    val crossing = g.filter(
+      (col("origin").isin(c1.toSeq: _*) && col("destination").isin(c2.toSeq: _*)) ||
+      (col("origin").isin(c2.toSeq: _*) && col("destination").isin(c1.toSeq: _*))).count()
+    assert(crossing == 0)
+  }
+
   test("downsample re-anchors at parents, drops intra-cell edges (P4)") {
     val g = chainGraph
     val down = H3Graph.downsample(g, targetRes = 5, combine = "min").collect()
