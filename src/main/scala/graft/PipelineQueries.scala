@@ -145,6 +145,25 @@ object PipelineQueries {
         .select(col("vec_id")).orderBy(col("vec_id"))
     }),
 
+    // END-TO-END pipeline composition: near-dedup -> quality gate ->
+    // per-bucket corpus stats, all ONE declarative chain — the shape of a
+    // production training-data curation job
+    "p21_pipeline_e2e" -> ((s, dir) => {
+      val survivors = Dedup.nearDedup(corpusWithDups(s, dir), col("doc_id"), col("text"))
+      survivors
+        .withColumn("quality", TextOps.qualityScore(col("text")))
+        .filter(col("quality") >= 0.3)
+        .withColumn("bucket", col("doc_id") % 10)
+        .groupBy(col("bucket"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(TextOps.tokenCount(col("text"))).as("total_tokens"),
+          // per-row re-quantization to integers keeps the sum
+          // order-independent (fp-sum association differs across engines)
+          sum(floor(col("quality") * 10000.0 + 0.5).cast("long")).as("quality_e4_sum"))
+        .orderBy(col("bucket"))
+    }),
+
     // IVF ANN: inverted-list scale path (coarse quantize -> probe nprobe
     // lists); rows-only check, recall spec-checked against brute force
     "p20_ann_ivf" -> ((s, dir) => {
@@ -213,6 +232,41 @@ object PipelineQueries {
     s"""toks AS (SELECT doc_id, $oToks AS tk FROM $src),
        |sh AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) AS sh FROM toks),
        |h AS (SELECT doc_id, (${oH("sh")} % ${Dedup.MinHashPrime}) AS h FROM sh)""".stripMargin
+
+  /** the full near-dedup CTE chain ending in `verified` (id_a, id_b) —
+    * shared by the p13 oracle and the p21 end-to-end composition. */
+  private def nearDedupCtes: String =
+    s"""corpus AS ($corpusSqlWithDups),
+       |${shinglesSql("corpus")},
+       |sig AS (SELECT doc_id,
+       |    $minhashAggSql
+       |  FROM h GROUP BY doc_id),
+       |bands AS (
+       |  SELECT doc_id, 0 AS band_idx, minhash_0 * ${Dedup.MinHashPrime} + minhash_1 AS band_val FROM sig
+       |  UNION ALL SELECT doc_id, 1, minhash_2 * ${Dedup.MinHashPrime} + minhash_3 FROM sig
+       |  UNION ALL SELECT doc_id, 2, minhash_4 * ${Dedup.MinHashPrime} + minhash_5 FROM sig
+       |  UNION ALL SELECT doc_id, 3, minhash_6 * ${Dedup.MinHashPrime} + minhash_7 FROM sig),
+       |pairs AS (
+       |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |cand_ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
+       |grams AS (
+       |  SELECT DISTINCT c.doc_id, g
+       |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
+       |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g
+       |    FROM corpus WHERE doc_id IN (SELECT doc_id FROM cand_ids)) c),
+       |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
+       |inter AS (
+       |  SELECT p.id_a, p.id_b, count(*) AS i
+       |  FROM pairs p JOIN grams a ON a.doc_id = p.id_a
+       |  JOIN grams b ON b.doc_id = p.id_b AND b.g = a.g
+       |  GROUP BY 1, 2),
+       |verified AS (
+       |  SELECT id_a, id_b FROM inter
+       |  JOIN sizes sa ON sa.doc_id = id_a
+       |  JOIN sizes sb ON sb.doc_id = id_b
+       |  WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5)""".stripMargin
 
   private def brightnessSql: String =
     "round((" + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ") + ") / 16.0, 2)"
@@ -300,40 +354,29 @@ object PipelineQueries {
     "p09_simhash" -> simhashOracle,
 
     "p13_near_dedup" ->
-      s"""WITH corpus AS ($corpusSqlWithDups),
-         |${shinglesSql("corpus")},
-         |sig AS (SELECT doc_id,
-         |    $minhashAggSql
-         |  FROM h GROUP BY doc_id),
-         |bands AS (
-         |  SELECT doc_id, 0 AS band_idx, minhash_0 * ${Dedup.MinHashPrime} + minhash_1 AS band_val FROM sig
-         |  UNION ALL SELECT doc_id, 1, minhash_2 * ${Dedup.MinHashPrime} + minhash_3 FROM sig
-         |  UNION ALL SELECT doc_id, 2, minhash_4 * ${Dedup.MinHashPrime} + minhash_5 FROM sig
-         |  UNION ALL SELECT doc_id, 3, minhash_6 * ${Dedup.MinHashPrime} + minhash_7 FROM sig),
-         |pairs AS (
-         |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
-         |cand_ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
-         |grams AS (
-         |  SELECT DISTINCT c.doc_id, g
-         |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
-         |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g
-         |    FROM corpus WHERE doc_id IN (SELECT doc_id FROM cand_ids)) c),
-         |sizes AS (SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id),
-         |inter AS (
-         |  SELECT p.id_a, p.id_b, count(*) AS i
-         |  FROM pairs p JOIN grams a ON a.doc_id = p.id_a
-         |  JOIN grams b ON b.doc_id = p.id_b AND b.g = a.g
-         |  GROUP BY 1, 2),
-         |verified AS (
-         |  SELECT id_a, id_b FROM inter
-         |  JOIN sizes sa ON sa.doc_id = id_a
-         |  JOIN sizes sb ON sb.doc_id = id_b
-         |  WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5)
+      s"""WITH $nearDedupCtes
          |SELECT doc_id FROM corpus
          |WHERE doc_id NOT IN (SELECT id_b FROM verified)
          |ORDER BY doc_id""".stripMargin,
+
+    "p21_pipeline_e2e" ->
+      s"""WITH $nearDedupCtes,
+         |survivors AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE doc_id NOT IN (SELECT id_b FROM verified)),
+         |q AS (
+         |  SELECT doc_id, text, $oToks AS tk,
+         |    floor((0.3 * least(len($oToks)::DOUBLE / 100.0, 1.0)
+         |      + 0.4 * (len(list_filter($oToks, x -> x IN (${TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE / len($oToks)::DOUBLE)
+         |      + 0.3 * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE))
+         |      * 10000.0 + 0.5) / 10000.0 AS quality
+         |  FROM survivors)
+         |SELECT doc_id % 10 AS bucket,
+         |  count(*) AS n_docs,
+         |  CAST(SUM(len(tk)) AS BIGINT) AS total_tokens,
+         |  CAST(SUM(CAST(floor(quality * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS quality_e4_sum
+         |FROM q WHERE quality >= 0.3
+         |GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "p10_multimodal_meta" ->
       s"""SELECT doc_id,

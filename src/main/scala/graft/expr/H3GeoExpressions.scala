@@ -445,3 +445,17 @@ case class H3HexagonAreaAvgKm2(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+case class H3HexagonAreaAvgM2(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_hexagon_area_avg_m2"
+  override def inputTypes: Seq[DataType] = Seq(IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "hexagonAreaAvgM2"
+  override def nullSafeEval(v: Any): Any = H3GeoBridge.hexagonAreaAvgM2(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

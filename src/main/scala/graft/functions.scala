@@ -78,6 +78,7 @@ object functions {
   def h3_cell_area_m2(cell: Column): Column = c(H3CellAreaM2(e(cell)))
   /** S18 static: exact average hexagon area at a res. */
   def h3_hexagon_area_avg_km2(res: Column): Column = c(H3HexagonAreaAvgKm2(e(res.cast("int"))))
+  def h3_hexagon_area_avg_m2(res: Column): Column = c(H3HexagonAreaAvgM2(e(res.cast("int"))))
 
   /** S11: all cells within k grid steps (sorted array). */
   def h3_grid_disk(cell: Column, k: Column): Column = c(H3GridDisk(e(cell), e(k.cast("int"))))
