@@ -149,7 +149,10 @@ object PipelineQueries {
     // per-bucket corpus stats, all ONE declarative chain — the shape of a
     // production training-data curation job
     "p21_pipeline_e2e" -> ((s, dir) => {
-      val survivors = Dedup.nearDedup(corpusWithDups(s, dir), col("doc_id"), col("text"))
+      // a 1/3 corpus slice: the composition is what the query checks; the
+      // full-corpus near-dedup cost is already measured by p13
+      val survivors = Dedup.nearDedup(corpusWithDups(s, dir).filter(col("doc_id") % 3 === 0),
+        col("doc_id"), col("text"))
       survivors
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .filter(col("quality") >= 0.3)
@@ -235,8 +238,10 @@ object PipelineQueries {
 
   /** the full near-dedup CTE chain ending in `verified` (id_a, id_b) —
     * shared by the p13 oracle and the p21 end-to-end composition. */
-  private def nearDedupCtes: String =
-    s"""corpus AS ($corpusSqlWithDups),
+  private def nearDedupCtes: String = nearDedupCtesOver(corpusSqlWithDups)
+
+  private def nearDedupCtesOver(corpusSql: String): String =
+    s"""corpus AS ($corpusSql),
        |${shinglesSql("corpus")},
        |sig AS (SELECT doc_id,
        |    $minhashAggSql
@@ -360,7 +365,7 @@ object PipelineQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "p21_pipeline_e2e" ->
-      s"""WITH $nearDedupCtes,
+      s"""WITH ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 3 = 0")},
          |survivors AS (
          |  SELECT doc_id, text FROM corpus
          |  WHERE doc_id NOT IN (SELECT id_b FROM verified)),
