@@ -39,25 +39,20 @@ object H3Clusters {
     var labels = df.select(keyCols: _*).distinct()
       .withColumn("cluster", col(cellCol))
 
+    // Message-passing round: every cell sends its label to its ring-1
+    // neighbors AND to itself (the self-message preserves the label for
+    // isolated cells and makes min(msgs) = least(own, neighbors)); the
+    // receiver group key includes the receiver's value, so only
+    // equal-value messages merge in the eq-value variant. Two shuffles per
+    // round (groupBy + membership join) — the edges-join formulation
+    // costs three.
     def propagate(current: DataFrame): DataFrame = {
-      val edges = current.select(
-        (col(cellCol) +: explode(h3_grid_ring(col(cellCol), lit(1))).as("nbr") +:
-          valueCol.map(col).toSeq): _*)
-      val nbrLabels = current.select(
-        (col(cellCol).as("nbr") +: col("cluster").as("nbr_cluster") +:
-          valueCol.map(v => col(v).as(s"__v_$v")).toSeq): _*)
-      val joinCond = valueCol match {
-        case Some(v) => edges("nbr") === nbrLabels("nbr") && edges(v) === nbrLabels(s"__v_$v")
-        case None => edges("nbr") === nbrLabels("nbr")
-      }
-      val candidates = edges.join(nbrLabels, joinCond)
-        .groupBy((edges(cellCol) +: valueCol.map(edges(_)).toSeq): _*)
-        .agg(min(col("nbr_cluster")).as("min_nbr_cluster"))
-      current.join(candidates, (cellCol +: valueCol.toSeq).toIndexedSeq, "left_outer")
-        .withColumn("new_cluster",
-          least(col("cluster"), coalesce(col("min_nbr_cluster"), col("cluster"))))
-        .drop("min_nbr_cluster", "cluster")
-        .withColumnRenamed("new_cluster", "cluster")
+      val msgs = current.select(
+        (explode(array_append(h3_grid_ring(col(cellCol), lit(1)), col(cellCol))).as(cellCol) +:
+          col("cluster") +: valueCol.map(col).toSeq): _*)
+      val agg = msgs.groupBy(keyCols: _*).agg(min(col("cluster")).as("cluster"))
+      // restrict to the actual cell set (ring messages spill outside it)
+      current.select(keyCols: _*).join(agg, cellCol +: valueCol.toSeq)
     }
 
     fixedRounds match {
