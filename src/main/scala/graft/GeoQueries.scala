@@ -290,6 +290,69 @@ object GeoQueries {
           (array_sort(array_union(col("dpoly"), col("pt2"))) === col("gc")).as("collection_ok"))
     }),
 
+    // the reference's spatial-index benchmark shape, 1:1 (BASELINE.md:
+    // spatialindex.rs:12-80): grid_disk(k=100) at res 8 around (12.3,
+    // 45.4) = 30,301 cells; AOI rect (12.28, 45.35)-(12.35, 45.45);
+    // coarse envelope hits vs coarse+exact two-stage hits
+    "h3_25_spatial_bench" -> ((s, dir) => {
+      import s.implicits._
+      val center = graft.h3.H3Geo.latLngToCell(45.4, 12.3, 8)
+      val aoi = "POLYGON ((12.28 45.35, 12.35 45.35, 12.35 45.45, 12.28 45.45, 12.28 45.35))"
+      val cells = Seq(center).toDF("center")
+        .select(explode(h3_grid_disk(col("center"), lit(100))).as("cell"))
+      val flagged = cells.select(
+        col("cell"),
+        h3_cell_intersects_bbox(col("cell"), lit(45.35), lit(12.28), lit(45.45), lit(12.35))
+          .as("coarse"),
+        h3_cell_intersects_polygon(col("cell"), lit(aoi)).as("exact"))
+      flagged.agg(
+        count(lit(1)).as("n_cells"),
+        sum(when(col("coarse"), 1L).otherwise(0L)).as("n_coarse"),
+        sum(when(col("exact"), 1L).otherwise(0L)).as("n_exact"),
+        sum(when(col("exact") && !col("coarse"), 1L).otherwise(0L)).as("n_bad"))
+        .select(
+          (col("n_cells") === 30301L).as("count_ok"),
+          (col("n_exact") > 100L && col("n_exact") <= col("n_coarse")).as("stage_ok"),
+          (col("n_bad") === 0L).as("implication_ok"),
+          (col("n_coarse") < col("n_cells") / 4).as("selective_ok"))
+    }),
+
+    // the reference's routing benchmark shape (route_many_to_many,
+    // route_germany.rs:27-96): one origin, two destinations, Dijkstra over
+    // a metric neighbor-lattice graph (disk k=40 -> ~5k nodes, ~15k
+    // bidirectional edges); asserts both paths found, like the reference
+    "h3_26_routing_bench" -> ((s, dir) => {
+      import s.implicits._
+      import graft.graph.H3Graph
+      val origin = graft.h3.H3Geo.latLngToCell(47.69, 9.84, 6)
+      val disk = graft.h3.H3Traversal.gridDisk(origin, 40)
+      val cellSet = disk.toSet
+      val edges = disk.flatMap { c =>
+        graft.h3.H3Traversal.neighbors(c).filter(n => cellSet.contains(n) && c < n)
+          .map(n => (c, n))
+      }
+      val fwd = edges.toSeq.toDF("origin", "destination")
+      val bi = fwd.unionByName(fwd.select(col("destination").as("origin"),
+        col("origin").as("destination")))
+        .withColumn("weight", h3_great_circle_distance_km(
+          h3_cell_to_latlng(col("origin")).getField("lat"),
+          h3_cell_to_latlng(col("origin")).getField("lng"),
+          h3_cell_to_latlng(col("destination")).getField("lat"),
+          h3_cell_to_latlng(col("destination")).getField("lng")))
+      val lg = H3Graph.localGraph(bi)
+      val dests = Seq(disk.head, disk.last).filter(_ != origin)
+      val routes = H3Graph.shortestPathsLocal(s, lg, Seq(origin), dests).collect()
+      val costsOk = routes.forall { r =>
+        val d = r.getLong(1)
+        val straight = graft.h3.H3Geo.greatCircleDistanceRads(
+          graft.h3.H3Geo.cellToLatLngRads(origin),
+          graft.h3.H3Geo.cellToLatLngRads(d)) * graft.h3.H3Geo.EarthRadiusKm
+        r.getDouble(2) >= straight - 1e-9
+      }
+      Seq((routes.length == dests.length, costsOk))
+        .toDF("paths_found_ok", "cost_lower_bound_ok")
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -348,6 +411,10 @@ object GeoQueries {
     "h3_24_geometry_dispatch" ->
       allTrue(Seq("point_ok", "multipoint_ok", "linestring_ok", "polygon_ok", "collection_ok"),
         perEvent = false),
+    "h3_25_spatial_bench" ->
+      allTrue(Seq("count_ok", "stage_ok", "implication_ok", "selective_ok"), perEvent = false),
+    "h3_26_routing_bench" ->
+      allTrue(Seq("paths_found_ok", "cost_lower_bound_ok"), perEvent = false),
     "h3_23_clusters" ->
       allTrue(Seq("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok"),
         perEvent = false)
