@@ -112,6 +112,21 @@ class H3ExpressionsSpec extends AnyFunSuite {
     assert(parts.forall(_._2.count() == 1))
   }
 
+  test("treemap-style set relations (H3SetOps)") {
+    import graft.df.H3SetOps
+    val disk2 = graft.h3.H3Traversal.gridDisk(SfCell, 2).toSeq.toDF("cell")
+    val disk1 = graft.h3.H3Traversal.gridDisk(SfCell, 1).toSeq.toDF("cell")
+    val far = Seq(Res5Cell).toDF("cell")
+    assert(H3SetOps.isSubset(disk1, "cell", disk2, "cell"))
+    assert(!H3SetOps.isSubset(disk2, "cell", disk1, "cell"))
+    assert(H3SetOps.isSuperset(disk2, "cell", disk1, "cell"))
+    assert(H3SetOps.isDisjoint(disk2, "cell", far, "cell"))
+    assert(!H3SetOps.isDisjoint(disk2, "cell", disk1, "cell"))
+    val mask = H3SetOps.containsMask(disk2, "cell", disk1, "cell")
+    assert(mask.filter($"contained").count() == 7)
+    assert(mask.count() == 19)
+  }
+
   test("res0 cells + max disk size") {
     val n = spark.sql("SELECT size(h3_res0_cells()) AS n, h3_max_grid_disk_size(100) AS m").collect()(0)
     assert(n.getInt(0) == 122)
