@@ -276,6 +276,27 @@ object H3Polygon {
   def lineStringToCells(wkt: String, res: Int): Array[Long] =
     parseLineStringWkt(wkt).map(lineStringToCells(_, res)).getOrElse(Array.emptyLongArray)
 
+  /** G6: upper-bound estimate of `polygonToCells` output size without
+    * materializing cells (reference `max_polygon_to_cells_size`,
+    * to_h3.rs:221) — spherical bbox area over average hexagon area, plus
+    * a boundary allowance. Driver-side sizing helper. */
+  def maxPolygonToCellsSize(wkt: String, res: Int): Long =
+    parseMultiPolygonWkt(wkt) match {
+      case Some(polys) =>
+        polys.map { poly =>
+          val shell = poly.rings.head
+          val latMin = shell.map(_._2).min; val latMax = shell.map(_._2).max
+          val lngMin = shell.map(_._1).min; val lngMax = shell.map(_._1).max
+          val r = H3Geo.EarthRadiusKm
+          val areaKm2 = math.abs(
+            (math.sin(math.toRadians(latMax)) - math.sin(math.toRadians(latMin))) *
+              math.toRadians(lngMax - lngMin)) * r * r
+          val hexKm2 = graft.expr.H3GeoBridge.hexagonAreaAvgKm2(res).doubleValue()
+          (areaKm2 / hexKm2 * 1.2).toLong + 16L
+        }.sum
+      case None => 0L
+    }
+
   /** Generic WKT geometry -> cells, the reference's full `ToH3Cells` enum
     * dispatch (to_h3.rs:112-127): POINT / MULTIPOINT (containing cell per
     * point), LINESTRING / MULTILINESTRING (grid-path trace), POLYGON /

@@ -122,4 +122,14 @@ class H3GeoSpec extends AnyFunSuite {
     val p2 = gridPathCells(c, f)
     assert(p2.length == 4 && p2.head == c && p2.last == f)
   }
+
+  test("maxPolygonToCellsSize bounds the actual polyfill (G6)") {
+    val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
+    for (res <- 5 to 7) {
+      val actual = H3Polygon.polygonToCells(wkt, res).length
+      val bound = H3Polygon.maxPolygonToCellsSize(wkt, res)
+      assert(actual <= bound, s"res $res: actual $actual > bound $bound")
+      assert(bound < actual * 4 + 64, s"res $res: bound $bound not useful vs $actual")
+    }
+  }
 }
