@@ -233,9 +233,13 @@ object Dedup {
   def nearDedup(df: DataFrame, id: Column, text: Column, k: Int = 8,
       rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
       threshold: Double = 0.5): DataFrame = {
-    val pairs = lshCandidatePairs(df, id, text, k, rowsPerBand, ngram)
-    val verified = ngramJaccardVerify(df, id, text, verifyN, threshold, pairs)
-    df.join(verified.select(col("id_b").as("__drop")).distinct(),
+    // four consumers read the corpus (signatures, fingerprints, gram sets,
+    // the final anti-join); one materialization replaces four scans of the
+    // upstream plan (source union/filters re-run per consumer otherwise)
+    val dfc = df.localCheckpoint(false)
+    val pairs = lshCandidatePairs(dfc, id, text, k, rowsPerBand, ngram)
+    val verified = ngramJaccardVerify(dfc, id, text, verifyN, threshold, pairs)
+    dfc.join(verified.select(col("id_b").as("__drop")).distinct(),
       id === col("__drop"), "left_anti")
   }
 
