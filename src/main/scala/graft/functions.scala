@@ -87,6 +87,12 @@ object functions {
   /** S13: array of struct(cell, k) within k steps. */
   def h3_grid_disk_distances(cell: Column, k: Column): Column =
     c(H3GridDiskDistances(e(cell), e(k.cast("int"))))
+  /** S13 window variant (reference grid_disk_distances(k_min, k_max),
+    * cell.rs:186): entries with kmin <= k <= kmax. */
+  def h3_grid_disk_distances_window(cell: Column, kmin: Column, kmax: Column): Column = {
+    import org.apache.spark.sql.functions.filter
+    filter(h3_grid_disk_distances(cell, kmax), s => s.getField("k") >= kmin)
+  }
   /** S14: grid distance in steps (NULL when not computable). */
   def h3_grid_distance(a: Column, b: Column): Column = c(H3GridDistance(e(a), e(b)))
   /** G7: line of cells between two cells. */

@@ -206,6 +206,17 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(df.count() >= 0)
   }
 
+  test("grid disk distances window slices by k (S13 kmin..kmax)") {
+    val row = Seq(sf).toDF("cell").select(
+      h3_grid_disk_distances_window($"cell", lit(2), lit(3)).as("w"),
+      h3_grid_ring($"cell", lit(2)).as("r2"),
+      h3_grid_ring($"cell", lit(3)).as("r3")).head()
+    val w = row.getSeq[org.apache.spark.sql.Row](0)
+    assert(w.map(_.getInt(1)).forall(k => k == 2 || k == 3))
+    assert(w.map(_.getLong(0)).toSet ==
+      (row.getSeq[Long](1) ++ row.getSeq[Long](2)).toSet)
+  }
+
   test("aligned dissolve produces one multipolygon per alignment parent") {
     import graft.df.H3DataFrameOps._
     val disk = H3Traversal.gridDisk(sf, 3).toSeq.toDF("cell")
