@@ -20,10 +20,15 @@ object Bench {
       import org.apache.spark.sql.functions._
       spark.range(100000).select(count(lit(1))).collect()
       if (!sys.env.contains("SPARK_GRAFT_NO_WARM")) {
-        val warmDir = "/root/testdata/sf0.001"
+        // smallest sibling SF of the target dir when present (warming must
+        // not silently no-op on non-default layouts), else the target dir
+        val sibling = new java.io.File(new java.io.File(sfDir).getParentFile, "sf0.001")
+        val warmDir = if (sibling.isDirectory) sibling.getPath else sfDir
+        var failed = 0
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
-          try fn(spark, warmDir).count() catch { case _: Throwable => }
+          try fn(spark, warmDir).count() catch { case _: Throwable => failed += 1 }
         }
+        if (failed > 0) System.err.println(s"[bench] WARN: $failed warm-up queries failed ($warmDir)")
       }
     } catch { case _: Throwable => }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -73,7 +73,11 @@ object PipelineQueries {
     }),
 
     "p06_lsh_pairs" -> ((s, dir) => {
-      Dedup.lshCandidatePairs(corpusWithDups(s, dir), col("doc_id"), col("text"), k = 8)
+      // uncapped: the DuckDB oracle enumerates ALL bucket pairs, so the
+      // declared query must match it at any scale; the MaxLshBucket
+      // default protects library users, not the oracle contract
+      Dedup.lshCandidatePairs(corpusWithDups(s, dir), col("doc_id"), col("text"), k = 8,
+        maxBucket = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -115,7 +119,8 @@ object PipelineQueries {
 
     // end-to-end near-dedup: LSH candidates -> Jaccard verify -> removal
     "p13_near_dedup" -> ((s, dir) => {
-      Dedup.nearDedup(corpusWithDups(s, dir), col("doc_id"), col("text"))
+      Dedup.nearDedup(corpusWithDups(s, dir), col("doc_id"), col("text"),
+        maxBucket = Int.MaxValue) // uncapped: see p06
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
@@ -152,7 +157,7 @@ object PipelineQueries {
       // a 1/3 corpus slice: the composition is what the query checks; the
       // full-corpus near-dedup cost is already measured by p13
       val survivors = Dedup.nearDedup(corpusWithDups(s, dir).filter(col("doc_id") % 3 === 0),
-        col("doc_id"), col("text"))
+        col("doc_id"), col("text"), maxBucket = Int.MaxValue) // uncapped: see p06
       survivors
         .withColumn("quality", TextOps.qualityScore(col("text")))
         .filter(col("quality") >= 0.3)
@@ -402,7 +407,7 @@ object PipelineQueries {
         |  FROM base WHERE vec_id % 5 = 0),
         |scored AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-        |    round(list_cosine_similarity(a.v, b.v), 4) AS sim
+        |    floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5) / 10000.0 AS sim
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id)
         |SELECT id_a, id_b, sim FROM scored
         |WHERE sim >= 0.995

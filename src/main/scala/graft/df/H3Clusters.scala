@@ -47,8 +47,13 @@ object H3Clusters {
     // round (groupBy + membership join) — the edges-join formulation
     // costs three.
     def propagate(current: DataFrame): DataFrame = {
+      // coalesce: an invalid cell's ring is NULL, and exploding NULL would
+      // drop the row entirely — the empty-array fallback preserves the
+      // self-message so invalid/isolated cells stay as singleton clusters
+      val ring = coalesce(h3_grid_ring(col(cellCol), lit(1)),
+        array().cast("array<bigint>"))
       val msgs = current.select(
-        (explode(array_append(h3_grid_ring(col(cellCol), lit(1)), col(cellCol))).as(cellCol) +:
+        (explode(array_append(ring, col(cellCol))).as(cellCol) +:
           col("cluster") +: valueCol.map(col).toSeq): _*)
       val agg = msgs.groupBy(keyCols: _*).agg(min(col("cluster")).as("cluster"))
       // restrict to the actual cell set (ring messages spill outside it)

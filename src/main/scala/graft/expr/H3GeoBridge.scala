@@ -38,17 +38,23 @@ object H3GeoBridge {
     UTF8String.fromString(H3Polygon.polygonWkt(Seq(ring.toSeq)))
   }
 
+  /** (min_lat, min_lng, max_lat, max_lng) envelope of degree-space
+    * vertices; planar (shares cellBBox/edgeBBox's documented antimeridian
+    * naivety in one place). */
+  private def envelope(verts: Iterator[(Double, Double)]): InternalRow = {
+    var minLat = Double.MaxValue; var minLng = Double.MaxValue
+    var maxLat = Double.MinValue; var maxLng = Double.MinValue
+    for ((lat, lng) <- verts) {
+      if (lat < minLat) minLat = lat; if (lat > maxLat) maxLat = lat
+      if (lng < minLng) minLng = lng; if (lng > maxLng) maxLng = lng
+    }
+    new GenericInternalRow(Array[Any](minLat, minLng, maxLat, maxLng))
+  }
+
   /** struct (min_lat, min_lng, max_lat, max_lng) of the boundary envelope. */
   def cellBBox(h: Long): InternalRow = {
     if (!H3Core.isValidCell(h)) return null
-    val verts = H3Geo.cellToBoundary(h)
-    var minLat = Double.MaxValue; var minLng = Double.MaxValue
-    var maxLat = Double.MinValue; var maxLng = Double.MinValue
-    for (v <- verts) {
-      if (v.lat < minLat) minLat = v.lat; if (v.lat > maxLat) maxLat = v.lat
-      if (v.lng < minLng) minLng = v.lng; if (v.lng > maxLng) maxLng = v.lng
-    }
-    new GenericInternalRow(Array[Any](minLat, minLng, maxLat, maxLng))
+    envelope(H3Geo.cellToBoundary(h).iterator.map(v => (v.lat, v.lng)))
   }
 
   /** boundary vertices as array of struct (lat, lng), ring order. */
@@ -65,14 +71,7 @@ object H3GeoBridge {
     if (!H3Core.isValidDirectedEdge(e)) return null
     val verts = H3Traversal.edgeBoundaryRads(e)
     if (verts.isEmpty) return null
-    var minLat = Double.MaxValue; var minLng = Double.MaxValue
-    var maxLat = Double.MinValue; var maxLng = Double.MinValue
-    for (v <- verts) {
-      val lat = math.toDegrees(v.lat); val lng = math.toDegrees(v.lng)
-      if (lat < minLat) minLat = lat; if (lat > maxLat) maxLat = lat
-      if (lng < minLng) minLng = lng; if (lng > maxLng) maxLng = lng
-    }
-    new GenericInternalRow(Array[Any](minLat, minLng, maxLat, maxLng))
+    envelope(verts.iterator.map(v => (math.toDegrees(v.lat), math.toDegrees(v.lng))))
   }
 
   def gridDisk(h: Long, k: Int): ArrayData =

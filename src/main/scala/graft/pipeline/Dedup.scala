@@ -170,15 +170,21 @@ object Dedup {
     // Identical-text fast path: at scale, near-dup corpora are dominated
     // by pairs of byte-identical documents, whose gram sets are equal, so
     // jaccard is exactly 1.0 — no intersection needed. Text fingerprints
-    // come from one slim scan of the FULL corpus (id, hash, gram count) —
-    // cheaper than restricting to candidate ids first, which costs a
-    // distinct + join. `__gn > 0` preserves the NULL-drop semantics of 0/0
-    // for texts shorter than the gram size. Gram sets are then built ONLY
-    // for docs appearing in some differing-text pair.
+    // (id, hash, gram count) are restricted to CANDIDATE ids before the
+    // broadcast: the broadcast side must be bounded by the candidate set,
+    // not the corpus — a full-corpus broadcast OOMs the driver at the
+    // billions-of-documents scale this pipeline is designed for.
+    // `__gn > 0` preserves the NULL-drop semantics of 0/0 for texts
+    // shorter than the gram size. Gram sets are then built ONLY for docs
+    // appearing in some differing-text pair.
+    val pairs = pairs0.localCheckpoint(false)
+    val candIds = pairs.select(col("id_a").as("__id"))
+      .unionByName(pairs.select(col("id_b").as("__id"))).distinct()
     val textInfo = df.select(id.as("__id"), xxhash64(text).as("__th"),
       greatest(length(lower(trim(text))) - (n - 1), lit(0)).as("__gn"))
+      .join(candIds, "__id")
       .localCheckpoint(false)
-    val pairsH = pairs0
+    val pairsH = pairs
       .join(broadcast(textInfo.select(col("__id").as("id_a"), col("__th").as("__ta"),
         col("__gn").as("__gna"))), Seq("id_a"))
       .join(broadcast(textInfo.select(col("__id").as("id_b"), col("__th").as("__tb"))), Seq("id_b"))
@@ -232,19 +238,31 @@ object Dedup {
     * every verified pair (keep the canonical minimum representative). */
   def nearDedup(df: DataFrame, id: Column, text: Column, k: Int = 8,
       rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = MaxLshBucket): DataFrame = {
     // four consumers read the corpus (signatures, fingerprints, gram sets,
     // the final anti-join); one materialization replaces four scans of the
     // upstream plan (source union/filters re-run per consumer otherwise)
     val dfc = df.localCheckpoint(false)
-    val pairs = lshCandidatePairs(dfc, id, text, k, rowsPerBand, ngram)
+    val pairs = lshCandidatePairs(dfc, id, text, k, rowsPerBand, ngram, maxBucket)
     val verified = ngramJaccardVerify(dfc, id, text, verifyN, threshold, pairs)
-    dfc.join(verified.select(col("id_b").as("__drop")).distinct(),
-      id === col("__drop"), "left_anti")
+    dropVerified(dfc, id, verified)
   }
 
+  /** floor-quantized 4-decimal cosine from pre-computed norms — the
+    * cross-engine-safe quantization (Spark round() is decimal HALF_UP,
+    * DuckDB round() differs on .5 boundaries; floor(x*1e4+0.5) agrees
+    * bit-for-bit, the same convention as jaccard/quality). */
+  private def quantizedCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
+    floor(Similarity.dot(va, vb) / (na * nb) * 10000.0 + 0.5).cast("double") / 10000.0
+
+  /** near-dedup retention policy: drop the higher id of every verified
+    * pair, keeping the canonical minimum representative. */
+  private def dropVerified(df: DataFrame, id: Column, verified: DataFrame): DataFrame =
+    df.join(verified.select(col("id_b").as("__drop")).distinct(),
+      id === col("__drop"), "left_anti")
+
   /** Exact embedding near-duplicate pairs: all (id_a < id_b) pairs with
-    * rounded cosine similarity >= `threshold`. Brute-force N^2 — the
+    * quantized cosine similarity >= `threshold`. Brute-force N^2 — the
     * verification-quality op; at scale feed it LSH-bucketed candidates
     * ([[embeddingNearDupLsh]]) instead of the full corpus. The slim
     * projection is checkpointed before the threshold filter so pushdown
@@ -258,7 +276,7 @@ object Dedup {
     a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4).as("sim"))
+        quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
       .localCheckpoint(false)
       .filter(col("sim") >= threshold)
   }
@@ -282,11 +300,10 @@ object Dedup {
     val verified = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
-        round(Similarity.dot(col("__va"), col("__vb")) / (col("__na") * col("__nb")), 4).as("sim"))
+        quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
       .localCheckpoint(false)
       .filter(col("sim") >= threshold)
-    df.join(verified.select(col("id_b").as("__drop")).distinct(),
-      id === col("__drop"), "left_anti")
+    dropVerified(df, id, verified)
   }
 
   val SimHashBits: Int = 31 // stay within positive int64 bit arithmetic

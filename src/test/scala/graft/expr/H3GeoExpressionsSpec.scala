@@ -229,6 +229,17 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(out.map(_._1).toSet == parents)
   }
 
+  test("invalid cells survive clustering as singleton clusters") {
+    import graft.df.H3Clusters
+    // 0 and a corrupted long: h3_grid_ring is NULL for both; the rows must
+    // come back labeled by themselves, not silently dropped
+    val df = (H3Traversal.gridDisk(sf, 1) ++ Seq(0L, 12345L)).toSeq.toDF("cell")
+    val out = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(2))
+    assert(out.count() == df.count())
+    val labels = out.select($"cell", $"cluster").as[(Long, Long)].collect().toMap
+    assert(labels(0L) == 0L && labels(12345L) == 12345L)
+  }
+
   test("cluster convergence loop handles a long path (diameter >> 1)") {
     import graft.df.H3Clusters
     // a grid path of ~20 cells: min-label needs ~path-length rounds under
