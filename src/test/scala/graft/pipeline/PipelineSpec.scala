@@ -171,6 +171,25 @@ class PipelineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { Dedup.lshBands(sig, k = 8, rowsPerBand = 4) }
   }
 
+  test("dedup laws: exactDedup idempotent; no verified pair survives nearDedup") {
+    val d = docs.select($"doc_id", $"text")
+    val corpus = d.unionAll(d.filter($"doc_id" % 4 === 0)
+      .select($"doc_id" + 1000000, concat($"text", lit(" tail"))))
+    // exactDedup is idempotent
+    val once = Dedup.exactDedup(corpus, $"text", $"doc_id")
+    val twice = Dedup.exactDedup(once, $"text", $"doc_id")
+    assert(once.count() == twice.count())
+    // nearDedup's guarantee: bands are deterministic per document, so any
+    // candidate pair among survivors was a candidate in the original run;
+    // every verified pair lost its higher member — re-running detection on
+    // the survivors must verify ZERO pairs
+    val survivors = Dedup.nearDedup(corpus, $"doc_id", $"text")
+    val rePairs = Dedup.lshCandidatePairs(survivors, $"doc_id", $"text", k = 8)
+    val reVerified = Dedup.ngramJaccardVerify(survivors, $"doc_id", $"text",
+      n = 8, threshold = 0.5, rePairs)
+    assert(reVerified.isEmpty, s"survivors still contain verified near-dups")
+  }
+
   test("langId picks declared language on marker-rich text") {
     val df = Seq(
       (1L, "the cat and the dog of a house is in the garden"),
