@@ -106,4 +106,23 @@ class H3LawsSpec extends AnyFunSuite {
       assert(dests.sorted.toSeq == ring.sorted.toSeq)
     }
   }
+
+  test("law: canonical direction stepping is injective, mutual, and matches tables") {
+    forAll(genCell.suchThat(c => getResolution(c) >= 1)) { (c: Long) =>
+      val perDir = (1 to 6).map(d => d -> H3Traversal.canonicalNeighbor(c, d))
+      val nonNull = perDir.filter(_._2 != H3Core.H3Null)
+      // injective direction assignment
+      assert(nonNull.map(_._2).distinct.length == nonNull.length, f"dup dests for $c%x")
+      nonNull.foreach { case (_, n) =>
+        // mutual: some direction of n leads back to c
+        assert((1 to 6).exists(d2 => H3Traversal.canonicalNeighbor(n, d2) == c), f"$c%x <-> $n%x")
+      }
+      // off pentagon base cells the table stepping must agree bit-for-bit
+      if (!H3Core.isPentagonBaseCell(H3Core.getBaseCell(c))) {
+        perDir.foreach { case (d, n) =>
+          assert(H3Traversal.h3NeighborRotations(c, d, 0)._1 == n, f"$c%x dir $d")
+        }
+      }
+    }
+  }
 }
