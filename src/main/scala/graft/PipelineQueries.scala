@@ -48,6 +48,7 @@ object PipelineQueries {
       docs(s, dir).select(
         col("doc_id"),
         TextOps.tokenCount(col("text")).as("n_tokens"),
+        TextOps.bpeTokenCount(col("text")).as("n_bpe_tokens"),
         size(array_distinct(TextOps.charNgrams(col("text"), 8))).cast("long").as("n_grams8"),
         TextOps.fingerprint(col("text")).as("fingerprint"))
         .orderBy(col("doc_id"))
@@ -290,6 +291,7 @@ object PipelineQueries {
     "p02_token_stats" ->
       s"""SELECT doc_id,
          |  len($oToks)::BIGINT AS n_tokens,
+         |  len(regexp_extract_all(text, '${TextOps.BpeTokenPattern}'))::BIGINT AS n_bpe_tokens,
          |  len(list_distinct([substr(lower(trim(text)), i, 8)
          |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]))::BIGINT AS n_grams8,
          |  ${oH("array_to_string($oToks, ' ')").replace("$oToks", oToks)} AS fingerprint

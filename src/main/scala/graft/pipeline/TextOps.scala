@@ -20,6 +20,18 @@ object TextOps {
 
   def tokenCount(text: Column): Column = size(tokens(text)).cast("long")
 
+  /** BPE-style pre-tokenization pattern: letter runs, digit runs, and
+    * single non-alphanumeric marks (the coarse shape GPT-2-style BPE
+    * splits on before merges). Deliberately ASCII-class-based so the
+    * pattern means the same thing in Java regex (Spark) and RE2
+    * (DuckDB). */
+  val BpeTokenPattern: String = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  /** BPE-ish token pieces of the raw (case-preserved) text. */
+  def bpeTokens(text: Column): Column = regexp_extract_all(text, lit(BpeTokenPattern), lit(0))
+
+  def bpeTokenCount(text: Column): Column = size(bpeTokens(text)).cast("long")
+
   /** Stable 60-bit hash from the first 15 hex chars of md5 — portable across
     * engines, uniform enough for sketching. */
   def md5Long(c: Column): Column =
