@@ -101,6 +101,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // SimHash near-dup pairs via pigeonhole banding (recall 1.0 by
+    // construction); oracle = exact pairwise hamming on the same corpus
+    "p22_simhash_neardup" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(col("doc_id") % 2 === 0)
+      Dedup.simHashNearDupPairs(c, col("doc_id"), col("text"), maxHamming = 3)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     "p10_multimodal_meta" -> ((s, dir) => {
       val withPayload = docs(s, dir).select(col("doc_id"), col("text").cast("binary").as("payload"))
       Multimodal.withDecodedMeta(withPayload, "payload")
@@ -218,19 +226,23 @@ object PipelineQueries {
        |FROM scored ORDER BY doc_id""".stripMargin
   }
 
-  private def simhashOracle: String = {
-    val bitSums = (0 until Dedup.SimHashBits)
-      .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
-      .mkString(",\n    ")
-    val assemble = (0 until Dedup.SimHashBits)
-      .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
-      .mkString(" + ")
-    s"""WITH toks AS (
-       |  SELECT doc_id, unnest($oToks) AS t FROM documents),
+  private def simhashBitSums: String = (0 until Dedup.SimHashBits)
+    .map(j => s"SUM(CASE WHEN (h >> $j) & 1 = 1 THEN 1 ELSE -1 END) AS s$j")
+    .mkString(",\n    ")
+  private def simhashAssemble: String = (0 until Dedup.SimHashBits)
+    .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
+    .mkString(" + ")
+
+  /** CTE chain `toks, h, s` computing per-doc simhash over `src`. */
+  private def simhashCtes(src: String): String =
+    s"""toks AS (
+       |  SELECT doc_id, unnest($oToks) AS t FROM $src),
        |h AS (SELECT doc_id, (${oH("t")} % 2147483648) AS h FROM toks),
-       |s AS (SELECT doc_id, $bitSums FROM h GROUP BY doc_id)
-       |SELECT doc_id, CAST($assemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
-  }
+       |s AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id)""".stripMargin
+
+  private def simhashOracle: String =
+    s"""WITH ${simhashCtes("documents")}
+       |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
 
   private def minhashAggSql: String = (0 until 8).map { i =>
     val (a, b) = Dedup.minHashCoeffs(i)
@@ -364,6 +376,16 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "p09_simhash" -> simhashOracle,
+
+    "p22_simhash_neardup" ->
+      s"""WITH corpus AS (SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 2 = 0),
+         |${simhashCtes("corpus")},
+         |sh AS (SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM s)
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "p13_near_dedup" ->
       s"""WITH $nearDedupCtes

@@ -325,4 +325,36 @@ object Dedup {
 
   /** Hamming distance between two SimHash values (codegen'd bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
+    * `maxHamming`, id_a < id_b. Pigeonhole banding: split the
+    * [[SimHashBits]]-bit hash into `maxHamming + 1` bands — any pair
+    * within the threshold matches on at least one full band, so the
+    * equi-join on (band index, band bits) finds every qualifying pair
+    * (recall 1.0) while scanning only same-band candidates. One shuffle +
+    * distinct; the verify is a codegen'd xor/bit_count. */
+  def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3): DataFrame = {
+    val nBands = maxHamming + 1
+    val bandWidth = (SimHashBits + nBands - 1) / nBands
+    val sh = simHash(df, id, text).localCheckpoint(false)
+    val bandCols = (0 until nBands).map { b =>
+      // band b covers bits [b*bandWidth, min((b+1)*bandWidth, bits))
+      val lo = b * bandWidth
+      val width = math.min(bandWidth, SimHashBits - lo)
+      shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
+    }
+    val bands = sh.select(col("__id"), col("simhash"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
+    val l = bands.select(col("band_idx"), col("band_val"),
+      col("__id").as("id_a"), col("simhash").as("__ha"))
+    val r = bands.select(col("band_idx"), col("band_val"),
+      col("__id").as("id_b"), col("simhash").as("__hb"))
+    l.join(r, Seq("band_idx", "band_val"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        hammingDistance(col("__ha"), col("__hb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+      .distinct()
+  }
 }
