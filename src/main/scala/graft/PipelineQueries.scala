@@ -102,10 +102,13 @@ object PipelineQueries {
     }),
 
     // SimHash near-dup pairs via pigeonhole banding (recall 1.0 by
-    // construction); oracle = exact pairwise hamming on the same corpus
+    // construction); oracle = exact pairwise hamming on the same corpus.
+    // Uncapped (see p06): the MaxSimHashBand default protects library
+    // users; the oracle contract requires every qualifying pair.
     "p22_simhash_neardup" -> ((s, dir) => {
       val c = corpusWithDups(s, dir).filter(col("doc_id") % 2 === 0)
-      Dedup.simHashNearDupPairs(c, col("doc_id"), col("text"), maxHamming = 3)
+      Dedup.simHashNearDupPairs(c, col("doc_id"), col("text"), maxHamming = 3,
+        maxBand = Int.MaxValue)
         .orderBy(col("id_a"), col("id_b"))
     }),
 
@@ -233,11 +236,12 @@ object PipelineQueries {
     .map(j => s"(CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END)")
     .mkString(" + ")
 
-  /** CTE chain `toks, h, s` computing per-doc simhash over `src`. */
+  /** CTE chain `toks, h, s` computing per-doc simhash over `src` (the
+    * 60-bit md5-derived hash is used whole — SimHashBits = 60). */
   private def simhashCtes(src: String): String =
     s"""toks AS (
        |  SELECT doc_id, unnest($oToks) AS t FROM $src),
-       |h AS (SELECT doc_id, (${oH("t")} % 2147483648) AS h FROM toks),
+       |h AS (SELECT doc_id, ${oH("t")} AS h FROM toks),
        |s AS (SELECT doc_id, $simhashBitSums FROM h GROUP BY doc_id)""".stripMargin
 
   private def simhashOracle: String =
@@ -367,7 +371,8 @@ object PipelineQueries {
       """WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10),
         |c AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings),
         |scored AS (
-        |  SELECT query_id, neighbor_id, round(list_cosine_similarity(qv, cv), 4) AS sim
+        |  SELECT query_id, neighbor_id,
+        |    floor(list_cosine_similarity(qv, cv) * 10000.0 + 0.5) / 10000.0 AS sim
         |  FROM q CROSS JOIN c)
         |SELECT query_id, neighbor_id, sim,
         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank

@@ -31,20 +31,42 @@ object H3Graph {
       .groupBy(col("origin"), col("destination"))
       .agg(min(col("weight")).as("weight"))
 
+  /** Bound for the single-chain (`chainCol=None`) convenience path: one
+    * chain is inherently sequential (its global-order window runs as ONE
+    * task), so that path is only valid for small, driver-adjacent chains —
+    * a traced linestring, a fixture. Corpus-scale ingestion MUST pass
+    * `chainCol`: per-chain windows run shuffle-parallel. */
+  val MaxSingleChainRows: Long = 1000000L
+
   /** P13 (DataFrame part): consecutive cells of an ordered chain become
     * bidirectional edges carrying the H3 directed-edge ids
     * (iter/edge.rs:89-141 `continuous_cells_to_edges`). Pass `chainCol`
     * (e.g. the OSM way id) when the frame holds MANY chains: the window
     * then partitions per chain and the lag runs shuffle-parallel instead
     * of collapsing to a single partition — the scale path for ingesting
-    * millions of ways. */
+    * millions of ways. Without `chainCol` the frame is treated as ONE
+    * declared chain, guarded by [[MaxSingleChainRows]]. */
   def graphFromCellChain(df: DataFrame, cellCol: String, orderCol: String,
-      chainCol: Option[String] = None): DataFrame = {
-    val w = chainCol match {
-      case Some(c) => org.apache.spark.sql.expressions.Window.partitionBy(col(c)).orderBy(col(orderCol))
-      case None => org.apache.spark.sql.expressions.Window.orderBy(col(orderCol))
+      chainCol: Option[String] = None,
+      maxSingleChainRows: Long = MaxSingleChainRows): DataFrame = {
+    val (src, w) = chainCol match {
+      case Some(c) =>
+        (df, org.apache.spark.sql.expressions.Window.partitionBy(col(c)).orderBy(col(orderCol)))
+      case None =>
+        // guard: fail fast (limit-bounded count, early-exits the scan)
+        // instead of silently collapsing an unbounded frame onto one task
+        val n = df.limit((maxSingleChainRows + 1).toInt).count()
+        require(n <= maxSingleChainRows,
+          s"graphFromCellChain without chainCol is the single-chain path (one global-order " +
+            s"window = ONE task); frame exceeds $maxSingleChainRows rows - pass chainCol " +
+            "for parallel multi-chain ingestion")
+        // declared single chain: a constant partition key keeps the same
+        // one-task execution the global order requires, but explicitly —
+        // not via the WindowExec "No Partition Defined" scale trap
+        (df.withColumn("__chain", lit(0)),
+          org.apache.spark.sql.expressions.Window.partitionBy(col("__chain")).orderBy(col(orderCol)))
     }
-    val pairs = df.select(col(cellCol).as("a"), lead(col(cellCol), 1).over(w).as("b"))
+    val pairs = src.select(col(cellCol).as("a"), lead(col(cellCol), 1).over(w).as("b"))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
     val fwd = pairs.select(col("a").as("origin"), col("b").as("destination"))
     val bwd = pairs.select(col("b").as("origin"), col("a").as("destination"))

@@ -253,7 +253,7 @@ object Dedup {
     * DuckDB round() differs on .5 boundaries; floor(x*1e4+0.5) agrees
     * bit-for-bit, the same convention as jaccard/quality). */
   private def quantizedCosine(va: Column, vb: Column, na: Column, nb: Column): Column =
-    floor(Similarity.dot(va, vb) / (na * nb) * 10000.0 + 0.5).cast("double") / 10000.0
+    Similarity.quantize4(Similarity.dot(va, vb) / (na * nb))
 
   /** near-dedup retention policy: drop the higher id of every verified
     * pair, keeping the canonical minimum representative. */
@@ -306,13 +306,19 @@ object Dedup {
     dropVerified(df, id, verified)
   }
 
-  val SimHashBits: Int = 31 // stay within positive int64 bit arithmetic
+  /** SimHash width: all 60 bits of the portable md5-derived token hash
+    * ([[TextOps.md5Long]]). 60 bits keep every band of the pigeonhole
+    * banding wide (15 bits at the default maxHamming=3): with the previous
+    * 31-bit hash, bands carried only ~8 bits — 256 distinct values — so the
+    * band self-join degenerated toward ~N²/1024 pairs at corpus scale. The
+    * assembled hash stays inside positive int64 (2^60 - 1 max). */
+  val SimHashBits: Int = 60
 
-  /** 31-bit SimHash per document over whitespace tokens (duplicates
+  /** 60-bit SimHash per document over whitespace tokens (duplicates
     * weighted by frequency). One explode + one aggregate. */
   def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("__id"), explode(TextOps.tokens(text)).as("__t"))
-      .select(col("__id"), (TextOps.md5Long(col("__t")) % (MinHashPrime + 1)).as("__h"))
+      .select(col("__id"), TextOps.md5Long(col("__t")).as("__h"))
     val bitSums = (0 until SimHashBits).map { j =>
       sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$j")
     }
@@ -326,34 +332,61 @@ object Dedup {
   /** Hamming distance between two SimHash values (codegen'd bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Hard ceiling on SimHash band membership, mirroring [[MaxLshBucket]]:
+    * a hot band value (templated/near-empty documents collapsing to one
+    * SimHash) is truncated to the smallest `MaxSimHashBand` ids instead of
+    * exploding quadratically in a single task. */
+  val MaxSimHashBand: Int = 4096
+
+  /** (lo, width) bit ranges splitting [[SimHashBits]] into `nBands` bands
+    * as evenly as possible (the first `bits % nBands` bands one bit
+    * wider) — every band keeps width >= bits/nBands >= 1. */
+  private def bandBounds(nBands: Int): Seq[(Int, Int)] = {
+    val base = SimHashBits / nBands
+    val rem = SimHashBits % nBands
+    val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
+    widths.scanLeft(0)(_ + _).zip(widths)
+  }
+
+  /** Minimum pigeonhole band width at a given hamming threshold — the
+    * selectivity floor of the band join (2^width distinct values). */
+  def simHashBandWidth(maxHamming: Int): Int = SimHashBits / (maxHamming + 1)
+
   /** SimHash near-duplicate pairs: hamming(simhash_a, simhash_b) <=
     * `maxHamming`, id_a < id_b. Pigeonhole banding: split the
     * [[SimHashBits]]-bit hash into `maxHamming + 1` bands — any pair
     * within the threshold matches on at least one full band, so the
     * equi-join on (band index, band bits) finds every qualifying pair
-    * (recall 1.0) while scanning only same-band candidates. One shuffle +
-    * distinct; the verify is a codegen'd xor/bit_count. */
+    * (recall 1.0) while scanning only same-band candidates. Pair
+    * generation is bucket-local (groupBy band, explode ordered member
+    * pairs — one shuffle) with a hot-band cap at `maxBand`: recall
+    * degrades only inside a pathological band instead of the band join
+    * going quadratic. The verify is a codegen'd xor/bit_count. */
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3): DataFrame = {
+      maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): DataFrame = {
     val nBands = maxHamming + 1
-    val bandWidth = (SimHashBits + nBands - 1) / nBands
+    // every band must carry >= 1 bit or the pigeonhole structure silently
+    // degenerates (a 0-bit band matches EVERY pair)
+    require(nBands <= SimHashBits,
+      s"maxHamming=$maxHamming needs $nBands pigeonhole bands but the hash has only $SimHashBits bits")
     val sh = simHash(df, id, text).localCheckpoint(false)
-    val bandCols = (0 until nBands).map { b =>
-      // band b covers bits [b*bandWidth, min((b+1)*bandWidth, bits))
-      val lo = b * bandWidth
-      val width = math.min(bandWidth, SimHashBits - lo)
+    val bandCols = bandBounds(nBands).map { case (lo, width) =>
       shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
     }
-    val bands = sh.select(col("__id"), col("simhash"),
+    // members ride through the aggregation as (id, hash) structs so the
+    // pair explode emits hamming directly — no join-back to the hashes
+    val bands = sh.select(struct(col("__id").as("id"), col("simhash").as("h")).as("m"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    val l = bands.select(col("band_idx"), col("band_val"),
-      col("__id").as("id_a"), col("simhash").as("__ha"))
-    val r = bands.select(col("band_idx"), col("band_val"),
-      col("__id").as("id_b"), col("simhash").as("__hb"))
-    l.join(r, Seq("band_idx", "band_val"))
-      .filter(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        hammingDistance(col("__ha"), col("__hb")).cast("long").as("hamming"))
+    bands
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(sort_array(collect_set(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+      .select(slice(col("ms"), 1, maxBand).as("ms"))
+      .select(explode(flatten(transform(col("ms"), (x, i) =>
+        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
+          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
+            hammingDistance(x.getField("h"), y.getField("h")).cast("long").as("hamming")))))).as("p"))
+      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
       .filter(col("hamming") <= maxHamming)
       .distinct()
   }

@@ -31,6 +31,14 @@ object Similarity {
     dot(ad, bd) / (l2Norm(ad) * l2Norm(bd))
   }
 
+  /** floor-quantized 4-decimal value — the cross-engine-safe quantization
+    * shared with jaccard/quality (Spark round() is decimal HALF_UP, DuckDB
+    * round() disagrees on .5 boundaries; floor(x*1e4+0.5) agrees
+    * bit-for-bit). All ANN sim outputs use this so exact oracles can be
+    * written for the approximate paths too. */
+  def quantize4(c: Column): Column =
+    floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+
   /** Exact top-k neighbors for each query vector. `queries` must be small
     * enough to broadcast (it is hint-broadcast here). Deterministic
     * ordering: (rounded cosine desc, corpus id asc). */
@@ -44,7 +52,7 @@ object Similarity {
     val c = corpus.select(corpusId.as("neighbor_id"), corpusVec.cast("array<double>").as("__cv"))
       .withColumn("__cn", l2Norm(col("__cv")))
     val scored = c.crossJoin(broadcast(q))
-      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("sim", quantize4(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
@@ -75,26 +83,51 @@ object Similarity {
     * corpus vectors by id (TakeOrdered, no global shuffle; reproducible
     * across engines and runs; a production quantizer would swap in
     * sampled/trained k-means centroids without touching the rest of the
-    * pipeline). Returns (centroid_id, centroid), broadcast-sized. */
-  def ivfCentroids(corpus: DataFrame, id: Column, vec: Column, m: Int): DataFrame =
-    corpus.select(id.as("__cid"), vec.cast("array<double>").as("centroid"))
-      .orderBy(col("__cid")).limit(m)
-      .withColumn("centroid_id", row_number().over(Window.orderBy(col("__cid"))))
-      .select(col("centroid_id"), col("centroid"))
+    * pipeline). Returns (centroid_id, centroid), broadcast-sized.
+    *
+    * centroid_id is assigned on the driver over the collected m rows —
+    * they are broadcast-sized by contract (the frame IS broadcast by every
+    * consumer), and a global row_number Window here would be the
+    * single-partition shape this module otherwise avoids. */
+  def ivfCentroids(corpus: DataFrame, id: Column, vec: Column, m: Int): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val seeds = corpus.select(id.cast("long").as("__cid"), vec.cast("array<double>").as("centroid"))
+      .orderBy(col("__cid")).limit(m).collect()
+    seeds.sortBy(_.getLong(0)).zipWithIndex
+      .map { case (r, i) => (i + 1, r.getSeq[Double](1)) }.toSeq
+      .toDF("centroid_id", "centroid")
+  }
 
-  /** IVF inverted-list assignment: each vector joins its single nearest
-    * centroid by cosine (ties broken by centroid id). At 100 TB this
+  /** IVF inverted-list assignment: each vector joins its `nprobe` nearest
+    * centroids by cosine (ties broken by centroid id). At 100 TB this
     * column IS the storage layout — `write.bucketBy(centroid_id)` makes
-    * every probe a bucket-pruned scan. */
+    * every probe a bucket-pruned scan.
+    *
+    * Scale shape: the nearest centroid is picked by a `max_by` AGGREGATION,
+    * not a per-vector row_number Window — the broadcast crossJoin
+    * co-locates all m centroid rows of a vector, so partial aggregation
+    * collapses them map-side and the shuffle carries N rows, not the N*m a
+    * Window sort would move. */
   def ivfAssign(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
       nprobe: Int = 1): DataFrame = {
     val scored = df.select(id.as("vec_id"), vec.cast("array<double>").as("embedding"))
       .crossJoin(broadcast(centroids))
       .withColumn("__csim", cosine(col("embedding"), col("centroid")))
-    val w = Window.partitionBy(col("vec_id")).orderBy(col("__csim").desc, col("centroid_id").asc)
-    scored.withColumn("__crank", row_number().over(w))
-      .filter(col("__crank") <= nprobe)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    if (nprobe == 1) {
+      scored.groupBy(col("vec_id"), col("embedding"))
+        .agg(max_by(col("centroid_id"),
+          struct(col("__csim"), (-col("centroid_id")).as("__nid"))).as("centroid_id"))
+        .select(col("vec_id"), col("embedding"), col("centroid_id"))
+    } else {
+      // top-nprobe: sort the per-vector centroid set (m entries, tiny) and
+      // slice — same (sim desc, centroid_id asc) order as the nprobe=1 path
+      scored.groupBy(col("vec_id"), col("embedding"))
+        .agg(slice(array_sort(collect_list(
+          struct((-col("__csim")).as("__negsim"), col("centroid_id")))), 1, nprobe).as("__top"))
+        .select(col("vec_id"), col("embedding"),
+          explode(col("__top.centroid_id")).as("centroid_id"))
+    }
   }
 
   /** IVF approximate top-k: corpus vectors live in their nearest
@@ -113,7 +146,7 @@ object Similarity {
       .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
       .withColumn("__qn", l2Norm(col("__qv")))
     val scored = lists.join(broadcast(probes), "centroid_id")
-      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("sim", quantize4(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)
@@ -133,7 +166,7 @@ object Similarity {
       .withColumn("__qv", col("__qv").cast("array<double>"))
       .withColumn("__qn", l2Norm(col("__qv")))
     val scored = c.join(broadcast(q), "bucket")
-      .withColumn("sim", round(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn")), 4))
+      .withColumn("sim", quantize4(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
     val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
     scored.withColumn("__rank", row_number().over(w))
       .filter(col("__rank") <= k)

@@ -79,6 +79,19 @@ class H3GraphSpec extends AnyFunSuite {
     assert(snapped.count() == 1)
   }
 
+  test("single-chain build is guarded by a declared size bound (VERDICT r03 #3)") {
+    // the chainCol=None path runs a single-partition window by necessity;
+    // a frame beyond the declared bound must fail fast, not silently
+    // collapse onto one task at scale
+    val df = chainCells.zipWithIndex.toSeq.toDF("cell", "ord")
+    intercept[IllegalArgumentException] {
+      H3Graph.graphFromCellChain(df, "cell", "ord", maxSingleChainRows = 2)
+    }
+    // within the bound, results are identical to the unguarded build
+    val g = H3Graph.graphFromCellChain(df, "cell", "ord")
+    assert(g.count() == 2 * (chainCells.length - 1))
+  }
+
   test("multi-chain build partitions the window per chain (P13 scale path)") {
     // two disjoint chains under one frame; per-chain lag must not pair
     // cells across chains
