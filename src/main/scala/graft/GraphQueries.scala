@@ -93,6 +93,59 @@ object GraphQueries {
         .orderBy(col("origin"), col("destination"))
     }),
 
+    // P13 end-to-end: OSM-shaped way-table ingestion — tags-driven
+    // analyzer (weight/skip/oneway), per-way partitioned window, duplicate
+    // -edge min across overlapping ways, cross-component isolation
+    "p23_graph_ways" -> ((s, dir) => {
+      import s.implicits._
+      val res = 8
+      val wkt1 = "LINESTRING (-122.45 37.70, -122.40 37.73)" // primary, w=3
+      val wkt4 = wkt1 // secondary duplicate of way 1 geometry, w=4
+      val wkt2 = "LINESTRING (-122.40 37.73, -122.35 37.76)" // residential oneway, w=8
+      val wkt3 = "LINESTRING (-122.42 37.68, -122.38 37.69)" // footway: skipped
+      val wkt5 = "LINESTRING (2.35 48.85, 2.38 48.87)" // tertiary, disjoint (Paris)
+      val ways = Seq(
+        (1L, Map("highway" -> "primary"), wkt1),
+        (2L, Map("highway" -> "residential", "oneway" -> "yes"), wkt2),
+        (3L, Map("highway" -> "footway"), wkt3),
+        (4L, Map("highway" -> "secondary"), wkt4),
+        (5L, Map("highway" -> "tertiary"), wkt5)).toDF("way_id", "tags", "wkt")
+      val graph = H3Graph.graphFromWays(ways, col("way_id"), col("wkt"), res,
+        H3Graph.highwayClassWeight(col("tags")), H3Graph.highwayBidirectional(col("tags")))
+
+      def trace(wkt: String): Seq[Long] = graft.h3.H3Polygon.lineStringToCells(
+        graft.h3.H3Polygon.parseLineStringWkt(wkt).get, res)
+      val c1 = trace(wkt1); val c2 = trace(wkt2); val c3 = trace(wkt3); val c5 = trace(wkt5)
+      val edges = graph.select(col("origin"), col("destination"), col("weight"))
+        .as[(Long, Long, Double)].collect()
+      val edgeMap = edges.map(e => (e._1, e._2) -> e._3).toMap
+      val nodeSet = edges.flatMap(e => Seq(e._1, e._2)).toSet
+
+      // analyzer skip: the footway contributes nothing
+      val skipOk = !c3.exists(nodeSet.contains)
+      // oneway: way-2 pairs present forward, absent backward (pairs clear
+      // of the way-1 junction overlap judged only)
+      val p2 = c2.zip(c2.tail).filter { case (a, b) => !c1.contains(a) && !c1.contains(b) }
+      val onewayOk = p2.nonEmpty &&
+        p2.forall { case (a, b) => edgeMap.contains((a, b)) && !edgeMap.contains((b, a)) }
+      // duplicate ways: overlapping primary(3)/secondary(4) edges keep 3
+      val minwOk = c1.zip(c1.tail).filter { case (a, b) => a != b }
+        .forall { case (a, b) => edgeMap.get((a, b)).contains(3.0) }
+      // cross-way isolation: the Paris component never touches SF cells
+      val sfCells = (c1 ++ c2).toSet
+      val parisOk = c5.exists(nodeSet.contains) &&
+        edges.forall(e => !(sfCells.contains(e._1) && c5.contains(e._2)) &&
+          !(c5.contains(e._1) && sfCells.contains(e._2)))
+      // connectivity through the way-1/way-2 junction; oneway blocks the
+      // reverse route
+      val lg = H3Graph.localGraph(graph)
+      val fwdRoute = H3Graph.shortestPathsLocal(s, lg, Seq(c1.head), Seq(c2.last)).count()
+      val revRoute = H3Graph.shortestPathsLocal(s, lg, Seq(c2.last), Seq(c1.head)).count()
+
+      Seq((skipOk, onewayOk, minwOk, parisOk, fwdRoute == 1L, revRoute == 0L))
+        .toDF("skip_ok", "oneway_ok", "minw_ok", "isolation_ok", "route_ok", "oneway_route_ok")
+    }),
+
     // H3-native graph laws: chain build (P13), metric routing (P6),
     // differential exclusion (P9), covered area (P11), snapping (P10)
     "h3_22_graph_native" -> ((s, dir) => {
@@ -176,6 +229,10 @@ object GraphQueries {
 
     "h3_22_graph_native" ->
       """SELECT TRUE AS route_ok, TRUE AS cost_ok, TRUE AS diff_ok,
-        |  TRUE AS iso_ok, TRUE AS covered_ok, TRUE AS snap_ok""".stripMargin
+        |  TRUE AS iso_ok, TRUE AS covered_ok, TRUE AS snap_ok""".stripMargin,
+
+    "p23_graph_ways" ->
+      """SELECT TRUE AS skip_ok, TRUE AS oneway_ok, TRUE AS minw_ok,
+        |  TRUE AS isolation_ok, TRUE AS route_ok, TRUE AS oneway_route_ok""".stripMargin
   )
 }

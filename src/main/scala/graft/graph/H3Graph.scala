@@ -1,6 +1,6 @@
 package graft.graph
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -77,6 +77,60 @@ object H3Graph {
       .agg(min(col("edge")).as("edge"), min(col("weight")).as("weight"))
   }
 
+  /** The reference's example WayAnalyzer (graph_from_osm.rs:21-48)
+    * expressed as a column over an OSM-style `map<string,string>` tags
+    * column: highway-class routing weight; NULL (analyzer `None`) means
+    * the way is skipped by [[graphFromWays]]. */
+  def highwayClassWeight(tags: Column): Column = {
+    val hw = lower(element_at(tags, "highway"))
+    when(hw.isin("motorway", "motorway_link", "trunk", "trunk_link",
+      "primary", "primary_link"), 3.0)
+      .when(hw.isin("secondary", "secondary_link"), 4.0)
+      .when(hw.isin("tertiary", "tertiary_link"), 5.0)
+      .when(hw.isin("unclassified", "residential", "living_street", "service"), 8.0)
+      .when(hw === "road", 9.0)
+      .when(hw === "pedestrian", 50.0)
+  }
+
+  /** oneway handling of the example analyzer (graph_from_osm.rs:36-42):
+    * bidirectional unless `oneway=yes` (reversed `oneway=-1` unsupported
+    * there too). */
+  def highwayBidirectional(tags: Column): Column =
+    coalesce(lower(element_at(tags, "oneway")) =!= "yes", lit(true))
+
+  /** P13 end-to-end: OSM-shaped way-table ingestion
+    * (io/osm.rs:25-121 minus the PBF binary datasource — the way-table
+    * contract `(way_id, tags, linestring)` is the engine's entry point;
+    * PBF->parquet extraction is an offline prep step). Per way: the
+    * analyzer columns decide weight (NULL = skip way) and
+    * bidirectionality; the linestring is traced to a cell chain at `res`
+    * (G3); consecutive cells pair into directed edges under a PER-WAY
+    * window (shuffle-parallel over millions of ways — the scale path);
+    * duplicate edges across ways keep the minimum weight
+    * (h3edge.rs:96-109). Output schema matches [[graphFromEdgeList]] +
+    * `edge`. */
+  def graphFromWays(ways: DataFrame, wayId: Column, wkt: Column, res: Int,
+      weight: Column, bidirectional: Column): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__way")).orderBy(col("__ord"))
+    val traced = ways
+      .select(wayId.as("__way"), weight.cast("double").as("__w"),
+        coalesce(bidirectional, lit(true)).as("__bidir"), wkt.as("__wkt"))
+      .filter(col("__w").isNotNull)
+      .select(col("__way"), col("__w"), col("__bidir"),
+        posexplode(h3_linestring_to_cells(col("__wkt"), lit(res))).as(Seq("__ord", "__cell")))
+    val pairs = traced
+      .select(col("__way"), col("__w"), col("__bidir"), col("__cell").as("a"),
+        lead(col("__cell"), 1).over(w).as("b"))
+      .filter(col("b").isNotNull && col("a") =!= col("b"))
+    val fwd = pairs.select(col("a").as("origin"), col("b").as("destination"), col("__w"))
+    val bwd = pairs.filter(col("__bidir"))
+      .select(col("b").as("origin"), col("a").as("destination"), col("__w"))
+    fwd.unionByName(bwd)
+      .withColumn("edge", h3_cells_to_directed_edge(col("origin"), col("destination")))
+      .groupBy(col("origin"), col("destination"))
+      .agg(min(col("edge")).as("edge"), min(col("__w")).as("weight"))
+  }
+
   /** P2: nodes with Origin / Destination / OriginAndDestination typing
     * (h3edge.rs:128-157). */
   def nodes(graph: DataFrame): DataFrame = {
@@ -108,26 +162,98 @@ object H3Graph {
       .agg(aggFn(col("weight")).as("weight"))
   }
 
-  /** P5: adjacency for broadcast — (origin -> [(dest, weight)...]) with
-    * deterministic neighbor order. */
-  def collectAdjacency(graph: DataFrame): Map[Long, Array[(Long, Double)]] =
-    graph.select(col("origin"), col("destination"), col("weight").cast("double"))
-      .collect()
-      .groupBy(_.getLong(0))
-      .map { case (o, rows) =>
-        o -> rows.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
-      }
+  /** Ceiling for the broadcast-adjacency routing path: ~8.4M edges ≈ a few
+    * hundred MB on the driver and per executor. The reference shares this
+    * in-memory bound (`PreparedH3EdgeGraph`, prepared.rs:74-79); beyond it,
+    * use [[shortestPathsIterative]] (distributed relaxation) or
+    * [[downsample]] to a coarser resolution first. */
+  val MaxBroadcastEdges: Int = 8 << 20
 
-  /** P5: a collected graph — adjacency plus derived node set — reusable
-    * across routing calls so one driver collect serves many queries
-    * (mirrors the reference preparing `PreparedH3EdgeGraph` once,
-    * prepared.rs:408-442). */
-  final case class LocalGraph(adj: Map[Long, Array[(Long, Double)]], nodes: Set[Long]) {
-    /** graph view with a cell set removed (ExcludeCells, modifiers.rs:11-93). */
+  /** P5: adjacency for broadcast — (origin -> [(dest, weight)...]) with
+    * deterministic neighbor order. The collect itself is bounded by
+    * `maxEdges` (limit pushdown), so an over-size graph fails fast with an
+    * actionable error instead of OOMing the driver. */
+  def collectAdjacency(graph: DataFrame,
+      maxEdges: Int = MaxBroadcastEdges): Map[Long, Array[(Long, Double)]] = {
+    val rows = graph.select(col("origin"), col("destination"), col("weight").cast("double"))
+      .limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"graph exceeds $maxEdges edges - beyond the broadcast-adjacency routing path. " +
+        "Use shortestPathsIterative (distributed relaxation) for graphs this size, " +
+        "or downsample() to a coarser resolution first")
+    rows
+      .groupBy(_.getLong(0))
+      .map { case (o, rs) =>
+        o -> rs.map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1)
+      }
+  }
+
+  /** A contracted fork-free chain (the reference's `LongEdge`,
+    * longedge.rs:37-47): entering the chain at its head via `firstHop`
+    * reaches `dest` at cost `weight`; `cellPath` is the full cell walk
+    * head..dest (path decompression + exclusion/destination disjointness
+    * tests, mirroring the reference's `cell_lookup` treemap). */
+  final case class LongEdge(firstHop: Long, dest: Long, weight: Double, cellPath: Array[Long])
+
+  /** Minimum chain length (in edges) worth contracting
+    * (MIN_LONGEDGE_LENGTH, prepared.rs:259). */
+  val MinLongEdgeLength: Int = 3
+
+  /** Long-edge contraction (prepared.rs:260-345): for every edge (u,v)
+    * that can START a chain — the count of edges leading into u from cells
+    * other than v differs from 1 (a junction, a dead start, or a one-way
+    * head) — follow the unique continuations (excluding the immediate
+    * backward edge) until a junction, end, or edge-cycle, and record
+    * chains of >= `minEdges` edges as [[LongEdge]] shortcuts keyed by
+    * origin. Results are provably identical with or without the shortcuts
+    * (a shortcut replays an existing path at the identical cost); deep
+    * chain graphs settle O(junctions) nodes instead of O(cells). */
+  private[graph] def contractLongEdges(adj: Map[Long, Array[(Long, Double)]],
+      minEdges: Int = MinLongEdgeLength): Map[Long, Array[LongEdge]] = {
+    val inNbrs = mutable.HashMap.empty[Long, mutable.HashSet[Long]]
+    for ((u, arr) <- adj; (v, _) <- arr)
+      inNbrs.getOrElseUpdate(v, mutable.HashSet.empty) += u
+    val out = mutable.HashMap.empty[Long, mutable.ArrayBuffer[LongEdge]]
+    for ((u, arr) <- adj; (v0, w0) <- arr) {
+      val incoming = inNbrs.getOrElse(u, mutable.HashSet.empty[Long])
+      val nLeadIn = incoming.size - (if (incoming.contains(v0)) 1 else 0)
+      if (nLeadIn != 1) {
+        val path = mutable.ArrayBuffer(u, v0)
+        val seen = mutable.HashSet((u, v0))
+        var prev = u; var cur = v0; var total = w0; var go = true
+        while (go) {
+          val conts = adj.getOrElse(cur, Array.empty[(Long, Double)]).filter(_._1 != prev)
+          if (conts.length != 1) go = false
+          else {
+            val (nxt, w) = conts(0)
+            if (!seen.add((cur, nxt))) go = false // stop on edge cycles
+            else { path += nxt; total += w; prev = cur; cur = nxt }
+          }
+        }
+        if (path.length - 1 >= minEdges)
+          out.getOrElseUpdate(u, mutable.ArrayBuffer.empty) +=
+            LongEdge(v0, cur, total, path.toArray)
+      }
+    }
+    out.map { case (k, v) => k -> v.sortBy(le => (le.firstHop, le.dest)).toArray }.toMap
+  }
+
+  /** P5: a collected graph — adjacency, derived node set, and long-edge
+    * shortcuts — reusable across routing calls so one driver collect
+    * serves many queries (mirrors the reference preparing
+    * `PreparedH3EdgeGraph` once, prepared.rs:408-442). */
+  final case class LocalGraph(adj: Map[Long, Array[(Long, Double)]], nodes: Set[Long],
+      longEdges: Map[Long, Array[LongEdge]] = Map.empty) {
+    /** graph view with a cell set removed (ExcludeCells, modifiers.rs:11-93);
+      * shortcuts whose chain touches an excluded cell are dropped (their
+      * single-edge walk is then correctly cut at the excluded cell). */
     def excluding(cells: Set[Long]): LocalGraph = {
       val adj2 = (adj -- cells).map { case (o, arr) => o -> arr.filterNot(t => cells(t._1)) }
         .filter(_._2.nonEmpty)
-      LocalGraph(adj2, adj2.keySet ++ adj2.valuesIterator.flatMap(_.map(_._1)))
+      val le2 = longEdges.collect { case (o, arr) if !cells(o) =>
+        o -> arr.filterNot(_.cellPath.exists(cells))
+      }.filter(_._2.nonEmpty)
+      LocalGraph(adj2, adj2.keySet ++ adj2.valuesIterator.flatMap(_.map(_._1)), le2)
     }
     /** total weight over undirected edges (each symmetric pair once). */
     def totalUndirectedWeight: Double =
@@ -136,32 +262,46 @@ object H3Graph {
 
   def localGraph(graph: DataFrame): LocalGraph = {
     val adj = collectAdjacency(graph)
-    LocalGraph(adj, adj.keySet ++ adj.valuesIterator.flatMap(_.map(_._1)))
+    LocalGraph(adj, adj.keySet ++ adj.valuesIterator.flatMap(_.map(_._1)),
+      contractLongEdges(adj))
   }
 
-  /** deterministic local Dijkstra; returns dest -> (cost, predecessor). */
-  private def dijkstra(adj: Map[Long, Array[(Long, Double)]], source: Long,
-      targets: Set[Long], maxCost: Double): mutable.LongMap[(Double, Long)] = {
-    val settled = new mutable.LongMap[(Double, Long)]()
+  /** deterministic local Dijkstra; returns dest -> (cost, predecessor,
+    * via-path). A single-edge hop settles with `via = null`; a long-edge
+    * hop settles with the full chain cell path (pred..node) for path
+    * decompression. Following the reference (dijkstra.rs:186-204), a
+    * shortcut REPLACES its first single edge when the chain contains no
+    * target cell — interior chain cells are then never enqueued — and
+    * falls back to the single edge otherwise (so targets inside a chain
+    * are still reached step by step). */
+  private[graph] def dijkstra(adj: Map[Long, Array[(Long, Double)]],
+      shortcuts: Map[Long, Array[LongEdge]], source: Long,
+      targets: Set[Long], maxCost: Double): mutable.LongMap[(Double, Long, Array[Long])] = {
+    val settled = new mutable.LongMap[(Double, Long, Array[Long])]()
     val best = new mutable.LongMap[Double]()
-    // (cost, node, pred) ordered by cost then node id for determinism
-    implicit val ord: Ordering[(Double, Long, Long)] =
-      Ordering.by[(Double, Long, Long), (Double, Long)](t => (-t._1, -t._2))
-    val pq = mutable.PriorityQueue.empty[(Double, Long, Long)]
-    pq.enqueue((0.0, source, source))
+    // (cost, node, pred, via) ordered by cost then node id for determinism
+    implicit val ord: Ordering[(Double, Long, Long, Array[Long])] =
+      Ordering.by[(Double, Long, Long, Array[Long]), (Double, Long)](t => (-t._1, -t._2))
+    val pq = mutable.PriorityQueue.empty[(Double, Long, Long, Array[Long])]
+    pq.enqueue((0.0, source, source, null))
     best(source) = 0.0
     var remaining = if (targets.isEmpty) Int.MaxValue else targets.size
     while (pq.nonEmpty && remaining > 0) {
-      val (cost, node, pred) = pq.dequeue()
+      val (cost, node, pred, via) = pq.dequeue()
       if (!settled.contains(node) && cost <= maxCost) {
-        settled(node) = (cost, pred)
+        settled(node) = (cost, pred, via)
         if (targets.contains(node)) remaining -= 1
+        val les = shortcuts.getOrElse(node, Array.empty[LongEdge])
         for ((next, w) <- adj.getOrElse(node, Array.empty)) {
-          val c2 = cost + w
-          if (c2 <= maxCost && !settled.contains(next) &&
-              best.get(next).forall(c2 < _)) {
-            best(next) = c2
-            pq.enqueue((c2, next, node))
+          val le = les.find(l => l.firstHop == next && !l.cellPath.exists(targets.contains))
+          val (relaxTo, c2, path) = le match {
+            case Some(l) => (l.dest, cost + l.weight, l.cellPath)
+            case None => (next, cost + w, null)
+          }
+          if (c2 <= maxCost && !settled.contains(relaxTo) &&
+              best.get(relaxTo).forall(c2 < _)) {
+            best(relaxTo) = c2
+            pq.enqueue((c2, relaxTo, node, path))
           }
         }
       }
@@ -206,6 +346,7 @@ object H3Graph {
     val nodeSet = lg.nodes
     val bAdj = spark.sparkContext.broadcast(adj)
     val bNodes = spark.sparkContext.broadcast(nodeSet)
+    val bLong = spark.sparkContext.broadcast(lg.longEdges)
     val destSnapped: Map[Long, Long] = destinations.flatMap { d =>
       snapToNode(d, nodeSet, maxSnapK).map(d -> _)
     }.toMap
@@ -221,14 +362,19 @@ object H3Graph {
       rows.flatMap { r =>
         val rawOrigin = r.getLong(0)
         snapToNode(rawOrigin, nodesL, maxSnapK).iterator.flatMap { source =>
-          val settled = dijkstra(adjL, source, targets, Double.MaxValue)
+          val settled = dijkstra(adjL, bLong.value, source, targets, Double.MaxValue)
           destL.iterator.flatMap { case (rawDest, snappedDest) =>
-            settled.get(snappedDest).map { case (cost, _) =>
-              // reconstruct path by predecessor chain
-              val path = mutable.ArrayBuffer(snappedDest)
+            settled.get(snappedDest).map { case (cost, _, _) =>
+              // reconstruct path by predecessor chain, decompressing
+              // long-edge hops into their full cell walk (path.rs parity)
+              var segs: List[Array[Long]] = Nil
               var cur = snappedDest
-              while (cur != source) { cur = settled(cur)._2; path += cur }
-              Row(rawOrigin, rawDest, cost, path.reverse.toArray)
+              while (cur != source) {
+                val (_, pred, via) = settled(cur)
+                segs = (if (via != null) via.drop(1) else Array(cur)) :: segs
+                cur = pred
+              }
+              Row(rawOrigin, rawDest, cost, (Array(source) :: segs).toArray.flatten)
             }
           }
         }
@@ -261,12 +407,57 @@ object H3Graph {
       rows.flatMap { r =>
         val rawOrigin = r.getLong(0)
         snapToNode(rawOrigin, bNodes.value, maxSnapK).iterator.flatMap { source =>
-          dijkstra(adjL, source, Set.empty, threshold).iterator.map {
-            case (cell, (cost, _)) => Row(rawOrigin, cell, cost)
+          // no shortcuts: the flood must settle every interior chain cell
+          // (the reference's threshold dijkstra likewise skips longedges,
+          // dijkstra.rs:103)
+          dijkstra(adjL, Map.empty, source, Set.empty, threshold).iterator.map {
+            case (cell, (cost, _, _)) => Row(rawOrigin, cell, cost)
           }
         }
       }
     }
+  }
+
+  /** Distributed SSSP for graphs beyond [[MaxBroadcastEdges]]: Pregel-style
+    * iterative relaxation entirely in DataFrames. State is
+    * `(cell, src, cost)` = best known cost from origin `src` to `cell`;
+    * each round joins the improved frontier against the edge table (an
+    * equi-join Catalyst plans as a shuffle join — or broadcast, if the
+    * frontier is small under AQE) and keeps per-(cell, src) minima with a
+    * map-side partial min. Converges in <= graph-diameter rounds; lineage
+    * is cut per round with localCheckpoint. Costs match local Dijkstra
+    * exactly (spec-pinned); paths are not materialized on this path —
+    * predecessor reconstruction at this scale belongs in storage, not a
+    * result column. Origins/destinations must be graph nodes (no snapping
+    * on the distributed path). */
+  def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
+      destinations: Seq[Long], maxRounds: Int = 256): DataFrame = {
+    import spark.implicits._
+    val edges = graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+      col("weight").cast("double").as("__ew")).localCheckpoint(false)
+    var best = origins.distinct.toDF("cell")
+      .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
+      .localCheckpoint(false)
+    var frontier = best
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val relaxed = frontier.join(edges, col("cell") === col("__eo"))
+        .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
+      val nb = best.unionByName(relaxed)
+        .groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost"))
+        .localCheckpoint(false)
+      frontier = nb.join(best.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select(col("cell"), col("src"), col("cost"))
+        .localCheckpoint(false)
+      converged = frontier.isEmpty
+      best = nb
+      round += 1
+    }
+    val dests = destinations.distinct.toDF("cell")
+    best.join(broadcast(dests), "cell")
+      .select(col("src").as("origin"), col("cell").as("destination"), col("cost"))
   }
 
   /** P9: differential routing — costs before and after excluding a cell
