@@ -199,7 +199,9 @@ object GeoQueries {
           h3_cells_to_multipolygon_wkt(col("cells"), lit(true)).as("wkt_smooth"))
         .select(
           (size(split(col("wkt_all"), "\\(\\(")) === 2).as("one_outer_ok"),
-          (length(col("wkt_smooth")) > length(col("wkt_all"))).as("smooth_more_ok"),
+          // Chaikin + Visvalingam-Whyatt (reference parity) REDUCES the
+          // vertex count: the smoothed ring must be strictly simpler
+          (length(col("wkt_smooth")) < length(col("wkt_all"))).as("smooth_simplifies_ok"),
           col("wkt_all").startsWith("MULTIPOLYGON").as("prefix_ok"))
       val grouped = cellsDf
         .groupBy(h3_cell_to_parent(col("cell"), lit(4)).as("parent"))
@@ -405,7 +407,7 @@ object GeoQueries {
     "h3_19_local_ij" ->
       allTrue(Seq("rt_ok", "near_ok"), "WHERE event_id < 1000"),
     "h3_20_dissolve" ->
-      allTrue(Seq("one_outer_ok", "smooth_more_ok", "prefix_ok", "groups_ok"), perEvent = false),
+      allTrue(Seq("one_outer_ok", "smooth_simplifies_ok", "prefix_ok", "groups_ok"), perEvent = false),
     "h3_21_spatial_filter" ->
       allTrue(Seq("exact_implies_coarse", "centroid_implies_exact"), "WHERE event_id < 2500"),
     "h3_24_geometry_dispatch" ->

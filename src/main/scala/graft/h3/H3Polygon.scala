@@ -348,6 +348,34 @@ object H3Polygon {
    * rings with their holes as WKT MULTIPOLYGON. Optional Chaikin smoothing
    * pass (to_geo.rs smoothen, smoothen.rs:66-106).
    */
+  private def triArea(a: (Double, Double), b: (Double, Double), c: (Double, Double)): Double =
+    math.abs((b._1 - a._1) * (c._2 - a._2) - (c._1 - a._1) * (b._2 - a._2)) / 2.0
+
+  /** Visvalingam-Whyatt simplification (reference smoothen.rs:53-63 via
+    * geo `SimplifyVw`): repeatedly drop the interior vertex with the
+    * smallest effective triangle area while that minimum stays under
+    * `eps`; endpoints are never dropped. Rings here are tens-to-hundreds
+    * of vertices, so the O(n^2) greedy scan is simpler than a heap and
+    * equivalent in output. */
+  private def simplifyVw(pts: Array[(Double, Double)], eps: Double): Array[(Double, Double)] = {
+    if (pts.length < 3) return pts
+    val alive = mutable.ArrayBuffer.from(pts)
+    var removedOne = true
+    while (removedOne && alive.length > 2) {
+      var minIdx = -1
+      var minArea = Double.MaxValue
+      var i = 1
+      while (i < alive.length - 1) {
+        val a = triArea(alive(i - 1), alive(i), alive(i + 1))
+        if (a < minArea) { minArea = a; minIdx = i }
+        i += 1
+      }
+      if (minIdx >= 0 && minArea < eps) alive.remove(minIdx)
+      else removedOne = false
+    }
+    alive.toArray
+  }
+
   def cellsToMultiPolygonWkt(cells: Array[Long], smoothen: Boolean = false): String = {
     val distinct = cells.distinct.filter(H3Core.isValidCell)
     // directed boundary edges with canceled interior pairs
@@ -406,17 +434,23 @@ object H3Polygon {
     def maybeSmooth(ring: Array[(Double, Double)]): Array[(Double, Double)] =
       if (!smoothen || ring.length < 3) ring
       else {
-        // one modified Chaikin pass: replace each vertex pair with cut points
-        val out = new Array[(Double, Double)](ring.length * 2)
-        var i = 0
-        while (i < ring.length) {
-          val (x1, y1) = ring(i)
-          val (x2, y2) = ring((i + 1) % ring.length)
-          out(2 * i) = (0.75 * x1 + 0.25 * x2, 0.75 * y1 + 0.25 * y2)
-          out(2 * i + 1) = (0.25 * x1 + 0.75 * x2, 0.25 * y1 + 0.75 * y2)
-          i += 1
+        // reference smoothing (smoothen.rs:17-64), both passes:
+        // 1. modified Chaikin — hexagon edges are equal length, so ONE
+        //    midpoint per edge replaces the two classic cut points; the
+        //    ring's closing vertex is preserved and the ring rotated by 4
+        //    so the VW-fixed endpoints sit away from the seam
+        val n = ring.length
+        val mids = Array.tabulate(n) { i =>
+          val (x1, y1) = ring(i); val (x2, y2) = ring((i + 1) % n)
+          (0.5 * x1 + 0.5 * x2, 0.5 * y1 + 0.5 * y2)
         }
-        out
+        val out = mids :+ ring(0)
+        val r = math.min(out.length, 4)
+        val rotated = out.takeRight(r) ++ out.dropRight(r)
+        // 2. Visvalingam-Whyatt sweep dropping vertices whose effective
+        //    triangle area is under 0.75x the hexagon corner area (the
+        //    triangle of the first three PRE-smoothing ring vertices)
+        simplifyVw(rotated, 0.75 * triArea(ring(0), ring(1), ring(2)))
       }
     // cell boundary rings share one orientation (whatever sign that is in
     // planar lng/lat); outer rings of the dissolved region inherit it and

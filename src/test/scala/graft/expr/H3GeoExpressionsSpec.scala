@@ -184,6 +184,30 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(wkt.contains("), ("), s"expected a hole ring in ${wkt.take(120)}")
   }
 
+  test("smoothing conformance: donut smooths to <10 verts/ring, topology kept (smoothen.rs:85-110)") {
+    // port of the reference's smooth_donut_linked_polygon test: a k=4
+    // grid ring at res 6 dissolves to one outer ring + one hole; the
+    // Chaikin + Visvalingam-Whyatt smoothing must reduce each ring to
+    // fewer than 10 vertices without changing the ring topology
+    val center = H3Geo.latLngToCell(12.3, 23.3, 6)
+    val ring4 = H3Traversal.gridRing(center, 4)
+    def ringSizes(smooth: Boolean): Seq[Int] = {
+      val wkt = Seq(1).toDF("x")
+        .select(h3_cells_to_multipolygon_wkt(lit(ring4), lit(smooth)).as("w"))
+        .as[String].head()
+      assert(wkt.startsWith("MULTIPOLYGON"))
+      assert("\\(\\(".r.findAllIn(wkt).length == 1, s"one polygon expected: ${wkt.take(100)}")
+      "\\(([^()]+)\\)".r.findAllMatchIn(wkt).map(_.group(1).count(_ == ',') + 1).toSeq
+    }
+    val raw = ringSizes(smooth = false)
+    val smoothed = ringSizes(smooth = true)
+    assert(raw.length == 2 && smoothed.length == 2, "outer + hole on both sides")
+    assert(smoothed.forall(_ < 10), s"smoothed ring sizes $smoothed")
+    // vertex-count REDUCTION: the VW sweep must simplify, not inflate
+    raw.zip(smoothed.sorted.reverse).foreach { case (r, _) => () }
+    assert(smoothed.sum < raw.sum, s"expected reduction, got $raw -> $smoothed")
+  }
+
   test("conjunct-ordering rule gates exact geometry behind cheap predicates") {
     H3Optimizations.register(spark)
     val wkt = "POLYGON ((-122.5 37.6, -122.2 37.6, -122.2 37.9, -122.5 37.9, -122.5 37.6))"
