@@ -7,8 +7,9 @@ import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
 /**
  * Training-data pipeline operators as driver-contract queries with DuckDB
  * oracles. Hashes are md5-derived (engine-portable), arithmetic is explicit
- * double/bigint, so every operator except the LSH-ANN variant has an exact
- * relational oracle.
+ * double/bigint, and the LSH/IVF structures (hyperplane sign tests, IVF
+ * argmax) are replicated with bit-exact left-assoc arithmetic, so EVERY
+ * operator — including the approximate ANN paths — has an exact oracle.
  */
 object PipelineQueries {
 
@@ -136,8 +137,8 @@ object PipelineQueries {
         .select(col("doc_id")).orderBy(col("doc_id"))
     }),
 
-    // LSH-bucketed ANN: scale path; no SQL oracle (rows-only check) — the
-    // ScalaTest suite checks its recall against brute force instead.
+    // LSH-bucketed ANN: scale path; exact oracle (the deterministic
+    // hyperplane signature is replicated in SQL) + recall spec vs brute force
     "p12_ann_lsh_bucketed" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.bucketedCosineTopK(e, col("vec_id"), col("embedding"),
@@ -154,8 +155,8 @@ object PipelineQueries {
         .orderBy(col("id_a"), col("id_b"))
     }),
 
-    // LSH-bucketed embedding near-dedup: scale path; rows-only check, the
-    // ScalaTest suite pins planted-duplicate removal + recall instead
+    // LSH-bucketed embedding near-dedup: scale path; exact oracle
+    // (replicated signature) + planted-duplicate/recall specs
     "p19_embed_neardup_lsh" -> ((s, dir) => {
       Dedup.embeddingNearDupLsh(embCorpusWithDups(s, dir),
         col("vec_id"), col("v"), dim = 64, bits = 4, threshold = 0.995)
@@ -185,7 +186,7 @@ object PipelineQueries {
     }),
 
     // IVF ANN: inverted-list scale path (coarse quantize -> probe nprobe
-    // lists); rows-only check, recall spec-checked against brute force
+    // lists); exact oracle (bit-exact assignment argmax) + recall spec
     "p20_ann_ivf" -> ((s, dir) => {
       val e = embs(s, dir)
       Similarity.ivfCosineTopK(e, col("vec_id"), col("embedding"),
@@ -297,6 +298,29 @@ object PipelineQueries {
 
   private def brightnessSql: String =
     "round((" + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ") + ") / 16.0, 2)"
+
+  /** Left-assoc dot product over 1-based DuckDB list columns — the same
+    * accumulation order as DoubleArrayDot's codegen'd loop, so both engines
+    * produce bit-identical doubles. Required wherever cosines feed
+    * UNQUANTIZED comparisons (hyperplane sign tests, IVF argmax); the
+    * quantized output sims can use list_cosine_similarity (p08-proven). */
+  private def dotSql(a: String, b: String, dim: Int): String =
+    (1 to dim).map(k => s"$a[$k]*$b[$k]").mkString("(", " + ", ")")
+
+  /** Hyperplane signature over a DOUBLE[] column — mirrors
+    * Similarity.hyperplaneSignature bit for bit: per plane i the sign of
+    * the left-assoc sum of v[j] * (numerator/48.0); both engines evaluate
+    * the identical integer-numerator IEEE division, products and sum order,
+    * so the sign test (a HARD, unquantized threshold) agrees exactly. */
+  private def sigSql(v: String, dim: Int, bits: Int): String =
+    (0 until bits).map { i =>
+      val d = (0 until dim).map { j =>
+        s"$v[${j + 1}]*(${graft.pipeline.Similarity.planeNumerator(i, j)}/48.0)"
+      }.mkString("(", " + ", ")")
+      s"(CASE WHEN $d > 0 THEN ${1L << i} ELSE 0 END)"
+    }.mkString("(", " + ", ")")
+
+  private val qCos = "floor(list_cosine_similarity(qv, cv) * 10000.0 + 0.5) / 10000.0"
 
   def oracleSql: Map[String, String] = Map(
     // min doc_id per distinct text: the source corpus itself may contain
@@ -441,8 +465,80 @@ object PipelineQueries {
         |SELECT id_a, id_b, sim FROM scored
         |WHERE sim >= 0.995
         |ORDER BY id_a, id_b""".stripMargin,
-    // p19_embed_neardup_lsh, p20_ann_ivf: intentionally no oracle
-    // (rows-only checks; recall pinned against brute force in PipelineSpec)
+
+    // LSH near-dedup: the bucket signature is replicated exactly (sigSql);
+    // verification cosine is quantized (p18-proven agreement on this corpus)
+    "p19_embed_neardup_lsh" ->
+      s"""WITH base AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings WHERE vec_id < 400),
+         |corpus AS (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+         |  FROM base WHERE vec_id % 5 = 0),
+         |bk AS (SELECT vec_id, v, ${sigSql("v", 64, 4)} AS bucket FROM corpus),
+         |verified AS (
+         |  SELECT b.vec_id AS id_b
+         |  FROM bk a JOIN bk b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+         |  WHERE floor(list_cosine_similarity(a.v, b.v) * 10000.0 + 0.5) / 10000.0 >= 0.995)
+         |SELECT vec_id FROM corpus
+         |WHERE vec_id NOT IN (SELECT id_b FROM verified)
+         |ORDER BY vec_id""".stripMargin,
+
+    // LSH-bucketed ANN: same replicated signature; candidates restricted to
+    // the query's bucket, ranked by quantized cosine
+    "p12_ann_lsh_bucketed" ->
+      s"""WITH cb AS (
+         |  SELECT neighbor_id, cv, ${sigSql("cv", 64, 4)} AS bucket
+         |  FROM (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)),
+         |qb AS (
+         |  SELECT query_id, qv, ${sigSql("qv", 64, 4)} AS bucket
+         |  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10)),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $qCos AS sim
+         |  FROM cb JOIN qb USING (bucket))
+         |SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // IVF ANN: centroid seeding (first m by id), assignment argmax and
+    // probe top-nprobe replicated with bit-exact left-assoc dot products
+    // (unquantized comparisons); final candidate ranking by quantized cosine
+    "p20_ann_ivf" ->
+      s"""WITH cents AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS centroid,
+         |    sqrt(${dotSql("v", "v", 64)}) AS tn
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings ORDER BY vec_id LIMIT 16)),
+         |corpus AS (
+         |  SELECT vec_id AS neighbor_id, cv, sqrt(${dotSql("cv", "cv", 64)}) AS cn
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings)),
+         |queries AS (
+         |  SELECT vec_id AS query_id, qv, sqrt(${dotSql("qv", "qv", 64)}) AS qn
+         |  FROM (SELECT vec_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10)),
+         |lists AS (
+         |  SELECT neighbor_id, cv, centroid_id FROM (
+         |    SELECT c.neighbor_id, c.cv, t.centroid_id,
+         |      row_number() OVER (PARTITION BY c.neighbor_id
+         |        ORDER BY (${dotSql("c.cv", "t.centroid", 64)} / (c.cn * t.tn)) DESC,
+         |          t.centroid_id) AS rnk
+         |    FROM corpus c CROSS JOIN cents t) WHERE rnk = 1),
+         |probes AS (
+         |  SELECT query_id, qv, centroid_id FROM (
+         |    SELECT q.query_id, q.qv, t.centroid_id,
+         |      row_number() OVER (PARTITION BY q.query_id
+         |        ORDER BY (${dotSql("q.qv", "t.centroid", 64)} / (q.qn * t.tn)) DESC,
+         |          t.centroid_id) AS rnk
+         |    FROM queries q CROSS JOIN cents t) WHERE rnk <= 4),
+         |scored AS (
+         |  SELECT query_id, neighbor_id, $qCos AS sim
+         |  FROM lists JOIN probes USING (centroid_id))
+         |SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "p11_frame_sample" ->
       """WITH frames AS (
@@ -454,6 +550,5 @@ object PipelineQueries {
         |    FOR i IN range(1, least(32, octet_length(text::BLOB) - f * 32) + 1)]) AS BIGINT) AS frame_bytes
         |FROM frames
         |ORDER BY doc_id, frame_idx""".stripMargin
-    // p12_ann_lsh_bucketed: intentionally no oracle (rows-only check)
   )
 }

@@ -59,10 +59,16 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
   }
 
+  /** Integer numerator of [[planeComponent]] — shared with the DuckDB
+    * oracle generator (PipelineQueries) so both engines evaluate the
+    * identical `numerator / 48.0` IEEE division. */
+  private[graft] def planeNumerator(i: Int, j: Int): Int =
+    ((1009 * i + 9176 * j + 31) % 97) - 48
+
   /** Deterministic pseudo-random hyperplane component j of plane i —
     * integers in [-48, 48] scaled; fixed across engines and runs. */
   private def planeComponent(i: Int, j: Int): Double =
-    (((1009 * i + 9176 * j + 31) % 97) - 48) / 48.0
+    planeNumerator(i, j) / 48.0
 
   /** `bits`-bit signature: bit i = (dot(v, plane_i) > 0). */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
