@@ -36,6 +36,18 @@ object H3Clusters {
   def cellClusters(df: DataFrame, cellCol: String, valueCol: Option[String] = None,
       fixedRounds: Option[Int] = None, maxIterations: Int = 64): DataFrame = {
     val keyCols: Seq[Column] = col(cellCol) +: valueCol.map(col).toSeq
+    val keyNames: Seq[String] = cellCol +: valueCol.toSeq
+    // null-safe equi-join on the key columns: a plain USING join drops
+    // NULL-cell (or NULL-value) rows because NULL = NULL is not true; the
+    // contract is that such rows stay as singleton clusters (cluster =
+    // their own — possibly NULL — cell id), matching invalid-cell handling
+    def joinOnKeys(left: DataFrame, right: DataFrame): DataFrame = {
+      val l = left.alias("l"); val r = right.alias("r")
+      val cond = keyNames.map(k => col(s"l.$k") <=> col(s"r.$k")).reduce(_ && _)
+      l.join(r, cond).select(
+        (left.columns.toSeq.map(c => col(s"l.$c")) ++
+          right.columns.filterNot(keyNames.contains).map(c => col(s"r.$c"))): _*)
+    }
     var labels = df.select(keyCols: _*).distinct()
       .withColumn("cluster", col(cellCol))
 
@@ -57,7 +69,7 @@ object H3Clusters {
           col("cluster") +: valueCol.map(col).toSeq): _*)
       val agg = msgs.groupBy(keyCols: _*).agg(min(col("cluster")).as("cluster"))
       // restrict to the actual cell set (ring messages spill outside it)
-      current.select(keyCols: _*).join(agg, cellCol +: valueCol.toSeq)
+      joinOnKeys(current.select(keyCols: _*), agg)
     }
 
     fixedRounds match {
@@ -79,8 +91,8 @@ object H3Clusters {
           iter += 1
         }
     }
-    df.join(labels.select((col(cellCol) +: valueCol.map(col).toSeq :+ col("cluster")): _*),
-      cellCol +: valueCol.toSeq)
+    joinOnKeys(df,
+      labels.select((col(cellCol) +: valueCol.map(col).toSeq :+ col("cluster")): _*))
   }
 
   /** C8: aggregate bounding rect of all cells in a column — one row

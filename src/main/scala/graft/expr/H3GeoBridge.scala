@@ -238,4 +238,21 @@ object H3GeoBridge {
 
   def hexagonAreaAvgM2(res: Int): java.lang.Double =
     if (res < 0 || res > 15) null else java.lang.Double.valueOf(avgHexAreaKm2(res) * 1e6)
+
+  /** E7: average directed-edge length at a res (directed_edge.rs:53-70),
+    * table-backed (H3Tables.edgeLengthAvgKm). */
+  def edgeLengthAvgKm(res: Int): java.lang.Double =
+    if (res < 0 || res > 15) null
+    else java.lang.Double.valueOf(graft.h3.H3Tables.edgeLengthAvgKm(res))
+
+  def edgeLengthAvgM(res: Int): java.lang.Double =
+    if (res < 0 || res > 15) null
+    else java.lang.Double.valueOf(graft.h3.H3Tables.edgeLengthAvgKm(res) * 1000.0)
+
+  /** E7: approximate centroid distance of neighbors at a res = avg edge
+    * length x sqrt(3) (directed_edge.rs:71-78,299-301). */
+  def cellCentroidDistanceAvgM(res: Int): java.lang.Double =
+    if (res < 0 || res > 15) null
+    else java.lang.Double.valueOf(
+      graft.h3.H3Tables.edgeLengthAvgKm(res) * 1000.0 * math.sqrt(3.0))
 }

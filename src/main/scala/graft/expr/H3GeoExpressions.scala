@@ -459,3 +459,52 @@ case class H3HexagonAreaAvgM2(child: Expression) extends UnaryExpression
     nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
+
+/** E7 static: average directed-edge length at a res, km
+  * (directed_edge.rs:53-58). */
+case class H3EdgeLengthAvgKm(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_edge_length_avg_km"
+  override def inputTypes: Seq[DataType] = Seq(IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "edgeLengthAvgKm"
+  override def nullSafeEval(v: Any): Any = H3GeoBridge.edgeLengthAvgKm(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** E7 static: average directed-edge length at a res, m
+  * (directed_edge.rs:61-68). */
+case class H3EdgeLengthAvgM(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_edge_length_avg_m"
+  override def inputTypes: Seq[DataType] = Seq(IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "edgeLengthAvgM"
+  override def nullSafeEval(v: Any): Any = H3GeoBridge.edgeLengthAvgM(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** E7 static: approximate neighbor-centroid distance at a res, m =
+  * avg edge length x sqrt(3) (directed_edge.rs:71-78,299-301). */
+case class H3CellCentroidDistanceAvgM(child: Expression) extends UnaryExpression
+    with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_cell_centroid_distance_avg_m"
+  override def inputTypes: Seq[DataType] = Seq(IntegerType)
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "cellCentroidDistanceAvgM"
+  override def nullSafeEval(v: Any): Any =
+    H3GeoBridge.cellCentroidDistanceAvgM(v.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => genNullableGeoBridge(ctx, ev, c))
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

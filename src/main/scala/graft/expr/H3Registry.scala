@@ -47,6 +47,9 @@ object H3Registry {
     "h3_cell_area_m2" -> (a => H3CellAreaM2(a.head)),
     "h3_hexagon_area_avg_km2" -> (a => H3HexagonAreaAvgKm2(a.head)),
     "h3_hexagon_area_avg_m2" -> (a => H3HexagonAreaAvgM2(a.head)),
+    "h3_edge_length_avg_km" -> (a => H3EdgeLengthAvgKm(a.head)),
+    "h3_edge_length_avg_m" -> (a => H3EdgeLengthAvgM(a.head)),
+    "h3_cell_centroid_distance_avg_m" -> (a => H3CellCentroidDistanceAvgM(a.head)),
     "h3_grid_disk" -> (a => H3GridDisk(a(0), a(1))),
     "h3_grid_ring" -> (a => H3GridRing(a(0), a(1))),
     "h3_grid_disk_distances" -> (a => H3GridDiskDistances(a(0), a(1))),

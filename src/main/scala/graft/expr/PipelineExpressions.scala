@@ -72,10 +72,11 @@ case class SortedLongArrayIntersectSize(left: Expression, right: Expression)
  * identical but higher-order functions are CodegenFallback — every
  * element costs an interpreted lambda invocation, which dominates ANN
  * scoring (|pairs| x dim evaluations). Accumulation order is the same
- * left fold, so results are bit-identical to the composed form. Arrays
- * shorter than the other operand are truncated to the common prefix
- * (zip_with would pad with NULL and yield NULL; inputs here are
- * fixed-dim embeddings, so the case does not arise in practice).
+ * left fold, so results are bit-identical to the composed form, including
+ * on length mismatch: zip_with pads the shorter array with NULL, the
+ * product is NULL, and the aggregate sum is NULL — this expression
+ * returns NULL too, so a caller passing wrong-dim vectors gets NULL
+ * rather than a silently truncated dot product.
  */
 case class DoubleArrayDot(left: Expression, right: Expression)
     extends BinaryExpression with ExpectsInputTypes {
@@ -89,7 +90,8 @@ case class DoubleArrayDot(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var i = 0; var acc = 0.0
     while (i < n) {
       // the declared containsNull=false is not enforced by the analyzer
@@ -106,9 +108,10 @@ case class DoubleArrayDot(left: Expression, right: Expression)
     nullSafeCodeGen(ctx, ev, (a, b) => {
       val i = ctx.freshName("i"); val n = ctx.freshName("n"); val acc = ctx.freshName("acc")
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |final int $n = $a.numElements();
          |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
+         |if ($n != $b.numElements()) { ${ev.isNull} = true; }
+         |else for (int $i = 0; $i < $n; $i++) {
          |  if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  $acc += $a.getDouble($i) * $b.getDouble($i);
          |}

@@ -79,6 +79,14 @@ object functions {
   /** S18 static: exact average hexagon area at a res. */
   def h3_hexagon_area_avg_km2(res: Column): Column = c(H3HexagonAreaAvgKm2(e(res.cast("int"))))
   def h3_hexagon_area_avg_m2(res: Column): Column = c(H3HexagonAreaAvgM2(e(res.cast("int"))))
+  /** E7 static: average directed-edge length at a res (table-backed,
+    * directed_edge.rs:53-70). */
+  def h3_edge_length_avg_km(res: Column): Column = c(H3EdgeLengthAvgKm(e(res.cast("int"))))
+  def h3_edge_length_avg_m(res: Column): Column = c(H3EdgeLengthAvgM(e(res.cast("int"))))
+  /** E7 static: approximate neighbor-centroid distance at a res, m
+    * (directed_edge.rs:71-78). */
+  def h3_cell_centroid_distance_avg_m(res: Column): Column =
+    c(H3CellCentroidDistanceAvgM(e(res.cast("int"))))
 
   /** S11: all cells within k grid steps (sorted array). */
   def h3_grid_disk(cell: Column, k: Column): Column = c(H3GridDisk(e(cell), e(k.cast("int"))))

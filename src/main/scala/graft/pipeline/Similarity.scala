@@ -20,7 +20,9 @@ object Similarity {
 
   /** dot(a, b) over array<double> columns: codegen'd loop, same left-fold
     * accumulation order (bit-identical result) as the composed
-    * `aggregate(zip_with(...))` form, which is interpreted per element. */
+    * `aggregate(zip_with(...))` form, which is interpreted per element.
+    * Length-mismatched inputs yield NULL, exactly as zip_with's NULL
+    * padding would. */
   def dot(a: Column, b: Column): Column = graft.functions.double_array_dot(a, b)
 
   def l2Norm(a: Column): Column = sqrt(dot(a, a))

@@ -264,6 +264,22 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(labels(0L) == 0L && labels(12345L) == 12345L)
   }
 
+  test("NULL cells survive clustering as NULL-labeled singletons") {
+    import graft.df.H3Clusters
+    // a plain USING join would drop the NULL-key row (NULL = NULL is not
+    // true); the null-safe membership join must keep it, labeled NULL
+    val df = (H3Traversal.gridDisk(sf, 1).map(Option(_)) ++ Seq(None))
+      .toSeq.toDF("cell")
+    val out = H3Clusters.cellClusters(df, "cell", fixedRounds = Some(2))
+    assert(out.count() == df.count())
+    val nullRows = out.filter($"cell".isNull).select($"cluster").collect()
+    assert(nullRows.length == 1 && nullRows.head.isNullAt(0))
+    // eq-value variant: NULL value keys survive too
+    val vdf = Seq((sf, Option(1)), (sf + 1L, Option.empty[Int])).toDF("cell", "v")
+    val vout = H3Clusters.cellClusters(vdf, "cell", valueCol = Some("v"), fixedRounds = Some(1))
+    assert(vout.count() == 2)
+  }
+
   test("cluster convergence loop handles a long path (diameter >> 1)") {
     import graft.df.H3Clusters
     // a grid path of ~20 cells: min-label needs ~path-length rounds under

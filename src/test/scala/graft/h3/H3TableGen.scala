@@ -22,5 +22,11 @@ object H3TableGen {
     println("NBR=" + nbr.flatten.mkString(","))
     println("ROT=" + rot.flatten.mkString(","))
     println("SUBROT=" + sub.mkString(","))
+    // E7 table: exact through res 5 (2,016,842 cells; a few seconds),
+    // geometric tail above — see deriveEdgeLengthAvgKmTable scaladoc
+    val t0 = System.nanoTime()
+    val edgeAvg = H3Traversal.deriveEdgeLengthAvgKmTable(5)
+    println("EDGE_LEN_AVG_KM=" + edgeAvg.map(_.toString).mkString(","))
+    println(f"(edge-length derivation took ${(System.nanoTime() - t0) / 1e9}%.1f s)")
   }
 }

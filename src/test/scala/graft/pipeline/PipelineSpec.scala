@@ -104,6 +104,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(banded == brute, s"banding missed ${brute -- banded}, invented ${banded -- brute}")
   }
 
+  test("double_array_dot matches aggregate(zip_with) including length mismatch -> NULL") {
+    val df = Seq(
+      (Seq(1.0, 2.0, 3.0), Seq(4.0, 5.0, 6.0)),   // equal length
+      (Seq(1.0, 2.0), Seq(4.0, 5.0, 6.0)),        // left shorter
+      (Seq(1.0, 2.0, 3.0), Seq(4.0))              // right shorter
+    ).toDF("a", "b")
+    val composed = aggregate(zip_with(col("a"), col("b"), (x, y) => x * y),
+      lit(0.0), (acc, x) => acc + x)
+    val rows = df.select(Similarity.dot(col("a"), col("b")).as("d"), composed.as("c")).collect()
+    assert(rows.head.getDouble(0) == 32.0 && rows.head.getDouble(1) == 32.0)
+    rows.drop(1).foreach { r =>
+      assert(r.isNullAt(0), "mismatched dims must yield NULL, not a truncated dot")
+      assert(r.isNullAt(1))
+    }
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
