@@ -390,4 +390,41 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
       s"SELECT size(h3_grid_disk(h3_latlng_to_cell(37.36d, -122.05d, 8), 1)) AS n").as[Int].head()
     assert(n == 7)
   }
+
+  test("edge_length_avg and centroid_distance_avg: DSL, SQL, codegen, null paths (E7)") {
+    // table values are libh3 4.1's published constants (H3TablesSpec pins
+    // them against the exact derivation); here we guard the Spark surface
+    val rows = Seq(0, 5, 15, -1, 16).toDF("res")
+      .select($"res",
+        h3_edge_length_avg_km($"res").as("km"),
+        h3_edge_length_avg_m($"res").as("m"),
+        h3_cell_centroid_distance_avg_m($"res").as("cd"))
+      .collect()
+    val byRes = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byRes(0).getDouble(1) == 1281.256011)
+    assert(byRes(5).getDouble(1) == 9.854090990)
+    assert(byRes(15).getDouble(1) == 0.000584169)
+    // m = km * 1000, centroid distance = m * sqrt(3) (directed_edge.rs:71-78,299-301)
+    for (res <- Seq(0, 5, 15)) {
+      val r = byRes(res)
+      assert(math.abs(r.getDouble(2) - r.getDouble(1) * 1000.0) < 1e-9 * r.getDouble(2))
+      assert(math.abs(r.getDouble(3) - r.getDouble(2) * math.sqrt(3.0)) < 1e-9 * r.getDouble(3))
+    }
+    // out-of-range res -> NULL, not an exception (all three functions)
+    for (res <- Seq(-1, 16); col <- 1 to 3) assert(byRes(res).isNullAt(col), s"res=$res col=$col")
+
+    // SQL registry + interpreted path agree with codegen'd DSL path
+    H3Registry.register(spark)
+    val sql = spark.sql(
+      "SELECT h3_edge_length_avg_km(5) AS km, h3_edge_length_avg_m(5) AS m, " +
+        "h3_cell_centroid_distance_avg_m(5) AS cd, h3_edge_length_avg_km(99) AS oob").head()
+    assert(sql.getDouble(0) == 9.854090990)
+    assert(sql.getDouble(1) == 9.854090990 * 1000.0)
+    assert(math.abs(sql.getDouble(2) - 9854.090990 * math.sqrt(3.0)) < 1e-6)
+    assert(sql.isNullAt(3))
+    // NULL input -> NULL out
+    val nr = Seq[Option[Int]](None).toDF("res")
+      .select(h3_edge_length_avg_km($"res")).head()
+    assert(nr.isNullAt(0))
+  }
 }

@@ -31,6 +31,42 @@ class H3TablesSpec extends AnyFunSuite {
     assert(sub.sameElements(ssub), "subRots")
   }
 
+  test("edgeLengthAvgKm shipped constants: exact-prefix derivation agrees, decode not derivation") {
+    // The shipped table is libh3 4.1's published constant table (the
+    // reference's edge_length_avg_km returns it verbatim). The exact
+    // derivation — total perimeter / total directed-edge count, pentagon
+    // edges INCLUDED (ADVICE r05) — must reproduce the exact prefix; res
+    // 0..3 covers the convention (excluding pentagons shows up as +0.47%
+    // at res 0, ~1e5x this tolerance). libh3's res 6+ tail does not follow
+    // lattice self-similarity, so it is pinned, not derived (scaladoc).
+    val shipped = H3Tables.edgeLengthAvgKm
+    assert(shipped.length == 16)
+    assert(shipped(0) == 1281.256011, "res 0 must be libh3's published constant, bit-exact")
+    assert(shipped(5) == 9.854090990)
+    assert(shipped(15) == 0.000584169)
+    for (r <- 0 to 3) {
+      val derived = H3Traversal.deriveAvgEdgeLengthRadsExact(r) * H3Geo.EarthRadiusKm
+      val rel = math.abs(derived - shipped(r)) / shipped(r)
+      assert(rel < 1e-9, f"res $r: derived $derived vs shipped ${shipped(r)} relerr $rel%.2e")
+    }
+    // monotone decreasing, roughly /sqrt(7) per res — catches transposed entries
+    for (r <- 1 to 15) {
+      val ratio = shipped(r) / shipped(r - 1)
+      assert(ratio > 0.30 && ratio < 0.45, s"res $r/${r - 1} ratio $ratio out of lattice range")
+    }
+  }
+
+  test("edgeLengthAvgKm first use is decode, not derivation") {
+    val t0 = System.nanoTime()
+    val t = H3Tables.edgeLengthAvgKm
+    val ms = (System.nanoTime() - t0) / 1e6
+    assert(t.length == 16)
+    // full-lattice derivation takes ~3s+ (ADVICE r05); decode is sub-ms.
+    // (lazy val may already be forced by an earlier test in this JVM —
+    // either way the bound holds only on the decode path)
+    assert(ms < 500.0, s"edge-length table first use took ${ms}ms — derivation leaked into runtime")
+  }
+
   test("constant tables decode fast (no derivation at first use)") {
     // decode path must be millisecond-scale: this is what executor JVMs pay
     val t0 = System.nanoTime()
