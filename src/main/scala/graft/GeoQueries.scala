@@ -355,6 +355,33 @@ object GeoQueries {
         .toDF("paths_found_ok", "cost_lower_bound_ok")
     }),
 
+    // G1 antimeridian: a Fiji rect spanning 179E..179W polyfills cells on
+    // BOTH sides of the seam, equals the union of its +-180-split halves,
+    // and the standalone intersect predicate agrees at the seam
+    "h3_27_antimeridian" -> ((s, dir) => {
+      import s.implicits._
+      val crossing = "POLYGON ((179.0 -17.5, -179.0 -17.5, -179.0 -16.5, 179.0 -16.5, 179.0 -17.5))"
+      val east = "POLYGON ((179.0 -17.5, 180.0 -17.5, 180.0 -16.5, 179.0 -16.5, 179.0 -17.5))"
+      val west = "POLYGON ((-180.0 -17.5, -179.0 -17.5, -179.0 -16.5, -180.0 -16.5, -180.0 -17.5))"
+      Seq(1).toDF("x")
+        .select(
+          h3_polygon_to_cells(lit(crossing), lit(6)).as("cells"),
+          array_sort(array_union(h3_polygon_to_cells(lit(east), lit(6)),
+            h3_polygon_to_cells(lit(west), lit(6)))).as("halves"),
+          h3_polygon_to_cells_intersecting(lit(crossing), lit(6)).as("inter"))
+        .select(
+          exists(col("cells"), c => centroid(c).getField("lng") > 0).as("east_ok"),
+          exists(col("cells"), c => centroid(c).getField("lng") < 0).as("west_ok"),
+          (col("cells") === col("halves")).as("halves_union_ok"),
+          forall(col("cells"), c =>
+            centroid(c).getField("lat").between(-17.5, -16.5) &&
+              (centroid(c).getField("lng") >= 179.0 || centroid(c).getField("lng") <= -179.0))
+            .as("inside_ok"),
+          (size(array_except(col("cells"), col("inter"))) === 0).as("subset_ok"),
+          h3_cell_intersects_polygon(
+            h3_latlng_to_cell(lit(-17.0), lit(179.998), lit(6)), lit(crossing)).as("seam_pred_ok"))
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -419,6 +446,9 @@ object GeoQueries {
       allTrue(Seq("paths_found_ok", "cost_lower_bound_ok"), perEvent = false),
     "h3_23_clusters" ->
       allTrue(Seq("n_clusters_ok", "one_label_per_disk_ok", "eq_value_ok", "bounds_ok"),
-        perEvent = false)
+        perEvent = false),
+    "h3_27_antimeridian" ->
+      allTrue(Seq("east_ok", "west_ok", "halves_union_ok", "inside_ok", "subset_ok",
+        "seam_pred_ok"), perEvent = false)
   )
 }

@@ -12,8 +12,13 @@ import scala.collection.mutable
  *
  * WKT is the interchange format (x = lng, y = lat, degrees). Point-in-
  * polygon runs in planar lat/lng space (ray casting), matching the
- * reference's use of planar `geo` predicates on coordinates; geometries
- * crossing the antimeridian are not supported (documented limitation).
+ * reference's use of planar `geo` predicates on coordinates. Unlike the
+ * reference (whose planar `geo` predicates silently mis-handle them),
+ * antimeridian-crossing rings ARE supported: a ring whose consecutive
+ * vertices jump by more than 180 deg of longitude is evaluated in a
+ * [0, 360) longitude frame, with query points shifted into the same frame.
+ * Polar-cap polygons (enclosing a pole without crossing vertices) remain
+ * unsupported, as in the reference.
  */
 object H3Polygon {
 
@@ -95,6 +100,35 @@ object H3Polygon {
       .mkString("(", ", ", ")")).mkString("MULTIPOLYGON (", ", ", ")")
 
   // ---------------------------------------------------------------------
+  // antimeridian frame
+  // ---------------------------------------------------------------------
+
+  /** shift a longitude into the [0, 360) frame used for antimeridian-
+    * crossing polygons (identity when `wrap` is false). */
+  @inline private def adjLng(x: Double, wrap: Boolean): Double =
+    if (wrap && x < 0) x + 360.0 else x
+
+  private def ringCrossesAntimeridian(ring: Array[(Double, Double)]): Boolean = {
+    var i = 0
+    while (i < ring.length) {
+      val a = ring(i)._1
+      val b = ring((i + 1) % ring.length)._1
+      if (math.abs(b - a) > 180.0) return true
+      i += 1
+    }
+    false
+  }
+
+  /** does any ring of the polygon cross the antimeridian? */
+  def crossesAntimeridian(poly: Polygon): Boolean =
+    poly.rings.exists(ringCrossesAntimeridian)
+
+  /** rings re-expressed in the [0, 360) longitude frame: negative
+    * longitudes gain 360 so a crossing ring becomes contiguous. */
+  private def shiftPolygon(poly: Polygon): Polygon =
+    Polygon(poly.rings.map(_.map { case (x, y) => (adjLng(x, wrap = true), y) }))
+
+  // ---------------------------------------------------------------------
   // planar predicates
   // ---------------------------------------------------------------------
 
@@ -155,29 +189,42 @@ object H3Polygon {
   }
 
   /** spherical distance from a point to a lat/lng-aligned bbox (approx:
-    * clamp then haversine). */
+    * clamp then haversine). Clamping must happen in the bbox's longitude
+    * frame: a point at lng +179.8 is 0.2 deg from a bbox ending at -180,
+    * not 358 deg — so the point is tried at lng, lng-360 and lng+360 and
+    * the nearest representative wins. */
   private def distToBboxRads(lat: Double, lng: Double,
       minX: Double, minY: Double, maxX: Double, maxY: Double): Double = {
-    val cx = math.max(minX, math.min(maxX, lng))
     val cy = math.max(minY, math.min(maxY, lat))
-    greatCircleDistanceRads(
-      LatLng(math.toRadians(lat), math.toRadians(lng)),
-      LatLng(math.toRadians(cy), math.toRadians(cx)))
+    var best = Double.MaxValue
+    var k = -1
+    while (k <= 1) {
+      val lngK = lng + k * 360.0
+      val cx = math.max(minX, math.min(maxX, lngK))
+      val d = greatCircleDistanceRads(
+        LatLng(math.toRadians(lat), math.toRadians(lngK)),
+        LatLng(math.toRadians(cy), math.toRadians(cx)))
+      if (d < best) best = d
+      k += 1
+    }
+    best
   }
 
   /** hierarchical candidate cells at `res` whose center could fall in (or
-    * whose body could touch) the polygon bbox. */
-  private def candidateCells(poly: Polygon, res: Int): Array[Long] = {
+    * whose body could touch) the polygon bbox. `wrap` means `poly` is
+    * already in the [0, 360) frame and cell longitudes are shifted to
+    * match (haversine is periodic, so the distance stays exact). */
+  private def candidateCells(poly: Polygon, res: Int, wrap: Boolean): Array[Long] = {
     val (minX, minY, maxX, maxY) = bboxOf(poly)
     var cells: Array[Long] = H3Core.res0Cells().filter { c =>
       val g = cellToLatLng(c)
-      distToBboxRads(g.lat, g.lng, minX, minY, maxX, maxY) <= maxCellRadiusRads(0)
+      distToBboxRads(g.lat, adjLng(g.lng, wrap), minX, minY, maxX, maxY) <= maxCellRadiusRads(0)
     }
     var r = 1
     while (r <= res) {
       cells = cells.flatMap(c => H3Core.cellToChildren(c, r)).filter { c =>
         val g = cellToLatLng(c)
-        distToBboxRads(g.lat, g.lng, minX, minY, maxX, maxY) <= maxCellRadiusRads(r)
+        distToBboxRads(g.lat, adjLng(g.lng, wrap), minX, minY, maxX, maxY) <= maxCellRadiusRads(r)
       }
       r += 1
     }
@@ -187,9 +234,11 @@ object H3Polygon {
   /** all cells at `res` whose *centroid* is inside the polygon (the
     * reference's polyfill semantics, to_h3.rs:227-247). Sorted. */
   def polygonToCells(poly: Polygon, res: Int): Array[Long] = {
-    val out = candidateCells(poly, res).filter { c =>
+    val wrap = crossesAntimeridian(poly)
+    val p = if (wrap) shiftPolygon(poly) else poly
+    val out = candidateCells(p, res, wrap).filter { c =>
       val g = cellToLatLng(c)
-      pointInPolygon(g.lng, g.lat, poly)
+      pointInPolygon(adjLng(g.lng, wrap), g.lat, p)
     }
     java.util.Arrays.sort(out)
     out
@@ -207,14 +256,33 @@ object H3Polygon {
   /** does the cell's polygon intersect the query polygon (exact stage of
     * the two-stage spatial predicate, mod.rs:235-253)? */
   def cellIntersectsPolygon(c: Long, poly: Polygon): Boolean = {
+    val wrap = crossesAntimeridian(poly)
+    if (wrap) {
+      // [0, 360) frame. Shifting scrambles rings of cells near lng 0 (a
+      // -0.01..0.01 cell becomes a 0..360 bowtie), so first prune cells
+      // that are provably farther from the polygon bbox than one cell
+      // radius — only near-antimeridian cells reach the exact test, and
+      // those shift contiguously.
+      val p = shiftPolygon(poly)
+      val (minX, minY, maxX, maxY) = bboxOf(p)
+      val g0 = cellToLatLng(c)
+      val res = H3Core.getResolution(c)
+      if (distToBboxRads(g0.lat, adjLng(g0.lng, wrap = true), minX, minY, maxX, maxY) >
+          maxCellRadiusRads(res)) return false
+      return cellIntersectsPolygonFrame(c, p, wrap = true)
+    }
+    cellIntersectsPolygonFrame(c, poly, wrap = false)
+  }
+
+  private def cellIntersectsPolygonFrame(c: Long, poly: Polygon, wrap: Boolean): Boolean = {
     val g = cellToLatLng(c)
-    if (pointInPolygon(g.lng, g.lat, poly)) true
+    if (pointInPolygon(adjLng(g.lng, wrap), g.lat, poly)) true
     else {
       val verts = cellToBoundary(c)
       // any cell vertex inside the polygon
-      verts.exists(v => pointInPolygon(v.lng, v.lat, poly)) || {
+      verts.exists(v => pointInPolygon(adjLng(v.lng, wrap), v.lat, poly)) || {
         // any polygon vertex inside the cell, or edge crossing
-        val cellRing = verts.map(v => (v.lng, v.lat))
+        val cellRing = verts.map(v => (adjLng(v.lng, wrap), v.lat))
         poly.rings.exists(_.exists { case (x, y) => pointInRing(x, y, cellRing) }) ||
           poly.rings.exists { ring =>
             var i = 0
@@ -241,7 +309,9 @@ object H3Polygon {
     * boundary-touching cells (reference ToIntersectingH3Cells semantics,
     * to_h3.rs:136-219). */
   def polygonToCellsIntersecting(poly: Polygon, res: Int): Array[Long] = {
-    val out = candidateCells(poly, res).filter(cellIntersectsPolygon(_, poly))
+    val wrap = crossesAntimeridian(poly)
+    val p = if (wrap) shiftPolygon(poly) else poly
+    val out = candidateCells(p, res, wrap).filter(cellIntersectsPolygonFrame(_, p, wrap))
     java.util.Arrays.sort(out)
     out
   }
@@ -284,7 +354,9 @@ object H3Polygon {
     parseMultiPolygonWkt(wkt) match {
       case Some(polys) =>
         polys.map { poly =>
-          val shell = poly.rings.head
+          // crossing shells get their bbox measured in the [0, 360) frame,
+          // else lngMax - lngMin balloons to ~360 and the bound is useless
+          val shell = (if (crossesAntimeridian(poly)) shiftPolygon(poly) else poly).rings.head
           val latMin = shell.map(_._2).min; val latMax = shell.map(_._2).max
           val lngMin = shell.map(_._1).min; val lngMax = shell.map(_._1).max
           val r = H3Geo.EarthRadiusKm

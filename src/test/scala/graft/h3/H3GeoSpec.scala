@@ -132,4 +132,52 @@ class H3GeoSpec extends AnyFunSuite {
       assert(bound < actual * 4 + 64, s"res $res: bound $bound not useful vs $actual")
     }
   }
+
+  test("antimeridian-crossing polyfill: Fiji rect covers both hemispheres") {
+    // a rect spanning 179E..179W at Fiji latitudes
+    val crossing = "POLYGON ((179.0 -17.5, -179.0 -17.5, -179.0 -16.5, 179.0 -16.5, 179.0 -17.5))"
+    val east = "POLYGON ((179.0 -17.5, 180.0 -17.5, 180.0 -16.5, 179.0 -16.5, 179.0 -17.5))"
+    val west = "POLYGON ((-180.0 -17.5, -179.0 -17.5, -179.0 -16.5, -180.0 -16.5, -180.0 -17.5))"
+    for (res <- 4 to 6) {
+      val got = H3Polygon.polygonToCells(crossing, res)
+      val eastSide = got.filter(c => H3Geo.cellToLatLng(c).lng > 0)
+      val westSide = got.filter(c => H3Geo.cellToLatLng(c).lng < 0)
+      assert(eastSide.nonEmpty, s"res $res: no cells east of the antimeridian")
+      assert(westSide.nonEmpty, s"res $res: no cells west of the antimeridian")
+      // equals the union of the two halves split at +-180
+      val halves = (H3Polygon.polygonToCells(east, res) ++
+        H3Polygon.polygonToCells(west, res)).distinct.sorted
+      assert(got.toSeq == halves.toSeq,
+        s"res $res: crossing ${got.length} cells != split-halves union ${halves.length}")
+      // every centroid is wrap-inside the lat/lng box
+      assert(got.forall { c =>
+        val g = H3Geo.cellToLatLng(c)
+        g.lat > -17.5 && g.lat < -16.5 && (g.lng >= 179.0 || g.lng <= -179.0)
+      })
+    }
+  }
+
+  test("antimeridian-crossing intersecting polyfill and cell predicate") {
+    val crossing = "POLYGON ((179.5 -17.5, -179.5 -17.5, -179.5 -16.5, 179.5 -16.5, 179.5 -17.5))"
+    val res = 5
+    val centroidIn = H3Polygon.polygonToCells(crossing, res)
+    val intersecting = H3Polygon.polygonToCellsIntersecting(crossing, res)
+    // centroid polyfill is a subset of the intersecting polyfill, which
+    // adds a boundary fringe on both sides of the seam
+    assert(centroidIn.toSet.subsetOf(intersecting.toSet))
+    assert(intersecting.length > centroidIn.length)
+    assert(intersecting.exists(c => H3Geo.cellToLatLng(c).lng > 0) &&
+      intersecting.exists(c => H3Geo.cellToLatLng(c).lng < 0))
+    // standalone predicate agrees with the intersecting set on a disk
+    // straddling the seam, and rejects a far-away cell near lng 0
+    val seam = H3Geo.latLngToCell(-17.0, 179.99, res)
+    val poly = H3Polygon.parsePolygonWkt(crossing).get
+    for (c <- graft.h3.H3Traversal.gridDisk(seam, 3))
+      assert(H3Polygon.cellIntersectsPolygon(c, poly) == intersecting.contains(c))
+    val greenwich = H3Geo.latLngToCell(-17.0, 0.01, res)
+    assert(!H3Polygon.cellIntersectsPolygon(greenwich, poly))
+    // size bound stays tight in the shifted frame (no ~360deg bbox blowup)
+    val bound = H3Polygon.maxPolygonToCellsSize(crossing, res)
+    assert(centroidIn.length <= bound && bound < centroidIn.length * 4 + 64)
+  }
 }
