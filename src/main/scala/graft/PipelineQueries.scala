@@ -193,6 +193,42 @@ object PipelineQueries {
         e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
         m = 16, nprobe = 4, k = 5)
         .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // near-dup GROUP ids: transitive closure (connected components) of the
+    // verified-pair graph; oracle = DuckDB recursive-CTE min-reachable-id.
+    // 1/4 corpus slice: the full-corpus LSH+verify cost is already p13's
+    "p24_neardup_groups" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(col("doc_id") % 4 === 1)
+      val pairs = Dedup.lshCandidatePairs(c, col("doc_id"), col("text"), k = 8,
+        maxBucket = Int.MaxValue) // uncapped: see p06
+      val verified = Dedup.ngramJaccardVerify(c, col("doc_id"), col("text"),
+        n = 8, threshold = 0.5, pairs)
+      Dedup.nearDupGroups(c, col("doc_id"), verified)
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic hash split: content-independent, salt-keyed, portable
+    "p25_split" -> ((s, dir) => {
+      docs(s, dir).select(col("doc_id"),
+        TextOps.deterministicSplit(col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "s1").as("split"))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
+    // overlapping char chunks for context-window packing
+    "p26_chunks" -> ((s, dir) => {
+      TextOps.chunkText(docs(s, dir), col("doc_id"), col("text"),
+        size = 64, overlap = 16)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // corpus vocabulary: term/document frequency, top 100
+    "p27_vocab" -> ((s, dir) => {
+      TextOps.topTerms(docs(s, dir), col("doc_id"), col("text"), k = 100)
     })
   )
 
@@ -539,6 +575,50 @@ object PipelineQueries {
          |FROM scored
          |QUALIFY rank <= 5
          |ORDER BY query_id, rank""".stripMargin,
+
+    // connected components via recursive CTE: reach = every (node, label)
+    // with label reachable from node over bidirected verified edges; the
+    // component representative is min(label); unpaired docs group as
+    // themselves
+    "p24_neardup_groups" ->
+      s"""WITH RECURSIVE ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 4 = 1")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
+         |SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
+         |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
+         |ORDER BY c.doc_id""".stripMargin,
+
+    "p25_split" ->
+      s"""WITH b AS (
+         |  SELECT doc_id, ${oH("doc_id::VARCHAR || 's1'")} % 10000 AS bucket
+         |  FROM documents)
+         |SELECT (CASE WHEN bucket < 8000 THEN 'train'
+         |             WHEN bucket < 9000 THEN 'val' ELSE 'test' END) AS split,
+         |  count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "p26_chunks" ->
+      """WITH n AS (
+        |  SELECT doc_id, text,
+        |    CAST(CEIL(GREATEST(len(text) - 16, 1)::DOUBLE / 48.0) AS BIGINT) AS nc
+        |  FROM documents WHERE len(text) > 0),
+        |c AS (SELECT doc_id, text, unnest(range(0, nc)) AS chunk_idx FROM n)
+        |SELECT doc_id, chunk_idx, chunk_idx * 48 AS char_start,
+        |  substr(text, CAST(chunk_idx * 48 + 1 AS INTEGER), 64) AS chunk
+        |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p27_vocab" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest($oToks) AS term FROM documents)
+         |SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_count
+         |FROM toks WHERE term <> ''
+         |GROUP BY term ORDER BY term_count DESC, term LIMIT 100""".stripMargin,
 
     "p11_frame_sample" ->
       """WITH frames AS (

@@ -306,6 +306,55 @@ object Dedup {
     dropVerified(df, id, verified)
   }
 
+  /** Connected components over an undirected pair table: one row per
+    * distinct endpoint id, labeled with the minimum id reachable from it
+    * (the canonical component representative). Output: (id, component).
+    *
+    * Iterative min-label propagation: each round sends every node's label
+    * across its edges and keeps the minimum — 2 shuffles per round (the
+    * same message-passing shape as H3Clusters), converging in
+    * O(component diameter) rounds. Near-dup components are dense and tiny
+    * (a duplicate cluster is near-clique through its shared bands), so
+    * diameter is small in practice; `maxRounds` bounds the pathological
+    * chain. Each round is localCheckpoint'd: without the barrier the plan
+    * doubles per iteration and round N re-executes rounds 1..N-1.
+    * At 100 TB this is the standard distributed CC formulation — no
+    * driver-side adjacency, state is one (id, label) row per node. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+      .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+      .distinct().localCheckpoint(false)
+    var labels = edges.select(col("__src").as("id")).distinct()
+      .withColumn("component", col("id")).localCheckpoint(false)
+    var changed = 1L
+    var round = 0
+    while (changed > 0 && round < maxRounds) {
+      val msgs = edges.join(labels, edges("__src") === labels("id"))
+        .select(col("__dst").as("id"), col("component"))
+      val next = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(false)
+      changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
+        .filter(col("component") =!= col("__prev")).count()
+      labels = next
+      round += 1
+    }
+    labels
+  }
+
+  /** Near-duplicate GROUPING: the transitive closure of the verified-pair
+    * relation. Every document gets a `group_id` — the minimum doc id of its
+    * connected component in the verified near-dup graph; documents with no
+    * near-dup are their own group. Group-based retention (keep min per
+    * group) is the production corpus-dedup semantics: pair-based dropping
+    * can keep two documents that are only transitively similar. */
+  def nearDupGroups(df: DataFrame, id: Column, verified: DataFrame): DataFrame = {
+    val comps = connectedComponents(verified.select(col("id_a"), col("id_b")))
+    df.select(id.as("doc_id"))
+      .join(comps.select(col("id").as("doc_id"), col("component")), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
+  }
+
   /** SimHash width: all 60 bits of the portable md5-derived token hash
     * ([[TextOps.md5Long]]). 60 bits keep every band of the pigeonhole
     * banding wide (15 bits at the default maxHamming=3): with the previous

@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /**
@@ -116,5 +116,70 @@ object TextOps {
       case ((bl, bs), (l, s)) => (when(s > bs, lit(l)).otherwise(bl), when(s > bs, s).otherwise(bs))
     }
     when(best._2 > 0, best._1).otherwise(lit("und"))
+  }
+
+  /** Deterministic split assignment ("train"/"val"/"test"-style) from a
+    * stable hash of the id plus a salt. Content-independent and
+    * engine-portable (md5 arithmetic): re-running on a grown corpus never
+    * reassigns an existing id, and changing the salt draws a fresh
+    * independent split. Per-row projection — no shuffle, no RNG, no
+    * sampling pass; exactly what a 100 TB split needs.
+    *
+    * `weights` are (name, weight) fractions, normalized internally;
+    * boundaries are laid out on a 0..9999 hash lattice in declaration
+    * order, so expected proportions hold to 1e-4. */
+  def deterministicSplit(id: Column, weights: Seq[(String, Double)],
+      salt: String = ""): Column = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = pmod(md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
+    // cumulative upper bounds on the 10000-lattice; last bound forced to
+    // 10000 so fp rounding can never leave a bucket unassigned
+    val cums = weights.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c / total * 10000.0))
+    val bounds = cums.init :+ 10000L
+    weights.map(_._1).zip(bounds).reverse.foldLeft(lit(weights.last._1)) {
+      case (acc, (name, hi)) => when(bucket < hi, lit(name)).otherwise(acc)
+    }
+  }
+
+  /** Overlapping character chunks for context-window packing: chunk `i`
+    * covers 1-based char positions `i*stride+1 .. i*stride+size` with
+    * `stride = size - overlap`. Empty text yields no chunks; the final
+    * chunk may be shorter than `size`. Output: one row per chunk with
+    * 0-based `chunk_idx`, 0-based `char_start`, and the `chunk` text —
+    * a pure explode-projection (no shuffle; chunk rows inherit the
+    * document's partitioning). */
+  def chunkText(df: DataFrame, id: Column, text: Column,
+      size: Int, overlap: Int): DataFrame = {
+    require(size > 0 && overlap >= 0 && overlap < size,
+      s"need 0 <= overlap < size, got size=$size overlap=$overlap")
+    val stride = size - overlap
+    // n = ceil(max(len - overlap, 1) / stride) for len > 0: the last chunk
+    // starts before len - overlap so every trailing char is covered once
+    val len = length(text)
+    val n = ceil(greatest(len - overlap, lit(1)).cast("double") / stride).cast("int")
+    df.select(id.as("__id"), text.as("__text"), len.as("__len"), n.as("__n"))
+      .filter(col("__len") > 0)
+      .select(col("__id"), col("__text"),
+        explode(sequence(lit(0), col("__n") - 1)).as("chunk_idx"))
+      .select(
+        col("__id").as("id"),
+        col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx").cast("long") * stride).as("char_start"),
+        col("__text").substr(col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
+  }
+
+  /** Corpus vocabulary: term frequency and document frequency per token,
+    * top `k` by frequency (ties broken by term). One explode + one
+    * hash-partitioned aggregate with map-side partials; the top-k is a
+    * TakeOrdered over the aggregated (distinct-term-sized) frame, never a
+    * global sort of token instances. */
+  def topTerms(df: DataFrame, id: Column, text: Column, k: Int): DataFrame = {
+    df.select(id.as("__id"), explode(tokens(text)).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("term_count"), countDistinct(col("__id")).as("doc_count"))
+      .orderBy(col("term_count").desc, col("term"))
+      .limit(k)
   }
 }

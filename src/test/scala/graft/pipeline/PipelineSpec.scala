@@ -258,4 +258,68 @@ class PipelineSpec extends AnyFunSuite {
     val out = df.select($"id", TextOps.langId($"text").as("lang")).as[(Long, String)].collect().toMap
     assert(out(1L) == "en" && out(2L) == "de" && out(3L) == "fr" && out(4L) == "und")
   }
+
+  test("connectedComponents labels min-reachable-id, converges on a chain") {
+    // path 1-2-3-4-5 (diameter 4 forces multiple propagation rounds),
+    // separate pair (10,11), edges given in both orders
+    val pairs = Seq((2L, 1L), (2L, 3L), (4L, 3L), (4L, 5L), (11L, 10L)).toDF("id_a", "id_b")
+    val comp = Dedup.connectedComponents(pairs).as[(Long, Long)].collect().toMap
+    assert((1L to 5L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert(comp.size == 7)
+  }
+
+  test("nearDupGroups: transitive closure groups; singletons group as self") {
+    // docs 1..6; verified pairs chain 1-2, 2-3 and pair 5-6: groups
+    // {1,2,3}, {4}, {5,6}. Pair-drop would also keep only 1,4,5 here, but
+    // the GROUP ids must witness the transitive closure explicitly.
+    val d = (1L to 6L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    val verified = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("id_a", "id_b")
+    val g = Dedup.nearDupGroups(d, $"doc_id", verified).as[(Long, Long)].collect().toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 5L, 6L -> 5L))
+  }
+
+  test("deterministicSplit: stable, salt-sensitive, proportional") {
+    val ids = spark.range(0, 10000).toDF("id")
+    val w = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val s1 = ids.select($"id", TextOps.deterministicSplit($"id", w, "s1").as("split"))
+    val counts = s1.groupBy($"split").count().as[(String, Long)].collect().toMap
+    assert(counts.keySet == Set("train", "val", "test"))
+    // md5 is uniform: 10k draws stay within ~4 sigma of expectation
+    assert(math.abs(counts("train") - 8000) < 200, s"train=${counts("train")}")
+    assert(math.abs(counts("val") - 1000) < 150 && math.abs(counts("test") - 1000) < 150)
+    // deterministic across evaluations
+    assert(s1.except(ids.select($"id",
+      TextOps.deterministicSplit($"id", w, "s1").as("split"))).isEmpty)
+    // a different salt draws a genuinely different assignment
+    val s2 = ids.select($"id", TextOps.deterministicSplit($"id", w, "s2").as("split"))
+    assert(s1.except(s2).count() > 1000)
+  }
+
+  test("chunkText covers every char; overlap and tail semantics hold") {
+    val df = Seq(
+      (1L, "a" * 100), (2L, "short"), (3L, ""), (4L, "b" * 64), (5L, "c" * 65))
+      .toDF("doc_id", "text")
+    val out = TextOps.chunkText(df, $"doc_id", $"text", size = 64, overlap = 16)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(!out.contains(3L)) // empty text -> no chunks
+    assert(out(2L).map(_._4).toSeq == Seq("short"))
+    assert(out(4L).map(_._4).toSeq == Seq("b" * 64)) // exact fit -> 1 chunk
+    // 65 chars, stride 48: chunks [0,64), [48,65) — trailing char covered
+    assert(out(5L).map(c => (c._3, c._4.length)).toSeq == Seq((0L, 64), (48L, 17)))
+    // reconstruction: dropping the 16-char overlap from every later chunk
+    // re-concatenates to the original text
+    val chunks1 = out(1L).map(_._4).toSeq
+    val rebuilt = chunks1.head + chunks1.tail.map(_.drop(16)).mkString
+    assert(rebuilt == "a" * 100)
+  }
+
+  test("topTerms ranks by frequency with deterministic ties") {
+    val df = Seq((1L, "x x x y y z"), (2L, "y w w"), (3L, "x")).toDF("doc_id", "text")
+    val out = TextOps.topTerms(df, $"doc_id", $"text", k = 3)
+      .as[(String, Long, Long)].collect().toSeq
+    // x: tf 4 / df 2; y: tf 3 / df 2; w: tf 2 / df 1
+    assert(out == Seq(("x", 4L, 2L), ("y", 3L, 2L), ("w", 2L, 1L)))
+  }
 }
