@@ -229,6 +229,47 @@ object PipelineQueries {
     // corpus vocabulary: term/document frequency, top 100
     "p27_vocab" -> ((s, dir) => {
       TextOps.topTerms(docs(s, dir), col("doc_id"), col("text"), k = 100)
+    }),
+
+    // group-aware retention: keep the highest-quality doc per near-dup
+    // group (what pair-based dropping can't express); same slice as p24
+    "p28_dedup_keep_best" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(col("doc_id") % 4 === 1)
+      val pairs = Dedup.lshCandidatePairs(c, col("doc_id"), col("text"), k = 8,
+        maxBucket = Int.MaxValue) // uncapped: see p06
+      val verified = Dedup.ngramJaccardVerify(c, col("doc_id"), col("text"),
+        n = 8, threshold = 0.5, pairs)
+      val groups = Dedup.nearDupGroups(c, col("doc_id"), verified)
+      Dedup.keepBestPerGroup(c.withColumn("quality", TextOps.qualityScore(col("text"))),
+        col("doc_id"), col("quality"), groups)
+        .select(col("doc_id"), col("quality"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // two-stage projected ANN: coarse rank in a random 8-dim projection,
+    // exact re-rank of the top-50; exact oracle (replicated projection
+    // arithmetic) + recall spec vs brute force
+    "p29_ann_projected" -> ((s, dir) => {
+      val e = embs(s, dir)
+      Similarity.projectedCosineTopK(e, col("vec_id"), col("embedding"),
+        e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+        dimIn = 64, dimOut = 8, coarseK = 50, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // int8 scalar quantization: codes, code sum, and the reconstruction
+    // error bound scale/2 checked row by row
+    "p30_quantize_int8" -> ((s, dir) => {
+      val q = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+        .withColumn("q", Similarity.quantizeInt8(col("v")))
+      q.select(col("vec_id"),
+        Similarity.quantize4(col("q.scale")).as("scale_e4"),
+        aggregate(col("q.codes"), lit(0L), (a, c) => a + c).as("code_sum"),
+        aggregate(zip_with(Similarity.dequantizeInt8(col("q")), col("v"),
+          (r, x) => abs(r - x)), lit(0.0), (a, d) => greatest(a, d))
+          .leq(col("q.scale") / 2.0 + lit(1e-12)).as("err_bounded"))
+        .orderBy(col("vec_id"))
     })
   )
 
@@ -357,6 +398,23 @@ object PipelineQueries {
     }.mkString("(", " + ", ")")
 
   private val qCos = "floor(list_cosine_similarity(qv, cv) * 10000.0 + 0.5) / 10000.0"
+
+  /** Projection of a DuckDB list column onto the first `dimOut` integer-
+    * lattice planes as a list literal — mirrors Similarity.projectVec's
+    * left-assoc arithmetic bit for bit (same planes as sigSql). */
+  private def projSqlList(v: String, dimIn: Int, dimOut: Int): String =
+    (0 until dimOut).map { i =>
+      (0 until dimIn).map { j =>
+        s"$v[${j + 1}]*(${graft.pipeline.Similarity.planeNumerator(i, j)}/48.0)"
+      }.mkString("(", " + ", ")")
+    }.mkString("[", ", ", "]")
+
+  /** p03's quality expression over a (doc_id, text) relation. */
+  private def qualitySql: String =
+    s"""floor((0.3 * least(len($oToks)::DOUBLE / 100.0, 1.0)
+       |    + 0.4 * (len(list_filter($oToks, x -> x IN (${TextOps.EnStopwords.map(w => s"'$w'").mkString(", ")})))::DOUBLE / len($oToks)::DOUBLE)
+       |    + 0.3 * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE))
+       |    * 10000.0 + 0.5) / 10000.0""".stripMargin
 
   def oracleSql: Map[String, String] = Map(
     // min doc_id per distinct text: the source corpus itself may contain
@@ -619,6 +677,71 @@ object PipelineQueries {
          |SELECT term, count(*) AS term_count, count(DISTINCT doc_id) AS doc_count
          |FROM toks WHERE term <> ''
          |GROUP BY term ORDER BY term_count DESC, term LIMIT 100""".stripMargin,
+
+    // p24's group chain + per-group argmax on quality (ties: lowest id)
+    "p28_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 4 = 1")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+         |g AS (
+         |  SELECT c.doc_id, c.text, coalesce(comp.group_id, c.doc_id) AS group_id
+         |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id),
+         |q AS (SELECT doc_id, group_id, $qualitySql AS quality FROM g)
+         |SELECT doc_id, quality FROM q
+         |QUALIFY row_number() OVER (PARTITION BY group_id ORDER BY quality DESC, doc_id) = 1
+         |ORDER BY doc_id""".stripMargin,
+
+    // coarse rank in the replicated 8-dim projection, exact re-rank of the
+    // top 50 by quantized full-dim cosine (p08-proven agreement)
+    "p29_ann_projected" ->
+      s"""WITH cb AS (
+         |  SELECT neighbor_id, cv, ${projSqlList("cv", 64, 8)} AS cp
+         |  FROM (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings)),
+         |cbn AS (SELECT neighbor_id, cv, cp, sqrt(${dotSql("cp", "cp", 8)}) AS cpn FROM cb),
+         |qb AS (
+         |  SELECT query_id, qv, ${projSqlList("qv", 64, 8)} AS qp
+         |  FROM (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10)),
+         |qbn AS (SELECT query_id, qv, qp, sqrt(${dotSql("qp", "qp", 8)}) AS qpn FROM qb),
+         |coarse AS (
+         |  SELECT query_id, neighbor_id,
+         |    floor((${dotSql("qp", "cp", 8)} / (qpn * cpn)) * 10000.0 + 0.5) / 10000.0 AS csim
+         |  FROM cbn CROSS JOIN qbn),
+         |cands AS (
+         |  SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id,
+         |      row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, neighbor_id) AS rnk
+         |    FROM coarse) WHERE rnk <= 50),
+         |scored AS (
+         |  SELECT cands.query_id, cands.neighbor_id, $qCos AS sim
+         |  FROM cands
+         |  JOIN (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS cv FROM embeddings) c USING (neighbor_id)
+         |  JOIN (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10) q USING (query_id))
+         |SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
+
+    // scale/codes replicated with identical floor(x/scale + 0.5)
+    // arithmetic; the error bound holds by construction -> pinned TRUE
+    "p30_quantize_int8" ->
+      """WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |s AS (SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale FROM v),
+        |c AS (SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+        |       ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER)) END AS codes
+        |  FROM s)
+        |SELECT vec_id,
+        |  floor(scale * 10000.0 + 0.5) / 10000.0 AS scale_e4,
+        |  CAST(list_sum(codes) AS BIGINT) AS code_sum,
+        |  TRUE AS err_bounded
+        |FROM c ORDER BY vec_id""".stripMargin,
 
     "p11_frame_sample" ->
       """WITH frames AS (

@@ -355,6 +355,24 @@ object Dedup {
       .select(col("doc_id"), coalesce(col("component"), col("doc_id")).as("group_id"))
   }
 
+  /** Group-aware retention: keep exactly ONE document per near-dup group —
+    * the highest `score`, ties broken by lowest id. `groups` is the
+    * (doc_id, group_id) frame from [[nearDupGroups]]. This is the policy
+    * production curation wants ("keep the best-quality copy"), which
+    * pair-based dropping cannot express: the canonical-min doc of a group
+    * may be its worst copy. One shuffle on group_id; group sizes are
+    * near-dup cluster sizes (bounded by the candidate caps upstream), so
+    * no skew beyond what the LSH caps already bound. */
+  def keepBestPerGroup(df: DataFrame, id: Column, score: Column,
+      groups: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col("__gid")).orderBy(score.desc, id.asc)
+    df.join(groups.select(col("doc_id").as("__jid"), col("group_id").as("__gid")),
+        id === col("__jid"))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__jid", "__gid", "__rn")
+  }
+
   /** SimHash width: all 60 bits of the portable md5-derived token hash
     * ([[TextOps.md5Long]]). 60 bits keep every band of the pigeonhole
     * banding wide (15 bits at the default maxHamming=3): with the previous

@@ -161,6 +161,85 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
   }
 
+  /** Deterministic random projection dim -> dimOut: component i of the
+    * output is the left-assoc dot of the input with pseudo-random plane i
+    * (the same integer-lattice planes as [[hyperplaneSignature]], so the
+    * DuckDB oracle replicates every IEEE operation bit-for-bit).
+    * Johnson-Lindenstrauss-style distance preservation makes the projected
+    * cosine a cheap coarse rank for two-stage ANN: the per-pair cost drops
+    * dim/dimOut-fold. */
+  def projectVec(vec: Column, dimIn: Int, dimOut: Int): Column = {
+    val vd = vec.cast("array<double>")
+    array((0 until dimOut).map { i =>
+      (0 until dimIn).map(j => element_at(vd, j + 1) * lit(planeComponent(i, j)))
+        .reduce(_ + _)
+    }: _*)
+  }
+
+  /** Two-stage projected ANN: rank ALL corpus vectors by cosine in the
+    * `dimOut`-dim projected space (cheap), keep the top `coarseK` per
+    * query, then re-rank ONLY those candidates by exact full-dim cosine.
+    *
+    * Scale shape: the coarse pass carries (id, projection) — never the
+    * full vector — and the exact pass is one corpus scan semi-joined
+    * against the broadcast candidate list, so full vectors are read for
+    * ~coarseK rows per query instead of the whole corpus. Recall is
+    * bounded by projection distortion (spec-checked against brute
+    * force). */
+  def projectedCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      dimIn: Int, dimOut: Int, coarseK: Int, k: Int): DataFrame = {
+    val cp = corpus.select(corpusId.as("neighbor_id"),
+      projectVec(corpusVec, dimIn, dimOut).as("__cp"))
+      .withColumn("__cpn", l2Norm(col("__cp")))
+    val qp = queries.select(queryId.as("query_id"),
+      projectVec(queryVec, dimIn, dimOut).as("__qp"))
+      .withColumn("__qpn", l2Norm(col("__qp")))
+    val coarse = cp.crossJoin(broadcast(qp))
+      .withColumn("__csim", quantize4(dot(col("__qp"), col("__cp")) / (col("__qpn") * col("__cpn"))))
+    val wc = Window.partitionBy(col("query_id")).orderBy(col("__csim").desc, col("neighbor_id").asc)
+    val cands = coarse.withColumn("__crank", row_number().over(wc))
+      .filter(col("__crank") <= coarseK)
+      .select(col("query_id"), col("neighbor_id"))
+    val cv = corpus.select(corpusId.as("neighbor_id"), corpusVec.cast("array<double>").as("__cv"))
+      .withColumn("__cn", l2Norm(col("__cv")))
+    val qv = queries.select(queryId.as("query_id"), queryVec.cast("array<double>").as("__qv"))
+      .withColumn("__qn", l2Norm(col("__qv")))
+    val exact = cv.join(broadcast(cands), "neighbor_id")
+      .join(broadcast(qv), "query_id")
+      .withColumn("sim", quantize4(dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    exact.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
+  }
+
+  /** Per-vector symmetric int8 quantization: scale = max(|x_i|) / 127,
+    * code_i = floor(x_i / scale + 0.5) in [-128, 127] (floor(x+0.5) is the
+    * engine-portable half-up convention shared with quantize4). The
+    * all-zero vector gets scale 0 and all-zero codes. 8x memory/IO
+    * reduction for ANN candidate stores; reconstruction x_i ~ code_i *
+    * scale bounds the error by scale/2 per component. */
+  def quantizeInt8(vec: Column): Column = {
+    val vd = vec.cast("array<double>")
+    // the scale is bound to a lambda VARIABLE before the per-element code
+    // lambda uses it: capturing the array_max expression directly in the
+    // lambda body would re-evaluate it once per ELEMENT (TextOps.bind note)
+    val scaleC = array_max(transform(vd, x => abs(x))) / 127.0
+    element_at(transform(array(scaleC), s =>
+      struct(
+        s.as("scale"),
+        when(s === 0.0, transform(vd, _ => lit(0).cast("int")))
+          .otherwise(transform(vd, x => floor(x / s + 0.5).cast("int"))).as("codes"))), 1)
+  }
+
+  /** Reconstruct an approximate vector from [[quantizeInt8]] output.
+    * The scale is bound once per row (same lambda-capture note as
+    * [[quantizeInt8]]). */
+  def dequantizeInt8(q: Column): Column =
+    element_at(transform(array(q.getField("scale")), s =>
+      transform(q.getField("codes"), c => c.cast("double") * s)), 1)
+
   /** Approximate top-k: candidates restricted to the query's bucket. */
   def bucketedCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,

@@ -315,6 +315,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(rebuilt == "a" * 100)
   }
 
+  test("keepBestPerGroup keeps the argmax-score doc of each group") {
+    val d = Seq((1L, 0.2), (2L, 0.9), (3L, 0.5), (4L, 0.7), (5L, 0.7))
+      .toDF("doc_id", "score")
+    // groups {1,2,3} and {4,5}; 4 and 5 tie on score -> lowest id wins
+    val groups = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("doc_id", "group_id")
+    val kept = Dedup.keepBestPerGroup(d, $"doc_id", $"score", groups)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(2L, 4L))
+  }
+
+  test("projected ANN: self at rank 1; recall vs brute force; coarseK=N is exact") {
+    val e = embs.filter($"vec_id" < 200)
+    val q = e.filter($"vec_id" < 10)
+    val proj = Similarity.projectedCosineTopK(e, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", dimIn = 64, dimOut = 8, coarseK = 50, k = 5)
+      .collect()
+    assert(proj.filter(r => r.getLong(3) == 1L)
+      .forall(r => r.getLong(0) == r.getLong(1) && r.getDouble(2) == 1.0))
+    val brute = Similarity.cosineTopK(e, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", k = 5).collect()
+    def keySet(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = keySet(proj).intersect(keySet(brute)).size.toDouble / brute.length
+    assert(recall >= 0.5, s"projected recall $recall too low")
+    // with coarseK covering the whole corpus the result IS brute force
+    val full = Similarity.projectedCosineTopK(e, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", dimIn = 64, dimOut = 8, coarseK = 200, k = 5)
+    assert(keySet(full.collect()) == keySet(brute))
+  }
+
+  test("int8 quantization: codes in range, error bounded by scale/2, zero-vec safe") {
+    val df = embs.filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+      .unionByName(Seq((999999L, Seq.fill(64)(0.0))).toDF("vec_id", "v"))
+    val q = df.withColumn("q", Similarity.quantizeInt8($"v"))
+      .select($"vec_id", $"q.scale".as("scale"), $"q.codes".as("codes"),
+        Similarity.dequantizeInt8($"q").as("r"), $"v")
+      .collect()
+    for (row <- q) {
+      val scale = row.getDouble(1)
+      val codes = row.getSeq[Int](2)
+      val recon = row.getSeq[Double](3)
+      val v = row.getSeq[Double](4)
+      assert(codes.forall(c => c >= -128 && c <= 127))
+      if (row.getLong(0) == 999999L) assert(scale == 0.0 && codes.forall(_ == 0))
+      else {
+        assert(scale > 0)
+        v.zip(recon).foreach { case (x, r) =>
+          assert(math.abs(x - r) <= scale / 2 + 1e-12, s"err ${math.abs(x - r)} > ${scale / 2}")
+        }
+      }
+    }
+  }
+
   test("topTerms ranks by frequency with deterministic ties") {
     val df = Seq((1L, "x x x y y z"), (2L, "y w w"), (3L, "x")).toDF("doc_id", "text")
     val out = TextOps.topTerms(df, $"doc_id", $"text", k = 3)
