@@ -6,7 +6,8 @@ import org.apache.spark.sql.SparkSession
   * query set at sf0.01. Run: `Test/runMain graft.PlanDump`. */
 object PlanDump {
   val Captured = Seq("q01_lineitem_agg", "h3_02_parent_rollup", "h3_12_latlng_cell",
-    "p05_minhash_sigs", "p06_lsh_pairs", "p18_embed_neardup")
+    "p05_minhash_sigs", "p06_lsh_pairs", "p18_embed_neardup", "p26_chunks",
+    "p29_ann_projected")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
