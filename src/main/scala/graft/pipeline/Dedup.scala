@@ -399,6 +399,36 @@ object Dedup {
   /** Hamming distance between two SimHash values (codegen'd bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** Per-ROW SimHash — identical values to [[simHash]] (bit sums are
+    * order-independent integer sums) but computed as one stateless
+    * projection via a struct-fold over the token array, no explode and no
+    * aggregation. This is the form streaming pipelines need: Structured
+    * Streaming allows one stateful operator per query, and the explode +
+    * groupBy formulation would spend it before the near-dup state does.
+    * The folded accumulator is bound once per row (TextOps.bind note)
+    * before the 60 field reads assemble the hash. */
+  def simHashColumn(text: Column): Column = {
+    val hs = transform(TextOps.tokens(text), t => TextOps.md5Long(t))
+    val fields = (0 until SimHashBits).map(i => s"b$i")
+    val init = struct(fields.map(f => lit(0).as(f)): _*)
+    val folded = aggregate(hs, init, (acc, h) =>
+      struct((0 until SimHashBits).map { j =>
+        (acc.getField(s"b$j") +
+          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
+      }: _*))
+    element_at(transform(array(folded), f =>
+      (0 until SimHashBits).map { j =>
+        when(f.getField(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
+      }.reduce(_ + _)), 1)
+  }
+
+  /** The pigeonhole band values of a SimHash as an array (same band
+    * layout as [[simHashNearDupPairs]]). */
+  def simHashBandValues(simhash: Column, maxHamming: Int): Column =
+    array(bandBounds(maxHamming + 1).map { case (lo, width) =>
+      shiftright(simhash, lo).bitwiseAND((1L << width) - 1)
+    }: _*)
+
   /** Hard ceiling on SimHash band membership, mirroring [[MaxLshBucket]]:
     * a hot band value (templated/near-empty documents collapsing to one
     * SimHash) is truncated to the smallest `MaxSimHashBand` ids instead of

@@ -1,8 +1,18 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.functions._
+
+/** One (band, member) row of the streaming SimHash band index. */
+final case class SimHashBandRow(id: Long, simhash: Long, bandIdx: Int, bandVal: Long)
+
+/** Per-band state: the most recent members, newest first. */
+final case class SimHashBandMembers(ids: List[Long], hashes: List[Long])
+
+/** A streaming near-dup candidate: ids ordered, hamming distance attached. */
+final case class SimHashCandidate(id_a: Long, id_b: Long, hamming: Int)
 
 /**
  * Structured Streaming wiring for the H3 catalog (SURVEY.md §2.10 — an
@@ -56,4 +66,58 @@ object H3Streaming {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
+
+  /** Streaming SimHash NEAR-dup candidate detection — the ingest-time form
+    * of [[graft.pipeline.Dedup.simHashNearDupPairs]]: each arriving
+    * document is SimHash'd in one stateless projection
+    * (Dedup.simHashColumn — Structured Streaming allows ONE stateful
+    * operator per query, and the batch explode+groupBy SimHash would spend
+    * it), banded by the same pigeonhole layout, and matched against the
+    * last `maxPerBand` members of each of its bands held in
+    * flatMapGroupsWithState state. Emits (id_a, id_b, hamming) for pairs
+    * within `maxHamming`.
+    *
+    * Semantics and bounds, stated for the 100 TB/day shape:
+    *  - recall within the state horizon is 1.0 (pigeonhole guarantee:
+    *    a qualifying pair shares at least one full band);
+    *  - a pair matching in several bands emits once PER matching band —
+    *    at-least-once delivery; downstream dedupes or tolerates;
+    *  - state per band value is capped FIFO at `maxPerBand` (hot templated
+    *    bands degrade recall, never memory), so state size is bounded by
+    *    (#distinct live band values) x maxPerBand x 16 bytes. */
+  def streamingSimHashCandidates(stream: DataFrame, idCol: String, textCol: String,
+      maxHamming: Int = 3, maxPerBand: Int = 64): Dataset[SimHashCandidate] = {
+    import graft.pipeline.Dedup
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val banded = stream
+      .select(col(idCol).cast("long").as("id"),
+        Dedup.simHashColumn(col(textCol)).as("simhash"))
+      .select(col("id"), col("simhash"),
+        posexplode(Dedup.simHashBandValues(col("simhash"), maxHamming))
+          .as(Seq("bandIdx", "bandVal")))
+      .as[SimHashBandRow]
+    banded
+      .groupByKey(r => (r.bandIdx, r.bandVal))
+      .flatMapGroupsWithState[SimHashBandMembers, SimHashCandidate](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[SimHashBandMembers]) =>
+          var ids = state.getOption.map(_.ids).getOrElse(Nil)
+          var hashes = state.getOption.map(_.hashes).getOrElse(Nil)
+          val out = scala.collection.mutable.ArrayBuffer.empty[SimHashCandidate]
+          for (r <- rows) {
+            var is = ids; var hs = hashes
+            while (is.nonEmpty) {
+              val ham = java.lang.Long.bitCount(r.simhash ^ hs.head)
+              if (ham <= maxHamming && is.head != r.id)
+                out += SimHashCandidate(math.min(is.head, r.id), math.max(is.head, r.id), ham)
+              is = is.tail; hs = hs.tail
+            }
+            ids = (r.id :: ids).take(maxPerBand)
+            hashes = (r.simhash :: hashes).take(maxPerBand)
+          }
+          state.update(SimHashBandMembers(ids, hashes))
+          out.iterator
+      }
+  }
 }

@@ -58,6 +58,48 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("simHashColumn (per-row, stateless) matches batch simHash exactly") {
+    import graft.pipeline.Dedup
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").limit(50)
+    val batch = Dedup.simHash(docs, $"doc_id", $"text")
+      .withColumnRenamed("__id", "doc_id")
+    val perRow = docs.select($"doc_id", Dedup.simHashColumn($"text").as("simhash"))
+    assert(batch.except(perRow).isEmpty && perRow.except(batch).isEmpty)
+  }
+
+  test("streaming simhash near-dup candidates found across micro-batches") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // heavy token repetition keeps most bit sums far from zero, so ONE
+    // extra token flips only the few near-zero bits -> small hamming
+    val base = Seq.fill(12)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val nearDup = base + " ok"
+    val far = "completely unrelated content about spark physical plans and shuffles"
+    // precondition: the planted pair really is within the threshold
+    val Seq(h1, h2) = Seq(base, nearDup).map { t =>
+      Seq((1L, t)).toDF("id", "text")
+        .select(Dedup.simHashColumn($"text")).as[Long].head()
+    }
+    val ham = java.lang.Long.bitCount(h1 ^ h2)
+    assume(ham <= 3, s"fixture drifted: hamming $ham")
+
+    val input = MemoryStream[(Long, String)]
+    val cands = H3Streaming.streamingSimHashCandidates(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+    val query = cands.writeStream
+      .format("memory").queryName("cands").outputMode("append").start()
+    try {
+      input.addData((1L, base), (2L, far))
+      query.processAllAvailable()
+      assert(spark.table("cands").isEmpty) // no qualifying pair yet
+      // the near-dup arrives in a LATER micro-batch: state must carry over
+      input.addData((3L, nearDup))
+      query.processAllAvailable()
+      val pairs = spark.table("cands").as[(Long, Long, Int)].collect().toSet
+      assert(pairs == Set((1L, 3L, ham)), s"got $pairs")
+    } finally query.stop()
+  }
+
   test("windowed compaction emits compacted cell sets per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
