@@ -96,6 +96,35 @@ object GraphQueries {
     // P13 end-to-end: OSM-shaped way-table ingestion — tags-driven
     // analyzer (weight/skip/oneway), per-way partitioned window, duplicate
     // -edge min across overlapping ways, cross-component isolation
+    // P13 binary half: the OSM PBF codec as a distributed in-plan
+    // roundtrip — nodes (dense delta-coded coords + tags) and ways
+    // (delta-zigzag refs) derived from `events`, pushed through the FULL
+    // on-disk path (PrimitiveBlock → zlib Blob → BlobHeader framing) and
+    // decoded back. The oracle replicates the only lossy step, coordinate
+    // quantization to the granularity-100 lattice:
+    // decoded = 1e-9 * (100 * floor(deg * 1e7 + 0.5)).
+    "p31_osm_pbf" -> ((s, dir) => {
+      val events = s.read.parquet(s"$dir/events.parquet")
+      val nodesIn = events.select(
+        col("event_id").as("id"),
+        ((col("event_id") % 1700).cast("double") / 100.0 - 8.5).as("lat"),
+        ((col("event_id") % 3500).cast("double") / 100.0 - 17.5).as("lon"),
+        col("event_type").as("tagv"))
+      val waysIn = events.groupBy(col("user_id").as("id"))
+        .agg(sort_array(collect_list(col("event_id"))).as("refs"))
+      val nodesOut = graft.sources.osm.OsmPbfRoundtrip.nodes(nodesIn)
+        .select(lit("node").as("entity"), col("id"), col("lat"), col("lon"),
+          lit(null).cast("long").as("n_refs"), lit(null).cast("long").as("refs_sum"),
+          col("tagv"))
+      val waysOut = graft.sources.osm.OsmPbfRoundtrip.ways(waysIn)
+        .select(lit("way").as("entity"), col("id"),
+          lit(null).cast("double").as("lat"), lit(null).cast("double").as("lon"),
+          size(col("refs")).cast("long").as("n_refs"),
+          aggregate(col("refs"), lit(0L), _ + _).as("refs_sum"),
+          lit(null).cast("string").as("tagv"))
+      nodesOut.unionByName(waysOut).orderBy(col("entity"), col("id"))
+    }),
+
     "p23_graph_ways" -> ((s, dir) => {
       import s.implicits._
       val res = 8
@@ -233,6 +262,18 @@ object GraphQueries {
 
     "p23_graph_ways" ->
       """SELECT TRUE AS skip_ok, TRUE AS oneway_ok, TRUE AS minw_ok,
-        |  TRUE AS isolation_ok, TRUE AS route_ok, TRUE AS oneway_route_ok""".stripMargin
+        |  TRUE AS isolation_ok, TRUE AS route_ok, TRUE AS oneway_route_ok""".stripMargin,
+
+    "p31_osm_pbf" ->
+      """SELECT 'node' AS entity, event_id AS id,
+        |  1e-9 * (100 * floor(((event_id % 1700)::DOUBLE / 100.0 - 8.5) * 1e7 + 0.5)) AS lat,
+        |  1e-9 * (100 * floor(((event_id % 3500)::DOUBLE / 100.0 - 17.5) * 1e7 + 0.5)) AS lon,
+        |  NULL::BIGINT AS n_refs, NULL::BIGINT AS refs_sum, event_type AS tagv
+        |FROM events
+        |UNION ALL
+        |SELECT 'way', user_id,
+        |  NULL::DOUBLE, NULL::DOUBLE, count(*), sum(event_id)::BIGINT, NULL::VARCHAR
+        |FROM events GROUP BY user_id
+        |ORDER BY entity, id""".stripMargin
   )
 }

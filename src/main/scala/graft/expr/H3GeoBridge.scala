@@ -255,4 +255,17 @@ object H3GeoBridge {
     if (res < 0 || res > 15) null
     else java.lang.Double.valueOf(
       graft.h3.H3Tables.edgeLengthAvgKm(res) * 1000.0 * math.sqrt(3.0))
+
+  /** G3 on raw coordinate arrays (no WKT round-trip): trace the polyline
+    * through lineStringToCells — bit-identical to the WKT path, which is
+    * what lets OSM ingestion ([[graft.graph.H3Graph.graphFromOsm]]) share
+    * the linestring trace without lossy double→string formatting. */
+  def pointsToCells(lons: ArrayData, lats: ArrayData, res: Int): ArrayData = {
+    val n = math.min(lons.numElements(), lats.numElements())
+    val pts = new Array[(Double, Double)](n)
+    var i = 0
+    while (i < n) { pts(i) = (lons.getDouble(i), lats.getDouble(i)); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      graft.h3.H3Polygon.lineStringToCells(pts, res))
+  }
 }

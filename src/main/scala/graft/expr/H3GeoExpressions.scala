@@ -350,6 +350,28 @@ case class H3PolygonToCellsIntersecting(left: Expression, right: Expression) ext
     copy(left = l, right = r)
 }
 
+/** G3 variant over parallel coordinate arrays (lons, lats, res) — the OSM
+  * ingestion entry; same trace kernel as [[H3LineStringToCells]]. */
+case class H3PointsToCells(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with ExpectsInputTypes with H3GeoBridgeCodegen {
+  override def prettyName: String = "h3_points_to_cells"
+  override def inputTypes: Seq[DataType] =
+    Seq(ArrayType(DoubleType, containsNull = false), ArrayType(DoubleType, containsNull = false),
+      IntegerType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override protected def bridgeName: String = "pointsToCells"
+  override def nullSafeEval(a: Any, b: Any, c: Any): Any =
+    H3GeoBridge.pointsToCells(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], c.asInstanceOf[Int])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b, c) => genNullableGeoBridge(ctx, ev, s"$a, $b, $c"))
+  override protected def withNewChildrenInternal(a: Expression, b: Expression, c: Expression): Expression =
+    copy(first = a, second = b, third = c)
+}
+
 case class H3LineStringToCells(left: Expression, right: Expression) extends H3WktResExpr {
   override def prettyName: String = "h3_linestring_to_cells"
   override protected def bridgeName: String = "lineStringToCells"

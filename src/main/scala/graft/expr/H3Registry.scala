@@ -68,6 +68,7 @@ object H3Registry {
     "h3_polygon_to_cells" -> (a => H3PolygonToCells(a(0), a(1))),
     "h3_polygon_to_cells_intersecting" -> (a => H3PolygonToCellsIntersecting(a(0), a(1))),
     "h3_linestring_to_cells" -> (a => H3LineStringToCells(a(0), a(1))),
+    "h3_points_to_cells" -> (a => H3PointsToCells(a(0), a(1), a(2))),
     "h3_geometry_to_cells" -> (a => H3GeometryToCells(a(0), a(1))),
     "h3_cell_intersects_polygon" -> (a => H3CellIntersectsPolygon(a(0), a(1))),
     "h3_cell_contains_point" -> (a => H3CellContainsPoint(a(0), a(1), a(2))),

@@ -139,6 +139,10 @@ object functions {
   /** G3: trace a WKT LINESTRING into cells (traversal order, deduped). */
   def h3_linestring_to_cells(wkt: Column, res: Column): Column =
     c(H3LineStringToCells(e(wkt), e(res.cast("int"))))
+  /** G3 over parallel (lons, lats) coordinate arrays — same trace kernel,
+    * no WKT formatting round-trip (OSM ingestion path). */
+  def h3_points_to_cells(lons: Column, lats: Column, res: Column): Column =
+    c(H3PointsToCells(e(lons), e(lats), e(res.cast("int"))))
   /** G2/G4: generic WKT geometry -> sorted distinct cells — full ToH3Cells
     * dispatch incl. POINT/MULTIPOINT/MULTILINESTRING/GEOMETRYCOLLECTION
     * (to_h3.rs:112-127). */

@@ -110,15 +110,23 @@ object H3Graph {
     * (h3edge.rs:96-109). Output schema matches [[graphFromEdgeList]] +
     * `edge`. */
   def graphFromWays(ways: DataFrame, wayId: Column, wkt: Column, res: Int,
-      weight: Column, bidirectional: Column): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__way")).orderBy(col("__ord"))
-    val traced = ways
+      weight: Column, bidirectional: Column): DataFrame =
+    tracedChainsToEdges(ways
       .select(wayId.as("__way"), weight.cast("double").as("__w"),
         coalesce(bidirectional, lit(true)).as("__bidir"), wkt.as("__wkt"))
       .filter(col("__w").isNotNull)
       .select(col("__way"), col("__w"), col("__bidir"),
-        posexplode(h3_linestring_to_cells(col("__wkt"), lit(res))).as(Seq("__ord", "__cell")))
-    val pairs = traced
+        h3_linestring_to_cells(col("__wkt"), lit(res)).as("__cells")))
+
+  /** Shared tail of every way-shaped ingestion: explode each way's traced
+    * cell chain, pair consecutive cells under a PER-WAY window
+    * (shuffle-parallel over millions of ways), mirror bidirectional ways,
+    * and keep the minimum weight per duplicate edge (h3edge.rs:96-109). */
+  private def tracedChainsToEdges(chains: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("__way")).orderBy(col("__ord"))
+    val pairs = chains
+      .select(col("__way"), col("__w"), col("__bidir"),
+        posexplode(col("__cells")).as(Seq("__ord", "__cell")))
       .select(col("__way"), col("__w"), col("__bidir"), col("__cell").as("a"),
         lead(col("__cell"), 1).over(w).as("b"))
       .filter(col("b").isNotNull && col("a") =!= col("b"))
@@ -129,6 +137,56 @@ object H3Graph {
       .withColumn("edge", h3_cells_to_directed_edge(col("origin"), col("destination")))
       .groupBy(col("origin"), col("destination"))
       .agg(min(col("edge")).as("edge"), min(col("__w")).as("weight"))
+  }
+
+  /** P13, full OSM shape: build the routing graph from OSM `nodes`
+    * (id, lat, lon, tags) and `ways` (id, refs, tags) frames — the two
+    * tables [[graft.sources.osm.OsmPbfSource]] scans out of a `.osm.pbf`
+    * file. Reproduces the reference's single-machine reader loop
+    * (io/osm.rs:67-108) as a distributed plan:
+    *  - analyzer first: ways with NULL `weight` are dropped BEFORE the
+    *    refs explode (the selective predicate runs against the way scan);
+    *  - node-coordinate resolution is an equi-join on ref id — the
+    *    distributed replacement for the reference's driver-side
+    *    `nodeid_coordinates` hashmap (osm.rs:71-80), which cannot hold
+    *    planet-scale node sets on one machine. Missing refs drop out of
+    *    the inner join exactly like the reference's `filter_map`
+    *    (osm.rs:84-88);
+    *  - each way's ordered polyline is re-assembled per way (one shuffle)
+    *    and traced with the SAME linestring kernel as G3
+    *    (`h3_points_to_cells` — no lossy WKT round-trip), then the shared
+    *    chain→edges tail applies weights/bidirectionality per edge. */
+  def graphFromOsm(nodes: DataFrame, ways: DataFrame, res: Int,
+      weight: Column = highwayClassWeight(col("tags")),
+      bidirectional: Column = highwayBidirectional(col("tags"))): DataFrame = {
+    val kept = ways
+      .select(col("id").as("__way"), col("refs").as("__refs"),
+        weight.cast("double").as("__w"), coalesce(bidirectional, lit(true)).as("__bidir"))
+      .filter(col("__w").isNotNull && size(col("__refs")) >= 2)
+    val coords = kept
+      .select(col("__way"), col("__w"), col("__bidir"),
+        posexplode(col("__refs")).as(Seq("__ord", "__ref")))
+      .join(nodes.select(col("id").as("__ref"), col("lat").as("__lat"), col("lon").as("__lon")),
+        Seq("__ref"))
+    val chains = coords
+      .groupBy(col("__way"), col("__w"), col("__bidir"))
+      .agg(array_sort(collect_list(struct(col("__ord"), col("__lon"), col("__lat")))).as("__pts"))
+      .filter(size(col("__pts")) >= 2)
+      .select(col("__way"), col("__w"), col("__bidir"),
+        h3_points_to_cells(
+          transform(col("__pts"), p => p.getField("__lon")),
+          transform(col("__pts"), p => p.getField("__lat")), lit(res)).as("__cells"))
+    tracedChainsToEdges(chains)
+  }
+
+  /** P13 end-to-end from a `.osm.pbf` path: distributed PBF scan
+    * ([[graft.sources.osm.OsmPbfSource]]) + [[graphFromOsm]] — the Spark
+    * equivalent of the reference's `OsmPbfH3EdgeGraphBuilder::read_pbf` +
+    * `build_graph` (io/osm.rs:67-121). */
+  def graphFromOsmPbf(spark: SparkSession, path: String, res: Int): DataFrame = {
+    val nodes = spark.read.format("osmpbf").option("entity", "nodes").load(path)
+    val ways = spark.read.format("osmpbf").option("entity", "ways").load(path)
+    graphFromOsm(nodes, ways, res)
   }
 
   /** P2: nodes with Origin / Destination / OriginAndDestination typing
