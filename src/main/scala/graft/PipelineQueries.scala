@@ -106,6 +106,45 @@ object PipelineQueries {
     // construction); oracle = exact pairwise hamming on the same corpus.
     // Uncapped (see p06): the MaxSimHashBand default protects library
     // users; the oracle contract requires every qualifying pair.
+    // Gopher-style repetition signals (top-word / duplicate n-gram
+    // occurrence fractions) — the boilerplate/degenerate-text filter
+    "p32_repetition" -> ((s, dir) => {
+      TextOps.repetitionStats(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Okapi BM25 against a fixed query-term set: domain-subset mining.
+    // idf quantized on the integer (N, df) lattice -> engine-exact.
+    "p33_bm25" -> ((s, dir) => {
+      graft.pipeline.Ranking.bm25(docs(s, dir), col("doc_id"), col("text"),
+        Seq("spark", "table", "window"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // deterministic stratified mixing: per-language target rates with
+    // integer + fractional copies on the md5 10000-lattice
+    "p34_mix_sample" -> ((s, dir) => {
+      graft.pipeline.Mixing.mixSample(
+        docs(s, dir).select(col("doc_id"), col("lang")),
+        col("doc_id"), col("lang"),
+        rates = Map("en" -> 0.25, "de" -> 2.0, "es" -> 1.5, "fr" -> 3.25),
+        salt = "mix1")
+        .select(col("doc_id"), col("lang"), col("copy_idx"))
+        .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // incremental dedup of a "new crawl" against the reference corpus:
+    // bloom prefilter + exact anti-join verification (exact semantics)
+    "p35_incremental_dedup" -> ((s, dir) => {
+      val ref = docs(s, dir).select(col("doc_id"), col("text"))
+      val newBatch = ref.select((col("doc_id") + 1000000).as("doc_id"),
+        when(col("doc_id") % 3 === 0, col("text"))
+          .otherwise(concat(col("text"), lit(" novel suffix"))).as("text"))
+      Dedup.incrementalDedup(newBatch, ref, col("text"), col("text"),
+        expectedRefItems = 100000L)
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     "p22_simhash_neardup" -> ((s, dir) => {
       val c = corpusWithDups(s, dir).filter(col("doc_id") % 2 === 0)
       Dedup.simHashNearDupPairs(c, col("doc_id"), col("text"), maxHamming = 3,
@@ -670,6 +709,66 @@ object PipelineQueries {
         |SELECT doc_id, chunk_idx, chunk_idx * 48 AS char_start,
         |  substr(text, CAST(chunk_idx * 48 + 1 AS INTEGER), 64) AS chunk
         |FROM c ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "p32_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+        |g AS (
+        |  SELECT doc_id, 1 AS n, unnest(tk) AS g FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 2, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) FROM toks
+        |  UNION ALL
+        |  SELECT doc_id, 3, unnest([tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2] FOR i IN range(1, len(tk) - 1)]) FROM toks),
+        |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+        |s AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot, max(c) AS top,
+        |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+        |  FROM c GROUP BY doc_id, n)
+        |SELECT doc_id,
+        |  coalesce(max(CASE WHEN n = 1 THEN floor(top::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS top_word_frac,
+        |  coalesce(max(CASE WHEN n = 2 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup_2gram_frac,
+        |  coalesce(max(CASE WHEN n = 3 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup_3gram_frac
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p33_bm25" -> {
+      val terms = Seq("spark", "table", "window")
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
+      val dfDefs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+      val termSql = terms.indices.map { i =>
+        s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
+          s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
+      }.mkString(" + ")
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+         |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+         |  $tfDefs
+         |  FROM toks),
+         |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         |  $dfDefs
+         |  FROM tf)
+         |SELECT doc_id, floor(($termSql) * 10000.0 + 0.5) / 10000.0 AS bm25
+         |FROM tf, st ORDER BY doc_id""".stripMargin
+    },
+
+    "p34_mix_sample" ->
+      s"""WITH r AS (SELECT doc_id, lang,
+         |  CASE lang WHEN 'en' THEN 2500 WHEN 'de' THEN 20000
+         |            WHEN 'es' THEN 15000 WHEN 'fr' THEN 32500 ELSE 0 END AS r10k,
+         |  ${oH("doc_id::VARCHAR || 'mix1'")} % 10000 AS bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, lang,
+         |  CAST(floor(r10k / 10000.0) AS BIGINT)
+         |    + CASE WHEN bucket < r10k % 10000 THEN 1 ELSE 0 END AS copies FROM r)
+         |SELECT doc_id, lang, unnest(range(0, copies)) AS copy_idx
+         |FROM c WHERE copies > 0 ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "p35_incremental_dedup" ->
+      """WITH newb AS (
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN text ELSE text || ' novel suffix' END AS text
+        |  FROM documents)
+        |SELECT n.doc_id FROM newb n
+        |WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.text = n.text)
+        |ORDER BY doc_id""".stripMargin,
 
     "p27_vocab" ->
       s"""WITH toks AS (

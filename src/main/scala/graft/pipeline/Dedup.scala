@@ -373,6 +373,36 @@ object Dedup {
       .drop("__jid", "__gid", "__rn")
   }
 
+  /** Incremental exact dedup of a new batch against an existing reference
+    * corpus: keep new rows whose `newKey` does not appear in `refKeys`
+    * (the "dedup tonight's crawl against the 100 TB corpus" op).
+    *
+    * Scale design: the reference side is summarized once into a Bloom
+    * filter over 64-bit key hashes (`expectedRefItems`/`fpp` size it) and
+    * shipped to every task — a few hundred MB covers billions of keys.
+    * Bloom "no" is definitive (no false negatives), so those rows pass
+    * through WITHOUT touching the shuffle; only the ~fpp false-positive
+    * sliver plus true duplicates reach the exact anti-join, whose build
+    * side shrinks from |corpus| to |candidate keys|. Results are exactly
+    * the anti-join semantics — the filter only prunes work — which is why
+    * the operator keeps a full-value oracle. */
+  def incrementalDedup(newDf: DataFrame, refDf: DataFrame, newKey: Column,
+      refKey: Column, expectedRefItems: Long = 1000000L,
+      fpp: Double = 0.01): DataFrame = {
+    val refKeys = refDf.select(refKey.as("__rk"))
+    val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
+      .stat.bloomFilter("__h", expectedRefItems, fpp)
+    val might = udf((h: Long) => bf.mightContainLong(h))
+    val keyed = newDf.withColumn("__maybe", might(xxhash64(newKey)))
+      .localCheckpoint(false) // evaluate the bloom probe once per row
+    val definite = keyed.filter(!col("__maybe"))
+    // exact verification joins on the FULL key (hashes only gate the
+    // bloom): a 2^-64 hash collision must not drop a genuinely new row
+    val survivors = keyed.filter(col("__maybe"))
+      .join(refKeys.distinct(), newKey === col("__rk"), "left_anti")
+    definite.unionByName(survivors).drop("__maybe")
+  }
+
   /** SimHash width: all 60 bits of the portable md5-derived token hash
     * ([[TextOps.md5Long]]). 60 bits keep every band of the pigeonhole
     * banding wide (15 bits at the default maxHamming=3): with the previous

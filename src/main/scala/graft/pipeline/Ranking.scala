@@ -1,0 +1,58 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Corpus ranking for training-data curation (engine extension): BM25
+ * relevance of every document against a fixed term set — the standard
+ * retrieval score used to mine domain-relevant subsets out of a web-scale
+ * corpus ("give me the docs that look like math/code/medical text").
+ *
+ * Scale design: one corpus-statistics aggregate (N, Σdl, per-term df —
+ * map-side partials, a few-byte result) broadcast back over the corpus,
+ * then a pure per-row projection. No per-term shuffle, no inverted index —
+ * at 100 TB the corpus pass is the scan you were already paying.
+ */
+object Ranking {
+
+  /** Okapi BM25 with the conventional k1/b defaults. Output: (doc_id,
+    * bm25) — quantized to the 1e-4 lattice (see quantize4 note).
+    *
+    * Oracle-exactness: idf = ln((N - df + ½)/(df + ½) + 1) is the one
+    * transcendental; libm `ln` may differ by 1 ulp between engines, so the
+    * idf is floor-quantized to 1e-4 FIRST — on the integer (N, df) input
+    * lattice the quantized value is engine-identical (verified
+    * exhaustively for every df at N = 500 / 5 000 / 50 000). Everything
+    * downstream is plain IEEE arithmetic in fixed evaluation order. */
+  def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
+    }
+    val withTf = base.select((col("doc_id") +: col("__dl") +: tfCols): _*)
+    // ONE corpus aggregate: doc count, Σdl (exact long sum), per-term df.
+    val aggExprs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sumdl") +:
+      terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(aggExprs.head, aggExprs.tail: _*)
+    val joined = withTf.crossJoin(broadcast(stats))
+
+    val nD = col("__N").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nD
+    def idfQ(i: Int): Column = {
+      val dfD = col(s"__df$i").cast("double")
+      floor(log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0
+    }
+    def termScore(i: Int): Column = {
+      val tf = col(s"__tf$i").cast("double")
+      val dl = col("__dl").cast("double")
+      idfQ(i) * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }
+    val score = terms.indices.map(termScore).reduce(_ + _) // fixed left-assoc order
+    joined.select(col("doc_id"), Similarity.quantize4(score).as("bm25"))
+  }
+}

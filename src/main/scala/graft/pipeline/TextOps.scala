@@ -169,6 +169,42 @@ object TextOps {
         col("__text").substr(col("chunk_idx") * stride + 1, lit(size)).as("chunk"))
   }
 
+  /** Gopher-style repetition quality signals, adapted to line-free text:
+    * per document, the occurrence fraction of the single most frequent
+    * word (`top_word_frac`) and the fraction of word 2-/3-gram occurrences
+    * that are repeats (`dup_2gram_frac`, `dup_3gram_frac`). High values
+    * mark boilerplate/templated/degenerate documents that repetition
+    * filters drop before training.
+    *
+    * Scale design: the per-(doc, gram) counts need a shuffle keyed on
+    * (doc, n, gram) — the textbook formulation that stays bounded for
+    * million-token documents, where a per-row quadratic `transform` scan
+    * would not. One explode union (3 gram sizes share the scan), one
+    * aggregate, one per-doc rollup on the same doc key. Fractions are
+    * ratios of exact longs, floor-quantized to 1e-4 (the cross-engine
+    * convention, see [[qualityScore]]). Documents with fewer than n
+    * tokens have no n-grams: their fraction is 0. */
+  def repetitionStats(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val grams = Seq(1, 2, 3).map { n =>
+      df.select(id.as("__id"), explode(wordNgrams(text, n)).as("__g"))
+        .withColumn("__n", lit(n))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy(col("__id"), col("__n")).agg(
+      sum(col("__c")).as("__tot"),
+      max(col("__c")).as("__top"),
+      sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup"))
+    def q4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+    def frac(n: Int, num: Column): Column =
+      coalesce(max(when(col("__n") === n,
+        q4(num.cast("double") / col("__tot").cast("double")))), lit(0.0))
+    stats.groupBy(col("__id").as("doc_id")).agg(
+      frac(1, col("__top")).as("top_word_frac"),
+      frac(2, col("__dup")).as("dup_2gram_frac"),
+      frac(3, col("__dup")).as("dup_3gram_frac"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

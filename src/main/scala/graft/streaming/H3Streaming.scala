@@ -67,6 +67,35 @@ object H3Streaming {
       .dropDuplicatesWithinWatermark("__h")
       .drop("__h")
 
+  /** Streaming incremental dedup against a STATIC reference corpus — the
+    * ingest-time form of [[graft.pipeline.Dedup.incrementalDedup]]: drop
+    * arriving rows whose `contentCol` already exists in `ref`. Stream-
+    * static left-anti joins are stateless on the stream side (each
+    * micro-batch joins against the static relation), so this composes
+    * freely with ONE downstream stateful op (e.g.
+    * [[streamingExactDedup]] for within-stream duplicates).
+    *
+    * The reference side is summarized once into a broadcast Bloom filter;
+    * bloom-negative rows (the overwhelming majority of a novel feed) skip
+    * the join entirely, and only bloom-positive candidates hit the exact
+    * anti-join — semantics stay exactly "not in ref", the filter only
+    * prunes work. At 100 TB of reference corpus the bloom is a few
+    * hundred MB per executor; the anti-join's build side is the
+    * candidate-restricted key set, not the corpus. */
+  def streamingIncrementalDedup(stream: DataFrame, contentCol: String,
+      ref: DataFrame, refContentCol: String,
+      expectedRefItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val refKeys = ref.select(col(refContentCol).as("__rk"))
+    val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
+      .stat.bloomFilter("__h", expectedRefItems, fpp)
+    val might = udf((h: Long) => bf.mightContainLong(h))
+    val keyed = stream.withColumn("__maybe", might(xxhash64(col(contentCol))))
+    val definite = keyed.filter(!col("__maybe"))
+    val survivors = keyed.filter(col("__maybe"))
+      .join(refKeys.distinct(), col(contentCol) === col("__rk"), "left_anti")
+    definite.unionByName(survivors).drop("__maybe")
+  }
+
   /** Streaming SimHash NEAR-dup candidate detection — the ingest-time form
     * of [[graft.pipeline.Dedup.simHashNearDupPairs]]: each arriving
     * document is SimHash'd in one stateless projection

@@ -377,4 +377,69 @@ class PipelineSpec extends AnyFunSuite {
     // x: tf 4 / df 2; y: tf 3 / df 2; w: tf 2 / df 1
     assert(out == Seq(("x", 4L, 2L), ("y", 3L, 2L), ("w", 2L, 1L)))
   }
+
+  test("repetitionStats: hand-computed fractions; short docs yield 0 not NULL") {
+    val df = Seq(
+      (1L, "a a a b"),     // top word 3/4; 2-grams: [a a, a a, a b] dup 2/3; 3-grams: [a a a, a a b] dup 0
+      (2L, "x y"),         // no repeats; 3-grams absent -> 0.0
+      (3L, "w")            // single token: 2- and 3-gram fracs 0.0
+    ).toDF("doc_id", "text")
+    val out = TextOps.repetitionStats(df, $"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, Double, Double, Double)].collect().toSeq
+    def q(x: Double) = math.floor(x * 10000.0 + 0.5) / 10000.0
+    assert(out == Seq(
+      (1L, q(3.0 / 4.0), q(2.0 / 3.0), 0.0),
+      (2L, 0.5, 0.0, 0.0),
+      (3L, 1.0, 0.0, 0.0)))
+  }
+
+  test("bm25: rarer term scores higher; absent query terms score 0; ordering sane") {
+    val df = Seq(
+      (1L, "rare common common filler filler filler"),
+      (2L, "common filler filler filler filler filler"),
+      (3L, "common filler filler filler filler filler")).toDF("doc_id", "text")
+    val out = Ranking.bm25(df, $"doc_id", $"text", Seq("rare", "common"))
+      .orderBy($"doc_id").as[(Long, Double)].collect().toMap
+    assert(out(1L) > out(2L)) // doc 1 has the rare term
+    assert(out(2L) == out(3L)) // identical docs tie exactly
+    val none = Ranking.bm25(df, $"doc_id", $"text", Seq("absent"))
+      .as[(Long, Double)].collect()
+    assert(none.forall(_._2 == 0.0))
+  }
+
+  test("mixing: integer+fractional copies, absent stratum dropped, deterministic") {
+    val df = (0L until 1000L).map(i => (i, if (i % 3 == 0) "keep2x" else if (i % 3 == 1) "half" else "drop"))
+      .toDF("doc_id", "stratum")
+    val rates = Map("keep2x" -> 2.0, "half" -> 0.5)
+    val out = Mixing.mixSample(df, $"doc_id", $"stratum", rates, salt = "s")
+    val counts = out.groupBy("stratum").count().as[(String, Long)].collect().toMap
+    assert(counts("keep2x") == 2 * 334) // exact: integer rate
+    assert(!counts.contains("drop"))
+    val halfN = counts("half").toDouble / 333.0
+    assert(halfN > 0.35 && halfN < 0.65) // hash-lattice fraction
+    // determinism: same salt = same rows; different salt = different draw
+    val again = Mixing.mixSample(df, $"doc_id", $"stratum", rates, salt = "s")
+    assert(out.select("doc_id", "copy_idx").except(again.select("doc_id", "copy_idx")).isEmpty)
+    val keptS = out.filter($"stratum" === "half").select("doc_id").as[Long].collect().toSet
+    val keptT = Mixing.mixSample(df, $"doc_id", $"stratum", rates, salt = "t")
+      .filter($"stratum" === "half").select("doc_id").as[Long].collect().toSet
+    assert(keptS != keptT) // fresh independent draw per salt
+  }
+
+  test("incrementalDedup equals plain anti-join; bloom is only a prefilter") {
+    val ref = docs.select($"doc_id", $"text")
+    val newBatch = ref.select(($"doc_id" + 5000).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text").otherwise(concat($"text", lit(" fresh"))).as("text"))
+    val got = Dedup.incrementalDedup(newBatch, ref, $"text", $"text",
+      expectedRefItems = 10000L)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    val want = newBatch.join(ref.select($"text"), Seq("text"), "left_anti")
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(got == want && got.nonEmpty)
+    // a tiny/over-saturated bloom must still be exact (more FPs, same rows)
+    val small = Dedup.incrementalDedup(newBatch, ref, $"text", $"text",
+      expectedRefItems = 10L, fpp = 0.5)
+      .select($"doc_id").as[Long].collect().sorted.toSeq
+    assert(small == want)
+  }
 }

@@ -118,4 +118,49 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(cells.length == 1 && cells.head == Seq(parent))
     } finally query.stop()
   }
+
+  test("streaming incremental dedup vs static corpus; saturated bloom stays exact") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "seen one"), (2L, "seen two"), (3L, "seen three"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    // tiny bloom (high FP rate) deliberately: exactness must come from the
+    // anti-join, not from bloom accuracy
+    val out = H3Streaming.streamingIncrementalDedup(
+      input.toDF.toDF("doc_id", "text"), "text", ref, "text",
+      expectedRefItems = 2L, fpp = 0.4)
+    val query = out.writeStream
+      .format("memory").queryName("incdedup").outputMode("append").start()
+    try {
+      input.addData((10L, "seen one"), (11L, "fresh a"), (12L, "seen three"),
+        (13L, "fresh b"))
+      query.processAllAvailable()
+      val kept = spark.table("incdedup").select($"doc_id").as[Long].collect().toSet
+      assert(kept == Set(11L, 13L))
+    } finally query.stop()
+  }
+
+  test("deterministic mixing is stateless: runs unchanged in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val mixed = graft.pipeline.Mixing.mixSample(
+      input.toDF.toDF("doc_id", "stratum"), $"doc_id", $"stratum",
+      rates = Map("a" -> 2.0, "b" -> 0.5), salt = "st")
+    val query = mixed.writeStream
+      .format("memory").queryName("mixed").outputMode("append").start()
+    try {
+      input.addData((1L, "a"), (2L, "b"), (3L, "c"))
+      query.processAllAvailable()
+      val rows = spark.table("mixed").select($"doc_id", $"copy_idx")
+        .as[(Long, Long)].collect().toSet
+      // stratum a: exactly 2 copies; c: dropped; b: 0 or 1 copy, and the
+      // SAME outcome as the batch op on identical input (determinism)
+      val batch = graft.pipeline.Mixing.mixSample(
+        Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("doc_id", "stratum"),
+        $"doc_id", $"stratum", Map("a" -> 2.0, "b" -> 0.5), salt = "st")
+        .select($"doc_id", $"copy_idx").as[(Long, Long)].collect().toSet
+      assert(rows == batch)
+      assert(rows.count(_._1 == 1L) == 2 && !rows.exists(_._1 == 3L))
+    } finally query.stop()
+  }
 }
