@@ -72,13 +72,21 @@ object Similarity {
   private def planeComponent(i: Int, j: Int): Double =
     planeNumerator(i, j) / 48.0
 
+  /** Plane i as a literal array — lets the signature/projection dots run
+    * through the codegen'd [[dot]] kernel instead of a dim-term
+    * `element_at` expression chain. The kernel accumulates left-assoc in
+    * index order, the exact sequence the chain produced, so results stay
+    * bit-identical and the oracles unchanged; the expression tree shrinks
+    * dim-fold (64×16 signature: 1024 nodes → 16), which is what Catalyst
+    * analysis/optimization time scales with. */
+  private def planeLit(i: Int, dim: Int): Column =
+    typedLit((0 until dim).map(j => planeComponent(i, j)))
+
   /** `bits`-bit signature: bit i = (dot(v, plane_i) > 0). */
   def hyperplaneSignature(vec: Column, dim: Int, bits: Int): Column = {
     val vd = vec.cast("array<double>")
     (0 until bits).map { i =>
-      val d = (0 until dim).map(j => element_at(vd, j + 1) * lit(planeComponent(i, j)))
-        .reduce(_ + _)
-      when(d > 0, lit(1L << i)).otherwise(lit(0L))
+      when(dot(vd, planeLit(i, dim)) > 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
   }
 
@@ -170,10 +178,7 @@ object Similarity {
     * dim/dimOut-fold. */
   def projectVec(vec: Column, dimIn: Int, dimOut: Int): Column = {
     val vd = vec.cast("array<double>")
-    array((0 until dimOut).map { i =>
-      (0 until dimIn).map(j => element_at(vd, j + 1) * lit(planeComponent(i, j)))
-        .reduce(_ + _)
-    }: _*)
+    array((0 until dimOut).map(i => dot(vd, planeLit(i, dimIn))): _*)
   }
 
   /** Two-stage projected ANN: rank ALL corpus vectors by cosine in the
