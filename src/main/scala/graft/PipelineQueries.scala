@@ -296,6 +296,19 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // Lloyd-trained IVF quantizer: 2 rounds of cosine-argmax assignment +
+    // lattice-exact cluster means over the full corpus; output = the
+    // trained centroids, exploded to scalar (centroid_id, pos, comp) rows
+    // so the oracle value-checks every component
+    "p36_ivf_kmeans" -> ((s, dir) => {
+      val cents = Similarity.kMeansCentroids(embs(s, dir), col("vec_id"),
+        col("embedding"), m = 8, iters = 2)
+      cents.select(col("centroid_id").cast("long").as("centroid_id"),
+        posexplode(col("centroid")).as(Seq("pos", "comp")))
+        .select(col("centroid_id"), (col("pos") + 1).cast("long").as("pos"), col("comp"))
+        .orderBy(col("centroid_id"), col("pos"))
+    }),
+
     // int8 scalar quantization: codes, code sum, and the reconstruction
     // error bound scale/2 checked row by row
     "p30_quantize_int8" -> ((s, dir) => {
@@ -437,6 +450,33 @@ object PipelineQueries {
     }.mkString("(", " + ", ")")
 
   private val qCos = "floor(list_cosine_similarity(qv, cv) * 10000.0 + 0.5) / 10000.0"
+
+  /** One Lloyd round as CTEs `asgn$t, sums$t, cents$t` over `cents${t-1}`:
+    * cosine-argmax assignment (row_number, ties by centroid id — the
+    * max_by struct order of ivfAssign) and lattice-exact means
+    * ((Σ floor(x·1e4+0.5)) / n / 1e4), empty clusters keeping the previous
+    * centroid — mirrors Similarity.kMeansCentroids bit for bit. */
+  private def kmeansRoundSql(t: Int, dim: Int): String = {
+    val prev = s"cents${t - 1}"
+    s"""asgn$t AS (
+       |  SELECT vec_id, v, cid FROM (
+       |    SELECT s.vec_id, s.v, t.cid,
+       |      row_number() OVER (PARTITION BY s.vec_id
+       |        ORDER BY (${dotSql("s.v", "t.c", dim)} /
+       |          (sqrt(${dotSql("s.v", "s.v", dim)}) * sqrt(${dotSql("t.c", "t.c", dim)}))) DESC,
+       |          t.cid) AS rnk
+       |    FROM corpus s CROSS JOIN $prev t) WHERE rnk = 1),
+       |sums$t AS (
+       |  SELECT cid, pos, CAST(sum(CAST(floor(v[pos] * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS isum,
+       |    count(*) AS n
+       |  FROM asgn$t CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS pos) p
+       |  GROUP BY cid, pos),
+       |cents$t AS (
+       |  SELECT c0.cid, coalesce(nl.c, c0.c) AS c
+       |  FROM $prev c0 LEFT JOIN (
+       |    SELECT cid, list((isum::DOUBLE / n::DOUBLE) / 10000.0 ORDER BY pos) AS c
+       |    FROM sums$t GROUP BY cid) nl ON nl.cid = c0.cid)""".stripMargin
+  }
 
   /** Projection of a DuckDB list column onto the first `dimOut` integer-
     * lattice planes as a list literal — mirrors Similarity.projectVec's
@@ -639,6 +679,17 @@ object PipelineQueries {
     // IVF ANN: centroid seeding (first m by id), assignment argmax and
     // probe top-nprobe replicated with bit-exact left-assoc dot products
     // (unquantized comparisons); final candidate ranking by quantized cosine
+    "p36_ivf_kmeans" ->
+      s"""WITH corpus AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         |${kmeansRoundSql(1, 64)},
+         |${kmeansRoundSql(2, 64)}
+         |SELECT cid AS centroid_id, pos::BIGINT AS pos, c[pos] AS comp
+         |FROM cents2 CROSS JOIN (SELECT unnest(range(1, 65)) AS pos) p
+         |ORDER BY centroid_id, pos""".stripMargin,
+
     "p20_ann_ivf" ->
       s"""WITH cents AS (
          |  SELECT row_number() OVER (ORDER BY vec_id) AS centroid_id, v AS centroid,

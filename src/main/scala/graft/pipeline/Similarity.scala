@@ -115,6 +115,51 @@ object Similarity {
       .toDF("centroid_id", "centroid")
   }
 
+  /** Lloyd-trained IVF centroids: `iters` rounds of (assign to nearest
+    * centroid by cosine, recompute cluster means), seeded with
+    * [[ivfCentroids]]. The trained quantizer drops into [[ivfCosineTopK]]
+    * unchanged (same (centroid_id, centroid) contract) and cuts the
+    * imbalance/recall penalty of raw seed centroids.
+    *
+    * Scale shape per round: one broadcast crossJoin + map-side-combined
+    * argmax aggregation for assignment (shuffle carries N rows), then a
+    * (centroid, dimension)-keyed aggregation for the means (shuffle
+    * carries N×dim slim rows, partial-summed map-side). No driver state
+    * beyond the m-row centroid frame; rounds are localCheckpoint-barriered
+    * so round t never re-executes rounds 1..t-1.
+    *
+    * Oracle-exactness: means are computed on the 1e-4 lattice —
+    * components quantize to integers (floor(x·1e4 + 0.5)), the per-cluster
+    * sum is an exact order-independent long sum, and the mean is
+    * (Σint / n) / 1e4 — so every engine reproduces the centroids
+    * bit-for-bit, and the (unquantized) cosine argmax of the next round
+    * compares identical doubles. Empty clusters keep their previous
+    * centroid. */
+  def kMeansCentroids(corpus: DataFrame, id: Column, vec: Column, m: Int,
+      iters: Int): DataFrame = {
+    var cents = ivfCentroids(corpus, id, vec, m).localCheckpoint(false)
+    val base = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("embedding"))
+      .localCheckpoint(false)
+    for (_ <- 1 to iters) {
+      val assigned = ivfAssign(base, col("vec_id"), col("embedding"), cents, nprobe = 1)
+      val means = assigned
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(sum(floor(col("x") * 10000.0 + 0.5).cast("long")).as("__isum"),
+          count(lit(1)).as("__n"))
+        .select(col("centroid_id"), col("pos"),
+          (col("__isum").cast("double") / col("__n").cast("double") / 10000.0).as("__comp"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("__comp")))).as("__pc"))
+        .select(col("centroid_id"), col("__pc.__comp").as("__new"))
+      cents = cents.select(col("centroid_id"), col("centroid").as("__prev"))
+        .join(means, Seq("centroid_id"), "left")
+        .select(col("centroid_id"), coalesce(col("__new"), col("__prev")).as("centroid"))
+        .localCheckpoint(false)
+    }
+    cents
+  }
+
   /** IVF inverted-list assignment: each vector joins its `nprobe` nearest
     * centroids by cosine (ties broken by centroid id). At 100 TB this
     * column IS the storage layout — `write.bucketBy(centroid_id)` makes
@@ -153,8 +198,17 @@ object Similarity {
     * against brute force). */
   def ivfCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
       queries: DataFrame, queryId: Column, queryVec: Column,
-      m: Int, nprobe: Int, k: Int): DataFrame = {
-    val centroids = ivfCentroids(corpus, corpusId, corpusVec, m).localCheckpoint(false)
+      m: Int, nprobe: Int, k: Int): DataFrame =
+    ivfCosineTopKWith(ivfCentroids(corpus, corpusId, corpusVec, m).localCheckpoint(false),
+      corpus, corpusId, corpusVec, queries, queryId, queryVec, nprobe, k)
+
+  /** [[ivfCosineTopK]] against a caller-supplied quantizer — e.g.
+    * [[kMeansCentroids]]-trained — sharing the (centroid_id, centroid)
+    * contract. */
+  def ivfCosineTopKWith(centroids: DataFrame,
+      corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      nprobe: Int, k: Int): DataFrame = {
     val lists = ivfAssign(corpus, corpusId, corpusVec, centroids, nprobe = 1)
       .withColumnRenamed("vec_id", "neighbor_id").withColumnRenamed("embedding", "__cv")
       .withColumn("__cn", l2Norm(col("__cv")))

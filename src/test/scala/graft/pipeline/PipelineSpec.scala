@@ -378,6 +378,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(("x", 4L, 2L), ("y", 3L, 2L), ("w", 2L, 1L)))
   }
 
+  test("kMeansCentroids: zero rounds = seeds; means on the lattice; search contract") {
+    val e = embs.select($"vec_id", $"embedding")
+    // iters=0 degenerates to the seed quantizer
+    val seeds = Similarity.ivfCentroids(e, $"vec_id", $"embedding", m = 4)
+      .orderBy($"centroid_id").collect().map(_.toSeq).toSeq
+    val zero = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 4, iters = 0)
+      .orderBy($"centroid_id").collect().map(_.toSeq).toSeq
+    assert(zero == seeds)
+
+    // trained centroids are cluster means of their members (lattice math),
+    // checked directly for one round
+    val cents1 = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 4, iters = 1)
+    val assigned = Similarity.ivfAssign(e, $"vec_id", $"embedding",
+      Similarity.ivfCentroids(e, $"vec_id", $"embedding", m = 4), nprobe = 1)
+      .select($"centroid_id", $"embedding").collect()
+      .groupBy(_.getInt(0)).map { case (cid, rows) =>
+        val vs = rows.map(_.getSeq[Double](1))
+        cid.toLong -> vs.head.indices.map { j =>
+          val isum = vs.map(v => math.floor(v(j) * 10000.0 + 0.5).toLong).sum
+          isum.toDouble / vs.length.toDouble / 10000.0
+        }.toSeq
+      }
+    cents1.collect().foreach { r =>
+      val cid = r.getInt(0).toLong
+      assigned.get(cid).foreach(want => assert(r.getSeq[Double](1) == want))
+    }
+
+    // trained quantizer drops into the search contract; self still rank 1
+    val out = Similarity.ivfCosineTopKWith(
+      Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 2),
+      e, $"vec_id", $"embedding",
+      e.filter($"vec_id" < 5), $"vec_id", $"embedding", nprobe = 2, k = 3)
+    val self = out.filter($"rank" === 1).select($"query_id", $"neighbor_id")
+      .as[(Long, Long)].collect()
+    assert(self.nonEmpty && self.forall { case (q, n) => q == n })
+  }
+
   test("repetitionStats: hand-computed fractions; short docs yield 0 not NULL") {
     val df = Seq(
       (1L, "a a a b"),     // top word 3/4; 2-grams: [a a, a a, a b] dup 2/3; 3-grams: [a a a, a a b] dup 0

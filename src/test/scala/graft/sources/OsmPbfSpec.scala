@@ -84,6 +84,34 @@ class OsmPbfSpec extends AnyFunSuite {
       ways.map(w => (w.id, w.refs.toSeq, w.tags.toMap)))
   }
 
+  test("plain (non-dense) Node messages decode: zigzag id, coords, tags") {
+    // hand-assemble a PrimitiveGroup with two `repeated Node` (field 1)
+    // entries — the encoder always writes DenseNodes, so this exercises
+    // the other decode branch real extracts may contain
+    val st = new Pbf.Writer
+    Seq("", "amenity", "cafe").foreach(s => st.stringField(1, s))
+    def node(id: Long, lat: Double, lon: Double, tagged: Boolean): Pbf.Writer = {
+      val n = new Pbf.Writer
+      n.key(1, 0); n.writeZigzag(id)
+      if (tagged) { n.packedVarintField(2, Seq(1L)); n.packedVarintField(3, Seq(2L)) }
+      n.key(8, 0); n.writeZigzag(OsmPbfCodec.quantizeCoord(lat))
+      n.key(9, 0); n.writeZigzag(OsmPbfCodec.quantizeCoord(lon))
+      n
+    }
+    val g = new Pbf.Writer
+    g.messageField(1, node(-7L, -33.45, -70.66, tagged = true))
+    g.messageField(1, node(42L, 51.5, -0.12, tagged = false))
+    val block = new Pbf.Writer
+    block.messageField(1, st)
+    block.messageField(2, g)
+    block.varintField(17, 100L)
+    val out = OsmPbfCodec.decodePrimitiveBlock(block.toBytes)
+    val q = OsmPbfCodec.quantizeCoord _
+    assert(out.nodes.map(n => (n.id, q(n.lat), q(n.lon), n.tags)) == Seq(
+      (-7L, q(-33.45), q(-70.66), Seq("amenity" -> "cafe")),
+      (42L, q(51.5), q(-0.12), Nil)))
+  }
+
   test("header block with unsupported required feature is rejected") {
     val w = new Pbf.Writer
     w.stringField(4, "HistoricalInformation")
