@@ -382,6 +382,42 @@ object GeoQueries {
             h3_latlng_to_cell(lit(-17.0), lit(179.998), lit(6)), lit(crossing)).as("seam_pred_ok"))
     }),
 
+    // polar-cap polyfill (beyond the reference, like h3_27): a ±360°-
+    // winding ring encloses a pole; containment is meridian-crossing
+    // parity. Pins north/south caps, the band (cap shell + cap hole),
+    // exact-lat-threshold equivalence, the intersecting superset law, and
+    // the standalone predicate at the pole cell.
+    "h3_28_polar" -> ((s, dir) => {
+      import s.implicits._
+      def ring(lat: Double, east: Boolean): String = {
+        val lngs = if (east) -180 until 180 by 30 else 180 until -180 by -30
+        (lngs.map(l => s"$l.0 $lat") :+ s"${lngs.head}.0 $lat").mkString(", ")
+      }
+      val north = s"POLYGON ((${ring(75.0, east = true)}))"
+      val south = s"POLYGON ((${ring(-75.0, east = false)}))"
+      val band = s"POLYGON ((${ring(60.0, east = true)}), (${ring(80.0, east = true)}))"
+      val res = 2
+      Seq(1).toDF("x")
+        .select(
+          h3_polygon_to_cells(lit(north), lit(res)).as("nc"),
+          h3_polygon_to_cells(lit(south), lit(res)).as("sc"),
+          h3_polygon_to_cells(lit(band), lit(res)).as("bc"),
+          h3_polygon_to_cells_intersecting(lit(north), lit(res)).as("ni"))
+        .select(
+          array_contains(col("nc"),
+            h3_latlng_to_cell(lit(89.9999), lit(0.0), lit(res))).as("npole_in"),
+          array_contains(col("sc"),
+            h3_latlng_to_cell(lit(-89.9999), lit(0.0), lit(res))).as("spole_in"),
+          forall(col("nc"), c => centroid(c).getField("lat") > 75.0).as("north_lat_ok"),
+          forall(col("sc"), c => centroid(c).getField("lat") < -75.0).as("south_lat_ok"),
+          forall(col("bc"), c => centroid(c).getField("lat") > 60.0 &&
+            centroid(c).getField("lat") < 80.0).as("band_ok"),
+          (size(array_except(col("nc"), col("ni"))) === 0).as("subset_ok"),
+          h3_cell_intersects_polygon(
+            h3_latlng_to_cell(lit(89.9999), lit(0.0), lit(res)), lit(north)).as("pole_pred_ok"),
+          (size(array_intersect(col("nc"), col("sc"))) === 0).as("disjoint_ok"))
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -449,6 +485,10 @@ object GeoQueries {
         perEvent = false),
     "h3_27_antimeridian" ->
       allTrue(Seq("east_ok", "west_ok", "halves_union_ok", "inside_ok", "subset_ok",
-        "seam_pred_ok"), perEvent = false)
+        "seam_pred_ok"), perEvent = false),
+
+    "h3_28_polar" ->
+      allTrue(Seq("npole_in", "spole_in", "north_lat_ok", "south_lat_ok", "band_ok",
+        "subset_ok", "pole_pred_ok", "disjoint_ok"), perEvent = false)
   )
 }

@@ -17,8 +17,13 @@ import scala.collection.mutable
  * antimeridian-crossing rings ARE supported: a ring whose consecutive
  * vertices jump by more than 180 deg of longitude is evaluated in a
  * [0, 360) longitude frame, with query points shifted into the same frame.
- * Polar-cap polygons (enclosing a pole without crossing vertices) remain
- * unsupported, as in the reference.
+ * Polar-cap polygons ARE also supported (again beyond the reference): a
+ * ring with ±360° net longitude winding encloses a pole (interior on the
+ * LEFT of travel — eastward winding = north cap); containment runs by
+ * meridian-crossing parity toward the pole, candidates come from the
+ * shell-to-pole latitude band, and boundary tests compare edges in
+ * per-pair local longitude frames. Polar bands (cap shell + cap hole)
+ * compose naturally.
  */
 object H3Polygon {
 
@@ -129,6 +134,149 @@ object H3Polygon {
     Polygon(poly.rings.map(_.map { case (x, y) => (adjLng(x, wrap = true), y) }))
 
   // ---------------------------------------------------------------------
+  // polar caps (engine extension beyond the reference — like the
+  // antimeridian frame, the reference's planar geo crate supports neither)
+  // ---------------------------------------------------------------------
+
+  /** longitude delta wrapped into (-180, 180]. */
+  @inline private def wrapDeltaLng(d0: Double): Double = {
+    var d = d0
+    while (d > 180.0) d -= 360.0
+    while (d <= -180.0) d += 360.0
+    d
+  }
+
+  /** net longitude winding of a ring, degrees: ±360 for a pole-enclosing
+    * ring (it crosses every meridian a net once), ~0 otherwise. Assumes
+    * ring edges shorter than 180° of longitude, the same premise as the
+    * antimeridian frame. */
+  def ringWinding(ring: Array[(Double, Double)]): Double = {
+    var w = 0.0
+    var i = 0
+    while (i < ring.length) {
+      w += wrapDeltaLng(ring((i + 1) % ring.length)._1 - ring(i)._1)
+      i += 1
+    }
+    w
+  }
+
+  /** +1 when the ring encloses the north pole, -1 the south pole, 0 when
+    * it encloses neither. Convention: traveling the ring, the interior is
+    * on the LEFT — eastward net winding (+360) puts the north pole inside
+    * (a constant-latitude ring walked east has north on its left). */
+  def poleEnclosed(ring: Array[(Double, Double)]): Int = {
+    val w = ringWinding(ring)
+    if (w > 180.0) 1 else if (w < -180.0) -1 else 0
+  }
+
+  /** does any ring of the polygon enclose a pole? */
+  def enclosesPole(poly: Polygon): Boolean = poly.rings.exists(poleEnclosed(_) != 0)
+
+  /** point-in-cap-ring via meridian-crossing parity: walk the point's
+    * meridian toward the enclosed pole and count ring-edge crossings —
+    * even parity means the point shares the pole's region, which is the
+    * interior by the convention above. Longitude deltas are evaluated per
+    * edge in the point's local wrap frame, so no global shift is needed
+    * (a cap ring spans all longitudes; no frame makes it contiguous). */
+  def pointInCapRing(lng: Double, lat: Double, ring: Array[(Double, Double)],
+      pole: Int): Boolean = {
+    var crossings = 0
+    var i = 0
+    while (i < ring.length) {
+      val (ax, ay) = ring(i)
+      val (bx, by) = ring((i + 1) % ring.length)
+      val da = wrapDeltaLng(ax - lng)
+      val db = wrapDeltaLng(bx - lng)
+      // half-open straddle test (same convention as pointInRing's y-test).
+      // Opposite signs alone also match edges straddling the point's
+      // ANTI-meridian (da ≈ +179, db ≈ -179); a true meridian crossing has
+      // |da - db| < 180 (edges are < 180° long by the format premise).
+      if ((da > 0) != (db > 0) && math.abs(da - db) < 180.0) {
+        val t = da / (da - db)
+        val latX = ay + t * (by - ay)
+        if (if (pole > 0) latX > lat else latX < lat) crossings += 1
+      }
+      i += 1
+    }
+    crossings % 2 == 0
+  }
+
+  /** per-ring containment dispatch for polygons with pole-enclosing
+    * rings: cap rings use meridian parity, antimeridian-crossing rings
+    * their [0, 360) frame, plain rings planar ray casting. */
+  private def pointInRingDispatch(lng: Double, lat: Double,
+      ring: Array[(Double, Double)]): Boolean = {
+    val pole = poleEnclosed(ring)
+    if (pole != 0) pointInCapRing(lng, lat, ring, pole)
+    else if (ringCrossesAntimeridian(ring))
+      pointInRing(adjLng(lng, wrap = true), lat,
+        ring.map { case (x, y) => (adjLng(x, wrap = true), y) })
+    else pointInRing(lng, lat, ring)
+  }
+
+  /** shell-and-holes containment with per-ring dispatch (cap path). A
+    * polar *band* — cap shell with a cap hole closer to the pole — works
+    * naturally: inside the shell's cap, outside the hole's. */
+  private def pointInPolygonCap(lng: Double, lat: Double, poly: Polygon): Boolean =
+    pointInRingDispatch(lng, lat, poly.rings.head) &&
+      !poly.rings.tail.exists(h => pointInRingDispatch(lng, lat, h))
+
+  /** latitude band of a cap polygon's candidates: from the equatormost
+    * ring vertex to the pole, full longitude range. */
+  private def capBbox(poly: Polygon, pole: Int): (Double, Double, Double, Double) = {
+    val lats = poly.rings.flatMap(_.iterator.map(_._2))
+    if (pole > 0) (-180.0, lats.min, 180.0, 90.0) else (-180.0, -90.0, 180.0, lats.max)
+  }
+
+  /** segment intersection with the ring edge re-expressed in the cell
+    * edge's local longitude frame (shift by ±360 toward the cell edge's
+    * midpoint) — cap rings span all longitudes, so seam-straddling pairs
+    * must be compared locally, not in one global frame. */
+  private def segmentsIntersectLocal(ax0: Double, ay: Double, bx0: Double, by: Double,
+      cx: Double, cy: Double, dx: Double, dy: Double): Boolean = {
+    val mid = (cx + dx) / 2.0
+    val ax = mid + wrapDeltaLng(ax0 - mid)
+    val bx = ax + wrapDeltaLng(bx0 - ax0)
+    segmentsIntersect(ax, ay, bx, by, cx, cy, dx, dy)
+  }
+
+  /** exact cell-vs-polygon intersection for pole-enclosing polygons:
+    * centroid/vertex containment via the cap dispatch, plus local-frame
+    * edge crossing and polygon-vertex-in-cell tests. */
+  private def cellIntersectsPolygonCap(c: Long, poly: Polygon): Boolean = {
+    val g = cellToLatLng(c)
+    if (pointInPolygonCap(g.lng, g.lat, poly)) return true
+    val verts = cellToBoundary(c)
+    if (verts.exists(v => pointInPolygonCap(v.lng, v.lat, poly))) return true
+    val cellCtrLng = g.lng
+    // cell ring normalized into the cell-center frame so seam-straddling
+    // cells stay contiguous (a cell at ±180 otherwise reads as a bowtie)
+    val cellRing = verts.map(v => (cellCtrLng + wrapDeltaLng(v.lng - cellCtrLng), v.lat))
+    // polygon vertex inside the cell (cell ring is contiguous in its own
+    // frame; shift the vertex into it)
+    val vertexInCell = poly.rings.exists(_.exists { case (x, y) =>
+      pointInRing(cellCtrLng + wrapDeltaLng(x - cellCtrLng), y, cellRing)
+    })
+    vertexInCell || poly.rings.exists { ring =>
+      var i = 0
+      var hit = false
+      while (i < ring.length && !hit) {
+        val (ax, ay) = ring(i)
+        val (bx, by) = ring((i + 1) % ring.length)
+        var j = 0
+        while (j < cellRing.length && !hit) {
+          val (cx, cy) = cellRing(j)
+          val (dx, dy) = cellRing((j + 1) % cellRing.length)
+          hit = segmentsIntersectLocal(ax, ay, bx, by, cx, cy, dx, dy)
+          j += 1
+        }
+        i += 1
+      }
+      hit
+    }
+  }
+
+  // ---------------------------------------------------------------------
   // planar predicates
   // ---------------------------------------------------------------------
 
@@ -214,8 +362,12 @@ object H3Polygon {
     * whose body could touch) the polygon bbox. `wrap` means `poly` is
     * already in the [0, 360) frame and cell longitudes are shifted to
     * match (haversine is periodic, so the distance stays exact). */
-  private def candidateCells(poly: Polygon, res: Int, wrap: Boolean): Array[Long] = {
-    val (minX, minY, maxX, maxY) = bboxOf(poly)
+  private def candidateCells(poly: Polygon, res: Int, wrap: Boolean): Array[Long] =
+    candidateCellsBbox(bboxOf(poly), res, wrap)
+
+  private def candidateCellsBbox(bbox: (Double, Double, Double, Double), res: Int,
+      wrap: Boolean): Array[Long] = {
+    val (minX, minY, maxX, maxY) = bbox
     var cells: Array[Long] = H3Core.res0Cells().filter { c =>
       val g = cellToLatLng(c)
       distToBboxRads(g.lat, adjLng(g.lng, wrap), minX, minY, maxX, maxY) <= maxCellRadiusRads(0)
@@ -231,9 +383,27 @@ object H3Polygon {
     cells
   }
 
+  /** candidate band for a pole-enclosing polygon: full longitudes, shell
+    * latitudes to the pole (whole sphere when only a hole winds — a
+    * degenerate input, but it must stay correct). */
+  private def capCandidates(poly: Polygon, res: Int): Array[Long] = {
+    val shellPole = poleEnclosed(poly.rings.head)
+    val bbox = if (shellPole != 0) capBbox(poly, shellPole)
+      else (-180.0, -90.0, 180.0, 90.0)
+    candidateCellsBbox(bbox, res, wrap = false)
+  }
+
   /** all cells at `res` whose *centroid* is inside the polygon (the
     * reference's polyfill semantics, to_h3.rs:227-247). Sorted. */
   def polygonToCells(poly: Polygon, res: Int): Array[Long] = {
+    if (enclosesPole(poly)) {
+      val out = capCandidates(poly, res).filter { c =>
+        val g = cellToLatLng(c)
+        pointInPolygonCap(g.lng, g.lat, poly)
+      }
+      java.util.Arrays.sort(out)
+      return out
+    }
     val wrap = crossesAntimeridian(poly)
     val p = if (wrap) shiftPolygon(poly) else poly
     val out = candidateCells(p, res, wrap).filter { c =>
@@ -256,6 +426,7 @@ object H3Polygon {
   /** does the cell's polygon intersect the query polygon (exact stage of
     * the two-stage spatial predicate, mod.rs:235-253)? */
   def cellIntersectsPolygon(c: Long, poly: Polygon): Boolean = {
+    if (enclosesPole(poly)) return cellIntersectsPolygonCap(c, poly)
     val wrap = crossesAntimeridian(poly)
     if (wrap) {
       // [0, 360) frame. Shifting scrambles rings of cells near lng 0 (a
@@ -309,6 +480,11 @@ object H3Polygon {
     * boundary-touching cells (reference ToIntersectingH3Cells semantics,
     * to_h3.rs:136-219). */
   def polygonToCellsIntersecting(poly: Polygon, res: Int): Array[Long] = {
+    if (enclosesPole(poly)) {
+      val out = capCandidates(poly, res).filter(cellIntersectsPolygonCap(_, poly))
+      java.util.Arrays.sort(out)
+      return out
+    }
     val wrap = crossesAntimeridian(poly)
     val p = if (wrap) shiftPolygon(poly) else poly
     val out = candidateCells(p, res, wrap).filter(cellIntersectsPolygonFrame(_, p, wrap))

@@ -180,4 +180,61 @@ class H3GeoSpec extends AnyFunSuite {
     val bound = H3Polygon.maxPolygonToCellsSize(crossing, res)
     assert(centroidIn.length <= bound && bound < centroidIn.length * 4 + 64)
   }
+
+  /** cap ring at constant latitude: eastward for north caps (interior on
+    * the left of travel), westward for south caps. */
+  private def capRingWkt(lat: Double, north: Boolean): String = {
+    val lngs = if (north) -180 until 180 by 20 else 180 until -180 by -20
+    val pts = (lngs.map(l => s"$l $lat") :+ s"${lngs.head} $lat").mkString(", ")
+    s"POLYGON (($pts))"
+  }
+
+  test("polar-cap polyfill: winding detection, pole coverage, complement law") {
+    val res = 2
+    val north = capRingWkt(75.0, north = true)
+    val poly = H3Polygon.parsePolygonWkt(north).get
+    assert(H3Polygon.poleEnclosed(poly.rings.head) == 1)
+
+    val cells = H3Polygon.polygonToCells(north, res)
+    assert(cells.nonEmpty)
+    // the cell holding the pole is in; its antipode is not
+    val poleCell = H3Geo.latLngToCell(89.9999, 0.0, res)
+    assert(cells.contains(poleCell))
+    assert(!cells.contains(H3Geo.latLngToCell(-89.9999, 0.0, res)))
+    // exactly the cells with centroid latitude above the ring
+    val all = H3Core.res0Cells().flatMap(c => H3Core.cellToChildren(c, res))
+    val want = all.filter(c => H3Geo.cellToLatLng(c).lat > 75.0).sorted
+    assert(cells.toSeq == want.toSeq)
+
+    // south cap mirrors
+    val south = H3Polygon.polygonToCells(capRingWkt(-75.0, north = false), res)
+    assert(south.nonEmpty &&
+      south.forall(c => H3Geo.cellToLatLng(c).lat < -75.0) &&
+      south.contains(H3Geo.latLngToCell(-89.9999, 0.0, res)))
+  }
+
+  test("polar band (cap shell + cap hole) and intersecting superset law") {
+    val res = 2
+    // band between lat 60 and 80: north-cap shell at 60, north-cap hole at 80
+    val shell = (-180 until 180 by 20).map(l => s"$l 60.0")
+    val hole = (-180 until 180 by 20).map(l => s"$l 80.0")
+    val band = s"POLYGON ((${(shell :+ shell.head).mkString(", ")}), " +
+      s"(${(hole :+ hole.head).mkString(", ")}))"
+    val cells = H3Polygon.polygonToCells(band, res)
+    assert(cells.nonEmpty)
+    val lats = cells.map(c => H3Geo.cellToLatLng(c).lat)
+    assert(lats.forall(l => l > 60.0 && l < 80.0))
+
+    // intersecting polyfill is a superset of centroid polyfill (G5 law)
+    val cap = capRingWkt(75.0, north = true)
+    val centroidIn = H3Polygon.polygonToCells(cap, res).toSet
+    val intersecting = H3Polygon.polygonToCellsIntersecting(cap, res)
+    assert(centroidIn.subsetOf(intersecting.toSet))
+    // every centroid-in cell satisfies the standalone intersect predicate
+    val poly = H3Polygon.parsePolygonWkt(cap).get
+    assert(centroidIn.forall(H3Polygon.cellIntersectsPolygon(_, poly)))
+    // boundary-straddling cells are in the intersecting set but not the
+    // centroid set on one side: the sets differ at the ring latitude
+    assert(intersecting.length > centroidIn.size)
+  }
 }
