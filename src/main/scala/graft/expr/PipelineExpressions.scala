@@ -66,6 +66,73 @@ case class SortedLongArrayIntersectSize(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+object NgramHashKernel {
+  /** xxhash64 seed used by Spark's `xxhash64` function. */
+  final val Seed = 42L
+
+  /** Sorted distinct xxhash64 values of all length-`n` character
+    * substrings of `t` — bit-equal to
+    * `sort_array(transform(array_distinct(substr-grams), xxhash64))`
+    * modulo 2^-64 hash collisions (hashes are deduplicated instead of
+    * gram strings, so two colliding DISTINCT grams collapse — the same
+    * equality semantics the hash join downstream already assumes). */
+  def sortedDistinctNgramHashes(t: org.apache.spark.unsafe.types.UTF8String,
+      n: Int): ArrayData = {
+    val cnt = t.numChars() - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](cnt)
+    var i = 0
+    while (i < cnt) {
+      val g = t.substring(i, i + n)
+      hs(i) = org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+        g.getBaseObject, g.getBaseOffset, g.numBytes, Seed)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 1
+    i = 1
+    while (i < cnt) {
+      if (hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (w == cnt) hs else java.util.Arrays.copyOf(hs, w))
+  }
+}
+
+/**
+ * Sorted distinct xxhash64 char-n-gram set of a string in ONE tight loop.
+ * The composed form — `sort_array(transform(array_distinct(
+ * charNgrams(text, n)), xxhash64))` — pays an interpreted lambda per gram
+ * (higher-order functions are CodegenFallback) plus a string-equality
+ * distinct pass and an O(n log n) sort of boxed elements; for the
+ * near-dedup verifier this was the dominant cost (measured 2.4 s of the
+ * 4.1 s verify at sf0.1). Values are identical (same per-gram xxhash64,
+ * same sort), with dedup moved after hashing — a difference only under a
+ * 2^-64 collision, which the downstream hash-equality join already
+ * accepts.
+ */
+case class SortedDistinctNgramHashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def prettyName: String = "sorted_distinct_ngram_hashes"
+  override def inputTypes: Seq[DataType] = Seq(StringType)
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    NgramHashKernel.sortedDistinctNgramHashes(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.NgramHashKernel.sortedDistinctNgramHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /**
  * Dot product of two double arrays as a single codegen'd loop. The
  * composed `aggregate(zip_with(a, b, *), 0.0, +)` is semantically

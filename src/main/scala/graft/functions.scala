@@ -235,4 +235,9 @@ object functions {
     * extension; see [[graft.expr.DoubleArrayDot]]). */
   def double_array_dot(a: Column, b: Column): Column =
     c(DoubleArrayDot(e(a), e(b)))
+
+  /** Sorted distinct xxhash64 char-n-gram set in one codegen'd loop
+    * (pipeline extension; see [[graft.expr.SortedDistinctNgramHashes]]). */
+  def sorted_distinct_ngram_hashes(text: Column, n: Int): Column =
+    c(SortedDistinctNgramHashes(e(text), n))
 }

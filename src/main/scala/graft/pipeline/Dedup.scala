@@ -133,8 +133,8 @@ object Dedup {
     // reuse). The streaming self-join beats bucket-local array explosion
     // here (measured): a hot gram's C(m,2) pairs stream through the join
     // instead of materializing one giant array in a single task.
-    val grams = df.select(id.as("__id"), explode(array_distinct(TextOps.charNgrams(text, n))).as("__g"))
-      .select(col("__id"), xxhash64(col("__g")).as("__g"))
+    val grams = df.select(id.as("__id"),
+      explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
       .localCheckpoint(false)
     val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
     val l = grams.select(col("__g"), col("__id").as("id_a"))
@@ -203,12 +203,15 @@ object Dedup {
     // unaffected short of a 2^-64 collision), deduplicated, and SORTED so
     // the per-pair intersection is a single merge walk
     // (SortedLongArrayIntersectSize) instead of a per-evaluation hash set.
+    // one codegen'd loop per doc (SortedDistinctNgramHashes). NOT
+    // checkpointed: the kernel made recomputation cheaper than
+    // materializing the wide gram arrays into block storage (measured
+    // ~0.2 s per re-evaluation vs ~1.9 s for the checkpoint at sf0.1);
+    // the two broadcast consumers just evaluate the slim subtree twice.
     val gramSets = df.select(id.as("__id"), text.as("__text")).join(diffIds, "__id")
       .select(col("__id"),
-        sort_array(transform(array_distinct(TextOps.charNgrams(col("__text"), n)),
-          g => xxhash64(g))).as("__gs"))
+        graft.functions.sorted_distinct_ngram_hashes(lower(trim(col("__text"))), n).as("__gs"))
       .select(col("__id"), col("__gs"), size(col("__gs")).cast("long").as("__n"))
-      .localCheckpoint(false)
     // candidate gram sets are small (candidates only, ~3.6 KB/doc): hash
     // them to every task instead of shuffling pair rows carrying arrays.
     // The slim (ids, counts) projection is checkpointed BEFORE the jaccard

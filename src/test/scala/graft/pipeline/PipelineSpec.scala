@@ -378,6 +378,26 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(("x", 4L, 2L), ("y", 3L, 2L), ("w", 2L, 1L)))
   }
 
+  test("sorted_distinct_ngram_hashes equals the composed distinct/hash/sort form") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "aaaaaaaaaaaa", // heavy duplicates
+      "short", "x", "", "  padded with trim  ",
+      "ünïcødé grams ünïcødé grams") // multi-byte chars
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("id", "text")
+    val both = df.select($"id",
+      graft.functions.sorted_distinct_ngram_hashes(lower(trim($"text")), 8).as("fast"),
+      sort_array(transform(array_distinct(TextOps.charNgrams($"text", 8)),
+        g => xxhash64(g))).as("composed"))
+    both.collect().foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"mismatch for id ${r.getLong(0)}")
+    }
+    // NULL text propagates NULL
+    val n = Seq((1L, null: String)).toDF("id", "text")
+      .select(graft.functions.sorted_distinct_ngram_hashes($"text", 8)).head()
+    assert(n.isNullAt(0))
+  }
+
   test("kMeansCentroids: zero rounds = seeds; means on the lattice; search contract") {
     val e = embs.select($"vec_id", $"embedding")
     // iters=0 degenerates to the seed quantizer
