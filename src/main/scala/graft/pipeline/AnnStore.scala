@@ -1,0 +1,55 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Persistent IVF-partitioned ANN store (engine extension): the corpus is
+ * written as parquet PARTITIONED BY its nearest-centroid assignment, so a
+ * probe query physically reads only its `nprobe` inverted lists.
+ *
+ * This is the storage half of the IVF design ([[Similarity.ivfAssign]]'s
+ * scaladoc): at 100 TB the partition layout IS the index. Probing joins
+ * the store on the partition column against a broadcast probe list —
+ * Spark's dynamic partition pruning turns that into a physical skip of
+ * every non-probed partition directory (visible in the plan as a
+ * `dynamicpruning` PartitionFilter), so IO scales with nprobe/m of the
+ * corpus, not the corpus.
+ */
+object AnnStore {
+
+  /** Materialize the store: one partition directory per centroid. The
+    * embedding rides as `array<double>`; `centroids` is the quantizer
+    * (seed [[Similarity.ivfCentroids]] or trained
+    * [[Similarity.kMeansCentroids]]). */
+  def write(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
+      path: String): Unit =
+    Similarity.ivfAssign(df, id, vec, centroids, nprobe = 1)
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
+
+  /** Approximate top-k against a written store: each query probes its
+    * `nprobe` nearest centroids' partitions only; candidates are ranked
+    * by exact cosine. Same output contract (query_id, neighbor_id, sim,
+    * rank) and identical results to the in-memory
+    * [[Similarity.ivfCosineTopKWith]] over the same quantizer. */
+  def query(spark: SparkSession, path: String, centroids: DataFrame,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      nprobe: Int, k: Int): DataFrame = {
+    val corpus = spark.read.parquet(path)
+      .select(col("centroid_id"), col("vec_id").as("neighbor_id"),
+        col("embedding").cast("array<double>").as("__cv"))
+      .withColumn("__cn", Similarity.l2Norm(col("__cv")))
+    val probes = Similarity.ivfAssign(queries, queryId, queryVec, centroids, nprobe = nprobe)
+      .withColumnRenamed("vec_id", "query_id").withColumnRenamed("embedding", "__qv")
+      .withColumn("__qn", Similarity.l2Norm(col("__qv")))
+    val scored = corpus.join(broadcast(probes), "centroid_id")
+      .withColumn("sim", Similarity.quantize4(
+        Similarity.dot(col("__qv"), col("__cv")) / (col("__qn") * col("__cn"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("neighbor_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), col("sim"),
+        col("__rank").cast("long").as("rank"))
+  }
+}

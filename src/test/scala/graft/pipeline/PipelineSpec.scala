@@ -378,6 +378,30 @@ class PipelineSpec extends AnyFunSuite {
     assert(out == Seq(("x", 4L, 2L), ("y", 3L, 2L), ("w", 2L, 1L)))
   }
 
+  test("AnnStore: partition-pruned probe equals in-memory IVF; DPP engaged") {
+    val e = embs.select($"vec_id", $"embedding")
+    val cents = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 1)
+      .localCheckpoint(false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstore").toString
+    AnnStore.write(e, $"vec_id", $"embedding", cents, dir)
+    // one directory per non-empty centroid partition
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("centroid_id="))
+    assert(parts.nonEmpty && parts.length <= 8)
+
+    val q = e.filter($"vec_id" < 5)
+    val fromStore = AnnStore.query(spark, dir, cents, q, $"vec_id", $"embedding",
+      nprobe = 2, k = 3)
+    val inMem = Similarity.ivfCosineTopKWith(cents, e, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", nprobe = 2, k = 3)
+    assert(fromStore.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+    assert(fromStore.count() > 0)
+
+    // dynamic partition pruning reaches the store scan: the broadcast
+    // probe side gates which centroid directories are read
+    val plan = fromStore.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n${plan.take(2000)}")
+  }
+
   test("sorted_distinct_ngram_hashes equals the composed distinct/hash/sort form") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
