@@ -322,6 +322,102 @@ object PipelineQueries {
           (r, x) => abs(r - x)), lit(0.0), (a, d) => greatest(a, d))
           .leq(col("q.scale") / 2.0 + lit(1e-12)).as("err_bounded"))
         .orderBy(col("vec_id"))
+    }),
+
+    // sequence packing: concat-then-split layout over doc_id order via the
+    // two-level distributed prefix sum; every token packed exactly once.
+    // bucketWidth=64 exercises the multi-bucket path even at sf0.001.
+    "p37_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        TextOps.tokenCount(col("text")).as("cnt"))
+      graft.pipeline.Packing.packSequences(d, col("doc_id"), col("cnt"),
+        budget = 256L, bucketWidth = 64L)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
+    // benchmark decontamination: word-5-gram overlap against the
+    // doc_id % 7 == 3 eval slice; broadcast hashed eval grams
+    "p38_decontam" -> ((s, dir) => {
+      val corpus = docs(s, dir).select(col("doc_id"), col("text"))
+      val eval = corpus.filter(col("doc_id") % 7 === 3)
+      Dedup.decontaminate(corpus, col("doc_id"), col("text"),
+        eval, col("text"), n = 5)
+        .select(col("doc_id"), col("contaminated"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // PII redaction over deterministically injected emails / phones /
+    // card-shaped ids (the corpus itself is PII-free; the injection is the
+    // same expression in both engines, so counts and redacted text are
+    // oracle-exact)
+    "p39_pii_redact" -> ((s, dir) => {
+      val injected = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0,
+          concat(lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 5 === 1,
+          concat(lit(" call 555-"),
+            lpad((col("doc_id") % 900 + 100).cast("string"), 3, "0"), lit("-"),
+            lpad((col("doc_id") % 10000).cast("string"), 4, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 2,
+          concat(lit(" card "), lpad(col("doc_id").cast("string"), 16, "0")))
+          .otherwise(lit(""))).as("text"))
+      TextOps.redactPii(injected, col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // the complete curation pipeline as ONE declarative plan: rule filter
+    // → eval-set decontamination → near-dedup → deterministic split →
+    // sequence packing of the train split. Composes five round-6 ops with
+    // the round-3 near-dedup machinery; the oracle replays every stage.
+    // 1/3 slice (different from p21's) bounds the bench cost.
+    "p42_curation_pipeline" -> ((s, dir) => {
+      val base = corpusWithDups(s, dir).filter(col("doc_id") % 3 === 1)
+      val kept = TextOps.gopherFilter(base, col("doc_id"), col("text"),
+        minWords = 15, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 1, maxTopWordFrac = 0.15,
+        maxDup2Frac = 0.15, maxDup3Frac = 0.10)
+        .filter(col("keep")).select(col("doc_id"))
+      val kc = base.join(kept, "doc_id")
+      val evalSet = docs(s, dir).filter(col("doc_id") % 11 === 5)
+      val clean = Dedup.decontaminate(kc, col("doc_id"), col("text"),
+        evalSet, col("text"), n = 6)
+        .filter(!col("contaminated")).select(col("doc_id"), col("text"))
+      val deduped = Dedup.nearDedup(clean, col("doc_id"), col("text"),
+        maxBucket = Int.MaxValue) // uncapped: see p06
+      val train = deduped.withColumn("split",
+          TextOps.deterministicSplit(col("doc_id"),
+            Seq("train" -> 0.9, "val" -> 0.1), salt = "cur"))
+        .filter(col("split") === "train")
+      graft.pipeline.Packing.packSequences(
+        train.select(col("doc_id"), TextOps.tokenCount(col("text")).as("cnt")),
+        col("doc_id"), col("cnt"), budget = 512L, bucketWidth = 64L)
+        .orderBy(col("doc_id"), col("seq_id"))
+    }),
+
+    // gap-based sessionization of the event stream (24 h gap) on int64
+    // MICROsecond ordinals: Spark reads the TIMESTAMP(NANOS) column as
+    // raw nanos (nanosAsLong) and floors to micros — exactly DuckDB's
+    // scan-time ns→us truncation — so bounds compare hash-exact.
+    "p41_sessions" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      graft.pipeline.Sessions.sessionize(ev, col("user_id"),
+        expr("ts div 1000"), col("value"), gap = 86400L * 1000000L)
+        .orderBy(col("key"), col("session_idx"))
+    }),
+
+    // Gopher-style rule filter: per-rule flags + keep, thresholds placed
+    // inside the corpus distributions so every rule discriminates
+    "p40_gopher_filter" -> ((s, dir) => {
+      TextOps.gopherFilter(docs(s, dir), col("doc_id"), col("text"),
+        minWords = 25, maxWords = 100000,
+        minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+        minStopwordHits = 2,
+        maxTopWordFrac = 0.125, maxDup2Frac = 0.10, maxDup3Frac = 0.05)
+        .orderBy(col("doc_id"))
     })
   )
 
@@ -902,6 +998,167 @@ object PipelineQueries {
         |  CAST(list_sum([ascii(substr(text, CAST(f * 32 + i AS INTEGER), 1))
         |    FOR i IN range(1, least(32, octet_length(text::BLOB) - f * 32) + 1)]) AS BIGINT) AS frame_bytes
         |FROM frames
-        |ORDER BY doc_id, frame_idx""".stripMargin
+        |ORDER BY doc_id, frame_idx""".stripMargin,
+
+    // direct single-window prefix sum: the oracle formulation the
+    // distributed two-level version must agree with exactly
+    "p37_pack_sequences" ->
+      s"""WITH t AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS cnt
+         |  FROM documents),
+         |w AS (SELECT doc_id, cnt,
+         |  CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+         |  FROM t WHERE cnt > 0),
+         |x AS (SELECT doc_id, cnt, bef,
+         |  unnest(range(bef // 256, (bef + cnt - 1) // 256 + 1)) AS seq_id FROM w)
+         |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(GREATEST(seq_id * 256 - bef, 0) AS BIGINT) AS tok_start,
+         |  CAST(LEAST((seq_id + 1) * 256 - bef, cnt)
+         |    - GREATEST(seq_id * 256 - bef, 0) AS BIGINT) AS tok_len,
+         |  CAST(GREATEST(seq_id * 256, bef) - seq_id * 256 AS BIGINT) AS seq_offset
+         |FROM x ORDER BY doc_id, seq_id""".stripMargin,
+
+    "p38_decontam" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |g AS (SELECT doc_id,
+         |  unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]
+         |    FOR i IN range(1, len(tk) - 3)]) AS g
+         |  FROM toks),
+         |eg AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 3),
+         |hit AS (SELECT DISTINCT doc_id FROM g WHERE g IN (SELECT g FROM eg))
+         |SELECT d.doc_id, (h.doc_id IS NOT NULL) AS contaminated
+         |FROM documents d LEFT JOIN hit h ON h.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
+
+    // same injection expression, RE2 'g' flag for replace-all parity
+    "p39_pii_redact" -> {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+      val longId = "\\b[0-9]{13,19}\\b"
+      s"""WITH inj AS (SELECT doc_id, text
+         |  || (CASE WHEN doc_id % 3 = 0
+         |      THEN ' contact user' || doc_id::VARCHAR || '@example.com' ELSE '' END)
+         |  || (CASE WHEN doc_id % 5 = 1
+         |      THEN ' call 555-' || lpad((doc_id % 900 + 100)::VARCHAR, 3, '0')
+         |        || '-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END)
+         |  || (CASE WHEN doc_id % 7 = 2
+         |      THEN ' card ' || lpad(doc_id::VARCHAR, 16, '0') ELSE '' END) AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(text, '$longId')) AS BIGINT) AS n_ids,
+         |  regexp_replace(regexp_replace(regexp_replace(text,
+         |    '$email', '<EMAIL>', 'g'), '$longId', '<ID>', 'g'),
+         |    '$phone', '<PHONE>', 'g') AS redacted
+         |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "p42_curation_pipeline" -> {
+      val gram6 = "tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]"
+      s"""WITH base AS (
+         |  SELECT doc_id, text FROM ($corpusSqlWithDups) WHERE doc_id % 3 = 1),
+         |btoks AS (SELECT doc_id, $oToks AS tk FROM base),
+         |flat AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
+         |  floor(CAST(list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+         |    / len(tk) * 10000.0 + 0.5) / 10000.0 AS mean_len,
+         |  CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in',
+         |    'is','on','for','with','as','by','at','or'))) AS BIGINT) AS stop_hits
+         |  FROM btoks),
+         |gg AS (SELECT doc_id, 1 AS n, unnest(tk) AS g FROM btoks
+         |  UNION ALL
+         |  SELECT doc_id, 2, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) FROM btoks
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2] FOR i IN range(1, len(tk) - 1)]) FROM btoks),
+         |gc AS (SELECT doc_id, n, g, count(*) AS c FROM gg GROUP BY doc_id, n, g),
+         |gs AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot, max(c) AS top,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |  FROM gc GROUP BY doc_id, n),
+         |rep AS (SELECT doc_id,
+         |  coalesce(max(CASE WHEN n = 1 THEN floor(top::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS topf,
+         |  coalesce(max(CASE WHEN n = 2 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup2,
+         |  coalesce(max(CASE WHEN n = 3 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup3
+         |  FROM gs GROUP BY doc_id),
+         |kept AS (SELECT f.doc_id FROM flat f JOIN rep r USING (doc_id)
+         |  WHERE f.n_words >= 15 AND f.n_words <= 100000
+         |    AND f.mean_len >= 3.0 AND f.mean_len <= 10.0 AND f.stop_hits >= 1
+         |    AND r.topf <= 0.15 AND r.dup2 <= 0.15 AND r.dup3 <= 0.10),
+         |kc AS (SELECT b.doc_id, b.text FROM base b JOIN kept USING (doc_id)),
+         |etoks AS (SELECT $oToks AS tk FROM documents WHERE doc_id % 11 = 5),
+         |eg AS (SELECT DISTINCT unnest([$gram6 FOR i IN range(1, len(tk) - 4)]) AS g FROM etoks),
+         |cg AS (SELECT doc_id, unnest([$gram6 FOR i IN range(1, len(tk) - 4)]) AS g
+         |  FROM (SELECT doc_id, $oToks AS tk FROM kc)),
+         |cont AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM eg)),
+         |clean AS (SELECT doc_id, text FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
+         |${nearDedupCtesOver("SELECT doc_id, text FROM clean")},
+         |survivors AS (
+         |  SELECT doc_id, text FROM corpus
+         |  WHERE doc_id NOT IN (SELECT id_b FROM verified)),
+         |tr AS (SELECT doc_id, text FROM survivors
+         |  WHERE ${oH("doc_id::VARCHAR || 'cur'")} % 10000 < 9000),
+         |t AS (SELECT doc_id, CAST(len($oToks) AS BIGINT) AS cnt FROM tr),
+         |w AS (SELECT doc_id, cnt,
+         |  CAST(coalesce(sum(cnt) OVER (ORDER BY doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef
+         |  FROM t WHERE cnt > 0),
+         |x AS (SELECT doc_id, cnt, bef,
+         |  unnest(range(bef // 512, (bef + cnt - 1) // 512 + 1)) AS seq_id FROM w)
+         |SELECT doc_id, CAST(seq_id AS BIGINT) AS seq_id,
+         |  CAST(GREATEST(seq_id * 512 - bef, 0) AS BIGINT) AS tok_start,
+         |  CAST(LEAST((seq_id + 1) * 512 - bef, cnt)
+         |    - GREATEST(seq_id * 512 - bef, 0) AS BIGINT) AS tok_len,
+         |  CAST(GREATEST(seq_id * 512, bef) - seq_id * 512 AS BIGINT) AS seq_offset
+         |FROM x ORDER BY doc_id, seq_id""".stripMargin
+    },
+
+    "p41_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT user_id, ts, v,
+        |  CASE WHEN lag(ts) OVER w IS NULL
+        |       OR ts - lag(ts) OVER w > 86400000000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, v,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS sidx
+        |  FROM m)
+        |SELECT user_id AS key, CAST(sidx AS BIGINT) AS session_idx,
+        |  min(ts) AS start_ts, max(ts) AS end_ts,
+        |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum_e2
+        |FROM s GROUP BY user_id, sidx ORDER BY key, session_idx""".stripMargin,
+
+    "p40_gopher_filter" ->
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |flat AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  floor(CAST(list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+         |    / len(tk) * 10000.0 + 0.5) / 10000.0 AS mean_len,
+         |  CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in',
+         |    'is','on','for','with','as','by','at','or'))) AS BIGINT) AS stop_hits
+         |  FROM toks),
+         |g AS (SELECT doc_id, 1 AS n, unnest(tk) AS g FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 2, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) FROM toks
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2] FOR i IN range(1, len(tk) - 1)]) FROM toks),
+         |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+         |s AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot, max(c) AS top,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |  FROM c GROUP BY doc_id, n),
+         |rep AS (SELECT doc_id,
+         |  coalesce(max(CASE WHEN n = 1 THEN floor(top::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS topf,
+         |  coalesce(max(CASE WHEN n = 2 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup2,
+         |  coalesce(max(CASE WHEN n = 3 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup3
+         |  FROM s GROUP BY doc_id)
+         |SELECT f.doc_id,
+         |  (f.n_words >= 25 AND f.n_words <= 100000) AS words_ok,
+         |  (f.mean_len >= 3.0 AND f.mean_len <= 10.0) AS word_len_ok,
+         |  (f.stop_hits >= 2) AS stopword_ok,
+         |  (r.topf <= 0.125) AS top_word_ok,
+         |  (r.dup2 <= 0.10 AND r.dup3 <= 0.05) AS repetition_ok,
+         |  ((f.n_words >= 25 AND f.n_words <= 100000) AND (f.mean_len >= 3.0 AND f.mean_len <= 10.0)
+         |    AND (f.stop_hits >= 2) AND (r.topf <= 0.125)
+         |    AND (r.dup2 <= 0.10 AND r.dup3 <= 0.05)) AS keep
+         |FROM flat f JOIN rep r ON r.doc_id = f.doc_id
+         |ORDER BY f.doc_id""".stripMargin
   )
 }

@@ -492,6 +492,36 @@ object Dedup {
     * pairs — one shuffle) with a hot-band cap at `maxBand`: recall
     * degrades only inside a pathological band instead of the band join
     * going quadratic. The verify is a codegen'd xor/bit_count. */
+  /** Benchmark decontamination: flag corpus documents that share any word
+    * `n`-gram with an evaluation set (the standard test-set-leakage filter
+    * run before training; n=13 in the common recipe, configurable here).
+    *
+    * Scale shape: eval sets are tiny relative to the corpus, so the
+    * DISTINCT eval gram set — hashed to 60-bit md5 longs, never the gram
+    * strings — is broadcast, and corpus grams stream through a
+    * broadcast-hash LEFT SEMI join: no shuffle of the exploded corpus
+    * side at all. The only corpus-keyed exchange is the final flag join
+    * on ids (one hash shuffle of (id) pairs). Output: the corpus columns
+    * plus a `contaminated` boolean. */
+  def decontaminate(corpus: DataFrame, id: Column, text: Column,
+      evalSet: DataFrame, evalText: Column, n: Int = 13): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val evalGrams = evalSet
+      .select(explode(TextOps.wordNgrams(evalText, n)).as("__g"))
+      .select(TextOps.md5Long(col("__g")).as("__gh"))
+      .distinct()
+    val hitIds = corpus
+      .select(id.as("__cid"), explode(TextOps.wordNgrams(text, n)).as("__g"))
+      .select(col("__cid"), TextOps.md5Long(col("__g")).as("__gh"))
+      .join(broadcast(evalGrams), Seq("__gh"), "leftsemi")
+      .select(col("__cid"))
+      .distinct()
+    corpus
+      .join(hitIds.withColumn("__hit", lit(true)), id === col("__cid"), "left")
+      .withColumn("contaminated", coalesce(col("__hit"), lit(false)))
+      .drop("__cid", "__hit")
+  }
+
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): DataFrame = {
     val nBands = maxHamming + 1

@@ -205,6 +205,73 @@ object TextOps {
       frac(3, col("__dup")).as("dup_3gram_frac"))
   }
 
+  /** PII patterns, deliberately restricted to syntax with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
+    * bounded repetition and `\b` only — no lookaround, no backrefs. */
+  val EmailPattern: String = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhonePattern: String = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val LongIdPattern: String = "\\b[0-9]{13,19}\\b"
+
+  /** PII redaction: mask emails, phone-shaped numbers and long digit
+    * runs (payment-card / account-number shaped) with typed placeholder
+    * tokens, and count each category. Pure per-row projection of
+    * codegen'd regex functions — no shuffle, trivially 100 TB-safe.
+    * Patterns are applied email → long-id → phone; the classes are
+    * mutually non-overlapping (emails keep their digits inside the
+    * match, ids have no separators, phones do), so application order
+    * never changes counts. */
+  def redactPii(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val masked =
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(text, EmailPattern, "<EMAIL>"),
+          LongIdPattern, "<ID>"),
+        PhonePattern, "<PHONE>")
+    df.select(
+      id.as("doc_id"),
+      size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
+      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(text, lit(LongIdPattern), lit(0))).cast("long").as("n_ids"),
+      masked.as("redacted"))
+  }
+
+  /** Gopher-style document-quality rule filter (Rae et al. 2021 §A1.1
+    * shape): per-document boolean rule flags plus the conjunction
+    * `keep`. Length/word-shape rules are per-row projections; the
+    * repetition rules join [[repetitionStats]] on the doc key (its one
+    * shuffle family). Thresholth comparisons run on the same 1e-4
+    * floor-quantized lattice both engines compute bit-identically. */
+  def gopherFilter(df: DataFrame, id: Column, text: Column,
+      minWords: Long = 50, maxWords: Long = 100000,
+      minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
+      minStopwordHits: Long = 2,
+      maxTopWordFrac: Double = 0.20,
+      maxDup2Frac: Double = 0.30, maxDup3Frac: Double = 0.25): DataFrame = {
+    def q4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("double") / 10000.0
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    // mean token length on the quantized lattice (token chars = non-space
+    // chars of the normalized text; join-free formulation)
+    val meanLen = q4(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
+      nWords.cast("double"))
+    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*))).cast("long")
+    val flat = df.select(
+      id.as("doc_id"),
+      (nWords >= minWords && nWords <= maxWords).as("words_ok"),
+      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("word_len_ok"),
+      (stopHits >= minStopwordHits).as("stopword_ok"))
+    val rep = repetitionStats(df, id, text)
+    flat.join(rep, "doc_id")
+      .select(
+        col("doc_id"), col("words_ok"), col("word_len_ok"), col("stopword_ok"),
+        (col("top_word_frac") <= maxTopWordFrac).as("top_word_ok"),
+        (col("dup_2gram_frac") <= maxDup2Frac &&
+          col("dup_3gram_frac") <= maxDup3Frac).as("repetition_ok"))
+      .withColumn("keep",
+        col("words_ok") && col("word_len_ok") && col("stopword_ok") &&
+          col("top_word_ok") && col("repetition_ok"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

@@ -14,6 +14,15 @@ final case class SimHashBandMembers(ids: List[Long], hashes: List[Long])
 /** A streaming near-dup candidate: ids ordered, hamming distance attached. */
 final case class SimHashCandidate(id_a: Long, id_b: Long, hamming: Int)
 
+/** open-session state for [[H3Streaming.streamingSessionize]] (millis
+  * internally — event-time timeouts are millisecond-grained). */
+final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Long)
+
+/** closed session emitted by [[H3Streaming.streamingSessionize]]; bounds
+  * are int64 nanoseconds (batch-operator parity). */
+final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
+  n_events: Long, value_sum_e2: Long)
+
 /**
  * Structured Streaming wiring for the H3 catalog (SURVEY.md §2.10 — an
  * explicit *extension*: the reference is batch-only).
@@ -146,6 +155,74 @@ object H3Streaming {
             hashes = (r.simhash :: hashes).take(maxPerBand)
           }
           state.update(SimHashBandMembers(ids, hashes))
+          out.iterator
+      }
+  }
+
+  /** Streaming gap-based sessionization — the ingest-time form of
+    * [[graft.pipeline.Sessions.sessionize]]: per key, events within
+    * `gapMillis` of the previous one extend the open session; a larger
+    * gap (or the watermark passing the gap horizon) closes it and emits
+    * one [[SessionRow]] in append mode.
+    *
+    * Mechanics: `flatMapGroupsWithState` with EVENT-TIME timeout — after
+    * each batch the timeout is re-armed at `last event + gap`, so a quiet
+    * key's session is closed by watermark progress alone, exactly the
+    * batch semantics on an unbounded stream. State per key is one open
+    * session (4 longs) — O(live keys), never O(events). Within a batch,
+    * a key's events are folded in timestamp order (Spark hands the
+    * group's rows unsorted across batches only; per-invocation sorting a
+    * key's micro-batch slice is in-memory and bounded by the batch).
+    * Late events older than a closed session are handled by the
+    * watermark contract upstream (dropped), the same trade every
+    * watermarked operator makes. Timestamps in the emitted row are int64
+    * NANOseconds for parity with the batch operator. */
+  def streamingSessionize(stream: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, gapMillis: Long, watermark: String): Dataset[SessionRow] = {
+    require(gapMillis > 0, s"gapMillis must be positive, got $gapMillis")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("v"))
+      // watermark AFTER the projection: a cast/rename of a watermarked
+      // column drops the event-time tag, and EventTimeTimeout requires
+      // the tag on the column reaching flatMapGroupsWithState
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[OpenSession, SessionRow](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[OpenSession]) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[SessionRow]
+          var open = state.getOption
+          if (rows.isEmpty) {
+            // timeout invocation: watermark passed last+gap — close
+            open.foreach { s =>
+              out += SessionRow(key, s.startMs * 1000000L, s.lastMs * 1000000L, s.n, s.sum)
+            }
+            open = None
+            state.remove()
+          } else {
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            for ((_, ts, v) <- sorted) {
+              val ms = ts.getTime
+              open match {
+                case Some(s) if ms - s.lastMs <= gapMillis =>
+                  open = Some(OpenSession(s.startMs, ms, s.n + 1, s.sum + v))
+                case Some(s) =>
+                  out += SessionRow(key, s.startMs * 1000000L, s.lastMs * 1000000L, s.n, s.sum)
+                  open = Some(OpenSession(ms, ms, 1L, v))
+                case None =>
+                  open = Some(OpenSession(ms, ms, 1L, v))
+              }
+            }
+            open.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastMs + gapMillis)
+            }
+          }
           out.iterator
       }
   }

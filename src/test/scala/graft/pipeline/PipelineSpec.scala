@@ -523,4 +523,72 @@ class PipelineSpec extends AnyFunSuite {
       .select($"doc_id").as[Long].collect().sorted.toSeq
     assert(small == want)
   }
+
+  test("decontaminate flags exactly the docs sharing an eval n-gram") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "one two three four five six"),
+      (3L, "xx alpha beta gamma delta yy"),   // shares 4-gram with doc 1? only if eval
+      (4L, "totally different words entirely here now")).toDF("doc_id", "text")
+    val eval = Seq((100L, "alpha beta gamma delta unrelated tail")).toDF("doc_id", "text")
+    val out = Dedup.decontaminate(corpus, $"doc_id", $"text", eval, $"text", n = 4)
+      .select($"doc_id", $"contaminated").as[(Long, Boolean)].collect().toMap
+    assert(out(1L) && out(3L))       // both contain "alpha beta gamma delta"
+    assert(!out(2L) && !out(4L))
+    assert(out.size == 4)            // corpus rows preserved
+    // eval docs checked against themselves are flagged (self-containment)
+    val self = Dedup.decontaminate(eval, $"doc_id", $"text", eval, $"text", n = 4)
+      .select($"contaminated").as[Boolean].head()
+    assert(self)
+    // n longer than every doc: nothing can be contaminated
+    val none = Dedup.decontaminate(corpus, $"doc_id", $"text", eval, $"text", n = 20)
+      .filter($"contaminated").count()
+    assert(none == 0)
+  }
+
+  test("redactPii masks and counts emails, phones, card-shaped ids; idempotent") {
+    val df = Seq(
+      (1L, "mail me at john.doe+x@sub.example.org thanks"),
+      (2L, "call 555-123-4567 or 555-000-1111 today"),
+      (3L, "card 4111111111111111 exp soon"),
+      (4L, "clean text with no pii at all"),
+      (5L, "a@b.co and 123-456-7890 and 1234567890123456")).toDF("doc_id", "text")
+    val out = TextOps.redactPii(df, $"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, Long, Long, Long, String)].collect()
+    assert(out(0) == ((1L, 1L, 0L, 0L, "mail me at <EMAIL> thanks")))
+    assert(out(1) == ((2L, 0L, 2L, 0L, "call <PHONE> or <PHONE> today")))
+    assert(out(2) == ((3L, 0L, 0L, 1L, "card <ID> exp soon")))
+    assert(out(3) == ((4L, 0L, 0L, 0L, "clean text with no pii at all")))
+    assert(out(4) == ((5L, 1L, 1L, 1L, "<EMAIL> and <PHONE> and <ID>")))
+    // masking is idempotent: placeholders never re-match any pattern
+    val again = TextOps.redactPii(
+      TextOps.redactPii(df, $"doc_id", $"text").select($"doc_id", $"redacted".as("text")),
+      $"doc_id", $"text")
+    val counts = again.agg(sum($"n_emails" + $"n_phones" + $"n_ids")).as[Long].head()
+    assert(counts == 0)
+  }
+
+  test("gopherFilter: each rule discriminates on crafted violations") {
+    val good = "the quick brown fox jumps over a lazy dog and then walks off to " +
+      "the river bank where it sits for an hour watching boats drift past slowly " +
+      "in the warm light of late afternoon with friends nearby"
+    val df = Seq(
+      (1L, good),                                    // passes everything
+      (2L, "too short by far"),                      // words_ok fails
+      (3L, Seq.fill(30)("ab").mkString(" ")),        // word_len + stopword + top_word fail
+      (4L, good + " " + Seq.fill(15)("spam").mkString(" ")), // top-word/repetition fail
+      (5L, (good + " ") * 2))                        // dup n-gram fail (whole text twice)
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherFilter(df, $"doc_id", $"text",
+      minWords = 25, maxWords = 1000, minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+      minStopwordHits = 2, maxTopWordFrac = 0.20, maxDup2Frac = 0.30, maxDup3Frac = 0.25)
+      .orderBy($"doc_id").collect()
+    def f(i: Int, name: String): Boolean =
+      out(i).getBoolean(out(i).fieldIndex(name))
+    assert(f(0, "keep"))
+    assert(!f(1, "words_ok") && !f(1, "keep"))
+    assert(!f(2, "word_len_ok") && !f(2, "stopword_ok") && !f(2, "top_word_ok"))
+    assert(!f(3, "top_word_ok") && !f(3, "keep"))
+    assert(!f(4, "repetition_ok") && !f(4, "keep"))
+  }
 }
