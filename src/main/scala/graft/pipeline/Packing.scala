@@ -50,25 +50,37 @@ object Packing {
     require(budget > 0, s"budget must be positive, got $budget")
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
 
+    // __bucket is made NON-nullable (coalesce with a literal): otherwise
+    // the broadcast join infers an isnotnull(__bucket) filter into the
+    // windowed branch only, the two scan+exchange subtrees no longer
+    // canonicalize equal, and AQE's exchange reuse cannot dedupe them —
+    // the corpus would be scanned and shuffled twice (ids are non-null by
+    // contract; a null id would land in bucket -1 rather than poison the
+    // plan shape)
     val base = df
       .select(id.cast("long").as("doc_id"), tokenCount.cast("long").as("__cnt"))
       .filter(col("__cnt") > 0)
-      .withColumn("__bucket", floor(col("doc_id") / bucketWidth))
+      .withColumn("__bucket", coalesce(floor(col("doc_id") / bucketWidth), lit(-1L)))
 
     // (2) within-bucket exclusive running sum — parallel across buckets
     val inBucket = Window.partitionBy(col("__bucket")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("__local", coalesce(sum(col("__cnt")).over(inBucket), lit(0L)))
 
-    // (3) bucket totals (tiny: one row per bucket) + exclusive bucket prefix.
-    // The window runs single-partition BY DESIGN over the ~corpus/bucketWidth
-    // aggregated rows (16 bytes each); the constant-valued but non-foldable
-    // partition key (bucket mod 1, which Catalyst keeps) declares that
-    // intent instead of tripping WindowExec's no-partition warning.
+    // (3) bucket totals DERIVED from the windowed side — the bucket's last
+    // row has the largest inclusive running sum (__local + __cnt), so a
+    // max-aggregate over `local` equals the per-bucket token total without
+    // a second corpus scan, and the groupBy key matches the window's hash
+    // partitioning (no new exchange). The bucket-prefix window then runs
+    // single-partition BY DESIGN over the ~corpus/bucketWidth aggregated
+    // rows (16 bytes each); the constant-valued but non-foldable partition
+    // key (bucket mod 1, which Catalyst keeps) declares that intent
+    // instead of tripping WindowExec's no-partition warning.
     val bucketPrefixW = Window.partitionBy(pmod(col("__bucket"), lit(1)))
       .orderBy(col("__bucket"))
       .rowsBetween(Window.unboundedPreceding, -1)
-    val prefixes = base.groupBy(col("__bucket")).agg(sum(col("__cnt")).as("__btot"))
+    val prefixes = local
+      .groupBy(col("__bucket")).agg(max(col("__local") + col("__cnt")).as("__btot"))
       .withColumn("__bprefix", coalesce(sum(col("__btot")).over(bucketPrefixW), lit(0L)))
       .select(col("__bucket"), col("__bprefix"))
 

@@ -7,7 +7,8 @@ import org.apache.spark.sql.SparkSession
 object PlanDump {
   val Captured = Seq("q01_lineitem_agg", "h3_02_parent_rollup", "h3_12_latlng_cell",
     "p05_minhash_sigs", "p06_lsh_pairs", "p18_embed_neardup", "p26_chunks",
-    "p29_ann_projected", "p33_bm25", "p34_mix_sample")
+    "p29_ann_projected", "p33_bm25", "p34_mix_sample",
+    "p37_pack_sequences", "p38_decontam", "p41_sessions")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"

@@ -50,6 +50,16 @@ class PackingSpec extends AnyFunSuite {
     assert(a.sameElements(b))
   }
 
+  test("packing scans and shuffles the corpus ONCE (AQE exchange reuse)") {
+    // the bucket-prefix branch must read the windowed branch's shuffle
+    // output, not re-scan: __bucket is built non-nullable so both
+    // subtrees canonicalize equal (see Packing scaladoc)
+    val packed = Packing.packSequences(counts, $"doc_id", $"cnt", budget = 128, bucketWidth = 16)
+    packed.collect()
+    val plan = packed.queryExecution.executedPlan.toString
+    assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
+  }
+
   test("packing: a doc longer than the budget spans multiple sequences") {
     val d = Seq((1L, 10L), (2L, 300L), (3L, 5L)).toDF("id", "cnt")
     val out = Packing.packSequences(d, $"id", $"cnt", budget = 100, bucketWidth = 10)
