@@ -28,6 +28,40 @@ object AnnStore {
     Similarity.ivfAssign(df, id, vec, centroids, nprobe = 1)
       .write.partitionBy("centroid_id").mode("overwrite").parquet(path)
 
+  /** Incremental batch ingest: assign against the SAME quantizer the
+    * store was written with (caller contract — a drifted quantizer would
+    * split a list across directories) and append into the existing
+    * partition layout. Plain parquet append: new files land inside the
+    * matching `centroid_id=` directories, invisible to readers until the
+    * write commits each file. */
+  def appendBatch(df: DataFrame, id: Column, vec: Column, centroids: DataFrame,
+      path: String): Unit =
+    Similarity.ivfAssign(df, id, vec, centroids, nprobe = 1)
+      .write.partitionBy("centroid_id").mode("append").parquet(path)
+
+  /** Streaming ingest — the arrival path of the store: every micro-batch
+    * is centroid-assigned by [[Similarity.ivfAssignProjection]] (a pure
+    * per-row projection — bit-identical to the batch assignment, and
+    * legal mid-stream where the aggregate form is not) and appended into
+    * the partition layout via `foreachBatch`. Plain-parquet append keeps
+    * the store readable by the same `spark.read.parquet` path as the
+    * batch writer (a file-sink `_spark_metadata` log would hide
+    * batch-written files); the trade is at-least-once on micro-batch
+    * retry, the standard foreachBatch contract. Caller starts/stops the
+    * returned writer. */
+  def streamIngest(stream: DataFrame, id: Column, vec: Column,
+      centroids: DataFrame, path: String):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    val quantizer = Similarity.collectCentroids(centroids)
+    stream.select(id.as("__id"), vec.as("__v"))
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        Similarity.ivfAssignProjection(batch, col("__id"), col("__v"), quantizer)
+          .write.partitionBy("centroid_id").mode("append").parquet(path)
+      }
+      .outputMode("append")
+  }
+
   /** Approximate top-k against a written store: each query probes its
     * `nprobe` nearest centroids' partitions only; candidates are ranked
     * by exact cosine. Same output contract (query_id, neighbor_id, sim,

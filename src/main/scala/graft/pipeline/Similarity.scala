@@ -191,6 +191,41 @@ object Similarity {
     }
   }
 
+  /** Nearest-centroid assignment as a PURE PROJECTION — no aggregation,
+    * no shuffle — against a driver-collected quantizer (broadcast-sized
+    * by the same contract as [[ivfCentroids]]). Bit-identical to
+    * [[ivfAssign]] `nprobe=1`: each sim is the same codegen'd
+    * literal-array dot in the same accumulation order, and the strict `>`
+    * fold in ascending centroid_id order reproduces
+    * `max_by(centroid_id, struct(sim, -centroid_id))` tie-breaking
+    * (equal sims keep the smaller id). Being projection-only, this is
+    * the form a STREAMING ingest can run per-row. */
+  def ivfAssignProjection(df: DataFrame, id: Column, vec: Column,
+      centroids: Array[(Int, Array[Double])]): DataFrame = {
+    require(centroids.nonEmpty, "empty quantizer")
+    val sorted = centroids.sortBy(_._1)
+    val v = vec.cast("array<double>")
+    val nv = l2Norm(v)
+    def sim(c: Array[Double]): Column = {
+      val lit_ = array(c.map(x => lit(x)): _*)
+      dot(v, lit_) / (nv * math.sqrt(c.map(x => x * x).sum))
+    }
+    val head = sorted.head
+    val (bestId, _) = sorted.tail.foldLeft((lit(head._1), sim(head._2))) {
+      case ((bi, bs), (cid, cvec)) =>
+        val s = sim(cvec)
+        (when(s > bs, lit(cid)).otherwise(bi), when(s > bs, s).otherwise(bs))
+    }
+    df.select(id.as("vec_id"), v.as("embedding"), bestId.as("centroid_id"))
+  }
+
+  /** Driver-collect a (centroid_id, centroid) quantizer frame for
+    * [[ivfAssignProjection]]. */
+  def collectCentroids(centroids: DataFrame): Array[(Int, Array[Double])] =
+    centroids.select(col("centroid_id").cast("int"),
+        col("centroid").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), r.getSeq[Double](1).toArray))
+
   /** IVF approximate top-k: corpus vectors live in their nearest
     * centroid's inverted list; each query probes its `nprobe` nearest
     * lists and ranks candidates by exact cosine. Candidate cost ~

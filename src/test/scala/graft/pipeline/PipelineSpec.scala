@@ -402,6 +402,54 @@ class PipelineSpec extends AnyFunSuite {
     assert(plan.contains("dynamicpruning"), s"no DPP in plan:\n${plan.take(2000)}")
   }
 
+  test("ivfAssignProjection is bit-identical to the aggregate ivfAssign") {
+    val e = embs.select($"vec_id", $"embedding")
+    val cents = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 1)
+      .localCheckpoint(false)
+    val agg = Similarity.ivfAssign(e, $"vec_id", $"embedding", cents, nprobe = 1)
+      .select($"vec_id", $"centroid_id").as[(Long, Int)].collect().toMap
+    val proj = Similarity.ivfAssignProjection(e, $"vec_id", $"embedding",
+      Similarity.collectCentroids(cents))
+      .select($"vec_id", $"centroid_id").as[(Long, Int)].collect().toMap
+    assert(proj == agg)
+    assert(proj.size == e.count())
+  }
+
+  test("AnnStore streaming + batch ingest land in the layout; probes see the union") {
+    implicit val sqlCtx = spark.sqlContext
+    val e = embs.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val cents = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 1)
+      .localCheckpoint(false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstore-ing").toString
+
+    val base = e.filter($"vec_id" < 300)
+    AnnStore.write(base, $"vec_id", $"embedding", cents, dir)
+    AnnStore.appendBatch(e.filter($"vec_id" >= 300 && $"vec_id" < 400),
+      $"vec_id", $"embedding", cents, dir)
+
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val writer = AnnStore.streamIngest(input.toDF.toDF("vec_id", "embedding"),
+      $"vec_id", $"embedding".cast("array<double>"), cents, dir)
+    val query = writer.start()
+    try {
+      val tail = e.filter($"vec_id" >= 400)
+        .as[(Long, Seq[Double])].collect()
+      input.addData(tail.take(tail.length / 2).toSeq)
+      input.addData(tail.drop(tail.length / 2).toSeq)
+      query.processAllAvailable()
+    } finally query.stop()
+
+    // the store now holds the full corpus; probing it equals in-memory IVF
+    // over the union
+    val q = e.filter($"vec_id" < 5)
+    val fromStore = AnnStore.query(spark, dir, cents, q, $"vec_id", $"embedding",
+      nprobe = 2, k = 3)
+    val inMem = Similarity.ivfCosineTopKWith(cents, e, $"vec_id", $"embedding",
+      q, $"vec_id", $"embedding", nprobe = 2, k = 3)
+    assert(fromStore.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
+    assert(spark.read.parquet(dir).count() == e.count())
+  }
+
   test("sorted_distinct_ngram_hashes equals the composed distinct/hash/sort form") {
     val texts = Seq(
       "the quick brown fox jumps over the lazy dog",
