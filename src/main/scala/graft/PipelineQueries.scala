@@ -368,6 +368,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // incremental NEAR-dedup: admit only new-batch docs that aren't
+    // near-dups of the reference corpus (new bands broadcast; reference
+    // never shuffles). Batch = near-copies (dropped), exact copies
+    // (dropped), reversed texts (novel, admitted).
+    "p43_incremental_neardedup" -> ((s, dir) => {
+      val ref = docs(s, dir).select(col("doc_id"), col("text"))
+      val newBatch = ref.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 2000000).as("doc_id"),
+          concat(col("text"), lit(" tiny tail")).as("text"))
+        .unionAll(ref.filter(col("doc_id") % 9 === 1)
+          .select((col("doc_id") + 2100000).as("doc_id"), col("text")))
+        .unionAll(ref.filter(col("doc_id") % 9 === 2)
+          .select((col("doc_id") + 2200000).as("doc_id"),
+            reverse(col("text")).as("text")))
+      Dedup.incrementalNearDedup(newBatch, ref,
+        col("doc_id"), col("text"), col("doc_id"), col("text"))
+        .select(col("doc_id")).orderBy(col("doc_id"))
+    }),
+
     // the complete curation pipeline as ONE declarative plan: rule filter
     // → eval-set decontamination → near-dedup → deterministic split →
     // sequence packing of the train split. Composes five round-6 ops with
@@ -488,7 +507,11 @@ object PipelineQueries {
     * shared by the p13 oracle and the p21 end-to-end composition. */
   private def nearDedupCtes: String = nearDedupCtesOver(corpusSqlWithDups)
 
-  private def nearDedupCtesOver(corpusSql: String): String =
+  /** `pairCond` selects which band collisions become candidate pairs —
+    * the default is the single-corpus ordered self-join; the incremental
+    * op restricts to cross-side (reference, new-batch) pairs. */
+  private def nearDedupCtesOver(corpusSql: String,
+      pairCond: String = "a.doc_id < b.doc_id"): String =
     s"""corpus AS ($corpusSql),
        |${shinglesSql("corpus")},
        |sig AS (SELECT doc_id,
@@ -502,7 +525,7 @@ object PipelineQueries {
        |pairs AS (
        |  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
        |  FROM bands a JOIN bands b
-       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id),
+       |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND $pairCond),
        |cand_ids AS (SELECT id_a AS doc_id FROM pairs UNION SELECT id_b FROM pairs),
        |grams AS (
        |  SELECT DISTINCT c.doc_id, g
@@ -1053,6 +1076,22 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
     },
+
+    "p43_incremental_neardedup" ->
+      s"""WITH refc AS (SELECT doc_id, text FROM documents),
+         |newc AS (
+         |  SELECT doc_id + 2000000 AS doc_id, text || ' tiny tail' AS text
+         |  FROM documents WHERE doc_id % 9 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 2100000, text FROM documents WHERE doc_id % 9 = 1
+         |  UNION ALL
+         |  SELECT doc_id + 2200000, reverse(text) FROM documents WHERE doc_id % 9 = 2),
+         |${nearDedupCtesOver(
+           "SELECT * FROM refc UNION ALL SELECT * FROM newc",
+           "a.doc_id < 2000000 AND b.doc_id >= 2000000")}
+         |SELECT doc_id FROM newc
+         |WHERE doc_id NOT IN (SELECT id_b FROM verified)
+         |ORDER BY doc_id""".stripMargin,
 
     "p42_curation_pipeline" -> {
       val gram6 = "tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]"

@@ -492,6 +492,45 @@ object Dedup {
     * pairs — one shuffle) with a hot-band cap at `maxBand`: recall
     * degrades only inside a pathological band instead of the band join
     * going quadratic. The verify is a codegen'd xor/bit_count. */
+  /** Incremental NEAR-dedup of a new batch against a reference corpus:
+    * drop new documents whose exact n-gram Jaccard against ANY reference
+    * document reaches `threshold` — the "near-dedup tonight's crawl
+    * against the 100 TB corpus" op, the LSH twin of
+    * [[incrementalDedup]]'s exact hashes.
+    *
+    * Scale shape: the new batch is small relative to the corpus by
+    * construction, so its LSH bands are BROADCAST and the reference
+    * corpus streams its own bands through a broadcast-hash join — the
+    * reference side is never shuffled, and candidate pairs are bounded
+    * by band collisions with the batch. Verification then computes gram
+    * sets ONLY for candidate documents of either side (the
+    * [[ngramJaccardVerify]] restriction). Ids must be unique ACROSS the
+    * two frames (caller contract; verification unions them).
+    * Within-batch duplicates are intentionally untouched — compose with
+    * [[nearDedup]] on the batch for that. */
+  def incrementalNearDedup(newDf: DataFrame, refDf: DataFrame,
+      newId: Column, newText: Column, refId: Column, refText: Column,
+      k: Int = 8, rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
+      threshold: Double = 0.5): DataFrame = {
+    val newC = newDf.select(newId.as("__id"), newText.as("__text")).localCheckpoint(false)
+    val refC = refDf.select(refId.as("__id"), refText.as("__text"))
+    val newBands = lshBands(minHashSignatures(newC, col("__id"), col("__text"), k, ngram),
+      k, rowsPerBand)
+    val refBands = lshBands(minHashSignatures(refC, col("__id"), col("__text"), k, ngram),
+      k, rowsPerBand)
+    // orientation is (id_a = reference, id_b = new) regardless of id order
+    val pairs = refBands
+      .join(broadcast(newBands.withColumnRenamed("__id", "__nid")),
+        Seq("band_idx", "band_val"))
+      .select(col("__id").as("id_a"), col("__nid").as("id_b"))
+      .distinct()
+    val union = newC.unionByName(refC)
+    val verified = ngramJaccardVerify(union, col("__id"), col("__text"),
+      verifyN, threshold, pairs)
+    newDf.join(verified.select(col("id_b").as("__dup")).distinct(),
+      newId === col("__dup"), "left_anti")
+  }
+
   /** Benchmark decontamination: flag corpus documents that share any word
     * `n`-gram with an evaluation set (the standard test-set-leakage filter
     * run before training; n=13 in the common recipe, configurable here).

@@ -159,6 +159,27 @@ object H3Streaming {
       }
   }
 
+  /** Streaming incremental NEAR-dedup — the ingest-time form of
+    * [[graft.pipeline.Dedup.incrementalNearDedup]]: each micro-batch is
+    * near-dedup'd against the static reference corpus (new-batch bands
+    * broadcast, reference never shuffled — micro-batches are small by
+    * construction, the exact fit for that asymmetry) and the survivors
+    * handed to `sink`. The LSH band join + candidate-restricted verify
+    * needs checkpoint barriers and a distinct, which are not legal
+    * mid-stream — `foreachBatch` is the standard envelope for exactly
+    * this shape. At-least-once on retry (the foreachBatch contract);
+    * caller starts/stops the returned writer. */
+  def streamingIncrementalNearDedup(stream: DataFrame, idCol: String,
+      textCol: String, ref: DataFrame, refIdCol: String, refTextCol: String,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.Dedup.incrementalNearDedup(batch, ref,
+          col(idCol), col(textCol), col(refIdCol), col(refTextCol)), epoch)
+      }
+      .outputMode("append")
+
   /** Streaming gap-based sessionization — the ingest-time form of
     * [[graft.pipeline.Sessions.sessionize]]: per key, events within
     * `gapMillis` of the previous one extend the open session; a larger

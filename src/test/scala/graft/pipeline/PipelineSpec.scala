@@ -572,6 +572,19 @@ class PipelineSpec extends AnyFunSuite {
     assert(small == want)
   }
 
+  test("incrementalNearDedup: drops near/exact copies of ref, keeps novel and within-batch dups") {
+    val ref = docs.select($"doc_id", $"text")
+    val novel = "entirely fresh words that appear nowhere in the reference corpus " +
+      "zebra quark mango piano velvet glacier trumpet hazel"
+    val newBatch = ref.filter($"doc_id" < 3)
+      .select(($"doc_id" + 5000).as("doc_id"), concat($"text", lit(" tail")).as("text")) // near-copies
+      .unionAll(Seq((6001L, novel), (6002L, novel)).toDF("doc_id", "text")) // novel + within-batch dup
+    val out = Dedup.incrementalNearDedup(newBatch, ref,
+      $"doc_id", $"text", $"doc_id", $"text")
+      .select($"doc_id").as[Long].collect().toSet
+    assert(out == Set(6001L, 6002L), s"got $out")
+  }
+
   test("decontaminate flags exactly the docs sharing an eval n-gram") {
     val corpus = Seq(
       (1L, "alpha beta gamma delta epsilon zeta"),

@@ -46,6 +46,30 @@ class SessionsSpec extends AnyFunSuite {
     assert(sess.filter($"end_ts" < $"start_ts").count() == 0)
   }
 
+  test("streaming incremental near-dedup: per-batch survivors match the batch op") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select($"doc_id", $"text").localCheckpoint(false)
+    val novel = "completely unseen sentence with zebra quark mango piano velvet glacier words"
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val writer = H3Streaming.streamingIncrementalNearDedup(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", ref, "doc_id", "text",
+      (batch, _) => got.synchronized {
+        got ++= batch.select($"doc_id").as[Long](implicitly).collect()
+      })
+    val query = writer.start()
+    try {
+      val copies = ref.filter($"doc_id" < 2).as[(Long, String)].collect()
+        .map { case (i, t) => (i + 7000, t + " tail") }
+      input.addData(copies.toSeq)          // batch 1: near-copies -> dropped
+      query.processAllAvailable()
+      input.addData((8001L, novel))        // batch 2: novel -> kept
+      query.processAllAvailable()
+    } finally query.stop()
+    assert(got.toSet == Set(8001L), s"got $got")
+  }
+
   test("streaming sessionize equals batch on replay; timeout closes quiet keys") {
     implicit val sqlCtx = spark.sqlContext
     def ts(ms: Long): Timestamp = new Timestamp(1700000000000L + ms)
