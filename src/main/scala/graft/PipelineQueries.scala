@@ -368,6 +368,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus data card: per-language doc/token counts, exact rank-based
+    // length percentiles, exact-duplicate rate — one doc-level pass plus
+    // one key-partitioned rank window, no global sort
+    "p44_corpus_report" -> ((s, dir) => {
+      TextOps.corpusReport(docs(s, dir), col("doc_id"), col("text"), col("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // incremental NEAR-dedup: admit only new-batch docs that aren't
     // near-dups of the reference corpus (new bands broadcast; reference
     // never shuffles). Batch = near-copies (dropped), exact copies
@@ -1076,6 +1084,20 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
     },
+
+    "p44_corpus_report" ->
+      s"""WITH b AS (SELECT doc_id, lang, CAST(len($oToks) AS BIGINT) AS toks,
+         |  ${oH("array_to_string($oToks, ' ')").replace("$oToks", oToks)} AS fp
+         |  FROM documents),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY toks, doc_id) AS rk,
+         |  count(*) OVER (PARTITION BY lang) AS n FROM b)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(toks) AS BIGINT) AS n_tokens,
+         |  max(CASE WHEN rk = CAST(ceil(0.5 * n) AS BIGINT) THEN toks END) AS p50_tokens,
+         |  max(CASE WHEN rk = CAST(ceil(0.9 * n) AS BIGINT) THEN toks END) AS p90_tokens,
+         |  max(CASE WHEN rk = CAST(ceil(0.99 * n) AS BIGINT) THEN toks END) AS p99_tokens,
+         |  CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_exact_dups
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
 
     "p43_incremental_neardedup" ->
       s"""WITH refc AS (SELECT doc_id, text FROM documents),

@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /**
@@ -270,6 +271,33 @@ object TextOps {
       .withColumn("keep",
         col("words_ok") && col("word_len_ok") && col("stopword_ok") &&
           col("top_word_ok") && col("repetition_ok"))
+  }
+
+  /** Corpus data card: per-language governance summary — document and
+    * token counts, length percentiles, exact-duplicate rate — the report
+    * a training-data release ships with. One pass for the doc-level
+    * metrics (single hash-partitioned aggregate with map-side partials);
+    * the exact percentiles rank doc lengths inside each language
+    * partition (a second key-partitioned window pass, no global sort).
+    * Percentile convention: value at 1-based rank `ceil(q * n)` of the
+    * ascending (length, doc_id)-ordered list — deterministic and
+    * replayable in any engine, unlike interpolating quantiles. */
+  def corpusReport(df: DataFrame, id: Column, text: Column, lang: Column): DataFrame = {
+    val base = df.select(id.as("__id"), lang.as("lang"),
+      tokenCount(text).as("__toks"), fingerprint(text).as("__fp"))
+    val w = Window.partitionBy(col("lang")).orderBy(col("__toks"), col("__id"))
+    val ranked = base
+      .withColumn("__rank", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    def pct(q: Double): Column =
+      max(when(col("__rank") === ceil(lit(q) * col("__n")), col("__toks")))
+    ranked.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("__toks")).as("n_tokens"),
+      pct(0.5).as("p50_tokens"),
+      pct(0.9).as("p90_tokens"),
+      pct(0.99).as("p99_tokens"),
+      (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
   }
 
   /** Corpus vocabulary: term frequency and document frequency per token,

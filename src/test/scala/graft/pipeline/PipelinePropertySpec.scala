@@ -1,0 +1,86 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/**
+ * Property tests: packing and sessionization against straightforward
+ * in-memory reference implementations on randomized inputs (sparse ids,
+ * zero counts, duplicate timestamps, boundary-aligned documents).
+ */
+class PipelinePropertySpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val params = Gen.Parameters.default
+  def sample[A](g: Gen[A], seed: Long): A =
+    g.apply(params, Seed(seed)).get
+
+  // in-memory reference: sort by id, running offset, cut at budget marks
+  private def packRef(rows: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    var before = 0L
+    rows.filter(_._2 > 0).sortBy(_._1).flatMap { case (id, cnt) =>
+      val segs = (before / budget) to ((before + cnt - 1) / budget)
+      val out = segs.map { s =>
+        val tokStart = math.max(s * budget - before, 0L)
+        val tokEnd = math.min((s + 1) * budget - before, cnt)
+        (id, s, tokStart, tokEnd - tokStart, math.max(s * budget, before) - s * budget)
+      }
+      before += cnt
+      out
+    }
+  }
+
+  test("property: packSequences equals the sequential reference on random corpora") {
+    val genRows = for {
+      n <- Gen.chooseNum(1, 120)
+      ids <- Gen.pick(n, 0L until 4000L)
+      cnts <- Gen.listOfN(n, Gen.chooseNum(0L, 700L))
+    } yield ids.toSeq.zip(cnts)
+    for (i <- 0 until 8) {
+      val rows = sample(genRows, i)
+      val budget = sample(Gen.chooseNum(32L, 512L), 100 + i)
+      val width = sample(Gen.chooseNum(1L, 500L), 200 + i)
+      val got = Packing.packSequences(rows.toDF("id", "cnt"), $"id", $"cnt",
+        budget, width).as[(Long, Long, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val want = packRef(rows, budget)
+      assert(got == want, s"iter $i budget=$budget width=$width")
+    }
+  }
+
+  // in-memory reference: per key, sort by ts, split on gap, fold sessions
+  private def sessRef(rows: Seq[(Long, Long, Long)], gap: Long): Set[(Long, Long, Long, Long, Long, Long)] =
+    rows.groupBy(_._1).flatMap { case (k, evs) =>
+      val sorted = evs.map(e => (e._2, e._3)).sorted
+      val sessions = sorted.tail.foldLeft(List(List(sorted.head))) { (acc, e) =>
+        if (e._1 - acc.head.head._1 > gap) List(e) :: acc
+        else (e :: acc.head) :: acc.tail
+      }.reverse.map(_.reverse)
+      sessions.zipWithIndex.map { case (s, i) =>
+        (k, i.toLong, s.head._1, s.last._1, s.length.toLong, s.map(_._2).sum)
+      }
+    }.toSet
+
+  test("property: sessionize equals the per-key reference on random event sets") {
+    val genRows = for {
+      n <- Gen.chooseNum(1, 300)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1L, 6L)
+        t <- Gen.chooseNum(0L, 5000L)
+        v <- Gen.chooseNum(0L, 10000L)
+      } yield (k, t, v))
+    } yield rows.distinctBy(r => (r._1, r._2)) // unique (key, ts): ties make
+    // per-session value sums order-dependent in BOTH impls — not a law
+    for (i <- 0 until 8) {
+      val rows = sample(genRows, 50 + i)
+      val gap = sample(Gen.chooseNum(1L, 800L), 300 + i)
+      // values are pre-scaled ints: pass value/100 so the e2 lattice is exact
+      val got = Sessions.sessionize(rows.toDF("k", "t", "v"), $"k", $"t",
+        $"v" / 100.0, gap).as[(Long, Long, Long, Long, Long, Long)].collect().toSet
+      assert(got == sessRef(rows, gap), s"iter $i gap=$gap")
+    }
+  }
+}
