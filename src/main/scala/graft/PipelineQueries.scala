@@ -368,6 +368,19 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // hybrid retrieval: BM25 (lexical) fused with embedding cosine
+    // (dense) — both lattice-quantized BEFORE fusion so the fused rank
+    // order is engine-exact; top-k is a TakeOrdered
+    "p45_hybrid_search" -> ((s, dir) => {
+      val e = embs(s, dir)
+      graft.pipeline.Ranking.hybridTopK(
+        docs(s, dir), col("doc_id"), col("text"),
+        e, col("vec_id"), col("embedding"),
+        terms = Seq("spark", "table", "window"),
+        queryVec = e.filter(col("vec_id") === 7),
+        alpha = 0.3, k = 20)
+    }),
+
     // corpus data card: per-language doc/token counts, exact rank-based
     // length percentiles, exact-duplicate rate — one doc-level pass plus
     // one key-partitioned rank window, no global sort
@@ -551,6 +564,28 @@ object PipelineQueries {
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5)""".stripMargin
+
+  /** BM25 CTE chain ending in `lex` (doc_id, bm25) over `documents` —
+    * shared by the p33 oracle and the p45 hybrid fusion. */
+  private def bm25LexCtes(terms: Seq[String]): String = {
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+    val termSql = terms.indices.map { i =>
+      s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
+        s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
+    }.mkString(" + ")
+    s"""toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+       |  $tfDefs
+       |  FROM toks),
+       |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |  $dfDefs
+       |  FROM tf),
+       |lex AS (SELECT doc_id, floor(($termSql) * 10000.0 + 0.5) / 10000.0 AS bm25
+       |  FROM tf, st)""".stripMargin
+  }
 
   private def brightnessSql: String =
     "round((" + (1 to 16).map(i => s"ascii(substr(text, $i, 1))").mkString(" + ") + ") / 16.0, 2)"
@@ -906,26 +941,9 @@ object PipelineQueries {
         |  coalesce(max(CASE WHEN n = 3 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup_3gram_frac
         |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "p33_bm25" -> {
-      val terms = Seq("spark", "table", "window")
-      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
-      val dfDefs = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
-      val termSql = terms.indices.map { i =>
-        s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
-          s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
-      }.mkString(" + ")
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
-         |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
-         |  $tfDefs
-         |  FROM toks),
-         |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-         |  $dfDefs
-         |  FROM tf)
-         |SELECT doc_id, floor(($termSql) * 10000.0 + 0.5) / 10000.0 AS bm25
-         |FROM tf, st ORDER BY doc_id""".stripMargin
-    },
+    "p33_bm25" ->
+      s"""WITH ${bm25LexCtes(Seq("spark", "table", "window"))}
+         |SELECT doc_id, bm25 FROM lex ORDER BY doc_id""".stripMargin,
 
     "p34_mix_sample" ->
       s"""WITH r AS (SELECT doc_id, lang,
@@ -1083,6 +1101,22 @@ object PipelineQueries {
          |    '$email', '<EMAIL>', 'g'), '$longId', '<ID>', 'g'),
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "p45_hybrid_search" -> {
+      val alpha = 0.3
+      // interpolate the exact IEEE doubles (shortest-repr round-trip) so
+      // DuckDB multiplies by bit-identical constants
+      s"""WITH ${bm25LexCtes(Seq("spark", "table", "window"))},
+         |qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 7),
+         |den AS (SELECT vec_id AS doc_id,
+         |  floor(list_cosine_similarity(embedding::DOUBLE[], q) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  FROM embeddings, qv),
+         |f AS (SELECT l.doc_id, bm25, cos,
+         |  floor((bm25 * $alpha + cos * ${1.0 - alpha}) * 10000.0 + 0.5) / 10000.0 AS fused
+         |  FROM lex l JOIN den USING (doc_id))
+         |SELECT doc_id, bm25, cos, fused FROM f
+         |ORDER BY fused DESC, doc_id LIMIT 20""".stripMargin
     },
 
     "p44_corpus_report" ->

@@ -55,4 +55,35 @@ object Ranking {
     val score = terms.indices.map(termScore).reduce(_ + _) // fixed left-assoc order
     joined.select(col("doc_id"), Similarity.quantize4(score).as("bm25"))
   }
+
+  /** Hybrid retrieval: fuse lexical BM25 with embedding cosine —
+    * `fused = quantize4(alpha * bm25 + (1 - alpha) * cosine)` — and rank
+    * the top `k`. The modern IR shape (sparse + dense), here for corpus
+    * mining: "docs that look like these terms AND sit near this vector".
+    *
+    * Scale shape: BM25 is the corpus-stats broadcast + projection above;
+    * the cosine adds one broadcast of the single query vector; the join
+    * with the embedding table is the only corpus-keyed exchange and the
+    * top-k is a TakeOrdered, never a global sort. Both components are
+    * lattice-quantized BEFORE fusion, so the fused score (plain IEEE
+    * arithmetic on quantized inputs) stays engine-exact and the rank
+    * order is reproducible anywhere. */
+  def hybridTopK(docs: DataFrame, id: Column, text: Column,
+      embs: DataFrame, vecId: Column, vec: Column,
+      terms: Seq[String], queryVec: DataFrame, alpha: Double, k: Int): DataFrame = {
+    require(alpha >= 0 && alpha <= 1, s"alpha in [0,1], got $alpha")
+    val lex = bm25(docs, id, text, terms)
+    val qv = queryVec.select(vec.cast("array<double>").as("__qv"))
+      .withColumn("__qn", Similarity.l2Norm(col("__qv")))
+    val dense = embs.select(vecId.as("doc_id"), vec.cast("array<double>").as("__v"))
+      .crossJoin(broadcast(qv))
+      .select(col("doc_id"), Similarity.quantize4(
+        Similarity.dot(col("__v"), col("__qv")) /
+          (Similarity.l2Norm(col("__v")) * col("__qn"))).as("cos"))
+    lex.join(dense, "doc_id")
+      .withColumn("fused",
+        Similarity.quantize4(col("bm25") * alpha + col("cos") * lit(1.0 - alpha)))
+      .orderBy(col("fused").desc, col("doc_id"))
+      .limit(k)
+  }
 }
