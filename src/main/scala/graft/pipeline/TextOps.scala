@@ -237,11 +237,16 @@ object TextOps {
   }
 
   /** Gopher-style document-quality rule filter (Rae et al. 2021 §A1.1
-    * shape): per-document boolean rule flags plus the conjunction
-    * `keep`. Length/word-shape rules are per-row projections; the
-    * repetition rules join [[repetitionStats]] on the doc key (its one
-    * shuffle family). Thresholth comparisons run on the same 1e-4
-    * floor-quantized lattice both engines compute bit-identically. */
+    * shape): per-document boolean rule flags plus the conjunction `keep`.
+    *
+    * Single-scan formulation: EVERY rule input — word count, mean word
+    * length, stopword hits, top-word and duplicate-n-gram fractions — is
+    * derived from one (doc, n, gram)-keyed count aggregate (the
+    * [[repetitionStats]] shuffle): the unigram slice carries total tokens
+    * (Σc), character mass (Σ len(g)·c) and stopword hits (Σc over the
+    * stopword set), so the corpus is read once instead of once per rule
+    * family. Threshold comparisons run on the same 1e-4 floor-quantized
+    * lattice both engines compute bit-identically. */
   def gopherFilter(df: DataFrame, id: Column, text: Column,
       minWords: Long = 50, maxWords: Long = 100000,
       minMeanWordLen: Double = 3.0, maxMeanWordLen: Double = 10.0,
@@ -249,25 +254,35 @@ object TextOps {
       maxTopWordFrac: Double = 0.20,
       maxDup2Frac: Double = 0.30, maxDup3Frac: Double = 0.25): DataFrame = {
     def q4(c: Column): Column = floor(c * 10000.0 + 0.5).cast("double") / 10000.0
-    val toks = tokens(text)
-    val nWords = size(toks).cast("long")
-    // mean token length on the quantized lattice (token chars = non-space
-    // chars of the normalized text; join-free formulation)
-    val meanLen = q4(aggregate(toks, lit(0L), (acc, t) => acc + length(t)).cast("double") /
-      nWords.cast("double"))
-    val stopHits = size(filter(toks, t => t.isin(EnStopwords: _*))).cast("long")
-    val flat = df.select(
-      id.as("doc_id"),
-      (nWords >= minWords && nWords <= maxWords).as("words_ok"),
-      (meanLen >= minMeanWordLen && meanLen <= maxMeanWordLen).as("word_len_ok"),
-      (stopHits >= minStopwordHits).as("stopword_ok"))
-    val rep = repetitionStats(df, id, text)
-    flat.join(rep, "doc_id")
+    val grams = Seq(1, 2, 3).map { n =>
+      df.select(id.as("__id"), explode(wordNgrams(text, n)).as("__g"))
+        .withColumn("__n", lit(n))
+    }.reduce(_ unionByName _)
+    val counts = grams.groupBy(col("__id"), col("__n"), col("__g"))
+      .agg(count(lit(1)).as("__c"))
+    val stats = counts.groupBy(col("__id"), col("__n")).agg(
+      sum(col("__c")).as("__tot"),
+      max(col("__c")).as("__top"),
+      sum(when(col("__c") > 1, col("__c")).otherwise(0L)).as("__dup"),
+      sum(length(col("__g")).cast("long") * col("__c")).as("__chars"),
+      sum(when(col("__g").isin(EnStopwords: _*), col("__c")).otherwise(0L)).as("__stop"))
+    def at(n: Int, c: Column): Column = max(when(col("__n") === n, c))
+    def frac(n: Int, num: Column): Column =
+      coalesce(at(n, q4(num.cast("double") / col("__tot").cast("double"))), lit(0.0))
+    stats.groupBy(col("__id").as("doc_id")).agg(
+      coalesce(at(1, col("__tot")), lit(0L)).as("__nw"),
+      at(1, q4(col("__chars").cast("double") / col("__tot").cast("double"))).as("__ml"),
+      coalesce(at(1, col("__stop")), lit(0L)).as("__sh"),
+      frac(1, col("__top")).as("__topf"),
+      frac(2, col("__dup")).as("__dup2"),
+      frac(3, col("__dup")).as("__dup3"))
       .select(
-        col("doc_id"), col("words_ok"), col("word_len_ok"), col("stopword_ok"),
-        (col("top_word_frac") <= maxTopWordFrac).as("top_word_ok"),
-        (col("dup_2gram_frac") <= maxDup2Frac &&
-          col("dup_3gram_frac") <= maxDup3Frac).as("repetition_ok"))
+        col("doc_id"),
+        (col("__nw") >= minWords && col("__nw") <= maxWords).as("words_ok"),
+        (col("__ml") >= minMeanWordLen && col("__ml") <= maxMeanWordLen).as("word_len_ok"),
+        (col("__sh") >= minStopwordHits).as("stopword_ok"),
+        (col("__topf") <= maxTopWordFrac).as("top_word_ok"),
+        (col("__dup2") <= maxDup2Frac && col("__dup3") <= maxDup3Frac).as("repetition_ok"))
       .withColumn("keep",
         col("words_ok") && col("word_len_ok") && col("stopword_ok") &&
           col("top_word_ok") && col("repetition_ok"))
