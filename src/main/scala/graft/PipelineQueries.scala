@@ -368,6 +368,14 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // unigram-LM quality scoring (the perplexity filter): add-one
+    // smoothed log-probs on the (c, T, V) integer lattice, long-summed
+    // per doc — engine-exact end to end
+    "p46_lm_score" -> ((s, dir) => {
+      TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hybrid retrieval: BM25 (lexical) fused with embedding cosine
     // (dense) — both lattice-quantized BEFORE fusion so the fused rank
     // order is engine-exact; top-k is a TakeOrdered
@@ -1102,6 +1110,19 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
     },
+
+    "p46_lm_score" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
+         |tk AS (SELECT doc_id, t FROM toks WHERE t != ''),
+         |vocab AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nvocab FROM vocab),
+         |lp AS (SELECT t,
+         |  CAST(floor(ln((c + 1)::DOUBLE / (ntok + nvocab)::DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+         |  FROM vocab, tot)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(lp_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS avg_logprob
+         |FROM tk JOIN lp USING (t)
+         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p45_hybrid_search" -> {
       val alpha = 0.3

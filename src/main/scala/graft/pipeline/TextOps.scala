@@ -315,6 +315,47 @@ object TextOps {
       (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
   }
 
+  /** Unigram language-model quality score — the "perplexity filter" of
+    * LLM data pipelines in its engine-exact form: train add-one-smoothed
+    * unigram log-probabilities on the corpus itself (one token aggregate),
+    * then score every document by mean token log-prob. Low scores mark
+    * gibberish/rare-token text, high scores natural prose.
+    *
+    * Engine-exactness: ln runs on the integer lattice (c+1, T+V) and is
+    * floor-quantized to 1e-4 IMMEDIATELY (the idf convention —
+    * libm ulp differences cannot survive the quantization except on exact
+    * boundaries, which the fixed corpus pins); per-document averaging
+    * sums the quantized values as LONGS (order-independent) before one
+    * final quantized division.
+    *
+    * Scale shape: token explode → (token) count aggregate (map-side
+    * partials) → hash join scores back on token → (doc) aggregate. Two
+    * shuffles, both on high-cardinality keys; no broadcast of the
+    * vocabulary needed (but Spark will pick one if it fits). */
+  def unigramLogProbScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val toks = df.select(id.as("__id"), explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+    // the vocabulary feeds two consumers (totals + per-token scores):
+    // one materialization; a crossJoin against its own descendant
+    // aggregate would also trip self-join attribute dedup
+    val vocab = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    // corpus totals are two longs — driver-held by the same bounded-frame
+    // contract as the bloom/centroid builders
+    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val denom = (totalsRow.getLong(0) + totalsRow.getLong(1)).toDouble
+    val scored = vocab.select(col("__t").as("__tok"),
+      floor(log((col("__c") + 1).cast("double") / denom) * 10000.0 + 0.5)
+        .cast("long").as("__lp_e4"))
+    toks.join(scored, col("__t") === col("__tok"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("__lp_e4")).as("__sum_e4"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
+          .cast("double") / 10000.0).as("avg_logprob"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

@@ -629,6 +629,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts == 0)
   }
 
+  test("unigramLogProbScore: common-token docs outscore rare-token docs; exact small case") {
+    // corpus: 'a' x 6, 'b' x 2, 'z' x 1 across docs => T=9, V=3
+    val df = Seq((1L, "a a a b"), (2L, "a a a b"), (3L, "z")).toDF("doc_id", "text")
+    val out = TextOps.unigramLogProbScore(df, $"doc_id", $"text")
+      .orderBy($"doc_id").as[(Long, Long, Double)].collect()
+    def lpE4(c: Long): Long = math.floor(math.log((c + 1.0) / 12.0) * 10000.0 + 0.5).toLong
+    val doc1 = math.floor((3 * lpE4(6) + lpE4(2)).toDouble / 4.0 + 0.5) / 10000.0
+    assert(out(0) == ((1L, 4L, doc1)) && out(1) == ((2L, 4L, doc1)))
+    assert(out(2) == ((3L, 1L, math.floor(lpE4(1).toDouble + 0.5) / 10000.0)))
+    assert(out(2)._3 < out(0)._3) // rare-token doc scores lower
+  }
+
   test("gopherFilter: each rule discriminates on crafted violations") {
     val good = "the quick brown fox jumps over a lazy dog and then walks off to " +
       "the river bank where it sits for an hour watching boats drift past slowly " +
