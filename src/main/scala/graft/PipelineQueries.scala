@@ -368,6 +368,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // BM25 domain routing: argmax over K term-set scores in one corpus
+    // pass; declaration-order tiebreak, 'und' when all zero
+    "p47_domain_tag" -> ((s, dir) => {
+      graft.pipeline.Ranking.domainTag(docs(s, dir), col("doc_id"), col("text"),
+        Seq("compute" -> Seq("spark", "scan", "batch"),
+          "storage" -> Seq("table", "row", "part"),
+          "query" -> Seq("sort", "window", "hash", "merge")))
+        .orderBy(col("doc_id"))
+    }),
+
     // unigram-LM quality scoring (the perplexity filter): add-one
     // smoothed log-probs on the (c, T, V) integer lattice, long-summed
     // per doc — engine-exact end to end
@@ -1109,6 +1119,50 @@ object PipelineQueries {
          |    '$email', '<EMAIL>', 'g'), '$longId', '<ID>', 'g'),
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
+    },
+
+    "p47_domain_tag" -> {
+      val domains = Seq("compute" -> Seq("spark", "scan", "batch"),
+        "storage" -> Seq("table", "row", "part"),
+        "query" -> Seq("sort", "window", "hash", "merge"))
+      val terms = domains.flatMap(_._2).distinct
+      val idx = terms.zipWithIndex.toMap
+      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+        s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
+      val dfDefs = terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+      def termSql(i: Int): String =
+        s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
+          s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
+      val scoreDefs = domains.zipWithIndex.map { case ((_, ts), d) =>
+        val sum = ts.map(t => termSql(idx(t))).mkString(" + ")
+        s"floor(($sum) * 10000.0 + 0.5) / 10000.0 AS s$d"
+      }.mkString(",\n  ")
+      // left-fold argmax with strict > (first domain wins ties), exactly
+      // the Spark fold
+      val foldCtes = domains.indices.tail.map { d =>
+        val (prevB, prevN) = if (d == 1) ("s0", s"'${domains.head._1}'") else (s"b${d - 1}", s"n${d - 1}")
+        s"""a$d AS (SELECT *,
+           |  CASE WHEN s$d > $prevB THEN s$d ELSE $prevB END AS b$d,
+           |  CASE WHEN s$d > $prevB THEN '${domains(d)._1}' ELSE $prevN END AS n$d
+           |  FROM a${if (d == 1) "0" else (d - 1).toString})""".stripMargin
+      }.mkString(",\n")
+      val last = domains.length - 1
+      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+         |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+         |  $tfDefs
+         |  FROM toks),
+         |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+         |  $dfDefs
+         |  FROM tf),
+         |a0 AS (SELECT doc_id,
+         |  $scoreDefs
+         |  FROM tf, st),
+         |$foldCtes
+         |SELECT doc_id,
+         |  CASE WHEN b$last > 0.0 THEN n$last ELSE 'und' END AS domain,
+         |  b$last AS score
+         |FROM a$last ORDER BY doc_id""".stripMargin
     },
 
     "p46_lm_score" ->

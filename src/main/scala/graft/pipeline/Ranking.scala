@@ -56,6 +56,54 @@ object Ranking {
     joined.select(col("doc_id"), Similarity.quantize4(score).as("bm25"))
   }
 
+  /** Domain tagging: BM25-score every document against K named term sets
+    * in ONE corpus pass (all domains' term frequencies and document
+    * frequencies ride the same aggregate) and assign the argmax domain —
+    * declaration-order tiebreak, `und` when every domain scores 0. The
+    * router feeding per-domain mixing/curation ("is this math, code, or
+    * medical text?").
+    *
+    * Same engine-exactness as [[bm25]]: quantized idf on the integer
+    * lattice, fixed-order arithmetic, quantized scores compared with a
+    * strict `>` fold. */
+  def domainTag(df: DataFrame, id: Column, text: Column,
+      domains: Seq[(String, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(domains.nonEmpty && domains.forall(_._2.nonEmpty), "need non-empty domains")
+    val terms = domains.flatMap(_._2).distinct
+    val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
+      .withColumn("__dl", size(col("__toks")).cast("long"))
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
+    }
+    val withTf = base.select((col("doc_id") +: col("__dl") +: tfCols): _*)
+    val aggExprs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sumdl") +:
+      terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
+    val stats = withTf.agg(aggExprs.head, aggExprs.tail: _*)
+    val joined = withTf.crossJoin(broadcast(stats))
+    val nD = col("__N").cast("double")
+    val avgdl = col("__sumdl").cast("double") / nD
+    def termScore(i: Int): Column = {
+      val dfD = col(s"__df$i").cast("double")
+      val idfQ = floor(log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0
+      val tf = col(s"__tf$i").cast("double")
+      val dl = col("__dl").cast("double")
+      idfQ * (tf * lit(k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
+    }
+    val idx = terms.zipWithIndex.toMap
+    val domainScores = domains.map { case (name, ts) =>
+      name -> Similarity.quantize4(ts.map(t => termScore(idx(t))).reduce(_ + _))
+    }
+    val (bestName, bestScore) = domainScores.tail.foldLeft(
+      (lit(domainScores.head._1), domainScores.head._2)) {
+      case ((bn, bs), (n, sc)) => (when(sc > bs, lit(n)).otherwise(bn), when(sc > bs, sc).otherwise(bs))
+    }
+    joined.select(col("doc_id"),
+      when(bestScore > 0.0, bestName).otherwise(lit("und")).as("domain"),
+      bestScore.as("score"))
+  }
+
   /** Hybrid retrieval: fuse lexical BM25 with embedding cosine —
     * `fused = quantize4(alpha * bm25 + (1 - alpha) * cosine)` — and rank
     * the top `k`. The modern IR shape (sparse + dense), here for corpus

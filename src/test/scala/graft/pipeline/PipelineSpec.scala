@@ -629,6 +629,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts == 0)
   }
 
+  test("domainTag: argmax domain, declaration-order ties, 'und' when all zero") {
+    val df = Seq(
+      (1L, "alpha alpha beta noise"),   // hits domain A twice
+      (2L, "gamma gamma alpha noise"),  // hits B harder
+      (3L, "nothing relevant here"),    // no hits -> und
+      (4L, "alpha gamma"))              // symmetric single hits -> tie
+      .toDF("doc_id", "text")
+    val out = graft.pipeline.Ranking.domainTag(df, $"doc_id", $"text",
+      Seq("A" -> Seq("alpha", "beta"), "B" -> Seq("gamma")))
+      .orderBy($"doc_id").collect()
+    assert(out(0).getString(1) == "A")
+    assert(out(1).getString(1) == "B")
+    assert(out(2).getString(1) == "und" && out(2).getDouble(2) == 0.0)
+    // doc 4: idf-dependent, but MUST be deterministic and one of A/B
+    assert(Set("A", "B").contains(out(3).getString(1)))
+  }
+
   test("unigramLogProbScore: common-token docs outscore rare-token docs; exact small case") {
     // corpus: 'a' x 6, 'b' x 2, 'z' x 1 across docs => T=9, V=3
     val df = Seq((1L, "a a a b"), (2L, "a a a b"), (3L, "z")).toDF("doc_id", "text")
