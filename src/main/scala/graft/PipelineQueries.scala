@@ -368,6 +368,20 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // ingest text normalization: control-char strip + whitespace collapse
+    // over deterministically dirtied text (tabs/newlines/bell/double
+    // spaces injected identically in both engines)
+    "p48_normalize" -> ((s, dir) => {
+      val dirty = docs(s, dir).select(col("doc_id"),
+        concat(lit("  "), col("text"), expr("chr(9)"), lit("x"),
+          expr("chr(10)"), expr("chr(10)"), lit("  y  "), expr("chr(7)")).as("text"))
+      dirty.select(col("doc_id"),
+        TextOps.normalizeText(col("text")).as("normalized"),
+        (length(col("text")) - length(TextOps.normalizeText(col("text"))))
+          .cast("long").as("n_removed"))
+        .orderBy(col("doc_id"))
+    }),
+
     // BM25 domain routing: argmax over K term-set scores in one corpus
     // pass; declaration-order tiebreak, 'und' when all zero
     "p47_domain_tag" -> ((s, dir) => {
@@ -1120,6 +1134,18 @@ object PipelineQueries {
          |    '$phone', '<PHONE>', 'g') AS redacted
          |FROM inj ORDER BY doc_id""".stripMargin
     },
+
+    "p48_normalize" ->
+      """WITH dirty AS (SELECT doc_id,
+        |  '  ' || text || chr(9) || 'x' || chr(10) || chr(10) || '  y  ' || chr(7) AS text
+        |  FROM documents),
+        |n AS (SELECT doc_id, text,
+        |  trim(regexp_replace(regexp_replace(text, '[\x00-\x1F\x7F]', ' ', 'g'),
+        |    '\s{2,}', ' ', 'g')) AS normalized
+        |  FROM dirty)
+        |SELECT doc_id, normalized,
+        |  CAST(len(text) - len(normalized) AS BIGINT) AS n_removed
+        |FROM n ORDER BY doc_id""".stripMargin,
 
     "p47_domain_tag" -> {
       val domains = Seq("compute" -> Seq("spark", "scan", "batch"),

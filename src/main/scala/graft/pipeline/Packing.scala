@@ -105,4 +105,16 @@ object Packing {
         (greatest(col("seq_id") * budget, col("__before")) - col("seq_id") * budget)
           .as("seq_offset"))
   }
+
+  /** Materialize a packing as training shards: parquet partitioned by
+    * `shard_id = seq_id / seqsPerShard` — every shard holds the segment
+    * rows of a contiguous sequence range, so a training job reads shard
+    * directories in order and never shuffles. One projection over the
+    * packed frame; the partitioned write is the only data movement. */
+  def writeShards(packed: DataFrame, path: String, seqsPerShard: Long): Unit = {
+    require(seqsPerShard > 0, s"seqsPerShard must be positive, got $seqsPerShard")
+    packed
+      .withColumn("shard_id", floor(col("seq_id") / seqsPerShard).cast("long"))
+      .write.partitionBy("shard_id").mode("overwrite").parquet(path)
+  }
 }

@@ -206,6 +206,15 @@ object TextOps {
       frac(3, col("__dup")).as("dup_3gram_frac"))
   }
 
+  /** Text normalization for ingest: strip control characters, collapse
+    * whitespace runs to single spaces, trim. Pure codegen'd projection
+    * (regex classes shared by Java regex and RE2, so oracles replay it);
+    * run BEFORE tokenization-sensitive ops so token/gram spaces are
+    * stable across crawls with different raw formatting. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
+      "\\s{2,}", " "))
+
   /** PII patterns, deliberately restricted to syntax with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
     * bounded repetition and `\b` only — no lookaround, no backrefs. */

@@ -8,7 +8,8 @@ object PlanDump {
   val Captured = Seq("q01_lineitem_agg", "h3_02_parent_rollup", "h3_12_latlng_cell",
     "p05_minhash_sigs", "p06_lsh_pairs", "p18_embed_neardup", "p26_chunks",
     "p29_ann_projected", "p33_bm25", "p34_mix_sample",
-    "p37_pack_sequences", "p38_decontam", "p41_sessions")
+    "p37_pack_sequences", "p38_decontam", "p41_sessions",
+    "p44_corpus_report", "p45_hybrid_search", "p46_lm_score", "p47_domain_tag")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"

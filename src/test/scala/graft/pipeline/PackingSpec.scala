@@ -60,6 +60,19 @@ class PackingSpec extends AnyFunSuite {
     assert(plan.contains("ReusedExchange"), s"expected ReusedExchange in:\n$plan")
   }
 
+  test("writeShards: contiguous sequence ranges per shard directory") {
+    val packed = Packing.packSequences(counts, $"doc_id", $"cnt", budget = 128, bucketWidth = 16)
+    val dir = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    Packing.writeShards(packed, dir, seqsPerShard = 10)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == packed.count())
+    // every row sits in the shard its seq_id maps to; shards partition the range
+    assert(back.filter(floor($"seq_id" / 10) =!= $"shard_id").count() == 0)
+    val dirs = new java.io.File(dir).listFiles().count(_.getName.startsWith("shard_id="))
+    val maxSeq = packed.agg(max($"seq_id")).as[Long].head()
+    assert(dirs == (maxSeq / 10 + 1))
+  }
+
   test("packing: a doc longer than the budget spans multiple sequences") {
     val d = Seq((1L, 10L), (2L, 300L), (3L, 5L)).toDF("id", "cnt")
     val out = Packing.packSequences(d, $"id", $"cnt", budget = 100, bucketWidth = 10)

@@ -629,6 +629,20 @@ class PipelineSpec extends AnyFunSuite {
     assert(counts == 0)
   }
 
+  test("normalizeText: strips controls, collapses whitespace, idempotent") {
+    val df = Seq(
+      (1L, "a\tb\n\nc"), (2L, "  lots   of    space  "), (3L, "clean text"),
+      (4L, "bell" + 7.toChar + "and" + 0.toChar + "nul"), (5L, "")).toDF("doc_id", "text")
+    val out = df.select($"doc_id", TextOps.normalizeText($"text").as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(out(1L) == "a b c" && out(2L) == "lots of space" && out(3L) == "clean text")
+    assert(out(4L) == "bell and nul" && out(5L) == "")
+    val again = df.select($"doc_id",
+      TextOps.normalizeText(TextOps.normalizeText($"text")).as("n"))
+      .as[(Long, String)].collect().toMap
+    assert(again == out)
+  }
+
   test("domainTag: argmax domain, declaration-order ties, 'und' when all zero") {
     val df = Seq(
       (1L, "alpha alpha beta noise"),   // hits domain A twice
