@@ -368,6 +368,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the router feeding the mixer: BM25 domain tags become mixing
+    // strata with per-domain target rates — the full "classify then
+    // re-weight" assembly step, every stage engine-exact
+    "p49_domain_mix" -> ((s, dir) => {
+      val tagged = graft.pipeline.Ranking.domainTag(docs(s, dir),
+        col("doc_id"), col("text"),
+        Seq("compute" -> Seq("spark", "scan", "batch"),
+          "storage" -> Seq("table", "row", "part"),
+          "query" -> Seq("sort", "window", "hash", "merge")))
+      val mixed = graft.pipeline.Mixing.mixSample(
+        tagged.select(col("doc_id"), col("domain")),
+        col("doc_id"), col("domain"),
+        rates = Map("compute" -> 2.5, "storage" -> 0.5,
+          "query" -> 1.25, "und" -> 0.1),
+        salt = "dm1")
+      mixed.groupBy(col("domain"))
+        .agg(count(lit(1)).as("n_copies"),
+          countDistinct(col("doc_id")).as("n_docs"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("domain"))
+    }),
+
     // ingest text normalization: control-char strip + whitespace collapse
     // over deterministically dirtied text (tabs/newlines/bell/double
     // spaces injected identically in both engines)
@@ -596,6 +618,52 @@ object PipelineQueries {
        |  JOIN sizes sa ON sa.doc_id = id_a
        |  JOIN sizes sb ON sb.doc_id = id_b
        |  WHERE floor(i::DOUBLE / (sa.n + sb.n - i)::DOUBLE * 10000.0 + 0.5) / 10000.0 >= 0.5)""".stripMargin
+
+  /** BM25 domain-routing CTE chain ending in `tagged (doc_id, domain,
+    * score)` — shared by the p47 oracle and the p49 domain-mix
+    * composition. The strict-> left fold of the Spark argmax is replayed
+    * as chained CASE CTEs. */
+  private def domainTagCtes(): String = {
+    val domains = Seq("compute" -> Seq("spark", "scan", "batch"),
+      "storage" -> Seq("table", "row", "part"),
+      "query" -> Seq("sort", "window", "hash", "merge"))
+    val terms = domains.flatMap(_._2).distinct
+    val idx = terms.zipWithIndex.toMap
+    val tfDefs = terms.zipWithIndex.map { case (t, i) =>
+      s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
+    val dfDefs = terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
+    def termSql(i: Int): String =
+      s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
+        s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
+    val scoreDefs = domains.zipWithIndex.map { case ((_, ts), d) =>
+      val sum = ts.map(t => termSql(idx(t))).mkString(" + ")
+      s"floor(($sum) * 10000.0 + 0.5) / 10000.0 AS s$d"
+    }.mkString(",\n  ")
+    val foldCtes = domains.indices.tail.map { d =>
+      val (prevB, prevN) = if (d == 1) ("s0", s"'${domains.head._1}'") else (s"b${d - 1}", s"n${d - 1}")
+      s"""a$d AS (SELECT *,
+         |  CASE WHEN s$d > $prevB THEN s$d ELSE $prevB END AS b$d,
+         |  CASE WHEN s$d > $prevB THEN '${domains(d)._1}' ELSE $prevN END AS n$d
+         |  FROM a${if (d == 1) "0" else (d - 1).toString})""".stripMargin
+    }.mkString(",\n")
+    val last = domains.length - 1
+    s"""toks AS (SELECT doc_id, $oToks AS tk FROM documents),
+       |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+       |  $tfDefs
+       |  FROM toks),
+       |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |  $dfDefs
+       |  FROM tf),
+       |a0 AS (SELECT doc_id,
+       |  $scoreDefs
+       |  FROM tf, st),
+       |$foldCtes,
+       |tagged AS (SELECT doc_id,
+       |  CASE WHEN b$last > 0.0 THEN n$last ELSE 'und' END AS domain,
+       |  b$last AS score
+       |  FROM a$last)""".stripMargin
+  }
 
   /** BM25 CTE chain ending in `lex` (doc_id, bm25) over `documents` —
     * shared by the p33 oracle and the p45 hybrid fusion. */
@@ -1147,49 +1215,26 @@ object PipelineQueries {
         |  CAST(len(text) - len(normalized) AS BIGINT) AS n_removed
         |FROM n ORDER BY doc_id""".stripMargin,
 
-    "p47_domain_tag" -> {
-      val domains = Seq("compute" -> Seq("spark", "scan", "batch"),
-        "storage" -> Seq("table", "row", "part"),
-        "query" -> Seq("sort", "window", "hash", "merge"))
-      val terms = domains.flatMap(_._2).distinct
-      val idx = terms.zipWithIndex.toMap
-      val tfDefs = terms.zipWithIndex.map { case (t, i) =>
-        s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
-      val dfDefs = terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i").mkString(",\n  ")
-      def termSql(i: Int): String =
-        s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
-          s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
-      val scoreDefs = domains.zipWithIndex.map { case ((_, ts), d) =>
-        val sum = ts.map(t => termSql(idx(t))).mkString(" + ")
-        s"floor(($sum) * 10000.0 + 0.5) / 10000.0 AS s$d"
-      }.mkString(",\n  ")
-      // left-fold argmax with strict > (first domain wins ties), exactly
-      // the Spark fold
-      val foldCtes = domains.indices.tail.map { d =>
-        val (prevB, prevN) = if (d == 1) ("s0", s"'${domains.head._1}'") else (s"b${d - 1}", s"n${d - 1}")
-        s"""a$d AS (SELECT *,
-           |  CASE WHEN s$d > $prevB THEN s$d ELSE $prevB END AS b$d,
-           |  CASE WHEN s$d > $prevB THEN '${domains(d)._1}' ELSE $prevN END AS n$d
-           |  FROM a${if (d == 1) "0" else (d - 1).toString})""".stripMargin
-      }.mkString(",\n")
-      val last = domains.length - 1
-      s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),
-         |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
-         |  $tfDefs
-         |  FROM toks),
-         |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
-         |  $dfDefs
-         |  FROM tf),
-         |a0 AS (SELECT doc_id,
-         |  $scoreDefs
-         |  FROM tf, st),
-         |$foldCtes
-         |SELECT doc_id,
-         |  CASE WHEN b$last > 0.0 THEN n$last ELSE 'und' END AS domain,
-         |  b$last AS score
-         |FROM a$last ORDER BY doc_id""".stripMargin
-    },
+    "p47_domain_tag" ->
+      s"""WITH ${domainTagCtes()}
+         |SELECT doc_id, domain, score FROM tagged ORDER BY doc_id""".stripMargin,
+
+    "p49_domain_mix" ->
+      s"""WITH ${domainTagCtes()},
+         |r AS (SELECT doc_id, domain,
+         |  CASE domain WHEN 'compute' THEN 25000 WHEN 'storage' THEN 5000
+         |              WHEN 'query' THEN 12500 WHEN 'und' THEN 1000 ELSE 0 END AS r10k,
+         |  ${oH("doc_id::VARCHAR || 'dm1'")} % 10000 AS bucket
+         |  FROM tagged),
+         |c AS (SELECT doc_id, domain,
+         |  CAST(floor(r10k / 10000.0) AS BIGINT)
+         |    + CASE WHEN bucket < r10k % 10000 THEN 1 ELSE 0 END AS copies FROM r),
+         |x AS (SELECT doc_id, domain, unnest(range(0, copies)) AS copy_idx
+         |  FROM c WHERE copies > 0)
+         |SELECT domain, CAST(count(*) AS BIGINT) AS n_copies,
+         |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM x GROUP BY domain ORDER BY domain""".stripMargin,
 
     "p46_lm_score" ->
       s"""WITH toks AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
