@@ -184,6 +184,38 @@ class OsmPbfSpec extends AnyFunSuite {
     }
   }
 
+  test("malformed PBF inputs fail fast with clear errors, never hang or return garbage") {
+    import graft.sources.osm.OsmPbfCodec
+    def scan(bytes: Array[Byte]) =
+      OsmPbfCodec.scanBlobRefs(new java.io.ByteArrayInputStream(bytes))
+
+    // (1) absurd BlobHeader length (not a PBF file at all)
+    val junk = Array.fill[Byte](64)(0x7F.toByte)
+    intercept[IllegalArgumentException] { scan(junk) }
+
+    // (2) header declares more payload than the file carries
+    val (nodes, ways) = roadNet
+    val good = java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(writeTempPbf(nodes, ways)))
+    intercept[IllegalArgumentException] { scan(good.dropRight(8)) }
+
+    // (3) truncated mid-BlobHeader: EOF surfaces as an exception, not a loop
+    intercept[Exception] { scan(good.take(6)) }
+
+    // (4) corrupt zlib payload inside a Blob
+    val refs = scan(good)
+    val dataRef = refs.find(_.blobType == OsmPbfCodec.DataType).get
+    val blob = java.util.Arrays.copyOfRange(good,
+      dataRef.dataOffset.toInt, dataRef.dataOffset.toInt + dataRef.dataSize)
+    blob(blob.length / 2) = (blob(blob.length / 2) ^ 0x55).toByte
+    intercept[Exception] { OsmPbfCodec.decodeBlob(blob) }
+
+    // (5) Blob advertising an unsupported compression field
+    val w = new graft.sources.osm.Pbf.Writer()
+    w.bytesField(4, Array[Byte](1, 2, 3)) // field 4 = lzma_data
+    intercept[IllegalArgumentException] { OsmPbfCodec.decodeBlob(w.toBytes) }
+  }
+
   test("routing works end-to-end on a PBF-ingested graph") {
     val (nodes, ways) = roadNet
     val path = writeTempPbf(nodes, ways)
