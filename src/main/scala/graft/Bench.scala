@@ -9,6 +9,12 @@ object Bench {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // the warm-up pass below compiles every query's generated code; the
+      // default 100-entry codegen class cache evicts the early queries'
+      // classes before the timed pass reaches them, so heavy queries would
+      // re-pay janino+JIT compilation inside their timed window (measured:
+      // 4.1 s first run vs 0.6 s warm for the domain-mix plan)
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // warm the JVM / codegen / parquet reader so the timed queries measure

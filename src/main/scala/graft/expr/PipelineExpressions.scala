@@ -134,6 +134,69 @@ case class SortedDistinctNgramHashes(child: Expression, n: Int)
 }
 
 /**
+ * Occurrence counts of a fixed literal term list over a token array in
+ * ONE pass. The composed form — one `size(filter(tokens, x => x === t))`
+ * per term — re-walks the whole token array once per term with an
+ * interpreted lambda per ELEMENT (higher-order functions are
+ * CodegenFallback); for BM25/domain scoring that made the projection
+ * itself the query's dominant cost. Here each token is one hash probe
+ * against a constructor-built term index.
+ *
+ * Result: `array<long>` aligned with the constructor's term order.
+ * Duplicate terms each receive the full count (exactly what K
+ * independent `filter` counts produce). Null tokens are skipped (the
+ * composed form's `x === t` is null → filter drops); null input array
+ * returns null (`size(filter(null, ..))` is null too).
+ */
+case class TermCounts(child: Expression, terms: Seq[String])
+    extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "term_counts"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  // term → index of its FIRST occurrence; duplicate positions copy from it
+  @transient private lazy val index: java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer] = {
+    val m = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Integer](terms.length * 2)
+    terms.zipWithIndex.foreach { case (t, i) =>
+      m.putIfAbsent(org.apache.spark.unsafe.types.UTF8String.fromString(t), i)
+    }
+    m
+  }
+  @transient private lazy val firstIdx: Array[Int] =
+    terms.map(t => terms.indexOf(t)).toArray
+
+  def countsFor(a: ArrayData): ArrayData = {
+    val counts = new Array[Long](terms.length)
+    val n = a.numElements()
+    var i = 0
+    while (i < n) {
+      if (!a.isNullAt(i)) {
+        val idx = index.get(a.getUTF8String(i))
+        if (idx != null) counts(idx) += 1
+      }
+      i += 1
+    }
+    i = 0
+    while (i < counts.length) {
+      if (firstIdx(i) != i) counts(i) = counts(firstIdx(i))
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(v: Any): Any = countsFor(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("termCounts", this, classOf[TermCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countsFor($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
  * Dot product of two double arrays as a single codegen'd loop. The
  * composed `aggregate(zip_with(a, b, *), 0.0, +)` is semantically
  * identical but higher-order functions are CodegenFallback — every

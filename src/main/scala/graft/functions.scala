@@ -240,4 +240,9 @@ object functions {
     * (pipeline extension; see [[graft.expr.SortedDistinctNgramHashes]]). */
   def sorted_distinct_ngram_hashes(text: Column, n: Int): Column =
     c(SortedDistinctNgramHashes(e(text), n))
+
+  /** Per-term occurrence counts over a token array in one codegen'd pass
+    * (pipeline extension; see [[graft.expr.TermCounts]]). */
+  def term_counts(tokens: Column, terms: Seq[String]): Column =
+    c(TermCounts(e(tokens), terms))
 }

@@ -45,9 +45,13 @@ object Mixing {
   def mixSample(df: DataFrame, id: Column, stratum: Column,
       rates: Map[String, Double], salt: String = ""): DataFrame = {
     val n = copyCount(id, stratum, rates, salt)
-    df.withColumn("__copies", n)
-      .filter(col("__copies") > 0)
-      .withColumn("copy_idx", explode(sequence(lit(0L), col("__copies") - 1)))
-      .drop("__copies")
+    // No `filter(copies > 0)`: a filter on a computed column is pushed
+    // upstream as a predicate carrying the whole copy-count expression
+    // tree — observed as a per-row interpreted BroadcastNestedLoopJoin
+    // condition embedding the caller's full stratum expression (the p49
+    // domain argmax), 20× the query's cost. Zero-copy rows instead
+    // produce a NULL sequence, which explode drops for free.
+    df.withColumn("copy_idx",
+      explode(when(n > 0, sequence(lit(0L), n - 1))))
   }
 }

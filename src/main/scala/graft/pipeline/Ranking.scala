@@ -28,11 +28,13 @@ object Ranking {
   def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
+    // ALL term frequencies in ONE codegen'd pass over the token array
+    // (TermCounts) — the composed per-term size(filter(..)) re-walks the
+    // whole document K times with an interpreted lambda per element
     val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
-    }
+      .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
+    val tfCols = terms.indices.map(i => col("__tc").getItem(i).as(s"__tf$i"))
     val withTf = base.select((col("doc_id") +: col("__dl") +: tfCols): _*)
     // ONE corpus aggregate: doc count, Σdl (exact long sum), per-term df.
     val aggExprs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sumdl") +:
@@ -71,11 +73,11 @@ object Ranking {
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(domains.nonEmpty && domains.forall(_._2.nonEmpty), "need non-empty domains")
     val terms = domains.flatMap(_._2).distinct
+    // same single-pass codegen'd term counting as [[bm25]]
     val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
-    val tfCols = terms.zipWithIndex.map { case (t, i) =>
-      size(filter(col("__toks"), x => x === lit(t))).cast("long").as(s"__tf$i")
-    }
+      .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
+    val tfCols = terms.indices.map(i => col("__tc").getItem(i).as(s"__tf$i"))
     val withTf = base.select((col("doc_id") +: col("__dl") +: tfCols): _*)
     val aggExprs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sumdl") +:
       terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
@@ -95,11 +97,19 @@ object Ranking {
     val domainScores = domains.map { case (name, ts) =>
       name -> Similarity.quantize4(ts.map(t => termScore(idx(t))).reduce(_ + _))
     }
-    val (bestName, bestScore) = domainScores.tail.foldLeft(
-      (lit(domainScores.head._1), domainScores.head._2)) {
-      case ((bn, bs), (n, sc)) => (when(sc > bs, lit(n)).otherwise(bn), when(sc > bs, sc).otherwise(bs))
+    // materialize each domain score as a column BEFORE the argmax fold:
+    // folding over the raw score expressions embeds every score tree
+    // twice per level (2^K expression growth — Catalyst analysis, not
+    // execution, becomes the cost); folding over attribute refs is linear
+    val scored = joined.select(
+      col("doc_id") +: domainScores.zipWithIndex.map { case ((_, sc), i) => sc.as(s"__s$i") }: _*)
+    val (bestName, bestScore) = domains.map(_._1).zipWithIndex.tail.foldLeft(
+      (lit(domains.head._1), col("__s0"))) {
+      case ((bn, bs), (n, i)) =>
+        val sc = col(s"__s$i")
+        (when(sc > bs, lit(n)).otherwise(bn), when(sc > bs, sc).otherwise(bs))
     }
-    joined.select(col("doc_id"),
+    scored.select(col("doc_id"),
       when(bestScore > 0.0, bestName).otherwise(lit("und")).as("domain"),
       bestScore.as("score"))
   }

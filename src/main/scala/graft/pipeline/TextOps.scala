@@ -299,29 +299,44 @@ object TextOps {
 
   /** Corpus data card: per-language governance summary — document and
     * token counts, length percentiles, exact-duplicate rate — the report
-    * a training-data release ships with. One pass for the doc-level
-    * metrics (single hash-partitioned aggregate with map-side partials);
-    * the exact percentiles rank doc lengths inside each language
-    * partition (a second key-partitioned window pass, no global sort).
+    * a training-data release ships with.
+    *
     * Percentile convention: value at 1-based rank `ceil(q * n)` of the
     * ascending (length, doc_id)-ordered list — deterministic and
-    * replayable in any engine, unlike interpolating quantiles. */
+    * replayable in any engine, unlike interpolating quantiles.
+    *
+    * Scale shape: NO row-level window. All document-level work is
+    * hash-partitioned aggregation (a `(lang, length)` histogram plus a
+    * `(lang)` distinct-fingerprint aggregate, both with map-side
+    * partials). The only window runs over the histogram — cardinality =
+    * distinct doc lengths per language, thousands of rows regardless of
+    * corpus size — so a dominant language (half a 100-TB web corpus)
+    * never forces a single-task sort of its documents. The rank-`r`
+    * value of the (length, id)-ordered list is the smallest length whose
+    * cumulative histogram count reaches `r` (the id tiebreaker permutes
+    * docs within one length bucket, never the value), so the histogram
+    * lookup is exactly the windowed convention. */
   def corpusReport(df: DataFrame, id: Column, text: Column, lang: Column): DataFrame = {
     val base = df.select(id.as("__id"), lang.as("lang"),
       tokenCount(text).as("__toks"), fingerprint(text).as("__fp"))
-    val w = Window.partitionBy(col("lang")).orderBy(col("__toks"), col("__id"))
-    val ranked = base
-      .withColumn("__rank", row_number().over(w))
-      .withColumn("__n", count(lit(1)).over(Window.partitionBy(col("lang"))))
+    val hist = base.groupBy(col("lang"), col("__toks"))
+      .agg(count(lit(1)).as("__cnt"))
+    val wCum = Window.partitionBy(col("lang")).orderBy(col("__toks"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist
+      .withColumn("__cum", sum(col("__cnt")).over(wCum))
+      .withColumn("__n", sum(col("__cnt")).over(Window.partitionBy(col("lang"))))
     def pct(q: Double): Column =
-      max(when(col("__rank") === ceil(lit(q) * col("__n")), col("__toks")))
-    ranked.groupBy(col("lang")).agg(
-      count(lit(1)).as("n_docs"),
-      sum(col("__toks")).as("n_tokens"),
+      min(when(col("__cum") >= ceil(lit(q) * col("__n")), col("__toks")))
+    val pcts = cum.groupBy(col("lang")).agg(
+      sum(col("__cnt")).as("n_docs"),
+      sum(col("__toks") * col("__cnt")).as("n_tokens"),
       pct(0.5).as("p50_tokens"),
       pct(0.9).as("p90_tokens"),
-      pct(0.99).as("p99_tokens"),
-      (count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+      pct(0.99).as("p99_tokens"))
+    val dups = base.groupBy(col("lang"))
+      .agg((count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+    pcts.join(dups, "lang")
   }
 
   /** Unigram language-model quality score — the "perplexity filter" of

@@ -120,6 +120,39 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("term_counts matches per-term size(filter) incl. dups, nulls, empty") {
+    val terms = Seq("spark", "row", "spark", "merge") // duplicate term on purpose
+    val df = Seq(
+      Some(Seq("spark", "row", "spark", "x", "merge", "row")),
+      Some(Seq[String]()),
+      None
+    ).toDF("toks")
+    val composed = terms.map(t => size(filter(col("toks"), x => x === lit(t))).cast("long"))
+    val rows = df.select(
+      graft.functions.term_counts(col("toks"), terms).as("tc"),
+      array(composed: _*).as("ref")).collect()
+    rows.foreach { r =>
+      // null input: term_counts yields NULL; the composed form yields an
+      // array of per-term NULLs (size(filter(null,..)) is null per slot)
+      if (r.isNullAt(0)) assert(r.getSeq[Any](1).forall(_ == null))
+      else assert(r.getSeq[Long](0) == r.getSeq[Long](1))
+    }
+    assert(rows(0).getSeq[Long](0) == Seq(2L, 2L, 2L, 1L)) // dup term gets full count
+  }
+
+  test("mixSample drops zero-copy rows and is deterministic under growth") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "s")
+    val rates = Map("a" -> 2.0, "b" -> 0.0) // c absent -> rate 0
+    val out = Mixing.mixSample(d, $"id", $"s", rates, salt = "t")
+      .select($"id", $"copy_idx").as[(Long, Long)].collect().toSet
+    assert(out == Set((1L, 0L), (1L, 1L), (2L, 0L), (2L, 1L)))
+    // growth stability: adding rows never changes an existing id's copies
+    val grown = Mixing.mixSample(d.unionAll(Seq((9L, "a")).toDF("id", "s")),
+      $"id", $"s", rates, salt = "t")
+      .filter($"id" < 9).select($"id", $"copy_idx").as[(Long, Long)].collect().toSet
+    assert(grown == out)
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
