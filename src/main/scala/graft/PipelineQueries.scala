@@ -390,6 +390,23 @@ object PipelineQueries {
         .orderBy(col("domain"))
     }),
 
+    // REAL image decode: deterministic 24-bit BMP payloads built per
+    // doc_id (real BMP bytes via ImageIO's writer), parsed back by
+    // javax.imageio — width/height/bands/brightness from actual pixel
+    // data; the oracle computes the closed-form per-pixel arithmetic
+    "p50_image_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val imgs = ids.mapPartitions(it =>
+          it.map(id => (id, Multimodal.syntheticBmp(id, 8, 6))))
+        .toDF("doc_id", "img")
+      Multimodal.withDecodedMeta(imgs, "img", "meta", Multimodal.decodeImage)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.brightness").as("brightness"), col("meta.n_frames").as("n_frames"))
+        .orderBy(col("doc_id"))
+    }),
+
     // ingest text normalization: control-char strip + whitespace collapse
     // over deterministically dirtied text (tabs/newlines/bell/double
     // spaces injected identically in both engines)
@@ -884,6 +901,19 @@ object PipelineQueries {
          |  $brightnessSql AS brightness,
          |  CAST(FLOOR((octet_length(text::BLOB) + 31) / 32.0) AS BIGINT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // closed-form meta of the synthetic BMPs: pixel (x,y) = (id*31+x*7+
+    // y*13)%256 in all 3 bands of an 8x6 image; brightness mirrors
+    // Spark's floor((sum/n)*100+0.5)/100 with n = 8*6*3 = 144 samples
+    "p50_image_meta" ->
+      """WITH px AS (
+        |  SELECT d.doc_id, (d.doc_id * 31 + x.x * 7 + y.y * 13) % 256 AS v
+        |  FROM documents d, generate_series(0, 7) AS x(x), generate_series(0, 5) AS y(y))
+        |SELECT doc_id, CAST(8 AS BIGINT) AS width, CAST(6 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  floor(CAST(3 * sum(v) AS DOUBLE) / 144.0 * 100.0 + 0.5) / 100.0 AS brightness,
+        |  CAST(1 AS BIGINT) AS n_frames
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p18_embed_neardup" ->
       """WITH base AS (

@@ -153,6 +153,35 @@ class PipelineSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("decodeImage: real PNG + BMP decode matches known pixels; garbage -> NULL meta") {
+    // 3x2 PNG with hand-set per-channel values
+    val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Seq( // (x, y, r, g, b)
+      (0, 0, 10, 20, 30), (1, 0, 40, 50, 60), (2, 0, 70, 80, 90),
+      (0, 1, 100, 110, 120), (1, 1, 130, 140, 150), (2, 1, 160, 170, 180))
+    px.foreach { case (x, y, r, g, b) => img.setRGB(x, y, (r << 16) | (g << 8) | b) }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    val meta = Multimodal.decodeImage(out.toByteArray)
+    assert(meta.getLong(0) == 3 && meta.getLong(1) == 2 && meta.getLong(2) == 3)
+    val sum = px.map { case (_, _, r, g, b) => r + g + b }.sum
+    assert(meta.getDouble(3) == math.floor(sum.toDouble / 18 * 100 + 0.5) / 100)
+    assert(meta.getLong(4) == 1L)
+
+    // syntheticBmp roundtrip: closed-form brightness
+    val bmpMeta = Multimodal.decodeImage(Multimodal.syntheticBmp(42L, 8, 6))
+    val s = (for (x <- 0 until 8; y <- 0 until 6) yield (42L * 31 + x * 7 + y * 13) % 256).sum
+    assert(bmpMeta.getLong(0) == 8 && bmpMeta.getLong(1) == 6 && bmpMeta.getLong(2) == 3)
+    assert(bmpMeta.getDouble(3) == math.floor(3 * s.toDouble / 144 * 100 + 0.5) / 100)
+
+    // undecodable payload degrades to NULL meta through the plumbing
+    val df = Seq((1L, "definitely not an image".getBytes("UTF-8")),
+      (2L, Multimodal.syntheticBmp(7L, 8, 6))).toDF("id", "img")
+    val metas = Multimodal.withDecodedMeta(df, "img", "meta", Multimodal.decodeImage)
+      .orderBy($"id").select($"meta").collect()
+    assert(metas(0).isNullAt(0) && !metas(1).isNullAt(0))
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
