@@ -1223,14 +1223,18 @@ object PipelineQueries {
          |  || (CASE WHEN doc_id % 7 = 2
          |      THEN ' card ' || lpad(doc_id::VARCHAR, 16, '0') ELSE '' END) AS text
          |  FROM documents)
+         |, st AS (SELECT doc_id, text,
+         |    regexp_replace(text, '$email', '<EMAIL>', 'g') AS after_email
+         |  FROM inj)
+         |, st2 AS (SELECT doc_id, text, after_email,
+         |    regexp_replace(after_email, '$longId', '<ID>', 'g') AS after_id
+         |  FROM st)
          |SELECT doc_id,
          |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
-         |  CAST(len(regexp_extract_all(text, '$phone')) AS BIGINT) AS n_phones,
-         |  CAST(len(regexp_extract_all(text, '$longId')) AS BIGINT) AS n_ids,
-         |  regexp_replace(regexp_replace(regexp_replace(text,
-         |    '$email', '<EMAIL>', 'g'), '$longId', '<ID>', 'g'),
-         |    '$phone', '<PHONE>', 'g') AS redacted
-         |FROM inj ORDER BY doc_id""".stripMargin
+         |  CAST(len(regexp_extract_all(after_id, '$phone')) AS BIGINT) AS n_phones,
+         |  CAST(len(regexp_extract_all(after_email, '$longId')) AS BIGINT) AS n_ids,
+         |  regexp_replace(after_id, '$phone', '<PHONE>', 'g') AS redacted
+         |FROM st2 ORDER BY doc_id""".stripMargin
     },
 
     "p48_normalize" ->

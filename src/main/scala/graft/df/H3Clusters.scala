@@ -34,7 +34,8 @@ object H3Clusters {
     * `fixedRounds = None` loops to convergence, materializing each round
     * (localCheckpoint) and stopping when no label changes. */
   def cellClusters(df: DataFrame, cellCol: String, valueCol: Option[String] = None,
-      fixedRounds: Option[Int] = None, maxIterations: Int = 64): DataFrame = {
+      fixedRounds: Option[Int] = None, maxIterations: Int = 64,
+      checkpointDir: Option[String] = None): DataFrame = {
     val keyCols: Seq[Column] = col(cellCol) +: valueCol.map(col).toSeq
     val keyNames: Seq[String] = cellCol +: valueCol.toSeq
     // null-safe equi-join on the key columns: a plain USING join drops
@@ -83,7 +84,10 @@ object H3Clusters {
         var iter = 0
         while (changed && iter < maxIterations) {
           val prev = labels
-          val next = propagate(labels).localCheckpoint(eager = true)
+          // checkpointDir upgrades every few rounds to a reliable
+          // checkpoint (executor-loss-safe); see graft.util.Barriers
+          val next = graft.util.Barriers.roundBarrier(
+            propagate(labels), iter, checkpointDir, eager = true)
           val nChanged = next.select(col(cellCol), col("cluster"))
             .exceptAll(prev.select(col(cellCol), col("cluster"))).count()
           labels = next

@@ -261,7 +261,11 @@ object H3GeoBridge {
     * what lets OSM ingestion ([[graft.graph.H3Graph.graphFromOsm]]) share
     * the linestring trace without lossy double→string formatting. */
   def pointsToCells(lons: ArrayData, lats: ArrayData, res: Int): ArrayData = {
-    val n = math.min(lons.numElements(), lats.numElements())
+    // parallel arrays of different lengths are a malformed call, not a
+    // shorter linestring: NULL (the expression's nullable contract), never
+    // a plausible-but-wrong truncated trace
+    if (lons.numElements() != lats.numElements()) return null
+    val n = lons.numElements()
     val pts = new Array[(Double, Double)](n)
     var i = 0
     while (i < n) { pts(i) = (lons.getDouble(i), lats.getDouble(i)); i += 1 }

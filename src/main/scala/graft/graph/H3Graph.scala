@@ -489,7 +489,8 @@ object H3Graph {
     * result column. Origins/destinations must be graph nodes (no snapping
     * on the distributed path). */
   def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
-      destinations: Seq[Long], maxRounds: Int = 256): DataFrame = {
+      destinations: Seq[Long], maxRounds: Int = 256,
+      checkpointDir: Option[String] = None): DataFrame = {
     import spark.implicits._
     val edges = graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
       col("weight").cast("double").as("__ew")).localCheckpoint(false)
@@ -502,9 +503,12 @@ object H3Graph {
     while (!converged && round < maxRounds) {
       val relaxed = frontier.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
-      val nb = best.unionByName(relaxed)
-        .groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost"))
-        .localCheckpoint(false)
+      // checkpointDir upgrades every few rounds to a reliable checkpoint
+      // (executor-loss-safe); see graft.util.Barriers
+      val nb = graft.util.Barriers.roundBarrier(
+        best.unionByName(relaxed)
+          .groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost")),
+        round, checkpointDir, eager = false)
       frontier = nb.join(best.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
         .filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"))

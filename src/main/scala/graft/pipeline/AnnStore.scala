@@ -62,6 +62,40 @@ object AnnStore {
       .outputMode("append")
   }
 
+  /** Compaction — completes the at-least-once ingest contract: a retried
+    * [[appendBatch]]/[[streamIngest]] micro-batch can leave duplicate
+    * `vec_id` rows inside a partition directory forever. Rewrites the
+    * store keeping ONE row per `vec_id` (min on the raw embedding bytes
+    * as a deterministic tiebreak — retried rows are byte-identical, so
+    * this is a no-op tiebreak in practice) and coalescing each partition's
+    * accumulated small append files.
+    *
+    * Scale shape: dedup is a partition-local window — `centroid_id` is in
+    * the grouping key, so rows never cross inverted lists and the shuffle
+    * is bounded by the largest single list, not the store. The rewrite
+    * goes to a temp path first, then swaps: readers never observe a
+    * half-compacted store through the normal read path. */
+  def compact(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sessionState.newHadoopConf())
+    val store = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".compact-tmp")
+    val old = new org.apache.hadoop.fs.Path(path + ".compact-old")
+    fs.delete(tmp, true); fs.delete(old, true)
+    val w = Window.partitionBy(col("centroid_id"), col("vec_id"))
+      .orderBy(col("embedding"))
+    spark.read.parquet(path)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1).drop("__rn")
+      .write.partitionBy("centroid_id").mode("overwrite").parquet(tmp.toString)
+    if (!fs.rename(store, old)) sys.error(s"compact: cannot stage $path aside")
+    if (!fs.rename(tmp, store)) { // restore on failure, then fail loudly
+      fs.rename(old, store)
+      sys.error(s"compact: swap failed for $path; original restored")
+    }
+    fs.delete(old, true)
+  }
+
   /** Approximate top-k against a written store: each query probes its
     * `nprobe` nearest centroids' partitions only; candidates are ranked
     * by exact cosine. Same output contract (query_id, neighbor_id, sim,

@@ -319,11 +319,20 @@ object Dedup {
     * O(component diameter) rounds. Near-dup components are dense and tiny
     * (a duplicate cluster is near-clique through its shared bands), so
     * diameter is small in practice; `maxRounds` bounds the pathological
-    * chain. Each round is localCheckpoint'd: without the barrier the plan
-    * doubles per iteration and round N re-executes rounds 1..N-1.
+    * chain. Each round is barrier'd: without it the plan doubles per
+    * iteration and round N re-executes rounds 1..N-1. `checkpointDir`
+    * upgrades every few rounds from lineage-only `localCheckpoint` to a
+    * reliable checkpoint that survives executor loss (see
+    * [[graft.util.Barriers]]) — at 100 TB a lineage-only barrier loses
+    * the whole job to one executor death mid-iteration.
     * At 100 TB this is the standard distributed CC formulation — no
-    * driver-side adjacency, state is one (id, label) row per node. */
-  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30): DataFrame = {
+    * driver-side adjacency, state is one (id, label) row per node.
+    *
+    * If `maxRounds` is exhausted while labels are still changing the
+    * result under-merges (one true component splits into several); that is
+    * logged as a warning rather than silently returned. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
+      checkpointDir: Option[String] = None): DataFrame = {
     val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
       .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
       .distinct().localCheckpoint(false)
@@ -334,14 +343,19 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val msgs = edges.join(labels, edges("__src") === labels("id"))
         .select(col("__dst").as("id"), col("component"))
-      val next = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
-        .localCheckpoint(false)
+      val next = graft.util.Barriers.roundBarrier(
+        labels.unionByName(msgs)
+          .groupBy(col("id")).agg(min(col("component")).as("component")),
+        round, checkpointDir, eager = false)
       changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
         .filter(col("component") =!= col("__prev")).count()
       labels = next
       round += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"connectedComponents stopped after maxRounds=$maxRounds with $changed labels " +
+          "still changing: components may be split; raise maxRounds")
     labels
   }
 

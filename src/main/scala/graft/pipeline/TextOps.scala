@@ -226,22 +226,19 @@ object TextOps {
     * runs (payment-card / account-number shaped) with typed placeholder
     * tokens, and count each category. Pure per-row projection of
     * codegen'd regex functions — no shuffle, trivially 100 TB-safe.
-    * Patterns are applied email → long-id → phone; the classes are
-    * mutually non-overlapping (emails keep their digits inside the
-    * match, ids have no separators, phones do), so application order
-    * never changes counts. */
+    * Patterns are applied email → long-id → phone, and each category is
+    * COUNTED on the text with the earlier categories already masked, so
+    * the counts always sum to the number of masked sites — an all-digit
+    * email local part of 13-19 digits is one email, not also an id. */
   def redactPii(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val masked =
-      regexp_replace(
-        regexp_replace(
-          regexp_replace(text, EmailPattern, "<EMAIL>"),
-          LongIdPattern, "<ID>"),
-        PhonePattern, "<PHONE>")
+    val afterEmail = regexp_replace(text, EmailPattern, "<EMAIL>")
+    val afterId = regexp_replace(afterEmail, LongIdPattern, "<ID>")
+    val masked = regexp_replace(afterId, PhonePattern, "<PHONE>")
     df.select(
       id.as("doc_id"),
       size(regexp_extract_all(text, lit(EmailPattern), lit(0))).cast("long").as("n_emails"),
-      size(regexp_extract_all(text, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
-      size(regexp_extract_all(text, lit(LongIdPattern), lit(0))).cast("long").as("n_ids"),
+      size(regexp_extract_all(afterId, lit(PhonePattern), lit(0))).cast("long").as("n_phones"),
+      size(regexp_extract_all(afterEmail, lit(LongIdPattern), lit(0))).cast("long").as("n_ids"),
       masked.as("redacted"))
   }
 

@@ -1,6 +1,6 @@
 package graft.sources.osm
 
-import java.io.{DataInputStream, DataOutputStream, EOFException, InputStream, OutputStream}
+import java.io.{DataInputStream, DataOutputStream, InputStream, OutputStream}
 import java.util.zip.{Deflater, Inflater}
 
 import scala.collection.mutable.ArrayBuffer
@@ -14,10 +14,11 @@ import scala.collection.mutable.ArrayBuffer
  * a standalone codec so the Spark source ([[OsmPbfTable]]) can split a file
  * at blob boundaries and decode blobs executor-side.
  *
- * Supported surface: DenseNodes + plain Nodes + Ways (with tags); Relations
- * are skipped, exactly like the reference's reader loop (osm.rs:104). Blobs
- * may be `raw` or `zlib_data` (the only compression the core format
- * requires); encode always writes zlib.
+ * Supported surface: DenseNodes + plain Nodes + Ways + Relations (with
+ * tags). The reference's reader loop skips relations (osm.rs:104); they are
+ * decoded here as extension surface — multipolygon relations are what feed
+ * polyfill from real OSM extracts. Blobs may be `raw` or `zlib_data` (the
+ * only compression the core format requires); encode always writes zlib.
  */
 object OsmPbfCodec {
 
@@ -28,7 +29,18 @@ object OsmPbfCodec {
   /** Decoded OSM way: ordered node refs + tags. */
   final case class OsmWay(id: Long, refs: Array[Long], tags: Seq[(String, String)])
 
-  final case class Block(nodes: ArrayBuffer[OsmNode], ways: ArrayBuffer[OsmWay])
+  /** One relation member: entity kind ("node"|"way"|"relation"), referenced
+    * id, and the member's role string. */
+  final case class OsmMember(mtype: String, ref: Long, role: String)
+
+  /** Decoded OSM relation: ordered members + tags. */
+  final case class OsmRelation(id: Long, members: Seq[OsmMember], tags: Seq[(String, String)])
+
+  final case class Block(nodes: ArrayBuffer[OsmNode], ways: ArrayBuffer[OsmWay],
+    relations: ArrayBuffer[OsmRelation])
+
+  /** Member-type enum of osmformat.proto (0=NODE, 1=WAY, 2=RELATION). */
+  val MemberTypes: Array[String] = Array("node", "way", "relation")
 
   /** One blob's location inside a .osm.pbf file (driver-side split unit). */
   final case class BlobRef(blobType: String, dataOffset: Long, dataSize: Int)
@@ -53,9 +65,17 @@ object OsmPbfCodec {
     var offset = 0L
     var eof = false
     while (!eof) {
-      val headerLen =
-        try din.readInt()
-        catch { case _: EOFException => eof = true; -1 }
+      // read the length prefix byte-wise: DataInputStream.readInt throws
+      // the SAME EOFException for a clean end-of-stream and for 1-3
+      // trailing bytes, which would silently drop a tail truncated inside
+      // the prefix — only a -1 on the FIRST byte is a clean EOF
+      val b0 = din.read()
+      val headerLen = if (b0 < 0) { eof = true; -1 } else {
+        val b1 = din.read(); val b2 = din.read(); val b3 = din.read()
+        require(b1 >= 0 && b2 >= 0 && b3 >= 0,
+          "truncated file: EOF inside a BlobHeader length prefix")
+        (b0 << 24) | (b1 << 16) | (b2 << 8) | b3
+      }
       if (!eof) {
         require(headerLen > 0 && headerLen < (64 << 20), s"bad BlobHeader length $headerLen")
         val hb = new Array[Byte](headerLen)
@@ -169,7 +189,7 @@ object OsmPbfCodec {
       }
       key = r.readKey()
     }
-    val out = Block(ArrayBuffer.empty, ArrayBuffer.empty)
+    val out = Block(ArrayBuffer.empty, ArrayBuffer.empty, ArrayBuffer.empty)
     def coord(offset: Long, units: Long): Double = 1e-9 * (offset + granularity * units)
     def tag(i: Int): String = strings(i)
     groups.foreach { g =>
@@ -253,7 +273,38 @@ object OsmPbfCodec {
               keys.zip(vals).toIndexedSeq.map { case (ki, vi) => (tag(ki.toInt), tag(vi.toInt)) }
             else Nil
             out.ways += OsmWay(id, refs, tags)
-          case _ => g.skip(k) // field 4 Relation and anything newer
+          case 4 => // Relation
+            val rmsg = g.readDelimited()
+            var id = 0L
+            var keys = Array.emptyLongArray; var vals = Array.emptyLongArray
+            var roles = Array.emptyLongArray
+            var memids = Array.emptyLongArray
+            var types = Array.emptyLongArray
+            var k3 = rmsg.readKey()
+            while (k3 != 0L) {
+              Pbf.fieldNumber(k3) match {
+                case 1  => id = rmsg.readVarint()
+                case 2  => keys = rmsg.packedVarints()
+                case 3  => vals = rmsg.packedVarints()
+                case 8  => roles = rmsg.packedVarints()  // roles_sid
+                case 9  => memids = rmsg.packedZigzags() // delta-coded
+                case 10 => types = rmsg.packedVarints()
+                case _  => rmsg.skip(k3)
+              }
+              k3 = rmsg.readKey()
+            }
+            var i = 1
+            while (i < memids.length) { memids(i) += memids(i - 1); i += 1 }
+            // roles resolve unconditionally: they belong to the members
+            // column, not tags, and the string table is parsed regardless
+            val members = (0 until memids.length).map { j =>
+              OsmMember(MemberTypes(types(j).toInt), memids(j), tag(roles(j).toInt))
+            }
+            val tags = if (decodeTags)
+              keys.zip(vals).toIndexedSeq.map { case (ki, vi) => (tag(ki.toInt), tag(vi.toInt)) }
+            else Nil
+            out.relations += OsmRelation(id, members, tags)
+          case _ => g.skip(k) // anything newer than Relation
         }
         k = g.readKey()
       }
@@ -268,11 +319,12 @@ object OsmPbfCodec {
     * convention a SQL oracle can replicate as floor(x * 1e7 + 0.5). */
   def quantizeCoord(deg: Double): Long = math.floor(deg * 1e7 + 0.5).toLong
 
-  /** Encode one PrimitiveBlock (DenseNodes + Ways, zlib'd into a framed
-    * OSMData blob by [[writeFile]]; granularity 100, offsets 0). Tag
-    * strings are interned into the block string table with index 0
-    * reserved as the DenseNodes delimiter, per the format. */
-  def encodePrimitiveBlock(nodes: Seq[OsmNode], ways: Seq[OsmWay]): Array[Byte] = {
+  /** Encode one PrimitiveBlock (DenseNodes + Ways + Relations, zlib'd into
+    * a framed OSMData blob by [[writeFile]]; granularity 100, offsets 0).
+    * Tag/role strings are interned into the block string table with index
+    * 0 reserved as the DenseNodes delimiter, per the format. */
+  def encodePrimitiveBlock(nodes: Seq[OsmNode], ways: Seq[OsmWay],
+      relations: Seq[OsmRelation] = Nil): Array[Byte] = {
     val stringIndex = scala.collection.mutable.LinkedHashMap[String, Int]("" -> 0)
     def intern(s: String): Long = stringIndex.getOrElseUpdate(s, stringIndex.size).toLong
 
@@ -314,6 +366,28 @@ object OsmPbfCodec {
         way.refs.foreach { ref => deltas += ref - prev; prev = ref }
         wm.packedZigzagField(8, deltas)
         g.messageField(3, wm)
+      }
+      groups.messageField(2, g)
+    }
+    if (relations.nonEmpty) {
+      val g = new Pbf.Writer
+      relations.foreach { rel =>
+        val rm = new Pbf.Writer
+        rm.varintField(1, rel.id)
+        if (rel.tags.nonEmpty) {
+          rm.packedVarintField(2, rel.tags.map(t => intern(t._1)))
+          rm.packedVarintField(3, rel.tags.map(t => intern(t._2)))
+        }
+        if (rel.members.nonEmpty) {
+          rm.packedVarintField(8, rel.members.map(m => intern(m.role)))
+          val deltas = ArrayBuffer.empty[Long]
+          var prev = 0L
+          rel.members.foreach { m => deltas += m.ref - prev; prev = m.ref }
+          rm.packedZigzagField(9, deltas)
+          rm.packedVarintField(10, rel.members.map(m =>
+            MemberTypes.indexOf(m.mtype).toLong))
+        }
+        g.messageField(4, rm)
       }
       groups.messageField(2, g)
     }
@@ -374,18 +448,20 @@ object OsmPbfCodec {
   }
 
   /** Write a complete .osm.pbf: OSMHeader + one OSMData blob per group of
-    * `blockSize` entities (nodes first, then ways — reference readers make
-    * one pass, so nodes must precede the ways that reference them, as in
-    * real extracts). Test/prep utility: production ingestion READS pbf, it
-    * does not write it. */
+    * `blockSize` entities (nodes, then ways, then relations — reference
+    * readers make one pass, so referenced entities precede their
+    * referencers, as in real extracts). Test/prep utility: production
+    * ingestion READS pbf, it does not write it. */
   def writeFile(path: String, nodes: Seq[OsmNode], ways: Seq[OsmWay],
-      blockSize: Int = 8000): Unit = {
+      relations: Seq[OsmRelation] = Nil, blockSize: Int = 8000): Unit = {
     val out = new DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))
     try {
       writeFramedBlob(out, HeaderType, encodeHeaderBlock())
       nodes.grouped(blockSize).foreach(g => writeFramedBlob(out, DataType, encodePrimitiveBlock(g, Nil)))
       ways.grouped(blockSize).foreach(g => writeFramedBlob(out, DataType, encodePrimitiveBlock(Nil, g)))
+      relations.grouped(blockSize).foreach(g =>
+        writeFramedBlob(out, DataType, encodePrimitiveBlock(Nil, Nil, g)))
     } finally out.close()
   }
 }

@@ -34,8 +34,9 @@ import org.apache.spark.unsafe.types.UTF8String
  * with no preprocessing step. Column pruning reaches the decoder: when the
  * query drops `tags`, per-entity string-table resolution is skipped.
  *
- * Entities: `nodes` (id, lat, lon, tags), `ways` (id, refs, tags).
- * Relations are skipped, like the reference's reader loop (osm.rs:104).
+ * Entities: `nodes` (id, lat, lon, tags), `ways` (id, refs, tags),
+ * `relations` (id, members, tags). The reference's reader loop skips
+ * relations (osm.rs:104); they are decoded here as extension surface.
  */
 class OsmPbfSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "osmpbf"
@@ -51,9 +52,15 @@ class OsmPbfSource extends TableProvider with DataSourceRegister {
 object OsmPbfSource {
   val TagsType: MapType = MapType(StringType, StringType, valueContainsNull = false)
 
+  val MemberType: StructType = StructType(Seq(
+    StructField("mtype", StringType, nullable = false),
+    StructField("ref", LongType, nullable = false),
+    StructField("role", StringType, nullable = false)))
+
   def entityOf(options: CaseInsensitiveStringMap): String = {
     val e = options.getOrDefault("entity", "nodes").toLowerCase
-    require(e == "nodes" || e == "ways", s"entity must be nodes|ways, got '$e'")
+    require(e == "nodes" || e == "ways" || e == "relations",
+      s"entity must be nodes|ways|relations, got '$e'")
     e
   }
 
@@ -66,6 +73,10 @@ object OsmPbfSource {
     case "ways" => StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("refs", ArrayType(LongType, containsNull = false), nullable = false),
+      StructField("tags", TagsType, nullable = false)))
+    case "relations" => StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("members", ArrayType(MemberType, containsNull = false), nullable = false),
       StructField("tags", TagsType, nullable = false)))
   }
 
@@ -98,7 +109,29 @@ final class OsmPbfScanBuilder(entity: String, options: CaseInsensitiveStringMap)
   override def build(): Scan = new OsmPbfScan(entity, required,
     Option(options.get("path")).getOrElse(
       throw new IllegalArgumentException("osmpbf requires a path")),
-    options.getLong("maxPartitionBytes", 128L << 20))
+    options.getLong("maxPartitionBytes", 128L << 20),
+    // the SESSION's Hadoop conf, not `new Configuration()`: spark.hadoop.*
+    // settings (object-store credentials, custom FS impls) must reach both
+    // the driver-side framing scan and the executor-side blob readers
+    new SerializableHadoopConf(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+}
+
+/** Java-serializable Hadoop `Configuration` carrier (the class itself is
+  * not serializable): writes the conf's XML-properties via its own
+  * `write`/`readFields`. Ships the session conf into executor-side
+  * partition readers without depending on Spark's private helper. */
+final class SerializableHadoopConf(@transient var value: Configuration)
+    extends Serializable {
+  private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+    out.defaultWriteObject()
+    value.write(out)
+  }
+  private def readObject(in: java.io.ObjectInputStream): Unit = {
+    in.defaultReadObject()
+    value = new Configuration(false)
+    value.readFields(in)
+  }
 }
 
 /** One partition = one file's consecutive OSMData blob ranges. Offsets and
@@ -107,13 +140,13 @@ final case class OsmPbfPartition(file: String, offsets: Array[Long], sizes: Arra
   extends InputPartition
 
 final class OsmPbfScan(entity: String, required: StructType, path: String,
-    maxPartitionBytes: Long) extends Scan with Batch {
+    maxPartitionBytes: Long, confW: SerializableHadoopConf) extends Scan with Batch {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = s"osmpbf $path entity=$entity"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val conf = new Configuration()
+    val conf = confW.value
     val parts = ArrayBuffer.empty[InputPartition]
     OsmPbfSource.resolveFiles(path, conf).foreach { file =>
       val fs = file.getFileSystem(conf)
@@ -147,21 +180,21 @@ final class OsmPbfScan(entity: String, required: StructType, path: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OsmPbfReaderFactory(entity, required.fieldNames)
+    new OsmPbfReaderFactory(entity, required.fieldNames, confW)
 }
 
-final class OsmPbfReaderFactory(entity: String, columns: Array[String])
-    extends PartitionReaderFactory {
+final class OsmPbfReaderFactory(entity: String, columns: Array[String],
+    confW: SerializableHadoopConf) extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], entity, columns)
+    new OsmPbfPartitionReader(partition.asInstanceOf[OsmPbfPartition], entity, columns, confW)
 }
 
 final class OsmPbfPartitionReader(part: OsmPbfPartition, entity: String,
-    columns: Array[String]) extends PartitionReader[InternalRow] {
+    columns: Array[String], confW: SerializableHadoopConf)
+    extends PartitionReader[InternalRow] {
   private val decodeTags = columns.contains("tags")
-  private val conf = new Configuration()
   private val fsPath = new Path(part.file)
-  private val in = fsPath.getFileSystem(conf).open(fsPath)
+  private val in = fsPath.getFileSystem(confW.value).open(fsPath)
   private var blobIdx = 0
   private var rows: Iterator[InternalRow] = Iterator.empty
 
@@ -185,6 +218,15 @@ final class OsmPbfPartitionReader(part: OsmPbfPartition, entity: String,
       case "tags" => tagsData(w.tags)
     })
 
+  private def relationRow(rel: OsmPbfCodec.OsmRelation): InternalRow =
+    new GenericInternalRow(columns.map[Any] {
+      case "id" => rel.id
+      case "members" => new GenericArrayData(rel.members.map(m =>
+        new GenericInternalRow(Array[Any](UTF8String.fromString(m.mtype), m.ref,
+          UTF8String.fromString(m.role)))).toArray[Any])
+      case "tags" => tagsData(rel.tags)
+    })
+
   private def loadNextBlob(): Boolean = {
     if (blobIdx >= part.offsets.length) return false
     val buf = new Array[Byte](part.sizes(blobIdx))
@@ -192,9 +234,11 @@ final class OsmPbfPartitionReader(part: OsmPbfPartition, entity: String,
     in.readFully(buf)
     blobIdx += 1
     val block = OsmPbfCodec.decodePrimitiveBlock(OsmPbfCodec.decodeBlob(buf), decodeTags)
-    rows =
-      if (entity == "nodes") block.nodes.iterator.map(nodeRow)
-      else block.ways.iterator.map(wayRow)
+    rows = entity match {
+      case "nodes" => block.nodes.iterator.map(nodeRow)
+      case "ways" => block.ways.iterator.map(wayRow)
+      case "relations" => block.relations.iterator.map(relationRow)
+    }
     true
   }
 

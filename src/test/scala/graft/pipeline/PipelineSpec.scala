@@ -153,6 +153,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("connectedComponents with reliable checkpointDir: same labels, files written") {
+    // a 7-round chain forces at least one reliable-checkpoint round
+    // (ReliableEvery = 5) plus local rounds on either side
+    val chain = (0L until 14L by 2).map(i => (i, i + 1)) ++
+      (1L until 13L by 2).map(i => (i, i + 1))
+    val pairs = chain.toDF("id_a", "id_b")
+    val plain = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toSet
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val ckpt = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toSet
+    assert(ckpt == plain)
+    assert(plain.forall(_._2 == 0L), "one chain = one component labeled by min id")
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable checkpoint rounds must write files")
+  }
+
   test("decodeImage: real PNG + BMP decode matches known pixels; garbage -> NULL meta") {
     // 3x2 PNG with hand-set per-channel values
     val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
@@ -510,6 +528,31 @@ class PipelineSpec extends AnyFunSuite {
       q, $"vec_id", $"embedding", nprobe = 2, k = 3)
     assert(fromStore.collect().map(_.toSeq).toSet == inMem.collect().map(_.toSeq).toSet)
     assert(spark.read.parquet(dir).count() == e.count())
+  }
+
+  test("AnnStore.compact dedups a replayed append and shrinks the file count") {
+    val e = embs.select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+    val cents = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 1)
+      .localCheckpoint(false)
+    val dir = java.nio.file.Files.createTempDirectory("graft-annstore-cpt").toString
+    AnnStore.write(e.filter($"vec_id" < 300), $"vec_id", $"embedding", cents, dir)
+    val batch = e.filter($"vec_id" >= 300 && $"vec_id" < 400)
+    AnnStore.appendBatch(batch, $"vec_id", $"embedding", cents, dir)
+    AnnStore.appendBatch(batch, $"vec_id", $"embedding", cents, dir) // replayed retry
+    def files(): Long = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => p.toString.endsWith(".parquet")).count()
+    val before = files()
+    assert(spark.read.parquet(dir).count() == 500, "replay duplicates visible pre-compact")
+
+    AnnStore.compact(spark, dir)
+    val rows = spark.read.parquet(dir)
+      .select($"vec_id", $"embedding", $"centroid_id").collect().map(_.toSeq)
+    assert(rows.length == 400, "one row per vec_id after compact")
+    val expect = Similarity.ivfAssign(e.filter($"vec_id" < 400), $"vec_id", $"embedding",
+      cents, nprobe = 1).select($"vec_id", $"embedding", $"centroid_id")
+      .collect().map(_.toSeq)
+    assert(rows.toSet == expect.toSet, "compact preserves the single-append row set")
+    assert(files() < before, "compaction must coalesce append files")
   }
 
   test("sorted_distinct_ngram_hashes equals the composed distinct/hash/sort form") {

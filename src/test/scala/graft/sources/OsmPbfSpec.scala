@@ -56,7 +56,7 @@ class OsmPbfSpec extends AnyFunSuite {
 
   private def writeTempPbf(nodes: Seq[OsmNode], ways: Seq[OsmWay], blockSize: Int = 8000): String = {
     val f = Files.createTempFile("graft-osm", ".osm.pbf")
-    OsmPbfCodec.writeFile(f.toString, nodes, ways, blockSize)
+    OsmPbfCodec.writeFile(f.toString, nodes, ways, blockSize = blockSize)
     f.toFile.deleteOnExit()
     f.toString
   }
@@ -214,6 +214,52 @@ class OsmPbfSpec extends AnyFunSuite {
     val w = new graft.sources.osm.Pbf.Writer()
     w.bytesField(4, Array[Byte](1, 2, 3)) // field 4 = lzma_data
     intercept[IllegalArgumentException] { OsmPbfCodec.decodeBlob(w.toBytes) }
+
+    // (6) truncated INSIDE the 4-byte length prefix of the next blob:
+    // must be an error, not a silently dropped tail (ADVICE r06)
+    val full = scan(good)
+    intercept[IllegalArgumentException] { scan(good ++ Array[Byte](0, 0)) }
+    // whereas a clean end at a blob boundary parses fully
+    assert(scan(good).length == full.length)
+  }
+
+  test("relations entity: codec roundtrip and source scan (members, roles, tags)") {
+    val (nodes, ways) = roadNet
+    val rels = Seq(
+      OsmPbfCodec.OsmRelation(501L,
+        Seq(OsmPbfCodec.OsmMember("way", 101L, "outer"),
+          OsmPbfCodec.OsmMember("way", 104L, "inner"),
+          OsmPbfCodec.OsmMember("node", 13L, "admin_centre")),
+        Seq("type" -> "multipolygon", "name" -> "test-area")),
+      OsmPbfCodec.OsmRelation(502L,
+        Seq(OsmPbfCodec.OsmMember("relation", 501L, "")),
+        Nil))
+    val f = Files.createTempFile("graft-osm-rel", ".osm.pbf")
+    OsmPbfCodec.writeFile(f.toString, nodes, ways, rels)
+    f.toFile.deleteOnExit()
+
+    // codec roundtrip
+    val bytes = Files.readAllBytes(f)
+    val decoded = OsmPbfCodec.scanBlobRefs(new java.io.ByteArrayInputStream(bytes))
+      .filter(_.blobType == OsmPbfCodec.DataType).map { b =>
+        OsmPbfCodec.decodePrimitiveBlock(OsmPbfCodec.decodeBlob(
+          java.util.Arrays.copyOfRange(bytes, b.dataOffset.toInt, b.dataOffset.toInt + b.dataSize)))
+      }
+    assert(decoded.flatMap(_.relations) == rels)
+
+    // source scan with the typed members column
+    val relDf = spark.read.format("osmpbf").option("entity", "relations").load(f.toString)
+    assert(relDf.count() == 2)
+    val r501 = relDf.filter(col("id") === 501L).head()
+    val members = r501.getSeq[org.apache.spark.sql.Row](r501.fieldIndex("members"))
+    assert(members.map(m => (m.getString(0), m.getLong(1), m.getString(2))) ==
+      Seq(("way", 101L, "outer"), ("way", 104L, "inner"), ("node", 13L, "admin_centre")))
+    assert(r501.getMap[String, String](r501.fieldIndex("tags")).toMap ==
+      Map("type" -> "multipolygon", "name" -> "test-area"))
+    // column pruning without tags still resolves member roles
+    val roles = relDf.select(col("id"), col("members")).filter(col("id") === 501L).head()
+      .getSeq[org.apache.spark.sql.Row](1).map(_.getString(2))
+    assert(roles == Seq("outer", "inner", "admin_centre"))
   }
 
   test("routing works end-to-end on a PBF-ingested graph") {
