@@ -63,12 +63,34 @@ object H3Bridge {
       UTF8String.fromString(h3ToString(h))
     else null
 
+  /** Reference `parse`-feature coordinate format `"x,y,res"` (lng, lat,
+    * res; `,` or `;` separators, optional whitespace, 1-2 digit res —
+    * cell.rs:425-437). */
+  private val CoordResFormat =
+    """^\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\s*[,;]\s*([+-]?(?:\d+\.?\d*|\.\d+)(?:[eE][+-]?\d+)?)\s*[,;]\s*(\d{1,2})""".r
+
+  /** S19 parse, full reference precedence (h3ron/src/cell.rs:375-397 with
+    * the `parse` feature): hex first; then decimal u64; then the
+    * `"lng,lat,res"` coordinate form. The hex path accepts cells and
+    * directed edges (the shared-kernel convention); the alternates are
+    * cell-only, exactly like `H3Cell::try_from`/`from_coordinate`. */
   def stringToCell(s: UTF8String): java.lang.Long = {
     if (s == null) return null
-    val v = stringToH3(s.toString)
+    val str = s.toString
+    val v = stringToH3(str)
     if (v != H3Null && (H3Core.isValidCell(v) || H3Core.isValidDirectedEdge(v)))
-      java.lang.Long.valueOf(v)
-    else null
+      return java.lang.Long.valueOf(v)
+    try {
+      val d = java.lang.Long.parseUnsignedLong(str.trim, 10)
+      if (H3Core.isValidCell(d)) return java.lang.Long.valueOf(d)
+    } catch { case _: NumberFormatException => }
+    CoordResFormat.findFirstMatchIn(str) match {
+      case Some(m) =>
+        val cell = graft.h3.H3Geo.latLngToCell(
+          m.group(2).toDouble, m.group(1).toDouble, m.group(3).toInt)
+        if (H3Core.isValidCell(cell)) java.lang.Long.valueOf(cell) else null
+      case None => null
+    }
   }
 
   def direction(h: Long): java.lang.Integer = {

@@ -47,6 +47,32 @@ class H3ExpressionsSpec extends AnyFunSuite {
     assert(H3Core.getResolution(rows(2).getLong(2)) == 4)
   }
 
+  test("h3_string_to_cell parse-feature alternates: hex, decimal u64, lng,lat,res") {
+    // reference cell.rs:363-371 doc examples: hex and decimal parse to cells
+    val cases = Seq(
+      "89283080ddbffff",            // hex (base surface)
+      SfCell.toString,              // decimal u64 (parse feature)
+      "617700169518678015",         // reference's own decimal doc example
+      "23.3,12.3,6",                // lng,lat,res (parse feature)
+      " 23.3 ; 12.3 ; 6",           // alternate separator + whitespace
+      "not-a-cell",                 // unparseable -> null
+      "1,2,99")                     // res out of range -> null
+    val rows = cases.toDF("s").select(h3_string_to_cell($"s")).collect()
+    assert(rows(0).getLong(0) == SfCell)
+    assert(rows(1).getLong(0) == SfCell)
+    assert(rows(2).getLong(0) == 617700169518678015L)
+    assert(rows(3).getLong(0) ==
+      graft.h3.H3Geo.latLngToCell(12.3, 23.3, 6))
+    assert(rows(4).getLong(0) == rows(3).getLong(0))
+    assert(rows(5).isNullAt(0) && rows(6).isNullAt(0))
+    // precedence: an all-decimal-digit string that is ALSO valid hex takes
+    // the hex reading, like libh3's strtoull-16 first pass
+    val hexWins = Seq("85283473").toDF("s")
+      .select(h3_string_to_cell($"s")).head()
+    assert(hexWins.isNullAt(0) || hexWins.getLong(0) == 0x85283473L,
+      "hex parse runs first; validity decides")
+  }
+
   test("null input propagates to null output") {
     val df = Seq(Some(SfCell), None).toDF("cell")
     val rows = df.select(h3_get_resolution($"cell")).collect()
