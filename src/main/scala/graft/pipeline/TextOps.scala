@@ -352,7 +352,11 @@ object TextOps {
     * Scale shape: token explode → (token) count aggregate (map-side
     * partials) → hash join scores back on token → (doc) aggregate. Two
     * shuffles, both on high-cardinality keys; no broadcast of the
-    * vocabulary needed (but Spark will pick one if it fits). */
+    * vocabulary needed (but Spark will pick one if it fits). Hot tokens
+    * ('the' ≈ 5 % of any English corpus) skew the token-keyed join in the
+    * non-broadcast regime; AQE's skew-join split handles it (spec-pinned:
+    * a 50 %-hot Zipf fixture splits into `skew=true` reads with values
+    * identical to the unskewed plan). */
   def unigramLogProbScore(df: DataFrame, id: Column, text: Column): DataFrame = {
     val toks = df.select(id.as("__id"), explode(tokens(text)).as("__t"))
       .filter(col("__t") =!= "")

@@ -153,6 +153,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(grown == out)
   }
 
+  test("unigramLogProbScore under Zipf skew: AQE splits the hot-token partition, values unchanged") {
+    // the >broadcast-vocab regime (a 100-TB corpus's vocabulary does not
+    // broadcast): force the token-keyed join to sort-merge and hand AQE
+    // test-sized skew thresholds
+    val s2 = spark.newSession()
+    s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    s2.conf.set("spark.sql.adaptive.enabled", "true")
+    s2.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // test-sized thresholds: the hot partition is only ~1 MB raw and its
+    // repeated token compresses to a few KB of shuffle bytes
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1.5")
+    s2.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1k")
+    s2.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "1k")
+    // coalescing would merge the small test partitions and mask the skew
+    // decision this spec is about
+    s2.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    // Zipf fixture: every other token is 'the' (one token = 50% of all
+    // instances), the rest spread over 5000 types
+    def zipf(s: org.apache.spark.sql.SparkSession) = s.range(20000).select(
+      col("id").as("doc_id"),
+      array_join(transform(sequence(lit(0), lit(99)), j =>
+        when(j % 2 === 0, lit("the"))
+          .otherwise(concat(lit("tok"), pmod(col("id") * 37 + j, lit(5000))))), " ")
+        .as("text"))
+    val skewed = TextOps.unigramLogProbScore(zipf(s2), col("doc_id"), col("text"))
+    val got = skewed.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val plan = skewed.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"expected the non-broadcast regime:\n${plan.take(1500)}")
+    assert(plan.contains("skew=true"), s"AQE did not split the hot token:\n${plan.take(1500)}")
+    // the skew-handled run is value-identical to the default session's
+    val plain = TextOps.unigramLogProbScore(zipf(spark), col("doc_id"), col("text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSet == plain.toSet && got.length == 20000)
+  }
+
   test("connectedComponents with reliable checkpointDir: same labels, files written") {
     // a 7-round chain forces at least one reliable-checkpoint round
     // (ReliableEvery = 5) plus local rounds on either side
