@@ -1,0 +1,59 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** 10× scale probe for the heavy query family: the driver's testdata stops
+  * at sf0.1, so this tool self-multiplies the documents corpus ~10× and
+  * measures how the heavy queries' wall time scales. Replicas get disjoint
+  * id ranges AND a per-replica suffix on every 4th token — that drops
+  * cross-replica 2-gram-shingle Jaccard to ~0.33 (no cross-replica
+  * near-dups: naive duplication would near-clique every document with its
+  * 9 copies and measure a quadratic blowup the real workload does not
+  * have) while PRESERVING per-token statistics (stopword hits, word
+  * lengths) that the curation filters key on. Vocabulary grows with the
+  * corpus, which is how real corpora grow.
+  *
+  * Usage: runMain graft.ScaleProbe [sfDir] — prints one JSON line per query
+  * with 1× and 10× seconds (post-warm-up) and the scaling factor.
+  */
+object ScaleProbe {
+  val Heavy = Seq("p13_near_dedup", "p42_curation_pipeline",
+    "p43_incremental_neardedup", "p44_corpus_report", "p49_domain_mix")
+
+  def main(args: Array[String]): Unit = {
+    val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val out = "/tmp/graft-scale10x"
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.codegen.cache.maxEntries", "10000")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val d = spark.read.parquet(s"$base/documents.parquet")
+    val reps = spark.range(10).select(col("id").as("__k"))
+    d.crossJoin(reps).select(
+        (col("doc_id") + col("__k") * 10000000L).as("doc_id"),
+        array_join(transform(split(col("text"), "\\s+"), (t, i) =>
+          when(i % 4 === 3, concat(t, lit("q"), col("__k"))).otherwise(t)), " ")
+          .as("text"),
+        col("lang"), col("source"), col("n_chars"))
+      .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    def time(name: String, dir: String): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Heavy.foreach { n => time(n, base) } // warm: codegen + JIT once
+    Heavy.foreach { n =>
+      val t1 = time(n, base)
+      val t10 = time(n, out)
+      println(f"""{"query":"$n","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"factor":${t10 / t1}%.2f}""")
+    }
+    spark.stop()
+  }
+}
