@@ -6,10 +6,11 @@ import org.apache.spark.sql.SparkSession
   * query set at sf0.01. Run: `Test/runMain graft.PlanDump`. */
 object PlanDump {
   val Captured = Seq("q01_lineitem_agg", "h3_02_parent_rollup", "h3_12_latlng_cell",
-    "p05_minhash_sigs", "p06_lsh_pairs", "p18_embed_neardup", "p26_chunks",
-    "p29_ann_projected", "p33_bm25", "p34_mix_sample",
+    "p05_minhash_sigs", "p06_lsh_pairs", "p13_near_dedup", "p18_embed_neardup",
+    "p26_chunks", "p29_ann_projected", "p33_bm25", "p34_mix_sample",
     "p37_pack_sequences", "p38_decontam", "p41_sessions",
-    "p44_corpus_report", "p45_hybrid_search", "p46_lm_score", "p47_domain_tag")
+    "p43_incremental_neardedup", "p44_corpus_report", "p45_hybrid_search",
+    "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -21,16 +22,38 @@ object PlanDump {
     spark.sparkContext.setLogLevel("ERROR")
     val sb = new StringBuilder
     sb.append("# PLANS — physical plan evidence (generated at sf0.01 by PlanDump)\n\n")
-    sb.append("""What to look for: `PushedFilters` reaching the parquet scan, pruned
+    sb.append("""Plans are the FINAL adaptive plans (each query is executed first), so
+AQE's runtime decisions — broadcast conversions, coalesced reads — are
+visible alongside the static shape.
+
+What to look for: `PushedFilters` reaching the parquet scan, pruned
 `ReadSchema`, `WholeStageCodegen` spans around H3 expressions, map-side
 `partial_` aggregation before each exchange, broadcast joins for small
 sides, and (p05) the cheap token-count filter BEFORE the md5 pipeline —
 filtering on the hashed array itself re-evaluated the hashing once for
 the predicate and once for the projection.
 
+Audited shapes pinned here against regression:
+- p13/p43 (near-dedup): `Scan ExistingRDD` nodes are the localCheckpoint
+  barriers that keep the LSH→verify chain from re-evaluating per
+  consumer; the verify joins run candidate-bounded (BroadcastHashJoin
+  under AQE at this SF — the broadcast side is the candidate set, never
+  the corpus; p43's reference corpus never shuffles).
+- p44 (corpus report): BOTH Window nodes sit above the (lang, length)
+  histogram stage (rowCount ≈ distinct lengths, not documents) — the
+  percentile rank lookup never sorts the document frame.
+- p49 (domain mix): one corpus-stats aggregate broadcast back over the
+  corpus; the mix explode carries no filter on the computed copy count
+  (a pushed filter previously became a per-row interpreted BNLJ join
+  condition embedding the whole domain-argmax expression).
+
 """)
     for (name <- Captured) {
       val df = SparkEntry.queries(name)(spark, dir)
+      // execute through the SAME QueryExecution so the dump is the FINAL
+      // adaptive plan (AQE broadcast conversions, coalesced/skewed reads)
+      // rather than the static guess — a count() would plan separately
+      df.collect()
       sb.append(s"## $name\n\n```\n")
       sb.append(df.queryExecution.explainString(
         org.apache.spark.sql.execution.FormattedMode))
