@@ -31,4 +31,7 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
-)
+) ++
+  // forward the strict-codegen hunt flag into the forked test JVM
+  sys.props.get("graft.test.codegen.strict")
+    .map(v => s"-Dgraft.test.codegen.strict=$v").toSeq

@@ -210,13 +210,21 @@ object Similarity {
       val lit_ = array(c.map(x => lit(x)): _*)
       dot(v, lit_) / (nv * math.sqrt(c.map(x => x * x).sum))
     }
-    val head = sorted.head
-    val (bestId, _) = sorted.tail.foldLeft((lit(head._1), sim(head._2))) {
-      case ((bi, bs), (cid, cvec)) =>
-        val s = sim(cvec)
-        (when(s > bs, lit(cid)).otherwise(bi), when(s > bs, s).otherwise(bs))
+    // Every sim evaluated exactly ONCE: a strict-> when-fold duplicates
+    // each sim expression (a dim-double literal-array dot) into both
+    // branches of every step — 2^m expression growth that overflowed
+    // janino's method limits at m=8, with codegen fallback silently
+    // running the whole stage (incl. streaming ingest) interpreted.
+    // array_max over (sim, -index) structs is the same argmax with the
+    // same smaller-id-wins tie-break (lexicographic struct ordering),
+    // and matches the aggregate path's max_by NaN semantics.
+    val entries = sorted.zipWithIndex.map { case ((_, cvec), i) =>
+      struct(sim(cvec).as("s"), lit(-i).as("ni"))
     }
-    df.select(id.as("vec_id"), v.as("embedding"), bestId.as("centroid_id"))
+    val ids = array(sorted.map(c => lit(c._1)): _*)
+    val bestIdx = (-array_max(array(entries: _*)).getField("ni")).cast("int")
+    df.select(id.as("vec_id"), v.as("embedding"),
+      element_at(ids, bestIdx + 1).as("centroid_id"))
   }
 
   /** Driver-collect a (centroid_id, centroid) quantizer frame for

@@ -17,6 +17,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as raw int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // surface codegen compile failures as test failures instead of a
+      // silent interpreted fallback (temporarily toggled when hunting)
+      .config("spark.sql.codegen.fallback", sys.props.getOrElse("graft.test.codegen.strict", "") != "true")
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     H3Registry.register(s)
