@@ -418,6 +418,39 @@ object GeoQueries {
           (size(array_intersect(col("nc"), col("sc"))) === 0).as("disjoint_ok"))
     }),
 
+    // Build-once cell index (h3ron-polars spatial_index equivalent):
+    // sorted+cached frame, parent-range candidate predicates, exact
+    // second stage — must equal the naive filters for BOTH index
+    // semantics (rtree envelope-intersect, kdtree centroid-in) across
+    // varied AOIs, and actually select (non-trivial hit sets)
+    "h3_29_cell_index" -> ((s, dir) => {
+      import graft.df.H3CellIndex
+      val f = ev(s, dir, 4000)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(6)))
+      val idx = H3CellIndex.build(f, "cell", indexRes = Some(6))
+      try {
+        // AOIs chosen to have non-empty hit sets at every SF (sf0.001's
+        // event ids stop at 1000, bounding lat to [-80, 20))
+        val aois = Seq((-55.0, 20.0, -45.0, 30.0), (0.0, 55.0, 10.0, 70.0),
+          (-10.0, -30.0, 0.0, -10.0))
+        val g = h3_cell_to_latlng(col("cell"))
+        val results = aois.map { case (a, b, c, d) =>
+          val env = idx.filterEnvelopeIntersecting(a, b, c, d).select(col("event_id"))
+          val envRef = f.filter(h3_cell_intersects_bbox(col("cell"),
+            lit(a), lit(b), lit(c), lit(d))).select(col("event_id"))
+          val cen = idx.filterCentroidsIn(a, b, c, d).select(col("event_id"))
+          val cenRef = f.filter(g.getField("lat").between(a, c) &&
+            g.getField("lng").between(b, d)).select(col("event_id"))
+          (env.exceptAll(envRef).isEmpty && envRef.exceptAll(env).isEmpty &&
+            cen.exceptAll(cenRef).isEmpty && cenRef.exceptAll(cen).isEmpty,
+            envRef.count() > 0 && cen.count() > 0)
+        }
+        import s.implicits._
+        Seq((results.forall(_._1), results.forall(_._2)))
+          .toDF("index_matches_naive", "aois_selective")
+      } finally idx.unpersist()
+    }),
+
     // X4/X6: two-stage spatial predicate implication chain
     "h3_21_spatial_filter" -> ((s, dir) => {
       val rect = "POLYGON ((10.0 5.0, 40.0 5.0, 40.0 25.0, 10.0 25.0, 10.0 5.0))"
@@ -489,6 +522,9 @@ object GeoQueries {
 
     "h3_28_polar" ->
       allTrue(Seq("npole_in", "spole_in", "north_lat_ok", "south_lat_ok", "band_ok",
-        "subset_ok", "pole_pred_ok", "disjoint_ok"), perEvent = false)
+        "subset_ok", "pole_pred_ok", "disjoint_ok"), perEvent = false),
+
+    "h3_29_cell_index" ->
+      allTrue(Seq("index_matches_naive", "aois_selective"), perEvent = false)
   )
 }

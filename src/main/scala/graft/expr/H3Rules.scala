@@ -65,7 +65,7 @@ object H3ConjunctOrdering extends Rule[LogicalPlan] with PredicateHelper {
  */
 object H3ParentRangeDerivation extends Rule[LogicalPlan] with PredicateHelper {
 
-  private[expr] def childRange(p: Long, r: Int, bigR: Int): (Long, Long) = {
+  private[graft] def childRange(p: Long, r: Int, bigR: Int): (Long, Long) = {
     val base = (p & ~(0xFL << 52)) | (bigR.toLong << 52)
     var lo = base
     var hi = base
