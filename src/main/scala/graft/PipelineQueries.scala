@@ -390,6 +390,22 @@ object PipelineQueries {
         .orderBy(col("domain"))
     }),
 
+    // C4-style global line dedup: injected boilerplate lines (one on
+    // every doc, one on every 5th) collapse to their first occurrence;
+    // within-doc and cross-doc duplicate lines drop identically in both
+    // engines, short lines bypass
+    "p51_line_dedup" -> ((s, dir) => {
+      val boiler = concat(col("text"),
+        lit("\nsubscribe to our newsletter today"),
+        when(col("doc_id") % 5 === 0,
+          lit("\ncopyright example corporation all rights reserved"))
+          .otherwise(lit("")))
+      TextOps.lineDedup(
+        docs(s, dir).select(col("doc_id"), boiler.as("text")),
+        col("doc_id"), col("text"), minLineChars = 5)
+        .orderBy(col("doc_id"))
+    }),
+
     // REAL image decode: deterministic 24-bit BMP payloads built per
     // doc_id (real BMP bytes via ImageIO's writer), parsed back by
     // javax.imageio — width/height/bands/brightness from actual pixel
@@ -901,6 +917,26 @@ object PipelineQueries {
          |  $brightnessSql AS brightness,
          |  CAST(FLOOR((octet_length(text::BLOB) + 31) / 32.0) AS BIGINT) AS n_frames
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "p51_line_dedup" ->
+      """WITH inj AS (SELECT doc_id, text
+        |    || chr(10) || 'subscribe to our newsletter today'
+        |    || (CASE WHEN doc_id % 5 = 0
+        |        THEN chr(10) || 'copyright example corporation all rights reserved'
+        |        ELSE '' END) AS text
+        |  FROM documents),
+        |arr AS (SELECT doc_id, string_split(text, chr(10)) AS a FROM inj),
+        |l AS (SELECT doc_id, CAST(i - 1 AS BIGINT) AS idx, a[i] AS ln
+        |  FROM (SELECT doc_id, a, unnest(generate_series(1, len(a))) AS i FROM arr)),
+        |w AS (SELECT ln, min(ROW(doc_id, idx)) AS w FROM l WHERE len(ln) >= 5 GROUP BY ln),
+        |m AS (SELECT l.*, (w.w IS NULL OR w.w = ROW(l.doc_id, l.idx)) AS keep
+        |  FROM l LEFT JOIN w USING (ln))
+        |SELECT doc_id,
+        |  coalesce(string_agg(ln, chr(10) ORDER BY idx) FILTER (keep), '') AS text,
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(*) FILTER (keep) AS BIGINT) AS n_kept,
+        |  CAST(count(*) - count(*) FILTER (keep) AS BIGINT) AS n_dropped
+        |FROM m GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // closed-form meta of the synthetic BMPs: pixel (x,y) = (id*31+x*7+
     // y*13)%256 in all 3 bands of an 8x6 image; brightness mirrors

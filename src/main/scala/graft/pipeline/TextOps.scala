@@ -294,6 +294,42 @@ object TextOps {
           col("top_word_ok") && col("repetition_ok"))
   }
 
+  /** C4/RefinedWeb-style GLOBAL line deduplication: boilerplate lines
+    * ("subscribe to our newsletter", copyright footers) repeat across
+    * millions of pages; every line occurring more than once in the corpus
+    * keeps exactly its FIRST occurrence (minimum `(doc_id, line_idx)` —
+    * deterministic, order-independent) and is dropped everywhere else,
+    * including repeats within one document. Lines shorter than
+    * `minLineChars` bypass dedup entirely (deduping "" or "---" globally
+    * would destroy structure, not boilerplate). Output: one row per doc
+    * with the reassembled text (kept lines in original order) and
+    * line-count accounting.
+    *
+    * Scale shape: posexplode → one hash aggregate keyed on line text
+    * (map-side partial min) → line-keyed join back → per-doc aggregate.
+    * The join key is raw line text; heavy boilerplate makes hot keys,
+    * which is the AQE skew-join regime the p46 Zipf spec pins. */
+  def lineDedup(df: DataFrame, id: Column, text: Column,
+      minLineChars: Int = 5): DataFrame = {
+    val lines = df.select(id.as("doc_id"),
+        posexplode(split(text, "\n")).as(Seq("idx", "ln")))
+      .withColumn("idx", col("idx").cast("long"))
+    val winners = lines.filter(length(col("ln")) >= minLineChars)
+      .groupBy(col("ln")).agg(min(struct(col("doc_id"), col("idx"))).as("__w"))
+    val marked = lines.join(winners, Seq("ln"), "left")
+      .withColumn("__keep", col("__w").isNull ||
+        (col("__w.doc_id") === col("doc_id") && col("__w.idx") === col("idx")))
+    marked.groupBy(col("doc_id")).agg(
+        array_sort(collect_list(when(col("__keep"), struct(col("idx"), col("ln")))))
+          .as("__ks"),
+        count(lit(1)).as("n_lines"),
+        sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("__ks"), s => s.getField("ln")), "\n").as("text"),
+        col("n_lines"), col("n_kept"),
+        (col("n_lines") - col("n_kept")).as("n_dropped"))
+  }
+
   /** Corpus data card: per-language governance summary — document and
     * token counts, length percentiles, exact-duplicate rate — the report
     * a training-data release ships with.

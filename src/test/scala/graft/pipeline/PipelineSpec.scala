@@ -140,6 +140,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(rows(0).getSeq[Long](0) == Seq(2L, 2L, 2L, 1L)) // dup term gets full count
   }
 
+  test("lineDedup: global first-occurrence-wins, within-doc dups drop, short lines bypass") {
+    val d = Seq(
+      (1L, "unique one\nshared boilerplate line\nok\nshared boilerplate line"),
+      (2L, "shared boilerplate line\nunique two"),
+      (3L, "ok\n\nunique three")
+    ).toDF("doc_id", "text")
+    val out = TextOps.lineDedup(d, $"doc_id", $"text", minLineChars = 5)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(4)))
+    // doc 1 keeps the FIRST occurrence of the shared line, drops its own repeat
+    assert(out(0) == ((1L, "unique one\nshared boilerplate line\nok", 4L, 1L)))
+    // doc 2 loses the shared line (doc 1 idx 1 < doc 2 idx 0 lexicographically on (doc,idx))
+    assert(out(1) == ((2L, "unique two", 2L, 1L)))
+    // "ok" (4 chars) and "" bypass dedup everywhere
+    assert(out(2) == ((3L, "ok\n\nunique three", 3L, 0L)))
+  }
+
   test("mixSample drops zero-copy rows and is deterministic under growth") {
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "s")
     val rates = Map("a" -> 2.0, "b" -> 0.0) // c absent -> rate 0
