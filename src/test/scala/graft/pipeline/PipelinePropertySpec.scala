@@ -64,6 +64,65 @@ class PipelinePropertySpec extends AnyFunSuite {
       }
     }.toSet
 
+  // in-memory reference for corpusReport's percentile convention: value at
+  // 1-based rank ceil(q*n) of the ascending (tok_count, doc_id) list
+  private def pctRef(lens: Seq[Long], q: Double): Long = {
+    val sorted = lens.sorted
+    sorted(math.ceil(q * sorted.length).toInt - 1)
+  }
+
+  test("property: corpusReport histogram ranks equal the sorted-list convention") {
+    val genDocs = for {
+      n <- Gen.chooseNum(1, 400)
+      rows <- Gen.listOfN(n, for {
+        lang <- Gen.oneOf("aa", "bb", "cc")
+        len <- Gen.chooseNum(1, 40) // heavy length collisions on purpose
+      } yield (lang, len))
+    } yield rows.zipWithIndex.map { case ((l, c), i) => (i.toLong, l, c) }
+    for (i <- 0 until 8) {
+      val rows = sample(genDocs, 700 + i)
+      // text with exactly `len` single-char tokens
+      val df = rows.map { case (id, l, c) => (id, l, Seq.fill(c)("x").mkString(" ")) }
+        .toDF("doc_id", "lang", "text")
+      val got = TextOps.corpusReport(df, $"doc_id", $"text", $"lang")
+        .select($"lang", $"n_docs", $"p50_tokens", $"p90_tokens", $"p99_tokens")
+        .as[(String, Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+      rows.groupBy(_._2).foreach { case (lang, docs) =>
+        val lens = docs.map(_._3.toLong)
+        val r = got(lang)
+        assert(r._2 == lens.length)
+        assert(r._3 == pctRef(lens, 0.5) && r._4 == pctRef(lens, 0.9) &&
+          r._5 == pctRef(lens, 0.99), s"iter $i lang=$lang")
+      }
+    }
+  }
+
+  // in-memory reference for mixSample: floor(rate) copies + md5-lattice extra
+  test("property: mixSample copy counts match the closed-form reference") {
+    val genRows = for {
+      n <- Gen.chooseNum(1, 200)
+      ids <- Gen.pick(n, 0L until 5000L)
+      strata <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield ids.toSeq.zip(strata)
+    val rates = Map("a" -> 2.25, "b" -> 0.4, "c" -> 0.0) // d absent -> 0
+    def md5Long(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(d.substring(0, 15), 16)
+    }
+    for (i <- 0 until 6) {
+      val rows = sample(genRows, 900 + i)
+      val got = Mixing.mixSample(rows.toDF("id", "s"), $"id", $"s", rates, salt = s"s$i")
+        .groupBy($"id").count().as[(Long, Long)].collect().toMap
+      rows.foreach { case (id, st) =>
+        val r10k = math.round(rates.getOrElse(st, 0.0) * 10000.0)
+        val extra = if (md5Long(s"${id}s$i") % 10000L < r10k % 10000L) 1L else 0L
+        val want = r10k / 10000L + extra
+        assert(got.getOrElse(id, 0L) == want, s"iter $i id=$id stratum=$st")
+      }
+    }
+  }
+
   test("property: sessionize equals the per-key reference on random event sets") {
     val genRows = for {
       n <- Gen.chooseNum(1, 300)
