@@ -105,6 +105,53 @@ object H3Streaming {
     definite.unionByName(survivors).drop("__maybe")
   }
 
+  /** Streaming line-level boilerplate strip against a STATIC reference
+    * corpus — the ingest-time form of [[graft.pipeline.TextOps.lineDedup]]
+    * with the reference as the winner set: every line of an arriving
+    * document that (probably) occurs in `ref` and is at least
+    * `minLineChars` long is dropped; survivors are reassembled in order.
+    *
+    * Every line of a document lives inside its own row, so this is a pure
+    * per-row PROJECTION — no explode, no re-aggregation (which would
+    * spend the stream's one stateful operator on reassembly). The
+    * reference's line set is summarized once into a broadcast Bloom over
+    * the same 64-bit xxhash64 Spark's function computes; the probe UDF
+    * splits, probes, and reassembles in one call per document.
+    *
+    * Semantics are BLOOM-APPROXIMATE, unlike the batch op's exact global
+    * winner set: a novel line is falsely dropped with probability ~`fpp`
+    * (deterministic per built filter — same filter, same outcome). That
+    * is the boilerplate-strip trade at 100 TB: a few hundred MB of bloom
+    * per executor covers billions of reference lines with no per-line
+    * shuffle at ingest. Output adds (n_lines, n_kept) accounting. */
+  def streamingLineDedup(stream: DataFrame, idCol: String, textCol: String,
+      ref: DataFrame, refTextCol: String, minLineChars: Int = 5,
+      expectedRefLines: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    val refLines = ref.select(explode(split(col(refTextCol), "\n")).as("__rl"))
+      .filter(length(col("__rl")) >= minLineChars)
+    val bf = refLines.select(xxhash64(col("__rl")).as("__h"))
+      .stat.bloomFilter("__h", expectedRefLines, fpp)
+    val seed = 42L // xxhash64's fixed seed
+    val strip = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val lines = text.split("\n", -1)
+        val kept = lines.filter { l =>
+          l.length < minLineChars || {
+            val u = org.apache.spark.unsafe.types.UTF8String.fromString(l)
+            !bf.mightContainLong(
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, seed))
+          }
+        }
+        (kept.mkString("\n"), lines.length.toLong, kept.length.toLong)
+      }
+    }
+    stream.select(col(idCol).as("doc_id"), strip(col(textCol)).as("__s"))
+      .select(col("doc_id"), col("__s._1").as("text"),
+        col("__s._2").as("n_lines"), col("__s._3").as("n_kept"))
+  }
+
   /** Streaming SimHash NEAR-dup candidate detection — the ingest-time form
     * of [[graft.pipeline.Dedup.simHashNearDupPairs]]: each arriving
     * document is SimHash'd in one stateless projection

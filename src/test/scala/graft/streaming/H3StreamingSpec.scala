@@ -140,6 +140,34 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming line dedup strips reference boilerplate, keeps novel prose") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq(
+      (1L, "some article text\nsubscribe to our newsletter today"),
+      (2L, "other article\ncopyright example corporation"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingLineDedup(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      ref, "text", minLineChars = 5, expectedRefLines = 100L, fpp = 0.001)
+    val query = out.writeStream
+      .format("memory").queryName("linestrip").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "fresh paragraph here\nsubscribe to our newsletter today\nmore fresh prose"),
+        (11L, "copyright example corporation\nok\nnovel line entirely"),
+        (12L, "all novel content"))
+      query.processAllAvailable()
+      val got = spark.table("linestrip")
+        .select($"doc_id", $"text", $"n_lines", $"n_kept")
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got(10L) == ((10L, "fresh paragraph here\nmore fresh prose", 3L, 2L)))
+      // "ok" is under minLineChars: bypasses even though short
+      assert(got(11L) == ((11L, "ok\nnovel line entirely", 3L, 2L)))
+      assert(got(12L) == ((12L, "all novel content", 1L, 1L)))
+    } finally query.stop()
+  }
+
   test("deterministic mixing is stateless: runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
