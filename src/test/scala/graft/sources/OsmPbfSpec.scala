@@ -223,6 +223,17 @@ class OsmPbfSpec extends AnyFunSuite {
     assert(scan(good).length == full.length)
   }
 
+  test("SerializableHadoopConf ships custom spark.hadoop.* settings to executors") {
+    val conf = new org.apache.hadoop.conf.Configuration(false)
+    conf.set("fs.custom.credential", "sekrit-value")
+    val w = new graft.sources.osm.SerializableHadoopConf(conf)
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos); oos.writeObject(w); oos.close()
+    val in = new java.io.ObjectInputStream(new java.io.ByteArrayInputStream(bos.toByteArray))
+    val back = in.readObject().asInstanceOf[graft.sources.osm.SerializableHadoopConf]
+    assert(back.value.get("fs.custom.credential") == "sekrit-value")
+  }
+
   test("relations entity: codec roundtrip and source scan (members, roles, tags)") {
     val (nodes, ways) = roadNet
     val rels = Seq(
