@@ -45,6 +45,9 @@ final class H3CellIndex private (val indexed: DataFrame, cellCol: String,
     * single-resolution index the per-cover disjunction collapses to one
     * range per cover cell. */
   private def rangePredicate(wkt: String, coverRes: Int): Column = {
+    require(indexRes.forall(_ >= coverRes),
+      s"indexRes ${indexRes.get} is coarser than coverRes $coverRes — " +
+        "cover cells could never contain the indexed cells")
     val cover = H3Polygon.polygonToCellsIntersecting(wkt, coverRes)
     require(cover.nonEmpty, "AOI cover is empty — lower coverRes")
     val resRange = indexRes.map(r => r to r).getOrElse(coverRes to 15)

@@ -65,9 +65,11 @@ object Multimodal {
     * Returns null (→ NULL meta) when the bytes are not a decodable image,
     * so a mixed/corrupt payload column degrades to nulls, not a job kill. */
   def decodeImage(bytes: Array[Byte]): Row = {
+    // some plugin readers throw unchecked exceptions (not just
+    // IIOException) on adversarial bytes; any decode failure is NULL meta
     val img =
       try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
-      catch { case _: java.io.IOException => null }
+      catch { case scala.util.control.NonFatal(_) => null }
     if (img == null) return null
     val raster = img.getRaster
     val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)

@@ -352,8 +352,14 @@ object TextOps {
   def corpusReport(df: DataFrame, id: Column, text: Column, lang: Column): DataFrame = {
     val base = df.select(id.as("__id"), lang.as("lang"),
       tokenCount(text).as("__toks"), fingerprint(text).as("__fp"))
-    val hist = base.groupBy(col("lang"), col("__toks"))
-      .agg(count(lit(1)).as("__cnt"))
+    // shared pre-aggregate: both downstream aggregates (histogram and
+    // duplicate counting) consume the SAME (lang, toks, fp)-keyed frame,
+    // so the corpus is tokenized+fingerprinted once and AQE reuses one
+    // exchange instead of scanning the corpus per branch
+    val pre = base.groupBy(col("lang"), col("__toks"), col("__fp"))
+      .agg(count(lit(1)).as("__c"))
+    val hist = pre.groupBy(col("lang"), col("__toks"))
+      .agg(sum(col("__c")).as("__cnt"))
     val wCum = Window.partitionBy(col("lang")).orderBy(col("__toks"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist
@@ -367,8 +373,8 @@ object TextOps {
       pct(0.5).as("p50_tokens"),
       pct(0.9).as("p90_tokens"),
       pct(0.99).as("p99_tokens"))
-    val dups = base.groupBy(col("lang"))
-      .agg((count(lit(1)) - countDistinct(col("__fp"))).as("n_exact_dups"))
+    val dups = pre.groupBy(col("lang"))
+      .agg((sum(col("__c")) - countDistinct(col("__fp"))).as("n_exact_dups"))
     pcts.join(dups, "lang")
   }
 

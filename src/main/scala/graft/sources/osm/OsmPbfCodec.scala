@@ -293,11 +293,16 @@ object OsmPbfCodec {
               }
               k3 = rmsg.readKey()
             }
+            require(roles.length == memids.length && types.length == memids.length,
+              s"malformed Relation $id: parallel member arrays disagree " +
+                s"(${memids.length} memids, ${roles.length} roles, ${types.length} types)")
             var i = 1
             while (i < memids.length) { memids(i) += memids(i - 1); i += 1 }
             // roles resolve unconditionally: they belong to the members
             // column, not tags, and the string table is parsed regardless
             val members = (0 until memids.length).map { j =>
+              require(types(j) >= 0 && types(j) < MemberTypes.length,
+                s"malformed Relation $id: member type ${types(j)}")
               OsmMember(MemberTypes(types(j).toInt), memids(j), tag(roles(j).toInt))
             }
             val tags = if (decodeTags)

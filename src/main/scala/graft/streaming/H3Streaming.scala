@@ -123,8 +123,10 @@ object H3Streaming {
     * (deterministic per built filter — same filter, same outcome). That
     * is the boilerplate-strip trade at 100 TB: a few hundred MB of bloom
     * per executor covers billions of reference lines with no per-line
-    * shuffle at ingest. Output adds (n_lines, n_kept) accounting. */
-  def streamingLineDedup(stream: DataFrame, idCol: String, textCol: String,
+    * shuffle at ingest. All other columns pass through; `textCol` is
+    * replaced by the stripped text and (n_lines, n_kept) accounting is
+    * appended. */
+  def streamingLineDedup(stream: DataFrame, textCol: String,
       ref: DataFrame, refTextCol: String, minLineChars: Int = 5,
       expectedRefLines: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val refLines = ref.select(explode(split(col(refTextCol), "\n")).as("__rl"))
@@ -147,9 +149,11 @@ object H3Streaming {
         (kept.mkString("\n"), lines.length.toLong, kept.length.toLong)
       }
     }
-    stream.select(col(idCol).as("doc_id"), strip(col(textCol)).as("__s"))
-      .select(col("doc_id"), col("__s._1").as("text"),
-        col("__s._2").as("n_lines"), col("__s._3").as("n_kept"))
+    stream.withColumn("__s", strip(col(textCol)))
+      .withColumn(textCol, col("__s._1"))
+      .withColumn("n_lines", col("__s._2"))
+      .withColumn("n_kept", col("__s._3"))
+      .drop("__s")
   }
 
   /** Streaming SimHash NEAR-dup candidate detection — the ingest-time form

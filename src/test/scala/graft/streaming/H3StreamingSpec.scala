@@ -148,7 +148,7 @@ class H3StreamingSpec extends AnyFunSuite {
       .toDF("doc_id", "text")
     val input = MemoryStream[(Long, String)]
     val out = H3Streaming.streamingLineDedup(
-      input.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      input.toDF.toDF("doc_id", "text"), "text",
       ref, "text", minLineChars = 5, expectedRefLines = 100L, fpp = 0.001)
     val query = out.writeStream
       .format("memory").queryName("linestrip").outputMode("append").start()
