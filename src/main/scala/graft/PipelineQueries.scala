@@ -423,6 +423,41 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio decode: deterministic 16-bit mono PCM WAV payloads built
+    // per doc_id (real WAV bytes via AudioSystem's WAVE writer), parsed
+    // back by javax.sound.sampled — sample rate/channels/frames/peak/RMS
+    // from the actual PCM payload; the oracle computes the closed-form
+    // per-sample arithmetic (integer sum of squares → exact across engines)
+    "p53_audio_meta" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val wavs = ids.mapPartitions(it =>
+          it.map(id => (id, Multimodal.syntheticWav(id, (50 + id % 30).toInt))))
+        .toDF("doc_id", "wav")
+      Multimodal.withDecodedMeta(wavs, "wav", "meta",
+          Multimodal.decodeAudio, Multimodal.AudioMetaSchema)
+        .select(col("doc_id"), col("meta.sample_rate").as("sample_rate"),
+          col("meta.channels").as("channels"),
+          col("meta.n_samples").as("n_samples"),
+          col("meta.peak").as("peak"), col("meta.rms").as("rms"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // SemDeDup semantic dedup: k-means clusters over the embedding space
+    // (2 Lloyd rounds, lattice-exact centroids), within-cluster quantized
+    // cosine >= 0.995 drops the higher id; scaled copies (cosine exactly
+    // 1.0) injected for every 5th vector exercise the drop path
+    "p52_semantic_dedup" -> ((s, dir) => {
+      val base = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val corpus = base.unionAll(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 1.5).as("v")))
+      Dedup.semanticDedup(corpus, col("vec_id"), col("v"),
+          m = 8, iters = 2, threshold = 0.995)
+        .orderBy(col("vec_id"))
+    }),
+
     // ingest text normalization: control-char strip + whitespace collapse
     // over deterministically dirtied text (tabs/newlines/bell/double
     // spaces injected identically in both engines)
@@ -950,6 +985,56 @@ object PipelineQueries {
         |  floor(CAST(3 * sum(v) AS DOUBLE) / 144.0 * 100.0 + 0.5) / 100.0 AS brightness,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // closed-form meta of the synthetic WAVs: sample i of doc d is
+    // ((d*31 + i*17) % 2003) - 1001, n = 50 + d % 30 samples at 8 kHz
+    // mono; peak is an exact integer max and rms mirrors Spark's
+    // floor(sqrt(sumSq/n)*10000+0.5)/10000 with sumSq an exact long
+    "p53_audio_meta" ->
+      """WITH s AS (
+        |  SELECT d.doc_id, i.i, (d.doc_id * 31 + i.i * 17) % 2003 - 1001 AS v
+        |  FROM documents d, generate_series(0, 78) AS i(i)
+        |  WHERE i.i <= 49 + d.doc_id % 30)
+        |SELECT doc_id, CAST(8000 AS BIGINT) AS sample_rate,
+        |  CAST(1 AS BIGINT) AS channels,
+        |  CAST(count(*) AS BIGINT) AS n_samples,
+        |  CAST(max(abs(v)) AS BIGINT) AS peak,
+        |  floor(sqrt(CAST(sum(v * v) AS DOUBLE) / count(*)) * 10000.0 + 0.5) / 10000.0 AS rms
+        |FROM s GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // SemDeDup: the 2-round Lloyd quantizer is replicated exactly
+    // (kmeansRoundSql), assignment is the same cosine argmax with
+    // smaller-centroid-id tiebreak, and the within-cluster verify uses the
+    // identical left-assoc dot arithmetic quantized to the 1e-4 lattice
+    "p52_semantic_dedup" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corpus AS MATERIALIZED (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+         |  FROM base WHERE vec_id % 5 = 0),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         |${kmeansRoundSql(1, 64)},
+         |${kmeansRoundSql(2, 64)},
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT s.vec_id, s.v, t.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY (${dotSql("s.v", "t.c", 64)} /
+         |          (sqrt(${dotSql("s.v", "s.v", 64)}) * sqrt(${dotSql("t.c", "t.c", 64)}))) DESC,
+         |          t.cid) AS rnk
+         |    FROM corpus s CROSS JOIN cents2 t) WHERE rnk = 1),
+         |verified AS (
+         |  SELECT b.vec_id AS id_b
+         |  FROM asgn a JOIN asgn b ON a.cid = b.cid AND a.vec_id < b.vec_id
+         |  WHERE floor((${dotSql("a.v", "b.v", 64)} /
+         |      (sqrt(${dotSql("a.v", "a.v", 64)}) * sqrt(${dotSql("b.v", "b.v", 64)})))
+         |      * 10000.0 + 0.5) / 10000.0 >= 0.995)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM asgn
+         |WHERE vec_id NOT IN (SELECT id_b FROM verified)
+         |ORDER BY vec_id""".stripMargin,
 
     "p18_embed_neardup" ->
       """WITH base AS (

@@ -309,6 +309,49 @@ object Dedup {
     dropVerified(df, id, verified)
   }
 
+  /** SemDeDup-style SEMANTIC dedup (the Abbas et al. 2023 shape,
+    * arXiv:2303.09540): k-means-cluster the embedding space, then
+    * deduplicate WITHIN clusters only — a vector is dropped when a
+    * lower-id vector in the SAME cluster has quantized cosine >=
+    * `threshold`. Output: (vec_id, centroid_id) for the survivors.
+    *
+    * This is the scale path between brute force and LSH: pairwise cost is
+    * Σ_c size_c² instead of N², and `m` grows with the corpus so
+    * per-cluster size stays bounded (100-TB tuning: m ≈ N/10⁵ keeps
+    * clusters ~10⁵ vectors; the centroid frame is m rows — broadcast-sized
+    * at any realistic m — and training cost is [[Similarity.kMeansCentroids]]'s
+    * iters × (broadcast crossJoin + slim shuffle)). Unlike hyperplane LSH
+    * the partition is DATA-ADAPTIVE: dense regions split into many
+    * clusters, so near-dup candidates concentrate instead of colliding
+    * with unrelated vectors in fixed sign-buckets.
+    *
+    * The lower-id-wins retention rule is [[embeddingNearDupLsh]]'s:
+    * deterministic, engine-exact, and keeps exactly one representative of
+    * every mutually-similar clique. The slim pair projection is
+    * checkpoint-barriered before the threshold filter so pushdown cannot
+    * inline the 64-dim cosine into both predicate and projection. */
+  def semanticDedup(df: DataFrame, id: Column, vec: Column, m: Int,
+      iters: Int, threshold: Double): DataFrame = {
+    val cents = Similarity.kMeansCentroids(df, id, vec, m, iters)
+    val assigned = Similarity.ivfAssign(
+        df.select(id.as("vec_id"), vec.cast("array<double>").as("embedding")),
+        col("vec_id"), col("embedding"), cents, nprobe = 1)
+      .localCheckpoint(false)
+    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
+      col("embedding").as("__va")).withColumn("__na", Similarity.l2Norm(col("__va")))
+    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
+      col("embedding").as("__vb")).withColumn("__nb", Similarity.l2Norm(col("__vb")))
+    val verified = a.join(b, "centroid_id")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_b"),
+        quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
+      .localCheckpoint(false)
+      .filter(col("sim") >= threshold)
+    assigned.join(verified.select(col("id_b").as("__drop")).distinct(),
+        col("vec_id") === col("__drop"), "left_anti")
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+  }
+
   /** Connected components over an undirected pair table: one row per
     * distinct endpoint id, labeled with the minimum id reachable from it
     * (the canonical component representative). Output: (id, component).

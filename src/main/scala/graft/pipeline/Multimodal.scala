@@ -12,13 +12,16 @@ import org.apache.spark.sql.types._
  *
  * IMAGE decode is REAL: [[decodeImage]] parses JPEG/PNG/BMP/GIF payload
  * bytes with `javax.imageio` (part of the JDK, headless-safe) and extracts
- * dimensions, band count, and mean sample brightness. The *audio/video*
- * decode remains a clearly-marked deterministic stub ([[decodeStub]]) —
- * those codecs are not available in this container. Everything around both
- * is real and tested: schema convention, per-partition batch iteration,
- * null handling, and the declarative downstream plan; [[withDecodedMeta]]
- * takes the decoder as a parameter, so swapping in a real audio codec
- * changes no plumbing.
+ * dimensions, band count, and mean sample brightness. AUDIO decode is
+ * REAL: [[decodeAudio]] parses WAV/AU/AIFF containers with
+ * `javax.sound.sampled` (also JDK built-in) and extracts sample rate,
+ * channel count, frame count, peak, and RMS loudness from the PCM payload.
+ * Only *video* decode remains a clearly-marked deterministic stub
+ * ([[decodeStub]]) — no video codec ships with the JDK. Everything around
+ * all three is real and tested: schema convention, per-partition batch
+ * iteration, null handling, and the declarative downstream plan;
+ * [[withDecodedMeta]] takes the decoder and meta schema as parameters, so
+ * swapping in a real video codec changes no plumbing.
  *
  * Scale notes: `mapPartitions` keeps decode zero-shuffle (one pass over the
  * scan); binary payloads never enter a shuffle here — only extracted
@@ -34,6 +37,13 @@ object Multimodal {
     StructField("channels", LongType, nullable = false),
     StructField("brightness", DoubleType, nullable = false),
     StructField("n_frames", LongType, nullable = false)))
+
+  val AudioMetaSchema: StructType = StructType(Seq(
+    StructField("sample_rate", LongType, nullable = false),
+    StructField("channels", LongType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("peak", LongType, nullable = false),
+    StructField("rms", DoubleType, nullable = false)))
 
   /**
    * STUB decode — deterministic arithmetic standing in for a codec:
@@ -91,6 +101,73 @@ object Multimodal {
     Row(w.toLong, h.toLong, bands.toLong, brightness, 1L)
   }
 
+  /** REAL audio decode via `javax.sound.sampled` (JDK built-in; the
+    * WAV/AU/AIFF readers ship with every JRE). Parses the container
+    * header, streams the PCM payload once, and extracts:
+    *   sample_rate = frames per second from the format header
+    *   channels    = channel count
+    *   n_samples   = per-channel sample frames actually decoded
+    *   peak        = max |sample| over all channels (16-bit signed range)
+    *   rms         = sqrt(mean of sample²) over all interleaved samples,
+    *                 quantized floor(x*10000+0.5)/10000 — sample² sums are
+    *                 exact longs, so the value is engine-reproducible
+    * Only 16-bit signed PCM is decoded (the WAV interchange baseline);
+    * other encodings and undecodable bytes return null (→ NULL meta), so a
+    * mixed/corrupt payload column degrades to nulls, not a job kill. */
+  def decodeAudio(bytes: Array[Byte]): Row = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return null
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+      val data = ais.readAllBytes()
+      val ch = fmt.getChannels
+      val n = data.length / 2
+      var sumSq = 0L
+      var peak = 0L
+      var i = 0
+      while (i + 1 < data.length) {
+        val s =
+          if (fmt.isBigEndian) ((data(i) << 8) | (data(i + 1) & 0xFF)).toShort
+          else ((data(i + 1) << 8) | (data(i) & 0xFF)).toShort
+        sumSq += s.toLong * s
+        val a = math.abs(s.toLong)
+        if (a > peak) peak = a
+        i += 2
+      }
+      val rms =
+        if (n == 0) 0.0
+        else math.floor(math.sqrt(sumSq.toDouble / n) * 10000.0 + 0.5) / 10000.0
+      Row(fmt.getSampleRate.toLong, ch.toLong, (n / ch).toLong, peak, rms)
+    } finally ais.close()
+  }
+
+  /** Deterministic 16-bit mono PCM WAV test payload: sample i has value
+    * `((id*31 + i*17) mod 2003) - 1001` at 8 kHz. Real WAV bytes
+    * (AudioSystem's WAVE writer), closed-form expected meta — the oracle
+    * for the audio-decode query computes peak/RMS analytically. */
+  def syntheticWav(id: Long, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((id * 31 + i * 17) % 2003 - 1001).toShort
+      pcm(i * 2) = (v & 0xFF).toByte
+      pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
   /** Deterministic 24-bit gray BMP test payload: pixel (x, y) has value
     * `(id*31 + x*7 + y*13) mod 256` in all three channels. Real BMP bytes
     * (ImageIO's BMP writer), closed-form expected meta — the oracle for
@@ -116,10 +193,12 @@ object Multimodal {
   /** Append a `meta` struct decoded per-partition from `binaryCol`. NULL
     * payloads yield NULL meta; the decoder may also return null (e.g.
     * [[decodeImage]] on undecodable bytes). Decoder defaults to the
-    * audio/video [[decodeStub]]; pass [[decodeImage]] for image columns. */
+    * video [[decodeStub]]; pass [[decodeImage]] for image columns or
+    * [[decodeAudio]] (with `metaSchema = AudioMetaSchema`) for audio. */
   def withDecodedMeta(df: DataFrame, binaryCol: String, metaCol: String = "meta",
-      decode: Array[Byte] => Row = decodeStub): DataFrame = {
-    val schema = df.schema.add(StructField(metaCol, MetaSchema, nullable = true))
+      decode: Array[Byte] => Row = decodeStub,
+      metaSchema: StructType = MetaSchema): DataFrame = {
+    val schema = df.schema.add(StructField(metaCol, metaSchema, nullable = true))
     val binIdx = df.schema.fieldIndex(binaryCol)
     implicit val enc = RowEncoder.encoderFor(schema)
     df.mapPartitions { rows =>

@@ -252,6 +252,50 @@ class PipelineSpec extends AnyFunSuite {
     assert(metas(0).isNullAt(0) && !metas(1).isNullAt(0))
   }
 
+  test("decodeAudio: real WAV/AIFF decode matches closed-form PCM; garbage/8-bit -> NULL meta") {
+    // syntheticWav roundtrip: closed-form peak and rms
+    val n = 64
+    val samples = (0 until n).map(i => (9L * 31 + i * 17) % 2003 - 1001)
+    val meta = Multimodal.decodeAudio(Multimodal.syntheticWav(9L, n))
+    assert(meta.getLong(0) == 8000 && meta.getLong(1) == 1 && meta.getLong(2) == n)
+    assert(meta.getLong(3) == samples.map(math.abs).max)
+    val sumSq = samples.map(v => v * v).sum
+    assert(meta.getDouble(4) ==
+      math.floor(math.sqrt(sumSq.toDouble / n) * 10000 + 0.5) / 10000)
+
+    // big-endian AIFF with the same samples decodes to identical meta
+    // (exercises the endianness branch and a second JDK container reader)
+    val fmtBE = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, true)
+    val pcmBE = new Array[Byte](n * 2)
+    samples.zipWithIndex.foreach { case (v, i) =>
+      pcmBE(i * 2) = ((v >> 8) & 0xFF).toByte
+      pcmBE(i * 2 + 1) = (v & 0xFF).toByte
+    }
+    val outBE = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmBE), fmtBE, n.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.AIFF, outBE)
+    assert(Multimodal.decodeAudio(outBE.toByteArray) == meta)
+
+    // non-16-bit PCM is declared unsupported -> null, not garbage values
+    val fmt8 = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val out8 = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(Array.fill[Byte](32)(7)), fmt8, 32L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out8)
+    assert(Multimodal.decodeAudio(out8.toByteArray) == null)
+
+    // undecodable payload degrades to NULL meta through the plumbing
+    val df = Seq((1L, "definitely not audio".getBytes("UTF-8")),
+      (2L, Multimodal.syntheticWav(3L, 50))).toDF("id", "wav")
+    val metas = Multimodal.withDecodedMeta(df, "wav", "meta",
+        Multimodal.decodeAudio, Multimodal.AudioMetaSchema)
+      .orderBy($"id").select($"meta").collect()
+    assert(metas(0).isNullAt(0) && !metas(1).isNullAt(0))
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
@@ -310,6 +354,41 @@ class PipelineSpec extends AnyFunSuite {
     assert(planted.forall(a => !survivors.contains(a + 1000000)),
       "planted scaled copies must be deduplicated")
     assert(planted.forall(survivors.contains), "canonical representatives must survive")
+  }
+
+  test("semanticDedup: planted copies drop within their cluster; SemDeDup contract holds") {
+    val e = embs.filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val corpus = e.unionAll(e.filter($"vec_id" % 5 === 0)
+      .select($"vec_id" + 1000000, transform($"v", x => x * 1.5d)))
+    val planted = e.filter($"vec_id" % 5 === 0).select($"vec_id").as[Long].collect().toSet
+    val out = Dedup.semanticDedup(corpus, $"vec_id", $"v",
+      m = 4, iters = 1, threshold = 0.995)
+    val rows = out.as[(Long, Long)].collect()
+    val survivors = rows.map(_._1).toSet
+    // a scaled copy has cosine exactly 1.0 with its original AND the same
+    // centroid argmax (cosine is scale-invariant) -> same cluster -> dropped
+    assert(planted.forall(a => !survivors.contains(a + 1000000)),
+      "planted scaled copies must be deduplicated")
+    assert(planted.forall(survivors.contains), "canonical representatives must survive")
+    // cluster ids match the trained quantizer's assignment
+    val cents = Similarity.kMeansCentroids(corpus, $"vec_id", $"v", 4, 1)
+    val expect = Similarity.ivfAssign(
+        corpus.select($"vec_id", $"v".as("embedding")), $"vec_id", $"embedding", cents)
+      .select($"vec_id", $"centroid_id".cast("long")).as[(Long, Long)].collect().toMap
+    rows.foreach { case (id, cid) => assert(expect(id) == cid, s"cluster of $id") }
+    // SemDeDup contract: no same-cluster survivor pair is >= threshold
+    // (brute-force over the collected survivors)
+    val vecs = corpus.select($"vec_id", $"v").as[(Long, Seq[Double])].collect().toMap
+    def q4cos(a: Seq[Double], b: Seq[Double]): Double = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      val sim = dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+      math.floor(sim * 10000 + 0.5) / 10000
+    }
+    for {
+      Seq((ia, ca), (ib, cb)) <- rows.sortBy(_._1).toSeq.combinations(2)
+      if ca == cb
+    } assert(q4cos(vecs(ia), vecs(ib)) < 0.995, s"surviving pair ($ia,$ib)")
   }
 
   test("multimodal stub: meta matches direct byte arithmetic") {
