@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Mixing, Multimodal, Similarity, TextOps}
 
 /**
  * Training-data pipeline operators as driver-contract queries with DuckDB
@@ -456,6 +456,17 @@ object PipelineQueries {
       Dedup.semanticDedup(corpus, col("vec_id"), col("v"),
           m = 8, iters = 2, threshold = 0.995)
         .orderBy(col("vec_id"))
+    }),
+
+    // per-source quota cap under skew: half the corpus is remapped to one
+    // 'hot' source (capped via the hash-threshold prefilter path), the
+    // rest stay in their small sources (pass through with no sort) — the
+    // oracle only sees the deterministic top-cap-by-(hash, id) rank rule
+    "p54_source_cap" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        when(col("doc_id") % 10 < 5, lit("hot")).otherwise(col("source")).as("src"))
+      Mixing.sourceCap(d, col("doc_id"), col("src"), cap = 40, salt = "cap")
+        .orderBy(col("doc_id"))
     }),
 
     // ingest text normalization: control-char strip + whitespace collapse
@@ -985,6 +996,21 @@ object PipelineQueries {
         |  floor(CAST(3 * sum(v) AS DOUBLE) / 144.0 * 100.0 + 0.5) / 100.0 AS brightness,
         |  CAST(1 AS BIGINT) AS n_frames
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the cap's selection rule in closed form: rank within source by the
+    // shared md5-derived 60-bit hash, ties by doc_id, keep rank <= cap —
+    // the two-stage prefilter/pass-through machinery is output-invisible
+    "p54_source_cap" ->
+      s"""WITH h AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 10 < 5 THEN 'hot' ELSE source END AS src,
+         |    ${oH("doc_id::VARCHAR || 'cap'")} AS hv
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, src,
+         |    row_number() OVER (PARTITION BY src ORDER BY hv, doc_id) AS rn
+         |  FROM h)
+         |SELECT doc_id, src FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
 
     // closed-form meta of the synthetic WAVs: sample i of doc d is
     // ((d*31 + i*17) % 2003) - 1001, n = 50 + d % 30 samples at 8 kHz

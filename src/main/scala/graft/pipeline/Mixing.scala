@@ -54,4 +54,55 @@ object Mixing {
     df.withColumn("copy_idx",
       explode(when(n > 0, sequence(lit(0L), n - 1))))
   }
+
+  /** Per-source quota cap: keep at most `cap` rows per source, selected
+    * in deterministic md5-hash order (ties by id) — the anti-dominance
+    * sampler that stops one crawl dump/domain from swamping a training
+    * mix. Output = the input rows that survive, unmodified.
+    *
+    * Scale shape (the reason this is not one `row_number` window):
+    * 1. A per-source COUNT aggregate (one row per source — tiny) is
+    *    broadcast back.
+    * 2. Under-cap sources pass through with NO sort: their rows never
+    *    enter a window.
+    * 3. Over-cap sources pre-filter to `hash <= tau`, where tau is a
+    *    Chernoff-slack threshold (expected survivors ≈ 1.5·cap + 64) —
+    *    a map-side filter, so a hot source (one domain = half a 100-TB
+    *    corpus) drops almost all of its rows BEFORE the only sort, whose
+    *    per-source input is now O(cap), not O(source size).
+    * 4. A survivor recount guards the prefilter: any source whose
+    *    survivor count fell below `cap` (vanishingly unlikely under the
+    *    60-bit uniform hash, but possible on adversarial data) falls back
+    *    to the unfiltered window. Both paths compute the identical
+    *    top-cap-by-(hash, id) set, so the output is deterministic
+    *    whichever path ran — and the oracle only ever sees the rank rule.
+    */
+  def sourceCap(df: DataFrame, id: Column, source: Column, cap: Int,
+      salt: String = ""): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val cols = df.columns
+    val base = df.withColumn("__src", source)
+      .withColumn("__h", TextOps.md5Long(concat(id.cast("string"), lit(salt))))
+      .withColumn("__id", id)
+    val counts = base.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
+    val withN = base.join(broadcast(counts), "__src")
+    val small = withN.filter(col("__n") <= cap)
+    val big = withN.filter(col("__n") > cap)
+    // tau: expected survivors = (1.5·cap + 64); 2^60 is the md5Long range.
+    // Exactly representable doubles throughout (cap ≤ 2^31, 2^60 a power
+    // of two), deterministic across runs.
+    val tau = ((lit(cap) * 1.5 + 64.0) / col("__n") * lit(math.pow(2, 60))).cast("long")
+    val pref = big.filter(col("__h") <= tau).localCheckpoint(false)
+    val okSrc = pref.groupBy(col("__src")).agg(count(lit(1)).as("__m"))
+      .filter(col("__m") >= cap).select(col("__src"))
+    val w = Window.partitionBy(col("__src")).orderBy(col("__h"), col("__id"))
+    def topCap(rows: DataFrame): DataFrame =
+      rows.withColumn("__rn", row_number().over(w)).filter(col("__rn") <= cap)
+    val fromPref = topCap(pref.join(broadcast(okSrc), Seq("__src"), "left_semi"))
+    val fallback = topCap(big.join(broadcast(okSrc), Seq("__src"), "left_anti"))
+    small.unionByName(fromPref.drop("__rn"), allowMissingColumns = true)
+      .unionByName(fallback.drop("__rn"), allowMissingColumns = true)
+      .select(cols.map(col): _*)
+  }
 }

@@ -772,6 +772,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.forall(_._2 == 0.0))
   }
 
+  test("sourceCap: hot source capped, small sources pass whole, equals the rank rule") {
+    import org.apache.spark.sql.expressions.Window
+    // skew: half the docs in one hot source, the rest spread thin
+    val d = docs.select($"doc_id",
+      when($"doc_id" % 10 < 5, lit("hot")).otherwise($"source").as("src"), $"text")
+    val cap = 7
+    val out = Mixing.sourceCap(d, $"doc_id", $"src", cap)
+    val got = out.select($"doc_id", $"src").as[(Long, String)].collect().toSet
+    // reference: the pure rank rule, one global window
+    val ref = d.withColumn("__h",
+        TextOps.md5Long(concat($"doc_id".cast("string"), lit(""))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"__h", $"doc_id")))
+      .filter($"__rn" <= cap)
+      .select($"doc_id", $"src").as[(Long, String)].collect().toSet
+    assert(got == ref)
+    // per-source: min(n, cap), and under-cap sources keep EVERY row
+    val inCounts = d.groupBy($"src").count().as[(String, Long)].collect().toMap
+    val outCounts = out.groupBy($"src").count().as[(String, Long)].collect().toMap
+    inCounts.foreach { case (s, n) =>
+      assert(outCounts.getOrElse(s, 0L) == math.min(n, cap.toLong), s"source $s") }
+    // survivors carry their original columns untouched
+    assert(out.columns.toSeq == Seq("doc_id", "src", "text"))
+  }
+
   test("mixing: integer+fractional copies, absent stratum dropped, deterministic") {
     val df = (0L until 1000L).map(i => (i, if (i % 3 == 0) "keep2x" else if (i % 3 == 1) "half" else "drop"))
       .toDF("doc_id", "stratum")
