@@ -10,7 +10,8 @@ object PlanDump {
     "p26_chunks", "p29_ann_projected", "p33_bm25", "p34_mix_sample",
     "p37_pack_sequences", "p38_decontam", "p41_sessions",
     "p43_incremental_neardedup", "p44_corpus_report", "p45_hybrid_search",
-    "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta")
+    "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
+    "p52_semantic_dedup", "p54_source_cap")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -46,6 +47,13 @@ Audited shapes pinned here against regression:
   corpus; the mix explode carries no filter on the computed copy count
   (a pushed filter previously became a per-row interpreted BNLJ join
   condition embedding the whole domain-argmax expression).
+- p54 (source cap): three-branch union — the under-cap branch is
+  scan→broadcast-join→filter with NO Sort/Window node; the over-cap
+  branch windows only the checkpointed hash-prefilter survivors, with
+  the rank filter rewritten to WindowGroupLimit BEFORE the exchange
+  (partial top-cap map-side, the shuffle carries ≤cap rows per source);
+  the fallback branch's exchange carries zero rows in the common case —
+  its only standing cost is a filter-only probe pass.
 
 """)
     for (name <- Captured) {
