@@ -298,4 +298,43 @@ object H3Streaming {
           out.iterator
       }
   }
+
+  /** Streaming per-source quota cap — the ingest-time form of
+    * [[graft.pipeline.Mixing.sourceCap]]: admit a source's first `cap`
+    * rows (FIFO across micro-batches), drop the rest. All caller columns
+    * pass through untouched.
+    *
+    * Semantics vs the batch twin, stated honestly: the batch op RANKS by
+    * a deterministic hash and keeps the global top-cap — a re-ranking an
+    * unbounded stream cannot do without retaining every row. The
+    * streaming form shares the batch op's INVARIANT (per-source output
+    * cardinality = min(rows seen, cap), survivors unmodified) but selects
+    * by arrival order: within a micro-batch, admission follows the
+    * group-iterator order Spark hands the operator. State per source is
+    * ONE long (admitted count) — O(live sources), never O(rows) — so a
+    * 100 TB/day feed with millions of domains holds a few MB of state. */
+  def streamingSourceCap(stream: DataFrame, sourceCol: String, cap: Int): DataFrame = {
+    require(cap > 0, s"cap must be positive, got $cap")
+    val srcIdx = stream.schema.fieldIndex(sourceCol)
+    implicit val rowEnc: org.apache.spark.sql.Encoder[org.apache.spark.sql.Row] =
+      org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(stream.schema)
+    implicit val keyEnc = org.apache.spark.sql.Encoders.STRING
+    implicit val stateEnc = org.apache.spark.sql.Encoders.scalaLong
+    stream
+      .groupByKey((r: org.apache.spark.sql.Row) =>
+        java.util.Objects.toString(r.get(srcIdx), ""))
+      .flatMapGroupsWithState[Long, org.apache.spark.sql.Row](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.sql.Row]
+          while (rows.hasNext) {
+            val r = rows.next()
+            if (n < cap) { out += r; n += 1 }
+          }
+          state.update(n)
+          out.iterator
+      }
+      .toDF()
+  }
 }

@@ -168,6 +168,32 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming source cap admits first-cap per source across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String, String)]
+    val out = H3Streaming.streamingSourceCap(
+      input.toDF.toDF("doc_id", "src", "text"), "src", cap = 2)
+    val query = out.writeStream
+      .format("memory").queryName("srccap").outputMode("append").start()
+    try {
+      input.addData((1L, "a", "t1"), (2L, "a", "t2"), (3L, "a", "t3"), (4L, "b", "t4"))
+      query.processAllAvailable()
+      // batch 1: 'a' admits 2 of 3, 'b' admits 1
+      val b1 = spark.table("srccap").select($"doc_id").as[Long].collect().toSet
+      assert(b1.size == 3 && b1.contains(4L) && (b1 - 4L).subsetOf(Set(1L, 2L, 3L)))
+      // batch 2: 'a' is exhausted (state persisted), 'b' admits 1 more then drops
+      input.addData((5L, "a", "t5"), (6L, "b", "t6"), (7L, "b", "t7"), (8L, "c", "t8"))
+      query.processAllAvailable()
+      val all = spark.table("srccap")
+        .select($"doc_id", $"src", $"text").as[(Long, String, String)].collect()
+      assert(!all.map(_._1).contains(5L), "source 'a' must stay exhausted across batches")
+      assert(all.count(_._2 == "a") == 2 && all.count(_._2 == "b") == 2 &&
+        all.count(_._2 == "c") == 1)
+      // caller columns pass through untouched
+      all.foreach { case (id, _, t) => assert(t == s"t$id") }
+    } finally query.stop()
+  }
+
   test("deterministic mixing is stateless: runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
