@@ -76,13 +76,18 @@ object Mixing {
     *    to the unfiltered window. Both paths compute the identical
     *    top-cap-by-(hash, id) set, so the output is deterministic
     *    whichever path ran — and the oracle only ever sees the rank rule.
-    */
+    *
+    * NULL sources are grouped with the empty string (the streaming twin's
+    * convention); pass a pre-coalesced column to choose otherwise. */
   def sourceCap(df: DataFrame, id: Column, source: Column, cap: Int,
       salt: String = ""): DataFrame = {
     require(cap > 0, "cap must be positive")
     import org.apache.spark.sql.expressions.Window
     val cols = df.columns
-    val base = df.withColumn("__src", source)
+    // NULL sources group with empty string (matching the streaming twin's
+    // Objects.toString(null, "")): a bare `source` key would silently DROP
+    // null-source rows at the counts equi-join, since null never equals null
+    val base = df.withColumn("__src", coalesce(source.cast("string"), lit("")))
       .withColumn("__h", TextOps.md5Long(concat(id.cast("string"), lit(salt))))
       .withColumn("__id", id)
     val counts = base.groupBy(col("__src")).agg(count(lit(1)).as("__n"))

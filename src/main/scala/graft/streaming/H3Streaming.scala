@@ -312,7 +312,9 @@ object H3Streaming {
     * by arrival order: within a micro-batch, admission follows the
     * group-iterator order Spark hands the operator. State per source is
     * ONE long (admitted count) — O(live sources), never O(rows) — so a
-    * 100 TB/day feed with millions of domains holds a few MB of state. */
+    * 100 TB/day feed with millions of domains holds a few MB of state.
+    * NULL sources group with the empty string (the batch twin's
+    * convention). */
   def streamingSourceCap(stream: DataFrame, sourceCol: String, cap: Int): DataFrame = {
     require(cap > 0, s"cap must be positive, got $cap")
     val srcIdx = stream.schema.fieldIndex(sourceCol)

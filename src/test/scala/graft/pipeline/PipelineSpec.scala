@@ -795,6 +795,11 @@ class PipelineSpec extends AnyFunSuite {
       assert(outCounts.getOrElse(s, 0L) == math.min(n, cap.toLong), s"source $s") }
     // survivors carry their original columns untouched
     assert(out.columns.toSeq == Seq("doc_id", "src", "text"))
+    // NULL sources are not dropped: they group with the empty string
+    val withNull = docs.limit(20).select($"doc_id",
+      when($"doc_id" % 2 === 0, lit(null).cast("string")).otherwise(lit("")).as("src"))
+    val nOut = Mixing.sourceCap(withNull, $"doc_id", $"src", cap = 100).count()
+    assert(nOut == 20, s"null-source rows must survive under-cap, got $nOut")
   }
 
   test("mixing: integer+fractional copies, absent stratum dropped, deterministic") {
