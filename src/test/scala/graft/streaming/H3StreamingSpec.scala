@@ -194,6 +194,24 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("multimodal decode is stateless: real audio decode runs unchanged in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = graft.pipeline.Multimodal.withDecodedMeta(
+      input.toDF.toDF("doc_id", "wav"), "wav", "meta",
+      graft.pipeline.Multimodal.decodeAudio, graft.pipeline.Multimodal.AudioMetaSchema)
+    val query = out.select($"doc_id", $"meta.n_samples", $"meta.peak")
+      .writeStream.format("memory").queryName("streamwav").outputMode("append").start()
+    try {
+      input.addData((1L, graft.pipeline.Multimodal.syntheticWav(1L, 40)),
+        (2L, "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val got = spark.table("streamwav").collect().map(r => r.getLong(0) -> r).toMap
+      assert(got(1L).getLong(1) == 40L && !got(1L).isNullAt(2))
+      assert(got(2L).isNullAt(1), "undecodable stream payload -> NULL meta")
+    } finally query.stop()
+  }
+
   test("deterministic mixing is stateless: runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
