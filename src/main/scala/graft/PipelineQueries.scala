@@ -458,6 +458,22 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // hot-cluster-guarded SemDeDup: clusters above 100 vectors sub-bucket
+    // by the 3-bit hyperplane signature, so pairs generate within
+    // (cluster, bucket) — scaled copies always collide (sign invariance),
+    // small clusters are untouched
+    "p55_semantic_dedup_refined" -> ((s, dir) => {
+      val base = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("v"))
+      val corpus = base.unionAll(base.filter(col("vec_id") % 5 === 0)
+        .select((col("vec_id") + 1000000L).as("vec_id"),
+          transform(col("v"), x => x * 1.5).as("v")))
+      Dedup.semanticDedup(corpus, col("vec_id"), col("v"),
+          m = 8, iters = 2, threshold = 0.995,
+          dim = 64, refineBits = 3, refineMinSize = 100L)
+        .orderBy(col("vec_id"))
+    }),
+
     // per-source quota cap under skew: half the corpus is remapped to one
     // 'hot' source (capped via the hash-threshold prefilter path), the
     // rest stay in their small sources (pass through with no sort) — the
@@ -1059,6 +1075,44 @@ object PipelineQueries {
          |      (sqrt(${dotSql("a.v", "a.v", 64)}) * sqrt(${dotSql("b.v", "b.v", 64)})))
          |      * 10000.0 + 0.5) / 10000.0 >= 0.995)
          |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM asgn
+         |WHERE vec_id NOT IN (SELECT id_b FROM verified)
+         |ORDER BY vec_id""".stripMargin,
+
+    // p52's quantizer chain + a size-gated hyperplane sub-bucket: pairs
+    // join on (cid, bucket); the sign test replicates bit-for-bit (sigSql)
+    "p55_semantic_dedup_refined" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |corpus AS MATERIALIZED (
+         |  SELECT vec_id, v FROM base
+         |  UNION ALL
+         |  SELECT vec_id + 1000000 AS vec_id, list_transform(v, x -> x * 1.5) AS v
+         |  FROM base WHERE vec_id % 5 = 0),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         |${kmeansRoundSql(1, 64)},
+         |${kmeansRoundSql(2, 64)},
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id, v, cid FROM (
+         |    SELECT s.vec_id, s.v, t.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY (${dotSql("s.v", "t.c", 64)} /
+         |          (sqrt(${dotSql("s.v", "s.v", 64)}) * sqrt(${dotSql("t.c", "t.c", 64)}))) DESC,
+         |          t.cid) AS rnk
+         |    FROM corpus s CROSS JOIN cents2 t) WHERE rnk = 1),
+         |sizes AS (SELECT cid, count(*) AS cn FROM asgn GROUP BY cid),
+         |bkt AS MATERIALIZED (
+         |  SELECT a.vec_id, a.v, a.cid,
+         |    CASE WHEN s.cn > 100 THEN ${sigSql("a.v", 64, 3)} ELSE 0 END AS b
+         |  FROM asgn a JOIN sizes s ON s.cid = a.cid),
+         |verified AS (
+         |  SELECT b2.vec_id AS id_b
+         |  FROM bkt a JOIN bkt b2 ON a.cid = b2.cid AND a.b = b2.b
+         |    AND a.vec_id < b2.vec_id
+         |  WHERE floor((${dotSql("a.v", "b2.v", 64)} /
+         |      (sqrt(${dotSql("a.v", "a.v", 64)}) * sqrt(${dotSql("b2.v", "b2.v", 64)})))
+         |      * 10000.0 + 0.5) / 10000.0 >= 0.995)
+         |SELECT vec_id, CAST(cid AS BIGINT) AS centroid_id FROM bkt
          |WHERE vec_id NOT IN (SELECT id_b FROM verified)
          |ORDER BY vec_id""".stripMargin,
 

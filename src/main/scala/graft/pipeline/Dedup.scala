@@ -329,19 +329,46 @@ object Dedup {
     * deterministic, engine-exact, and keeps exactly one representative of
     * every mutually-similar clique. The slim pair projection is
     * checkpoint-barriered before the threshold filter so pushdown cannot
-    * inline the 64-dim cosine into both predicate and projection. */
+    * inline the 64-dim cosine into both predicate and projection.
+    *
+    * HOT-CLUSTER GUARD (`refineBits` > 0, requires `dim`): a cluster
+    * larger than `refineMinSize` is sub-bucketed by the deterministic
+    * `refineBits`-bit hyperplane signature ([[Similarity.hyperplaneBuckets]]'
+    * planes) and pairs are generated within (cluster, bucket) only —
+    * per-cluster pair cost drops ~2^refineBits-fold. The trade is the
+    * standard LSH one: recall inside a refined cluster is bounded by
+    * sign-bucket collisions (scaled duplicates ALWAYS collide — the sign
+    * pattern is invariant under positive scaling). Small clusters are
+    * untouched (bucket 0), so the guard costs nothing until a cluster is
+    * actually hot — the embedding-space analogue of the MinHash path's
+    * hot-bucket cap. */
   def semanticDedup(df: DataFrame, id: Column, vec: Column, m: Int,
-      iters: Int, threshold: Double): DataFrame = {
+      iters: Int, threshold: Double, dim: Int = 0, refineBits: Int = 0,
+      refineMinSize: Long = Long.MaxValue): DataFrame = {
+    require(refineBits == 0 || dim > 0, "refineBits needs the vector dim")
     val cents = Similarity.kMeansCentroids(df, id, vec, m, iters)
-    val assigned = Similarity.ivfAssign(
+    val assigned0 = Similarity.ivfAssign(
         df.select(id.as("vec_id"), vec.cast("array<double>").as("embedding")),
         col("vec_id"), col("embedding"), cents, nprobe = 1)
       .localCheckpoint(false)
-    val a = assigned.select(col("centroid_id"), col("vec_id").as("id_a"),
-      col("embedding").as("__va")).withColumn("__na", Similarity.l2Norm(col("__va")))
-    val b = assigned.select(col("centroid_id"), col("vec_id").as("id_b"),
-      col("embedding").as("__vb")).withColumn("__nb", Similarity.l2Norm(col("__vb")))
-    val verified = a.join(b, "centroid_id")
+    val assigned =
+      if (refineBits == 0) assigned0.withColumn("__bkt", lit(0L))
+      else {
+        val sizes = assigned0.groupBy(col("centroid_id"))
+          .agg(count(lit(1)).as("__cn"))
+        assigned0.join(broadcast(sizes), "centroid_id")
+          .withColumn("__bkt", when(col("__cn") > refineMinSize,
+            Similarity.hyperplaneSignature(col("embedding"), dim, refineBits))
+            .otherwise(lit(0L)))
+          .drop("__cn")
+      }
+    val a = assigned.select(col("centroid_id"), col("__bkt"),
+      col("vec_id").as("id_a"), col("embedding").as("__va"))
+      .withColumn("__na", Similarity.l2Norm(col("__va")))
+    val b = assigned.select(col("centroid_id"), col("__bkt"),
+      col("vec_id").as("id_b"), col("embedding").as("__vb"))
+      .withColumn("__nb", Similarity.l2Norm(col("__vb")))
+    val verified = a.join(b, Seq("centroid_id", "__bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_b"),
         quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))

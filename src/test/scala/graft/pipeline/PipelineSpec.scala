@@ -391,6 +391,29 @@ class PipelineSpec extends AnyFunSuite {
     } assert(q4cos(vecs(ia), vecs(ib)) < 0.995, s"surviving pair ($ia,$ib)")
   }
 
+  test("semanticDedup hot-cluster guard: planted copies still drop, survivors superset") {
+    val e = embs.filter($"vec_id" < 100)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val corpus = e.unionAll(e.filter($"vec_id" % 5 === 0)
+      .select($"vec_id" + 1000000, transform($"v", x => x * 1.5d)))
+    val planted = e.filter($"vec_id" % 5 === 0).select($"vec_id").as[Long].collect().toSet
+    val full = Dedup.semanticDedup(corpus, $"vec_id", $"v",
+      m = 4, iters = 1, threshold = 0.995)
+      .select($"vec_id").as[Long].collect().toSet
+    // refineMinSize=1 forces EVERY cluster through the sub-bucket path
+    val refined = Dedup.semanticDedup(corpus, $"vec_id", $"v",
+      m = 4, iters = 1, threshold = 0.995,
+      dim = 64, refineBits = 4, refineMinSize = 1L)
+      .select($"vec_id").as[Long].collect().toSet
+    // sign invariance under positive scaling: a scaled copy shares its
+    // original's bucket, so the guard never saves a planted duplicate
+    assert(planted.forall(a => !refined.contains(a + 1000000)))
+    assert(planted.forall(refined.contains))
+    // bucketing can only MISS pairs -> can only drop fewer -> superset
+    assert(full.subsetOf(refined),
+      s"refined survivors must be a superset; lost ${full -- refined}")
+  }
+
   test("multimodal stub: meta matches direct byte arithmetic") {
     val withPayload = docs.limit(10).select($"doc_id", $"text".cast("binary").as("payload"), $"text")
     val out = Multimodal.withDecodedMeta(withPayload, "payload")
