@@ -212,6 +212,41 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("in-stream curation chain: strip -> quality gate -> source cap in ONE query") {
+    // boilerplate strip (projection over a broadcast bloom), token-count
+    // quality gate (projection), and per-source quota (the single legal
+    // stateful op) compose into one streaming query — the ingest-time
+    // analogue of the batch curation pipeline (p42)
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "article\nsubscribe to our newsletter today"))
+      .toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String, String)]
+    val stripped = H3Streaming.streamingLineDedup(
+      input.toDF.toDF("doc_id", "src", "text"), "text",
+      ref, "text", minLineChars = 5, expectedRefLines = 100L, fpp = 0.001)
+    val gated = stripped.filter(graft.pipeline.TextOps.tokenCount($"text") >= 3)
+    val out = H3Streaming.streamingSourceCap(gated, "src", cap = 1)
+    val query = out.writeStream
+      .format("memory").queryName("streamcurate").outputMode("append").start()
+    try {
+      input.addData(
+        (1L, "a", "one fine paragraph right here\nsubscribe to our newsletter today"),
+        (2L, "a", "another good paragraph of source a"),
+        (3L, "b", "too short"),
+        (4L, "b", "a worthy paragraph from source b"))
+      query.processAllAvailable()
+      val got = spark.table("streamcurate")
+        .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+      // doc 1: boilerplate stripped, survives the gate, takes source a's quota
+      assert(got(1L) == "one fine paragraph right here")
+      // doc 2: gated fine but source a's cap is spent
+      assert(!got.contains(2L))
+      // doc 3: below the token gate — never reaches (or spends) b's quota
+      assert(!got.contains(3L))
+      assert(got(4L) == "a worthy paragraph from source b")
+    } finally query.stop()
+  }
+
   test("deterministic mixing is stateless: runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
