@@ -458,6 +458,25 @@ object PipelineQueries {
         .orderBy(col("vec_id"))
     }),
 
+    // REAL decode -> resize -> re-encode -> decode roundtrip: synthetic
+    // 8x6 BMPs nearest-neighbor-downsampled to 4x3 (floor mapping picks
+    // src pixel (2x, 2y)), re-encoded by ImageIO, decoded again for meta;
+    // the oracle computes the sampled-pixel arithmetic in closed form
+    "p56_image_resize" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val imgs = ids.mapPartitions(it =>
+          it.map(id => (id, Multimodal.syntheticBmp(id, 8, 6))))
+        .toDF("doc_id", "img")
+      val resized = Multimodal.withResized(imgs, "img", 4, 3, "thumb")
+      Multimodal.withDecodedMeta(resized.drop("img"), "thumb", "meta",
+          Multimodal.decodeImage)
+        .select(col("doc_id"), col("meta.width").as("width"),
+          col("meta.height").as("height"), col("meta.channels").as("channels"),
+          col("meta.brightness").as("brightness"))
+        .orderBy(col("doc_id"))
+    }),
+
     // hot-cluster-guarded SemDeDup: clusters above 100 vectors sub-bucket
     // by the 3-bit hyperplane signature, so pairs generate within
     // (cluster, bucket) — scaled copies always collide (sign invariance),
@@ -1027,6 +1046,19 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY src ORDER BY hv, doc_id) AS rn
          |  FROM h)
          |SELECT doc_id, src FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    // nearest-neighbor thumbnail meta in closed form: dst pixel (x, y) of
+    // the 8x6 -> 4x3 downsample selects src (2x, 2y), so its value is
+    // (id*31 + 2x*7 + 2y*13) % 256 in all 3 bands; 36 samples total
+    "p56_image_resize" ->
+      """WITH px AS (
+        |  SELECT d.doc_id,
+        |    (d.doc_id * 31 + (2 * x.x) * 7 + (2 * y.y) * 13) % 256 AS v
+        |  FROM documents d, generate_series(0, 3) AS x(x), generate_series(0, 2) AS y(y))
+        |SELECT doc_id, CAST(4 AS BIGINT) AS width, CAST(3 AS BIGINT) AS height,
+        |  CAST(3 AS BIGINT) AS channels,
+        |  floor(CAST(3 * sum(v) AS DOUBLE) / 36.0 * 100.0 + 0.5) / 100.0 AS brightness
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     // closed-form meta of the synthetic WAVs: sample i of doc d is
     // ((d*31 + i*17) % 2003) - 1001, n = 50 + d % 30 samples at 8 kHz

@@ -16,7 +16,11 @@ import org.apache.spark.sql.types._
  * REAL: [[decodeAudio]] parses WAV/AU/AIFF containers with
  * `javax.sound.sampled` (also JDK built-in) and extracts sample rate,
  * channel count, frame count, peak, and RMS loudness from the PCM payload.
- * Only *video* decode remains a clearly-marked deterministic stub
+ * IMAGE resize is REAL too: [[resizeImage]] runs decode → nearest-neighbor
+ * resample → BMP re-encode with an explicit floor mapping (no Graphics2D
+ * filter kernels), so byte-identical inputs produce byte-identical
+ * thumbnails — the dedup-stable property a content-addressed pipeline
+ * needs. Only *video* decode remains a clearly-marked deterministic stub
  * ([[decodeStub]]) — no video codec ships with the JDK. Everything around
  * all three is real and tested: schema convention, per-partition batch
  * iteration, null handling, and the declarative downstream plan;
@@ -166,6 +170,58 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  /** REAL image resize: decode via `javax.imageio`, NEAREST-NEIGHBOR
+    * resample with the explicit floor mapping
+    * `src_x = floor(x·srcW/outW)`, `src_y = floor(y·srcH/outH)` (own
+    * loop, not Graphics2D, so the pixel-selection convention is exact and
+    * oracle-replicable), re-encode as BMP with ImageIO's writer. Returns
+    * null for undecodable input. The downsample keeps per-band values
+    * bit-identical (selection, not interpolation) — the deterministic
+    * choice for dedup-stable thumbnailing at 100 TB, where a float
+    * filter kernel would make byte-identical inputs produce
+    * platform-dependent outputs. */
+  def resizeImage(bytes: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    require(outW > 0 && outH > 0, "resize dims must be positive")
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val (srcW, srcH) = (img.getWidth, img.getHeight)
+    val dst = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < outH) {
+      val sy = (y.toLong * srcH / outH).toInt
+      var x = 0
+      while (x < outW) {
+        val sx = (x.toLong * srcW / outW).toInt
+        dst.setRGB(x, y, img.getRGB(sx, sy))
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(dst, "bmp", out)
+    out.toByteArray
+  }
+
+  /** Append a resized copy of `binaryCol` (nearest-neighbor, re-encoded
+    * BMP bytes) as `outCol`. Per-partition projection — payloads never
+    * shuffle; NULL/undecodable payloads yield NULL output. */
+  def withResized(df: DataFrame, binaryCol: String, outW: Int, outH: Int,
+      outCol: String = "resized"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, BinaryType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val out = if (r.isNullAt(binIdx)) null
+          else resizeImage(r.getAs[Array[Byte]](binIdx), outW, outH)
+        Row.fromSeq(r.toSeq :+ out)
+      }
+    }
   }
 
   /** Deterministic 24-bit gray BMP test payload: pixel (x, y) has value

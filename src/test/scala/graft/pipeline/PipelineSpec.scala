@@ -296,6 +296,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(metas(0).isNullAt(0) && !metas(1).isNullAt(0))
   }
 
+  test("resizeImage: nearest-neighbor selection is exact; upscale repeats; garbage -> null") {
+    // 4x2 source with distinct per-pixel values
+    val img = new java.awt.image.BufferedImage(4, 2, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (x <- 0 until 4; y <- 0 until 2) {
+      val v = 10 * (y * 4 + x)
+      img.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val src = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", src)
+    // downsample 4x2 -> 2x1: dst (x, 0) selects src (2x, 0)
+    val down = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(src.toByteArray, 2, 1)))
+    assert(down.getWidth == 2 && down.getHeight == 1)
+    assert((down.getRGB(0, 0) & 0xFF) == 0 && (down.getRGB(1, 0) & 0xFF) == 20)
+    // upscale 4x2 -> 8x2: dst (x, y) selects src (x/2, y) — pixels repeat
+    val up = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(Multimodal.resizeImage(src.toByteArray, 8, 2)))
+    assert(up.getWidth == 8 && up.getHeight == 2)
+    for (x <- 0 until 8)
+      assert((up.getRGB(x, 0) & 0xFF) == 10 * (x / 2), s"x=$x")
+    // undecodable payload -> null through the frame op
+    val df = Seq((1L, "not an image".getBytes("UTF-8")), (2L, src.toByteArray))
+      .toDF("id", "img")
+    val out = Multimodal.withResized(df, "img", 2, 1, "thumb")
+      .orderBy($"id").select($"thumb").collect()
+    assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
