@@ -477,6 +477,25 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video container decode + frame sampling: deterministic
+    // uncompressed AVIs built per doc_id (real RIFF bytes — hand-rolled
+    // avih/strh/strf headers + raw 24-bit DIB frames with 0xFF row
+    // padding), parsed back by the pure-JVM RIFF walk; one row per
+    // sampled (every 2nd) frame with the frame's exact sample sum; the
+    // oracle computes the closed-form per-pixel arithmetic, which only
+    // matches if the parser walks real chunk boundaries and skips the
+    // DIB row padding
+    "p57_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val avis = ids.mapPartitions(it =>
+          it.map(id => (id, Multimodal.syntheticAvi(id, 7, 5, (2 + id % 3).toInt))))
+        .toDF("doc_id", "avi")
+      Multimodal.sampleVideoFrames(avis, "doc_id", "avi", every = 2)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // hot-cluster-guarded SemDeDup: clusters above 100 vectors sub-bucket
     // by the 3-bit hyperplane signature, so pairs generate within
     // (cluster, bucket) — scaled copies always collide (sign invariance),
@@ -1059,6 +1078,25 @@ object PipelineQueries {
         |  CAST(3 AS BIGINT) AS channels,
         |  floor(CAST(3 * sum(v) AS DOUBLE) / 36.0 * 100.0 + 0.5) / 100.0 AS brightness
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // closed-form frame sums of the synthetic AVIs: frame f's pixel
+    // (x, y) is (id*31 + f*19 + x*7 + y*13) % 256 in all 3 bands of a
+    // 7x5 frame; doc d has 2 + d%3 frames, sampled every 2nd — padding
+    // bytes (0xFF) are NOT in the sum, so a padding-naive parse mismatches
+    "p57_video_frames" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, fr.f AS frame_idx, 2 + d.doc_id % 3 AS nf
+        |  FROM documents d, generate_series(0, 3) AS fr(f)
+        |  WHERE fr.f <= 1 + d.doc_id % 3 AND fr.f % 2 = 0),
+        |s AS (
+        |  SELECT f.doc_id, f.nf, f.frame_idx,
+        |    sum(3 * ((f.doc_id * 31 + f.frame_idx * 19 + x.x * 7 + y.y * 13) % 256)) AS fs
+        |  FROM f, generate_series(0, 6) AS x(x), generate_series(0, 4) AS y(y)
+        |  GROUP BY 1, 2, 3)
+        |SELECT doc_id, CAST(7 AS BIGINT) AS width, CAST(5 AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST(fs AS BIGINT) AS frame_sum
+        |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
 
     // closed-form meta of the synthetic WAVs: sample i of doc d is
     // ((d*31 + i*17) % 2003) - 1001, n = 50 + d % 30 samples at 8 kHz

@@ -20,12 +20,18 @@ import org.apache.spark.sql.types._
  * resample → BMP re-encode with an explicit floor mapping (no Graphics2D
  * filter kernels), so byte-identical inputs produce byte-identical
  * thumbnails — the dedup-stable property a content-addressed pipeline
- * needs. Only *video* decode remains a clearly-marked deterministic stub
- * ([[decodeStub]]) — no video codec ships with the JDK. Everything around
- * all three is real and tested: schema convention, per-partition batch
- * iteration, null handling, and the declarative downstream plan;
- * [[withDecodedMeta]] takes the decoder and meta schema as parameters, so
- * swapping in a real video codec changes no plumbing.
+ * needs. VIDEO decode is REAL at the container level: [[decodeVideo]] /
+ * [[sampleVideoFrames]] hand-parse the RIFF/AVI container (LIST
+ * recursion, BITMAPINFOHEADER validation, per-frame bounds checks) and
+ * read uncompressed 24-bit DIB frame payloads — the one video format
+ * decodable with zero non-JDK dependencies. Compressed codecs (H.264
+ * etc.) stay out of scope in this container; [[decodeStub]] remains only
+ * as the documented stand-in for them and as the generic-plumbing test
+ * decoder. Everything around all four paths is real and tested: schema
+ * convention, per-partition batch iteration, null handling, and the
+ * declarative downstream plan; [[withDecodedMeta]] takes the decoder and
+ * meta schema as parameters, so swapping in an external codec changes no
+ * plumbing.
  *
  * Scale notes: `mapPartitions` keeps decode zero-shuffle (one pass over the
  * scan); binary payloads never enter a shuffle here — only extracted
@@ -222,6 +228,225 @@ object Multimodal {
         Row.fromSeq(r.toSeq :+ out)
       }
     }
+  }
+
+  // ------------------------------------------------------------------
+  // VIDEO: RIFF/AVI container with uncompressed 24-bit DIB frames.
+  // No video *codec* ships with the JDK, but the AVI *container* with
+  // raw 'DIB ' frames (fourcc 00db, BI_RGB bottom-up rows, 4-byte row
+  // padding) is a plain RIFF structure — fully parseable in pure JVM
+  // code. That makes the video path as real as image/audio: a genuine
+  // byte-level container walk (LIST recursion, even-size chunk padding,
+  // BITMAPINFOHEADER validation, per-frame bounds checks), not
+  // length-arithmetic. Compressed streams (biCompression != 0) and
+  // non-24-bit frames return NULL meta, same degrade-to-null contract
+  // as the image/audio decoders.
+  // ------------------------------------------------------------------
+
+  private def le16(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte)
+  private def le32(v: Int): Array[Byte] =
+    Array((v & 0xFF).toByte, ((v >> 8) & 0xFF).toByte,
+      ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
+  private def cc4(s: String): Array[Byte] = {
+    require(s.length == 4); s.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+  }
+  private def aviChunk(fcc: String, data: Array[Byte]): Array[Byte] =
+    cc4(fcc) ++ le32(data.length) ++ data ++
+      (if ((data.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+  private def aviList(listType: String, children: Array[Byte]): Array[Byte] =
+    cc4("LIST") ++ le32(children.length + 4) ++ cc4(listType) ++ children
+
+  private def rdLe16(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8)
+  private def rdLe32(b: Array[Byte], o: Int): Int =
+    (b(o) & 0xFF) | ((b(o + 1) & 0xFF) << 8) |
+      ((b(o + 2) & 0xFF) << 16) | ((b(o + 3) & 0xFF) << 24)
+  private def isCc(b: Array[Byte], o: Int, s: String): Boolean =
+    b(o) == s.charAt(0) && b(o + 1) == s.charAt(1) &&
+      b(o + 2) == s.charAt(2) && b(o + 3) == s.charAt(3)
+
+  /** Parsed AVI shape: frame offsets point at the first payload byte of
+    * each `NNdb`/`NNdc` chunk; every frame is pre-validated to hold at
+    * least `stride(width) * height` bytes. */
+  private[pipeline] final case class AviInfo(
+      width: Int, height: Int, frameOffsets: Array[Int])
+
+  private def dibStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
+
+  /** Real RIFF walk: verifies the RIFF/'AVI ' magic, recurses into LIST
+    * chunks (hdrl → strl → strf for the BITMAPINFOHEADER; movi — and
+    * nested 'rec ' groups — for `NNdb`/`NNdc` frame chunks), honours the
+    * even-size chunk padding rule, and bounds-checks every read against
+    * the declared RIFF size. Returns null for anything that is not a
+    * well-formed uncompressed 24-bit AVI (wrong magic, truncated chunk,
+    * compressed or non-24-bit stream, undersized frame payload). */
+  private[pipeline] def parseAvi(b: Array[Byte]): AviInfo = {
+    try {
+      if (b.length < 12 || !isCc(b, 0, "RIFF") || !isCc(b, 8, "AVI ")) return null
+      val declared = 8L + (rdLe32(b, 4) & 0xFFFFFFFFL)
+      if (declared > b.length) return null
+      val end = declared.toInt
+      var width = 0; var height = 0; var bitCount = 0; var compression = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+      var minFrameSize = Int.MaxValue
+      def walk(from: Int, to: Int): Unit = {
+        var off = from
+        while (off < to) {
+          if (off + 8 > to) throw new java.io.EOFException("truncated chunk header")
+          val size = rdLe32(b, off + 4)
+          if (size < 0 || off + 8 + size > to)
+            throw new java.io.EOFException("chunk overruns container")
+          if (isCc(b, off, "LIST")) {
+            if (size < 4) throw new java.io.EOFException("short LIST")
+            walk(off + 12, off + 8 + size)
+          } else if (isCc(b, off, "strf")) {
+            // first video BITMAPINFOHEADER wins (single-stream files)
+            if (bitCount == 0) {
+              if (size < 40) throw new java.io.EOFException("short strf")
+              width = rdLe32(b, off + 12)
+              height = math.abs(rdLe32(b, off + 16))
+              bitCount = rdLe16(b, off + 22)
+              compression = rdLe32(b, off + 24)
+            }
+          } else if (b(off) >= '0' && b(off) <= '9' &&
+              b(off + 1) >= '0' && b(off + 1) <= '9' &&
+              b(off + 2) == 'd' && (b(off + 3) == 'b' || b(off + 3) == 'c')) {
+            frames += off + 8
+            if (size < minFrameSize) minFrameSize = size
+          }
+          off += 8 + size + (size & 1)
+        }
+      }
+      walk(12, end)
+      if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0) return null
+      if (frames.nonEmpty && minFrameSize < dibStride(width) * height) return null
+      AviInfo(width, height, frames.toArray)
+    } catch { case scala.util.control.NonFatal(_) => null }
+  }
+
+  /** Unsigned sample sum of one DIB frame, skipping the per-row padding
+    * bytes (stride − 3·width of them per row — a parser that naively sums
+    * the whole payload gets them wrong; [[syntheticAvi]] deliberately
+    * writes 0xFF padding so a spec catches that). */
+  private def frameSampleSum(b: Array[Byte], off: Int, w: Int, h: Int): Long = {
+    val stride = dibStride(w)
+    var sum = 0L
+    var r = 0
+    while (r < h) {
+      val row = off + r * stride
+      var i = 0
+      while (i < w * 3) { sum += b(row + i) & 0xFF; i += 1 }
+      r += 1
+    }
+    sum
+  }
+
+  /** REAL video decode: parses the RIFF/AVI container ([[parseAvi]]) and
+    * extracts [[MetaSchema]] meta from the actual frame payloads:
+    *   width/height = BITMAPINFOHEADER dimensions
+    *   channels     = 3 (24-bit BGR)
+    *   brightness   = mean of ALL samples of ALL frames (padding bytes
+    *                  excluded), quantized floor(x*100+0.5)/100 — the
+    *                  same 2-decimal convention as [[decodeImage]]
+    *   n_frames     = number of frame chunks actually present in `movi`
+    *                  (counted, not trusted from the avih header)
+    * Undecodable bytes return null (→ NULL meta). */
+  def decodeVideo(bytes: Array[Byte]): Row = {
+    val info = parseAvi(bytes)
+    if (info == null) return null
+    var sum = 0L
+    var f = 0
+    while (f < info.frameOffsets.length) {
+      sum += frameSampleSum(bytes, info.frameOffsets(f), info.width, info.height)
+      f += 1
+    }
+    val n = info.width.toLong * info.height * 3 * info.frameOffsets.length
+    val brightness =
+      if (n == 0) 0.0 else math.floor(sum.toDouble / n * 100.0 + 0.5) / 100.0
+    Row(info.width.toLong, info.height.toLong, 3L, brightness,
+      info.frameOffsets.length.toLong)
+  }
+
+  /** REAL frame sampling on container frame boundaries: one output row
+    * per every-`every`-th frame chunk of each AVI payload, carrying the
+    * stream dimensions and the frame's unsigned sample sum (the cheap
+    * per-frame fingerprint a sampling pipeline keys on). Runs as a
+    * per-partition flatMap — payload bytes never shuffle, only the fixed-
+    * width frame rows do; undecodable payloads yield no rows. */
+  def sampleVideoFrames(df: DataFrame, idCol: String, binaryCol: String,
+      every: Int = 1): DataFrame = {
+    require(every > 0, "every must be positive")
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("width", LongType, nullable = false),
+      StructField("height", LongType, nullable = false),
+      StructField("n_frames", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("frame_sum", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(binIdx)) Iterator.empty
+        else {
+          val bytes = r.getAs[Array[Byte]](binIdx)
+          val info = parseAvi(bytes)
+          if (info == null) Iterator.empty
+          else {
+            val id = r.getLong(idIdx)
+            val nf = info.frameOffsets.length.toLong
+            Iterator.range(0, info.frameOffsets.length, every).map { f =>
+              Row(id, info.width.toLong, info.height.toLong, nf, f.toLong,
+                frameSampleSum(bytes, info.frameOffsets(f), info.width, info.height))
+            }
+          }
+        }
+      }
+    }
+  }
+
+  /** Deterministic uncompressed AVI test payload: frame f's pixel (x, y)
+    * has value `(id*31 + f*19 + x*7 + y*13) mod 256` in all three bands.
+    * Real container bytes — RIFF framing, avih/strh/strf headers, bottom-
+    * up DIB rows with 4-byte row padding (padding bytes set to 0xFF so a
+    * parser that fails to skip them is caught by the closed-form oracle). */
+  def syntheticAvi(id: Long, w: Int, h: Int, nFrames: Int): Array[Byte] = {
+    val stride = dibStride(w)
+    val frameSize = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val d = Array.fill[Byte](frameSize)(0xFF.toByte)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r // bottom-up DIB row order
+        var x = 0
+        while (x < w) {
+          val v = ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toByte
+          val o = r * stride + x * 3
+          d(o) = v; d(o + 1) = v; d(o + 2) = v
+          x += 1
+        }
+        r += 1
+      }
+      d
+    }
+    val avih = le32(40000) ++ le32(frameSize * 25) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(frameSize) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc4("vids") ++ cc4("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(frameSize) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(frameSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = aviList("hdrl", aviChunk("avih", avih) ++
+      aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
+    val movi = aviList("movi",
+      (0 until nFrames).map(f => aviChunk("00db", frame(f)))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    cc4("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ cc4("AVI ") ++
+      hdrl ++ movi
   }
 
   /** Deterministic 24-bit gray BMP test payload: pixel (x, y) has value

@@ -324,6 +324,65 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(0).isNullAt(0) && !out(1).isNullAt(0))
   }
 
+  test("decodeVideo: real AVI container parse matches closed-form pixels; corrupt -> null") {
+    val id = 42L; val (w, h, nf) = (7, 5, 3)
+    val avi = Multimodal.syntheticAvi(id, w, h, nf)
+    val meta = Multimodal.decodeVideo(avi)
+    assert(meta != null)
+    assert(meta.getLong(0) == w && meta.getLong(1) == h && meta.getLong(2) == 3L)
+    assert(meta.getLong(4) == nf)
+    // closed-form brightness: mean over all frames/pixels/bands
+    var sum = 0L
+    for (f <- 0 until nf; x <- 0 until w; y <- 0 until h)
+      sum += 3 * ((id * 31 + f * 19 + x * 7 + y * 13) % 256)
+    val n = w.toLong * h * 3 * nf
+    assert(meta.getDouble(3) == math.floor(sum.toDouble / n * 100.0 + 0.5) / 100.0)
+    // padding skip is load-bearing: width 7 rows carry 3 bytes of 0xFF
+    // padding each; a padding-naive sum would be higher — recompute it
+    // and prove it differs from the decoded brightness
+    val stride = 24 // ((7*3+3)/4)*4
+    val naive = sum + nf.toLong * h * (stride - w * 3) * 0xFF
+    assert(math.floor(naive.toDouble / n * 100.0 + 0.5) / 100.0 != meta.getDouble(3))
+    // corrupt inputs: wrong magic, truncated mid-chunk, compressed stream
+    assert(Multimodal.decodeVideo("not a video".getBytes("UTF-8")) == null)
+    assert(Multimodal.decodeVideo(avi.take(avi.length - 7)) == null)
+    val compressed = avi.clone() // flip biCompression (strf + 16) to 1
+    val strfOff = {
+      def find(p: String): Int = {
+        val pat = p.getBytes("US-ASCII")
+        (0 to compressed.length - 4).find(i => pat.indices.forall(j => compressed(i + j) == pat(j))).get
+      }
+      find("strf")
+    }
+    compressed(strfOff + 8 + 16) = 1
+    assert(Multimodal.decodeVideo(compressed) == null)
+  }
+
+  test("sampleVideoFrames: every-kth frame on real chunk boundaries, exact sums") {
+    val df = Seq(
+      (1L, Multimodal.syntheticAvi(1L, 7, 5, 4)),
+      (2L, Multimodal.syntheticAvi(2L, 7, 5, 2)),
+      (3L, "garbage".getBytes("UTF-8")),
+      (4L, null.asInstanceOf[Array[Byte]])).toDF("vid", "payload")
+    val out = Multimodal.sampleVideoFrames(df, "vid", "payload", every = 2)
+      .orderBy($"id", $"frame_idx").collect()
+    // vid 1 (4 frames) samples frames 0, 2; vid 2 (2 frames) samples 0;
+    // garbage and NULL payloads contribute no rows
+    assert(out.map(r => (r.getLong(0), r.getLong(4))).toSeq ==
+      Seq((1L, 0L), (1L, 2L), (2L, 0L)))
+    def expect(id: Long, f: Long): Long = {
+      var s = 0L
+      for (x <- 0 until 7; y <- 0 until 5)
+        s += 3 * ((id * 31 + f * 19 + x * 7 + y * 13) % 256)
+      s
+    }
+    out.foreach { r =>
+      assert(r.getLong(1) == 7L && r.getLong(2) == 5L)
+      assert(r.getLong(5) == expect(r.getLong(0), r.getLong(4)),
+        s"frame sum mismatch at ${(r.getLong(0), r.getLong(4))}")
+    }
+  }
+
   test("brute-force ANN: self is rank 1 with sim 1.0") {
     val out = Similarity.cosineTopK(embs, $"vec_id", $"embedding",
       embs.filter($"vec_id" < 5), $"vec_id", $"embedding", k = 3)
