@@ -212,6 +212,31 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("multimodal decode is stateless: real AVI frame sampling runs unchanged in a stream") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Array[Byte])]
+    val out = graft.pipeline.Multimodal.sampleVideoFrames(
+      input.toDF.toDF("vid", "avi"), "vid", "avi", every = 2)
+    val query = out.writeStream
+      .format("memory").queryName("streamavi").outputMode("append").start()
+    try {
+      input.addData((1L, graft.pipeline.Multimodal.syntheticAvi(1L, 7, 5, 4)),
+        (2L, "junk".getBytes("UTF-8")))
+      query.processAllAvailable()
+      val got = spark.table("streamavi").collect()
+        .map(r => (r.getLong(0), r.getLong(4), r.getLong(5)))
+      // vid 1 samples frames 0 and 2; undecodable payload yields no rows
+      assert(got.map(t => (t._1, t._2)).sorted.toSeq == Seq((1L, 0L), (1L, 2L)))
+      def expect(f: Long): Long = {
+        var s = 0L
+        for (x <- 0 until 7; y <- 0 until 5)
+          s += 3 * ((31 + f * 19 + x * 7 + y * 13) % 256)
+        s
+      }
+      got.foreach { case (_, f, sum) => assert(sum == expect(f)) }
+    } finally query.stop()
+  }
+
   test("in-stream curation chain: strip -> quality gate -> source cap in ONE query") {
     // boilerplate strip (projection over a broadcast bloom), token-count
     // quality gate (projection), and per-source quota (the single legal
