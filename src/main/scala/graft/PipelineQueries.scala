@@ -36,6 +36,10 @@ object PipelineQueries {
   private def oH(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
   private val oToks = "string_split(lower(trim(text)), ' ')"
 
+  /** 13-token boilerplate injected by p58 (leading space: appended to text). */
+  private val SubstrBoiler =
+    " subscribe now for unlimited access to premium content from our partner network today"
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "p01_dedup_exact" -> ((s, dir) => {
       // exact byte-identical copies under fresh ids: dedup must remove all
@@ -520,6 +524,29 @@ object PipelineQueries {
       val d = docs(s, dir).select(col("doc_id"),
         when(col("doc_id") % 10 < 5, lit("hot")).otherwise(col("source")).as("src"))
       Mixing.sourceCap(d, col("doc_id"), col("src"), cap = 40, salt = "cap")
+        .orderBy(col("doc_id"))
+    }),
+
+    // EXACTSUBSTR dedup (Lee et al. 2021): a shared 13-token boilerplate
+    // injected into every 3rd doc makes all of its interior 10-grams
+    // corpus-duplicated, so every injected doc except the globally-first
+    // occurrence loses exactly the boilerplate span — plus any natural
+    // 10-gram repeats already in the corpus
+    "p58_substring_dedup" -> ((s, dir) => {
+      val inj = docs(s, dir).select(col("doc_id"),
+        concat(col("text"), when(col("doc_id") % 3 === 0, lit(SubstrBoiler))
+          .otherwise(lit(""))).as("text"))
+      Dedup.substringDedup(inj, col("doc_id"), col("text"), n = 10)
+        .orderBy(col("doc_id"))
+    }),
+
+    // DSIR importance resampling: target distribution = every 7th doc
+    // (the p38 eval-set convention); rank the whole corpus by the
+    // target-vs-corpus unigram log-ratio and keep the top 100
+    "p59_importance_resample" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.importanceResample(d, col("doc_id"), col("text"),
+          d.filter(col("doc_id") % 7 === 3), col("text"), k = 100)
         .orderBy(col("doc_id"))
     }),
 
@@ -1065,6 +1092,58 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY src ORDER BY hv, doc_id) AS rn
          |  FROM h)
          |SELECT doc_id, src FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    // EXACTSUBSTR in closed relational form: duplicated 10-grams keep only
+    // the min (doc_id, pos) occurrence; every token covered by any other
+    // occurrence is cut; grams compare by string here (Spark shuffles the
+    // 60-bit md5 of the same string — identical grouping, p38 precedent)
+    "p58_substring_dedup" ->
+      s"""WITH inj AS (SELECT doc_id, text
+         |    || (CASE WHEN doc_id % 3 = 0 THEN '$SubstrBoiler' ELSE '' END) AS text
+         |  FROM documents),
+         |t AS (SELECT doc_id, ${oToks} AS ts FROM inj),
+         |g AS (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ts[i:i+9], ' ') AS gram
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 9)) AS i FROM t)),
+         |d AS (SELECT gram, min(ROW(doc_id, pos)) AS fst, count(*) AS c
+         |  FROM g GROUP BY gram),
+         |m AS (SELECT g.doc_id, g.pos FROM g JOIN d USING (gram)
+         |  WHERE d.c > 1 AND ROW(g.doc_id, g.pos) <> d.fst),
+         |cov AS (SELECT DISTINCT m.doc_id, m.pos + s.k AS cp
+         |  FROM m, generate_series(0, 9) AS s(k)),
+         |tp AS (SELECT doc_id, CAST(i AS BIGINT) AS tpos, ts[i] AS tok
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM t)),
+         |j AS (SELECT tp.doc_id, tp.tpos, tp.tok, (cov.cp IS NOT NULL) AS rm
+         |  FROM tp LEFT JOIN cov ON cov.doc_id = tp.doc_id AND cov.cp = tp.tpos)
+         |SELECT doc_id,
+         |  coalesce(string_agg(tok, ' ' ORDER BY tpos) FILTER (NOT rm), '') AS text,
+         |  CAST(count(*) AS BIGINT) AS n_tokens,
+         |  CAST(count(*) FILTER (rm) AS BIGINT) AS n_removed
+         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // the same add-one e4-quantized LM arithmetic as p46, applied twice
+    // (target = every 7th doc), differenced on the integer lattice; the
+    // top-100 rank is (score DESC, doc_id) — fully deterministic
+    "p59_importance_resample" ->
+      s"""WITH tk AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
+         |tkc AS (SELECT doc_id, t FROM tk WHERE t != ''),
+         |vc AS (SELECT t, count(*)::BIGINT AS c FROM tkc GROUP BY t),
+         |totc AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nv FROM vc),
+         |vt AS (SELECT t, count(*)::BIGINT AS c FROM tkc WHERE doc_id % 7 = 3 GROUP BY t),
+         |tott AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nv FROM vt),
+         |lr AS (SELECT vc.t,
+         |    CAST(floor(ln((coalesce(vt.c, 0) + 1)::DOUBLE / (tott.ntok + tott.nv)::DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln((vc.c + 1)::DOUBLE / (totc.ntok + totc.nv)::DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS lr_e4
+         |  FROM vc LEFT JOIN vt ON vc.t = vt.t, totc, tott),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    floor(CAST(sum(lr_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS dsir_score
+         |  FROM tkc JOIN lr ON tkc.t = lr.t GROUP BY doc_id),
+         |sel AS (SELECT doc_id FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100)
+         |SELECT sc.doc_id, n_tokens, dsir_score, (sel.doc_id IS NOT NULL) AS selected
+         |FROM sc LEFT JOIN sel ON sel.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
 
     // nearest-neighbor thumbnail meta in closed form: dst pixel (x, y) of
     // the 8x6 -> 4x3 downsample selects src (2x, 2y), so its value is

@@ -645,6 +645,53 @@ object Dedup {
       .drop("__cid", "__hit")
   }
 
+  /** Exact duplicated-substring removal (the EXACTSUBSTR pass of Lee et
+    * al. 2021, arXiv:2107.06499 §4.1): any token `n`-gram occurring more
+    * than once ACROSS the corpus marks all of its occurrences except the
+    * globally-first one (minimal `(id, pos)`); every token covered by a
+    * marked occurrence is removed and the survivors re-join with single
+    * spaces. The paper builds a corpus suffix array — a single-machine
+    * artifact; the Spark-shaped equivalent is a corpus-wide gram-key
+    * shuffle, the same reformulation `decontaminate` uses for its
+    * eval-gram membership test.
+    *
+    * Scale shape: grams shuffle as 60-bit md5 longs (8-byte keys, never
+    * the n-token strings); grams occurring once — the overwhelming
+    * majority of any real corpus — drop at the aggregate, so the
+    * occurrence-marking join's build side is only the duplicated-gram
+    * frame; covered positions collapse to one set per affected doc; the
+    * final reassembly is a per-row projection (array filter by position).
+    * Two gram-keyed exchanges plus one id-keyed left join — nothing
+    * quadratic, no windows over raw documents.
+    *
+    * Output: `doc_id`, deduplicated `text`, original `n_tokens`, and
+    * `n_removed` (count of tokens cut). */
+  def substringDedup(df: DataFrame, id: Column, text: Column, n: Int = 10): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val base = df.select(id.as("__id"), TextOps.tokens(text).as("__ts"))
+    val occ = base
+      .select(col("__id"), posexplode(TextOps.wordNgramsOfTokens(col("__ts"), n)))
+      .select(col("__id"), (col("pos") + 1).as("__pos"),
+        TextOps.md5Long(col("col")).as("__gh"))
+    val dupGrams = occ.groupBy(col("__gh"))
+      .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
+        count(lit(1)).as("__c"))
+      .filter(col("__c") > 1)
+      .select(col("__gh"), col("__first"))
+    val covered = occ.join(dupGrams, Seq("__gh"))
+      .filter(struct(col("__id"), col("__pos")) =!= col("__first"))
+      .select(col("__id"),
+        explode(sequence(col("__pos"), col("__pos") + lit(n - 1))).as("__cp"))
+      .groupBy(col("__id"))
+      .agg(collect_set(col("__cp")).as("__cov"))
+    base.join(covered, Seq("__id"), "left")
+      .select(col("__id").as("doc_id"),
+        concat_ws(" ", filter(col("__ts"), (t, i) =>
+          !coalesce(array_contains(col("__cov"), i + lit(1)), lit(false)))).as("text"),
+        size(col("__ts")).cast("long").as("n_tokens"),
+        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
+  }
+
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
       maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): DataFrame = {
     val nBands = maxHamming + 1

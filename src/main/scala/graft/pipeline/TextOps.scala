@@ -67,9 +67,15 @@ object TextOps {
   /** Word n-grams joined with single spaces; fewer than n tokens yields an
     * empty array. */
   def wordNgrams(text: Column, n: Int): Column =
-    bind(tokens(text)) { ts =>
-      transform(indices1To(size(ts) - (n - 1)),
-        i => concat_ws(" ", (0 until n).map(j => element_at(ts, i + lit(j))): _*))
+    wordNgramsOfTokens(tokens(text), n)
+
+  /** Word n-grams over an already-tokenized array — element `i` (0-based)
+    * is the gram starting at token `i + 1`, so callers that need gram
+    * POSITIONS (substring dedup) can posexplode this. */
+  def wordNgramsOfTokens(ts: Column, n: Int): Column =
+    bind(ts) { t =>
+      transform(indices1To(size(t) - (n - 1)),
+        i => concat_ws(" ", (0 until n).map(j => element_at(t, i + lit(j))): _*))
     }
 
   val EnStopwords: Seq[String] =
@@ -421,6 +427,70 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"),
         (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
           .cast("double") / 10000.0).as("avg_logprob"))
+  }
+
+  /** DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling", arXiv:2302.03169): score
+    * each raw-corpus document by the average target-vs-corpus unigram
+    * log-likelihood ratio — the paper's hashed-feature bag-of-words
+    * importance estimator with unigram features. Both LMs use the same
+    * add-one smoothing and e4 floor-quantization as
+    * [[unigramLogProbScore]]; tokens unseen in the target LM score
+    * `log(1/denom_target)` (count 0), so the per-token ratio
+    * `lp_target_e4 - lp_corpus_e4` is an exact integer lattice and the
+    * per-doc average is order-independent.
+    *
+    * Scale shape: the target set is small by construction (it defines the
+    * distribution to match, e.g. a quality reference corpus), so its
+    * vocabulary aggregates cheaply; the raw corpus pays one token explode
+    * → (token) count aggregate → token-keyed join back — the same two
+    * high-cardinality shuffles as [[unigramLogProbScore]], skew handled
+    * by AQE (spec-pinned there). Nothing shuffles document text.
+    *
+    * Output: `doc_id`, `n_tokens`, `dsir_score` (avg log-ratio, e4). */
+  def importanceWeights(corpus: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
+    val toks = corpus.select(id.as("__id"), explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+    val vocabC = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val vocabT = target.select(explode(tokens(targetText)).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    // both denominators are two longs — driver-held by the same
+    // bounded-frame contract as unigramLogProbScore's
+    val cRow = vocabC.agg(sum(col("__c")), count(lit(1))).head()
+    val denomC = (cRow.getLong(0) + cRow.getLong(1)).toDouble
+    val tRow = vocabT.agg(sum(col("__c")), count(lit(1))).head()
+    val denomT = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    def lpE4(c: Column, denom: Double): Column =
+      floor(log((c + 1).cast("double") / denom) * 10000.0 + 0.5).cast("long")
+    val scored = vocabC.select(col("__t").as("__tok"), lpE4(col("__c"), denomC).as("__lpc_e4"))
+      .join(vocabT.select(col("__t").as("__tok"), col("__c").as("__ct")), Seq("__tok"), "left")
+      .select(col("__tok"),
+        (lpE4(coalesce(col("__ct"), lit(0L)), denomT) - col("__lpc_e4")).as("__lr_e4"))
+    toks.join(scored, col("__t") === col("__tok"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_e4")).as("__sum_e4"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
+          .cast("double") / 10000.0).as("dsir_score"))
+  }
+
+  /** DSIR selection: keep the `k` corpus documents whose importance
+    * weight ranks highest (ties by doc_id — fully deterministic, unlike
+    * the paper's Gumbel resampling, so reruns and the oracle agree).
+    * The rank is a TakeOrdered over (score, id) pairs — never a global
+    * sort — and the k selected ids broadcast back as a flag join. */
+  def importanceResample(corpus: DataFrame, id: Column, text: Column,
+      target: DataFrame, targetText: Column, k: Int): DataFrame = {
+    val w = importanceWeights(corpus, id, text, target, targetText)
+    val topIds = w.orderBy(col("dsir_score").desc, col("doc_id").asc)
+      .limit(k).select(col("doc_id").as("__sel"))
+    w.join(broadcast(topIds), col("doc_id") === col("__sel"), "left")
+      .withColumn("selected", col("__sel").isNotNull)
+      .drop("__sel")
   }
 
   /** Corpus vocabulary: term frequency and document frequency per token,

@@ -157,6 +157,43 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "ok\n\nunique three", 3L, 0L)))
   }
 
+  test("substringDedup: duplicated n-gram spans cut, global-first kept, self-repeats trimmed") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon"), // holds the first "beta gamma delta"
+      (2L, "x beta gamma delta y"),           // loses positions 2-4
+      (3L, "beta gamma delta"),               // fully duplicated -> empty
+      (4L, "p q r s p q r s"),                // within-doc repeat: second period cut
+      (5L, "solo")                            // shorter than n: untouched
+    ).toDF("doc_id", "text")
+    val out = Dedup.substringDedup(d, $"doc_id", $"text", n = 3)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out(0) == ((1L, "alpha beta gamma delta epsilon", 5L, 0L)))
+    assert(out(1) == ((2L, "x y", 5L, 3L)))
+    assert(out(2) == ((3L, "", 3L, 3L)))
+    // "p q r"@5 and "q r s"@6 are marked (keepers at 1 and 2): tokens 5-8 go
+    assert(out(3) == ((4L, "p q r s", 8L, 4L)))
+    assert(out(4) == ((5L, "solo", 1L, 0L)))
+  }
+
+  test("importanceResample: target-like docs outrank corpus-typical; lattice values exact") {
+    val corpus = Seq(
+      (1L, "common common common"),
+      (2L, "target target target"),
+      (3L, "common target")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "target target target target")).toDF("doc_id", "text")
+    val out = TextOps.importanceResample(corpus, $"doc_id", $"text", target, $"text", k = 1)
+      .orderBy($"doc_id")
+      .collect().map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+    // corpus LM: common=4, target=4, denom=10 -> lp_e4 = floor(ln(.5)e4+.5) = -6931 both
+    // target LM: target=4, denom=5 -> lp_e4(target)=0, lp_e4(common)=floor(ln(.2)e4+.5) = -16094
+    // lr(common) = -16094+6931 = -9163; lr(target) = 0+6931 = 6931
+    assert(out(0) == ((1L, -0.9163, false)))
+    assert(out(1) == ((2L, 0.6931, true)))   // only doc 2 selected at k=1
+    assert(out(2) == ((3L, -0.1116, false))) // floor((-9163+6931)/2 + .5) = -1116
+  }
+
   test("mixSample drops zero-copy rows and is deterministic under growth") {
     val d = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c")).toDF("id", "s")
     val rates = Map("a" -> 2.0, "b" -> 0.0) // c absent -> rate 0
