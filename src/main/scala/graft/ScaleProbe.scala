@@ -21,10 +21,11 @@ object ScaleProbe {
     "p43_incremental_neardedup", "p44_corpus_report", "p49_domain_mix",
     "p24_neardup_groups", "p28_dedup_keep_best", "p21_pipeline_e2e",
     "p51_line_dedup", "p53_audio_meta", "p54_source_cap",
-    "p57_video_frames")
+    "p57_video_frames", "p58_substring_dedup", "p59_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val picked = if (args.length > 1) Heavy.filter(args.drop(1).contains(_)) else Heavy
     val out = "/tmp/graft-scale10x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
@@ -46,13 +47,18 @@ object ScaleProbe {
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
 
+    // noop sink, not count(): count() lets Catalyst collapse row-preserving
+    // plans (projections, left joins against aggregated-unique keys) down
+    // to a bare parquet row count — p58's entire gram pipeline vanished and
+    // "10x data" measured FASTER than 1x. The noop write demands every
+    // output column, so the probe times the full computation the user gets.
     def time(name: String, dir: String): Double = {
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir).count()
+      SparkEntry.queries(name)(spark, dir).write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }
-    Heavy.foreach { n => time(n, base) } // warm: codegen + JIT once
-    Heavy.foreach { n =>
+    picked.foreach { n => time(n, base) } // warm: codegen + JIT once
+    picked.foreach { n =>
       val t1 = time(n, base)
       val t10 = time(n, out)
       println(f"""{"query":"$n","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"factor":${t10 / t1}%.2f}""")
