@@ -11,7 +11,8 @@ object PlanDump {
     "p37_pack_sequences", "p38_decontam", "p41_sessions",
     "p43_incremental_neardedup", "p44_corpus_report", "p45_hybrid_search",
     "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
-    "p52_semantic_dedup", "p54_source_cap")
+    "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
+    "p59_importance_resample")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -54,6 +55,15 @@ Audited shapes pinned here against regression:
   (partial top-cap map-side, the shuffle carries ≤cap rows per source);
   the fallback branch's exchange carries zero rows in the common case —
   its only standing cost is a filter-only probe pass.
+- p58 (EXACTSUBSTR dedup): grams exchange as 60-bit longs (ReadSchema
+  shows the gram string dying before the shuffle); the occurrence-marking
+  join's build side is the count>1 gram frame only; the covered-position
+  set joins back per doc id — no Window or Sort over raw documents
+  anywhere in the plan.
+- p59 (DSIR): two vocabulary aggregates (map-side partials), the
+  log-ratio join on token, and a broadcast of the top-k id frame — the
+  document text never shuffles; the global rank is a TakeOrderedAndProject
+  over (score, id) pairs, not a Sort of the corpus.
 
 """)
     for (name <- Captured) {
