@@ -452,7 +452,25 @@ object TextOps {
       target: DataFrame, targetText: Column): DataFrame = {
     val toks = corpus.select(id.as("__id"), explode(tokens(text)).as("__t"))
       .filter(col("__t") =!= "")
-    val vocabC = toks.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+    toks.join(importanceVocab(corpus, text, target, targetText),
+        col("__t") === col("__tok"))
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_e4")).as("__sum_e4"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
+          .cast("double") / 10000.0).as("dsir_score"))
+  }
+
+  /** The DSIR model itself: per-token `__lr_e4 = lp_target - lp_corpus`
+    * on the e4 integer lattice (`__tok`, `__lr_e4`). Batch scoring joins
+    * it corpus-side; ingest-time scoring collapses it to a broadcastable
+    * map (the trained model is MB-scale like the dedup blooms — its size
+    * is the vocabulary, not the corpus). */
+  def importanceVocab(corpus: DataFrame, text: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
+    val vocabC = corpus.select(explode(tokens(text)).as("__t"))
+      .filter(col("__t") =!= "")
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)
     val vocabT = target.select(explode(tokens(targetText)).as("__t"))
       .filter(col("__t") =!= "")
@@ -466,17 +484,12 @@ object TextOps {
     val denomT = (tRow.getLong(0) + tRow.getLong(1)).toDouble
     def lpE4(c: Column, denom: Double): Column =
       floor(log((c + 1).cast("double") / denom) * 10000.0 + 0.5).cast("long")
-    val scored = vocabC.select(col("__t").as("__tok"), lpE4(col("__c"), denomC).as("__lpc_e4"))
+    vocabC.select(col("__t").as("__tok"), lpE4(col("__c"), denomC).as("__lpc_e4"))
       .join(vocabT.select(col("__t").as("__tok"), col("__c").as("__ct")), Seq("__tok"), "left")
       .select(col("__tok"),
         (lpE4(coalesce(col("__ct"), lit(0L)), denomT) - col("__lpc_e4")).as("__lr_e4"))
-    toks.join(scored, col("__t") === col("__tok"))
-      .groupBy(col("__id").as("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"), sum(col("__lr_e4")).as("__sum_e4"))
-      .select(col("doc_id"), col("n_tokens"),
-        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
-          .cast("double") / 10000.0).as("dsir_score"))
   }
+
 
   /** DSIR selection: keep the `k` corpus documents whose importance
     * weight ranks highest (ties by doc_id — fully deterministic, unlike

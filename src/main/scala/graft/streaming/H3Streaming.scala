@@ -339,4 +339,36 @@ object H3Streaming {
       }
       .toDF()
   }
+
+  /** Ingest-time DSIR scoring against a FIXED model — the ingest form of
+    * [[graft.pipeline.TextOps.importanceWeights]]. The trained per-token
+    * log-ratio table collapses to ONE map row (model size = vocabulary,
+    * MB-scale like the dedup blooms, never corpus-scale) that rides a
+    * stream-static equi-join on a constant key; scoring is then a
+    * stateless per-row fold over the document's tokens — no stream-side
+    * state, no shuffle of arriving documents. Tokens outside the model
+    * vocabulary are skipped (the batch operator only ever scores
+    * in-vocabulary tokens); a document with no known token scores null.
+    * On in-vocabulary documents the e4-lattice values are identical to
+    * the batch operator's. */
+  def streamingImportanceScore(stream: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusText: Column,
+      target: DataFrame, targetText: Column): DataFrame = {
+    import graft.pipeline.TextOps
+    val lm = TextOps.importanceVocab(corpus, corpusText, target, targetText)
+      .agg(map_from_entries(collect_list(struct(col("__tok"), col("__lr_e4")))).as("__lm"))
+      .withColumn("__one", lit(1))
+    stream.withColumn("__one", lit(1))
+      .join(lm, Seq("__one"))
+      .withColumn("__known",
+        filter(TextOps.tokens(col(textCol)), t =>
+          t =!= "" && element_at(col("__lm"), t).isNotNull))
+      .select(col(idCol).as("doc_id"),
+        size(col("__known")).cast("long").as("n_tokens"),
+        when(size(col("__known")) > 0,
+          (floor(aggregate(col("__known"), lit(0L),
+              (acc, t) => acc + element_at(col("__lm"), t)).cast("double")
+            / size(col("__known")).cast("double") + 0.5)
+            .cast("double") / 10000.0)).as("dsir_score"))
+  }
 }

@@ -295,4 +295,38 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(rows.count(_._1 == 1L) == 2 && !rows.exists(_._1 == 3L))
     } finally query.stop()
   }
+
+  test("streaming DSIR ingest scoring matches the batch operator; novel-vocab doc scores null") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq(
+      (1L, "common common common"),
+      (2L, "target target target"),
+      (3L, "common target")
+    ).toDF("doc_id", "text")
+    val target = Seq((100L, "target target target target")).toDF("doc_id", "text")
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingImportanceScore(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text",
+      corpus, $"text", target, $"text")
+    val query = out.writeStream
+      .format("memory").queryName("dsir").outputMode("append").start()
+    try {
+      // the corpus docs re-arrive at ingest, plus one fully-novel doc
+      input.addData((1L, "common common common"), (2L, "target target target"),
+        (3L, "common target"), (9L, "wholly novel words"))
+      query.processAllAvailable()
+      val batch = graft.pipeline.TextOps.importanceWeights(
+        corpus, $"doc_id", $"text", target, $"text")
+        .collect().map(r => (r.getLong(0), (r.getLong(1), r.getDouble(2)))).toMap
+      batch.foreach { case (id, (n, score)) =>
+        val row = spark.table("dsir").filter($"doc_id" === id)
+          .select($"n_tokens", $"dsir_score").as[(Long, Double)].head()
+        assert(row == ((n, score)), s"doc $id stream/batch mismatch")
+      }
+      // out-of-vocabulary doc: 0 known tokens, null score — not a crash
+      val novel = spark.table("dsir").filter($"doc_id" === 9L)
+        .select($"n_tokens", $"dsir_score").collect().head
+      assert(novel.getLong(0) == 0L && novel.isNullAt(1))
+    } finally query.stop()
+  }
 }
