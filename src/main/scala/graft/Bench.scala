@@ -1,5 +1,14 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver benchmark: per-query wall time under `count()` actions — the
+  * round-over-round yardstick (same convention every round, so BENCH_r{N}
+  * files stay comparable). `count()` measures the query's engine work up
+  * to Catalyst's pruning: row-preserving tails (pure projections, left
+  * joins on aggregated-unique keys) legitimately collapse, exactly as
+  * they would under a user's own `count()`. Full-materialization timing
+  * (every output column demanded, the noop sink) lives in
+  * [[ScaleProbe]] — use that for scaling claims, this for trend. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -142,4 +142,45 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(got == sessRef(rows, gap), s"iter $i gap=$gap")
     }
   }
+
+  // in-memory reference: every duplicated n-gram keeps only the minimal
+  // (id, pos) occurrence; tokens under any other occurrence are cut
+  private def substrRef(rows: Seq[(Long, String)], n: Int): Map[Long, (String, Long, Long)] = {
+    val toks = rows.map { case (id, t) => id -> t.trim.toLowerCase.split("\\s+").toSeq }.toMap
+    val occ = scala.collection.mutable.Map.empty[String, List[(Long, Int)]]
+    for ((id, ts) <- toks.toSeq.sortBy(_._1); i <- 0 to ts.length - n) {
+      val g = ts.slice(i, i + n).mkString(" ")
+      occ(g) = (id, i + 1) :: occ.getOrElse(g, Nil)
+    }
+    val covered = scala.collection.mutable.Set.empty[(Long, Int)]
+    for ((_, os) <- occ if os.length > 1) {
+      val first = os.min
+      for ((id, p) <- os if (id, p) != first; k <- 0 until n) covered += ((id, p + k))
+    }
+    toks.map { case (id, ts) =>
+      val kept = ts.zipWithIndex.collect { case (t, i) if !covered((id, i + 1)) => t }
+      val nRm = ts.indices.count(i => covered((id, i + 1)))
+      id -> ((kept.mkString(" "), ts.length.toLong, nRm.toLong))
+    }
+  }
+
+  test("property: substringDedup equals the brute-force reference on random corpora") {
+    // tiny vocabulary on purpose: random docs then share many 3-grams,
+    // exercising cross-doc spans, within-doc repeats and full wipeouts
+    val vocab = Vector("a", "b", "c", "d", "e")
+    val genRows = for {
+      nDocs <- Gen.chooseNum(1, 30)
+      texts <- Gen.listOfN(nDocs, for {
+        len <- Gen.chooseNum(0, 14)
+        ws <- Gen.listOfN(len, Gen.oneOf(vocab))
+      } yield ws.mkString(" "))
+    } yield texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    for (i <- 0 until 6) {
+      val rows = sample(genRows, 400 + i)
+      val got = Dedup.substringDedup(rows.toDF("doc_id", "text"), $"doc_id", $"text", n = 3)
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(got == substrRef(rows, 3), s"iter $i")
+    }
+  }
 }
