@@ -17,6 +17,9 @@ object SparkTestSession {
       .config("spark.sql.session.timeZone", "UTC")
       // events.parquet stores TIMESTAMP(NANOS); read as raw int64 nanos
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed-table specs (PreparedSpec) write through the catalog;
+      // keep the warehouse out of the repo tree
+      .config("spark.sql.warehouse.dir", "/tmp/graft-warehouse")
       // surface codegen compile failures as test failures instead of a
       // silent interpreted fallback (temporarily toggled when hunting)
       .config("spark.sql.codegen.fallback", sys.props.getOrElse("graft.test.codegen.strict", "") != "true")
