@@ -156,6 +156,56 @@ object H3Streaming {
       .drop("__s")
   }
 
+  /** Streaming duplicated-substring strip against a STATIC reference
+    * corpus — the ingest-time form of
+    * [[graft.pipeline.Dedup.substringDedup]] with the reference as the
+    * canonical keeper: every token `n`-gram of an arriving document that
+    * (probably) occurs in `ref` marks its `n` tokens for removal;
+    * survivors re-join with single spaces. Pure per-row projection — the
+    * reference's gram set is summarized once into a broadcast Bloom, so
+    * nothing shuffles at ingest and no stateful operator is spent.
+    *
+    * Semantics are BLOOM-APPROXIMATE like [[streamingLineDedup]]: a novel
+    * gram is falsely treated as duplicated with probability ~`fpp`
+    * (deterministic per built filter), cutting up to `n` novel tokens.
+    * That is the ingest trade at 100 TB: a few hundred MB of bloom covers
+    * billions of reference grams with no per-gram join. `textCol` is
+    * replaced by the stripped text; (n_tokens, n_removed) appended. */
+  def streamingSubstringDedup(stream: DataFrame, textCol: String,
+      ref: DataFrame, refTextCol: String, n: Int = 10,
+      expectedRefGrams: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
+    require(n >= 2, s"n must be >= 2, got $n")
+    val refGrams = ref.select(
+      explode(graft.pipeline.TextOps.wordNgrams(col(refTextCol), n)).as("__g"))
+    val bf = refGrams.select(xxhash64(col("__g")).as("__h"))
+      .stat.bloomFilter("__h", expectedRefGrams, fpp)
+    val seed = 42L // xxhash64's fixed seed
+    val strip = udf { (text: String) =>
+      if (text == null) null
+      else {
+        val ts = text.trim.toLowerCase.split("\\s+")
+        val covered = new Array[Boolean](ts.length)
+        var i = 0
+        while (i + n <= ts.length) {
+          val g = ts.slice(i, i + n).mkString(" ")
+          val u = org.apache.spark.unsafe.types.UTF8String.fromString(g)
+          if (bf.mightContainLong(
+              org.apache.spark.sql.catalyst.expressions.XXH64.hashUnsafeBytes(
+                u.getBaseObject, u.getBaseOffset, u.numBytes, seed)))
+            java.util.Arrays.fill(covered, i, i + n, true)
+          i += 1
+        }
+        val kept = ts.indices.collect { case j if !covered(j) => ts(j) }
+        (kept.mkString(" "), ts.length.toLong, (ts.length - kept.length).toLong)
+      }
+    }
+    stream.withColumn("__s", strip(col(textCol)))
+      .withColumn(textCol, col("__s._1"))
+      .withColumn("n_tokens", col("__s._2"))
+      .withColumn("n_removed", col("__s._3"))
+      .drop("__s")
+  }
+
   /** Streaming SimHash NEAR-dup candidate detection — the ingest-time form
     * of [[graft.pipeline.Dedup.simHashNearDupPairs]]: each arriving
     * document is SimHash'd in one stateless projection

@@ -296,6 +296,33 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming substring strip cuts reference spans, keeps novel prose and partial overlaps") {
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Seq((1L, "one two three four five"))
+      .toDF("doc_id", "text") // ref 3-grams: one two three / two three four / three four five
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingSubstringDedup(
+      input.toDF.toDF("doc_id", "text"), "text", ref, "text", n = 3,
+      expectedRefGrams = 100L, fpp = 0.001)
+    val query = out.writeStream
+      .format("memory").queryName("substrip").outputMode("append").start()
+    try {
+      input.addData(
+        (10L, "fresh start one two three four five fresh end"), // interior span cut
+        (11L, "four five novel words here"),                    // 2-token overlap: no 3-gram hit
+        (12L, "one two three"),                                 // exact ref gram: wiped
+        (13L, "wholly novel prose"))
+      query.processAllAvailable()
+      val got = spark.table("substrip")
+        .select($"doc_id", $"text", $"n_tokens", $"n_removed")
+        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+      assert(got(10L) == ((10L, "fresh start fresh end", 9L, 5L)))
+      assert(got(11L) == ((11L, "four five novel words here", 5L, 0L)))
+      assert(got(12L) == ((12L, "", 3L, 3L)))
+      assert(got(13L) == ((13L, "wholly novel prose", 3L, 0L)))
+    } finally query.stop()
+  }
+
   test("streaming DSIR ingest scoring matches the batch operator; novel-vocab doc scores null") {
     implicit val sqlCtx = spark.sqlContext
     val corpus = Seq(
