@@ -686,10 +686,14 @@ object Dedup {
       .agg(collect_set(col("__cp")).as("__cov"))
     base.join(covered, Seq("__id"), "left")
       .select(col("__id").as("doc_id"),
-        concat_ws(" ", filter(col("__ts"), (t, i) =>
-          !coalesce(array_contains(col("__cov"), i + lit(1)), lit(false)))).as("text"),
+        // null text -> null out (the catalog's nullable convention);
+        // concat_ws would otherwise quietly render a null array as ""
+        when(col("__ts").isNotNull,
+          concat_ws(" ", filter(col("__ts"), (t, i) =>
+            !coalesce(array_contains(col("__cov"), i + lit(1)), lit(false))))).as("text"),
         size(col("__ts")).cast("long").as("n_tokens"),
-        coalesce(size(col("__cov")), lit(0)).cast("long").as("n_removed"))
+        when(col("__ts").isNotNull, coalesce(size(col("__cov")), lit(0)))
+          .cast("long").as("n_removed"))
   }
 
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,

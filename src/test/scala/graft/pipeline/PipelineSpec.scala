@@ -174,6 +174,11 @@ class PipelineSpec extends AnyFunSuite {
     // "p q r"@5 and "q r s"@6 are marked (keepers at 1 and 2): tokens 5-8 go
     assert(out(3) == ((4L, "p q r s", 8L, 4L)))
     assert(out(4) == ((5L, "solo", 1L, 0L)))
+    // null text -> null out, not a fabricated empty string
+    val withNull = d.unionAll(Seq((6L, null.asInstanceOf[String])).toDF("doc_id", "text"))
+    val nullRow = Dedup.substringDedup(withNull, $"doc_id", $"text", n = 3)
+      .filter($"doc_id" === 6L).collect().head
+    assert(nullRow.isNullAt(1) && nullRow.isNullAt(2) && nullRow.isNullAt(3))
   }
 
   test("importanceResample: target-like docs outrank corpus-typical; lattice values exact") {
