@@ -133,6 +133,109 @@ case class SortedDistinctNgramHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+object MinHashKernel {
+  /** 2^31 - 1: the MinHash permutation modulus (Mersenne). */
+  final val Prime = 2147483647L
+
+  /** permutation i: (a, b) — the single source of truth (Dedup delegates). */
+  def coeffs(i: Int): (Long, Long) =
+    (1000003L * (i + 1) + 12345L, 7919L * (i + 1) + 104729L)
+
+  private val digests = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
+  /** First 60 bits of the current digest — the exact integer
+    * `conv(substring(md5(s), 1, 15), 16, 10)` yields: digest bytes 0-6
+    * whole plus the high nibble of byte 7. */
+  private def md5Long60(d: Array[Byte]): Long = {
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) >> 4) & 0xfL)
+  }
+
+  /** All `k` permutation minima over the word-`ngram` shingles of a token
+    * array, in one traversal — bit-equal to the composed
+    * `aggregate(transform(wordNgrams, md5Long % P), least-fold)` form:
+    * the md5 runs over the same UTF-8 bytes `concat_ws(" ", gram-tokens)`
+    * produces (null tokens skipped, separator omitted with them), the 60-bit
+    * truncation is the same hex-prefix integer, and min over the shingle
+    * MULTISET equals min over the set, so skipping dedup changes nothing.
+    * Fewer shingles than one (short docs) leaves the Long.MaxValue init —
+    * identical to the composed fold's empty-array result. */
+  def signature(tokens: ArrayData, ngram: Int,
+      as: Array[Long], bs: Array[Long]): ArrayData = {
+    val k = as.length
+    val mins = new Array[Long](k)
+    java.util.Arrays.fill(mins, Long.MaxValue)
+    val t = tokens.numElements()
+    val md = digests.get()
+    var i = 0
+    while (i + ngram <= t) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < ngram) {
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(i + j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      val h = md5Long60(md.digest()) % Prime
+      var m = 0
+      while (m < k) {
+        val v = (h * as(m) + bs(m)) % Prime
+        if (v < mins(m)) mins(m) = v
+        m += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+}
+
+/**
+ * MinHash signature of a token array in ONE tight loop — shingle bytes,
+ * md5, 60-bit truncation and all `k` permutation minima fused. The
+ * composed form (`transform` + `aggregate` over a k-field struct) pays an
+ * interpreted lambda per shingle plus k struct rebuilds per element
+ * (higher-order functions are CodegenFallback); signatures lead every
+ * LSH query (p05/p06/p13/p43), so this is the near-dedup family's
+ * front-of-plan cost. Values are bit-identical to the composed form —
+ * the DuckDB oracles replicating the md5 lattice prove it per round.
+ */
+case class MinHashSignature(child: Expression, ngram: Int, k: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(ngram >= 1, s"ngram must be >= 1, got $ngram")
+  require(k >= 1, s"k must be >= 1, got $k")
+  override def prettyName: String = "minhash_signature"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  @transient private lazy val as: Array[Long] =
+    Array.tabulate(k)(MinHashKernel.coeffs(_)._1)
+  @transient private lazy val bs: Array[Long] =
+    Array.tabulate(k)(MinHashKernel.coeffs(_)._2)
+
+  def signatureFor(a: ArrayData): ArrayData =
+    MinHashKernel.signature(a, ngram, as, bs)
+
+  override def nullSafeEval(v: Any): Any = signatureFor(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("minhashSig", this, classOf[MinHashSignature].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.signatureFor($c);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 /**
  * Occurrence counts of a fixed literal term list over a token array in
  * ONE pass. The composed form — one `size(filter(tokens, x => x === t))`

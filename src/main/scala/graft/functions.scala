@@ -245,4 +245,10 @@ object functions {
     * (pipeline extension; see [[graft.expr.TermCounts]]). */
   def term_counts(tokens: Column, terms: Seq[String]): Column =
     c(TermCounts(e(tokens), terms))
+
+  /** MinHash signature (k permutation minima over word-ngram shingles) in
+    * one codegen'd pass (pipeline extension; see
+    * [[graft.expr.MinHashSignature]]). */
+  def minhash_signature(tokens: Column, ngram: Int, k: Int): Column =
+    c(MinHashSignature(e(tokens), ngram, k))
 }

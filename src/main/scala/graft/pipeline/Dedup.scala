@@ -36,39 +36,30 @@ object Dedup {
 
   /** (a_i, b_i) coefficients for the i-th MinHash permutation — fixed,
     * engine-independent constants. */
-  def minHashCoeffs(i: Int): (Long, Long) = (1000003L * (i + 1) + 12345L, 7919L * (i + 1) + 104729L)
+  def minHashCoeffs(i: Int): (Long, Long) = graft.expr.MinHashKernel.coeffs(i)
 
   /** Per-document MinHash signature over word-`ngram` shingles.
     * Output: idCol, minhash_0..minhash_{k-1}; documents with no shingles
     * produce no row.
     *
-    * Entirely per-row array arithmetic — shingle set, md5, and the k
-    * permutation minima all happen inside one projection, so signatures
-    * need NO explode and NO shuffle (a groupBy formulation shuffles
-    * |docs| x |shingles| rows; at 100 TB that shuffle IS the job).
-    * Shingles are deduplicated first: min over a set equals min over the
-    * multiset. */
+    * Entirely per-row array arithmetic — shingle bytes, md5, and the k
+    * permutation minima fused into ONE codegen'd kernel pass
+    * ([[graft.expr.MinHashSignature]]; the composed transform+aggregate
+    * form paid an interpreted lambda per shingle and k struct rebuilds
+    * per element). Signatures therefore need NO explode and NO shuffle
+    * (a groupBy formulation shuffles |docs| x |shingles| rows; at 100 TB
+    * that shuffle IS the job).
+    *
+    * The no-shingle filter runs BEFORE hashing, on the cheap token count
+    * (>= 1 shingle <=> >= ngram tokens): filtering on the signature
+    * output would collapse into the scan stage and re-evaluate the md5
+    * pipeline once for the predicate and once for the projection. */
   def minHashSignatures(df: DataFrame, id: Column, text: Column, k: Int, ngram: Int = 2): DataFrame = {
-    val hashes = transform(array_distinct(TextOps.wordNgrams(text, ngram)),
-      s => TextOps.md5Long(s) % MinHashPrime)
-    // all k permutation minima in ONE traversal of the hash array: fold
-    // into a k-field struct accumulator (k separate array_min(transform)
-    // calls would re-iterate the array k times per row)
-    val fields = (0 until k).map(i => s"minhash_$i")
-    val init = struct(fields.map(f => lit(Long.MaxValue).as(f)): _*)
-    val folded = aggregate(col("__hs"), init, (acc, h) =>
-      struct((0 until k).map { i =>
-        val (a, b) = minHashCoeffs(i)
-        least(acc.getField(s"minhash_$i"), (h * a + b) % MinHashPrime).as(s"minhash_$i")
-      }: _*))
-    // the no-shingle filter runs BEFORE hashing, on the cheap token count
-    // (>= 1 shingle <=> >= ngram tokens): filtering on size(__hs) collapsed
-    // into the scan stage and re-evaluated the whole md5 pipeline once for
-    // the predicate and once for the projection (visible in PLANS.md)
     df.filter(size(TextOps.tokens(text)) >= ngram)
-      .select(id.as("__id"), hashes.as("__hs"))
-      .select(col("__id"), folded.as("__sig"))
-      .select((col("__id") +: fields.map(f => col(s"__sig.$f").as(f))): _*)
+      .select(id.as("__id"),
+        graft.functions.minhash_signature(TextOps.tokens(text), ngram, k).as("__sig"))
+      .select((col("__id") +:
+        (0 until k).map(i => element_at(col("__sig"), i + 1).as(s"minhash_$i"))): _*)
   }
 
   /** LSH banding over a MinHash signature: `bands` bands of `rowsPerBand`
