@@ -156,6 +156,38 @@ object MinHashKernel {
     (v << 4) | ((d(7) >> 4) & 0xfL)
   }
 
+  /** 60-bit md5 of every word-`n`-gram of a token array, by position —
+    * element `i` (0-based) hashes tokens `i..i+n-1` joined by single
+    * spaces (null tokens skipped, separator omitted with them — exactly
+    * `concat_ws`), the value being the same hex-prefix integer
+    * `TextOps.md5Long` yields. Returns an empty array for fewer than `n`
+    * tokens, matching `wordNgramsOfTokens`. */
+  def ngramHashes(tokens: ArrayData, n: Int): ArrayData = {
+    val t = tokens.numElements()
+    val cnt = t - n + 1
+    if (cnt <= 0)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(Array.emptyLongArray)
+    val out = new Array[Long](cnt)
+    val md = digests.get()
+    var i = 0
+    while (i < cnt) {
+      md.reset()
+      var j = 0
+      var first = true
+      while (j < n) {
+        if (!tokens.isNullAt(i + j)) {
+          if (!first) md.update(' '.toByte)
+          md.update(tokens.getUTF8String(i + j).getBytes)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = md5Long60(md.digest())
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   /** All `k` permutation minima over the word-`ngram` shingles of a token
     * array, in one traversal — bit-equal to the composed
     * `aggregate(transform(wordNgrams, md5Long % P), least-fold)` form:
@@ -196,6 +228,33 @@ object MinHashKernel {
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
   }
+}
+
+/**
+ * Positional 60-bit md5 word-n-gram hashes of a token array in ONE tight
+ * loop — the composed `transform(indices, concat_ws(...)) |> md5Long`
+ * form materializes every gram string and pays interpreted lambdas per
+ * gram; substring dedup and decontamination hash every position of every
+ * document, so the gram build is their scan-side cost. Values are
+ * bit-equal to `TextOps.md5Long` of the gram strings (oracle-pinned).
+ */
+case class WordNgramMd5Hashes(child: Expression, n: Int)
+    extends UnaryExpression with ExpectsInputTypes {
+  require(n >= 1, s"gram size must be >= 1, got $n")
+  override def prettyName: String = "word_ngram_md5_hashes"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.ngramHashes(v.asInstanceOf[ArrayData], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.MinHashKernel.ngramHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /**

@@ -251,4 +251,9 @@ object functions {
     * [[graft.expr.MinHashSignature]]). */
   def minhash_signature(tokens: Column, ngram: Int, k: Int): Column =
     c(MinHashSignature(e(tokens), ngram, k))
+
+  /** Positional 60-bit md5 word-n-gram hashes in one codegen'd pass
+    * (pipeline extension; see [[graft.expr.WordNgramMd5Hashes]]). */
+  def word_ngram_md5_hashes(tokens: Column, n: Int): Column =
+    c(WordNgramMd5Hashes(e(tokens), n))
 }

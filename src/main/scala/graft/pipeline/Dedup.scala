@@ -621,12 +621,12 @@ object Dedup {
       evalSet: DataFrame, evalText: Column, n: Int = 13): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
     val evalGrams = evalSet
-      .select(explode(TextOps.wordNgrams(evalText, n)).as("__g"))
-      .select(TextOps.md5Long(col("__g")).as("__gh"))
+      .select(explode(graft.functions.word_ngram_md5_hashes(
+        TextOps.tokens(evalText), n)).as("__gh"))
       .distinct()
     val hitIds = corpus
-      .select(id.as("__cid"), explode(TextOps.wordNgrams(text, n)).as("__g"))
-      .select(col("__cid"), TextOps.md5Long(col("__g")).as("__gh"))
+      .select(id.as("__cid"), explode(graft.functions.word_ngram_md5_hashes(
+        TextOps.tokens(text), n)).as("__gh"))
       .join(broadcast(evalGrams), Seq("__gh"), "leftsemi")
       .select(col("__cid"))
       .distinct()
@@ -660,10 +660,13 @@ object Dedup {
   def substringDedup(df: DataFrame, id: Column, text: Column, n: Int = 10): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val base = df.select(id.as("__id"), TextOps.tokens(text).as("__ts"))
+    // gram hashing fused into one kernel pass per doc (WordNgramMd5Hashes);
+    // the hash IS md5Long of the concat_ws gram string, so grouping is
+    // unchanged and the string-keyed oracle still agrees
     val occ = base
-      .select(col("__id"), posexplode(TextOps.wordNgramsOfTokens(col("__ts"), n)))
-      .select(col("__id"), (col("pos") + 1).as("__pos"),
-        TextOps.md5Long(col("col")).as("__gh"))
+      .select(col("__id"),
+        posexplode(graft.functions.word_ngram_md5_hashes(col("__ts"), n)))
+      .select(col("__id"), (col("pos") + 1).as("__pos"), col("col").as("__gh"))
     val dupGrams = occ.groupBy(col("__gh"))
       .agg(min(struct(col("__id"), col("__pos"))).as("__first"),
         count(lit(1)).as("__c"))
