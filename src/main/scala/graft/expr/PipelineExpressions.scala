@@ -188,6 +188,37 @@ object MinHashKernel {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** 60-bit SimHash over a token array: per-token 60-bit md5, +1/-1 bit
+    * counting, `counter > 0` assembly. Null tokens decrement every
+    * counter (the composed `when(bit === 1, 1).otherwise(-1)` null
+    * convention). */
+  def simHash60(tokens: ArrayData): Long = {
+    val counters = new Array[Int](60)
+    val t = tokens.numElements()
+    val md = digests.get()
+    var i = 0
+    while (i < t) {
+      if (tokens.isNullAt(i)) {
+        var j = 0
+        while (j < 60) { counters(j) -= 1; j += 1 }
+      } else {
+        md.reset()
+        md.update(tokens.getUTF8String(i).getBytes)
+        val h = md5Long60(md.digest())
+        var j = 0
+        while (j < 60) {
+          if (((h >> j) & 1L) == 1L) counters(j) += 1 else counters(j) -= 1
+          j += 1
+        }
+      }
+      i += 1
+    }
+    var out = 0L
+    var j = 0
+    while (j < 60) { if (counters(j) > 0) out |= (1L << j); j += 1 }
+    out
+  }
+
   /** All `k` permutation minima over the word-`ngram` shingles of a token
     * array, in one traversal — bit-equal to the composed
     * `aggregate(transform(wordNgrams, md5Long % P), least-fold)` form:
@@ -253,6 +284,33 @@ case class WordNgramMd5Hashes(child: Expression, n: Int)
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
       s"${ev.value} = graft.expr.MinHashKernel.ngramHashes($c, $n);")
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/**
+ * 60-bit SimHash of a token array in ONE tight loop — md5 per token and
+ * all 60 bit counters fused. The composed form folds a 60-field struct
+ * accumulator per token with interpreted lambdas; this is the front cost
+ * of every SimHash query (batch and streaming share this expression).
+ * Bit-equal to the composed form: same per-token md5Long values, same
+ * +1/-1 counting with the null-token convention (`when(bit === 1)` is
+ * null for a null hash, so every counter takes the -1 branch), same
+ * `counter > 0` bit assembly.
+ */
+case class SimHash60(child: Expression) extends UnaryExpression with ExpectsInputTypes {
+  override def prettyName: String = "simhash60"
+  override def inputTypes: Seq[DataType] = Seq(ArrayType(StringType))
+  override def dataType: DataType = LongType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+
+  override def nullSafeEval(v: Any): Any =
+    MinHashKernel.simHash60(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.MinHashKernel.simHash60($c);")
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

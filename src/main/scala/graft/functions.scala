@@ -256,4 +256,8 @@ object functions {
     * (pipeline extension; see [[graft.expr.WordNgramMd5Hashes]]). */
   def word_ngram_md5_hashes(tokens: Column, n: Int): Column =
     c(WordNgramMd5Hashes(e(tokens), n))
+
+  /** 60-bit SimHash of a token array in one codegen'd pass (pipeline
+    * extension; see [[graft.expr.SimHash60]]). */
+  def simhash60(tokens: Column): Column = c(SimHash60(e(tokens)))
 }

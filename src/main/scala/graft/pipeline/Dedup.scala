@@ -490,45 +490,29 @@ object Dedup {
   val SimHashBits: Int = 60
 
   /** 60-bit SimHash per document over whitespace tokens (duplicates
-    * weighted by frequency). One explode + one aggregate. */
-  def simHash(df: DataFrame, id: Column, text: Column): DataFrame = {
-    val toks = df.select(id.as("__id"), explode(TextOps.tokens(text)).as("__t"))
-      .select(col("__id"), TextOps.md5Long(col("__t")).as("__h"))
-    val bitSums = (0 until SimHashBits).map { j =>
-      sum(when(shiftright(col("__h"), j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"__s$j")
-    }
-    val agged = toks.groupBy(col("__id")).agg(bitSums.head, bitSums.tail: _*)
-    val hash = (0 until SimHashBits).map { j =>
-      when(col(s"__s$j") > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    agged.select(col("__id"), hash.as("simhash"))
-  }
+    * weighted by frequency). A pure per-row projection through the fused
+    * kernel ([[graft.expr.SimHash60]]) — the earlier explode + groupBy
+    * formulation shuffled |docs| x |tokens| rows to compute what is a
+    * per-row value; at 100 TB that shuffle was the whole job. Null-text
+    * docs drop (the explode form's semantics). */
+  def simHash(df: DataFrame, id: Column, text: Column): DataFrame =
+    df.select(id.as("__id"), simHashColumn(text).as("simhash"))
+      .filter(col("simhash").isNotNull)
 
   /** Hamming distance between two SimHash values (codegen'd bit_count). */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
   /** Per-ROW SimHash — identical values to [[simHash]] (bit sums are
     * order-independent integer sums) but computed as one stateless
-    * projection via a struct-fold over the token array, no explode and no
-    * aggregation. This is the form streaming pipelines need: Structured
-    * Streaming allows one stateful operator per query, and the explode +
-    * groupBy formulation would spend it before the near-dup state does.
-    * The folded accumulator is bound once per row (TextOps.bind note)
-    * before the 60 field reads assemble the hash. */
-  def simHashColumn(text: Column): Column = {
-    val hs = transform(TextOps.tokens(text), t => TextOps.md5Long(t))
-    val fields = (0 until SimHashBits).map(i => s"b$i")
-    val init = struct(fields.map(f => lit(0).as(f)): _*)
-    val folded = aggregate(hs, init, (acc, h) =>
-      struct((0 until SimHashBits).map { j =>
-        (acc.getField(s"b$j") +
-          when(shiftright(h, j).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b$j")
-      }: _*))
-    element_at(transform(array(folded), f =>
-      (0 until SimHashBits).map { j =>
-        when(f.getField(s"b$j") > 0, lit(1L << j)).otherwise(lit(0L))
-      }.reduce(_ + _)), 1)
-  }
+    * projection, no explode and no aggregation. This is the form
+    * streaming pipelines need: Structured Streaming allows one stateful
+    * operator per query, and the explode + groupBy formulation would
+    * spend it before the near-dup state does. Hashing and all 60 bit
+    * counters run fused in one kernel pass ([[graft.expr.SimHash60]];
+    * the earlier struct-fold paid 60 interpreted field rebuilds per
+    * token). */
+  def simHashColumn(text: Column): Column =
+    graft.functions.simhash60(TextOps.tokens(text))
 
   /** The pigeonhole band values of a SimHash as an array (same band
     * layout as [[simHashNearDupPairs]]). */
