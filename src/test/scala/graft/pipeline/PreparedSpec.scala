@@ -19,6 +19,17 @@ class PreparedSpec extends AnyFunSuite {
     val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text", $"source")
     val scores = docs.select($"doc_id", length($"text").cast("long").as("score"))
+    // a previous JVM's warehouse dir survives while the in-memory catalog
+    // does not; saveAsTable's CREATE path then refuses the stale location
+    Seq("graft_docs_b", "graft_scores_b").foreach { t =>
+      s2.sql(s"DROP TABLE IF EXISTS $t")
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete()
+      }
+      val loc = new java.io.File(s"/tmp/graft-warehouse/$t")
+      if (loc.exists()) rm(loc)
+    }
     Prepared.writeBucketed(docs, "graft_docs_b", "doc_id", buckets = 4)
     Prepared.writeBucketed(scores, "graft_scores_b", "doc_id", buckets = 4)
 
