@@ -527,6 +527,26 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // curation chain v2: the round-7 ops composed as ONE declarative plan —
+    // corpus-wide substring dedup feeds the gopher quality gate feeds DSIR
+    // target-ratio selection; sd is checkpointed once (it feeds the gate,
+    // the keep-join and both DSIR LM consumers)
+    "p60_curation_v2" -> ((s, dir) => {
+      val sd = Dedup.substringDedup(docs(s, dir), col("doc_id"), col("text"), n = 10)
+        .select(col("doc_id"), col("text"))
+        .localCheckpoint(false)
+      val keep = TextOps.gopherFilter(sd, col("doc_id"), col("text"),
+          minWords = 25, maxWords = 100000,
+          minMeanWordLen = 3.0, maxMeanWordLen = 10.0,
+          minStopwordHits = 2,
+          maxTopWordFrac = 0.125, maxDup2Frac = 0.10, maxDup3Frac = 0.05)
+        .filter(col("keep")).select(col("doc_id"))
+      val kept = sd.join(keep, "doc_id")
+      TextOps.importanceResample(kept, col("doc_id"), col("text"),
+          kept.filter(col("doc_id") % 7 === 3), col("text"), k = 100)
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACTSUBSTR dedup (Lee et al. 2021): a shared 13-token boilerplate
     // injected into every 3rd doc makes all of its interior 10-grams
     // corpus-duplicated, so every injected doc except the globally-first
@@ -1092,6 +1112,76 @@ object PipelineQueries {
          |    row_number() OVER (PARTITION BY src ORDER BY hv, doc_id) AS rn
          |  FROM h)
          |SELECT doc_id, src FROM r WHERE rn <= 40 ORDER BY doc_id""".stripMargin,
+
+    // the full v2 chain as one shared-CTE oracle: p58's substring-dedup
+    // arithmetic (no injection) -> p40's gopher rules over the CLEANED
+    // text -> p59's DSIR lattice over the kept docs
+    "p60_curation_v2" ->
+      s"""WITH t0 AS MATERIALIZED (SELECT doc_id, $oToks AS ts FROM documents),
+         |g0 AS MATERIALIZED (SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         |    array_to_string(ts[i:i+9], ' ') AS gram
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 9)) AS i FROM t0)),
+         |d0 AS (SELECT gram, min(ROW(doc_id, pos)) AS fst, count(*) AS c
+         |  FROM g0 GROUP BY gram),
+         |m0 AS (SELECT g0.doc_id, g0.pos FROM g0 JOIN d0 USING (gram)
+         |  WHERE d0.c > 1 AND ROW(g0.doc_id, g0.pos) <> d0.fst),
+         |cov0 AS (SELECT DISTINCT m0.doc_id, m0.pos + s.k AS cp
+         |  FROM m0, generate_series(0, 9) AS s(k)),
+         |tp0 AS (SELECT doc_id, CAST(i AS BIGINT) AS tpos, ts[i] AS tok
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts))) AS i FROM t0)),
+         |sd AS MATERIALIZED (SELECT tp0.doc_id,
+         |    coalesce(string_agg(tok, ' ' ORDER BY tpos)
+         |      FILTER (cov0.cp IS NULL), '') AS text
+         |  FROM tp0 LEFT JOIN cov0 ON cov0.doc_id = tp0.doc_id AND cov0.cp = tp0.tpos
+         |  GROUP BY tp0.doc_id),
+         |tk1 AS MATERIALIZED (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM sd),
+         |flat AS (SELECT doc_id,
+         |  CAST(len(tk) AS BIGINT) AS n_words,
+         |  floor(CAST(list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
+         |    / len(tk) * 10000.0 + 0.5) / 10000.0 AS mean_len,
+         |  CAST(len(list_filter(tk, x -> x IN ('the','a','an','and','of','to','in',
+         |    'is','on','for','with','as','by','at','or'))) AS BIGINT) AS stop_hits
+         |  FROM tk1),
+         |g1 AS (SELECT doc_id, 1 AS n, unnest(tk) AS g FROM tk1
+         |  UNION ALL
+         |  SELECT doc_id, 2, unnest([tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))]) FROM tk1
+         |  UNION ALL
+         |  SELECT doc_id, 3, unnest([tk[i]||' '||tk[i+1]||' '||tk[i+2] FOR i IN range(1, len(tk) - 1)]) FROM tk1),
+         |c1 AS (SELECT doc_id, n, g, count(*) AS c FROM g1 GROUP BY doc_id, n, g),
+         |s1 AS (SELECT doc_id, n, CAST(sum(c) AS BIGINT) AS tot, max(c) AS top,
+         |  CAST(sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS BIGINT) AS dup
+         |  FROM c1 GROUP BY doc_id, n),
+         |rep AS (SELECT doc_id,
+         |  coalesce(max(CASE WHEN n = 1 THEN floor(top::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS topf,
+         |  coalesce(max(CASE WHEN n = 2 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup2,
+         |  coalesce(max(CASE WHEN n = 3 THEN floor(dup::DOUBLE / tot::DOUBLE * 10000.0 + 0.5) / 10000.0 END), 0.0) AS dup3
+         |  FROM s1 GROUP BY doc_id),
+         |kept AS (SELECT sd.doc_id, sd.text FROM sd
+         |  JOIN flat f ON f.doc_id = sd.doc_id
+         |  JOIN rep r ON r.doc_id = sd.doc_id
+         |  WHERE f.n_words >= 25 AND f.n_words <= 100000
+         |    AND f.mean_len >= 3.0 AND f.mean_len <= 10.0
+         |    AND f.stop_hits >= 2 AND r.topf <= 0.125
+         |    AND r.dup2 <= 0.10 AND r.dup3 <= 0.05),
+         |tk AS (SELECT doc_id, unnest(string_split(lower(trim(text)), ' ')) AS t FROM kept),
+         |tkc AS MATERIALIZED (SELECT doc_id, t FROM tk WHERE t != ''),
+         |vc AS (SELECT t, count(*)::BIGINT AS c FROM tkc GROUP BY t),
+         |totc AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nv FROM vc),
+         |vt AS (SELECT t, count(*)::BIGINT AS c FROM tkc WHERE doc_id % 7 = 3 GROUP BY t),
+         |tott AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nv FROM vt),
+         |lr AS (SELECT vc.t,
+         |    CAST(floor(ln((coalesce(vt.c, 0) + 1)::DOUBLE / (tott.ntok + tott.nv)::DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT)
+         |  - CAST(floor(ln((vc.c + 1)::DOUBLE / (totc.ntok + totc.nv)::DOUBLE)
+         |      * 10000.0 + 0.5) AS BIGINT) AS lr_e4
+         |  FROM vc LEFT JOIN vt ON vc.t = vt.t, totc, tott),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |    floor(CAST(sum(lr_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS dsir_score
+         |  FROM tkc JOIN lr ON tkc.t = lr.t GROUP BY doc_id),
+         |sel AS (SELECT doc_id FROM sc ORDER BY dsir_score DESC, doc_id LIMIT 100)
+         |SELECT sc.doc_id, n_tokens, dsir_score, (sel.doc_id IS NOT NULL) AS selected
+         |FROM sc LEFT JOIN sel ON sel.doc_id = sc.doc_id
+         |ORDER BY sc.doc_id""".stripMargin,
 
     // EXACTSUBSTR in closed relational form: duplicated 10-grams keep only
     // the min (doc_id, pos) occurrence; every token covered by any other
