@@ -12,7 +12,7 @@ object PlanDump {
     "p43_incremental_neardedup", "p44_corpus_report", "p45_hybrid_search",
     "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
-    "p59_importance_resample")
+    "p59_importance_resample", "p60_curation_v2")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -64,6 +64,12 @@ Audited shapes pinned here against regression:
   log-ratio join on token, and a broadcast of the top-k id frame — the
   document text never shuffles; the global rank is a TakeOrderedAndProject
   over (score, id) pairs, not a Sort of the corpus.
+- p60 (curation v2 = substring dedup → gopher gate → DSIR): ONE plan.
+  A single `Scan ExistingRDD` barrier holds the cleaned-text frame that
+  feeds the gopher gate, the keep-join and both DSIR LM consumers — the
+  substring-dedup subtree appears ONCE, not four times; downstream keeps
+  the p58/p40/p59 shapes (no Window/Sort over documents, gate join
+  broadcast, TakeOrderedAndProject for selection).
 
 """)
     for (name <- Captured) {
