@@ -547,6 +547,38 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL perceptual image near-dup dedup: id-textured 16x16 BMPs (real
+    // ImageIO bytes; spatial frequencies vary with id), an exact-byte copy
+    // for every 5th doc and a retouched copy (+1 on a sparse diagonal
+    // grid) for every 7th. decode -> integer-lattice DCT pHash ->
+    // pigeonhole-banded Hamming pairs (the SimHash machinery, 63-bit) ->
+    // transitive groups -> canonical = min id of the group. Uncapped like
+    // p22/p24 (the cap's truncation is pinned by p06); banding is
+    // recall-complete, so the oracle computes pairs as the all-pairs
+    // Hamming filter over hashes rebuilt from the closed-form pixels with
+    // the SAME e4 cosine table (interpolated literals).
+    "p61_image_phash_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val imgs = ids.flatMap { id =>
+          Seq((id, id, false)) ++
+            (if (id % 5 == 0) Seq((id + 10000000L, id, false)) else Nil) ++
+            (if (id % 7 == 0) Seq((id + 20000000L, id, true)) else Nil)
+        }.map { case (d, src, p) =>
+          (d, Multimodal.syntheticPatternBmp(src, 16, 16, p))
+        }.toDF("doc_id", "img")
+      val hashed = Multimodal.withPHash(imgs, "img")
+        .select(col("doc_id"), col("phash"))
+        .localCheckpoint(false) // feeds pairs, groups, and the final join
+      val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("phash"),
+        bits = 63, maxHamming = 2, maxBand = Int.MaxValue)
+      val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
+      hashed.join(groups, Seq("doc_id"))
+        .select(col("doc_id"), col("phash"), col("group_id"),
+          (col("group_id") === col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACTSUBSTR dedup (Lee et al. 2021): a shared 13-token boilerplate
     // injected into every 3rd doc makes all of its interior 10-grams
     // corpus-duplicated, so every injected doc except the globally-first
@@ -747,6 +779,14 @@ object PipelineQueries {
   private def simhashOracle: String =
     s"""WITH ${simhashCtes("documents")}
        |SELECT doc_id, CAST($simhashAssemble AS BIGINT) AS simhash FROM s ORDER BY doc_id""".stripMargin
+
+  /** The pHash e4-quantized cosine table as SQL literals — the SAME
+    * [[Multimodal.DctCosE4]] array the Spark kernel multiplies with, so
+    * both engines run identical integer arithmetic. */
+  private def phashCosValues: String =
+    (0 until Multimodal.PHashKeep).flatMap(u =>
+      (0 until Multimodal.PHashGrid).map(x =>
+        s"($u, $x, ${Multimodal.DctCosE4(u)(x)})")).mkString(", ")
 
   private def minhashAggSql: String = (0 until 8).map { i =>
     val (a, b) = Dedup.minHashCoeffs(i)
@@ -1182,6 +1222,52 @@ object PipelineQueries {
          |SELECT sc.doc_id, n_tokens, dsir_score, (sel.doc_id IS NOT NULL) AS selected
          |FROM sc LEFT JOIN sel ON sel.doc_id = sc.doc_id
          |ORDER BY sc.doc_id""".stripMargin,
+
+    // the pHash lattice in closed form: closed-form pixels -> separable
+    // integer DCT with the interpolated e4 cosine table -> 63 AC sign
+    // bits -> all-pairs Hamming <= 2 (banding is recall-complete when
+    // uncapped) -> recursive min-label components
+    "p61_image_phash_dedup" ->
+      s"""WITH RECURSIVE ids AS (
+         |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, doc_id, 0 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0),
+         |cc AS (SELECT * FROM (VALUES $phashCosValues) t(u, x, cv)),
+         |px AS MATERIALIZED (
+         |  SELECT i.doc_id, x.x, y.y,
+         |    3 * (((i.src * 37 + x.x * (3 + i.src % 11) + y.y * (5 + i.src % 7)
+         |           + x.x * y.y * (i.src % 5)) % 255)
+         |      + CASE WHEN i.pert = 1 AND (x.x + y.y) % 9 = 0 THEN 1 ELSE 0 END) AS g
+         |  FROM ids i, generate_series(0, 15) AS x(x), generate_series(0, 15) AS y(y)),
+         |rp AS MATERIALIZED (
+         |  SELECT p.doc_id, c.u, p.y, CAST(sum(p.g * c.cv) AS BIGINT) AS rv
+         |  FROM px p JOIN cc c ON c.x = p.x GROUP BY p.doc_id, c.u, p.y),
+         |fp AS MATERIALIZED (
+         |  SELECT r.doc_id, r.u, c.u AS v, CAST(sum(r.rv * c.cv) AS BIGINT) AS fv
+         |  FROM rp r JOIN cc c ON c.x = r.y GROUP BY r.doc_id, r.u, c.u),
+         |st AS (SELECT doc_id, CAST(sum(fv) AS BIGINT) AS acsum
+         |  FROM fp WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id),
+         |h AS MATERIALIZED (
+         |  SELECT f.doc_id,
+         |    CAST(coalesce(sum(CASE WHEN f.fv * 63 > st.acsum
+         |      THEN (CAST(1 AS BIGINT) << CAST(f.u * 8 + f.v - 1 AS INTEGER)) END), 0) AS BIGINT) AS phash
+         |  FROM fp f JOIN st ON st.doc_id = f.doc_id
+         |  WHERE NOT (f.u = 0 AND f.v = 0)
+         |  GROUP BY f.doc_id),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT src AS id, src AS label FROM edges
+         |  UNION SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
+         |SELECT h.doc_id, h.phash, coalesce(comp.group_id, h.doc_id) AS group_id,
+         |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
+         |FROM h LEFT JOIN comp ON comp.id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
 
     // EXACTSUBSTR in closed relational form: duplicated 10-grams keep only
     // the min (doc_id, pos) occurrence; every token covered by any other

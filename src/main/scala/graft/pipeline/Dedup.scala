@@ -517,7 +517,7 @@ object Dedup {
   /** The pigeonhole band values of a SimHash as an array (same band
     * layout as [[simHashNearDupPairs]]). */
   def simHashBandValues(simhash: Column, maxHamming: Int): Column =
-    array(bandBounds(maxHamming + 1).map { case (lo, width) =>
+    array(bandBounds(SimHashBits, maxHamming + 1).map { case (lo, width) =>
       shiftright(simhash, lo).bitwiseAND((1L << width) - 1)
     }: _*)
 
@@ -527,12 +527,12 @@ object Dedup {
     * exploding quadratically in a single task. */
   val MaxSimHashBand: Int = 4096
 
-  /** (lo, width) bit ranges splitting [[SimHashBits]] into `nBands` bands
-    * as evenly as possible (the first `bits % nBands` bands one bit
+  /** (lo, width) bit ranges splitting a `bits`-wide hash into `nBands`
+    * bands as evenly as possible (the first `bits % nBands` bands one bit
     * wider) — every band keeps width >= bits/nBands >= 1. */
-  private def bandBounds(nBands: Int): Seq[(Int, Int)] = {
-    val base = SimHashBits / nBands
-    val rem = SimHashBits % nBands
+  private def bandBounds(bits: Int, nBands: Int): Seq[(Int, Int)] = {
+    val base = bits / nBands
+    val rem = bits % nBands
     val widths = (0 until nBands).map(b => base + (if (b < rem) 1 else 0))
     widths.scanLeft(0)(_ + _).zip(widths)
   }
@@ -675,19 +675,35 @@ object Dedup {
   }
 
   def simHashNearDupPairs(df: DataFrame, id: Column, text: Column,
-      maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): DataFrame = {
+      maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): DataFrame =
+    bandedHammingPairs(simHash(df, id, text), col("__id"), col("simhash"),
+      SimHashBits, maxHamming, maxBand)
+
+  /** Pigeonhole-banded Hamming pairs over ANY `bits`-wide hash column:
+    * every pair with `hamming <= maxHamming`, id_a < id_b. Split the hash
+    * into `maxHamming + 1` bands — a qualifying pair matches on at least
+    * one full band (recall 1.0 when uncapped), so the equi-join on
+    * (band index, band bits) scans only same-band candidates. Pair
+    * generation is bucket-local (groupBy band, explode ordered member
+    * pairs — one shuffle) with a hot-band cap at `maxBand`: recall
+    * degrades only inside a pathological band instead of the band join
+    * going quadratic. The verify is a codegen'd xor/bit_count. Shared by
+    * the text (SimHash, 60-bit) and image (pHash, 63-bit) near-dup paths. */
+  def bandedHammingPairs(hashed: DataFrame, id: Column, hash: Column,
+      bits: Int, maxHamming: Int, maxBand: Int = MaxSimHashBand): DataFrame = {
     val nBands = maxHamming + 1
     // every band must carry >= 1 bit or the pigeonhole structure silently
     // degenerates (a 0-bit band matches EVERY pair)
-    require(nBands <= SimHashBits,
-      s"maxHamming=$maxHamming needs $nBands pigeonhole bands but the hash has only $SimHashBits bits")
-    val sh = simHash(df, id, text).localCheckpoint(false)
-    val bandCols = bandBounds(nBands).map { case (lo, width) =>
-      shiftright(col("simhash"), lo).bitwiseAND((1L << width) - 1)
+    require(nBands <= bits,
+      s"maxHamming=$maxHamming needs $nBands pigeonhole bands but the hash has only $bits bits")
+    val sh = hashed.select(id.as("__id"), hash.as("__h"))
+      .filter(col("__h").isNotNull).localCheckpoint(false)
+    val bandCols = bandBounds(bits, nBands).map { case (lo, width) =>
+      shiftright(col("__h"), lo).bitwiseAND((1L << width) - 1)
     }
     // members ride through the aggregation as (id, hash) structs so the
     // pair explode emits hamming directly — no join-back to the hashes
-    val bands = sh.select(struct(col("__id").as("id"), col("simhash").as("h")).as("m"),
+    val bands = sh.select(struct(col("__id").as("id"), col("__h").as("h")).as("m"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     bands
       .groupBy(col("band_idx"), col("band_val"))

@@ -471,6 +471,171 @@ object Multimodal {
     out.toByteArray
   }
 
+  // ------------------------------------------------------------------
+  // Perceptual image hash (pHash): DCT low-frequency sign structure as a
+  // 63-bit fingerprint, for NEAR-duplicate image dedup (re-encoded /
+  // slightly-retouched copies share a hash within a small Hamming
+  // distance, while exact-byte dedup sees unrelated blobs). Everything
+  // runs on an integer lattice — the cosine basis is quantized to e4
+  // integers ONCE ([[DctCosE4]]) and every downstream sum is exact long
+  // arithmetic — so the hash is bit-reproducible across engines and
+  // platforms (no libm cos / fp-association drift), which is what lets
+  // the driver oracle replicate it in SQL from the same table.
+  // ------------------------------------------------------------------
+
+  /** pHash sample grid (NxN the image is floor-sampled onto). */
+  val PHashGrid = 16
+  /** Low-frequency DCT block kept (KxK, minus the DC term → K*K-1 bits). */
+  val PHashKeep = 8
+
+  /** DCT-II basis `cos(pi*(2x+1)*u / (2*Grid))` quantized
+    * `floor(c*1e4+0.5)` — shared VERBATIM with the oracle SQL (the query
+    * interpolates this table as literals), so both engines do identical
+    * integer arithmetic. Magnitudes: samples ≤ 4*255, |c| ≤ 1e4 →
+    * row pass ≤ 16*1020*1e4 ≈ 1.6e8, column pass ≤ 16*1.6e12 ≈ 2.6e13,
+    * 63*F and the AC sum stay far inside Long. */
+  lazy val DctCosE4: Array[Array[Long]] =
+    Array.tabulate(PHashKeep, PHashGrid) { (u, x) =>
+      math.floor(math.cos(math.Pi * (2 * x + 1) * u / (2.0 * PHashGrid))
+        * 10000.0 + 0.5).toLong
+    }
+
+  /** REAL perceptual hash: decode (`javax.imageio`), floor-sample onto the
+    * [[PHashGrid]]² grid (`sx = floor(x·W/Grid)` — the same deterministic
+    * selection convention as [[resizeImage]]), per-cell intensity = sum of
+    * ALL band samples (the [[decodeImage]] brightness convention), then a
+    * separable integer DCT with [[DctCosE4]] and one bit per AC
+    * coefficient of the [[PHashKeep]]² low-frequency block: bit set iff
+    * `63·F[u][v] > Σ F[AC]` (strict, mean comparison cross-multiplied to
+    * stay integer-exact). Bit `u*8+v-1` of the result holds coefficient
+    * (u,v); undecodable bytes return null. */
+  def imagePHash(bytes: Array[Byte]): java.lang.Long = {
+    val img =
+      try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (img == null) return null
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    if (w == 0 || h == 0) return null
+    val grid = PHashGrid
+    val g = Array.ofDim[Long](grid, grid)
+    var y = 0
+    while (y < grid) {
+      val sy = (y.toLong * h / grid).toInt
+      var x = 0
+      while (x < grid) {
+        val sx = (x.toLong * w / grid).toInt
+        var s = 0L
+        var b = 0
+        while (b < bands) { s += raster.getSample(sx, sy, b); b += 1 }
+        g(x)(y) = s
+        x += 1
+      }
+      y += 1
+    }
+    phashOfGrid(g)
+  }
+
+  /** The DCT + bit-assembly half of [[imagePHash]], exposed for specs that
+    * pin the sampling path against a by-construction grid. */
+  private[pipeline] def phashOfGrid(g: Array[Array[Long]]): java.lang.Long = {
+    val grid = PHashGrid
+    val keep = PHashKeep
+    val c = DctCosE4
+    // row pass: r(u)(y) = sum_x g(x)(y) * C[u][x]
+    val r = Array.ofDim[Long](keep, grid)
+    var u = 0
+    while (u < keep) {
+      var y = 0
+      while (y < grid) {
+        var s = 0L
+        var x = 0
+        while (x < grid) { s += g(x)(y) * c(u)(x); x += 1 }
+        r(u)(y) = s
+        y += 1
+      }
+      u += 1
+    }
+    // column pass: f(u)(v) = sum_y r(u)(y) * C[v][y]
+    val f = Array.ofDim[Long](keep, keep)
+    var acSum = 0L
+    u = 0
+    while (u < keep) {
+      var v = 0
+      while (v < keep) {
+        var s = 0L
+        var y = 0
+        while (y < grid) { s += r(u)(y) * c(v)(y); y += 1 }
+        f(u)(v) = s
+        if (u != 0 || v != 0) acSum += s
+        v += 1
+      }
+      u += 1
+    }
+    val nAc = keep * keep - 1
+    var hash = 0L
+    u = 0
+    while (u < keep) {
+      var v = 0
+      while (v < keep) {
+        if (u != 0 || v != 0) {
+          val p = u * keep + v // 1..63
+          if (f(u)(v) * nAc > acSum) hash |= 1L << (p - 1)
+        }
+        v += 1
+      }
+      u += 1
+    }
+    hash
+  }
+
+  /** Append a 63-bit perceptual hash column computed per-partition from
+    * `binaryCol` — payload bytes never shuffle, only the Long hash does.
+    * NULL/undecodable payloads yield NULL. */
+  def withPHash(df: DataFrame, binaryCol: String,
+      outCol: String = "phash"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hv = if (r.isNullAt(binIdx)) null
+          else imagePHash(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ hv)
+      }
+    }
+  }
+
+  /** Deterministic TEXTURED 24-bit gray BMP test payload: pixel (x, y) has
+    * value `(id*37 + x*(3 + id%11) + y*(5 + id%7) + x*y*(id%5)) mod 255`
+    * — the spatial frequencies vary with id, so different ids produce
+    * perceptually different images (unlike [[syntheticBmp]]'s fixed
+    * gradient, which would alias every image onto near-identical pHashes).
+    * With `perturb`, pixels on the sparse `(x+y) % 9 == 0` diagonal grid
+    * gain +1 (range stays ≤ 255 because the base is mod 255) — a
+    * retouched near-copy whose pHash stays within a small Hamming
+    * distance of the original. Closed-form, so the oracle reproduces the
+    * pixels analytically. */
+  def syntheticPatternBmp(id: Long, w: Int, h: Int, perturb: Boolean): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val base = ((id * 37 + x * (3 + id % 11) + y * (5 + id % 7)
+          + x.toLong * y * (id % 5)) % 255).toInt
+        val v = base + (if (perturb && (x + y) % 9 == 0) 1 else 0)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "bmp", out)
+    out.toByteArray
+  }
+
   /** Append a `meta` struct decoded per-partition from `binaryCol`. NULL
     * payloads yield NULL meta; the decoder may also return null (e.g.
     * [[decodeImage]] on undecodable bytes). Decoder defaults to the

@@ -265,6 +265,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(wrote > 0, "reliable checkpoint rounds must write files")
   }
 
+  test("imagePHash: decode+sampling pinned by the closed-form grid; retouch stays near; garbage -> null") {
+    // identity sampling: 16x16 pattern BMP == phash of the by-construction grid
+    def grid(id: Long, perturb: Boolean, scale: Int): Array[Array[Long]] =
+      Array.tabulate(16, 16) { (x, y) =>
+        val (sx, sy) = (x * scale, y * scale) // floor map for W = H = 16*scale
+        val base = (id * 37 + sx * (3 + id % 11) + sy * (5 + id % 7)
+          + sx.toLong * sy * (id % 5)) % 255
+        3 * (base + (if (perturb && (sx + sy) % 9 == 0) 1 else 0))
+      }
+    val h9 = Multimodal.imagePHash(Multimodal.syntheticPatternBmp(9L, 16, 16, false))
+    assert(h9 == Multimodal.phashOfGrid(grid(9L, false, 1)))
+    assert(h9 >= 0L, "63-bit hash must stay in the positive Long range")
+
+    // floor-sampling path: a 32x32 image hashes as its 16x16 floor-sample
+    val h32 = Multimodal.imagePHash(Multimodal.syntheticPatternBmp(9L, 32, 32, false))
+    assert(h32 == Multimodal.phashOfGrid(grid(9L, false, 2)))
+
+    // byte-identical copies collide exactly; the sparse +1 retouch stays
+    // within a small Hamming distance while typical unrelated images do not
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = Seq(0L, 7L, 14L, 21L, 28L, 35L)
+    val retouch = ids.map { id =>
+      val base = Multimodal.imagePHash(Multimodal.syntheticPatternBmp(id, 16, 16, false))
+      assert(base == Multimodal.imagePHash(Multimodal.syntheticPatternBmp(id, 16, 16, false)))
+      ham(base, Multimodal.imagePHash(Multimodal.syntheticPatternBmp(id, 16, 16, true)))
+    }
+    assert(retouch.forall(_ <= 3), s"retouched copies drifted: $retouch")
+    val unrelated = for (Seq(a, b) <- ids.combinations(2).toSeq) yield ham(
+      Multimodal.imagePHash(Multimodal.syntheticPatternBmp(a, 16, 16, false)),
+      Multimodal.imagePHash(Multimodal.syntheticPatternBmp(b, 16, 16, false)))
+    assert(unrelated.max > 10, s"unrelated textures too close: $unrelated")
+
+    assert(Multimodal.imagePHash("not an image".getBytes("UTF-8")) == null)
+    // NULL payloads flow through the plumbing as NULL hashes
+    val df = Seq((1L, null: Array[Byte]),
+      (2L, Multimodal.syntheticPatternBmp(2L, 16, 16, false))).toDF("id", "img")
+    val hs = Multimodal.withPHash(df, "img").orderBy($"id").select($"phash").collect()
+    assert(hs(0).isNullAt(0) && !hs(1).isNullAt(0))
+  }
+
+  test("bandedHammingPairs on 63-bit hashes: recall exactly 1.0 vs brute force") {
+    // deterministic LCG hashes + planted <=2-bit-flip near pairs
+    def lcg(s: Long) = s * 6364136223846793005L + 1442695040888963407L
+    val base = Iterator.iterate(12345L)(lcg).drop(1).take(120)
+      .map(_ & Long.MaxValue).zipWithIndex
+      .map { case (h, i) => (i.toLong, h) }.toSeq
+    val planted = base.collect { case (i, h) if i % 4 == 0 =>
+      (i + 1000L, h ^ (1L << (i % 63)) ^ (if (i % 8 == 0) 1L << ((i * 7 + 11) % 63) else 0L))
+    }
+    val all = (base ++ planted).toDF("id", "h")
+    val got = Dedup.bandedHammingPairs(all, $"id", $"h", bits = 63,
+      maxHamming = 2, maxBand = Int.MaxValue)
+      .select($"id_a", $"id_b", $"hamming").as[(Long, Long, Long)].collect().toSet
+    val rows = (base ++ planted)
+    val brute = (for {
+      (ia, ha) <- rows; (ib, hb) <- rows
+      if ia < ib && java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (ia, ib, java.lang.Long.bitCount(ha ^ hb).toLong)).toSet
+    assert(got == brute, s"missed ${brute -- got}, invented ${got -- brute}")
+    assert(brute.nonEmpty, "planted near pairs must exist or the law is vacuous")
+  }
+
   test("decodeImage: real PNG + BMP decode matches known pixels; garbage -> NULL meta") {
     // 3x2 PNG with hand-set per-channel values
     val img = new java.awt.image.BufferedImage(3, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
