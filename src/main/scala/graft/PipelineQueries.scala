@@ -579,6 +579,35 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL audio near-dup dedup: Haitsma-Kalker sign-of-energy-difference
+    // fingerprints (integer lattice, no FFT/fp drift) over real WAV bytes
+    // decoded with javax.sound; exact copies for every 5th doc, faint
+    // click-track retouches for every 7th. Same shared banding machinery
+    // at SimHash's 60-bit/hamming<=3 config; uncapped like p22/p24, so
+    // the oracle is the all-pairs Hamming filter over fingerprints
+    // rebuilt from the closed-form PCM.
+    "p62_audio_fingerprint_dedup" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val wavs = ids.flatMap { id =>
+          Seq((id, id, false)) ++
+            (if (id % 5 == 0) Seq((id + 10000000L, id, false)) else Nil) ++
+            (if (id % 7 == 0) Seq((id + 20000000L, id, true)) else Nil)
+        }.map { case (d, src, p) =>
+          (d, Multimodal.syntheticWav(src, (400 + src % 100).toInt, p))
+        }.toDF("doc_id", "wav")
+      val hashed = Multimodal.withAudioFingerprint(wavs, "wav")
+        .select(col("doc_id"), col("fp"))
+        .localCheckpoint(false) // feeds pairs, groups, and the final join
+      val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("fp"),
+        bits = 60, maxHamming = 3, maxBand = Int.MaxValue)
+      val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
+      hashed.join(groups, Seq("doc_id"))
+        .select(col("doc_id"), col("fp"), col("group_id"),
+          (col("group_id") === col("doc_id")).as("canonical"))
+        .orderBy(col("doc_id"))
+    }),
+
     // EXACTSUBSTR dedup (Lee et al. 2021): a shared 13-token boilerplate
     // injected into every 3rd doc makes all of its interior 10-grams
     // corpus-duplicated, so every injected doc except the globally-first
@@ -1265,6 +1294,51 @@ object PipelineQueries {
          |  UNION SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
          |SELECT h.doc_id, h.phash, coalesce(comp.group_id, h.doc_id) AS group_id,
+         |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
+         |FROM h LEFT JOIN comp ON comp.id = h.doc_id
+         |ORDER BY h.doc_id""".stripMargin,
+
+    // the H&K lattice in closed form: closed-form PCM -> per-(frame,
+    // stripe) integer energies (every cell occupied: n >= 400 samples
+    // over 16x5 cells) -> double-difference sign bits -> all-pairs
+    // Hamming <= 3 -> recursive min-label components
+    "p62_audio_fingerprint_dedup" ->
+      s"""WITH RECURSIVE ids AS (
+         |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, doc_id, 0 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0),
+         |sm AS MATERIALIZED (
+         |  SELECT i.doc_id, g.i,
+         |    ((i.src * 31 + g.i * 17) % 2003 - 1001
+         |      + CASE WHEN i.pert = 1 AND g.i % 37 = 0 THEN 1 ELSE 0 END) AS s,
+         |    400 + i.src % 100 AS n
+         |  FROM ids i, generate_series(0, 498) AS g(i)
+         |  WHERE g.i < 400 + i.src % 100),
+         |en AS MATERIALIZED (
+         |  SELECT doc_id, (i * 16) // n AS f, i % 5 AS b,
+         |    CAST(sum(s * s) AS BIGINT) AS e
+         |  FROM sm GROUP BY doc_id, (i * 16) // n, i % 5),
+         |h AS MATERIALIZED (
+         |  SELECT a.doc_id, CAST(coalesce(sum(
+         |      CASE WHEN (a.e - c.e) - (p.e - q.e) > 0
+         |        THEN (CAST(1 AS BIGINT) << CAST((a.f - 1) * 4 + a.b AS INTEGER)) END), 0) AS BIGINT) AS fp
+         |  FROM en a
+         |  JOIN en c ON c.doc_id = a.doc_id AND c.f = a.f AND c.b = a.b + 1
+         |  JOIN en p ON p.doc_id = a.doc_id AND p.f = a.f - 1 AND p.b = a.b
+         |  JOIN en q ON q.doc_id = a.doc_id AND q.f = a.f - 1 AND q.b = a.b + 1
+         |  WHERE a.f >= 1 AND a.b <= 3
+         |  GROUP BY a.doc_id),
+         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
+         |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
+         |  UNION SELECT id_b, id_a FROM pr),
+         |reach AS (SELECT src AS id, src AS label FROM edges
+         |  UNION SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
+         |SELECT h.doc_id, h.fp, coalesce(comp.group_id, h.doc_id) AS group_id,
          |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
          |FROM h LEFT JOIN comp ON comp.id = h.doc_id
          |ORDER BY h.doc_id""".stripMargin,

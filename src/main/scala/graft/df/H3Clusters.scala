@@ -80,20 +80,48 @@ object H3Clusters {
         // and re-execute the n-round join tree per action
         labels = labels.localCheckpoint(eager = true)
       case None =>
+        // pointer halving: a label is itself a member cell's id, so hop
+        // once through the representative's own label (value-matched in
+        // the eq-value variant — a cluster only ever merges equal values,
+        // so the rep row with that value is in the same cluster). Plain
+        // propagation converges in O(diameter) rounds, which a snake-
+        // shaped cluster (a coastline at fine resolution) can push past
+        // any fixed budget; the compression step makes it O(log diameter).
+        def compress(relaxed: DataFrame): DataFrame = {
+          val reps = relaxed.select(
+            (col(cellCol).as("__rep") +:
+              valueCol.map(c => col(c).as("__repval")).toSeq :+
+              col("cluster").as("__repcluster")): _*)
+          val cond = valueCol.foldLeft(col("cluster") === col("__rep"))(
+            (c, v) => c && (col(v) <=> col("__repval")))
+          relaxed.join(reps, cond, "left")
+            .select((keyCols :+
+              coalesce(col("__repcluster"), col("cluster")).as("cluster")): _*)
+        }
         var changed = true
         var iter = 0
         while (changed && iter < maxIterations) {
           val prev = labels
+          // the slim relaxed frame is barrier'd BEFORE the compression
+          // self-join: with propagate's join tree on both sides, Catalyst's
+          // size-only stats estimation multiplies the unknown-size leaves
+          // into astronomically wide BigInts (minutes of Toom-Cook per
+          // round); as a leaf, the self-join costs nothing to plan
+          val relaxed = propagate(labels).localCheckpoint(false)
           // checkpointDir upgrades every few rounds to a reliable
           // checkpoint (executor-loss-safe); see graft.util.Barriers
           val next = graft.util.Barriers.roundBarrier(
-            propagate(labels), iter, checkpointDir, eager = true)
+            compress(relaxed), iter, checkpointDir, eager = true)
           val nChanged = next.select(col(cellCol), col("cluster"))
             .exceptAll(prev.select(col(cellCol), col("cluster"))).count()
           labels = next
           changed = nChanged > 0
           iter += 1
         }
+        if (changed)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"cellClusters stopped after maxIterations=$maxIterations with labels " +
+              "still changing: clusters may be split; raise maxIterations")
     }
     joinOnKeys(df,
       labels.select((col(cellCol) +: valueCol.map(col).toSeq :+ col("cluster")): _*))

@@ -374,13 +374,18 @@ object Dedup {
     * distinct endpoint id, labeled with the minimum id reachable from it
     * (the canonical component representative). Output: (id, component).
     *
-    * Iterative min-label propagation: each round sends every node's label
-    * across its edges and keeps the minimum — 2 shuffles per round (the
-    * same message-passing shape as H3Clusters), converging in
-    * O(component diameter) rounds. Near-dup components are dense and tiny
-    * (a duplicate cluster is near-clique through its shared bands), so
-    * diameter is small in practice; `maxRounds` bounds the pathological
-    * chain. Each round is barrier'd: without it the plan doubles per
+    * Iterative min-label propagation WITH pointer halving: each round
+    * sends every node's label across its edges, keeps the minimum, then
+    * follows the representative's own label one step (`label(id) :=
+    * label(label(id))` — labels are always node ids, so the lookup is a
+    * self-join on the label frame). Edge relaxation alone converges in
+    * O(component diameter) rounds, which a chain-shaped component turns
+    * into a real failure mode (a 50-link chain of pairwise-similar items
+    * exceeded the old 30-round budget); the compression step roughly
+    * doubles the propagated distance per round, so convergence is
+    * O(log diameter) — 30 rounds covers any component a real corpus can
+    * produce. 3 shuffles per round on slim (id, label) frames. Each
+    * round is barrier'd: without it the plan doubles per
     * iteration and round N re-executes rounds 1..N-1. `checkpointDir`
     * upgrades every few rounds from lineage-only `localCheckpoint` to a
     * reliable checkpoint that survives executor loss (see
@@ -404,9 +409,17 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val msgs = edges.join(labels, edges("__src") === labels("id"))
         .select(col("__dst").as("id"), col("component"))
+      val relaxed = labels.unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      // pointer halving: a label is itself a node id, so hop once through
+      // the representative's own label — min-reachable is preserved (the
+      // hop stays inside the component) and propagation distance doubles
       val next = graft.util.Barriers.roundBarrier(
-        labels.unionByName(msgs)
-          .groupBy(col("id")).agg(min(col("component")).as("component")),
+        relaxed.join(
+            relaxed.select(col("id").as("__rid"), col("component").as("__rcomp")),
+            relaxed("component") === col("__rid"), "left")
+          .select(col("id"),
+            coalesce(col("__rcomp"), col("component")).as("component")),
         round, checkpointDir, eager = false)
       changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
         .filter(col("component") =!= col("__prev")).count()
@@ -517,8 +530,15 @@ object Dedup {
   /** The pigeonhole band values of a SimHash as an array (same band
     * layout as [[simHashNearDupPairs]]). */
   def simHashBandValues(simhash: Column, maxHamming: Int): Column =
-    array(bandBounds(SimHashBits, maxHamming + 1).map { case (lo, width) =>
-      shiftright(simhash, lo).bitwiseAND((1L << width) - 1)
+    bandValues(simhash, SimHashBits, maxHamming)
+
+  /** Pigeonhole band values of ANY `bits`-wide hash as an array — the
+    * column form of [[bandedHammingPairs]]'s band split, for callers that
+    * band two frames separately (e.g. a stream joined against a
+    * pre-banded static reference). */
+  def bandValues(hash: Column, bits: Int, maxHamming: Int): Column =
+    array(bandBounds(bits, maxHamming + 1).map { case (lo, width) =>
+      shiftright(hash, lo).bitwiseAND((1L << width) - 1)
     }: _*)
 
   /** Hard ceiling on SimHash band membership, mirroring [[MaxLshBucket]]:

@@ -157,15 +157,18 @@ object Multimodal {
   }
 
   /** Deterministic 16-bit mono PCM WAV test payload: sample i has value
-    * `((id*31 + i*17) mod 2003) - 1001` at 8 kHz. Real WAV bytes
-    * (AudioSystem's WAVE writer), closed-form expected meta — the oracle
-    * for the audio-decode query computes peak/RMS analytically. */
-  def syntheticWav(id: Long, n: Int): Array[Byte] = {
+    * `((id*31 + i*17) mod 2003) - 1001` at 8 kHz, plus 1 on every 37th
+    * sample when `perturb` (a faint click track — the audio analogue of
+    * [[syntheticPatternBmp]]'s retouch, kept within the ±1002 range).
+    * Real WAV bytes (AudioSystem's WAVE writer), closed-form expected
+    * values — the oracles compute peak/RMS/fingerprints analytically. */
+  def syntheticWav(id: Long, n: Int, perturb: Boolean = false): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = ((id * 31 + i * 17) % 2003 - 1001).toShort
+      val v = ((id * 31 + i * 17) % 2003 - 1001
+        + (if (perturb && i % 37 == 0) 1 else 0)).toShort
       pcm(i * 2) = (v & 0xFF).toByte
       pcm(i * 2 + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
@@ -176,6 +179,86 @@ object Multimodal {
     javax.sound.sampled.AudioSystem.write(ais,
       javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
     out.toByteArray
+  }
+
+  // ------------------------------------------------------------------
+  // Audio fingerprint: Haitsma & Kalker's sign-of-energy-difference bits
+  // (ISMIR 2002), on an exact integer lattice. The paper derives each
+  // bit from the double difference of spectral band energies across
+  // consecutive frames; here the "filterbank" is the sample-index stripe
+  // `i mod Bands` inside each of [[FpFrames]] equal time frames — a
+  // crude but deterministic decomposition whose energies are exact
+  // integer sums of squares, so the 60-bit fingerprint is reproducible
+  // across engines with no FFT/fp drift and the oracle can rebuild it in
+  // SQL from closed-form PCM. Matching reuses the SAME pigeonhole
+  // banding as SimHash/pHash ([[graft.pipeline.Dedup.bandedHammingPairs]]).
+  // ------------------------------------------------------------------
+
+  /** Fingerprint time frames (F) and per-frame stripe bands (B):
+    * (F-1) * (B-1) = 60 bits, the SimHash width. */
+  val FpFrames = 16
+  val FpBands = 5
+
+  /** 60-bit audio fingerprint from 16-bit PCM (same container support as
+    * [[decodeAudio]]): sample i of n lands in frame `i*F div n` and
+    * stripe `i mod B`; `E[f][b]` is the exact integer sum of squares in
+    * that cell (empty cells are 0), and bit `(f-1)*(B-1) + b` (f in
+    * 1..F-1, b in 0..B-2) is set iff
+    * `(E[f][b] - E[f][b+1]) - (E[f-1][b] - E[f-1][b+1]) > 0` — the H&K
+    * sign rule, strict, integer-exact. Undecodable or empty payloads
+    * return null. */
+  def audioFingerprint(bytes: Array[Byte]): java.lang.Long = {
+    val ais =
+      try javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      catch { case scala.util.control.NonFatal(_) => null }
+    if (ais == null) return null
+    try {
+      val fmt = ais.getFormat
+      if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getSampleSizeInBits != 16) return null
+      val data = ais.readAllBytes()
+      val n = data.length / 2
+      if (n == 0) return null
+      val e = Array.ofDim[Long](FpFrames, FpBands)
+      var i = 0
+      while (i < n) {
+        val s =
+          if (fmt.isBigEndian) ((data(2 * i) << 8) | (data(2 * i + 1) & 0xFF)).toShort
+          else ((data(2 * i + 1) << 8) | (data(2 * i) & 0xFF)).toShort
+        e((i.toLong * FpFrames / n).toInt)(i % FpBands) += s.toLong * s
+        i += 1
+      }
+      var hash = 0L
+      var f = 1
+      while (f < FpFrames) {
+        var b = 0
+        while (b < FpBands - 1) {
+          val d = (e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1))
+          if (d > 0) hash |= 1L << ((f - 1) * (FpBands - 1) + b)
+          b += 1
+        }
+        f += 1
+      }
+      hash
+    } finally ais.close()
+  }
+
+  /** Append a 60-bit audio fingerprint column computed per-partition from
+    * `binaryCol` — payloads never shuffle, only the Long does. NULL /
+    * undecodable payloads yield NULL. */
+  def withAudioFingerprint(df: DataFrame, binaryCol: String,
+      outCol: String = "fp"): DataFrame = {
+    val schema = df.schema.add(StructField(outCol, LongType, nullable = true))
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(schema)
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val hv = if (r.isNullAt(binIdx)) null
+          else audioFingerprint(r.getAs[Array[Byte]](binIdx))
+        Row.fromSeq(r.toSeq :+ hv)
+      }
+    }
   }
 
   /** REAL image resize: decode via `javax.imageio`, NEAREST-NEIGHBOR

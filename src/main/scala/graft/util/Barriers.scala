@@ -21,13 +21,30 @@ object Barriers {
 
   /** Cut lineage for `df` at iteration `round` (0-based). An existing
     * session checkpoint dir is respected; otherwise `checkpointDir` is
-    * installed on first reliable use. */
+    * installed on first reliable use.
+    *
+    * The checkpointed frame is re-wrapped from its RDD to RESET plan
+    * statistics: `Dataset.checkpoint`/`localCheckpoint` rewrite the
+    * origin plan's estimated stats onto the new `LogicalRDD` leaf, and
+    * size-only estimation multiplies child sizes through every join — so
+    * an iterative loop compounds sizeInBytes exponentially round over
+    * round. The estimate is a BigInt: after ~20 rounds it carries
+    * millions of bits and Catalyst burns MINUTES per round inside
+    * BigInteger Toom-Cook multiplication (observed on a 120-cell snake
+    * cluster). Rebuilding from the RDD gives the leaf the constant
+    * `spark.sql.defaultSizeInBytes`, bounding planning cost for any
+    * number of rounds; the blocks behind the RDD are untouched, and
+    * these slim per-round label frames never want stats-driven broadcast
+    * decisions anyway. */
   def roundBarrier(df: DataFrame, round: Int, checkpointDir: Option[String],
-      eager: Boolean): DataFrame = checkpointDir match {
-    case Some(dir) if round % ReliableEvery == ReliableEvery - 1 =>
-      val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
-      df.checkpoint(eager)
-    case _ => df.localCheckpoint(eager)
+      eager: Boolean): DataFrame = {
+    val cp = checkpointDir match {
+      case Some(dir) if round % ReliableEvery == ReliableEvery - 1 =>
+        val sc = df.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df.checkpoint(eager)
+      case _ => df.localCheckpoint(eager)
+    }
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 }

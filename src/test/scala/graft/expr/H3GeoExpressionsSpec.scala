@@ -298,6 +298,21 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     assert(clusters.find(_._1 == far).get._2 == far)
   }
 
+  test("cellClusters: pointer halving converges a snake cluster longer than the iteration budget") {
+    // a grid path is one long connected chain — the worst case for plain
+    // one-hop min-label propagation (O(length) rounds, silently split at
+    // maxIterations=64 before the compression step existed)
+    val a = H3Geo.latLngToCell(37.75, -122.45, 8)
+    val g = H3Geo.cellToLatLng(a)
+    val b = H3Geo.latLngToCell(g.lat + 0.95, g.lng, 8)
+    val path = H3Traversal.gridPathCells(a, b)
+    assert(path.length > 100, s"snake only ${path.length} cells")
+    val out = graft.df.H3Clusters.cellClusters(path.toSeq.toDF("cell"), "cell")
+    val labels = out.select($"cluster").as[Long].collect().toSet
+    assert(labels == Set(path.min),
+      s"snake split into ${labels.size} clusters")
+  }
+
   test("boundary struct array and edge bbox agree with cell geometry") {
     val row = Seq(sf).toDF("cell").select(
       h3_cell_to_boundary($"cell").as("b"),

@@ -247,12 +247,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(got.toSet == plain.toSet && got.length == 20000)
   }
 
+  test("connectedComponents: pointer halving converges a 200-link chain inside 30 rounds") {
+    // a path graph is the worst case for plain min-label propagation
+    // (O(diameter) rounds — a 200-link chain needs ~199); pointer halving
+    // must close it within the default maxRounds = 30 (O(log d))
+    val pairs = (0L until 200L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val labels = Dedup.connectedComponents(pairs).as[(Long, Long)].collect()
+    assert(labels.length == 201)
+    assert(labels.forall(_._2 == 0L),
+      s"chain under-merged: ${labels.filter(_._2 != 0L).take(5).toSeq}")
+  }
+
+  test("audioFingerprint: closed-form energy lattice; retouch stays near; garbage -> null") {
+    // fingerprint of real WAV bytes == fingerprint of the by-construction
+    // energy grid (pins the decode + frame/stripe assignment)
+    def expected(id: Long, n: Int, perturb: Boolean): Long = {
+      val e = Array.ofDim[Long](16, 5)
+      for (i <- 0 until n) {
+        val s = (id * 31 + i * 17) % 2003 - 1001 +
+          (if (perturb && i % 37 == 0) 1 else 0)
+        e((i * 16 / n).toInt)(i % 5) += s * s
+      }
+      var h = 0L
+      for (f <- 1 until 16; b <- 0 until 4)
+        if ((e(f)(b) - e(f)(b + 1)) - (e(f - 1)(b) - e(f - 1)(b + 1)) > 0)
+          h |= 1L << ((f - 1) * 4 + b)
+      h
+    }
+    for (id <- Seq(0L, 9L, 42L)) {
+      val n = (400 + id % 100).toInt
+      val got = Multimodal.audioFingerprint(Multimodal.syntheticWav(id, n))
+      assert(got == expected(id, n, perturb = false), s"id=$id")
+      assert(got >= 0L, "60-bit fingerprint stays in the positive Long range")
+    }
+    // identical bytes collide; the faint click track stays within a small
+    // Hamming distance while different ids' signals are far
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    val ids = Seq(0L, 7L, 14L, 21L)
+    val retouch = ids.map { id =>
+      val n = (400 + id % 100).toInt
+      ham(Multimodal.audioFingerprint(Multimodal.syntheticWav(id, n)),
+        Multimodal.audioFingerprint(Multimodal.syntheticWav(id, n, perturb = true)))
+    }
+    assert(retouch.forall(_ <= 3), s"click-track copies drifted: $retouch")
+    val unrelated = for (Seq(a, b) <- ids.combinations(2).toSeq) yield ham(
+      Multimodal.audioFingerprint(Multimodal.syntheticWav(a, (400 + a % 100).toInt)),
+      Multimodal.audioFingerprint(Multimodal.syntheticWav(b, (400 + b % 100).toInt)))
+    assert(unrelated.max > 10, s"unrelated signals too close: $unrelated")
+
+    assert(Multimodal.audioFingerprint("not audio".getBytes("UTF-8")) == null)
+    val df = Seq((1L, null: Array[Byte]), (2L, Multimodal.syntheticWav(2L, 400)))
+      .toDF("id", "wav")
+    val hs = Multimodal.withAudioFingerprint(df, "wav").orderBy($"id")
+      .select($"fp").collect()
+    assert(hs(0).isNullAt(0) && !hs(1).isNullAt(0))
+  }
+
   test("connectedComponents with reliable checkpointDir: same labels, files written") {
-    // a 7-round chain forces at least one reliable-checkpoint round
-    // (ReliableEvery = 5) plus local rounds on either side
-    val chain = (0L until 14L by 2).map(i => (i, i + 1)) ++
-      (1L until 13L by 2).map(i => (i, i + 1))
-    val pairs = chain.toDF("id_a", "id_b")
+    // pointer halving converges in ~log2(diameter) rounds, so a chain
+    // long enough to force at least one reliable-checkpoint round
+    // (ReliableEvery = 5) needs diameter >> 2^5
+    val pairs = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val plain = Dedup.connectedComponents(pairs)
       .as[(Long, Long)].collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
