@@ -552,11 +552,14 @@ object PipelineQueries {
     // for every 5th doc and a retouched copy (+1 on a sparse diagonal
     // grid) for every 7th. decode -> integer-lattice DCT pHash ->
     // pigeonhole-banded Hamming pairs (the SimHash machinery, 63-bit) ->
-    // transitive groups -> canonical = min id of the group. Uncapped like
-    // p22/p24 (the cap's truncation is pinned by p06); banding is
-    // recall-complete, so the oracle computes pairs as the all-pairs
-    // Hamming filter over hashes rebuilt from the closed-form pixels with
-    // the SAME e4 cosine table (interpolated literals).
+    // transitive groups -> canonical = min id of the group. The hot-band
+    // cap is LIVE here (smooth textures legitimately pile into shared
+    // band values — the 10x scale probe measured the uncapped pair
+    // explode going quadratic), so the oracle replicates the cap's
+    // keep-smallest-ids truncation exactly: rank within (band, value) by
+    // id, join only rank <= cap members. Hashes rebuilt from the
+    // closed-form pixels with the SAME e4 cosine table (interpolated
+    // literals).
     "p61_image_phash_dedup" -> ((s, dir) => {
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
@@ -571,7 +574,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("phash"))
         .localCheckpoint(false) // feeds pairs, groups, and the final join
       val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("phash"),
-        bits = 63, maxHamming = 2, maxBand = Int.MaxValue)
+        bits = 63, maxHamming = 2, maxBand = 1024)
       val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
       hashed.join(groups, Seq("doc_id"))
         .select(col("doc_id"), col("phash"), col("group_id"),
@@ -600,7 +603,7 @@ object PipelineQueries {
         .select(col("doc_id"), col("fp"))
         .localCheckpoint(false) // feeds pairs, groups, and the final join
       val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("fp"),
-        bits = 60, maxHamming = 3, maxBand = Int.MaxValue)
+        bits = 60, maxHamming = 3, maxBand = 1024)
       val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
       hashed.join(groups, Seq("doc_id"))
         .select(col("doc_id"), col("fp"), col("group_id"),
@@ -1254,8 +1257,9 @@ object PipelineQueries {
 
     // the pHash lattice in closed form: closed-form pixels -> separable
     // integer DCT with the interpolated e4 cosine table -> 63 AC sign
-    // bits -> all-pairs Hamming <= 2 (banding is recall-complete when
-    // uncapped) -> recursive min-label components
+    // bits -> banded pairs WITH the keep-smallest-ids hot-band cap
+    // (rank within band by id, join rank <= 1024 members, Hamming <= 2)
+    // -> recursive min-label components
     "p61_image_phash_dedup" ->
       s"""WITH RECURSIVE ids AS (
          |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
@@ -1264,12 +1268,15 @@ object PipelineQueries {
          |  UNION ALL
          |  SELECT doc_id + 20000000, doc_id, 1 FROM documents WHERE doc_id % 7 = 0),
          |cc AS (SELECT * FROM (VALUES $phashCosValues) t(u, x, cv)),
+         |sd AS (SELECT doc_id, src, pert,
+         |    (src * 2654435761) % 2147483648 AS h FROM ids),
          |px AS MATERIALIZED (
          |  SELECT i.doc_id, x.x, y.y,
-         |    3 * (((i.src * 37 + x.x * (3 + i.src % 11) + y.y * (5 + i.src % 7)
-         |           + x.x * y.y * (i.src % 5)) % 255)
+         |    3 * ((((i.h >> 24) % 255 + x.x * (3 + i.h % 13)
+         |           + y.y * (5 + (i.h >> 8) % 11)
+         |           + x.x * y.y * ((i.h >> 16) % 7)) % 255)
          |      + CASE WHEN i.pert = 1 AND (x.x + y.y) % 9 = 0 THEN 1 ELSE 0 END) AS g
-         |  FROM ids i, generate_series(0, 15) AS x(x), generate_series(0, 15) AS y(y)),
+         |  FROM sd i, generate_series(0, 15) AS x(x), generate_series(0, 15) AS y(y)),
          |rp AS MATERIALIZED (
          |  SELECT p.doc_id, c.u, p.y, CAST(sum(p.g * c.cv) AS BIGINT) AS rv
          |  FROM px p JOIN cc c ON c.x = p.x GROUP BY p.doc_id, c.u, p.y),
@@ -1285,9 +1292,16 @@ object PipelineQueries {
          |  FROM fp f JOIN st ON st.doc_id = f.doc_id
          |  WHERE NOT (f.u = 0 AND f.v = 0)
          |  GROUP BY f.doc_id),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.phash, b.phash)) <= 2),
+         |bc AS MATERIALIZED (
+         |  SELECT doc_id, phash, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id, phash, b.b AS bi,
+         |      (phash >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
+         |    FROM h, generate_series(0, 2) AS b(b))),
+         |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE a.rn <= 1024 AND b.rn <= 1024
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
          |  UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT src AS id, src AS label FROM edges
@@ -1300,8 +1314,9 @@ object PipelineQueries {
 
     // the H&K lattice in closed form: closed-form PCM -> per-(frame,
     // stripe) integer energies (every cell occupied: n >= 400 samples
-    // over 16x5 cells) -> double-difference sign bits -> all-pairs
-    // Hamming <= 3 -> recursive min-label components
+    // over 16x5 cells) -> double-difference sign bits -> banded pairs
+    // with the keep-smallest-ids hot-band cap (15-bit bands, rank <=
+    // 1024, Hamming <= 3) -> recursive min-label components
     "p62_audio_fingerprint_dedup" ->
       s"""WITH RECURSIVE ids AS (
          |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
@@ -1330,9 +1345,16 @@ object PipelineQueries {
          |  JOIN en q ON q.doc_id = a.doc_id AND q.f = a.f - 1 AND q.b = a.b + 1
          |  WHERE a.f >= 1 AND a.b <= 3
          |  GROUP BY a.doc_id),
-         |pr AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM h a JOIN h b ON a.doc_id < b.doc_id
-         |  WHERE bit_count(xor(a.fp, b.fp)) <= 3),
+         |bc AS MATERIALIZED (
+         |  SELECT doc_id, fp, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rn
+         |  FROM (SELECT doc_id, fp, b.b AS bi,
+         |      (fp >> CAST(15 * b.b AS INTEGER)) & 32767 AS bv
+         |    FROM h, generate_series(0, 3) AS b(b))),
+         |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |  WHERE a.rn <= 1024 AND b.rn <= 1024
+         |    AND bit_count(xor(a.fp, b.fp)) <= 3),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
          |  UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT src AS id, src AS label FROM edges

@@ -689,25 +689,39 @@ object Multimodal {
     }
   }
 
-  /** Deterministic TEXTURED 24-bit gray BMP test payload: pixel (x, y) has
-    * value `(id*37 + x*(3 + id%11) + y*(5 + id%7) + x*y*(id%5)) mod 255`
-    * — the spatial frequencies vary with id, so different ids produce
-    * perceptually different images (unlike [[syntheticBmp]]'s fixed
-    * gradient, which would alias every image onto near-identical pHashes).
-    * With `perturb`, pixels on the sparse `(x+y) % 9 == 0` diagonal grid
-    * gain +1 (range stays ≤ 255 because the base is mod 255) — a
-    * retouched near-copy whose pHash stays within a small Hamming
-    * distance of the original. Closed-form, so the oracle reproduces the
-    * pixels analytically. */
+  /** Texture parameters for [[syntheticPatternBmp]] — a Knuth
+    * multiplicative hash of the id drives offset and all three spatial
+    * frequencies, giving ~255k distinct texture classes. With few
+    * classes (an early id-modulo variant had 385) a growing corpus packs
+    * ever more images into each class and near-dup clusters grow
+    * LINEARLY with corpus size — the 10× scale probe then measures the
+    * quadratic pair blowup of a pathological corpus instead of the
+    * realistic one (cluster sizes roughly flat as the corpus grows). */
+  private def patternSeed(id: Long): Long = (id * 2654435761L) % 2147483648L
+
+  /** Deterministic TEXTURED 24-bit gray BMP test payload: with
+    * `h = (id * 2654435761) mod 2^31`, pixel (x, y) has value
+    * `((h >> 24) % 255 + x*(3 + h%13) + y*(5 + (h>>8)%11)
+    *   + x*y*((h>>16)%7)) mod 255`
+    * — offset and spatial frequencies vary with the id hash, so
+    * different ids produce perceptually different images (unlike
+    * [[syntheticBmp]]'s fixed gradient, which would alias every image
+    * onto near-identical pHashes). With `perturb`, pixels on the sparse
+    * `(x+y) % 9 == 0` diagonal grid gain +1 (range stays ≤ 255 because
+    * the base is mod 255) — a retouched near-copy whose pHash stays
+    * within a small Hamming distance of the original. Closed-form, so
+    * the oracle reproduces the pixels analytically. */
   def syntheticPatternBmp(id: Long, w: Int, h: Int, perturb: Boolean): Array[Byte] = {
+    val seed = patternSeed(id)
     val img = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
     var y = 0
     while (y < h) {
       var x = 0
       while (x < w) {
-        val base = ((id * 37 + x * (3 + id % 11) + y * (5 + id % 7)
-          + x.toLong * y * (id % 5)) % 255).toInt
+        val base = (((seed >> 24) % 255 + x * (3 + seed % 13)
+          + y * (5 + (seed >> 8) % 11)
+          + x.toLong * y * ((seed >> 16) % 7)) % 255).toInt
         val v = base + (if (perturb && (x + y) % 9 == 0) 1 else 0)
         img.setRGB(x, y, (v << 16) | (v << 8) | v)
         x += 1

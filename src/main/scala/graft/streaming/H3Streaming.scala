@@ -401,6 +401,50 @@ object H3Streaming {
     * in-vocabulary tokens); a document with no known token scores null.
     * On in-vocabulary documents the e4-lattice values are identical to
     * the batch operator's. */
+  /** Streaming perceptual near-dedup against a static reference — the
+    * ingest-time form of the p61/p62 batch chains: each micro-batch's
+    * payloads are fingerprinted by `withHash` (e.g.
+    * `Multimodal.withPHash(_, "img", "h")` for images,
+    * `withAudioFingerprint` for audio) and rows within `maxHamming` of
+    * ANY reference hash are dropped; survivors — hash column included,
+    * undecodable payloads passed through with a NULL hash (an unreadable
+    * blob is not a duplicate) — go to `sink`.
+    *
+    * Scale shape: the reference corpus is summarized ONCE into its hash
+    * frame (one long per item — billions fit a few GB; cache or
+    * pre-band it). Per batch BOTH sides band with the shared pigeonhole
+    * split ([[graft.pipeline.Dedup.bandValues]]) and equi-join on
+    * (band idx, band bits): recall 1.0 by pigeonhole, only same-band
+    * candidates compared, and the micro-batch side is small by
+    * construction so AQE broadcasts it — the reference frame never
+    * shuffles. The per-id "no band matched" aggregation is not legal
+    * mid-stream; `foreachBatch` is the standard envelope (at-least-once
+    * on retry). */
+  def streamingPerceptualDedup(stream: DataFrame, idCol: String,
+      withHash: DataFrame => DataFrame, hashCol: String,
+      refHashes: DataFrame, refHashCol: String,
+      bits: Int, maxHamming: Int,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.pipeline.Dedup
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val hashed = withHash(batch)
+        val refB = refHashes.select(col(refHashCol).as("__rh"),
+          posexplode(Dedup.bandValues(col(refHashCol), bits, maxHamming))
+            .as(Seq("__bi", "__bv")))
+        val batchB = hashed.filter(col(hashCol).isNotNull)
+          .select(col(idCol).as("__bid"), col(hashCol).as("__bh"),
+            posexplode(Dedup.bandValues(col(hashCol), bits, maxHamming))
+              .as(Seq("__bi", "__bv")))
+        val dupIds = batchB.join(refB, Seq("__bi", "__bv"))
+          .filter(bit_count(col("__bh").bitwiseXOR(col("__rh"))) <= maxHamming)
+          .select(col("__bid")).distinct()
+        sink(hashed.join(dupIds, col(idCol) === col("__bid"), "left_anti"), epoch)
+      }
+      .outputMode("append")
+  }
+
   def streamingImportanceScore(stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusText: Column,
       target: DataFrame, targetText: Column): DataFrame = {

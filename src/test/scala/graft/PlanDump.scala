@@ -12,7 +12,8 @@ object PlanDump {
     "p43_incremental_neardedup", "p44_corpus_report", "p45_hybrid_search",
     "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
-    "p59_importance_resample", "p60_curation_v2")
+    "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
+    "p62_audio_fingerprint_dedup")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -70,6 +71,11 @@ Audited shapes pinned here against regression:
   substring-dedup subtree appears ONCE, not four times; downstream keeps
   the p58/p40/p59 shapes (no Window/Sort over documents, gate join
   broadcast, TakeOrderedAndProject for selection).
+- p61/p62 (perceptual image/audio dedup): payload bytes die at the
+  fingerprint projection (only the 8-byte hash shuffles — ReadSchema of
+  every exchange shows no binary column); the band join is an equi-join
+  on (band idx, band bits) with the pair explode bucket-local; the
+  components loop appears as slim (id, label) `Scan ExistingRDD` rounds.
 
 """)
     for (name <- Captured) {

@@ -322,13 +322,15 @@ class PipelineSpec extends AnyFunSuite {
 
   test("imagePHash: decode+sampling pinned by the closed-form grid; retouch stays near; garbage -> null") {
     // identity sampling: 16x16 pattern BMP == phash of the by-construction grid
-    def grid(id: Long, perturb: Boolean, scale: Int): Array[Array[Long]] =
+    def grid(id: Long, perturb: Boolean, scale: Int): Array[Array[Long]] = {
+      val h = (id * 2654435761L) % 2147483648L
       Array.tabulate(16, 16) { (x, y) =>
         val (sx, sy) = (x * scale, y * scale) // floor map for W = H = 16*scale
-        val base = (id * 37 + sx * (3 + id % 11) + sy * (5 + id % 7)
-          + sx.toLong * sy * (id % 5)) % 255
+        val base = ((h >> 24) % 255 + sx * (3 + h % 13) + sy * (5 + (h >> 8) % 11)
+          + sx.toLong * sy * ((h >> 16) % 7)) % 255
         3 * (base + (if (perturb && (sx + sy) % 9 == 0) 1 else 0))
       }
+    }
     val h9 = Multimodal.imagePHash(Multimodal.syntheticPatternBmp(9L, 16, 16, false))
     assert(h9 == Multimodal.phashOfGrid(grid(9L, false, 1)))
     assert(h9 >= 0L, "63-bit hash must stay in the positive Long range")

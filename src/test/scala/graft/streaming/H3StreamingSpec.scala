@@ -212,6 +212,40 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming perceptual dedup drops stream images near a static reference, batch-identical") {
+    import graft.pipeline.Multimodal
+    implicit val sqlCtx = spark.sqlContext
+    val ref = Multimodal.withPHash(
+        (0L until 10L).map(i => (i, Multimodal.syntheticPatternBmp(i, 16, 16, false)))
+          .toDF("rid", "img"), "img", "rh")
+      .select($"rh").localCheckpoint(false)
+    val rows = Seq(
+      (100L, Multimodal.syntheticPatternBmp(3L, 16, 16, false)), // exact ref copy
+      (101L, Multimodal.syntheticPatternBmp(5L, 16, 16, true)),  // retouched ref copy
+      (102L, Multimodal.syntheticPatternBmp(987654L, 16, 16, false)), // fresh texture
+      (103L, "junk".getBytes("UTF-8")))                          // undecodable
+    // batch truth: anti-join on raw hamming (recall-complete banding twin)
+    val expected = Multimodal.withPHash(rows.toDF("id", "img"), "img", "h")
+      .join(ref, bit_count($"h".bitwiseXOR($"rh")) <= 2, "left_anti")
+      .select($"id").as[Long].collect().toSet
+    assert(!expected.contains(100L), "exact copy must be a duplicate")
+    assert(expected.contains(103L), "undecodable payload is not a duplicate")
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val survivors = scala.collection.mutable.Set.empty[Long]
+    val query = graft.streaming.H3Streaming.streamingPerceptualDedup(
+      input.toDF.toDF("id", "img"), "id",
+      df => Multimodal.withPHash(df, "img", "h"), "h",
+      ref, "rh", bits = 63, maxHamming = 2,
+      (df, _) => survivors ++= df.select(col("id")).as[Long](implicitly).collect()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      assert(survivors.toSet == expected,
+        s"stream/batch diverged: stream=$survivors batch=$expected")
+    } finally query.stop()
+  }
+
   test("multimodal decode is stateless: real AVI frame sampling runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte])]
