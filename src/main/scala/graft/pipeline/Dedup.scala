@@ -409,8 +409,13 @@ object Dedup {
     while (changed > 0 && round < maxRounds) {
       val msgs = edges.join(labels, edges("__src") === labels("id"))
         .select(col("__dst").as("id"), col("component"))
+      // the slim relaxed frame is barrier'd BEFORE the compression
+      // self-join — with the union+aggregate on both join sides it would
+      // evaluate twice per round (and feed Catalyst's size-only stats a
+      // join of two unknown-size subtrees)
       val relaxed = labels.unionByName(msgs)
         .groupBy(col("id")).agg(min(col("component")).as("component"))
+        .localCheckpoint(false)
       // pointer halving: a label is itself a node id, so hop once through
       // the representative's own label — min-reachable is preserved (the
       // hop stays inside the component) and propagation distance doubles
