@@ -611,6 +611,31 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // REAL video clip detection: textured 16x16x4-frame AVIs (real RIFF
+    // container bytes; per-id hash-driven textures animated by a per-id
+    // frame step), a re-muxed exact copy for every 5th doc and a 2-frame
+    // CLIP cut from frame 1 for every 7th. Per-frame DCT pHashes straight
+    // off the DIB payloads ride the shared banding on a composite
+    // (video, frame) id; output is ordered video pairs with matching-
+    // frame counts. The oracle rebuilds every frame hash from the
+    // closed-form pixels with the same interpolated cosine table and
+    // replicates the capped band join exactly.
+    "p63_video_clip_matches" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val avis = ids.flatMap { id =>
+          Seq((id, id, 4, 0)) ++
+            (if (id % 5 == 0) Seq((id + 10000000L, id, 4, 0)) else Nil) ++
+            (if (id % 7 == 0) Seq((id + 20000000L, id, 2, 1)) else Nil)
+        }.map { case (d, src, nf, off) =>
+          (d, Multimodal.syntheticPatternAvi(src, 16, 16, nf, off))
+        }.toDF("doc_id", "avi")
+      val frames = Multimodal.withVideoFramePHashes(avis, "doc_id", "avi")
+      Dedup.videoClipMatches(frames, col("id"), col("frame_idx"), col("phash"),
+          maxHamming = 2, maxBand = 1024)
+        .orderBy(col("vid_a"), col("vid_b"))
+    }),
+
     // EXACTSUBSTR dedup (Lee et al. 2021): a shared 13-token boilerplate
     // injected into every 3rd doc makes all of its interior 10-grams
     // corpus-duplicated, so every injected doc except the globally-first
@@ -1364,6 +1389,57 @@ object PipelineQueries {
          |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
          |FROM h LEFT JOIN comp ON comp.id = h.doc_id
          |ORDER BY h.doc_id""".stripMargin,
+
+    // the per-frame pHash lattice in closed form: closed-form frame
+    // pixels (effective frame = f + clip offset) -> per-frame separable
+    // DCT with the same interpolated cosine table -> capped band join on
+    // the composite (video, frame) id -> cross-video pair counts
+    "p63_video_clip_matches" ->
+      s"""WITH ids AS (
+         |  SELECT doc_id, doc_id AS src, 4 AS nf, 0 AS off FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000000, doc_id, 4, 0 FROM documents WHERE doc_id % 5 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 20000000, doc_id, 2, 1 FROM documents WHERE doc_id % 7 = 0),
+         |sd AS (SELECT doc_id, (src * 2654435761) % 2147483648 AS h, nf, off FROM ids),
+         |fr AS (SELECT doc_id, h, f.f, f.f + off AS e
+         |  FROM sd, generate_series(0, 3) AS f(f) WHERE f.f < nf),
+         |cc AS (SELECT * FROM (VALUES $phashCosValues) t(u, x, cv)),
+         |px AS MATERIALIZED (
+         |  SELECT i.doc_id, i.f, x.x, y.y,
+         |    3 * (((i.h >> 24) % 255 + x.x * (3 + i.h % 13)
+         |           + y.y * (5 + (i.h >> 8) % 11) + i.e * (7 + (i.h >> 12) % 5)
+         |           + x.x * y.y * ((i.h >> 16) % 7)) % 255) AS g
+         |  FROM fr i, generate_series(0, 15) AS x(x), generate_series(0, 15) AS y(y)),
+         |rp AS MATERIALIZED (
+         |  SELECT p.doc_id, p.f, c.u, p.y, CAST(sum(p.g * c.cv) AS BIGINT) AS rv
+         |  FROM px p JOIN cc c ON c.x = p.x GROUP BY p.doc_id, p.f, c.u, p.y),
+         |f2 AS MATERIALIZED (
+         |  SELECT r.doc_id, r.f, r.u, c.u AS v, CAST(sum(r.rv * c.cv) AS BIGINT) AS fv
+         |  FROM rp r JOIN cc c ON c.x = r.y GROUP BY r.doc_id, r.f, r.u, c.u),
+         |st AS (SELECT doc_id, f, CAST(sum(fv) AS BIGINT) AS acsum
+         |  FROM f2 WHERE NOT (u = 0 AND v = 0) GROUP BY doc_id, f),
+         |hh AS MATERIALIZED (
+         |  SELECT q.doc_id * 1000000 + q.f AS cid,
+         |    CAST(coalesce(sum(CASE WHEN q.fv * 63 > st.acsum
+         |      THEN (CAST(1 AS BIGINT) << CAST(q.u * 8 + q.v - 1 AS INTEGER)) END), 0) AS BIGINT) AS ph
+         |  FROM f2 q JOIN st ON st.doc_id = q.doc_id AND st.f = q.f
+         |  WHERE NOT (q.u = 0 AND q.v = 0)
+         |  GROUP BY q.doc_id, q.f),
+         |bc AS MATERIALIZED (
+         |  SELECT cid, ph, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY cid) AS rn
+         |  FROM (SELECT cid, ph, b.b AS bi,
+         |      (ph >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
+         |    FROM hh, generate_series(0, 2) AS b(b))),
+         |pr AS (SELECT DISTINCT a.cid AS ca, b.cid AS cb
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.cid < b.cid
+         |  WHERE a.rn <= 1024 AND b.rn <= 1024
+         |    AND bit_count(xor(a.ph, b.ph)) <= 2)
+         |SELECT ca // 1000000 AS vid_a, cb // 1000000 AS vid_b,
+         |  CAST(count(*) AS BIGINT) AS n_frame_matches
+         |FROM pr WHERE ca // 1000000 <> cb // 1000000
+         |GROUP BY 1, 2 ORDER BY vid_a, vid_b""".stripMargin,
 
     // EXACTSUBSTR in closed relational form: duplicated 10-grams keep only
     // the min (doc_id, pos) occurrence; every token covered by any other

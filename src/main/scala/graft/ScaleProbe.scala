@@ -22,7 +22,8 @@ object ScaleProbe {
     "p24_neardup_groups", "p28_dedup_keep_best", "p21_pipeline_e2e",
     "p51_line_dedup", "p53_audio_meta", "p54_source_cap",
     "p57_video_frames", "p58_substring_dedup", "p59_importance_resample",
-    "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup")
+    "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup",
+    "p63_video_clip_matches")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

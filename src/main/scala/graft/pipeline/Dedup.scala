@@ -704,6 +704,32 @@ object Dedup {
     bandedHammingPairs(simHash(df, id, text), col("__id"), col("simhash"),
       SimHashBits, maxHamming, maxBand)
 
+  /** Video clip detection over per-frame perceptual hashes
+    * ([[graft.pipeline.Multimodal.withVideoFramePHashes]] rows): one row
+    * per ordered video pair that shares at least one near-identical
+    * frame, with the count of matching frame pairs — a re-cut, re-muxed
+    * or embedded clip shares its source's frame hashes even when the
+    * container bytes differ entirely. Frames ride the SAME pigeonhole
+    * banding as image/audio dedup on a composite (video, frame) id
+    * (`frame_idx` must stay below `frameBase`); within-video pairs are
+    * discarded, `id_a < id_b` ordering is inherited from the composite.
+    * Scale shape: everything [[bandedHammingPairs]] guarantees — band-
+    * local pair generation, hot-band cap, only 8-byte hashes shuffle —
+    * plus one count aggregation keyed by the pair. */
+  def videoClipMatches(frames: DataFrame, vid: Column, frameIdx: Column,
+      hash: Column, maxHamming: Int = 2, maxBand: Int = MaxSimHashBand,
+      frameBase: Long = 1000000L): DataFrame = {
+    val pairs = bandedHammingPairs(
+      frames.select((vid * frameBase + frameIdx).as("__cid"), hash.as("__h")),
+      col("__cid"), col("__h"), bits = 63, maxHamming, maxBand)
+    pairs
+      .select(expr(s"id_a div $frameBase").as("vid_a"),
+        expr(s"id_b div $frameBase").as("vid_b"))
+      .filter(col("vid_a") =!= col("vid_b"))
+      .groupBy(col("vid_a"), col("vid_b"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+  }
+
   /** Pigeonhole-banded Hamming pairs over ANY `bits`-wide hash column:
     * every pair with `hamming <= maxHamming`, id_a < id_b. Split the hash
     * into `maxHamming + 1` bands — a qualifying pair matches on at least

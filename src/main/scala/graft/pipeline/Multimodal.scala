@@ -490,6 +490,72 @@ object Multimodal {
     }
   }
 
+  /** Per-frame perceptual hashes of an uncompressed AVI: every
+    * `every`-th frame's 24-bit DIB payload is floor-sampled onto the
+    * [[PHashGrid]]² grid directly from the container bytes (bottom-up
+    * row order, B+G+R sample sum per cell — the [[decodeImage]] all-bands
+    * convention; no per-frame re-encode) and hashed with the SAME
+    * integer-lattice DCT as [[imagePHash]]. Returns (frame_idx, phash)
+    * pairs; null for undecodable containers. This is the clip-detection
+    * primitive: a re-cut or re-muxed video shares near-identical frame
+    * hashes with its source even when container bytes differ. */
+  def videoFramePHashes(bytes: Array[Byte], every: Int = 1): Array[(Long, Long)] = {
+    require(every > 0, "every must be positive")
+    val info = parseAvi(bytes)
+    if (info == null) return null
+    val grid = PHashGrid
+    val stride = dibStride(info.width)
+    val out = Array.newBuilder[(Long, Long)]
+    var f = 0
+    while (f < info.frameOffsets.length) {
+      val off = info.frameOffsets(f)
+      val g = Array.ofDim[Long](grid, grid)
+      var y = 0
+      while (y < grid) {
+        val sy = (y.toLong * info.height / grid).toInt
+        val row = off + (info.height - 1 - sy) * stride // bottom-up DIB rows
+        var x = 0
+        while (x < grid) {
+          val sx = (x.toLong * info.width / grid).toInt
+          val o = row + sx * 3
+          g(x)(y) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
+          x += 1
+        }
+        y += 1
+      }
+      out += ((f.toLong, phashOfGrid(g).longValue))
+      f += every
+    }
+    out.result()
+  }
+
+  /** One row per sampled frame: (id, frame_idx, phash). Per-partition
+    * flatMap — payload bytes never shuffle, only fixed-width hash rows
+    * do; undecodable payloads yield no rows. */
+  def withVideoFramePHashes(df: DataFrame, idCol: String, binaryCol: String,
+      every: Int = 1): DataFrame = {
+    val out = StructType(Seq(
+      StructField("id", LongType, nullable = false),
+      StructField("frame_idx", LongType, nullable = false),
+      StructField("phash", LongType, nullable = false)))
+    val idIdx = df.schema.fieldIndex(idCol)
+    val binIdx = df.schema.fieldIndex(binaryCol)
+    implicit val enc = RowEncoder.encoderFor(out)
+    df.mapPartitions { rows =>
+      rows.flatMap { r =>
+        if (r.isNullAt(binIdx)) Iterator.empty
+        else {
+          val hs = videoFramePHashes(r.getAs[Array[Byte]](binIdx), every)
+          if (hs == null) Iterator.empty
+          else {
+            val id = r.getLong(idIdx)
+            hs.iterator.map { case (f, h) => Row(id, f, h) }
+          }
+        }
+      }
+    }
+  }
+
   /** Deterministic uncompressed AVI test payload: frame f's pixel (x, y)
     * has value `(id*31 + f*19 + x*7 + y*13) mod 256` in all three bands.
     * Real container bytes — RIFF framing, avih/strh/strf headers, bottom-
@@ -508,6 +574,58 @@ object Multimodal {
           val v = ((id * 31 + f * 19 + x * 7 + y * 13) % 256).toByte
           val o = r * stride + x * 3
           d(o) = v; d(o + 1) = v; d(o + 2) = v
+          x += 1
+        }
+        r += 1
+      }
+      d
+    }
+    val avih = le32(40000) ++ le32(frameSize * 25) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(frameSize) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc4("vids") ++ cc4("DIB ") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(frameSize) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      le32(0) ++ le32(frameSize) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = aviList("hdrl", aviChunk("avih", avih) ++
+      aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
+    val movi = aviList("movi",
+      (0 until nFrames).map(f => aviChunk("00db", frame(f)))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    cc4("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ cc4("AVI ") ++
+      hdrl ++ movi
+  }
+
+  /** Deterministic TEXTURED uncompressed AVI test payload — the video
+    * analogue of [[syntheticPatternBmp]]: with `h = patternSeed(id)`,
+    * frame f's pixel (x, y) has value
+    * `((h >> 24) % 255 + x*(3 + h%13) + y*(5 + (h>>8)%11)
+    *   + (f + frameOffset)*(7 + (h>>12)%5) + x*y*((h>>16)%7)) mod 255`
+    * in all three channels. `frameOffset` cuts a CLIP: the generated
+    * video's frame f is pixel-identical to frame `f + frameOffset` of
+    * the same id's full video — the closed-form ground truth for clip
+    * detection. Real container bytes via the same RIFF framing as
+    * [[syntheticAvi]]. */
+  def syntheticPatternAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      frameOffset: Int = 0): Array[Byte] = {
+    val seed = patternSeed(id)
+    val stride = dibStride(w)
+    val frameSize = stride * h
+    def frame(f: Int): Array[Byte] = {
+      val d = Array.fill[Byte](frameSize)(0xFF.toByte)
+      var r = 0
+      while (r < h) {
+        val y = h - 1 - r // bottom-up DIB row order
+        var x = 0
+        while (x < w) {
+          val v = (((seed >> 24) % 255 + x * (3 + seed % 13)
+            + y * (5 + (seed >> 8) % 11)
+            + (f + frameOffset).toLong * (7 + (seed >> 12) % 5)
+            + x.toLong * y * ((seed >> 16) % 7)) % 255).toInt
+          val o = r * stride + x * 3
+          d(o) = v.toByte; d(o + 1) = v.toByte; d(o + 2) = v.toByte
           x += 1
         }
         r += 1

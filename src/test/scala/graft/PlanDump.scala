@@ -13,7 +13,7 @@ object PlanDump {
     "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
     "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
-    "p62_audio_fingerprint_dedup")
+    "p62_audio_fingerprint_dedup", "p63_video_clip_matches")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"

@@ -362,6 +362,31 @@ class PipelineSpec extends AnyFunSuite {
     assert(hs(0).isNullAt(0) && !hs(1).isNullAt(0))
   }
 
+  test("videoFramePHashes: clip frames hash identical to source frames; matches found; garbage -> null") {
+    import org.apache.spark.sql.functions.col
+    // a clip cut at frameOffset=1 is pixel-identical to source frames 1..2,
+    // so its per-frame pHashes must EQUAL the source's shifted hashes
+    val full = Multimodal.videoFramePHashes(
+      Multimodal.syntheticPatternAvi(11L, 16, 16, 4)).toMap
+    val clip = Multimodal.videoFramePHashes(
+      Multimodal.syntheticPatternAvi(11L, 16, 16, 2, frameOffset = 1)).toMap
+    assert(full.size == 4 && clip.size == 2)
+    assert(clip(0L) == full(1L) && clip(1L) == full(2L),
+      "clip hashes must equal the source's shifted frame hashes")
+    assert(Multimodal.videoFramePHashes("not avi".getBytes("UTF-8")) == null)
+
+    // end-to-end: clipMatches finds the clip against its source
+    val avis = Seq(
+      (1L, Multimodal.syntheticPatternAvi(11L, 16, 16, 4)),
+      (2L, Multimodal.syntheticPatternAvi(11L, 16, 16, 2, frameOffset = 1)),
+      (3L, Multimodal.syntheticPatternAvi(999L, 16, 16, 4))).toDF("vid", "avi")
+    val frames = Multimodal.withVideoFramePHashes(avis, "vid", "avi")
+    val got = Dedup.videoClipMatches(frames, col("id"), col("frame_idx"), col("phash"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(got.getOrElse((1L, 2L), 0L) >= 2L,
+      s"clip must match its source on both frames, got $got")
+  }
+
   test("bandedHammingPairs on 63-bit hashes: recall exactly 1.0 vs brute force") {
     // deterministic LCG hashes + planted <=2-bit-flip near pairs
     def lcg(s: Long) = s * 6364136223846793005L + 1442695040888963407L
