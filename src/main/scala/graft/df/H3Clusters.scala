@@ -58,7 +58,8 @@ object H3Clusters {
     // receiver group key includes the receiver's value, so only
     // equal-value messages merge in the eq-value variant. Two shuffles per
     // round (groupBy + membership join) — the edges-join formulation
-    // costs three.
+    // costs three; the convergence loop adds one more for the
+    // pointer-halving self-join, buying O(log diameter) rounds.
     def propagate(current: DataFrame): DataFrame = {
       // coalesce: an invalid cell's ring is NULL, and exploding NULL would
       // drop the row entirely — the empty-array fallback preserves the
