@@ -704,6 +704,33 @@ object Dedup {
     bandedHammingPairs(simHash(df, id, text), col("__id"), col("simhash"),
       SimHashBits, maxHamming, maxBand)
 
+  /** Incremental PERCEPTUAL dedup of a hashed batch against a reference
+    * hash frame — the fingerprint-space sibling of [[incrementalDedup]]
+    * (exact keys) and [[incrementalNearDedup]] (text shingles): drop
+    * batch rows whose `hashCol` is within `maxHamming` of ANY reference
+    * hash; rows with a NULL hash (undecodable payloads) pass through —
+    * an unreadable blob is not a duplicate.
+    *
+    * Scale shape: both sides band with the shared pigeonhole split, the
+    * candidate check is an equi-join on (band idx, band bits) + a
+    * codegen'd xor/bit_count — recall 1.0 by pigeonhole. The batch side
+    * is expected small relative to the reference (tonight's crawl vs the
+    * corpus) so AQE broadcasts it and the reference hash frame never
+    * shuffles. */
+  def perceptualDedupAgainst(batch: DataFrame, id: Column, hash: Column,
+      refHashes: DataFrame, refHash: Column, bits: Int,
+      maxHamming: Int): DataFrame = {
+    val refB = refHashes.select(refHash.as("__rh"),
+      posexplode(bandValues(refHash, bits, maxHamming)).as(Seq("__bi", "__bv")))
+    val batchB = batch.filter(hash.isNotNull)
+      .select(id.as("__bid"), hash.as("__bh"),
+        posexplode(bandValues(hash, bits, maxHamming)).as(Seq("__bi", "__bv")))
+    val dupIds = batchB.join(refB, Seq("__bi", "__bv"))
+      .filter(bit_count(col("__bh").bitwiseXOR(col("__rh"))) <= maxHamming)
+      .select(col("__bid")).distinct()
+    batch.join(dupIds, id === col("__bid"), "left_anti")
+  }
+
   /** Video clip detection over per-frame perceptual hashes
     * ([[graft.pipeline.Multimodal.withVideoFramePHashes]] rows): one row
     * per ordered video pair that shares at least one near-identical

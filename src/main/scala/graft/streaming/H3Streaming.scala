@@ -425,25 +425,14 @@ object H3Streaming {
       refHashes: DataFrame, refHashCol: String,
       bits: Int, maxHamming: Int,
       sink: (DataFrame, Long) => Unit):
-      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
-    import graft.pipeline.Dedup
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     stream.writeStream
       .foreachBatch { (batch: DataFrame, epoch: Long) =>
-        val hashed = withHash(batch)
-        val refB = refHashes.select(col(refHashCol).as("__rh"),
-          posexplode(Dedup.bandValues(col(refHashCol), bits, maxHamming))
-            .as(Seq("__bi", "__bv")))
-        val batchB = hashed.filter(col(hashCol).isNotNull)
-          .select(col(idCol).as("__bid"), col(hashCol).as("__bh"),
-            posexplode(Dedup.bandValues(col(hashCol), bits, maxHamming))
-              .as(Seq("__bi", "__bv")))
-        val dupIds = batchB.join(refB, Seq("__bi", "__bv"))
-          .filter(bit_count(col("__bh").bitwiseXOR(col("__rh"))) <= maxHamming)
-          .select(col("__bid")).distinct()
-        sink(hashed.join(dupIds, col(idCol) === col("__bid"), "left_anti"), epoch)
+        sink(graft.pipeline.Dedup.perceptualDedupAgainst(withHash(batch),
+          col(idCol), col(hashCol), refHashes, col(refHashCol),
+          bits, maxHamming), epoch)
       }
       .outputMode("append")
-  }
 
   def streamingImportanceScore(stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusText: Column,
