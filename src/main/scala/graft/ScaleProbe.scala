@@ -23,7 +23,7 @@ object ScaleProbe {
     "p51_line_dedup", "p53_audio_meta", "p54_source_cap",
     "p57_video_frames", "p58_substring_dedup", "p59_importance_resample",
     "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup",
-    "p63_video_clip_matches")
+    "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -48,6 +48,24 @@ object ScaleProbe {
           .as("text"),
         col("lang"), col("source"), col("n_chars"))
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
+
+    // embeddings multiply the same way for the semantic-dedup probes:
+    // disjoint id ranges, and each replica perturbs one coordinate by a
+    // replica-dependent offset — a direction change, so replicas are NOT
+    // cosine-near their originals (naive duplication would hand semantic
+    // dedup a 10-clique per vector and measure a blowup the real
+    // workload does not have); cluster geometry stays realistic because
+    // most coordinates are untouched.
+    val e = spark.read.parquet(s"$base/embeddings.parquet")
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
+    e.crossJoin(reps).select(
+        (col("vec_id") + col("__k") * 10000000L).as("vec_id"),
+        transform(col("embedding"), (v, i) =>
+          when(i === pmod(col("__k") * 7 + 3, lit(dim)),
+            v + (col("__k") + 1).cast("float") * 0.37f).otherwise(v))
+          .as("embedding"),
+        col("label"))
+      .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
 
     // noop sink, not count(): count() lets Catalyst collapse row-preserving
     // plans (projections, left joins against aggregated-unique keys) down
