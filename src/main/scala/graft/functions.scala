@@ -57,6 +57,11 @@ object functions {
   /** C3/F1: distributed compact aggregation. */
   def h3_compact_agg(cell: Column): Column = shims.aggColumn(H3CompactAgg(e(cell)))
 
+  /** Bounded order-statistic collect: the k smallest distinct values per
+    * group, sorted ascending — `slice(sort_array(collect_set(x)), 1, k)`
+    * with an O(k) aggregation buffer (the dedup hot-band cap kernel). */
+  def collect_min_k(col: Column, k: Int): Column = shims.aggColumn(CollectMinK(e(col), k))
+
   // ---- geometry layer (S1-S3, S10-S14, S18, S20, E3-E8, G1-G7, X4-X6) ----
 
   /** S1: (lat, lng) degrees -> cell at res. */
