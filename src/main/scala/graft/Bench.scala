@@ -54,7 +54,28 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // the reference's three published macro shapes (BASELINE.md §bench):
+    // many-to-many routing, two-stage spatial filter, raster value-group +
+    // compact — surfaced under their own names for direct diffing
+    val macros = Seq(
+      "routing_many_to_many" -> "h3_26_routing_bench",
+      "spatial_filter_two_stage" -> "h3_25_spatial_bench",
+      "raster_compact" -> "r01_raster_to_cells").collect {
+        case (m, q) if results.contains(q) => s"\"$m\":${results(q)}"
+      }.mkString("{", ",", "}")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"macro_shapes":$macros,"sf":"$sfDir"}"""
+    println(json)
+    // stdout gets truncated to a 4 KB tail by the driver's capture; the
+    // full artifact also lands in the repo so per-query numbers are never
+    // lost (BENCH_r07 dropped 35 of 96 timings to that truncation)
+    try {
+      val out = java.nio.file.Paths.get(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json"))
+      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] WARN: could not write bench artifact: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -500,6 +500,28 @@ object PipelineQueries {
         .orderBy(col("doc_id"), col("frame_idx"))
     }),
 
+    // MJPEG AVI decode: same container walk as p57 but biCompression=
+    // 'MJPG' with per-frame standalone JPEGs (encoded via ImageIO from
+    // solid mid-bucket grays). JPEG loss forbids exact pixel oracles, but
+    // solid gray survives the round-trip within ±2 per sample, so
+    // floor(frame_mean / 10) is CLOSED FORM: (doc_id*7 + f*3) % 25. The
+    // row only matches if the RIFF walk finds real 00dc chunk boundaries
+    // AND each frame actually decodes through the JPEG path.
+    "p64_mjpeg_video_frames" -> ((s, dir) => {
+      import s.implicits._
+      val ids = docs(s, dir).select(col("doc_id")).as[Long]
+      val avis = ids.mapPartitions(it =>
+          it.map(id => (id,
+            Multimodal.syntheticMjpegAvi(id, 16, 16, (1 + id % 3).toInt, solid = true))))
+        .toDF("doc_id", "avi")
+      Multimodal.sampleVideoFrames(avis, "doc_id", "avi")
+        .withColumnRenamed("id", "doc_id")
+        .select(col("doc_id"), col("width"), col("height"), col("n_frames"),
+          col("frame_idx"),
+          floor(col("frame_sum") / (16 * 16 * 3) / 10).cast("long").as("gray_bucket"))
+        .orderBy(col("doc_id"), col("frame_idx"))
+    }),
+
     // hot-cluster-guarded SemDeDup: clusters above 100 vectors sub-bucket
     // by the 3-bit hyperplane signature, so pairs generate within
     // (cluster, bucket) — scaled copies always collide (sign invariance),
@@ -762,13 +784,19 @@ object PipelineQueries {
     }),
 
     // gap-based sessionization of the event stream (24 h gap) on int64
-    // MICROsecond ordinals: Spark reads the TIMESTAMP(NANOS) column as
-    // raw nanos (nanosAsLong) and floors to micros — exactly DuckDB's
-    // scan-time ns→us truncation — so bounds compare hash-exact.
+    // MICROsecond ordinals, matching DuckDB's epoch_us(ts). The testdata's
+    // ts physical type has shifted between driver generations — TIMESTAMP
+    // (NANOS) (read as raw nanos under nanosAsLong; floor to micros) vs
+    // TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ; unix_micros under the UTC
+    // session == the naive micros) — so branch on the read dtype.
     "p41_sessions" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
+      val tsMicros = ev.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+        case _ => unix_micros(col("ts").cast("timestamp")).as("ts")
+      }
       graft.pipeline.Sessions.sessionize(ev, col("user_id"),
-        expr("ts div 1000"), col("value"), gap = 86400L * 1000000L)
+        tsMicros, col("value"), gap = 86400L * 1000000L)
         .orderBy(col("key"), col("session_idx"))
     }),
 
@@ -1524,6 +1552,16 @@ object PipelineQueries {
         |  CAST(nf AS BIGINT) AS n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
         |  CAST(fs AS BIGINT) AS frame_sum
         |FROM s ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "p64_mjpeg_video_frames" ->
+      """WITH f AS (
+        |  SELECT d.doc_id, fr.f AS frame_idx, 1 + d.doc_id % 3 AS nf
+        |  FROM documents d, generate_series(0, 2) AS fr(f)
+        |  WHERE fr.f <= d.doc_id % 3)
+        |SELECT doc_id, CAST(16 AS BIGINT) AS width, CAST(16 AS BIGINT) AS height,
+        |  CAST(nf AS BIGINT) AS n_frames, CAST(frame_idx AS BIGINT) AS frame_idx,
+        |  CAST((doc_id * 7 + frame_idx * 3) % 25 AS BIGINT) AS gray_bucket
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
 
     // closed-form meta of the synthetic WAVs: sample i of doc d is
     // ((d*31 + i*17) % 2003) - 1001, n = 50 + d % 30 samples at 8 kHz

@@ -1,6 +1,7 @@
 package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
@@ -9,9 +10,9 @@ import org.apache.spark.sql.types._
 /**
  * Bounded order-statistic collect: the `k` SMALLEST distinct input values
  * per group, returned as a sorted ascending array — the exact semantics of
- * `slice(sort_array(collect_set(x)), 1, k)` under the caller contract that
- * input values are distinct within a group, but with an aggregation buffer
- * bounded at O(k) BY CONSTRUCTION instead of O(group).
+ * `slice(sort_array(collect_set(x)), 1, k)` (for ANY input multiset, not
+ * just distinct inputs) but with an aggregation buffer bounded at O(k) BY
+ * CONSTRUCTION instead of O(group).
  *
  * This is the hot-band cap of the LSH / pigeonhole-Hamming dedup paths
  * ([[graft.pipeline.Dedup.lshCandidatePairs]],
@@ -19,27 +20,29 @@ import org.apache.spark.sql.types._
  * of near-black thumbnails hashing to pHash 0, a boilerplate corpus
  * collapsing onto one MinHash band — previously materialized its ENTIRE
  * membership in one task's `collect_set` buffer before the cap truncated
- * it; at 100 TB that is an OOM, not a slowdown. A bounded min-k heap never
+ * it; at 100 TB that is an OOM, not a slowdown. A bounded min-k buffer never
  * holds more than k elements no matter how hot the band, and partial
  * (map-side) aggregation shrinks each partition's contribution to k before
  * the shuffle, so the shuffled state for a band of a billion members is
- * `num_partitions × k` structs, not a billion.
+ * `num_partitions × k` values, not a billion.
  *
- * Smallest-k is an order statistic, so it is algebraically closed under
- * partial aggregation: each partial buffer keeps its k smallest, and the
- * merged k smallest of unions of k-smallest sets equal the true k smallest.
- * Elements are compared with Catalyst's interpreted ordering for the child
- * type (structs compare field-by-field — the same ordering `sort_array`
- * uses), NULLs are dropped like `collect_set` drops them, and `eval`
- * deduplicates adjacent equal values so duplicated inputs cannot inflate
- * the output (with distinct inputs this is a no-op).
+ * Smallest-k-distinct is an order statistic, so it is algebraically closed
+ * under partial aggregation: each partial buffer keeps its k smallest
+ * distinct values, and the k smallest distinct of a union of such sets equal
+ * the true k smallest distinct. The buffer is a `java.util.TreeSet` over
+ * Catalyst's interpreted ordering for the child type (structs compare
+ * field-by-field — the same ordering `sort_array` uses), which makes the
+ * buffer distinct BY CONSTRUCTION (duplicate inputs cannot displace a
+ * distinct value, fixing the duplicate-eviction gap of a plain bounded
+ * heap) and already ascending at eval time. NULLs are dropped like
+ * `collect_set` drops them.
  */
 case class CollectMinK(
     child: Expression,
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.PriorityQueue[Any]] {
+  extends TypedImperativeAggregate[java.util.TreeSet[Any]] {
 
   require(k >= 1, s"k must be >= 1, got $k")
 
@@ -48,50 +51,47 @@ case class CollectMinK(
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(child.dataType, containsNull = false)
 
+  override def checkInputDataTypes(): TypeCheckResult =
+    TypeUtils.checkForOrderingExpr(child.dataType, prettyName)
+
   @transient private lazy val ordering: Ordering[Any] =
     TypeUtils.getInterpretedOrdering(child.dataType)
-  // max-heap: peek() is the LARGEST of the kept k — the eviction candidate
-  @transient private lazy val reverseOrdering: java.util.Comparator[Any] =
-    ordering.reverse
 
-  override def createAggregationBuffer(): java.util.PriorityQueue[Any] =
-    new java.util.PriorityQueue[Any](math.min(k, 64) + 1, reverseOrdering)
+  override def createAggregationBuffer(): java.util.TreeSet[Any] =
+    new java.util.TreeSet[Any](ordering)
 
-  private def insert(buf: java.util.PriorityQueue[Any], v: Any): Unit = {
+  // TreeSet equality is comparator-based (compare == 0), so distinctness is
+  // consistent across value representations (Generic vs Unsafe rows).
+  private def insert(buf: java.util.TreeSet[Any], v: Any): Unit = {
     if (buf.size < k) {
       buf.add(InternalRow.copyValue(v))
-    } else if (ordering.lt(v, buf.peek())) {
-      // equal-to-max values are skipped: evicting the max for an equal
-      // element leaves the kept multiset unchanged
-      buf.poll()
-      buf.add(InternalRow.copyValue(v))
+    } else if (ordering.lt(v, buf.last())) {
+      // strictly smaller than the current max: admit (no-op if duplicate of
+      // a kept value), then restore the k bound
+      if (buf.add(InternalRow.copyValue(v))) buf.pollLast()
     }
+    // v >= max of a full buffer: cannot be among the k smallest distinct
   }
 
-  override def update(buf: java.util.PriorityQueue[Any], input: InternalRow): java.util.PriorityQueue[Any] = {
+  override def update(buf: java.util.TreeSet[Any], input: InternalRow): java.util.TreeSet[Any] = {
     val v = child.eval(input)
     if (v != null) insert(buf, v)
     buf
   }
 
-  override def merge(b1: java.util.PriorityQueue[Any], b2: java.util.PriorityQueue[Any]): java.util.PriorityQueue[Any] = {
+  override def merge(b1: java.util.TreeSet[Any], b2: java.util.TreeSet[Any]): java.util.TreeSet[Any] = {
     val it = b2.iterator()
     while (it.hasNext) insert(b1, it.next()) // already copied at insert time
     b1
   }
 
-  override def eval(buf: java.util.PriorityQueue[Any]): Any = {
-    val arr = buf.toArray
-    java.util.Arrays.sort(arr, ordering.asInstanceOf[java.util.Comparator[Any]])
-    // adjacent dedup mirrors collect_set (no-op for distinct-input callers)
-    val out = new Array[Any](arr.length)
-    var n = 0
+  override def eval(buf: java.util.TreeSet[Any]): Any = {
+    // TreeSet iterates in ascending comparator order: already sorted+distinct
+    val out = new Array[Any](buf.size)
+    val it = buf.iterator()
     var i = 0
-    while (i < arr.length) {
-      if (n == 0 || !ordering.equiv(out(n - 1), arr(i))) { out(n) = arr(i); n += 1 }
-      i += 1
-    }
-    new GenericArrayData(if (n == arr.length) out else java.util.Arrays.copyOf(out, n))
+    while (it.hasNext) { out(i) = it.next(); i += 1 }
+    new GenericArrayData(out)
   }
 
   // elements serialize as single-field UnsafeRow images — type-agnostic
@@ -100,14 +100,17 @@ case class CollectMinK(
   @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
   @transient private lazy val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
 
-  override def serialize(buf: java.util.PriorityQueue[Any]): Array[Byte] = {
+  override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = {
     val rows = new Array[Array[Byte]](buf.size)
     var total = 4
     var i = 0
     val it = buf.iterator()
     while (it.hasNext) {
       holder.update(0, it.next())
-      rows(i) = proj.apply(holder).getBytes
+      // copy(): for fixed-width children the projection's UnsafeRow reuses
+      // one backing array across applies — getBytes on it would alias every
+      // serialized element to the last value written
+      rows(i) = proj.apply(holder).copy().getBytes
       total += 4 + rows(i).length
       i += 1
     }
@@ -117,7 +120,7 @@ case class CollectMinK(
     bb.array()
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.PriorityQueue[Any] = {
+  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Any] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
@@ -128,8 +131,7 @@ case class CollectMinK(
       val img = new Array[Byte](len)
       bb.get(img)
       row.pointTo(img, len)
-      // deserialized buffers only ever merge (insert copies), so hand the
-      // heap an owned copy of the field value
+      // hand the set an owned copy of the field value
       buf.add(InternalRow.copyValue(row.get(0, child.dataType)))
       i += 1
     }

@@ -35,6 +35,9 @@ object H3Registry {
     "h3_max_grid_disk_size" -> (a => H3MaxGridDiskSize(a.head)),
     "h3_res0_cells" -> (_ => H3Res0Cells()),
     "h3_compact_agg" -> (a => H3CompactAgg(a.head).toAggregateExpression()),
+    // k must be a foldable integer literal (evaluated at registration time)
+    "collect_min_k" -> (a =>
+      CollectMinK(a(0), a(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
     // geometry / traversal layer
     "h3_latlng_to_cell" -> (a => H3LatLngToCell(a(0), a(1), a(2))),
     "h3_cell_to_latlng" -> (a => H3CellToLatLng(a.head)),

@@ -74,7 +74,21 @@ object AnnStore {
     * the grouping key, so rows never cross inverted lists and the shuffle
     * is bounded by the largest single list, not the store. The rewrite
     * goes to a temp path first, then swaps: readers never observe a
-    * half-compacted store through the normal read path. */
+    * half-compacted store through the normal read path.
+    *
+    * SINGLE-WRITER CONTRACT: the swap is two renames (store→old,
+    * tmp→store), not one atomic commit — filesystem rename atomicity only
+    * covers each hop. Between the renames the store path briefly does not
+    * exist: a reader listing at exactly that instant fails fast (no
+    * torn/partial data is ever visible — each hop moves a complete tree),
+    * and a concurrent writer could recreate the path and be clobbered.
+    * Run compact from ONE coordinator with ingest quiesced — the same
+    * discipline every rewrite-in-place table maintenance job (e.g.
+    * filesystem-table compaction generally) requires. If the process dies
+    * between the renames, recovery is mechanical and lossless: the
+    * complete pre-compact store is at `<path>.compact-old` (rename it
+    * back) and the complete compacted copy at `<path>.compact-tmp`;
+    * a subsequent compact() also clears both staging paths up front. */
   def compact(spark: SparkSession, path: String): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sessionState.newHadoopConf())

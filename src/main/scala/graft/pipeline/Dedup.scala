@@ -101,9 +101,11 @@ object Dedup {
     val bands = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
     bands
       .groupBy(col("band_idx"), col("band_val"))
-      .agg(sort_array(collect_set(col("__id"))).as("ids"))
+      // bounded min-k aggregate == slice(sort_array(collect_set), 1, cap)
+      // but the buffer is O(cap) BY CONSTRUCTION: a degenerate hot band of a
+      // billion members shuffles partitions×cap ids, not a billion
+      .agg(graft.functions.collect_min_k(col("__id"), maxBucket).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(slice(col("ids"), 1, maxBucket).as("ids"))
       .select(explode(flatten(transform(col("ids"), (x, i) =>
         transform(slice(col("ids"), i + lit(2), size(col("ids"))),
           y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
@@ -404,17 +406,26 @@ object Dedup {
       .distinct().localCheckpoint(false)
     var labels = edges.select(col("__src").as("id")).distinct()
       .withColumn("component", col("id")).localCheckpoint(false)
+    val labelType = labels.schema("component").dataType
     var changed = 1L
     var round = 0
     while (changed > 0 && round < maxRounds) {
+      // each node's PREVIOUS label rides through the relax (labels rows
+      // carry it, message rows contribute null; one labels row per id so
+      // max() recovers it exactly) — convergence is then read off the same
+      // materialized frame instead of a per-round join-against-old-labels
+      // job, halving driver-side actions per round
       val msgs = edges.join(labels, edges("__src") === labels("id"))
-        .select(col("__dst").as("id"), col("component"))
+        .select(col("__dst").as("id"), col("component"),
+          lit(null).cast(labelType).as("__prev"))
       // the slim relaxed frame is barrier'd BEFORE the compression
       // self-join — with the union+aggregate on both join sides it would
       // evaluate twice per round (and feed Catalyst's size-only stats a
       // join of two unknown-size subtrees)
-      val relaxed = labels.unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"))
+      val relaxed = labels.select(col("id"), col("component"), col("component").as("__prev"))
+        .unionByName(msgs)
+        .groupBy(col("id")).agg(min(col("component")).as("component"),
+          max(col("__prev")).as("__prev"))
         .localCheckpoint(false)
       // pointer halving: a label is itself a node id, so hop once through
       // the representative's own label — min-reachable is preserved (the
@@ -424,11 +435,12 @@ object Dedup {
             relaxed.select(col("id").as("__rid"), col("component").as("__rcomp")),
             relaxed("component") === col("__rid"), "left")
           .select(col("id"),
-            coalesce(col("__rcomp"), col("component")).as("component")),
-        round, checkpointDir, eager = false)
-      changed = next.join(labels.withColumnRenamed("component", "__prev"), "id")
-        .filter(col("component") =!= col("__prev")).count()
-      labels = next
+            coalesce(col("__rcomp"), col("component")).as("component"),
+            col("__prev")),
+        round, checkpointDir, eager = true)
+      // a scan over the just-checkpointed blocks — no join, no recompute
+      changed = next.filter(col("component") =!= col("__prev")).count()
+      labels = next.select(col("id"), col("component"))
       round += 1
     }
     if (changed > 0)
@@ -665,7 +677,19 @@ object Dedup {
     * quadratic, no windows over raw documents.
     *
     * Output: `doc_id`, deduplicated `text`, original `n_tokens`, and
-    * `n_removed` (count of tokens cut). */
+    * `n_removed` (count of tokens cut).
+    *
+    * Collision bound: grams are keyed by their 60-bit hash, not the gram
+    * string, so two DISTINCT grams colliding makes both look duplicated
+    * and cuts up to `n` unique tokens from each site. By the birthday
+    * bound the expected number of colliding pairs over G distinct grams
+    * is ~G²/2^61 — at a 100-TB-corpus-scale G = 10^12 that is ~870
+    * affected gram pairs across the whole corpus (≈10^-9 of grams), each
+    * costing at most n tokens; false NEGATIVES are impossible (equal
+    * grams always hash equal). That asymmetry — vanishingly rare spurious
+    * removal, never a missed duplicate — is the right trade for a dedup
+    * pass; callers needing zero spurious cuts can verify flagged spans by
+    * re-joining gram STRINGS on the (tiny) duplicated-gram frame. */
   def substringDedup(df: DataFrame, id: Column, text: Column, n: Int = 10): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val base = df.select(id.as("__id"), TextOps.tokens(text).as("__ts"))
@@ -785,9 +809,10 @@ object Dedup {
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
     bands
       .groupBy(col("band_idx"), col("band_val"))
-      .agg(sort_array(collect_set(col("m"))).as("ms"))
+      // bounded min-k aggregate == slice(sort_array(collect_set), 1, cap)
+      // with an O(cap) buffer — the hot-band (all-identical pHash) OOM guard
+      .agg(graft.functions.collect_min_k(col("m"), maxBand).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(slice(col("ms"), 1, maxBand).as("ms"))
       .select(explode(flatten(transform(col("ms"), (x, i) =>
         transform(slice(col("ms"), i + lit(2), size(col("ms"))),
           y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),

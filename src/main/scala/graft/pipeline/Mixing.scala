@@ -88,7 +88,13 @@ object Mixing {
     // Objects.toString(null, "")): a bare `source` key would silently DROP
     // null-source rows at the counts equi-join, since null never equals null
     val base = df.withColumn("__src", coalesce(source.cast("string"), lit("")))
-      .withColumn("__h", TextOps.md5Long(concat(id.cast("string"), lit(salt))))
+      // NULL ids hash as empty string (same convention as null sources): a
+      // bare concat would yield a NULL hash, which the tau prefilter DROPS
+      // (null <= tau is null) while the fallback window ranks it FIRST
+      // (nulls sort low) — the two paths must agree row-for-row. With
+      // several null-id rows the (hash, id) tiebreak is degenerate; unique
+      // ids remain the caller contract for full determinism.
+      .withColumn("__h", TextOps.md5Long(concat(coalesce(id.cast("string"), lit("")), lit(salt))))
       .withColumn("__id", id)
     val counts = base.groupBy(col("__src")).agg(count(lit(1)).as("__n"))
     val withN = base.join(broadcast(counts), "__src")

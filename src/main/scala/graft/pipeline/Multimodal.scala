@@ -350,10 +350,44 @@ object Multimodal {
       b(o + 2) == s.charAt(2) && b(o + 3) == s.charAt(3)
 
   /** Parsed AVI shape: frame offsets point at the first payload byte of
-    * each `NNdb`/`NNdc` chunk; every frame is pre-validated to hold at
-    * least `stride(width) * height` bytes. */
+    * each `NNdb`/`NNdc` chunk, sizes are the chunk payload lengths. For
+    * raw DIB streams (`mjpeg = false`) every frame is pre-validated to
+    * hold at least `stride(width) * height` bytes; for MJPEG streams each
+    * frame is a standalone JPEG (pre-validated to start with the SOI
+    * marker, decoded lazily per frame). */
   private[pipeline] final case class AviInfo(
-      width: Int, height: Int, frameOffsets: Array[Int])
+      width: Int, height: Int, mjpeg: Boolean,
+      frameOffsets: Array[Int], frameSizes: Array[Int])
+
+  /** biCompression fourcc 'MJPG' as a little-endian int. */
+  private val FccMjpg: Int = 'M' | ('J' << 8) | ('P' << 16) | ('G' << 24)
+
+  /** Decode one MJPEG frame (a complete baseline JPEG) out of the
+    * container bytes. Null on any decode failure — per-frame degrade, the
+    * same contract as [[decodeImage]]. */
+  private def decodeJpegFrame(b: Array[Byte], off: Int, len: Int): java.awt.image.BufferedImage =
+    try javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(b, off, len))
+    catch { case scala.util.control.NonFatal(_) => null }
+
+  /** Sum of ALL band samples of a decoded frame (the [[decodeImage]]
+    * brightness convention — for 3-band BGR this equals the raw DIB
+    * byte sum). */
+  private def rasterSampleSum(img: java.awt.image.BufferedImage): Long = {
+    val raster = img.getRaster
+    val (w, h, bands) = (img.getWidth, img.getHeight, raster.getNumBands)
+    var sum = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        var bnd = 0
+        while (bnd < bands) { sum += raster.getSample(x, y, bnd); bnd += 1 }
+        x += 1
+      }
+      y += 1
+    }
+    sum
+  }
 
   private def dibStride(w: Int): Int = ((w * 3 + 3) / 4) * 4
 
@@ -372,6 +406,7 @@ object Multimodal {
       val end = declared.toInt
       var width = 0; var height = 0; var bitCount = 0; var compression = -1
       val frames = scala.collection.mutable.ArrayBuffer.empty[Int]
+      val sizes = scala.collection.mutable.ArrayBuffer.empty[Int]
       var minFrameSize = Int.MaxValue
       def walk(from: Int, to: Int): Unit = {
         var off = from
@@ -396,15 +431,29 @@ object Multimodal {
               b(off + 1) >= '0' && b(off + 1) <= '9' &&
               b(off + 2) == 'd' && (b(off + 3) == 'b' || b(off + 3) == 'c')) {
             frames += off + 8
+            sizes += size
             if (size < minFrameSize) minFrameSize = size
           }
           off += 8 + size + (size & 1)
         }
       }
       walk(12, end)
-      if (width <= 0 || height <= 0 || bitCount != 24 || compression != 0) return null
-      if (frames.nonEmpty && minFrameSize < dibStride(width) * height) return null
-      AviInfo(width, height, frames.toArray)
+      if (width <= 0 || height <= 0) return null
+      if (compression == FccMjpg) {
+        // MJPEG: per-frame standalone JPEGs. Validate each frame begins
+        // with the SOI marker; pixel validation happens at decode time.
+        var i = 0
+        while (i < frames.length) {
+          if (sizes(i) < 4 || b(frames(i)) != 0xFF.toByte ||
+              b(frames(i) + 1) != 0xD8.toByte) return null
+          i += 1
+        }
+        AviInfo(width, height, mjpeg = true, frames.toArray, sizes.toArray)
+      } else {
+        if (bitCount != 24 || compression != 0) return null
+        if (frames.nonEmpty && minFrameSize < dibStride(width) * height) return null
+        AviInfo(width, height, mjpeg = false, frames.toArray, sizes.toArray)
+      }
     } catch { case scala.util.control.NonFatal(_) => null }
   }
 
@@ -438,6 +487,29 @@ object Multimodal {
   def decodeVideo(bytes: Array[Byte]): Row = {
     val info = parseAvi(bytes)
     if (info == null) return null
+    if (info.mjpeg) {
+      // per-frame JPEG decode; a frame whose decoded dimensions disagree
+      // with the container header (or that fails to decode) voids the
+      // payload — same degrade-to-null contract as a malformed DIB
+      var sum = 0L
+      var samples = 0L
+      var channels = 3L
+      var f = 0
+      while (f < info.frameOffsets.length) {
+        val img = decodeJpegFrame(bytes, info.frameOffsets(f), info.frameSizes(f))
+        if (img == null || img.getWidth != info.width || img.getHeight != info.height)
+          return null
+        if (f == 0) channels = img.getRaster.getNumBands.toLong
+        sum += rasterSampleSum(img)
+        samples += info.width.toLong * info.height * img.getRaster.getNumBands
+        f += 1
+      }
+      val brightness =
+        if (samples == 0) 0.0
+        else math.floor(sum.toDouble / samples * 100.0 + 0.5) / 100.0
+      return Row(info.width.toLong, info.height.toLong, channels, brightness,
+        info.frameOffsets.length.toLong)
+    }
     var sum = 0L
     var f = 0
     while (f < info.frameOffsets.length) {
@@ -480,9 +552,18 @@ object Multimodal {
           else {
             val id = r.getLong(idIdx)
             val nf = info.frameOffsets.length.toLong
-            Iterator.range(0, info.frameOffsets.length, every).map { f =>
-              Row(id, info.width.toLong, info.height.toLong, nf, f.toLong,
-                frameSampleSum(bytes, info.frameOffsets(f), info.width, info.height))
+            Iterator.range(0, info.frameOffsets.length, every).flatMap { f =>
+              val s =
+                if (!info.mjpeg)
+                  frameSampleSum(bytes, info.frameOffsets(f), info.width, info.height)
+                else {
+                  val img = decodeJpegFrame(bytes, info.frameOffsets(f), info.frameSizes(f))
+                  if (img == null) -1L else rasterSampleSum(img)
+                }
+              // an undecodable MJPEG frame yields no row (per-frame degrade)
+              if (s < 0) Iterator.empty
+              else Iterator.single(Row(id, info.width.toLong, info.height.toLong,
+                nf, f.toLong, s))
             }
           }
         }
@@ -509,21 +590,50 @@ object Multimodal {
     var f = 0
     while (f < info.frameOffsets.length) {
       val off = info.frameOffsets(f)
-      val g = Array.ofDim[Long](grid, grid)
-      var y = 0
-      while (y < grid) {
-        val sy = (y.toLong * info.height / grid).toInt
-        val row = off + (info.height - 1 - sy) * stride // bottom-up DIB rows
-        var x = 0
-        while (x < grid) {
-          val sx = (x.toLong * info.width / grid).toInt
-          val o = row + sx * 3
-          g(x)(y) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
-          x += 1
+      if (info.mjpeg) {
+        // decoded JPEG frames are top-down; grid-sample the raster with
+        // the exact imagePHash convention (floor select, sum ALL bands) so
+        // an MJPEG frame and the same frame as a standalone JPEG file
+        // hash IDENTICALLY — that identity is what clip detection rides on
+        val img = decodeJpegFrame(bytes, off, info.frameSizes(f))
+        if (img != null && img.getWidth > 0 && img.getHeight > 0) {
+          val raster = img.getRaster
+          val bands = raster.getNumBands
+          val (w, h) = (img.getWidth, img.getHeight)
+          val g = Array.ofDim[Long](grid, grid)
+          var y = 0
+          while (y < grid) {
+            val sy = (y.toLong * h / grid).toInt
+            var x = 0
+            while (x < grid) {
+              val sx = (x.toLong * w / grid).toInt
+              var s = 0L
+              var bd = 0
+              while (bd < bands) { s += raster.getSample(sx, sy, bd); bd += 1 }
+              g(x)(y) = s
+              x += 1
+            }
+            y += 1
+          }
+          out += ((f.toLong, phashOfGrid(g).longValue))
+        } // undecodable MJPEG frame: per-frame degrade, no row
+      } else {
+        val g = Array.ofDim[Long](grid, grid)
+        var y = 0
+        while (y < grid) {
+          val sy = (y.toLong * info.height / grid).toInt
+          val row = off + (info.height - 1 - sy) * stride // bottom-up DIB rows
+          var x = 0
+          while (x < grid) {
+            val sx = (x.toLong * info.width / grid).toInt
+            val o = row + sx * 3
+            g(x)(y) = (bytes(o) & 0xFF) + (bytes(o + 1) & 0xFF) + (bytes(o + 2) & 0xFF)
+            x += 1
+          }
+          y += 1
         }
-        y += 1
+        out += ((f.toLong, phashOfGrid(g).longValue))
       }
-      out += ((f.toLong, phashOfGrid(g).longValue))
       f += every
     }
     out.result()
@@ -645,6 +755,80 @@ object Multimodal {
       aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
     val movi = aviList("movi",
       (0 until nFrames).map(f => aviChunk("00db", frame(f)))
+        .foldLeft(Array.emptyByteArray)(_ ++ _))
+    cc4("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ cc4("AVI ") ++
+      hdrl ++ movi
+  }
+
+  /** Encode one gray frame as a standalone baseline JPEG via ImageIO.
+    * `pixel(x, y)` gives the 0..255 gray value (written to all three BGR
+    * bands). Deterministic: same pixels → byte-identical JPEG. */
+  private def jpegFrameBytes(w: Int, h: Int, pixel: (Int, Int) => Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    val raster = img.getRaster
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = pixel(x, y)
+        raster.setSample(x, y, 0, v); raster.setSample(x, y, 1, v)
+        raster.setSample(x, y, 2, v)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", out)
+    out.toByteArray
+  }
+
+  /** The per-frame gray value of [[syntheticMjpegAvi]] solid frames:
+    * mid-bucket values `10·((id·7 + f·3) mod 25) + 5` ∈ {5, 15, …, 245},
+    * so after JPEG round-trip (solid gray survives within ±2 —
+    * luma-only DC quantization) `floor(brightness / 10)` is exact:
+    * the closed-form hook a relational oracle can compute. */
+  def mjpegSolidValue(id: Long, f: Int): Int =
+    (10 * (((id * 7 + f * 3) % 25).toInt) + 5)
+
+  /** Deterministic MJPEG AVI test payload: the same RIFF container walk
+    * as [[syntheticAvi]] but with biCompression='MJPG' and per-frame
+    * standalone JPEG payloads (fourcc `00dc`, the compressed-frame
+    * convention). Two frame modes:
+    *  - `solid = true`: every frame one flat gray [[mjpegSolidValue]] —
+    *    JPEG-lossy but bucket-exact, for relational oracles;
+    *  - `solid = false`: the [[syntheticPatternAvi]] texture keyed by
+    *    `patternSeed(id)` with the same `frameOffset` clip convention —
+    *    pixel-identical frames encode to BYTE-identical JPEGs, so a
+    *    re-cut shares exact frame hashes with its source (clip-detection
+    *    ground truth without assuming anything about JPEG loss). */
+  def syntheticMjpegAvi(id: Long, w: Int, h: Int, nFrames: Int,
+      frameOffset: Int = 0, solid: Boolean = false): Array[Byte] = {
+    val seed = patternSeed(id)
+    def frame(f: Int): Array[Byte] =
+      if (solid) {
+        val v = mjpegSolidValue(id, f)
+        jpegFrameBytes(w, h, (_, _) => v)
+      } else jpegFrameBytes(w, h, (x, y) =>
+        (((seed >> 24) % 255 + x * (3 + seed % 13)
+          + y * (5 + (seed >> 8) % 11)
+          + (f + frameOffset).toLong * (7 + (seed >> 12) % 5)
+          + x.toLong * y * ((seed >> 16) % 7)) % 255).toInt)
+    val frames = (0 until nFrames).map(frame)
+    val maxFrame = if (frames.isEmpty) 0 else frames.map(_.length).max
+    val avih = le32(40000) ++ le32(maxFrame * 25) ++ le32(0) ++ le32(0) ++
+      le32(nFrames) ++ le32(0) ++ le32(1) ++ le32(maxFrame) ++
+      le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val strh = cc4("vids") ++ cc4("MJPG") ++ le32(0) ++ le16(0) ++ le16(0) ++
+      le32(0) ++ le32(1) ++ le32(25) ++ le32(0) ++ le32(nFrames) ++
+      le32(maxFrame) ++ le32(0) ++ le32(0) ++
+      le16(0) ++ le16(0) ++ le16(w) ++ le16(h)
+    val strf = le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+      cc4("MJPG") ++ le32(maxFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0)
+    val hdrl = aviList("hdrl", aviChunk("avih", avih) ++
+      aviList("strl", aviChunk("strh", strh) ++ aviChunk("strf", strf)))
+    val movi = aviList("movi",
+      frames.map(f => aviChunk("00dc", f))
         .foldLeft(Array.emptyByteArray)(_ ++ _))
     cc4("RIFF") ++ le32(4 + hdrl.length + movi.length) ++ cc4("AVI ") ++
       hdrl ++ movi

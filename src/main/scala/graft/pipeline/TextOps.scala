@@ -325,7 +325,7 @@ object TextOps {
     val marked = lines.join(winners, Seq("ln"), "left")
       .withColumn("__keep", col("__w").isNull ||
         (col("__w.doc_id") === col("doc_id") && col("__w.idx") === col("idx")))
-    marked.groupBy(col("doc_id")).agg(
+    val rebuilt = marked.groupBy(col("doc_id")).agg(
         array_sort(collect_list(when(col("__keep"), struct(col("idx"), col("ln")))))
           .as("__ks"),
         count(lit(1)).as("n_lines"),
@@ -334,6 +334,14 @@ object TextOps {
         array_join(transform(col("__ks"), s => s.getField("ln")), "\n").as("text"),
         col("n_lines"), col("n_kept"),
         (col("n_lines") - col("n_kept")).as("n_dropped"))
+    // null-text docs produce NO exploded lines and would silently vanish
+    // from the aggregate: join every input doc back so they survive with
+    // null text and zeroed line accounting (one row per input doc, always)
+    df.select(id.as("doc_id")).join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("text"),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("n_dropped"), lit(0L)).as("n_dropped"))
   }
 
   /** Corpus data card: per-language governance summary — document and

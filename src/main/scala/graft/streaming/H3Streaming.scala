@@ -183,7 +183,14 @@ object H3Streaming {
     val strip = udf { (text: String) =>
       if (text == null) null
       else {
-        val ts = text.trim.toLowerCase.split("\\s+")
+        // tokenize EXACTLY like the batch TextOps.tokens column expression:
+        // UTF8String.trim strips only U+0020 (not tabs/newlines, unlike
+        // java.lang.String.trim), UTF8String.toLowerCase is locale-agnostic
+        // (String.toLowerCase honors the default locale — Turkish dotless-i
+        // would diverge), and split keeps trailing empty tokens (limit -1)
+        // like Spark's split(col, regex) does
+        val ts = org.apache.spark.unsafe.types.UTF8String.fromString(text)
+          .trim.toLowerCase.toString.split("\\s+", -1)
         val covered = new Array[Boolean](ts.length)
         var i = 0
         while (i + n <= ts.length) {

@@ -1,0 +1,108 @@
+package graft.expr
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.collect_min_k
+
+/**
+ * The bounded min-k collect kernel (the LSH / Hamming hot-band cap).
+ * Every test compares against the reference semantics
+ * `slice(sort_array(collect_set(x)), 1, k)` — the expression the kernel
+ * replaces at [[graft.pipeline.Dedup.lshCandidatePairs]] and
+ * [[graft.pipeline.Dedup.bandedHammingPairs]].
+ */
+class CollectMinKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Oracle: k smallest distinct, ascending. */
+  private def oracle(xs: Seq[Long], k: Int): Seq[Long] = xs.distinct.sorted.take(k)
+
+  test("multi-partition long ids match slice(sort_array(collect_set)) — the serialize round-trip") {
+    // many partitions forces partial aggregation: serialize/deserialize/merge
+    // all execute, which is exactly where a buffer-aliasing bug would show
+    val rows = (0 until 10000).map(i => ((i % 7).toLong, ((i * 2654435761L) % 1000) - 500))
+    val df = spark.createDataset(rows).toDF("g", "v").repartition(32)
+    val got = df.groupBy($"g")
+      .agg(collect_min_k($"v", 10).as("mk"),
+        slice(sort_array(collect_set($"v")), 1, 10).as("ref"))
+      .collect()
+    assert(got.length == 7)
+    got.foreach { r =>
+      assert(r.getSeq[Long](1) == r.getSeq[Long](2), s"group ${r.getLong(0)}")
+      assert(r.getSeq[Long](1).size == 10)
+    }
+  }
+
+  test("duplicate-heavy input still yields k distinct values (bounded-heap gap fixed)") {
+    // k=3, inputs 1,1,2,3: a duplicate-blind bounded heap keeps [1,1,2] and
+    // evals to [1,2]; the distinct-by-construction buffer must give [1,2,3]
+    val df = Seq(1L, 1L, 2L, 3L).toDF("v").repartition(4)
+    val got = df.agg(collect_min_k($"v", 3)).as[Seq[Long]].head()
+    assert(got == Seq(1L, 2L, 3L))
+    // a hot band: one value dominating millions of rows must not evict the tail
+    val hot = spark.range(0, 200000).select(
+      when($"id" % 100000 === 0, $"id" + 1000000).otherwise(lit(42L)).as("v"))
+      .repartition(16)
+    assert(hot.agg(collect_min_k($"v", 4)).as[Seq[Long]].head() ==
+      Seq(42L, 1000000L, 1100000L))
+  }
+
+  test("k=1, group smaller than k, and all-null groups") {
+    val df = Seq(
+      (1L, Some(5L)), (1L, Some(3L)), (1L, Some(9L)),
+      (2L, Some(7L)),
+      (3L, None), (3L, None)).toDF("g", "v").repartition(8)
+    val got = df.groupBy($"g").agg(collect_min_k($"v", 1).as("m1"), collect_min_k($"v", 5).as("m5"))
+      .collect().map(r => r.getLong(0) -> (r.getSeq[Long](1), r.getSeq[Long](2))).toMap
+    assert(got(1L) == (Seq(3L), Seq(3L, 5L, 9L)))
+    assert(got(2L) == (Seq(7L), Seq(7L)))
+    assert(got(3L) == (Seq(), Seq())) // nulls dropped like collect_set
+  }
+
+  test("struct(id, hash) children order field-by-field like sort_array") {
+    val rows = (0 until 5000).map { i =>
+      (i % 5, (i * 48271L) % 50, (i * 16807L) % 1000)
+    }
+    val df = rows.toDF("g", "id", "h").repartition(24)
+      .select($"g", struct($"id", $"h").as("m"))
+    val got = df.groupBy($"g")
+      .agg(collect_min_k($"m", 7).as("mk"),
+        slice(sort_array(collect_set($"m")), 1, 7).as("ref"))
+      .collect()
+    assert(got.length == 5)
+    got.foreach { r => assert(r.getSeq[Row](1) == r.getSeq[Row](2), s"group ${r.getInt(0)}") }
+  }
+
+  test("SQL registration: collect_min_k(v, k) runs through spark.sql") {
+    H3Registry.register(spark)
+    spark.range(0, 1000).select(($"id" % 13).as("g"), (($"id" * 7919) % 997).as("v"))
+      .repartition(8).createOrReplaceTempView("cmk_in")
+    val got = spark.sql(
+      """SELECT g, collect_min_k(v, 5) AS mk,
+        |       slice(sort_array(collect_set(v)), 1, 5) AS ref
+        |FROM cmk_in GROUP BY g""".stripMargin).collect()
+    assert(got.length == 13)
+    got.foreach(r => assert(r.getSeq[Long](1) == r.getSeq[Long](2)))
+  }
+
+  test("degenerate band: 1M identical values complete with an O(k) buffer") {
+    // the 100-TB OOM scenario in miniature: every row lands in one group
+    // with one value; collect_set would buffer 1M entries in one task,
+    // collect_min_k buffers exactly 1
+    val got = spark.range(0, 1000000).select(lit(0L).as("g"), lit(1234567L).as("v"))
+      .repartition(32)
+      .groupBy($"g").agg(collect_min_k($"v", 4096).as("mk"))
+      .as[(Long, Seq[Long])].head()
+    assert(got == (0L, Seq(1234567L)))
+  }
+
+  test("unorderable child type fails at analysis time") {
+    val df = Seq((1, Map("a" -> 1))).toDF("g", "m")
+    val e = intercept[Exception] { df.groupBy($"g").agg(collect_min_k($"m", 3)).collect() }
+    assert(e.getMessage.toLowerCase.contains("collect_min_k") ||
+      e.getMessage.toLowerCase.contains("ordering") ||
+      e.getMessage.toLowerCase.contains("map"))
+  }
+}

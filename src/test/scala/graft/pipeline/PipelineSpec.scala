@@ -157,6 +157,18 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2) == ((3L, "ok\n\nunique three", 3L, 0L)))
   }
 
+  test("lineDedup: null-text docs survive with zeroed accounting (one row per input doc)") {
+    val d = Seq((1L, Some("keep this line\nand this one")), (2L, None), (3L, Some("third doc line")))
+      .toDF("doc_id", "text")
+    val out = TextOps.lineDedup(d, $"doc_id", $"text", minLineChars = 5)
+      .orderBy($"doc_id").collect()
+    assert(out.length == 3, "every input doc must appear exactly once")
+    val nullRow = out(1)
+    assert(nullRow.getLong(0) == 2L && nullRow.isNullAt(1))
+    assert((nullRow.getLong(2), nullRow.getLong(3), nullRow.getLong(4)) == ((0L, 0L, 0L)))
+    assert(out(0).getLong(2) == 2L && out(2).getLong(2) == 1L)
+  }
+
   test("substringDedup: duplicated n-gram spans cut, global-first kept, self-repeats trimmed") {
     val d = Seq(
       (1L, "alpha beta gamma delta epsilon"), // holds the first "beta gamma delta"
@@ -542,6 +554,63 @@ class PipelineSpec extends AnyFunSuite {
     }
     compressed(strfOff + 8 + 16) = 1
     assert(Multimodal.decodeVideo(compressed) == null)
+  }
+
+  test("MJPEG AVI: container walk + per-frame JPEG decode; solid frames bucket-exact; corrupt -> null") {
+    val (w, h, nf) = (16, 16, 3)
+    val id = 9L
+    val avi = Multimodal.syntheticMjpegAvi(id, w, h, nf, solid = true)
+    val meta = Multimodal.decodeVideo(avi)
+    assert(meta != null, "MJPEG container must decode")
+    assert(meta.getLong(0) == w && meta.getLong(1) == h && meta.getLong(2) == 3L)
+    assert(meta.getLong(4) == nf)
+    // solid gray survives the JPEG round-trip within ±2 per sample, so the
+    // mean lands within ±2 of the closed-form frame-value mean
+    val expMean = (0 until nf).map(f => Multimodal.mjpegSolidValue(id, f)).sum.toDouble / nf
+    assert(math.abs(meta.getDouble(3) - expMean) <= 2.0,
+      s"brightness ${meta.getDouble(3)} vs closed-form $expMean")
+    // per-frame sums: each frame's mean sample is bucket-exact
+    val rows = Multimodal.sampleVideoFrames(
+        Seq((1L, avi)).toDF("vid", "payload"), "vid", "payload")
+      .orderBy($"frame_idx").collect()
+    assert(rows.length == nf)
+    rows.foreach { r =>
+      val f = r.getLong(4).toInt
+      val mean = r.getLong(5).toDouble / (w * h * 3)
+      assert((mean / 10).toInt == Multimodal.mjpegSolidValue(id, f) / 10,
+        s"frame $f mean $mean not in bucket of ${Multimodal.mjpegSolidValue(id, f)}")
+    }
+    // corrupt: a frame payload not starting with the JPEG SOI marker
+    val bad = avi.clone()
+    val fcc = "00dc".getBytes("US-ASCII")
+    val frameOff = (0 to bad.length - 4).find(i => fcc.indices.forall(j => bad(i + j) == fcc(j))).get
+    bad(frameOff + 8) = 0x00 // first payload byte: 0xFF -> 0x00
+    assert(Multimodal.decodeVideo(bad) == null)
+    assert(Multimodal.decodeVideo("not avi".getBytes("UTF-8")) == null)
+  }
+
+  test("MJPEG clip detection: re-cut shares byte-identical JPEG frames -> exact hash matches") {
+    import org.apache.spark.sql.functions.col
+    // textured MJPEG: clip frame f is pixel-identical to source frame
+    // f+1, so the encoder emits byte-identical JPEGs and the hashes are
+    // EQUAL — no assumption about JPEG loss anywhere
+    val full = Multimodal.videoFramePHashes(
+      Multimodal.syntheticMjpegAvi(11L, 16, 16, 4)).toMap
+    val clip = Multimodal.videoFramePHashes(
+      Multimodal.syntheticMjpegAvi(11L, 16, 16, 2, frameOffset = 1)).toMap
+    assert(full.size == 4 && clip.size == 2)
+    assert(clip(0L) == full(1L) && clip(1L) == full(2L),
+      "MJPEG clip hashes must equal the source's shifted frame hashes")
+    // e2e through the SAME banded pipeline the DIB path uses
+    val avis = Seq(
+      (1L, Multimodal.syntheticMjpegAvi(11L, 16, 16, 4)),
+      (2L, Multimodal.syntheticMjpegAvi(11L, 16, 16, 2, frameOffset = 1)),
+      (3L, Multimodal.syntheticMjpegAvi(999L, 16, 16, 4))).toDF("vid", "avi")
+    val frames = Multimodal.withVideoFramePHashes(avis, "vid", "avi")
+    val got = Dedup.videoClipMatches(frames, col("id"), col("frame_idx"), col("phash"))
+      .as[(Long, Long, Long)].collect().map { case (a, b, n) => ((a, b), n) }.toMap
+    assert(got.getOrElse((1L, 2L), 0L) >= 2L,
+      s"MJPEG clip must match its source on both frames, got $got")
   }
 
   test("sampleVideoFrames: every-kth frame on real chunk boundaries, exact sums") {
@@ -1096,6 +1165,22 @@ class PipelineSpec extends AnyFunSuite {
       when($"doc_id" % 2 === 0, lit(null).cast("string")).otherwise(lit("")).as("src"))
     val nOut = Mixing.sourceCap(withNull, $"doc_id", $"src", cap = 100).count()
     assert(nOut == 20, s"null-source rows must survive under-cap, got $nOut")
+    // NULL ids must behave identically on the prefilter (over-cap) and
+    // fallback paths: they hash as "" instead of yielding a NULL hash the
+    // tau prefilter would drop but the fallback window would rank first
+    val nullId = (1L to 50L).map(i => (Some(i), "hot")) :+ ((Option.empty[Long], "hot"))
+    val nd = nullId.toDF("doc_id", "src")
+    val nCap = 7
+    val nGot = Mixing.sourceCap(nd, $"doc_id", $"src", nCap)
+      .select($"doc_id").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    val nRef = nd.withColumn("__h",
+        TextOps.md5Long(concat(coalesce($"doc_id".cast("string"), lit("")), lit(""))))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy($"src").orderBy($"__h", $"doc_id")))
+      .filter($"__rn" <= nCap)
+      .select($"doc_id").collect().map(r => if (r.isNullAt(0)) -1L else r.getLong(0)).toSet
+    assert(nGot == nRef, "over-cap source with a null id: output must equal the rank rule")
+    assert(nGot.size == nCap)
   }
 
   test("mixing: integer+fractional copies, absent stratum dropped, deterministic") {

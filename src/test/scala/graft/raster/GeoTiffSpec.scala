@@ -1,0 +1,110 @@
+package graft.raster
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/**
+ * GeoTIFF reader: every variant round-trips through real TIFF bytes on
+ * disk and must reproduce EXACTLY the tile frame [[H3Raster.tileRaster]]
+ * builds from the same in-memory grid (values, geotransform, nodata,
+ * has_data) — the oracle the r02 driver query also rides.
+ */
+class GeoTiffSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  import H3Raster._
+
+  private val dir = java.nio.file.Files.createTempDirectory("geotiff").toString
+
+  private def grid(w: Int, h: Int): Array[Double] =
+    Array.tabulate(w * h) { i => ((i % w) * 7 + (i / w) * 13) % 5.0 }
+
+  /** Reassemble (pixel_x, pixel_y, value) from a tile frame. */
+  private def pixels(df: org.apache.spark.sql.DataFrame): Map[(Int, Int), Double] =
+    df.collect().flatMap { r =>
+      val x0 = r.getInt(1); val y0 = r.getInt(2)
+      val w = r.getInt(3); val h = r.getInt(4)
+      val vals = r.getSeq[Double](6)
+      for (y <- 0 until h; x <- 0 until w) yield ((x0 + x, y0 + y), vals(y * w + x))
+    }.toMap
+
+  test("u8 uncompressed multi-strip: pixels, transform, nodata all equal the in-memory frame") {
+    val (w, h) = (40, 25)
+    val t = Transform.northUp(-122.6, 38.0, 0.0125, 0.0167)
+    val vals = grid(w, h)
+    val path = s"$dir/u8.tif"
+    GeoTiff.writeGeoTiff(path, w, h, t, vals, nodata = Some(0.0), dtype = "u8",
+      rowsPerStrip = 7)
+    val got = GeoTiff.readGeoTiff(spark, path)
+    assert(got.count() == 4) // ceil(25/7) strips
+    assert(pixels(got) == pixels(tileRaster(spark, w, h, t, vals, 0.0, tile = 16)))
+    val row = got.orderBy($"tile_id").head()
+    assert(row.getSeq[Double](5) == t.toArray.toSeq, "geotransform")
+    assert(row.getDouble(7) == 0.0, "nodata")
+    // meta-only read agrees without touching pixels
+    val (mt, nd, mw, mh) = GeoTiff.readGeoTiffMeta(path)
+    assert(mt.toArray.toSeq == t.toArray.toSeq && nd.contains(0.0) && mw == w && mh == h)
+  }
+
+  test("deflate + predictor 2 and big-endian recover identical pixels") {
+    val (w, h) = (33, 19)
+    val t = Transform.northUp(10.0, 50.0, 0.01, 0.01)
+    val vals = grid(w, h)
+    val expect = pixels(tileRaster(spark, w, h, t, vals, 0.0, tile = 16))
+    for ((dfl, pred, be, name) <- Seq(
+        (true, false, false, "dfl"), (true, true, false, "pred"),
+        (false, false, true, "be"), (true, true, true, "predbe"))) {
+      val path = s"$dir/v_$name.tif"
+      GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
+        deflate = dfl, predictor2 = pred, rowsPerStrip = 5, bigEndian = be)
+      assert(pixels(GeoTiff.readGeoTiff(spark, path)) == expect, name)
+    }
+  }
+
+  test("f32 samples round-trip fractional values exactly") {
+    val (w, h) = (12, 9)
+    val t = Transform.northUp(0.0, 1.0, 0.1, 0.1)
+    val vals = Array.tabulate(w * h)(i => (i % 17) * 0.25 - 1.5)
+    val path = s"$dir/f32.tif"
+    GeoTiff.writeGeoTiff(path, w, h, t, vals, None, dtype = "f32",
+      deflate = true, rowsPerStrip = 4)
+    val got = pixels(GeoTiff.readGeoTiff(spark, path))
+    assert(got == pixels(tileRaster(spark, w, h, t, vals, Double.NaN, tile = 8)))
+    // no nodata tag -> null nodata column, has_data always true
+    val df = GeoTiff.readGeoTiff(spark, path)
+    assert(df.filter($"nodata".isNotNull).count() == 0)
+    assert(df.filter(!$"has_data").count() == 0)
+  }
+
+  test("has_data prunes nodata-only strips; rasterToCells equals the in-memory path end-to-end") {
+    val (w, h) = (64, 48)
+    val t = Transform.northUp(-122.6, 38.0, 0.8 / w, 0.8 / h)
+    // bottom half all nodata: those strips must carry has_data = false
+    val vals = Array.tabulate(w * h)(i => if (i / w < h / 2) grid(w, h)(i) else 0.0)
+    val path = s"$dir/nd.tif"
+    GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
+      deflate = true, rowsPerStrip = 8)
+    val tiff = GeoTiff.readGeoTiff(spark, path)
+    assert(tiff.filter(!$"has_data").count() == 3) // strips 3,4,5 fully nodata
+    val fromTiff = rasterToCells(tiff, res = 7)
+      .as[(Double, Long)].collect().toSet
+    val fromMem = rasterToCells(
+        tileRaster(spark, w, h, t, vals, 0.0, tile = 16), res = 7)
+      .as[(Double, Long)].collect().toSet
+    assert(fromTiff == fromMem, "GeoTIFF path must equal the in-memory tile path")
+    assert(fromTiff.nonEmpty)
+  }
+
+  test("malformed inputs fail loudly, never misread") {
+    val garbage = s"$dir/garbage.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(garbage),
+      "not a tiff at all........".getBytes)
+    intercept[java.io.IOException] { GeoTiff.readGeoTiff(spark, garbage) }
+    // BigTIFF magic
+    val big = s"$dir/big.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(big),
+      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0, 0, 0, 0, 0))
+    intercept[java.io.IOException] { GeoTiff.readGeoTiff(spark, big) }
+  }
+}

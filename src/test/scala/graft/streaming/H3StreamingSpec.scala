@@ -345,7 +345,8 @@ class H3StreamingSpec extends AnyFunSuite {
         (10L, "fresh start one two three four five fresh end"), // interior span cut
         (11L, "four five novel words here"),                    // 2-token overlap: no 3-gram hit
         (12L, "one two three"),                                 // exact ref gram: wiped
-        (13L, "wholly novel prose"))
+        (13L, "wholly novel prose"),
+        (14L, "\tone two three"))                               // leading tab: batch-tokens parity
       query.processAllAvailable()
       val got = spark.table("substrip")
         .select($"doc_id", $"text", $"n_tokens", $"n_removed")
@@ -354,6 +355,13 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(got(11L) == ((11L, "four five novel words here", 5L, 0L)))
       assert(got(12L) == ((12L, "", 3L, 3L)))
       assert(got(13L) == ((13L, "wholly novel prose", 3L, 0L)))
+      // leading tab: Spark's trim strips ONLY spaces, so batch tokens() sees
+      // a leading empty token (4 tokens, not 3) — the streaming UDF must
+      // tokenize identically, not via java.lang.String.trim
+      val batchTokens = Seq("\tone two three").toDF("t")
+        .select(graft.pipeline.TextOps.tokenCount($"t")).as[Long].head()
+      assert(batchTokens == 4L, "batch convention itself")
+      assert(got(14L) == ((14L, "", 4L, 3L)), "stream must match batch tokens() on tabs")
     } finally query.stop()
   }
 

@@ -28,7 +28,13 @@ class SessionsSpec extends AnyFunSuite {
   test("batch sessionize laws on the events table") {
     val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
     val gap = 86400L * 1000000L // 24 h in micros
-    val sess = Sessions.sessionize(ev, $"user_id", expr("ts div 1000"), $"value", gap)
+    // ts physical type varies by testdata generation: nanos-as-long vs
+    // TIMESTAMP(MICROS); micro ordinals either way (the p41 convention)
+    val tsMicros = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros($"ts".cast("timestamp"))
+    }
+    val sess = Sessions.sessionize(ev, $"user_id", tsMicros, $"value", gap)
       .localCheckpoint(false)
     // conservation: every event in exactly one session
     val nEvents = ev.count()
