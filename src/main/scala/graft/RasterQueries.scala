@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
-import graft.raster.H3Raster
+import graft.raster.{GeoTiff, H3Raster}
 
 /**
  * Driver-contract query for the raster pipeline (SURVEY.md §2.7 R1-R4).
@@ -65,6 +65,49 @@ object RasterQueries {
         resPick == 8 && resPickSmaller == 8
       )).toDF("count_ok", "values_ok", "cells_ok", "one_value_per_cell_ok", "window_ok",
         "compact_ok", "res_pick_ok")
+    }),
+
+    // R1-R4 through REAL GeoTIFF bytes (SURVEY.md §2.7; reference shape
+    // h3ron-ndarray/benches/convert_dataset_r.rs:9-33 reads a GeoTIFF band
+    // and converts to cells): write a deflate+predictor strip-organized
+    // fixture, read it back with the executor-side strip reader, and pin
+    // the resulting cell frame EXACTLY (set-equal, value-for-value) to the
+    // one built from the same grid in memory — plus the meta-only
+    // resolution pick. Oracle is closed-form TRUE.
+    "r02_geotiff_to_cells" -> ((s, dir) => {
+      import s.implicits._
+      val width = 64
+      val height = 48
+      val lngMin = -122.6; val lngMax = -121.8
+      val latMin = 37.2; val latMax = 38.0
+      val transform = H3Raster.Transform.northUp(
+        lngMin, latMax, (lngMax - lngMin) / width, (latMax - latMin) / height)
+      val values = Array.tabulate(width * height) { i =>
+        val x = i % width; val y = i / width
+        ((x * 7 + y * 13) % 5).toDouble
+      }
+      val tmp = java.nio.file.Files.createTempDirectory("graft_r02")
+      val path = tmp.resolve("r02.tif").toString
+      GeoTiff.writeGeoTiff(path, width, height, transform, values, nodata = Some(0.0),
+        dtype = "u8", deflate = true, predictor2 = true, rowsPerStrip = 16)
+
+      val fromTiff = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, path), res = 7)
+      val fromMem = H3Raster.rasterToCells(
+        H3Raster.tileRaster(s, width, height, transform, values, nodata = 0.0, tile = 16), res = 7)
+        .cache()
+
+      val n = fromMem.count()
+      val tiffMatchesMem =
+        fromTiff.except(fromMem).isEmpty && fromMem.except(fromTiff).isEmpty &&
+          fromTiff.count() == n
+
+      val (mt, nd, mw, mh) = GeoTiff.readGeoTiffMeta(path)
+      val metaOk = mt.toArray.sameElements(transform.toArray) &&
+        nd.contains(0.0) && mw == width && mh == height
+      val resPickOk = H3Raster.nearestH3Resolution(mt) == 8
+
+      Seq((n > 0 && tiffMatchesMem, metaOk, resPickOk))
+        .toDF("cells_match_ok", "meta_ok", "res_pick_ok")
     })
   )
 
@@ -72,6 +115,8 @@ object RasterQueries {
     "r01_raster_to_cells" ->
       """SELECT TRUE AS count_ok, TRUE AS values_ok, TRUE AS cells_ok,
         |  TRUE AS one_value_per_cell_ok, TRUE AS window_ok, TRUE AS compact_ok,
-        |  TRUE AS res_pick_ok""".stripMargin
+        |  TRUE AS res_pick_ok""".stripMargin,
+    "r02_geotiff_to_cells" ->
+      "SELECT TRUE AS cells_match_ok, TRUE AS meta_ok, TRUE AS res_pick_ok"
   )
 }

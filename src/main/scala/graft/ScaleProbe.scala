@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * lengths) that the curation filters key on. Vocabulary grows with the
   * corpus, which is how real corpora grow.
   *
-  * Usage: runMain graft.ScaleProbe [sfDir] — prints one JSON line per query
-  * with 1× and 10× seconds (post-warm-up) and the scaling factor.
+  * Usage: runMain graft.ScaleProbe [sfDir] [query...] — prints one JSON
+  * line per query with 1× and N× seconds (post-warm-up) and the scaling
+  * factor. The multiplier N defaults to 10; set SPARK_GRAFT_SCALE to probe
+  * another octave (the r9 convention is 30 for the capped-band + CC
+  * family, checking whether their 10× super-linearity settles).
   */
 object ScaleProbe {
   val Heavy = Seq("p13_near_dedup", "p42_curation_pipeline",
@@ -28,7 +31,8 @@ object ScaleProbe {
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
     val picked = if (args.length > 1) Heavy.filter(args.drop(1).contains(_)) else Heavy
-    val out = "/tmp/graft-scale10x"
+    val mult = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val out = s"/tmp/graft-scale${mult}x"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -40,9 +44,11 @@ object ScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
 
     val d = spark.read.parquet(s"$base/documents.parquet")
-    val reps = spark.range(10).select(col("id").as("__k"))
+    // replica ids stride by 1e9 so they stay clear of the +1e7/+2e7
+    // synthetic-copy id offsets the p6x queries add on top of doc_id
+    val reps = spark.range(mult).select(col("id").as("__k"))
     d.crossJoin(reps).select(
-        (col("doc_id") + col("__k") * 10000000L).as("doc_id"),
+        (col("doc_id") + col("__k") * 1000000000L).as("doc_id"),
         array_join(transform(split(col("text"), "\\s+"), (t, i) =>
           when(i % 4 === 3, concat(t, lit("q"), col("__k"))).otherwise(t)), " ")
           .as("text"),
@@ -59,7 +65,7 @@ object ScaleProbe {
     val e = spark.read.parquet(s"$base/embeddings.parquet")
     val dim = e.select(size(col("embedding"))).head().getInt(0)
     e.crossJoin(reps).select(
-        (col("vec_id") + col("__k") * 10000000L).as("vec_id"),
+        (col("vec_id") + col("__k") * 1000000000L).as("vec_id"),
         transform(col("embedding"), (v, i) =>
           when(i === pmod(col("__k") * 7 + 3, lit(dim)),
             v + (col("__k") + 1).cast("float") * 0.37f).otherwise(v))
@@ -81,7 +87,7 @@ object ScaleProbe {
     picked.foreach { n =>
       val t1 = time(n, base)
       val t10 = time(n, out)
-      println(f"""{"query":"$n","sec_1x":$t1%.2f,"sec_10x":$t10%.2f,"factor":${t10 / t1}%.2f}""")
+      println(f"""{"query":"$n","sec_1x":$t1%.2f,"sec_${mult}x":$t10%.2f,"factor":${t10 / t1}%.2f}""")
     }
     spark.stop()
   }

@@ -781,6 +781,43 @@ object Dedup {
       .agg(count(lit(1)).as("n_frame_matches"))
   }
 
+  /** Clip detection of a (small) batch of videos AGAINST a static frame-
+    * hash corpus — the cross-corpus twin of [[videoClipMatches]] and the
+    * per-micro-batch kernel of
+    * [[graft.streaming.H3Streaming.streamingVideoClipMatches]]: one row
+    * per (batch video, corpus video) pair sharing >= 1 near-identical
+    * frame (`hamming <= maxHamming` on the 63-bit frame pHash), with the
+    * count of matching frame pairs.
+    *
+    * Scale shape mirrors [[perceptualDedupAgainst]]: the corpus is its
+    * frame-hash summary (three longs per frame — billions of frames fit
+    * an executor-cache-friendly frame; pre-band or cache it), both sides
+    * band with the SHARED pigeonhole split ([[bandValues]]) and equi-join
+    * on (band idx, band bits) — recall 1.0, only same-band candidates
+    * verified, and a small batch side is AQE-broadcast so the corpus
+    * never shuffles. The distinct() collapses multi-band hits of the
+    * same frame pair before counting. */
+  def videoClipMatchesAgainst(frames: DataFrame, vid: Column, frameIdx: Column,
+      hash: Column, refFrames: DataFrame, refVid: Column, refFrameIdx: Column,
+      refHash: Column, maxHamming: Int = 2): DataFrame = {
+    val bits = 63
+    val b = frames.filter(hash.isNotNull)
+      .select(vid.as("__vid"), frameIdx.as("__fi"), hash.as("__h"))
+      .select(col("__vid"), col("__fi"), col("__h"),
+        posexplode(bandValues(col("__h"), bits, maxHamming)).as(Seq("__bi", "__bv")))
+    val r = refFrames.filter(refHash.isNotNull)
+      .select(refVid.as("__rvid"), refFrameIdx.as("__rfi"), refHash.as("__rh"))
+      .select(col("__rvid"), col("__rfi"), col("__rh"),
+        posexplode(bandValues(col("__rh"), bits, maxHamming)).as(Seq("__bi", "__bv")))
+    b.join(r, Seq("__bi", "__bv"))
+      .filter(bit_count(col("__h").bitwiseXOR(col("__rh"))) <= maxHamming &&
+        col("__vid") =!= col("__rvid"))
+      .select(col("__vid"), col("__fi"), col("__rvid"), col("__rfi"))
+      .distinct()
+      .groupBy(col("__vid").as("vid"), col("__rvid").as("ref_vid"))
+      .agg(count(lit(1)).as("n_frame_matches"))
+  }
+
   /** Pigeonhole-banded Hamming pairs over ANY `bits`-wide hash column:
     * every pair with `hamming <= maxHamming`, id_a < id_b. Split the hash
     * into `maxHamming + 1` bands — a qualifying pair matches on at least

@@ -441,6 +441,37 @@ object H3Streaming {
       }
       .outputMode("append")
 
+  /** Streaming video clip detection: each micro-batch of (id, container
+    * bytes) videos is decoded to per-frame perceptual hashes
+    * ([[graft.pipeline.Multimodal.withVideoFramePHashes]] — bytes never
+    * shuffle, only (id, frame, hash) longs do) and matched against a
+    * STATIC frame-hash corpus with
+    * [[graft.pipeline.Dedup.videoClipMatchesAgainst]] — one output row
+    * per (stream video, corpus video) pair sharing a near-identical
+    * frame, with the matching-frame count. Same scale shape as
+    * [[streamingPerceptualDedup]]: the corpus is summarized once into
+    * fixed-width hash rows, both sides ride the shared pigeonhole
+    * banding, the micro-batch side is small by construction so AQE
+    * broadcasts it and the corpus never shuffles. `foreachBatch`
+    * envelope (at-least-once on retry); the sink receives the per-epoch
+    * match frame. */
+  def streamingVideoClipMatches(stream: DataFrame, idCol: String,
+      binaryCol: String, refFrames: DataFrame, refVidCol: String,
+      refFrameIdxCol: String, refHashCol: String,
+      maxHamming: Int = 2, every: Int = 1,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        val frames = graft.pipeline.Multimodal.withVideoFramePHashes(
+          batch, idCol, binaryCol, every)
+        sink(graft.pipeline.Dedup.videoClipMatchesAgainst(
+          frames, col("id"), col("frame_idx"), col("phash"),
+          refFrames, col(refVidCol), col(refFrameIdxCol), col(refHashCol),
+          maxHamming), epoch)
+      }
+      .outputMode("append")
+
   def streamingImportanceScore(stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusText: Column,
       target: DataFrame, targetText: Column): DataFrame = {

@@ -246,6 +246,46 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming video clip detection against a static corpus, batch-identical on the p63 fixture") {
+    import graft.pipeline.{Dedup, Multimodal}
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: the p63 base videos (ids 0..9, 4 textured frames each)
+    val refFrames = Multimodal.withVideoFramePHashes(
+        (0L until 10L).map(i => (i, Multimodal.syntheticPatternAvi(i, 16, 16, 4, 0)))
+          .toDF("vid", "avi"), "vid", "avi")
+      .toDF("rvid", "rfi", "rh").localCheckpoint(false)
+    // stream: a re-muxed exact copy of id 5, a 2-frame clip of id 7 cut at
+    // frame 1, a fresh texture, an undecodable payload (p63's row recipe)
+    val rows = Seq(
+      (100L, Multimodal.syntheticPatternAvi(5L, 16, 16, 4, 0)),
+      (101L, Multimodal.syntheticPatternAvi(7L, 16, 16, 2, 1)),
+      (102L, Multimodal.syntheticPatternAvi(987654L, 16, 16, 4, 0)),
+      (103L, "junk".getBytes("UTF-8")))
+
+    val expected = Dedup.videoClipMatchesAgainst(
+        Multimodal.withVideoFramePHashes(rows.toDF("id", "avi"), "id", "avi"),
+        col("id"), col("frame_idx"), col("phash"),
+        refFrames, col("rvid"), col("rfi"), col("rh"), maxHamming = 2)
+      .as[(Long, Long, Long)].collect().toSet
+    // closed-form truth: the copy shares all 4 frames with its source, the
+    // clip both of its frames; fresh/undecodable match nothing
+    assert(expected.contains((100L, 5L, 4L)), s"exact copy: $expected")
+    assert(expected.contains((101L, 7L, 2L)), s"clip: $expected")
+    assert(!expected.exists(m => m._1 == 102L || m._1 == 103L))
+
+    val input = MemoryStream[(Long, Array[Byte])]
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val query = graft.streaming.H3Streaming.streamingVideoClipMatches(
+      input.toDF.toDF("id", "avi"), "id", "avi",
+      refFrames, "rvid", "rfi", "rh", maxHamming = 2,
+      sink = (df, _) => got ++= df.as[(Long, Long, Long)](implicitly).collect()).start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      assert(got.toSet == expected, s"stream/batch diverged: stream=$got batch=$expected")
+    } finally query.stop()
+  }
+
   test("multimodal decode is stateless: real AVI frame sampling runs unchanged in a stream") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Array[Byte])]
