@@ -60,7 +60,7 @@ object H3Clusters {
     // round (groupBy + membership join) — the edges-join formulation
     // costs three; the convergence loop adds one more for the
     // pointer-halving self-join, buying O(log diameter) rounds.
-    def propagate(current: DataFrame): DataFrame = {
+    def propagate(current: DataFrame, carryPrev: Boolean = false): DataFrame = {
       // coalesce: an invalid cell's ring is NULL, and exploding NULL would
       // drop the row entirely — the empty-array fallback preserves the
       // self-message so invalid/isolated cells stay as singleton clusters
@@ -70,8 +70,13 @@ object H3Clusters {
         (explode(array_append(ring, col(cellCol))).as(cellCol) +:
           col("cluster") +: valueCol.map(col).toSeq): _*)
       val agg = msgs.groupBy(keyCols: _*).agg(min(col("cluster")).as("cluster"))
-      // restrict to the actual cell set (ring messages spill outside it)
-      joinOnKeys(current.select(keyCols: _*), agg)
+      // restrict to the actual cell set (ring messages spill outside it);
+      // carryPrev threads each key's previous label alongside for the
+      // zero-extra-action convergence check
+      val left =
+        if (carryPrev) current.select((keyCols :+ col("cluster").as("__prev")): _*)
+        else current.select(keyCols: _*)
+      joinOnKeys(left, agg)
     }
 
     fixedRounds match {
@@ -96,26 +101,30 @@ object H3Clusters {
           val cond = valueCol.foldLeft(col("cluster") === col("__rep"))(
             (c, v) => c && (col(v) <=> col("__repval")))
           relaxed.join(reps, cond, "left")
-            .select((keyCols :+
+            .select((keyCols ++ relaxed.columns.filter(_ == "__prev").map(col) :+
               coalesce(col("__repcluster"), col("cluster")).as("cluster")): _*)
         }
         var changed = true
         var iter = 0
         while (changed && iter < maxIterations) {
-          val prev = labels
           // the slim relaxed frame is barrier'd BEFORE the compression
           // self-join: with propagate's join tree on both sides, Catalyst's
           // size-only stats estimation multiplies the unknown-size leaves
           // into astronomically wide BigInts (minutes of Toom-Cook per
           // round); as a leaf, the self-join costs nothing to plan
-          val relaxed = propagate(labels).localCheckpoint(false)
+          val relaxed = propagate(labels, carryPrev = true).localCheckpoint(false)
           // checkpointDir upgrades every few rounds to a reliable
-          // checkpoint (executor-loss-safe); see graft.util.Barriers
-          val next = graft.util.Barriers.roundBarrier(
-            compress(relaxed), iter, checkpointDir, eager = true)
-          val nChanged = next.select(col(cellCol), col("cluster"))
-            .exceptAll(prev.select(col(cellCol), col("cluster"))).count()
-          labels = next
+          // checkpoint (executor-loss-safe); see graft.util.Barriers.
+          // Each key's previous label rides the frame, so change counting
+          // shares the materializing job — one action per round where the
+          // old exceptAll-vs-prev convergence check paid its own
+          // two-shuffle job
+          val comp = compress(relaxed)
+          val ci = comp.columns.indexOf("cluster")
+          val pi = comp.columns.indexOf("__prev")
+          val (next, nChanged) = graft.util.Barriers.roundBarrierCounting(
+            comp, iter, checkpointDir)(r => r.get(ci) != r.get(pi))
+          labels = next.drop("__prev")
           changed = nChanged > 0
           iter += 1
         }

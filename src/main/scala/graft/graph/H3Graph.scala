@@ -509,11 +509,17 @@ object H3Graph {
         best.unionByName(relaxed)
           .groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost")),
         round, checkpointDir, eager = false)
-      frontier = nb.join(best.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
-        .filter(col("__old").isNull || col("cost") < col("__old"))
-        .select(col("cell"), col("src"), col("cost"))
-        .localCheckpoint(false)
-      converged = frontier.isEmpty
+      // the frontier's materializing job doubles as the convergence
+      // check (accumulator row count — see Barriers.roundBarrierCounting):
+      // one action per round, and the frontier blocks it caches are the
+      // ones next round's edge join reads
+      val (nf, frontierSize) = graft.util.Barriers.roundBarrierCounting(
+        nb.join(best.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
+          .filter(col("__old").isNull || col("cost") < col("__old"))
+          .select(col("cell"), col("src"), col("cost")),
+        round, None)(_ => true)
+      frontier = nf
+      converged = frontierSize == 0L
       best = nb
       round += 1
     }

@@ -429,17 +429,19 @@ object Dedup {
         .localCheckpoint(false)
       // pointer halving: a label is itself a node id, so hop once through
       // the representative's own label — min-reachable is preserved (the
-      // hop stays inside the component) and propagation distance doubles
-      val next = graft.util.Barriers.roundBarrier(
+      // hop stays inside the component) and propagation distance doubles.
+      // Change detection rides the SAME job that materializes the round
+      // barrier (accumulator over the row stream): exactly one action per
+      // round — on slim label frames the loop cost IS job count.
+      val (next, nChanged) = graft.util.Barriers.roundBarrierCounting(
         relaxed.join(
             relaxed.select(col("id").as("__rid"), col("component").as("__rcomp")),
             relaxed("component") === col("__rid"), "left")
           .select(col("id"),
             coalesce(col("__rcomp"), col("component")).as("component"),
             col("__prev")),
-        round, checkpointDir, eager = true)
-      // a scan over the just-checkpointed blocks — no join, no recompute
-      changed = next.filter(col("component") =!= col("__prev")).count()
+        round, checkpointDir)(r => r.get(1) != r.get(2))
+      changed = nChanged
       labels = next.select(col("id"), col("component"))
       round += 1
     }
