@@ -577,11 +577,13 @@ object PipelineQueries {
     // transitive groups -> canonical = min id of the group. The hot-band
     // cap is LIVE here (smooth textures legitimately pile into shared
     // band values — the 10x scale probe measured the uncapped pair
-    // explode going quadratic), so the oracle replicates the cap's
-    // keep-smallest-ids truncation exactly: rank within (band, value) by
-    // id, join only rank <= cap members. Hashes rebuilt from the
-    // closed-form pixels with the SAME e4 cosine table (interpolated
-    // literals).
+    // explode going quadratic), and identical hashes collapse to a
+    // representative before banding (the 30x probe measured 2.6k-member
+    // hash classes saturating every bucket). The oracle replicates both:
+    // rep = min(doc_id) per hash, rank REPS within (band, value), join
+    // only rank <= cap, closure over reps, members inherit via their
+    // hash. Hashes rebuilt from the closed-form pixels with the SAME e4
+    // cosine table (interpolated literals).
     "p61_image_phash_dedup" -> ((s, dir) => {
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
@@ -594,10 +596,12 @@ object PipelineQueries {
         }.toDF("doc_id", "img")
       val hashed = Multimodal.withPHash(imgs, "img")
         .select(col("doc_id"), col("phash"))
-        .localCheckpoint(false) // feeds pairs, groups, and the final join
-      val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("phash"),
+        .localCheckpoint(false) // feeds groups and the final join
+      // exact-duplicate hashes collapse to one representative BEFORE the
+      // banded pairwise path (the 30x probe measured 2.6k-member identical-
+      // hash classes turning the capped band join + CC into clique soup)
+      val groups = Dedup.hashNearDupGroups(hashed, col("doc_id"), col("phash"),
         bits = 63, maxHamming = 2, maxBand = 1024)
-      val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
       hashed.join(groups, Seq("doc_id"))
         .select(col("doc_id"), col("phash"), col("group_id"),
           (col("group_id") === col("doc_id")).as("canonical"))
@@ -623,10 +627,11 @@ object PipelineQueries {
         }.toDF("doc_id", "wav")
       val hashed = Multimodal.withAudioFingerprint(wavs, "wav")
         .select(col("doc_id"), col("fp"))
-        .localCheckpoint(false) // feeds pairs, groups, and the final join
-      val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("fp"),
+        .localCheckpoint(false) // feeds groups and the final join
+      // same identical-hash collapse as p61 — exact audio copies (every
+      // 5th doc) share a fingerprint and never enter the pairwise path
+      val groups = Dedup.hashNearDupGroups(hashed, col("doc_id"), col("fp"),
         bits = 60, maxHamming = 3, maxBand = 1024)
-      val groups = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
       hashed.join(groups, Seq("doc_id"))
         .select(col("doc_id"), col("fp"), col("group_id"),
           (col("group_id") === col("doc_id")).as("canonical"))
@@ -1310,9 +1315,10 @@ object PipelineQueries {
 
     // the pHash lattice in closed form: closed-form pixels -> separable
     // integer DCT with the interpolated e4 cosine table -> 63 AC sign
-    // bits -> banded pairs WITH the keep-smallest-ids hot-band cap
-    // (rank within band by id, join rank <= 1024 members, Hamming <= 2)
-    // -> recursive min-label components
+    // bits -> identical-hash collapse (rep = min doc_id per phash) ->
+    // banded pairs over reps WITH the keep-smallest-reps hot-band cap
+    // (rank within band by rep, join rank <= 1024, Hamming <= 2)
+    // -> recursive min-label components -> members inherit via hash
     "p61_image_phash_dedup" ->
       s"""WITH RECURSIVE ids AS (
          |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
@@ -1345,14 +1351,16 @@ object PipelineQueries {
          |  FROM fp f JOIN st ON st.doc_id = f.doc_id
          |  WHERE NOT (f.u = 0 AND f.v = 0)
          |  GROUP BY f.doc_id),
+         |reps AS MATERIALIZED (
+         |  SELECT phash, min(doc_id) AS rep FROM h GROUP BY phash),
          |bc AS MATERIALIZED (
-         |  SELECT doc_id, phash, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rn
-         |  FROM (SELECT doc_id, phash, b.b AS bi,
+         |  SELECT rep, phash, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |  FROM (SELECT rep, phash, b.b AS bi,
          |      (phash >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
-         |    FROM h, generate_series(0, 2) AS b(b))),
-         |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |    FROM reps, generate_series(0, 2) AS b(b))),
+         |pr AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
          |    AND bit_count(xor(a.phash, b.phash)) <= 2),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
@@ -1360,16 +1368,19 @@ object PipelineQueries {
          |reach AS (SELECT src AS id, src AS label FROM edges
          |  UNION SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
-         |SELECT h.doc_id, h.phash, coalesce(comp.group_id, h.doc_id) AS group_id,
-         |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
-         |FROM h LEFT JOIN comp ON comp.id = h.doc_id
+         |SELECT h.doc_id, h.phash, coalesce(comp.group_id, r.rep) AS group_id,
+         |  (coalesce(comp.group_id, r.rep) = h.doc_id) AS canonical
+         |FROM h JOIN reps r ON r.phash = h.phash
+         |LEFT JOIN comp ON comp.id = r.rep
          |ORDER BY h.doc_id""".stripMargin,
 
     // the H&K lattice in closed form: closed-form PCM -> per-(frame,
     // stripe) integer energies (every cell occupied: n >= 400 samples
-    // over 16x5 cells) -> double-difference sign bits -> banded pairs
-    // with the keep-smallest-ids hot-band cap (15-bit bands, rank <=
-    // 1024, Hamming <= 3) -> recursive min-label components
+    // over 16x5 cells) -> double-difference sign bits -> identical-
+    // fingerprint collapse (rep = min doc_id) -> banded pairs over reps
+    // with the keep-smallest-reps hot-band cap (15-bit bands, rank <=
+    // 1024, Hamming <= 3) -> recursive min-label components -> members
+    // inherit their hash's rep component
     "p62_audio_fingerprint_dedup" ->
       s"""WITH RECURSIVE ids AS (
          |  SELECT doc_id, doc_id AS src, 0 AS pert FROM documents
@@ -1398,14 +1409,16 @@ object PipelineQueries {
          |  JOIN en q ON q.doc_id = a.doc_id AND q.f = a.f - 1 AND q.b = a.b + 1
          |  WHERE a.f >= 1 AND a.b <= 3
          |  GROUP BY a.doc_id),
+         |reps AS MATERIALIZED (
+         |  SELECT fp, min(doc_id) AS rep FROM h GROUP BY fp),
          |bc AS MATERIALIZED (
-         |  SELECT doc_id, fp, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY doc_id) AS rn
-         |  FROM (SELECT doc_id, fp, b.b AS bi,
+         |  SELECT rep, fp, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |  FROM (SELECT rep, fp, b.b AS bi,
          |      (fp >> CAST(15 * b.b AS INTEGER)) & 32767 AS bv
-         |    FROM h, generate_series(0, 3) AS b(b))),
-         |pr AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.doc_id < b.doc_id
+         |    FROM reps, generate_series(0, 3) AS b(b))),
+         |pr AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
          |    AND bit_count(xor(a.fp, b.fp)) <= 3),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
@@ -1413,9 +1426,10 @@ object PipelineQueries {
          |reach AS (SELECT src AS id, src AS label FROM edges
          |  UNION SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
          |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id)
-         |SELECT h.doc_id, h.fp, coalesce(comp.group_id, h.doc_id) AS group_id,
-         |  (coalesce(comp.group_id, h.doc_id) = h.doc_id) AS canonical
-         |FROM h LEFT JOIN comp ON comp.id = h.doc_id
+         |SELECT h.doc_id, h.fp, coalesce(comp.group_id, r.rep) AS group_id,
+         |  (coalesce(comp.group_id, r.rep) = h.doc_id) AS canonical
+         |FROM h JOIN reps r ON r.fp = h.fp
+         |LEFT JOIN comp ON comp.id = r.rep
          |ORDER BY h.doc_id""".stripMargin,
 
     // the per-frame pHash lattice in closed form: closed-form frame

@@ -112,7 +112,7 @@ object H3Clusters {
           // size-only stats estimation multiplies the unknown-size leaves
           // into astronomically wide BigInts (minutes of Toom-Cook per
           // round); as a leaf, the self-join costs nothing to plan
-          val relaxed = propagate(labels, carryPrev = true).localCheckpoint(false)
+          val relaxed = graft.util.Barriers.statSafe(propagate(labels, carryPrev = true))
           // checkpointDir upgrades every few rounds to a reliable
           // checkpoint (executor-loss-safe); see graft.util.Barriers.
           // Each key's previous label rides the frame, so change counting

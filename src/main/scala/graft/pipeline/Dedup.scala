@@ -401,11 +401,20 @@ object Dedup {
     * logged as a warning rather than silently returned. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
       checkpointDir: Option[String] = None): DataFrame = {
-    val edges = pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
-      .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
-      .distinct().localCheckpoint(false)
-    var labels = edges.select(col("__src").as("id")).distinct()
-      .withColumn("component", col("id")).localCheckpoint(false)
+    // statSafe, not a bare localCheckpoint: the pairs subtree's size
+    // ESTIMATE is untrustworthy (distinct over an exploded band join) and
+    // a too-small estimate makes the static planner broadcast the edge
+    // list into every relax round — a rebuilt 10M-row broadcast per round
+    // at the 30× probe, and an OOM at 100 TB. With the estimate reset,
+    // AQE still broadcasts the genuinely-small side (labels) from exact
+    // runtime sizes.
+    val edges = graft.util.Barriers.statSafe(
+      pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
+        .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+        .distinct())
+    var labels = graft.util.Barriers.statSafe(
+      edges.select(col("__src").as("id")).distinct()
+        .withColumn("component", col("id")))
     val labelType = labels.schema("component").dataType
     var changed = 1L
     var round = 0
@@ -422,11 +431,11 @@ object Dedup {
       // self-join — with the union+aggregate on both join sides it would
       // evaluate twice per round (and feed Catalyst's size-only stats a
       // join of two unknown-size subtrees)
-      val relaxed = labels.select(col("id"), col("component"), col("component").as("__prev"))
-        .unionByName(msgs)
-        .groupBy(col("id")).agg(min(col("component")).as("component"),
-          max(col("__prev")).as("__prev"))
-        .localCheckpoint(false)
+      val relaxed = graft.util.Barriers.statSafe(
+        labels.select(col("id"), col("component"), col("component").as("__prev"))
+          .unionByName(msgs)
+          .groupBy(col("id")).agg(min(col("component")).as("component"),
+            max(col("__prev")).as("__prev")))
       // pointer halving: a label is itself a node id, so hop once through
       // the representative's own label — min-reachable is preserved (the
       // hop stays inside the component) and propagation distance doubles.
@@ -450,6 +459,51 @@ object Dedup {
         s"connectedComponents stopped after maxRounds=$maxRounds with $changed labels " +
           "still changing: components may be split; raise maxRounds")
     labels
+  }
+
+  /** Near-dup GROUPS straight from a perceptual-hash column, with
+    * exact-duplicate hashes collapsed to ONE representative (the min id
+    * per hash value) BEFORE the banded pairwise path. The id→group output
+    * is identical to `nearDupGroups(hashed, id, bandedHammingPairs(...))`
+    * whenever the hot-band cap does not bind — identical hashes are
+    * hamming-0 pairs, so every member of a hash class lands in its
+    * representative's component, and the component minimum over
+    * representatives IS the global minimum id of the group.
+    *
+    * Why this exists: duplicate-heavy corpora CONCENTRATE. The 30× scale
+    * probe measured 201k images with only 80k distinct pHashes and hash
+    * classes of 2.6k members; each such class saturated every band bucket
+    * and the capped explode emitted C(1024,2) ≈ 524k verified pairs PER
+    * CLASS — 5.2M edges of pure cliques that connected components then
+    * chewed for 66 s (82 % of the query). Collapsing first, the pairwise
+    * machinery sees each hash ONCE: band buckets hold distinct values
+    * only, clique edges vanish (a hash class is grouped by its rep in one
+    * groupBy), and the CC graph shrinks to genuine cross-hash near-dups.
+    * At 100 TB this is the difference between pair volume scaling with
+    * corpus size and scaling with DISTINCT-CONTENT size. When the cap
+    * does bind, it now truncates to the smallest-k distinct HASHES
+    * (by representative id) per bucket — strictly more diverse than
+    * min-k raw ids, so recall inside a hot bucket only improves.
+    * NULL-hash rows stay singleton groups (their own id), matching
+    * [[nearDupGroups]]. */
+  def hashNearDupGroups(hashed: DataFrame, id: Column, hash: Column,
+      bits: Int, maxHamming: Int, maxBand: Int = MaxSimHashBand): DataFrame = {
+    val slim = hashed.select(id.as("__id"), hash.as("__h"))
+    // statSafe: feeds the banding AND two joins below; a groupBy's size
+    // estimate is untrustworthy and must not elect a static broadcast
+    val reps = graft.util.Barriers.statSafe(
+      slim.filter(col("__h").isNotNull)
+        .groupBy(col("__h")).agg(min(col("__id")).as("__rep"))
+        .withColumnRenamed("__h", "__rh"))
+    val repPairs = bandedHammingPairs(reps, col("__rep"), col("__rh"),
+      bits, maxHamming, maxBand)
+    val comps = connectedComponents(repPairs)
+    slim
+      .join(reps, col("__h") === col("__rh"), "left")
+      .join(comps.select(col("id").as("__cid"), col("component")),
+        col("__rep") === col("__cid"), "left")
+      .select(col("__id").as("doc_id"),
+        coalesce(col("component"), col("__rep"), col("__id")).as("group_id"))
   }
 
   /** Near-duplicate GROUPING: the transitive closure of the verified-pair

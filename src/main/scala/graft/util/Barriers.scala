@@ -48,6 +48,24 @@ object Barriers {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** Stat-safe lazy barrier: `localCheckpoint(eager = false)` + re-wrap
+    * from the RDD. A plain lazy localCheckpoint KEEPS the origin plan's
+    * estimated statistics — and a pairs/edges subtree (distinct over an
+    * exploded band join) routinely estimates far SMALLER than it runs,
+    * which lets the static planner elect a BroadcastHashJoin whose build
+    * side is actually tens of millions of rows: measured as a
+    * rebuilt-every-round 10M-row broadcast inside connected components
+    * (248 s of p61's 30× probe) and an outright
+    * `notEnoughMemoryToBuildAndBroadcastTable` failure on p62 at 30×. The
+    * RDD re-wrap resets the leaf to `spark.sql.defaultSizeInBytes` (huge),
+    * so only AQE's RUNTIME sizes — which are exact — can still choose a
+    * broadcast. Use for any frame whose size estimate is untrustworthy
+    * and that feeds a join. */
+  def statSafe(df: DataFrame): DataFrame = {
+    val cp = df.localCheckpoint(eager = false)
+    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+  }
+
   /** [[roundBarrier]] that ALSO counts rows matching `changed` — in the
     * SAME job that materializes the checkpoint, via an accumulator
     * threaded through the row stream. An iterative loop's convergence

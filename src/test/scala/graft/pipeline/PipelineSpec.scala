@@ -270,6 +270,48 @@ class PipelineSpec extends AnyFunSuite {
       s"chain under-merged: ${labels.filter(_._2 != 0L).take(5).toSeq}")
   }
 
+  test("hashNearDupGroups == pairwise nearDupGroups when the cap does not bind; null-hash singletons") {
+    // mixed fixture: identical-hash classes (ids sharing v), near pairs
+    // (hamming 1-2 across classes), isolated hashes, and null hashes
+    val rows = Seq(
+      (1L, java.lang.Long.valueOf(0x1234L)), (2L, java.lang.Long.valueOf(0x1234L)),
+      (3L, java.lang.Long.valueOf(0x1234L)),                 // class A (identical)
+      (4L, java.lang.Long.valueOf(0x1235L)),                 // hamming 1 from A -> same group
+      (5L, java.lang.Long.valueOf(0x5000L)), (6L, java.lang.Long.valueOf(0x5000L)), // class B
+      (7L, java.lang.Long.valueOf(0x7f0fL)),                 // isolated
+      (8L, null.asInstanceOf[java.lang.Long]),               // null hash
+      (9L, java.lang.Long.valueOf(0x5003L)))                 // hamming 2 from B -> same group
+    val hashed = rows.toDF("doc_id", "h")
+    val viaHash = Dedup.hashNearDupGroups(hashed, col("doc_id"), col("h"),
+        bits = 63, maxHamming = 2).as[(Long, Long)].collect().toMap
+    val pairs = Dedup.bandedHammingPairs(hashed, col("doc_id"), col("h"),
+      bits = 63, maxHamming = 2)
+    val viaPairs = Dedup.nearDupGroups(hashed, col("doc_id"), pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(viaHash == viaPairs, s"collapse changed groups: $viaHash vs $viaPairs")
+    assert(viaHash(1L) == 1L && viaHash(3L) == 1L && viaHash(4L) == 1L)
+    assert(viaHash(5L) == 5L && viaHash(9L) == 5L)
+    assert(viaHash(7L) == 7L && viaHash(8L) == 8L)
+  }
+
+  test("hashNearDupGroups: a 5k-member identical-hash clique groups in one pass, no pair explode") {
+    // the 30x-probe pathology in miniature: one hash value with 5000
+    // members saturates every band bucket of the pairwise path (C(1024,2)
+    // pairs per band); the collapse must group it via ONE representative —
+    // measured here only through exact output (all members -> min id)
+    val n = 5000
+    val hashed = spark.range(n).select(
+      (col("id") + 100L).as("doc_id"),
+      when(col("id") % 2 === 0, lit(0x0FF0L)).otherwise(lit(0x0FF1L)).as("h"))
+    val groups = Dedup.hashNearDupGroups(hashed, col("doc_id"), col("h"),
+        bits = 63, maxHamming = 2).as[(Long, Long)].collect()
+    assert(groups.length == n)
+    // the two hash classes are hamming-1 apart: everything is ONE group
+    // anchored at the global min id
+    assert(groups.forall(_._2 == 100L),
+      s"clique under-merged: ${groups.filter(_._2 != 100L).take(5).toSeq}")
+  }
+
   test("audioFingerprint: closed-form energy lattice; retouch stays near; garbage -> null") {
     // fingerprint of real WAV bytes == fingerprint of the by-construction
     // energy grid (pins the decode + frame/stripe assignment)
