@@ -16,6 +16,11 @@ class PreparedSpec extends AnyFunSuite {
     // both sides into a sort-merge; AQE left on (the default regime)
     val s2 = spark.newSession()
     s2.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    // pin the regime: this zero-Exchange proof runs WITH AQE enabled (the
+    // production default) — AdaptiveSparkPlanExec must also plan no
+    // exchange when clustering is satisfied off the bucketed scan
+    assert(s2.conf.get("spark.sql.adaptive.enabled") == "true",
+      "bucketing proof is meant to run under AQE (Spark default)")
     val docs = s2.read.parquet("/root/testdata/sf0.001/documents.parquet")
       .select($"doc_id", $"text", $"source")
     val scores = docs.select($"doc_id", length($"text").cast("long").as("score"))
