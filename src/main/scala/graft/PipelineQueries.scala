@@ -644,9 +644,11 @@ object PipelineQueries {
     // CLIP cut from frame 1 for every 7th. Per-frame DCT pHashes straight
     // off the DIB payloads ride the shared banding on a composite
     // (video, frame) id; output is ordered video pairs with matching-
-    // frame counts. The oracle rebuilds every frame hash from the
-    // closed-form pixels with the same interpolated cosine table and
-    // replicates the capped band join exactly.
+    // frame counts, with identical frame hashes collapsed to one
+    // representative before the banded join (count products recover the
+    // per-frame-pair counts exactly). The oracle rebuilds every frame
+    // hash from the closed-form pixels with the same interpolated cosine
+    // table and replicates the collapse + capped band join exactly.
     "p63_video_clip_matches" -> ((s, dir) => {
       import s.implicits._
       val ids = docs(s, dir).select(col("doc_id")).as[Long]
@@ -1434,8 +1436,10 @@ object PipelineQueries {
 
     // the per-frame pHash lattice in closed form: closed-form frame
     // pixels (effective frame = f + clip offset) -> per-frame separable
-    // DCT with the same interpolated cosine table -> capped band join on
-    // the composite (video, frame) id -> cross-video pair counts
+    // DCT with the same interpolated cosine table -> identical-hash
+    // collapse (rep = min composite id per hash; per-(hash, video)
+    // counts) -> capped band join over distinct hashes -> cross-video
+    // count products (same-hash + near-hash), summed per video pair
     "p63_video_clip_matches" ->
       s"""WITH ids AS (
          |  SELECT doc_id, doc_id AS src, 4 AS nf, 0 AS off FROM documents
@@ -1468,20 +1472,30 @@ object PipelineQueries {
          |  FROM f2 q JOIN st ON st.doc_id = q.doc_id AND st.f = q.f
          |  WHERE NOT (q.u = 0 AND q.v = 0)
          |  GROUP BY q.doc_id, q.f),
+         |reps AS MATERIALIZED (
+         |  SELECT ph, min(cid) AS rep FROM hh GROUP BY ph),
+         |vc AS MATERIALIZED (
+         |  SELECT ph, cid // 1000000 AS vid, count(*) AS cnt
+         |  FROM hh GROUP BY ph, cid // 1000000),
          |bc AS MATERIALIZED (
-         |  SELECT cid, ph, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY cid) AS rn
-         |  FROM (SELECT cid, ph, b.b AS bi,
+         |  SELECT rep, ph, bi, bv,
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |  FROM (SELECT rep, ph, b.b AS bi,
          |      (ph >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
-         |    FROM hh, generate_series(0, 2) AS b(b))),
-         |pr AS (SELECT DISTINCT a.cid AS ca, b.cid AS cb
-         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.cid < b.cid
+         |    FROM reps, generate_series(0, 2) AS b(b))),
+         |hp AS (SELECT DISTINCT a.ph AS ha, b.ph AS hb
+         |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
-         |    AND bit_count(xor(a.ph, b.ph)) <= 2)
-         |SELECT ca // 1000000 AS vid_a, cb // 1000000 AS vid_b,
-         |  CAST(count(*) AS BIGINT) AS n_frame_matches
-         |FROM pr WHERE ca // 1000000 <> cb // 1000000
-         |GROUP BY 1, 2 ORDER BY vid_a, vid_b""".stripMargin,
+         |    AND bit_count(xor(a.ph, b.ph)) <= 2),
+         |contrib AS (
+         |  SELECT x.vid AS vid_a, y.vid AS vid_b, x.cnt * y.cnt AS n
+         |  FROM vc x JOIN vc y ON x.ph = y.ph AND x.vid < y.vid
+         |  UNION ALL
+         |  SELECT least(x.vid, y.vid), greatest(x.vid, y.vid), x.cnt * y.cnt
+         |  FROM hp JOIN vc x ON x.ph = hp.ha JOIN vc y ON y.ph = hp.hb
+         |  WHERE x.vid <> y.vid)
+         |SELECT vid_a, vid_b, CAST(sum(n) AS BIGINT) AS n_frame_matches
+         |FROM contrib GROUP BY 1, 2 ORDER BY vid_a, vid_b""".stripMargin,
 
     // EXACTSUBSTR in closed relational form: duplicated 10-grams keep only
     // the min (doc_id, pos) occurrence; every token covered by any other

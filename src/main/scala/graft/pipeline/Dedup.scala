@@ -816,25 +816,67 @@ object Dedup {
     * per ordered video pair that shares at least one near-identical
     * frame, with the count of matching frame pairs — a re-cut, re-muxed
     * or embedded clip shares its source's frame hashes even when the
-    * container bytes differ entirely. Frames ride the SAME pigeonhole
-    * banding as image/audio dedup on a composite (video, frame) id
-    * (`frame_idx` must stay below `frameBase`); within-video pairs are
-    * discarded, `id_a < id_b` ordering is inherited from the composite.
-    * Scale shape: everything [[bandedHammingPairs]] guarantees — band-
-    * local pair generation, hot-band cap, only 8-byte hashes shuffle —
-    * plus one count aggregation keyed by the pair. */
+    * container bytes differ entirely. DISTINCT frame hashes ride the
+    * SAME pigeonhole banding as image/audio dedup, keyed by a
+    * representative composite (video, frame) id (`frame_idx` must stay
+    * below `frameBase`); within-video matches are discarded and
+    * `vid_a < vid_b` ordering holds in the output. Scale shape:
+    * everything [[bandedHammingPairs]] guarantees — band-local pair
+    * generation, hot-band cap, only 8-byte hashes shuffle — applied to
+    * the distinct-hash frame, plus count-product joins against the slim
+    * (hash, video, count) summary and one aggregation keyed by the
+    * video pair. */
   def videoClipMatches(frames: DataFrame, vid: Column, frameIdx: Column,
       hash: Column, maxHamming: Int = 2, maxBand: Int = MaxSimHashBand,
       frameBase: Long = 1000000L): DataFrame = {
-    val pairs = bandedHammingPairs(
-      frames.select((vid * frameBase + frameIdx).as("__cid"), hash.as("__h")),
-      col("__cid"), col("__h"), bits = 63, maxHamming, maxBand)
-    pairs
-      .select(expr(s"id_a div $frameBase").as("vid_a"),
-        expr(s"id_b div $frameBase").as("vid_b"))
-      .filter(col("vid_a") =!= col("vid_b"))
+    // Identical frame hashes collapse BEFORE the pairwise path (the same
+    // move as [[hashNearDupGroups]]): a re-used frame — black leader, a
+    // standard test card, a popular clip — enters the pairwise machinery
+    // ONCE per distinct hash instead of once per occurrence, so pair
+    // volume scales with distinct frame CONTENT, not corpus size. The
+    // match count is recovered exactly from count products:
+    //   same hash   : cnt(va, h) x cnt(vb, h)        for va < vb
+    //   near hashes : cnt(va, ha) x cnt(vb, hb)      folded to unordered
+    // which equals the direct per-frame-pair formulation (each qualifying
+    // frame pair contributes exactly once). The hot-band cap now
+    // truncates to the smallest-k DISTINCT hashes per bucket (by
+    // representative composite id) — more diverse than min-k frame ids.
+    val f = frames.select(vid.as("__vid"), frameIdx.as("__fi"), hash.as("__h"))
+      .filter(col("__h").isNotNull)
+    // per-(hash, video) frame counts; statSafe — feeds three joins below
+    // and a groupBy's size estimate must not elect a static broadcast
+    val vcnt = graft.util.Barriers.statSafe(
+      f.groupBy(col("__h"), col("__vid")).agg(count(lit(1)).as("__cnt"),
+        min(col("__vid") * frameBase + col("__fi")).as("__minc")))
+    val reps = graft.util.Barriers.statSafe(
+      vcnt.groupBy(col("__h")).agg(min(col("__minc")).as("__rep")))
+    // within-class: identical frames shared across different videos
+    val within = vcnt.select(col("__h"), col("__vid").as("__va"), col("__cnt").as("__ca"))
+      .join(vcnt.select(col("__h"), col("__vid").as("__vb"), col("__cnt").as("__cb")), Seq("__h"))
+      .filter(col("__va") < col("__vb"))
+      .select(col("__va").as("vid_a"), col("__vb").as("vid_b"),
+        (col("__ca") * col("__cb")).as("__n"))
+    // cross-class: near-identical DISTINCT hashes via the banded rep pairs
+    val repPairs = bandedHammingPairs(reps, col("__rep"), col("__h"),
+      bits = 63, maxHamming, maxBand)
+    val hp = repPairs
+      .join(reps.select(col("__rep").as("__ra"), col("__h").as("__ha")),
+        col("id_a") === col("__ra"))
+      .join(reps.select(col("__rep").as("__rb"), col("__h").as("__hb")),
+        col("id_b") === col("__rb"))
+      .select(col("__ha"), col("__hb"))
+    val cross = hp
+      .join(vcnt.select(col("__h").as("__ha"), col("__vid").as("__va"),
+        col("__cnt").as("__ca")), Seq("__ha"))
+      .join(vcnt.select(col("__h").as("__hb"), col("__vid").as("__vb"),
+        col("__cnt").as("__cb")), Seq("__hb"))
+      .filter(col("__va") =!= col("__vb"))
+      .select(least(col("__va"), col("__vb")).as("vid_a"),
+        greatest(col("__va"), col("__vb")).as("vid_b"),
+        (col("__ca") * col("__cb")).as("__n"))
+    within.unionByName(cross)
       .groupBy(col("vid_a"), col("vid_b"))
-      .agg(count(lit(1)).as("n_frame_matches"))
+      .agg(sum(col("__n")).as("n_frame_matches"))
   }
 
   /** Clip detection of a (small) batch of videos AGAINST a static frame-

@@ -312,6 +312,40 @@ class PipelineSpec extends AnyFunSuite {
       s"clique under-merged: ${groups.filter(_._2 != 100L).take(5).toSeq}")
   }
 
+  test("videoClipMatches collapse == direct per-frame pairwise counts (incl. repeated identical frames)") {
+    // fixture exercises every contribution shape: identical frames
+    // REPEATED within a video (v1 has hash A twice), shared across videos
+    // (v2 has A once, v3 has A three times), near-hashes (B = A^1 in v4),
+    // an isolated hash, and a null hash row
+    val rows = Seq(
+      (1L, 0L, java.lang.Long.valueOf(0xA0L)), (1L, 1L, java.lang.Long.valueOf(0xA0L)),
+      (2L, 0L, java.lang.Long.valueOf(0xA0L)),
+      (3L, 0L, java.lang.Long.valueOf(0xA0L)), (3L, 1L, java.lang.Long.valueOf(0xA0L)),
+      (3L, 2L, java.lang.Long.valueOf(0xA0L)),
+      (4L, 0L, java.lang.Long.valueOf(0xA1L)),            // hamming 1 from A
+      (5L, 0L, java.lang.Long.valueOf(0x7000L)),          // isolated
+      (6L, 0L, null.asInstanceOf[java.lang.Long]))        // undecodable frame
+    val frames = rows.toDF("vid", "fi", "h")
+    val got = Dedup.videoClipMatches(frames, col("vid"), col("fi"), col("h"),
+        maxHamming = 2).as[(Long, Long, Long)].collect().toSet
+    // direct reference: every unordered cross-video frame pair with
+    // hamming <= 2, counted per video pair
+    val fr = rows.filter(_._3 != null)
+    val expect = (for {
+      (va, fa, ha) <- fr; (vb, fb, hb) <- fr
+      if va < vb || (va == vb && fa < fb)
+      if va != vb
+      if java.lang.Long.bitCount(ha ^ hb) <= 2
+    } yield (math.min(va, vb), math.max(va, vb)))
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }.toSet
+    assert(got == expect, s"collapse diverged:\n got=$got\n exp=$expect")
+    // sanity anchors: v1(2xA) x v3(3xA) = 6 frame pairs; v4's near-hash B
+    // matches every A occurrence
+    assert(got.contains((1L, 3L, 6L)))
+    assert(got.contains((1L, 4L, 2L)) && got.contains((3L, 4L, 3L)))
+    assert(!got.exists(m => m._1 == 5L || m._2 == 5L || m._1 == 6L || m._2 == 6L))
+  }
+
   test("audioFingerprint: closed-form energy lattice; retouch stays near; garbage -> null") {
     // fingerprint of real WAV bytes == fingerprint of the by-construction
     // energy grid (pins the decode + frame/stripe assignment)
