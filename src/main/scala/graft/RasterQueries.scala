@@ -89,9 +89,15 @@ object RasterQueries {
       val tmp = java.nio.file.Files.createTempDirectory("graft_r02")
       val path = tmp.resolve("r02.tif").toString
       GeoTiff.writeGeoTiff(path, width, height, transform, values, nodata = Some(0.0),
-        dtype = "u8", deflate = true, predictor2 = true, rowsPerStrip = 16)
+        dtype = "u8", compression = "deflate", predictor2 = true, rowsPerStrip = 16)
+      // same raster as an LZW-compressed TILED file (the GDAL/COG default
+      // organization) — both ingestion paths must agree exactly
+      val pathTiled = tmp.resolve("r02_tiled.tif").toString
+      GeoTiff.writeGeoTiff(pathTiled, width, height, transform, values, nodata = Some(0.0),
+        dtype = "u8", compression = "lzw", predictor2 = true, tile = Some((32, 16)))
 
       val fromTiff = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, path), res = 7)
+      val fromTiled = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, pathTiled), res = 7)
       val fromMem = H3Raster.rasterToCells(
         H3Raster.tileRaster(s, width, height, transform, values, nodata = 0.0, tile = 16), res = 7)
         .cache()
@@ -99,7 +105,9 @@ object RasterQueries {
       val n = fromMem.count()
       val tiffMatchesMem =
         fromTiff.except(fromMem).isEmpty && fromMem.except(fromTiff).isEmpty &&
-          fromTiff.count() == n
+          fromTiff.count() == n &&
+          fromTiled.except(fromMem).isEmpty && fromMem.except(fromTiled).isEmpty &&
+          fromTiled.count() == n
 
       val (mt, nd, mw, mh) = GeoTiff.readGeoTiffMeta(path)
       val metaOk = mt.toArray.sameElements(transform.toArray) &&

@@ -11,30 +11,37 @@ import graft.raster.H3Raster.Transform
  * discipline as the AVI/WAV/BMP walks).
  *
  * Supported: classic TIFF (magic 42, II or MM byte order), single-band
- * strip-organized images, 8/16/32-bit integer (signed or unsigned) and
- * 32/64-bit float samples, compression none (1) or zlib/deflate (8 and the
- * legacy 32946 — JDK Inflater decodes both), horizontal-differencing
- * predictor (2) for integer samples, GeoTIFF geotransform from
- * ModelPixelScale+ModelTiepoint or ModelTransformation, and GDAL's ASCII
- * nodata tag. Tiled layouts, BigTIFF, multi-band and palette images are
+ * images in BOTH segment organizations — strips (273/278/279) and tiles
+ * (322/323/324/325, the GDAL/COG default) — 8/16/32-bit integer (signed or
+ * unsigned) and 32/64-bit float samples, compression none (1), LZW (5,
+ * TIFF 6.0 §13 with the standard early-change code widths), zlib/deflate
+ * (8 and the legacy 32946 — JDK Inflater decodes both), PackBits (32773),
+ * horizontal-differencing predictor (2) for integer samples, GeoTIFF
+ * geotransform from ModelPixelScale+ModelTiepoint or ModelTransformation,
+ * and GDAL's ASCII nodata tag. BigTIFF, multi-band and palette images are
  * rejected with a clear error — not silently misread.
  *
- * Scale shape: the driver reads only the KB-scale IFD; every strip becomes
- * one task that POSITION-READS its own byte range through the Hadoop
- * filesystem (so an S3/HDFS-resident TIFF never funnels through the
- * driver), inflates, decodes, and emits one tile row. Downstream
+ * Scale shape: the driver reads only the KB-scale IFD; every strip/tile
+ * becomes one task that POSITION-READS its own byte range through the
+ * Hadoop filesystem (so an S3/HDFS-resident TIFF never funnels through the
+ * driver), decompresses, decodes, and emits one tile row. Downstream
  * [[H3Raster.rasterToCells]] is already per-tile shuffle-free.
  */
 object GeoTiff {
 
-  /** One strip's placement + byte range, computed on the driver. */
-  private final case class StripMeta(
-      idx: Int, y0: Int, rows: Int, offset: Long, byteCount: Long)
+  /** One segment's (strip's or tile's) placement + byte range, computed on
+    * the driver. `decW`/`decH` is the DECODED grid (tiles are padded to the
+    * full tile size at the right/bottom edges per TIFF 6.0 §15); the
+    * emitted crop is `cols` x `rows` from its top-left corner. For strips
+    * the two coincide. */
+  private final case class SegMeta(
+      idx: Int, x0: Int, y0: Int, cols: Int, rows: Int, decW: Int, decH: Int,
+      offset: Long, byteCount: Long)
 
   private final case class TiffMeta(
       width: Int, height: Int, bits: Int, sampleFormat: Int, compression: Int,
       predictor: Int, bigEndian: Boolean, transform: Transform,
-      nodata: Option[Double], strips: Array[StripMeta])
+      nodata: Option[Double], segments: Array[SegMeta])
 
   // ---- low-level readers -------------------------------------------------
 
@@ -130,8 +137,6 @@ object GeoTiff {
     def optLong(tag: Int, dflt: Long): Long =
       entries.get(tag).map(_.longs.head).getOrElse(dflt)
 
-    if (entries.contains(322) || entries.contains(324))
-      throw new java.io.IOException("tiled TIFF layout not supported (strips only)")
     val width = req(256, "ImageWidth").longs.head.toInt
     val height = req(257, "ImageLength").longs.head.toInt
     if (width <= 0 || height <= 0)
@@ -147,24 +152,49 @@ object GeoTiff {
         s"unsupported sample layout: $bits bits, format $sampleFormat")
     }
     val compression = optLong(259, 1L).toInt
-    if (compression != 1 && compression != 8 && compression != 32946)
-      throw new java.io.IOException(s"unsupported compression $compression (none/deflate only)")
+    if (!Set(1, 5, 8, 32773, 32946).contains(compression))
+      throw new java.io.IOException(
+        s"unsupported compression $compression (none/lzw/deflate/packbits only)")
     val predictor = optLong(317, 1L).toInt
     if (predictor != 1 && !(predictor == 2 && sampleFormat != 3))
       throw new java.io.IOException(s"unsupported predictor $predictor for format $sampleFormat")
 
-    val offsets = req(273, "StripOffsets").longs
-    val counts = req(279, "StripByteCounts").longs
-    if (offsets.length != counts.length)
-      throw new java.io.IOException("StripOffsets/StripByteCounts length mismatch")
-    val rowsPerStrip = optLong(278, height.toLong).toInt
-    val expectStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    if (offsets.length != expectStrips)
-      throw new java.io.IOException(
-        s"strip count ${offsets.length} != expected $expectStrips for RowsPerStrip=$rowsPerStrip")
-    val strips = Array.tabulate(offsets.length) { i =>
-      val y0 = i * rowsPerStrip
-      StripMeta(i, y0, math.min(rowsPerStrip, height - y0), offsets(i), counts(i))
+    val tiled = entries.contains(322) || entries.contains(324)
+    val segments: Array[SegMeta] = if (tiled) {
+      val tw = req(322, "TileWidth").longs.head.toInt
+      val th = req(323, "TileLength").longs.head.toInt
+      if (tw <= 0 || th <= 0)
+        throw new java.io.IOException(s"bad tile size ${tw}x$th")
+      val offsets = req(324, "TileOffsets").longs
+      val counts = req(325, "TileByteCounts").longs
+      if (offsets.length != counts.length)
+        throw new java.io.IOException("TileOffsets/TileByteCounts length mismatch")
+      val across = (width + tw - 1) / tw
+      val down = (height + th - 1) / th
+      if (offsets.length != across * down)
+        throw new java.io.IOException(
+          s"tile count ${offsets.length} != expected ${across * down} for ${tw}x$th tiles")
+      Array.tabulate(offsets.length) { i =>
+        val x0 = (i % across) * tw
+        val y0 = (i / across) * th
+        SegMeta(i, x0, y0, math.min(tw, width - x0), math.min(th, height - y0),
+          tw, th, offsets(i), counts(i))
+      }
+    } else {
+      val offsets = req(273, "StripOffsets").longs
+      val counts = req(279, "StripByteCounts").longs
+      if (offsets.length != counts.length)
+        throw new java.io.IOException("StripOffsets/StripByteCounts length mismatch")
+      val rowsPerStrip = optLong(278, height.toLong).toInt
+      val expectStrips = (height + rowsPerStrip - 1) / rowsPerStrip
+      if (offsets.length != expectStrips)
+        throw new java.io.IOException(
+          s"strip count ${offsets.length} != expected $expectStrips for RowsPerStrip=$rowsPerStrip")
+      Array.tabulate(offsets.length) { i =>
+        val y0 = i * rowsPerStrip
+        val rows = math.min(rowsPerStrip, height - y0)
+        SegMeta(i, 0, y0, width, rows, width, rows, offsets(i), counts(i))
+      }
     }
 
     // geotransform: ModelTransformation (16 doubles, row-major 4x4) wins;
@@ -183,7 +213,7 @@ object GeoTiff {
 
     val nodata = entries.get(42113).flatMap(e => e.ascii.trim.toDoubleOption)
     TiffMeta(width, height, bits, sampleFormat, compression, predictor, bigEndian,
-      transform, nodata, strips)
+      transform, nodata, segments)
   }
 
   // ---- strip decode (executor side) -------------------------------------
@@ -205,21 +235,28 @@ object GeoTiff {
     out
   }
 
-  private def decodeStrip(m: TiffMeta, s: StripMeta, raw0: Array[Byte]): Array[Double] = {
+  /** Decode one strip/tile to its CROPPED `cols x rows` sample grid. The
+    * decompressed buffer is `decW x decH` (tiles are edge-padded); predictor
+    * rows run at the decoded stride. */
+  private def decodeSegment(m: TiffMeta, s: SegMeta, raw0: Array[Byte]): Array[Double] = {
     val bytesPer = m.bits / 8
-    val expect = m.width * s.rows * bytesPer
-    val raw = if (m.compression == 1) {
-      if (raw0.length < expect) throw new java.io.IOException("short uncompressed strip")
-      raw0
-    } else inflate(raw0, expect)
+    val expect = s.decW * s.decH * bytesPer
+    val raw = m.compression match {
+      case 1 =>
+        if (raw0.length < expect) throw new java.io.IOException("short uncompressed segment")
+        raw0
+      case 5 => TiffLzw.decode(raw0, expect)
+      case 32773 => packBitsDecode(raw0, expect)
+      case _ => inflate(raw0, expect)
+    }
     if (m.predictor == 2) {
       // horizontal differencing: cumulative add per row, per byte lane of
       // the sample (lanes delta independently in TIFF predictor 2)
       var r = 0
-      while (r < s.rows) {
-        val row = r * m.width * bytesPer
+      while (r < s.decH) {
+        val row = r * s.decW * bytesPer
         var x = 1
-        while (x < m.width) {
+        while (x < s.decW) {
           var l = 0
           while (l < bytesPer) {
             val o = row + x * bytesPer + l
@@ -232,46 +269,103 @@ object GeoTiff {
       }
     }
     val rd = new ByteReader(raw, m.bigEndian)
-    val out = new Array[Double](m.width * s.rows)
-    var i = 0
-    while (i < out.length) {
-      val o = i * bytesPer
-      out(i) = (m.bits, m.sampleFormat) match {
-        case (8, 1) => (raw(o) & 0xFF).toDouble
-        case (8, 2) => raw(o).toDouble
-        case (16, 1) => rd.u16(o).toDouble
-        case (16, 2) => rd.u16(o).toShort.toDouble
-        case (32, 1) => rd.u32(o).toDouble
-        case (32, 2) => rd.u32(o).toInt.toDouble
-        case (32, 3) => java.lang.Float.intBitsToFloat(rd.u32(o).toInt).toDouble
-        case (64, 3) => rd.f64(o)
-        case other => throw new java.io.IOException(s"unsupported layout $other")
+    val out = new Array[Double](s.cols * s.rows)
+    var y = 0
+    while (y < s.rows) {
+      var x = 0
+      while (x < s.cols) {
+        val o = (y * s.decW + x) * bytesPer
+        out(y * s.cols + x) = (m.bits, m.sampleFormat) match {
+          case (8, 1) => (raw(o) & 0xFF).toDouble
+          case (8, 2) => raw(o).toDouble
+          case (16, 1) => rd.u16(o).toDouble
+          case (16, 2) => rd.u16(o).toShort.toDouble
+          case (32, 1) => rd.u32(o).toDouble
+          case (32, 2) => rd.u32(o).toInt.toDouble
+          case (32, 3) => java.lang.Float.intBitsToFloat(rd.u32(o).toInt).toDouble
+          case (64, 3) => rd.f64(o)
+          case other => throw new java.io.IOException(s"unsupported layout $other")
+        }
+        x += 1
       }
-      i += 1
+      y += 1
     }
     out
   }
 
+  /** TIFF PackBits (32773, Apple RLE): n in 0..127 copies n+1 literals,
+    * n in -127..-1 repeats the next byte 1-n times, -128 is a no-op. */
+  private def packBitsDecode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var i = 0
+    var o = 0
+    while (o < expected) {
+      if (i >= in.length) throw new java.io.IOException("truncated PackBits segment")
+      val n = in(i); i += 1
+      if (n >= 0) {
+        val len = n + 1
+        if (i + len > in.length || o + len > expected)
+          throw new java.io.IOException("PackBits literal overruns segment")
+        System.arraycopy(in, i, out, o, len)
+        i += len; o += len
+      } else if (n != -128) {
+        val len = 1 - n
+        if (i >= in.length || o + len > expected)
+          throw new java.io.IOException("PackBits run overruns segment")
+        java.util.Arrays.fill(out, o, o + len, in(i))
+        i += 1; o += len
+      }
+    }
+    out
+  }
+
+  /** PackBits encoder (fixture writer): runs of >= 3 identical bytes become
+    * replicate packets, everything else literal packets (both capped at
+    * 128). */
+  private def packBitsEncode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length + in.length / 128 + 4)
+    var i = 0
+    while (i < in.length) {
+      var j = i
+      while (j + 1 < in.length && in(j + 1) == in(i) && j - i < 127) j += 1
+      val run = j - i + 1
+      if (run >= 3) {
+        out.write(1 - run) // -(run-1)
+        out.write(in(i))
+        i = j + 1
+      } else {
+        var k = i
+        while (k < in.length && k - i < 128 &&
+            !(k + 2 < in.length && in(k) == in(k + 1) && in(k) == in(k + 2))) k += 1
+        out.write(k - i - 1)
+        out.write(in, i, k - i)
+        i = k
+      }
+    }
+    out.toByteArray
+  }
+
   // ---- public API --------------------------------------------------------
 
-  /** Read a strip-organized GeoTIFF into the [[H3Raster.tileSchema]] tile
-    * frame: one tile per strip (full-width bands — the natural TIFF
-    * decomposition; [[H3Raster.rasterToCells]] is tile-shape-agnostic).
-    * The driver touches only the IFD; strip payloads are position-read and
-    * decoded by the executors. */
+  /** Read a strip- or tile-organized GeoTIFF into the
+    * [[H3Raster.tileSchema]] tile frame: one frame row per TIFF segment
+    * (full-width bands for strips, `TileWidth x TileLength` blocks for
+    * tiles — [[H3Raster.rasterToCells]] is tile-shape-agnostic). The driver
+    * touches only the IFD; segment payloads are position-read and decoded
+    * by the executors. */
   def readGeoTiff(spark: SparkSession, path: String): DataFrame = {
     val meta = parseMeta(path)
     val tArr = meta.transform.toArray.toSeq
     val nodataV: java.lang.Double = meta.nodata.map(Double.box).orNull
     val rdd = spark.sparkContext
-      .parallelize(meta.strips.toSeq, math.min(meta.strips.length, 32))
+      .parallelize(meta.segments.toSeq, math.min(meta.segments.length, 32))
       .map { s =>
-        val vals = decodeStrip(meta, s, readAt(path, s.offset, s.byteCount.toInt))
+        val vals = decodeSegment(meta, s, readAt(path, s.offset, s.byteCount.toInt))
         val hasData = meta.nodata match {
           case Some(nd) => vals.exists(_ != nd)
           case None => vals.nonEmpty
         }
-        Row(s.idx.toLong, 0, s.y0, meta.width, s.rows, tArr, vals.toSeq, nodataV, hasData)
+        Row(s.idx.toLong, s.x0, s.y0, s.cols, s.rows, tArr, vals.toSeq, nodataV, hasData)
       }
     spark.createDataFrame(rdd, H3Raster.tileSchema)
   }
@@ -286,24 +380,41 @@ object GeoTiff {
 
   // ---- fixture writer (tests / local oracles) ----------------------------
 
-  /** Write a real single-band strip-organized GeoTIFF: u8 ("u8") or f32
-    * ("f32") samples, optional deflate compression and (for u8) the
-    * horizontal-differencing predictor, either byte order. Values are
-    * row-major doubles (u8 values must be 0..255 integers). Produces the
-    * standard tag set: dimensions, layout, ModelPixelScale+ModelTiepoint,
-    * GDAL nodata ASCII. */
+  /** Write a real single-band GeoTIFF: u8 ("u8") or f32 ("f32") samples,
+    * compression "none" | "deflate" | "lzw" | "packbits", (for u8) the
+    * horizontal-differencing predictor, either byte order, and either
+    * segment organization — strips of `rowsPerStrip` rows (default) or,
+    * with `tile = Some((tw, th))`, a tiled layout (tags 322-325, edge
+    * tiles zero-padded to the full tile size per TIFF 6.0 §15; tile dims
+    * must be multiples of 16 as the spec requires). Values are row-major
+    * doubles (u8 values must be 0..255 integers). Produces the standard
+    * tag set: dimensions, layout, ModelPixelScale+ModelTiepoint, GDAL
+    * nodata ASCII. */
   def writeGeoTiff(path: String, width: Int, height: Int, transform: Transform,
       values: Array[Double], nodata: Option[Double], dtype: String = "u8",
-      deflate: Boolean = false, predictor2: Boolean = false,
-      rowsPerStrip: Int = 16, bigEndian: Boolean = false): Unit = {
+      compression: String = "none", predictor2: Boolean = false,
+      rowsPerStrip: Int = 16, tile: Option[(Int, Int)] = None,
+      bigEndian: Boolean = false): Unit = {
     require(values.length == width * height, "values must be width*height row-major")
     require(dtype == "u8" || dtype == "f32", s"dtype u8|f32, got $dtype")
     require(!predictor2 || dtype == "u8", "predictor 2 only for integer samples")
+    require(Set("none", "deflate", "lzw", "packbits").contains(compression),
+      s"compression none|deflate|lzw|packbits, got $compression")
+    tile.foreach { case (tw, th) =>
+      require(tw > 0 && th > 0 && tw % 16 == 0 && th % 16 == 0,
+        s"tile dims must be positive multiples of 16, got ${tw}x$th")
+    }
     require(transform.b == 0.0 && transform.d == 0.0,
       "fixture writer emits PixelScale+Tiepoint: north-up transforms only")
     val bytesPer = if (dtype == "u8") 1 else 4
     val bits = bytesPer * 8
     val sampleFormat = if (dtype == "u8") 1 else 3
+    val compressionTag = compression match {
+      case "none" => 1L
+      case "lzw" => 5L
+      case "deflate" => 8L
+      case "packbits" => 32773L
+    }
 
     def w16(v: Int): Array[Byte] =
       if (bigEndian) Array(((v >> 8) & 0xFF).toByte, (v & 0xFF).toByte)
@@ -319,23 +430,39 @@ object GeoTiff {
       if (bigEndian) be else be.reverse
     }
 
-    val nStrips = (height + rowsPerStrip - 1) / rowsPerStrip
-    val stripBytes: Array[Array[Byte]] = Array.tabulate(nStrips) { si =>
-      val y0 = si * rowsPerStrip
-      val rows = math.min(rowsPerStrip, height - y0)
-      val plain = new Array[Byte](width * rows * bytesPer)
+    // segment plan: (x0, y0, decoded width, decoded height); strips decode
+    // at their true size, tiles always at the full (padded) tile size
+    val segPlan: Array[(Int, Int, Int, Int)] = tile match {
+      case Some((tw, th)) =>
+        val across = (width + tw - 1) / tw
+        val down = (height + th - 1) / th
+        Array.tabulate(across * down) { i =>
+          ((i % across) * tw, (i / across) * th, tw, th)
+        }
+      case None =>
+        val n = (height + rowsPerStrip - 1) / rowsPerStrip
+        Array.tabulate(n) { si =>
+          val y0 = si * rowsPerStrip
+          (0, y0, width, math.min(rowsPerStrip, height - y0))
+        }
+    }
+    val segBytes: Array[Array[Byte]] = segPlan.map { case (x0, y0, decW, decH) =>
+      val plain = new Array[Byte](decW * decH * bytesPer)
       var r = 0
-      while (r < rows) {
+      while (r < decH) {
         var x = 0
-        while (x < width) {
-          val v = values((y0 + r) * width + x)
-          val o = (r * width + x) * bytesPer
-          if (dtype == "u8") plain(o) = v.toInt.toByte
-          else {
-            val fb = java.lang.Float.floatToIntBits(v.toFloat)
-            val be = Array.tabulate(4)(i => ((fb >> (24 - 8 * i)) & 0xFF).toByte)
-            val enc = if (bigEndian) be else be.reverse
-            System.arraycopy(enc, 0, plain, o, 4)
+        while (x < decW) {
+          // zero-pad outside the image (tiled edge segments)
+          if (y0 + r < height && x0 + x < width) {
+            val v = values((y0 + r) * width + (x0 + x))
+            val o = (r * decW + x) * bytesPer
+            if (dtype == "u8") plain(o) = v.toInt.toByte
+            else {
+              val fb = java.lang.Float.floatToIntBits(v.toFloat)
+              val be = Array.tabulate(4)(i => ((fb >> (24 - 8 * i)) & 0xFF).toByte)
+              val enc = if (bigEndian) be else be.reverse
+              System.arraycopy(enc, 0, plain, o, 4)
+            }
           }
           x += 1
         }
@@ -343,9 +470,9 @@ object GeoTiff {
       }
       if (predictor2) {
         var r = 0
-        while (r < rows) {
-          val row = r * width
-          var x = width - 1
+        while (r < decH) {
+          val row = r * decW
+          var x = decW - 1
           while (x >= 1) {
             plain(row + x) = (plain(row + x) - plain(row + x - 1)).toByte
             x -= 1
@@ -353,39 +480,50 @@ object GeoTiff {
           r += 1
         }
       }
-      if (!deflate) plain
-      else {
-        val d = new java.util.zip.Deflater()
-        d.setInput(plain); d.finish()
-        val buf = new Array[Byte](plain.length + 64)
-        val n = d.deflate(buf)
-        d.end()
-        java.util.Arrays.copyOf(buf, n)
+      compression match {
+        case "none" => plain
+        case "lzw" => TiffLzw.encode(plain)
+        case "packbits" => packBitsEncode(plain)
+        case "deflate" =>
+          val d = new java.util.zip.Deflater()
+          d.setInput(plain); d.finish()
+          val buf = new Array[Byte](plain.length + 64)
+          val n = d.deflate(buf)
+          d.end()
+          java.util.Arrays.copyOf(buf, n)
       }
     }
 
-    // layout: header(8) | IFD | tag arrays | nodata ascii | strips
+    // layout: header(8) | IFD | tag arrays | nodata ascii | segments
     final case class Tag(tag: Int, typ: Int, count: Long, inline: Option[Long], ext: Array[Byte])
     val ndAscii = nodata.map(nd => (nd.toString + "\u0000").getBytes("US-ASCII"))
     val scale = wf64(transform.a) ++ wf64(-transform.e) ++ wf64(0.0)
     val tie = wf64(0.0) ++ wf64(0.0) ++ wf64(0.0) ++
       wf64(transform.c) ++ wf64(transform.f) ++ wf64(0.0)
 
-    // strip offsets depend on layout size; compute sizes first
+    // segment offsets depend on layout size; compute sizes first
     val tagsPre = scala.collection.mutable.ArrayBuffer[(Int, Int, Long, Either[Long, Array[Byte]])](
       (256, 4, 1L, Left(width.toLong)),
       (257, 4, 1L, Left(height.toLong)),
       (258, 3, 1L, Left(bits.toLong)),
-      (259, 4, 1L, Left(if (deflate) 8L else 1L)),
+      (259, 4, 1L, Left(compressionTag)),
       (262, 3, 1L, Left(1L)), // BlackIsZero
       (277, 3, 1L, Left(1L)),
-      (278, 4, 1L, Left(rowsPerStrip.toLong)),
       (339, 3, 1L, Left(sampleFormat.toLong)),
       (33550, 12, 3L, Right(scale)),
       (33922, 12, 6L, Right(tie)))
+    tile match {
+      case Some((tw, th)) =>
+        tagsPre += ((322, 3, 1L, Left(tw.toLong)))
+        tagsPre += ((323, 3, 1L, Left(th.toLong)))
+      case None =>
+        tagsPre += ((278, 4, 1L, Left(rowsPerStrip.toLong)))
+    }
     if (predictor2) tagsPre += ((317, 3, 1L, Left(2L)))
     ndAscii.foreach(a => tagsPre += ((42113, 2, a.length.toLong, Right(a))))
-    // strip offset/count arrays: LONG each, nStrips entries (external when > 1)
+    // segment offset/count arrays: LONG each, nSegs entries (external when > 1)
+    val nSegs = segBytes.length
+    val (offTag, cntTag) = if (tile.isDefined) (324, 325) else (273, 279)
     val nTags = tagsPre.length + 2
     val ifdSize = 2 + nTags * 12 + 4
     var extOff = 8L + ifdSize
@@ -396,22 +534,22 @@ object GeoTiff {
         if (a.length <= 4) Tag(t, ty, c, None, a)
         else { val tg = Tag(t, ty, c, Some(extOff), a); extOff += a.length + (a.length & 1); tg }
     }
-    val stripOffArrOff = if (nStrips > 1) { val o = extOff; extOff += 4L * nStrips; o } else 0L
-    val stripCntArrOff = if (nStrips > 1) { val o = extOff; extOff += 4L * nStrips; o } else 0L
-    val stripDataStart = extOff
-    val stripOffsets = new Array[Long](nStrips)
-    var so = stripDataStart
-    for (i <- 0 until nStrips) { stripOffsets(i) = so; so += stripBytes(i).length + (stripBytes(i).length & 1) }
+    val segOffArrOff = if (nSegs > 1) { val o = extOff; extOff += 4L * nSegs; o } else 0L
+    val segCntArrOff = if (nSegs > 1) { val o = extOff; extOff += 4L * nSegs; o } else 0L
+    val segDataStart = extOff
+    val segOffsets = new Array[Long](nSegs)
+    var so = segDataStart
+    for (i <- 0 until nSegs) { segOffsets(i) = so; so += segBytes(i).length + (segBytes(i).length & 1) }
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(if (bigEndian) Array[Byte]('M', 'M') else Array[Byte]('I', 'I'))
     out.write(w16(42)); out.write(w32(8L))
     // IFD: tags must be ascending by tag id
     val allTags = (resolved.toSeq ++ Seq(
-      Tag(273, 4, nStrips.toLong,
-        if (nStrips > 1) Some(stripOffArrOff) else Some(stripOffsets(0)), Array.emptyByteArray),
-      Tag(279, 4, nStrips.toLong,
-        if (nStrips > 1) Some(stripCntArrOff) else Some(stripBytes(0).length.toLong), Array.emptyByteArray)
+      Tag(offTag, 4, nSegs.toLong,
+        if (nSegs > 1) Some(segOffArrOff) else Some(segOffsets(0)), Array.emptyByteArray),
+      Tag(cntTag, 4, nSegs.toLong,
+        if (nSegs > 1) Some(segCntArrOff) else Some(segBytes(0).length.toLong), Array.emptyByteArray)
     )).sortBy(_.tag)
     out.write(w16(allTags.length))
     allTags.foreach { t =>
@@ -431,15 +569,151 @@ object GeoTiff {
       out.write(t.ext)
       if ((t.ext.length & 1) == 1) out.write(0)
     }
-    if (nStrips > 1) {
-      stripOffsets.foreach(o => out.write(w32(o)))
-      stripBytes.foreach(s => out.write(w32(s.length.toLong)))
+    if (nSegs > 1) {
+      segOffsets.foreach(o => out.write(w32(o)))
+      segBytes.foreach(s => out.write(w32(s.length.toLong)))
     }
-    stripBytes.foreach { s => out.write(s); if ((s.length & 1) == 1) out.write(0) }
+    segBytes.foreach { s => out.write(s); if ((s.length & 1) == 1) out.write(0) }
 
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
     val os = fs.create(p, true)
     try os.write(out.toByteArray) finally os.close()
+  }
+}
+
+/**
+ * TIFF 6.0 §13 LZW codec (compression 5): MSB-first bit packing, 9-bit
+ * initial codes, ClearCode 256 / EOI 257, table entries from 258, and the
+ * standard "early change" width schedule (libtiff-compatible: the encoder
+ * widens when its next free entry exceeds 2^n-1, the decoder — running one
+ * table entry behind — when it exceeds 2^n-2, which keeps both on the same
+ * per-code width sequence; the encoder counts the flushed final code as an
+ * entry so even the EOI width agrees). The encoder emits a ClearCode before
+ * the table reaches the 12-bit ceiling.
+ */
+private[raster] object TiffLzw {
+  private val Clear = 256
+  private val Eoi = 257
+  private val First = 258
+  private val TableCeiling = 4094 // encoder resets here; decoder table caps at 4096
+
+  def encode(in: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(in.length / 2 + 16)
+    var acc = 0L
+    var accBits = 0
+    var nbits = 9
+    var maxcode = (1 << 9) - 1
+    def put(code: Int): Unit = {
+      acc = (acc << nbits) | code
+      accBits += nbits
+      while (accBits >= 8) {
+        out.write(((acc >>> (accBits - 8)) & 0xFF).toInt)
+        accBits -= 8
+      }
+    }
+    // (prefixCode, byte) -> code; key packs prefix (< 4096) over the byte
+    val dict = new java.util.HashMap[Integer, Integer](8192)
+    var freeEnt = First
+    def reset(): Unit = { dict.clear(); freeEnt = First; nbits = 9; maxcode = (1 << 9) - 1 }
+    def grew(): Unit = if (freeEnt > maxcode && nbits < 12) { nbits += 1; maxcode = (1 << nbits) - 1 }
+
+    put(Clear)
+    var prefix = -1
+    var i = 0
+    while (i < in.length) {
+      val b = in(i) & 0xFF
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix << 8) | b
+        val hit = dict.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          put(prefix)
+          dict.put(key, freeEnt)
+          freeEnt += 1
+          grew()
+          if (freeEnt >= TableCeiling) { put(Clear); reset() }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) {
+      put(prefix)
+      // count the flushed code as an entry so the EOI width matches the
+      // decoder, which adds a table entry after every non-first code
+      freeEnt += 1
+      grew()
+    }
+    put(Eoi)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xFF).toInt)
+    out.toByteArray
+  }
+
+  def decode(in: Array[Byte], expected: Int): Array[Byte] = {
+    val out = new Array[Byte](expected)
+    var o = 0
+    var acc = 0L
+    var accBits = 0
+    var pos = 0
+    var nbits = 9
+    var maxcode = (1 << 9) - 2
+    def read(): Int = {
+      while (accBits < nbits) {
+        if (pos >= in.length) return Eoi // truncated stream: treat as end
+        acc = (acc << 8) | (in(pos) & 0xFF)
+        pos += 1
+        accBits += 8
+      }
+      accBits -= nbits
+      ((acc >>> accBits) & ((1 << nbits) - 1)).toInt
+    }
+    // table(c) = decoded byte string for code c
+    val table = new Array[Array[Byte]](4096)
+    var c = 0
+    while (c < 256) { table(c) = Array(c.toByte); c += 1 }
+    var freeEnt = First
+    var old = -1
+    var done = false
+    while (!done && o < expected) {
+      val code = read()
+      if (code == Eoi) done = true
+      else if (code == Clear) {
+        freeEnt = First; nbits = 9; maxcode = (1 << 9) - 2; old = -1
+      } else if (old < 0) {
+        if (code > 255) throw new java.io.IOException(s"LZW: first code $code after clear not a literal")
+        out(o) = code.toByte; o += 1
+        old = code
+      } else {
+        val entry: Array[Byte] =
+          if (code < freeEnt && table(code) != null) table(code)
+          else if (code == freeEnt) { // KwKwK
+            val p = table(old)
+            val e = java.util.Arrays.copyOf(p, p.length + 1)
+            e(p.length) = p(0)
+            e
+          } else throw new java.io.IOException(s"LZW: code $code beyond table ($freeEnt)")
+        if (o + entry.length > expected)
+          throw new java.io.IOException("LZW: output overruns expected segment size")
+        System.arraycopy(entry, 0, out, o, entry.length)
+        o += entry.length
+        if (freeEnt < 4096) {
+          val p = table(old)
+          val e = java.util.Arrays.copyOf(p, p.length + 1)
+          e(p.length) = entry(0)
+          table(freeEnt) = e
+          freeEnt += 1
+          if (freeEnt > maxcode && nbits < 12) {
+            nbits += 1
+            maxcode = if (nbits == 12) 4095 else (1 << nbits) - 2
+          }
+        }
+        old = code
+      }
+    }
+    if (o != expected)
+      throw new java.io.IOException(s"LZW: decoded $o of $expected bytes")
+    out
   }
 }

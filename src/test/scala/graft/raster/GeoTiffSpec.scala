@@ -52,12 +52,15 @@ class GeoTiffSpec extends AnyFunSuite {
     val t = Transform.northUp(10.0, 50.0, 0.01, 0.01)
     val vals = grid(w, h)
     val expect = pixels(tileRaster(spark, w, h, t, vals, 0.0, tile = 16))
-    for ((dfl, pred, be, name) <- Seq(
-        (true, false, false, "dfl"), (true, true, false, "pred"),
-        (false, false, true, "be"), (true, true, true, "predbe"))) {
+    for ((comp, pred, be, name) <- Seq(
+        ("deflate", false, false, "dfl"), ("deflate", true, false, "pred"),
+        ("none", false, true, "be"), ("deflate", true, true, "predbe"),
+        ("lzw", false, false, "lzw"), ("lzw", true, false, "lzwpred"),
+        ("lzw", true, true, "lzwpredbe"), ("packbits", false, false, "pb"),
+        ("packbits", true, false, "pbpred"))) {
       val path = s"$dir/v_$name.tif"
       GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
-        deflate = dfl, predictor2 = pred, rowsPerStrip = 5, bigEndian = be)
+        compression = comp, predictor2 = pred, rowsPerStrip = 5, bigEndian = be)
       assert(pixels(GeoTiff.readGeoTiff(spark, path)) == expect, name)
     }
   }
@@ -68,7 +71,7 @@ class GeoTiffSpec extends AnyFunSuite {
     val vals = Array.tabulate(w * h)(i => (i % 17) * 0.25 - 1.5)
     val path = s"$dir/f32.tif"
     GeoTiff.writeGeoTiff(path, w, h, t, vals, None, dtype = "f32",
-      deflate = true, rowsPerStrip = 4)
+      compression = "deflate", rowsPerStrip = 4)
     val got = pixels(GeoTiff.readGeoTiff(spark, path))
     assert(got == pixels(tileRaster(spark, w, h, t, vals, Double.NaN, tile = 8)))
     // no nodata tag -> null nodata column, has_data always true
@@ -84,7 +87,7 @@ class GeoTiffSpec extends AnyFunSuite {
     val vals = Array.tabulate(w * h)(i => if (i / w < h / 2) grid(w, h)(i) else 0.0)
     val path = s"$dir/nd.tif"
     GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
-      deflate = true, rowsPerStrip = 8)
+      compression = "deflate", rowsPerStrip = 8)
     val tiff = GeoTiff.readGeoTiff(spark, path)
     assert(tiff.filter(!$"has_data").count() == 3) // strips 3,4,5 fully nodata
     val fromTiff = rasterToCells(tiff, res = 7)
@@ -94,6 +97,67 @@ class GeoTiffSpec extends AnyFunSuite {
       .as[(Double, Long)].collect().toSet
     assert(fromTiff == fromMem, "GeoTIFF path must equal the in-memory tile path")
     assert(fromTiff.nonEmpty)
+  }
+
+  test("tiled layout: edge tiles cropped, placements exact, equals the strip read") {
+    val (w, h) = (70, 41) // not multiples of the tile size: right+bottom padding
+    val t = Transform.northUp(-10.0, 45.0, 0.01, 0.01)
+    val vals = grid(w, h)
+    val expect = pixels(tileRaster(spark, w, h, t, vals, 0.0, tile = 16))
+    for ((comp, pred, be, name) <- Seq(
+        ("none", false, false, "plain"), ("deflate", true, false, "dfl"),
+        ("lzw", true, false, "lzw"), ("packbits", false, true, "pb"))) {
+      val path = s"$dir/t_$name.tif"
+      GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
+        compression = comp, predictor2 = pred, tile = Some((32, 16)), bigEndian = be)
+      val df = GeoTiff.readGeoTiff(spark, path)
+      assert(df.count() == 9, s"$name: ceil(70/32) x ceil(41/16) tiles") // 3x3
+      assert(pixels(df) == expect, name)
+      // edge tiles are cropped to the image, never padded into the frame
+      val dims = df.select($"x0", $"y0", $"width", $"height").collect()
+        .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getInt(3))).toSet
+      assert(dims.contains((64, 32, 6, 9)), s"$name: bottom-right crop")
+      assert(dims.contains((0, 0, 32, 16)), s"$name: interior tile full size")
+    }
+  }
+
+  test("tiled f32 LZW round-trips fractional values; rasterToCells equals the in-memory path") {
+    val (w, h) = (48, 32)
+    val t = Transform.northUp(-122.6, 38.0, 0.8 / w, 0.8 / h)
+    val vals = Array.tabulate(w * h)(i => if (i % 5 == 0) 0.0 else (i % 17) * 0.25 + 1.0)
+    val path = s"$dir/t_f32.tif"
+    GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), dtype = "f32",
+      compression = "lzw", tile = Some((16, 16)))
+    val fromTiff = rasterToCells(GeoTiff.readGeoTiff(spark, path), res = 7)
+      .as[(Double, Long)].collect().toSet
+    val fromMem = rasterToCells(
+        tileRaster(spark, w, h, t, vals, 0.0, tile = 16), res = 7)
+      .as[(Double, Long)].collect().toSet
+    assert(fromTiff == fromMem && fromTiff.nonEmpty)
+  }
+
+  test("TiffLzw codec: round-trips adversarial buffers, including table-reset sizes") {
+    val rnd = new scala.util.Random(7)
+    val cases = Seq[Array[Byte]](
+      Array.emptyByteArray,
+      Array[Byte](42),
+      Array.fill(7)(0.toByte),
+      // KwKwK pattern: aaa aaa ... triggers the code==freeEnt branch
+      Array.fill(64)('a'.toByte),
+      // long constant run: exercises width growth on highly compressible data
+      Array.fill(300000)(9.toByte),
+      // random bytes: dictionary grows past 9->10->11->12 bits and resets (>4094 entries)
+      Array.fill(200000)(rnd.nextInt(256).toByte),
+      // structured repetition: long repeated phrases build deep chains
+      Array.tabulate(100000)(i => ((i % 251) ^ (i / 997)).toByte))
+    for ((c, i) <- cases.zipWithIndex) {
+      val enc = TiffLzw.encode(c)
+      val dec = TiffLzw.decode(enc, c.length)
+      assert(java.util.Arrays.equals(dec, c), s"case $i (len ${c.length})")
+    }
+    // compressible input actually compresses
+    val runs = Array.fill(65536)(1.toByte)
+    assert(TiffLzw.encode(runs).length < runs.length / 8)
   }
 
   test("malformed inputs fail loudly, never misread") {
