@@ -36,6 +36,21 @@ object PipelineQueries {
   private def oH(x: String) = s"(('0x' || substr(md5($x), 1, 15))::BIGINT)"
   private val oToks = "string_split(lower(trim(text)), ' ')"
 
+  /** Shared unigram-LM CTE chain (p46/p65/p66): add-one smoothed log-probs
+    * on the e4 integer lattice ([[TextOps.unigramLogProbScore]]), ending in
+    * `sc(doc_id, n_tokens, score)` — per-doc token count and avg score. */
+  private val lmScoreCtes: String =
+    s"""toks AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
+       |tk AS (SELECT doc_id, t FROM toks WHERE t != ''),
+       |vocab AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nvocab FROM vocab),
+       |lp AS (SELECT t,
+       |  CAST(floor(ln((c + 1)::DOUBLE / (ntok + nvocab)::DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+       |  FROM vocab, tot),
+       |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+       |  floor(CAST(sum(lp_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS score
+       |  FROM tk JOIN lp USING (t) GROUP BY doc_id)""".stripMargin
+
   /** 13-token boilerplate injected by p58 (leading space: appended to text). */
   private val SubstrBoiler =
     " subscribe now for unlimited access to premium content from our partner network today"
@@ -717,6 +732,32 @@ object PipelineQueries {
     // per doc — engine-exact end to end
     "p46_lm_score" -> ((s, dir) => {
       TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // CCNet head/middle/tail stratification: LM-score every doc (p46's
+    // exact lattice), then partition each language by score-class
+    // percentile — class-level assignment (equal scores share a bucket),
+    // cumulative counts over the tiny (lang, score) class frame only
+    "p65_perplexity_buckets" -> ((s, dir) => {
+      val scored = TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+      TextOps.perplexityPartition(scored, col("doc_id"), col("avg_logprob"),
+          col("lang"), headFrac = 0.3, midFrac = 0.3)
+        .orderBy(col("doc_id"))
+    }),
+
+    // token-budget selection: walk docs best-LM-score-first and keep them
+    // until 40% of the corpus token mass is taken (the straddling doc
+    // included); global running sum via the Packing-style two-level
+    // prefix sum over (score, id-bucket) cells — no corpus-wide window
+    "p66_token_budget" -> ((s, dir) => {
+      val scored = TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .localCheckpoint(false) // slim (id, cnt, score); feeds total + selection
+      val total = scored.agg(sum(col("n_tokens"))).head().getLong(0)
+      val budget = math.ceil(total.toDouble * 0.4).toLong
+      Mixing.tokenBudgetSelect(scored, col("doc_id"), col("avg_logprob"),
+          col("n_tokens"), budget)
         .orderBy(col("doc_id"))
     }),
 
@@ -2035,17 +2076,36 @@ object PipelineQueries {
          |FROM x GROUP BY domain ORDER BY domain""".stripMargin,
 
     "p46_lm_score" ->
-      s"""WITH toks AS (SELECT doc_id, unnest($oToks) AS t FROM documents),
-         |tk AS (SELECT doc_id, t FROM toks WHERE t != ''),
-         |vocab AS (SELECT t, count(*)::BIGINT AS c FROM tk GROUP BY t),
-         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nvocab FROM vocab),
-         |lp AS (SELECT t,
-         |  CAST(floor(ln((c + 1)::DOUBLE / (ntok + nvocab)::DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS lp_e4
-         |  FROM vocab, tot)
-         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
-         |  floor(CAST(sum(lp_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS avg_logprob
-         |FROM tk JOIN lp USING (t)
-         |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmScoreCtes
+         |SELECT doc_id, n_tokens, score AS avg_logprob
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p65_perplexity_buckets" ->
+      s"""WITH $lmScoreCtes,
+         |sl AS (SELECT s.doc_id, d.lang, s.score FROM sc s JOIN documents d USING (doc_id)),
+         |cls AS (SELECT lang, score, count(*)::BIGINT AS c FROM sl GROUP BY 1, 2),
+         |cum AS (SELECT lang, score,
+         |  CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef,
+         |  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cls),
+         |b AS (SELECT lang, score,
+         |  CASE WHEN bef < ceil(n * CAST(0.3 AS DOUBLE)) THEN 'head'
+         |       WHEN bef < ceil(n * CAST(0.6 AS DOUBLE)) THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket FROM cum)
+         |SELECT sl.doc_id, sl.lang, sl.score, b.ppl_bucket
+         |FROM sl JOIN b USING (lang, score) ORDER BY sl.doc_id""".stripMargin,
+
+    "p66_token_budget" ->
+      s"""WITH $lmScoreCtes,
+         |c AS (SELECT doc_id, score, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (ORDER BY score DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+         |  FROM sc),
+         |b AS (SELECT CAST(ceil(CAST(sum(n_tokens) AS DOUBLE) * CAST(0.4 AS DOUBLE)) AS BIGINT)
+         |  AS budget FROM sc)
+         |SELECT doc_id, score, n_tokens, cum_before,
+         |  cum_before < (SELECT budget FROM b) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "p45_hybrid_search" -> {
       val alpha = 0.3

@@ -116,4 +116,63 @@ object Mixing {
       .unionByName(fallback.drop("__rn"), allowMissingColumns = true)
       .select(cols.map(col): _*)
   }
+
+  /** Token-budget corpus selection: walk documents best-quality-first and
+    * keep them until `budget` tokens are taken — the selection step after
+    * corpus scoring (DSIR/CCNet-style pipelines pick "the best N-token
+    * subset", a TOKEN budget, not a document count, because training cost
+    * is measured in tokens). A document is selected iff the tokens BEFORE
+    * it in (score DESC, doc_id ASC) order total under `budget`, so the
+    * straddling document is included and the result is exactly the
+    * shortest best-first prefix covering the budget. Output: every input
+    * document with `doc_id`, `score`, `n_tokens`, `cum_before` (tokens
+    * strictly before it in the walk) and the `selected` flag.
+    *
+    * Scale shape — the global running sum over (score, id) order is the
+    * same "no global window" problem as [[Packing.packSequences]] and
+    * reuses its two-level parallel prefix sum, with a COMPOUND level-1 key
+    * `(score, floor(id / bucketWidth))`: within-cell exclusive cumsum is a
+    * window partitioned by that key (parallel even when every document has
+    * the same score — the id-range component keeps cells bounded, where a
+    * plain per-score partition would collapse a constant-score corpus onto
+    * one task); cell totals are derived from the windowed side (max of
+    * local+cnt — no second corpus scan) and prefix-summed on the tiny
+    * aggregated frame in the declared single-partition window; cell
+    * prefixes broadcast back. Two corpus shuffles total (the cell-keyed
+    * exchange + the broadcast-join side is shuffle-free), no corpus-wide
+    * sort. Ids must be unique and non-negative (caller contract, as in
+    * packSequences); score must be exactly comparable across engines —
+    * ride the e4 lattice ([[TextOps.unigramLogProbScore]]). */
+  def tokenBudgetSelect(df: DataFrame, id: Column, score: Column,
+      tokenCount: Column, budget: Long, bucketWidth: Long = 100000L): DataFrame = {
+    require(budget >= 0, s"budget must be non-negative, got $budget")
+    require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
+    import org.apache.spark.sql.expressions.Window
+    val base = df
+      .select(id.cast("long").as("doc_id"), score.as("score"),
+        tokenCount.cast("long").as("n_tokens"))
+      // non-nullable bucket key, same plan-shape reasoning as packSequences
+      .withColumn("__b", coalesce(floor(col("doc_id") / bucketWidth), lit(-1L)))
+    val inCell = Window.partitionBy(col("score"), col("__b")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val local = base.withColumn("__local",
+      coalesce(sum(col("n_tokens")).over(inCell), lit(0L)))
+    // cell totals from the windowed side; exclusive prefix over the cells
+    // in global walk order (score DESC, then id-bucket ASC) — the only
+    // single-partition window, over the aggregated cell frame
+    val cellPrefixW = Window.partitionBy(pmod(col("__b"), lit(1)))
+      .orderBy(col("score").desc, col("__b").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val prefixes = local
+      .groupBy(col("score"), col("__b"))
+      .agg(max(col("__local") + col("n_tokens")).as("__ctot"))
+      .withColumn("__cprefix", coalesce(sum(col("__ctot")).over(cellPrefixW), lit(0L)))
+      .select(col("score").as("__ps"), col("__b").as("__pb"), col("__cprefix"))
+    local
+      .join(broadcast(prefixes),
+        col("score") <=> col("__ps") && col("__b") === col("__pb"))
+      .select(col("doc_id"), col("score"), col("n_tokens"),
+        (col("__cprefix") + col("__local")).as("cum_before"))
+      .withColumn("selected", col("cum_before") < budget)
+  }
 }

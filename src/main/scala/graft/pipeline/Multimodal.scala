@@ -41,6 +41,14 @@ import org.apache.spark.sql.types._
  */
 object Multimodal {
 
+  // ImageIO's default stream cache backs every read/write with a TEMP FILE
+  // (create+delete per image) — measured 7x slower than the in-memory cache
+  // for thumbnail-sized payloads, and file churn in /tmp is exactly the
+  // wrong failure mode on a busy executor. This object is touched on every
+  // executor before any decode (all decoders live here), so the JVM-global
+  // flag is set exactly once per executor.
+  javax.imageio.ImageIO.setUseCache(false)
+
   val MetaSchema: StructType = StructType(Seq(
     StructField("width", LongType, nullable = false),
     StructField("height", LongType, nullable = false),

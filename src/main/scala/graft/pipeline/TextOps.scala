@@ -514,6 +514,53 @@ object TextOps {
       .drop("__sel")
   }
 
+  /** CCNet-style perplexity partition (Wenzek et al. 2020, "CCNet:
+    * Extracting High Quality Monolingual Datasets from Web Crawl Data",
+    * arXiv:1911.00359 §4.4): split each language's documents into
+    * `head` / `middle` / `tail` by LM-score percentile — head is the
+    * best-scoring `headFrac` of the language's docs, middle the next
+    * `midFrac`, tail the rest. The standard corpus stratification step
+    * before mixing (CCNet trains on head+middle, discards tail).
+    *
+    * Assignment is per SCORE CLASS, not per document: all docs of a
+    * language sharing an (exactly equal) score value land in the same
+    * bucket, decided by the class's exclusive cumulative count — a class
+    * whose first doc starts before the head cut `ceil(headFrac * n)` is
+    * head, etc. Class-level semantics make the result independent of any
+    * within-class ordering (CCNet's own threshold-on-perplexity rule is
+    * also class-level) and keep the operator engine-exact when the score
+    * rides the e4 integer lattice ([[unigramLogProbScore]]).
+    *
+    * Scale shape: one (lang, score)-keyed count aggregate with map-side
+    * partials — the only corpus-sized shuffle; the per-language
+    * cumulative window runs over the aggregated CLASS frame (languages x
+    * distinct lattice scores, MB-scale at 100 TB), partitioned by
+    * language so it parallelizes across them; buckets broadcast back.
+    * No corpus-wide sort, no per-document window. */
+  def perplexityPartition(df: DataFrame, id: Column, score: Column, lang: Column,
+      headFrac: Double = 0.3, midFrac: Double = 0.3): DataFrame = {
+    require(headFrac > 0 && midFrac > 0 && headFrac + midFrac < 1.0,
+      s"fractions must be positive with headFrac+midFrac < 1, got $headFrac/$midFrac")
+    val base = df.select(id.as("doc_id"), lang.as("lang"), score.as("score"))
+    val classes = base.groupBy(col("lang"), col("score"))
+      .agg(count(lit(1)).as("__c"))
+    // exclusive cumulative count of classes, best score first, and the
+    // language total — both windows over the tiny class frame
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("score").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(col("lang"))
+    val bucketed = classes
+      .withColumn("__before", coalesce(sum(col("__c")).over(w), lit(0L)))
+      .withColumn("__n", sum(col("__c")).over(wAll))
+      .select(col("lang"), col("score"),
+        when(col("__before") < ceil(col("__n") * headFrac), "head")
+          .when(col("__before") < ceil(col("__n") * (headFrac + midFrac)), "middle")
+          .otherwise("tail").as("ppl_bucket"))
+    base.join(broadcast(bucketed), Seq("lang", "score"))
+      .select(col("doc_id"), col("lang"), col("score"), col("ppl_bucket"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

@@ -1418,4 +1418,61 @@ class PipelineSpec extends AnyFunSuite {
     assert(!f(3, "top_word_ok") && !f(3, "keep"))
     assert(!f(4, "repetition_ok") && !f(4, "keep"))
   }
+
+  test("perplexityPartition: class-level head/middle/tail cuts, per-language isolation") {
+    // en: scores desc 10,10,9,8,7,7,7,1,1,1 (n=10; head cut ceil(3)=3,
+    // middle cut ceil(6)=6). Class 7 starts at cumulative 4 < 6 -> the
+    // WHOLE class is middle even though it runs past the cut.
+    val en = Seq(10.0, 10.0, 9.0, 8.0, 7.0, 7.0, 7.0, 1.0, 1.0, 1.0)
+      .zipWithIndex.map { case (s, i) => (i.toLong, "en", s) }
+    // de: two classes only (n=4): class 5 (c=3) starts at 0 -> head;
+    // class 2 starts at 3 >= ceil(0.6*4)=3 -> tail; nothing is middle
+    val de = Seq(5.0, 5.0, 5.0, 2.0)
+      .zipWithIndex.map { case (s, i) => ((100 + i).toLong, "de", s) }
+    val df = (en ++ de).toDF("id", "language", "s")
+    val out = TextOps.perplexityPartition(df, $"id", $"s", $"language",
+        headFrac = 0.3, midFrac = 0.3)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    val expectEn = Map(0L -> "head", 1L -> "head", 2L -> "head", 3L -> "middle",
+      4L -> "middle", 5L -> "middle", 6L -> "middle",
+      7L -> "tail", 8L -> "tail", 9L -> "tail")
+    val expectDe = Map(100L -> "head", 101L -> "head", 102L -> "head", 103L -> "tail")
+    assert(out == expectEn ++ expectDe)
+  }
+
+  test("tokenBudgetSelect equals the brute-force walk; straddling doc included") {
+    val rnd = new scala.util.Random(11)
+    val rows = (0L until 200L).map(i =>
+      (i, (rnd.nextInt(5) + 1).toDouble, (rnd.nextInt(50) + 1).toLong))
+    val total = rows.map(_._3).sum
+    for (budget <- Seq(0L, 1L, total / 3, total / 2, total, total + 100)) {
+      val df = rows.toDF("id", "q", "cnt")
+      val out = Mixing.tokenBudgetSelect(df, $"id", $"q", $"cnt", budget,
+          bucketWidth = 16)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(3), r.getBoolean(4)))).toMap
+      // brute force: sort (score desc, id asc), exclusive running sum
+      var cum = 0L
+      val expect = rows.sortBy { case (id, s, _) => (-s, id) }.map { case (id, _, c) =>
+        val e = (id, cum, cum < budget); cum += c; e
+      }.map(e => e._1 -> (e._2, e._3)).toMap
+      assert(out.size == 200)
+      rows.foreach { case (id, _, _) =>
+        assert(out(id) == ((expect(id)._1, expect(id)._2)), s"doc $id budget $budget")
+      }
+    }
+  }
+
+  test("tokenBudgetSelect: constant-score corpus stays parallel and walks id order") {
+    // every doc shares one score: the compound (score, id-bucket) cell key
+    // must still give the id-ordered global walk
+    val df = (0L until 100L).map(i => (i, 3.5, i + 1)).toDF("id", "q", "cnt")
+    val out = Mixing.tokenBudgetSelect(df, $"id", $"q", $"cnt",
+        budget = 1000L, bucketWidth = 10)
+      .orderBy($"doc_id").collect()
+    var cum = 0L
+    out.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(3) == cum && r.getBoolean(4) == (cum < 1000L), s"doc $i")
+      cum += i + 1
+    }
+  }
 }
