@@ -26,7 +26,8 @@ object ScaleProbe {
     "p51_line_dedup", "p53_audio_meta", "p54_source_cap",
     "p57_video_frames", "p58_substring_dedup", "p59_importance_resample",
     "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup",
-    "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined")
+    "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined",
+    "p65_perplexity_buckets", "p66_token_budget")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

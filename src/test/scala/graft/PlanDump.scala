@@ -13,7 +13,8 @@ object PlanDump {
     "p46_lm_score", "p47_domain_tag", "p49_domain_mix", "p50_image_meta",
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
     "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
-    "p62_audio_fingerprint_dedup", "p63_video_clip_matches")
+    "p62_audio_fingerprint_dedup", "p63_video_clip_matches",
+    "p65_perplexity_buckets", "p66_token_budget")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -76,6 +77,14 @@ Audited shapes pinned here against regression:
   every exchange shows no binary column); the band join is an equi-join
   on (band idx, band bits) with the pair explode bucket-local; the
   components loop appears as slim (id, label) `Scan ExistingRDD` rounds.
+- p65 (perplexity buckets): both Window nodes run over the aggregated
+  (lang, score) CLASS frame (rowCount ≈ distinct lattice scores per
+  language, not documents), and the bucket assignment joins back as a
+  BroadcastHashJoin — no Sort or Window over the document frame.
+- p66 (token budget): the only single-partition Window sits above the
+  (score, id-bucket) CELL aggregate; the within-cell cumsum Window is
+  hash-partitioned by the compound key; cell prefixes return via
+  BroadcastHashJoin — the corpus is never globally sorted.
 
 """)
     for (name <- Captured) {
