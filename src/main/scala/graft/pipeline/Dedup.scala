@@ -1,6 +1,6 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -398,9 +398,26 @@ object Dedup {
     *
     * If `maxRounds` is exhausted while labels are still changing the
     * result under-merges (one true component splits into several); that is
-    * logged as a warning rather than silently returned. */
+    * logged as a warning rather than silently returned.
+    *
+    * Small-graph regime: when the (deduplicated, bidirectional) edge list
+    * has at most `driverEdgeLimit` rows and integral ids, components are
+    * solved by a driver-side union-find over the collected edges — the
+    * same driver-held BOUNDED-frame contract as the bloom/centroid
+    * builders (1M edges = 16 MB; the limit, not the corpus, bounds driver
+    * memory). The iterative loop costs ~4 sequential shuffle waves PER
+    * ROUND regardless of data size — on the post-rep-collapse graphs the
+    * perceptual dedup family produces (edges scale with distinct CONTENT,
+    * not corpus size: 3.8k edges at sf0.1, and still well under the limit
+    * at the 30× probe), loop job overhead WAS most of the query (measured
+    * 7.0 s of p62's 7.8 s). Linking the larger root under the smaller
+    * makes each final root the component's minimum id, so the output is
+    * IDENTICAL to the distributed loop's min-label closure (spec-pinned
+    * on random graphs). Set `driverEdgeLimit = 0` to force the
+    * distributed path; graphs over the limit use it automatically. */
   def connectedComponents(pairs: DataFrame, maxRounds: Int = 30,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None,
+      driverEdgeLimit: Long = 1000000L): DataFrame = {
     // statSafe, not a bare localCheckpoint: the pairs subtree's size
     // ESTIMATE is untrustworthy (distinct over an exploded band join) and
     // a too-small estimate makes the static planner broadcast the edge
@@ -412,6 +429,13 @@ object Dedup {
       pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
         .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
         .distinct())
+    val idType = edges.schema("__src").dataType
+    val integral = idType == org.apache.spark.sql.types.LongType ||
+      idType == org.apache.spark.sql.types.IntegerType
+    // the count doubles as the edge materialization the loop's first round
+    // would otherwise pay (edges is a lazy localCheckpoint)
+    if (integral && driverEdgeLimit > 0 && edges.count() <= driverEdgeLimit)
+      return driverComponents(edges, idType)
     var labels = graft.util.Barriers.statSafe(
       edges.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -459,6 +483,47 @@ object Dedup {
         s"connectedComponents stopped after maxRounds=$maxRounds with $changed labels " +
           "still changing: components may be split; raise maxRounds")
     labels
+  }
+
+  /** Driver union-find over a bounded collected edge list (the
+    * [[connectedComponents]] small-graph regime). Larger roots link under
+    * smaller ones, so each component's final root is its minimum id —
+    * exactly the distributed loop's min-label fixpoint. */
+  private def driverComponents(edges: DataFrame,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = edges.sparkSession
+    def asLong(r: Row, i: Int): Long = idType match {
+      case org.apache.spark.sql.types.IntegerType => r.getInt(i).toLong
+      case _ => r.getLong(i)
+    }
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x: Long): Long = {
+      var r = x
+      while (parent.get(r) != r) r = parent.get(r)
+      var c = x
+      while (c != r) { val n = parent.get(c); parent.put(c, r); c = n }
+      r
+    }
+    edges.collect().foreach { row =>
+      val a = asLong(row, 0); val b = asLong(row, 1)
+      parent.putIfAbsent(a, a)
+      parent.putIfAbsent(b, b)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(math.max(ra, rb), math.min(ra, rb))
+    }
+    import scala.jdk.CollectionConverters._
+    def lit(v: Long): Any = idType match {
+      case org.apache.spark.sql.types.IntegerType => v.toInt
+      case _ => v
+    }
+    val rows: Seq[Row] = parent.keySet().asScala.toSeq.sorted
+      .map(id => Row(lit(id), lit(find(id))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType, nullable = false),
+      org.apache.spark.sql.types.StructField("component", idType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, math.max(1, math.min(rows.size, 32))),
+      schema)
   }
 
   /** Near-dup GROUPS straight from a perceptual-hash column, with

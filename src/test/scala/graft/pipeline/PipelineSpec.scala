@@ -395,11 +395,15 @@ class PipelineSpec extends AnyFunSuite {
     // pointer halving converges in ~log2(diameter) rounds, so a chain
     // long enough to force at least one reliable-checkpoint round
     // (ReliableEvery = 5) needs diameter >> 2^5
+    // driverEdgeLimit = 0 pins the DISTRIBUTED regime — reliable
+    // checkpointing only exists there (the driver union-find path has no
+    // lineage to protect)
     val pairs = (0L until 400L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    val plain = Dedup.connectedComponents(pairs)
+    val plain = Dedup.connectedComponents(pairs, driverEdgeLimit = 0)
       .as[(Long, Long)].collect().toSet
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
-    val ckpt = Dedup.connectedComponents(pairs, checkpointDir = Some(dir))
+    val ckpt = Dedup.connectedComponents(pairs, checkpointDir = Some(dir),
+        driverEdgeLimit = 0)
       .as[(Long, Long)].collect().toSet
     assert(ckpt == plain)
     assert(plain.forall(_._2 == 0L), "one chain = one component labeled by min id")
@@ -1417,6 +1421,28 @@ class PipelineSpec extends AnyFunSuite {
     assert(!f(2, "word_len_ok") && !f(2, "stopword_ok") && !f(2, "top_word_ok"))
     assert(!f(3, "top_word_ok") && !f(3, "keep"))
     assert(!f(4, "repetition_ok") && !f(4, "keep"))
+  }
+
+  test("connectedComponents: driver union-find equals the distributed loop on random graphs") {
+    val rnd = new scala.util.Random(23)
+    for (trial <- 1 to 3) {
+      // random graph over a sparse id space: chains, cliques and isolates
+      val n = 120 + trial * 40
+      val ids = (0 until n).map(_ => rnd.nextLong().abs % 10000).distinct
+      val pairs = (0 until n * 2).map { _ =>
+        val a = ids(rnd.nextInt(ids.size)); val b = ids(rnd.nextInt(ids.size))
+        (math.min(a, b), math.max(a, b))
+      }.filter(p => p._1 != p._2).distinct
+      val df = pairs.toDF("id_a", "id_b")
+      val fast = Dedup.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      val slow = Dedup.connectedComponents(df, driverEdgeLimit = 0)
+        .as[(Long, Long)].collect().toMap
+      assert(fast == slow, s"trial $trial")
+      // component labels are the component minimum
+      assert(fast.values.toSet.subsetOf(fast.keySet))
+      fast.foreach { case (id, c) => assert(c <= id) }
+    }
   }
 
   test("perplexityPartition: class-level head/middle/tail cuts, per-language isolation") {
