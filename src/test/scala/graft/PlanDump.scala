@@ -76,7 +76,10 @@ Audited shapes pinned here against regression:
   fingerprint projection (only the 8-byte hash shuffles — ReadSchema of
   every exchange shows no binary column); the band join is an equi-join
   on (band idx, band bits) with the pair explode bucket-local; the
-  components loop appears as slim (id, label) `Scan ExistingRDD` rounds.
+  rep-collapsed component graph resolves in the bounded driver
+  union-find regime (edges scale with distinct content), so the final
+  plan shows the components result as a parallelized leaf, not loop
+  rounds — graphs past driverEdgeLimit run the distributed loop instead.
 - p65 (perplexity buckets): both Window nodes run over the aggregated
   (lang, score) CLASS frame (rowCount ≈ distinct lattice scores per
   language, not documents), and the bucket assignment joins back as a
