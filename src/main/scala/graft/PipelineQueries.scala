@@ -735,6 +735,24 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // per-language token budgets: an independent best-first walk inside
+    // each language, each selecting 30% of its own token mass — the
+    // mixture-allocation step ("X tokens of web, Y of code"); budgets are
+    // a driver-held per-stratum aggregate (5 longs), the walk is the same
+    // two-level prefix sum with the cross-cell window partitioned by lang
+    "p67_lang_token_budget" -> ((s, dir) => {
+      val scored = TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(false) // slim; feeds the budget agg and the walk
+      val budgets = scored.groupBy(col("lang")).agg(sum(col("n_tokens")).as("__t"))
+        .collect()
+        .map(r => r.getString(0) -> math.ceil(r.getLong(1).toDouble * 0.3).toLong)
+        .toMap
+      Mixing.tokenBudgetSelectPerStratum(scored, col("doc_id"), col("avg_logprob"),
+          col("n_tokens"), col("lang"), budgets)
+        .orderBy(col("doc_id"))
+    }),
+
     // CCNet head/middle/tail stratification: LM-score every doc (p46's
     // exact lattice), then partition each language by score-class
     // percentile — class-level assignment (equal scores share a bucket),
@@ -2079,6 +2097,18 @@ object PipelineQueries {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, n_tokens, score AS avg_logprob
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p67_lang_token_budget" ->
+      s"""WITH $lmScoreCtes,
+         |sl AS (SELECT s.doc_id, d.lang AS stratum, s.score, s.n_tokens
+         |  FROM sc s JOIN documents d USING (doc_id)),
+         |c AS (SELECT doc_id, stratum, score, n_tokens,
+         |  CAST(coalesce(sum(n_tokens) OVER (PARTITION BY stratum ORDER BY score DESC, doc_id ASC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before,
+         |  CAST(sum(n_tokens) OVER (PARTITION BY stratum) AS BIGINT) AS tot FROM sl)
+         |SELECT doc_id, stratum, score, n_tokens, cum_before,
+         |  cum_before < ceil(tot * CAST(0.3 AS DOUBLE)) AS selected
+         |FROM c ORDER BY doc_id""".stripMargin,
 
     "p65_perplexity_buckets" ->
       s"""WITH $lmScoreCtes,

@@ -146,33 +146,72 @@ object Mixing {
   def tokenBudgetSelect(df: DataFrame, id: Column, score: Column,
       tokenCount: Column, budget: Long, bucketWidth: Long = 100000L): DataFrame = {
     require(budget >= 0, s"budget must be non-negative, got $budget")
+    tokenBudgetWalk(df, id, score, tokenCount, lit(""), bucketWidth)
+      .withColumn("selected", col("cum_before") < budget)
+      .drop("stratum")
+  }
+
+  /** Per-stratum token budgets: an independent best-first walk INSIDE each
+    * stratum (language, domain, source tier), selecting until that
+    * stratum's own budget is filled — the standard mixture-allocation step
+    * ("X tokens of web, Y of code, Z of books"). Strata absent from
+    * `budgets` get budget 0 (nothing selected, rows still emitted with
+    * their walk positions). Output adds `stratum` and the per-stratum
+    * `cum_before`/`selected`.
+    *
+    * Scale shape: identical to [[tokenBudgetSelect]] with the stratum
+    * joining every key — and the cross-cell prefix window is partitioned
+    * BY STRATUM, so what was the one single-partition window now
+    * parallelizes across strata too (each over its own aggregated cell
+    * frame). */
+  def tokenBudgetSelectPerStratum(df: DataFrame, id: Column, score: Column,
+      tokenCount: Column, stratum: Column, budgets: Map[String, Long],
+      bucketWidth: Long = 100000L): DataFrame = {
+    require(budgets.values.forall(_ >= 0), "budgets must be non-negative")
+    val b = budgets.foldLeft(lit(0L)) { case (acc, (name, v)) =>
+      when(col("stratum") === name, lit(v)).otherwise(acc)
+    }
+    tokenBudgetWalk(df, id, score, tokenCount,
+        coalesce(stratum.cast("string"), lit("")), bucketWidth)
+      .withColumn("selected", col("cum_before") < b)
+  }
+
+  /** Shared walk: per-stratum exclusive running token sum in
+    * (score DESC, doc_id ASC) order via the Packing-style two-level
+    * prefix sum over compound (stratum, score, id-bucket) cells. The
+    * single-stratum caller passes a constant stratum. */
+  private def tokenBudgetWalk(df: DataFrame, id: Column, score: Column,
+      tokenCount: Column, stratum: Column, bucketWidth: Long): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth must be positive, got $bucketWidth")
     import org.apache.spark.sql.expressions.Window
     val base = df
       .select(id.cast("long").as("doc_id"), score.as("score"),
-        tokenCount.cast("long").as("n_tokens"))
+        tokenCount.cast("long").as("n_tokens"), stratum.as("stratum"))
       // non-nullable bucket key, same plan-shape reasoning as packSequences
       .withColumn("__b", coalesce(floor(col("doc_id") / bucketWidth), lit(-1L)))
-    val inCell = Window.partitionBy(col("score"), col("__b")).orderBy(col("doc_id"))
+    val inCell = Window.partitionBy(col("stratum"), col("score"), col("__b"))
+      .orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val local = base.withColumn("__local",
       coalesce(sum(col("n_tokens")).over(inCell), lit(0L)))
     // cell totals from the windowed side; exclusive prefix over the cells
-    // in global walk order (score DESC, then id-bucket ASC) — the only
-    // single-partition window, over the aggregated cell frame
-    val cellPrefixW = Window.partitionBy(pmod(col("__b"), lit(1)))
+    // in walk order (score DESC, then id-bucket ASC), partitioned by
+    // stratum — the per-stratum window runs over that stratum's aggregated
+    // cell frame only
+    val cellPrefixW = Window.partitionBy(col("stratum"))
       .orderBy(col("score").desc, col("__b").asc)
       .rowsBetween(Window.unboundedPreceding, -1)
     val prefixes = local
-      .groupBy(col("score"), col("__b"))
+      .groupBy(col("stratum"), col("score"), col("__b"))
       .agg(max(col("__local") + col("n_tokens")).as("__ctot"))
       .withColumn("__cprefix", coalesce(sum(col("__ctot")).over(cellPrefixW), lit(0L)))
-      .select(col("score").as("__ps"), col("__b").as("__pb"), col("__cprefix"))
+      .select(col("stratum").as("__pt"), col("score").as("__ps"),
+        col("__b").as("__pb"), col("__cprefix"))
     local
       .join(broadcast(prefixes),
-        col("score") <=> col("__ps") && col("__b") === col("__pb"))
-      .select(col("doc_id"), col("score"), col("n_tokens"),
+        col("stratum") === col("__pt") && col("score") <=> col("__ps") &&
+          col("__b") === col("__pb"))
+      .select(col("doc_id"), col("stratum"), col("score"), col("n_tokens"),
         (col("__cprefix") + col("__local")).as("cum_before"))
-      .withColumn("selected", col("cum_before") < budget)
   }
 }

@@ -73,6 +73,30 @@ object StageProbe {
             (col("group_id") === col("doc_id")).as("canonical"))
           .orderBy(col("doc_id")).count()
       }
+
+      // p13 internals (nearDedup chain over the dup-injected corpus)
+      println("-- p13 --")
+      val d = spark.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), col("text"))
+      val corpus = d.unionAll(d.filter(col("doc_id") % 7 === 0)
+        .select(col("doc_id") + 1000000, concat(col("text"), lit(" extra token tail"))))
+      val dfc = timed("  corpus barrier") {
+        val c = corpus.localCheckpoint(false); c.count(); c
+      }
+      val pairs13 = timed("  lshCandidatePairs") {
+        val p = Dedup.lshCandidatePairs(dfc, col("doc_id"), col("text"))
+          .localCheckpoint(false)
+        println(s"[stage]   (cands: ${p.count()})"); p
+      }
+      val ver13 = timed("  ngramJaccardVerify") {
+        val v = Dedup.ngramJaccardVerify(dfc, col("doc_id"), col("text"),
+          8, 0.5, pairs13).localCheckpoint(false)
+        println(s"[stage]   (verified: ${v.count()})"); v
+      }
+      timed("  dropVerified(anti-join)") {
+        dfc.join(ver13.select(col("id_b").as("__drop")).distinct(),
+          col("doc_id") === col("__drop"), "left_anti").count()
+      }
     }
     spark.stop()
   }

@@ -1488,6 +1488,33 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("tokenBudgetSelectPerStratum: independent walks per stratum; absent stratum gets 0") {
+    val rnd = new scala.util.Random(31)
+    val strata = Seq("web", "code", "books")
+    val rows = (0L until 150L).map(i =>
+      (i, (rnd.nextInt(4) + 1).toDouble, (rnd.nextInt(40) + 1).toLong,
+        strata(rnd.nextInt(3))))
+    val budgets = Map("web" -> 300L, "code" -> 150L) // books absent -> 0
+    val out = Mixing.tokenBudgetSelectPerStratum(
+        rows.toDF("id", "q", "cnt", "src"),
+        $"id", $"q", $"cnt", $"src", budgets, bucketWidth = 16)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(4), r.getBoolean(5))))
+      .toMap
+    assert(out.size == 150)
+    for (st <- strata) {
+      var cum = 0L
+      val budget = budgets.getOrElse(st, 0L)
+      rows.filter(_._4 == st).sortBy { case (id, s, _, _) => (-s, id) }
+        .foreach { case (id, _, c, _) =>
+          assert(out(id) == ((st, cum, cum < budget)), s"$st doc $id")
+          cum += c
+        }
+    }
+    assert(!rows.filter(_._4 == "books").exists(r => out(r._1)._3),
+      "absent stratum selects nothing")
+  }
+
   test("tokenBudgetSelect: constant-score corpus stays parallel and walks id order") {
     // every doc shares one score: the compound (score, id-bucket) cell key
     // must still give the id-ordered global walk
