@@ -95,9 +95,15 @@ object RasterQueries {
       val pathTiled = tmp.resolve("r02_tiled.tif").toString
       GeoTiff.writeGeoTiff(pathTiled, width, height, transform, values, nodata = Some(0.0),
         dtype = "u8", compression = "lzw", predictor2 = true, tile = Some((32, 16)))
+      // and the same raster again as a BigTIFF (magic 43) — the container
+      // any >4 GiB production raster uses
+      val pathBig = tmp.resolve("r02_big.tif").toString
+      GeoTiff.writeGeoTiff(pathBig, width, height, transform, values, nodata = Some(0.0),
+        dtype = "u8", compression = "deflate", tile = Some((32, 16)), bigTiff = true)
 
       val fromTiff = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, path), res = 7)
       val fromTiled = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, pathTiled), res = 7)
+      val fromBig = H3Raster.rasterToCells(GeoTiff.readGeoTiff(s, pathBig), res = 7)
       val fromMem = H3Raster.rasterToCells(
         H3Raster.tileRaster(s, width, height, transform, values, nodata = 0.0, tile = 16), res = 7)
         .cache()
@@ -107,7 +113,9 @@ object RasterQueries {
         fromTiff.except(fromMem).isEmpty && fromMem.except(fromTiff).isEmpty &&
           fromTiff.count() == n &&
           fromTiled.except(fromMem).isEmpty && fromMem.except(fromTiled).isEmpty &&
-          fromTiled.count() == n
+          fromTiled.count() == n &&
+          fromBig.except(fromMem).isEmpty && fromMem.except(fromBig).isEmpty &&
+          fromBig.count() == n
 
       val (mt, nd, mw, mh) = GeoTiff.readGeoTiffMeta(path)
       val metaOk = mt.toArray.sameElements(transform.toArray) &&

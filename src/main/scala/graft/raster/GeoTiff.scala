@@ -10,7 +10,9 @@ import graft.raster.H3Raster.Transform
  * GDAL, we parse the interchange baseline in pure JVM code, the same
  * discipline as the AVI/WAV/BMP walks).
  *
- * Supported: classic TIFF (magic 42, II or MM byte order), single-band
+ * Supported: classic TIFF (magic 42) AND BigTIFF (magic 43, 8-byte
+ * offsets — what any raster past the 4 GiB classic limit is, i.e. the
+ * 100-TB deployment's normal case), II or MM byte order, single-band
  * images in BOTH segment organizations — strips (273/278/279) and tiles
  * (322/323/324/325, the GDAL/COG default) — 8/16/32-bit integer (signed or
  * unsigned) and 32/64-bit float samples, compression none (1), LZW (5,
@@ -18,7 +20,7 @@ import graft.raster.H3Raster.Transform
  * (8 and the legacy 32946 — JDK Inflater decodes both), PackBits (32773),
  * horizontal-differencing predictor (2) for integer samples, GeoTIFF
  * geotransform from ModelPixelScale+ModelTiepoint or ModelTransformation,
- * and GDAL's ASCII nodata tag. BigTIFF, multi-band and palette images are
+ * and GDAL's ASCII nodata tag. Multi-band and palette images are
  * rejected with a clear error — not silently misread.
  *
  * Scale shape: the driver reads only the KB-scale IFD; every strip/tile
@@ -56,6 +58,16 @@ object GeoTiff {
       else
         (b(o) & 0xFFL) | ((b(o + 1) & 0xFFL) << 8) |
           ((b(o + 2) & 0xFFL) << 16) | ((b(o + 3) & 0xFFL) << 24)
+    def u64(o: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) {
+        val by = if (bigEndian) b(o + i) else b(o + 7 - i)
+        v = (v << 8) | (by & 0xFFL)
+        i += 1
+      }
+      v
+    }
     def f64(o: Int): Double = {
       var bits = 0L
       var i = 0
@@ -85,7 +97,8 @@ object GeoTiff {
 
   // ---- IFD parse (driver side) ------------------------------------------
 
-  private val TypeSizes = Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8)
+  private val TypeSizes =
+    Map(1 -> 1, 2 -> 1, 3 -> 2, 4 -> 4, 11 -> 4, 12 -> 8, 16 -> 8, 17 -> 8)
 
   /** One IFD entry's values as doubles (integer types widened); ASCII as
     * raw bytes for the nodata tag. */
@@ -94,6 +107,7 @@ object GeoTiff {
     def longs: Array[Long] = typ match {
       case 3 => Array.tabulate(count.toInt)(i => r.u16(i * 2).toLong)
       case 4 => Array.tabulate(count.toInt)(i => r.u32(i * 4))
+      case 16 => Array.tabulate(count.toInt)(i => r.u64(i * 8)) // BigTIFF LONG8
       case 1 => Array.tabulate(count.toInt)(i => (raw(i) & 0xFF).toLong)
       case t => throw new java.io.IOException(s"tag $tag: unexpected TIFF type $t for integer read")
     }
@@ -105,30 +119,47 @@ object GeoTiff {
   }
 
   private def parseMeta(path: String): TiffMeta = {
-    val head = readAt(path, 0, 8)
+    val head = readAt(path, 0, 16)
     val bigEndian = head(0) == 'M' && head(1) == 'M'
     if (!bigEndian && !(head(0) == 'I' && head(1) == 'I'))
       throw new java.io.IOException("not a TIFF: bad byte-order mark")
     val hr = new ByteReader(head, bigEndian)
-    hr.u16(2) match {
-      case 42 => ()
-      case 43 => throw new java.io.IOException("BigTIFF (magic 43) not supported")
+    // classic TIFF (magic 42, 4-byte offsets) and BigTIFF (magic 43,
+    // 8-byte offsets, 20-byte IFD entries) — a 100-TB deployment's
+    // rasters routinely exceed the 4 GiB classic limit and ARE BigTIFF
+    val big = hr.u16(2) match {
+      case 42 => false
+      case 43 =>
+        if (hr.u16(4) != 8 || hr.u16(6) != 0)
+          throw new java.io.IOException("malformed BigTIFF header (offset size != 8)")
+        true
       case m => throw new java.io.IOException(s"not a TIFF: magic $m")
     }
-    val ifdOff = hr.u32(4)
-    val cntB = readAt(path, ifdOff, 2)
-    val n = new ByteReader(cntB, bigEndian).u16(0)
-    val entB = readAt(path, ifdOff + 2, n * 12)
+    val ifdOff = if (big) hr.u64(8) else hr.u32(4)
+    val entrySize = if (big) 20 else 12
+    val n =
+      if (big) {
+        val c = new ByteReader(readAt(path, ifdOff, 8), bigEndian).u64(0)
+        if (c < 0 || c > 65535) throw new java.io.IOException(s"implausible IFD entry count $c")
+        c.toInt
+      } else new ByteReader(readAt(path, ifdOff, 2), bigEndian).u16(0)
+    val entB = readAt(path, ifdOff + (if (big) 8 else 2), n * entrySize)
     val er = new ByteReader(entB, bigEndian)
+    val inlineLimit = if (big) 8 else 4
     val entries = (0 until n).map { i =>
-      val o = i * 12
+      val o = i * entrySize
       val tag = er.u16(o)
       val typ = er.u16(o + 2)
-      val count = er.u32(o + 4)
+      val count = if (big) er.u64(o + 4) else er.u32(o + 4)
+      val valOff = if (big) o + 12 else o + 8
       val size = TypeSizes.getOrElse(typ, 1).toLong * count
       val raw =
-        if (size <= 4) java.util.Arrays.copyOfRange(entB, o + 8, o + 8 + math.max(size, 1L).toInt)
-        else readAt(path, er.u32(o + 8), size.toInt)
+        if (size <= inlineLimit)
+          java.util.Arrays.copyOfRange(entB, valOff, valOff + math.max(size, 1L).toInt)
+        else {
+          val ext = if (big) er.u64(valOff) else er.u32(valOff)
+          readAt(path, ext, size.toInt)
+        }
       Entry(tag, typ, count, raw, bigEndian)
     }.map(e => e.tag -> e).toMap
 
@@ -386,15 +417,16 @@ object GeoTiff {
     * segment organization — strips of `rowsPerStrip` rows (default) or,
     * with `tile = Some((tw, th))`, a tiled layout (tags 322-325, edge
     * tiles zero-padded to the full tile size per TIFF 6.0 §15; tile dims
-    * must be multiples of 16 as the spec requires). Values are row-major
-    * doubles (u8 values must be 0..255 integers). Produces the standard
-    * tag set: dimensions, layout, ModelPixelScale+ModelTiepoint, GDAL
-    * nodata ASCII. */
+    * must be multiples of 16 as the spec requires). `bigTiff` emits the
+    * BigTIFF container (magic 43, 8-byte offsets, 20-byte IFD entries,
+    * LONG8 offset/count arrays). Values are row-major doubles (u8 values
+    * must be 0..255 integers). Produces the standard tag set: dimensions,
+    * layout, ModelPixelScale+ModelTiepoint, GDAL nodata ASCII. */
   def writeGeoTiff(path: String, width: Int, height: Int, transform: Transform,
       values: Array[Double], nodata: Option[Double], dtype: String = "u8",
       compression: String = "none", predictor2: Boolean = false,
       rowsPerStrip: Int = 16, tile: Option[(Int, Int)] = None,
-      bigEndian: Boolean = false): Unit = {
+      bigEndian: Boolean = false, bigTiff: Boolean = false): Unit = {
     require(values.length == width * height, "values must be width*height row-major")
     require(dtype == "u8" || dtype == "f32", s"dtype u8|f32, got $dtype")
     require(!predictor2 || dtype == "u8", "predictor 2 only for integer samples")
@@ -424,6 +456,17 @@ object GeoTiff {
         ((v >> 16) & 0xFF).toByte, ((v >> 24) & 0xFF).toByte)
       if (bigEndian) le.reverse else le
     }
+    def w64(v: Long): Array[Byte] = {
+      val le = Array.tabulate(8)(i => ((v >> (8 * i)) & 0xFF).toByte)
+      if (bigEndian) le.reverse else le
+    }
+    // layout knobs that differ between classic TIFF and BigTIFF
+    val headerSize = if (bigTiff) 16 else 8
+    val entrySize = if (bigTiff) 20 else 12
+    val inlineCap = if (bigTiff) 8 else 4
+    val arrType = if (bigTiff) 16 else 4 // LONG8 vs LONG for offset/count arrays
+    val arrElem = if (bigTiff) 8 else 4
+    def wOff(v: Long): Array[Byte] = if (bigTiff) w64(v) else w32(v)
     def wf64(d: Double): Array[Byte] = {
       val bitsL = java.lang.Double.doubleToLongBits(d)
       val be = Array.tabulate(8)(i => ((bitsL >> (56 - 8 * i)) & 0xFF).toByte)
@@ -521,21 +564,24 @@ object GeoTiff {
     }
     if (predictor2) tagsPre += ((317, 3, 1L, Left(2L)))
     ndAscii.foreach(a => tagsPre += ((42113, 2, a.length.toLong, Right(a))))
-    // segment offset/count arrays: LONG each, nSegs entries (external when > 1)
+    // segment offset/count arrays: LONG (LONG8 in BigTIFF) each, nSegs
+    // entries (external when > 1)
     val nSegs = segBytes.length
     val (offTag, cntTag) = if (tile.isDefined) (324, 325) else (273, 279)
     val nTags = tagsPre.length + 2
-    val ifdSize = 2 + nTags * 12 + 4
-    var extOff = 8L + ifdSize
+    val ifdSize =
+      if (bigTiff) 8 + nTags * entrySize + 8
+      else 2 + nTags * entrySize + 4
+    var extOff = headerSize.toLong + ifdSize
     // assign external offsets for pre tags
     val resolved = tagsPre.map {
       case (t, ty, c, Left(v)) => Tag(t, ty, c, Some(v), Array.emptyByteArray)
       case (t, ty, c, Right(a)) =>
-        if (a.length <= 4) Tag(t, ty, c, None, a)
+        if (a.length <= inlineCap) Tag(t, ty, c, None, a)
         else { val tg = Tag(t, ty, c, Some(extOff), a); extOff += a.length + (a.length & 1); tg }
     }
-    val segOffArrOff = if (nSegs > 1) { val o = extOff; extOff += 4L * nSegs; o } else 0L
-    val segCntArrOff = if (nSegs > 1) { val o = extOff; extOff += 4L * nSegs; o } else 0L
+    val segOffArrOff = if (nSegs > 1) { val o = extOff; extOff += arrElem.toLong * nSegs; o } else 0L
+    val segCntArrOff = if (nSegs > 1) { val o = extOff; extOff += arrElem.toLong * nSegs; o } else 0L
     val segDataStart = extOff
     val segOffsets = new Array[Long](nSegs)
     var so = segDataStart
@@ -543,35 +589,50 @@ object GeoTiff {
 
     val out = new java.io.ByteArrayOutputStream()
     out.write(if (bigEndian) Array[Byte]('M', 'M') else Array[Byte]('I', 'I'))
-    out.write(w16(42)); out.write(w32(8L))
+    if (bigTiff) {
+      out.write(w16(43)); out.write(w16(8)); out.write(w16(0))
+      out.write(w64(headerSize.toLong)) // first IFD directly after header
+    } else {
+      out.write(w16(42)); out.write(w32(headerSize.toLong))
+    }
     // IFD: tags must be ascending by tag id
     val allTags = (resolved.toSeq ++ Seq(
-      Tag(offTag, 4, nSegs.toLong,
+      Tag(offTag, arrType, nSegs.toLong,
         if (nSegs > 1) Some(segOffArrOff) else Some(segOffsets(0)), Array.emptyByteArray),
-      Tag(cntTag, 4, nSegs.toLong,
+      Tag(cntTag, arrType, nSegs.toLong,
         if (nSegs > 1) Some(segCntArrOff) else Some(segBytes(0).length.toLong), Array.emptyByteArray)
     )).sortBy(_.tag)
-    out.write(w16(allTags.length))
+    if (bigTiff) out.write(w64(allTags.length.toLong)) else out.write(w16(allTags.length))
     allTags.foreach { t =>
-      out.write(w16(t.tag)); out.write(w16(t.typ)); out.write(w32(t.count))
+      out.write(w16(t.tag)); out.write(w16(t.typ))
+      if (bigTiff) out.write(w64(t.count)) else out.write(w32(t.count))
       t.inline match {
-        case Some(v) if t.typ == 3 && t.count == 1 =>
-          out.write(w16(v.toInt)); out.write(w16(0))
-        case Some(v) => out.write(w32(v))
+        // external pointer (array data lives elsewhere): offset-sized
+        case Some(v) if t.ext.nonEmpty => out.write(wOff(v))
+        // inline scalar: LEFT-justified at the TYPE's width (TIFF 6.0 —
+        // a big-endian u64 write would land a 4-byte value in the wrong
+        // half of the 8-byte BigTIFF slot)
+        case Some(v) => t.typ match {
+          case 3 =>
+            out.write(w16(v.toInt)); out.write(new Array[Byte](inlineCap - 2))
+          case 4 =>
+            out.write(w32(v)); out.write(new Array[Byte](inlineCap - 4))
+          case _ => out.write(wOff(v))
+        }
         case None =>
-          val padded = java.util.Arrays.copyOf(t.ext, 4)
+          val padded = java.util.Arrays.copyOf(t.ext, inlineCap)
           out.write(padded)
       }
     }
-    out.write(w32(0L)) // next-IFD pointer
+    out.write(wOff(0L)) // next-IFD pointer
     // external tag arrays, in assignment order
     resolved.filter(t => t.inline.isDefined && t.ext.nonEmpty).foreach { t =>
       out.write(t.ext)
       if ((t.ext.length & 1) == 1) out.write(0)
     }
     if (nSegs > 1) {
-      segOffsets.foreach(o => out.write(w32(o)))
-      segBytes.foreach(s => out.write(w32(s.length.toLong)))
+      segOffsets.foreach(o => out.write(wOff(o)))
+      segBytes.foreach(s => out.write(wOff(s.length.toLong)))
     }
     segBytes.foreach { s => out.write(s); if ((s.length & 1) == 1) out.write(0) }
 

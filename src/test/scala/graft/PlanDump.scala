@@ -14,7 +14,7 @@ object PlanDump {
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
     "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
     "p62_audio_fingerprint_dedup", "p63_video_clip_matches",
-    "p65_perplexity_buckets", "p66_token_budget")
+    "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"

@@ -160,15 +160,45 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(TiffLzw.encode(runs).length < runs.length / 8)
   }
 
+  test("BigTIFF container: strips and lzw tiles round-trip in both byte orders") {
+    val (w, h) = (52, 37)
+    val t = Transform.northUp(3.0, 47.0, 0.01, 0.01)
+    val vals = grid(w, h)
+    val expect = pixels(tileRaster(spark, w, h, t, vals, 0.0, tile = 16))
+    for ((comp, tiled, be, name) <- Seq(
+        ("none", false, false, "plain"), ("deflate", false, true, "dflbe"),
+        ("lzw", true, false, "lzwtile"), ("packbits", true, true, "pbtilebe"))) {
+      val path = s"$dir/bt_$name.tif"
+      GeoTiff.writeGeoTiff(path, w, h, t, vals, Some(0.0), "u8",
+        compression = comp, tile = if (tiled) Some((16, 16)) else None,
+        rowsPerStrip = 9, bigEndian = be, bigTiff = true)
+      // really BigTIFF on disk: magic 43 at offset 2
+      val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)).take(4)
+      val magic = if (be) ((head(2) & 0xFF) << 8) | (head(3) & 0xFF)
+        else (head(2) & 0xFF) | ((head(3) & 0xFF) << 8)
+      assert(magic == 43, name)
+      assert(pixels(GeoTiff.readGeoTiff(spark, path)) == expect, name)
+      val (mt, nd, mw, mh) = GeoTiff.readGeoTiffMeta(path)
+      assert(mt.toArray.toSeq == t.toArray.toSeq && nd.contains(0.0) &&
+        mw == w && mh == h, name)
+    }
+  }
+
   test("malformed inputs fail loudly, never misread") {
     val garbage = s"$dir/garbage.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(garbage),
       "not a tiff at all........".getBytes)
     intercept[java.io.IOException] { GeoTiff.readGeoTiff(spark, garbage) }
-    // BigTIFF magic
+    // truncated BigTIFF: header promises an IFD that is not there
     val big = s"$dir/big.tif"
     java.nio.file.Files.write(java.nio.file.Paths.get(big),
-      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0, 0, 0, 0, 0))
+      Array[Byte]('I', 'I', 43, 0, 8, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0))
     intercept[java.io.IOException] { GeoTiff.readGeoTiff(spark, big) }
+    // BigTIFF with a non-8 offset size is malformed
+    val badOff = s"$dir/badoff.tif"
+    java.nio.file.Files.write(java.nio.file.Paths.get(badOff),
+      Array[Byte]('I', 'I', 43, 0, 4, 0, 0, 0, 16, 0, 0, 0, 0, 0, 0, 0))
+    val e = intercept[java.io.IOException] { GeoTiff.readGeoTiff(spark, badOff) }
+    assert(e.getMessage.contains("BigTIFF"))
   }
 }
