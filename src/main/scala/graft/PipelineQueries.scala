@@ -735,6 +735,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // corpus snapshot delta: tonight's crawl vs the stored corpus — every
+    // 10th doc dropped, every 7th survivor edited, every 9th re-added
+    // under a new id; statuses derive from a full outer join of two
+    // (id, content-hash) frames, texts never shuffle
+    "p68_corpus_diff" -> ((s, dir) => {
+      val old = docs(s, dir).select(col("doc_id"), col("text"))
+      val survived = old.filter(col("doc_id") % 10 =!= 0)
+      val edited = survived.select(col("doc_id"),
+        when(col("doc_id") % 7 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      val added = old.filter(col("doc_id") % 9 === 0)
+        .select((col("doc_id") + 5000000).as("doc_id"), col("text"))
+      TextOps.corpusDiff(old, edited.unionByName(added),
+          col("doc_id"), col("text"), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     // per-language token budgets: an independent best-first walk inside
     // each language, each selecting 30% of its own token mass — the
     // mixture-allocation step ("X tokens of web, Y of code"); budgets are
@@ -2097,6 +2114,22 @@ object PipelineQueries {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, n_tokens, score AS avg_logprob
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p68_corpus_diff" ->
+      s"""WITH o AS (SELECT doc_id AS oid, ${oH("text")} AS ohash FROM documents),
+         |n1 AS (SELECT doc_id,
+         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 != 0
+         |  UNION ALL
+         |  SELECT doc_id + 5000000 AS doc_id, text FROM documents WHERE doc_id % 9 = 0),
+         |n AS (SELECT doc_id AS nid, ${oH("text")} AS nhash FROM n1)
+         |SELECT coalesce(oid, nid) AS doc_id,
+         |  CASE WHEN oid IS NULL THEN 'added'
+         |       WHEN nid IS NULL THEN 'removed'
+         |       WHEN ohash IS NOT DISTINCT FROM nhash THEN 'unchanged'
+         |       ELSE 'changed' END AS status
+         |FROM o FULL OUTER JOIN n ON oid = nid
+         |ORDER BY doc_id""".stripMargin,
 
     "p67_lang_token_budget" ->
       s"""WITH $lmScoreCtes,

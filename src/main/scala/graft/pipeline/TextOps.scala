@@ -561,6 +561,28 @@ object TextOps {
       .select(col("doc_id"), col("lang"), col("score"), col("ppl_bucket"))
   }
 
+  /** Corpus snapshot delta: classify every document id across two corpus
+    * versions as `added` / `removed` / `changed` / `unchanged` by content
+    * hash — the incremental-pipeline planning step ("reprocess only what
+    * tonight's crawl actually changed"). NULL texts compare null-safely
+    * (two NULLs are `unchanged`).
+    *
+    * Scale shape: texts die at the per-side hash projection; the full
+    * outer join shuffles two (id, 8-byte hash) frames on id. Snapshots
+    * stored via [[Prepared.writeBucketed]] on the id satisfy the join
+    * clustering straight off the scan — zero exchanges. */
+  def corpusDiff(oldDf: DataFrame, newDf: DataFrame,
+      oldId: Column, oldText: Column, newId: Column, newText: Column): DataFrame = {
+    val o = oldDf.select(oldId.cast("long").as("__oid"), md5Long(oldText).as("__oh"))
+    val n = newDf.select(newId.cast("long").as("__nid"), md5Long(newText).as("__nh"))
+    o.join(n, col("__oid") === col("__nid"), "full_outer")
+      .select(coalesce(col("__oid"), col("__nid")).as("doc_id"),
+        when(col("__oid").isNull, "added")
+          .when(col("__nid").isNull, "removed")
+          .when(col("__oh") <=> col("__nh"), "unchanged")
+          .otherwise("changed").as("status"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

@@ -492,4 +492,31 @@ object H3Streaming {
             / size(col("__known")).cast("double") + 0.5)
             .cast("double") / 10000.0)).as("dsir_score"))
   }
+
+  /** Streaming corpus delta against a STATIC stored snapshot — the
+    * ingest-time form of [[graft.pipeline.TextOps.corpusDiff]]: each
+    * arriving (id, text) classifies as `added` (id unknown to the
+    * snapshot), `changed` or `unchanged` (content hash vs the stored
+    * hash, null-safe). `removed` does not exist in a stream — absence is
+    * not observable from arrivals; a periodic batch corpusDiff covers it.
+    *
+    * Stream-static LEFT join on id: the snapshot side is a slim
+    * (id, 8-byte hash) projection — texts never shuffle; Spark re-plans
+    * the static side per micro-batch, and at 100 TB a broadcast-sized
+    * hash frame (or a bucketed snapshot) keeps the per-batch cost at the
+    * batch arrival rate, not the corpus. Output: the stream's columns
+    * plus `status`. */
+  def streamingCorpusDiff(stream: DataFrame, idCol: String, textCol: String,
+      snapshot: DataFrame, snapId: Column, snapText: Column): DataFrame = {
+    import graft.pipeline.TextOps
+    val ref = snapshot.select(snapId.cast("long").as("__sid"),
+      TextOps.md5Long(snapText).as("__sh"))
+    stream
+      .join(ref, stream(idCol).cast("long") === col("__sid"), "left")
+      .withColumn("status",
+        when(col("__sid").isNull, "added")
+          .when(TextOps.md5Long(col(textCol)) <=> col("__sh"), "unchanged")
+          .otherwise("changed"))
+      .drop("__sid", "__sh")
+  }
 }

@@ -1423,6 +1423,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!f(4, "repetition_ok") && !f(4, "keep"))
   }
 
+  test("corpusDiff: added/removed/changed/unchanged; null texts compare null-safely") {
+    val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String), (5L, null: String))
+      .toDF("id", "t")
+    val nw = Seq((1L, "a"), (2L, "B!"), (4L, null: String), (5L, "now"), (9L, "new"))
+      .toDF("id", "t")
+    val out = TextOps.corpusDiff(old, nw, $"id", $"t", $"id", $"t")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "unchanged", 5L -> "changed", 9L -> "added"))
+  }
+
   test("connectedComponents: driver union-find equals the distributed loop on random graphs") {
     val rnd = new scala.util.Random(23)
     for (trial <- 1 to 3) {

@@ -438,4 +438,34 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(novel.getLong(0) == 0L && novel.isNullAt(1))
     } finally query.stop()
   }
+
+  test("streaming corpus diff == batch corpusDiff on the added/changed/unchanged subset") {
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val snapshot = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, null: String))
+      .toDF("doc_id", "text").localCheckpoint(false)
+    val arrivals = Seq((1L, "alpha"), (2L, "edited"), (4L, null: String),
+      (9L, "fresh"), (3L, "gamma"))
+    val input = MemoryStream[(Long, String)]
+    val diffed = H3Streaming.streamingCorpusDiff(
+      input.toDF.toDF("id", "text"), "id", "text",
+      snapshot, col("doc_id"), col("text"))
+    val query = diffed.writeStream
+      .format("memory").queryName("sdiff").outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      val got = spark.table("sdiff").select($"id", $"status")
+        .as[(Long, String)].collect().toMap
+      // batch oracle over the same arrivals (removed rows excluded: absence
+      // is not observable from a stream)
+      val batch = TextOps.corpusDiff(snapshot, arrivals.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), col("doc_id"), col("text"))
+        .filter($"status" =!= "removed")
+        .as[(Long, String)].collect().toMap
+      assert(got == batch)
+      assert(got == Map(1L -> "unchanged", 2L -> "changed", 4L -> "unchanged",
+        9L -> "added", 3L -> "unchanged"))
+    } finally query.stop()
+  }
 }
