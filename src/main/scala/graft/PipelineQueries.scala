@@ -1550,9 +1550,13 @@ object PipelineQueries {
          |  GROUP BY q.doc_id, q.f),
          |reps AS MATERIALIZED (
          |  SELECT ph, min(cid) AS rep FROM hh GROUP BY ph),
-         |vc AS MATERIALIZED (
+         |vc0 AS MATERIALIZED (
          |  SELECT ph, cid // 1000000 AS vid, count(*) AS cnt
          |  FROM hh GROUP BY ph, cid // 1000000),
+         |vc AS (SELECT ph, vid, cnt FROM (
+         |    SELECT ph, vid, cnt, row_number() OVER (PARTITION BY ph ORDER BY vid) AS vr
+         |    FROM vc0)
+         |  WHERE vr <= 1024),
          |bc AS MATERIALIZED (
          |  SELECT rep, ph, bi, bv,
          |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn

@@ -905,7 +905,10 @@ object Dedup {
     // which equals the direct per-frame-pair formulation (each qualifying
     // frame pair contributes exactly once). The hot-band cap now
     // truncates to the smallest-k DISTINCT hashes per bucket (by
-    // representative composite id) — more diverse than min-k frame ids.
+    // representative composite id) — more diverse than min-k frame ids —
+    // and per-hash VIDEO participation is capped at maxBand (smallest
+    // video ids) so a frame shared across millions of videos cannot
+    // explode the count-product joins.
     val f = frames.select(vid.as("__vid"), frameIdx.as("__fi"), hash.as("__h"))
       .filter(col("__h").isNotNull)
     // per-(hash, video) frame counts; statSafe — feeds three joins below
@@ -915,9 +918,22 @@ object Dedup {
         min(col("__vid") * frameBase + col("__fi")).as("__minc")))
     val reps = graft.util.Barriers.statSafe(
       vcnt.groupBy(col("__h")).agg(min(col("__minc")).as("__rep")))
+    // hot-hash cap: a hash shared by N videos would otherwise self-join
+    // into N^2 within-class rows (and N-per-side cross-class products) —
+    // the same unbounded blowup the band cap exists to prevent, just
+    // moved to the count-product joins. Keep the maxBand SMALLEST video
+    // ids per hash (collect_min_k: O(maxBand) buffer, map-side partials
+    // bound the shuffled state); truncation semantics match every other
+    // capped band path and the oracle replicates the rank rule.
+    val vcap = graft.util.Barriers.statSafe(
+      vcnt.groupBy(col("__h"))
+        .agg(graft.functions.collect_min_k(
+          struct(col("__vid"), col("__cnt")), maxBand).as("__vs"))
+        .select(col("__h"), explode(col("__vs")).as("__v"))
+        .select(col("__h"), col("__v.__vid").as("__vid"), col("__v.__cnt").as("__cnt")))
     // within-class: identical frames shared across different videos
-    val within = vcnt.select(col("__h"), col("__vid").as("__va"), col("__cnt").as("__ca"))
-      .join(vcnt.select(col("__h"), col("__vid").as("__vb"), col("__cnt").as("__cb")), Seq("__h"))
+    val within = vcap.select(col("__h"), col("__vid").as("__va"), col("__cnt").as("__ca"))
+      .join(vcap.select(col("__h"), col("__vid").as("__vb"), col("__cnt").as("__cb")), Seq("__h"))
       .filter(col("__va") < col("__vb"))
       .select(col("__va").as("vid_a"), col("__vb").as("vid_b"),
         (col("__ca") * col("__cb")).as("__n"))
@@ -931,9 +947,9 @@ object Dedup {
         col("id_b") === col("__rb"))
       .select(col("__ha"), col("__hb"))
     val cross = hp
-      .join(vcnt.select(col("__h").as("__ha"), col("__vid").as("__va"),
+      .join(vcap.select(col("__h").as("__ha"), col("__vid").as("__va"),
         col("__cnt").as("__ca")), Seq("__ha"))
-      .join(vcnt.select(col("__h").as("__hb"), col("__vid").as("__vb"),
+      .join(vcap.select(col("__h").as("__hb"), col("__vid").as("__vb"),
         col("__cnt").as("__cb")), Seq("__hb"))
       .filter(col("__va") =!= col("__vb"))
       .select(least(col("__va"), col("__vb")).as("vid_a"),

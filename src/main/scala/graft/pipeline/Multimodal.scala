@@ -566,7 +566,13 @@ object Multimodal {
                   frameSampleSum(bytes, info.frameOffsets(f), info.width, info.height)
                 else {
                   val img = decodeJpegFrame(bytes, info.frameOffsets(f), info.frameSizes(f))
-                  if (img == null) -1L else rasterSampleSum(img)
+                  // a frame whose decoded dimensions disagree with the
+                  // container header counts as undecodable — the emitted
+                  // row's width/height and frame_sum must describe the
+                  // same raster (decodeVideo applies the same rule)
+                  if (img == null || img.getWidth != info.width ||
+                      img.getHeight != info.height) -1L
+                  else rasterSampleSum(img)
                 }
               // an undecodable MJPEG frame yields no row (per-frame degrade)
               if (s < 0) Iterator.empty

@@ -553,11 +553,14 @@ object TextOps {
     val bucketed = classes
       .withColumn("__before", coalesce(sum(col("__c")).over(w), lit(0L)))
       .withColumn("__n", sum(col("__c")).over(wAll))
-      .select(col("lang"), col("score"),
+      .select(col("lang").as("__bl"), col("score").as("__bs"),
         when(col("__before") < ceil(col("__n") * headFrac), "head")
           .when(col("__before") < ceil(col("__n") * (headFrac + midFrac)), "middle")
           .otherwise("tail").as("ppl_bucket"))
-    base.join(broadcast(bucketed), Seq("lang", "score"))
+    // null-SAFE join back: groupBy keeps NULL-lang / NULL-score classes,
+    // and a plain equi-join would silently drop those documents
+    base.join(broadcast(bucketed),
+        col("lang") <=> col("__bl") && col("score") <=> col("__bs"))
       .select(col("doc_id"), col("lang"), col("score"), col("ppl_bucket"))
   }
 

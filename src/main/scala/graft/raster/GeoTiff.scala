@@ -80,14 +80,57 @@ object GeoTiff {
     }
   }
 
-  private def open(path: String) = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
-    fs.open(p)
+  /** The session's Hadoop conf when a session is active (spark.hadoop.*
+    * credentials/endpoints for s3a/abfs/hdfs paths), else defaults. A bare
+    * `new Configuration()` here would silently drop every spark.hadoop.*
+    * setting and fail on any authenticated object store. */
+  private def driverHadoopConf(): org.apache.hadoop.conf.Configuration =
+    org.apache.spark.sql.SparkSession.getActiveSession
+      .map(_.sessionState.newHadoopConf())
+      .getOrElse(new org.apache.hadoop.conf.Configuration())
+
+  /** Serializable Hadoop-conf carrier for executor-side segment reads
+    * (Configuration itself is not java-serializable; it IS Writable). */
+  private class ConfCarrier(@transient var conf: org.apache.hadoop.conf.Configuration)
+      extends Serializable {
+    private def writeObject(out: java.io.ObjectOutputStream): Unit = {
+      out.defaultWriteObject()
+      conf.write(out)
+    }
+    private def readObject(in: java.io.ObjectInputStream): Unit = {
+      in.defaultReadObject()
+      conf = new org.apache.hadoop.conf.Configuration(false)
+      conf.readFields(in)
+    }
   }
 
-  private def readAt(path: String, offset: Long, len: Int): Array[Byte] = {
-    val in = open(path)
+  /** Unsigned sample read/write at a byte offset — the unit TIFF's
+    * horizontal predictor differences over. */
+  private def rdSample(b: Array[Byte], o: Int, bytesPer: Int, bigEndian: Boolean): Long = {
+    var v = 0L
+    var i = 0
+    while (i < bytesPer) {
+      val by = if (bigEndian) b(o + i) else b(o + bytesPer - 1 - i)
+      v = (v << 8) | (by & 0xFFL)
+      i += 1
+    }
+    v
+  }
+
+  private def wrSample(b: Array[Byte], o: Int, bytesPer: Int, bigEndian: Boolean, v: Long): Unit = {
+    var i = 0
+    while (i < bytesPer) {
+      val shift = 8 * (bytesPer - 1 - i)
+      val by = ((v >> shift) & 0xFF).toByte
+      if (bigEndian) b(o + i) = by else b(o + bytesPer - 1 - i) = by
+      i += 1
+    }
+  }
+
+  private def readAt(path: String, offset: Long, len: Int,
+      conf: org.apache.hadoop.conf.Configuration): Array[Byte] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val in = p.getFileSystem(conf).open(p)
     try {
       val buf = new Array[Byte](len)
       in.readFully(offset, buf)
@@ -118,8 +161,9 @@ object GeoTiff {
     def ascii: String = new String(raw.takeWhile(_ != 0), "US-ASCII")
   }
 
-  private def parseMeta(path: String): TiffMeta = {
-    val head = readAt(path, 0, 16)
+  private def parseMeta(path: String,
+      conf: org.apache.hadoop.conf.Configuration): TiffMeta = {
+    val head = readAt(path, 0, 16, conf)
     val bigEndian = head(0) == 'M' && head(1) == 'M'
     if (!bigEndian && !(head(0) == 'I' && head(1) == 'I'))
       throw new java.io.IOException("not a TIFF: bad byte-order mark")
@@ -139,11 +183,11 @@ object GeoTiff {
     val entrySize = if (big) 20 else 12
     val n =
       if (big) {
-        val c = new ByteReader(readAt(path, ifdOff, 8), bigEndian).u64(0)
+        val c = new ByteReader(readAt(path, ifdOff, 8, conf), bigEndian).u64(0)
         if (c < 0 || c > 65535) throw new java.io.IOException(s"implausible IFD entry count $c")
         c.toInt
-      } else new ByteReader(readAt(path, ifdOff, 2), bigEndian).u16(0)
-    val entB = readAt(path, ifdOff + (if (big) 8 else 2), n * entrySize)
+      } else new ByteReader(readAt(path, ifdOff, 2, conf), bigEndian).u16(0)
+    val entB = readAt(path, ifdOff + (if (big) 8 else 2), n * entrySize, conf)
     val er = new ByteReader(entB, bigEndian)
     val inlineLimit = if (big) 8 else 4
     val entries = (0 until n).map { i =>
@@ -158,7 +202,7 @@ object GeoTiff {
           java.util.Arrays.copyOfRange(entB, valOff, valOff + math.max(size, 1L).toInt)
         else {
           val ext = if (big) er.u64(valOff) else er.u32(valOff)
-          readAt(path, ext, size.toInt)
+          readAt(path, ext, size.toInt, conf)
         }
       Entry(tag, typ, count, raw, bigEndian)
     }.map(e => e.tag -> e).toMap
@@ -216,7 +260,11 @@ object GeoTiff {
       val counts = req(279, "StripByteCounts").longs
       if (offsets.length != counts.length)
         throw new java.io.IOException("StripOffsets/StripByteCounts length mismatch")
-      val rowsPerStrip = optLong(278, height.toLong).toInt
+      // RowsPerStrip=2^32-1 is the spec's "all rows in one strip"
+      // convention; any value >= height (or an unset tag) means one strip
+      val rpsRaw = optLong(278, height.toLong)
+      val rowsPerStrip =
+        if (rpsRaw <= 0 || rpsRaw >= height.toLong) height else rpsRaw.toInt
       val expectStrips = (height + rowsPerStrip - 1) / rowsPerStrip
       if (offsets.length != expectStrips)
         throw new java.io.IOException(
@@ -256,8 +304,11 @@ object GeoTiff {
     var off = 0
     while (off < expected && !inf.finished()) {
       val k = inf.inflate(out, off, expected - off)
-      if (k == 0 && inf.needsInput())
-        throw new java.io.IOException("truncated deflate strip")
+      // needsDictionary: an FDICT stream makes inflate return 0 with
+      // neither finished nor needsInput set — without this check the
+      // loop would spin forever instead of failing the task
+      if (k == 0 && (inf.needsInput() || inf.needsDictionary()))
+        throw new java.io.IOException("truncated or preset-dictionary deflate segment")
       off += k
     }
     inf.end()
@@ -271,7 +322,12 @@ object GeoTiff {
     * rows run at the decoded stride. */
   private def decodeSegment(m: TiffMeta, s: SegMeta, raw0: Array[Byte]): Array[Double] = {
     val bytesPer = m.bits / 8
-    val expect = s.decW * s.decH * bytesPer
+    val expectL = s.decW.toLong * s.decH * bytesPer
+    if (expectL > Int.MaxValue - 8)
+      throw new java.io.IOException(
+        s"segment decodes to $expectL bytes — beyond the 2 GiB per-segment limit " +
+          "(re-tile the raster; per-segment reads are the parallelism unit)")
+    val expect = expectL.toInt
     val raw = m.compression match {
       case 1 =>
         if (raw0.length < expect) throw new java.io.IOException("short uncompressed segment")
@@ -281,19 +337,19 @@ object GeoTiff {
       case _ => inflate(raw0, expect)
     }
     if (m.predictor == 2) {
-      // horizontal differencing: cumulative add per row, per byte lane of
-      // the sample (lanes delta independently in TIFF predictor 2)
+      // horizontal differencing on FULL SAMPLE VALUES (TIFF 6.0 §14):
+      // per-byte-lane addition would lose the carry between the bytes of a
+      // multi-byte sample (0x00FF + 0x0001 must give 0x0100, not 0x0000)
+      val mask = (1L << (8 * bytesPer)) - 1
       var r = 0
       while (r < s.decH) {
         val row = r * s.decW * bytesPer
         var x = 1
         while (x < s.decW) {
-          var l = 0
-          while (l < bytesPer) {
-            val o = row + x * bytesPer + l
-            raw(o) = (raw(o) + raw(o - bytesPer)).toByte
-            l += 1
-          }
+          val o = row + x * bytesPer
+          val v = (rdSample(raw, o, bytesPer, m.bigEndian) +
+            rdSample(raw, o - bytesPer, bytesPer, m.bigEndian)) & mask
+          wrSample(raw, o, bytesPer, m.bigEndian, v)
           x += 1
         }
         r += 1
@@ -385,13 +441,19 @@ object GeoTiff {
     * touches only the IFD; segment payloads are position-read and decoded
     * by the executors. */
   def readGeoTiff(spark: SparkSession, path: String): DataFrame = {
-    val meta = parseMeta(path)
+    val hconf = spark.sessionState.newHadoopConf()
+    val meta = parseMeta(path, hconf)
+    val carrier = new ConfCarrier(hconf)
     val tArr = meta.transform.toArray.toSeq
     val nodataV: java.lang.Double = meta.nodata.map(Double.box).orNull
     val rdd = spark.sparkContext
       .parallelize(meta.segments.toSeq, math.min(meta.segments.length, 32))
       .map { s =>
-        val vals = decodeSegment(meta, s, readAt(path, s.offset, s.byteCount.toInt))
+        if (s.byteCount > Int.MaxValue - 8)
+          throw new java.io.IOException(
+            s"segment ${s.idx} is ${s.byteCount} bytes — beyond the 2 GiB per-segment " +
+              "read limit (re-tile the raster; per-segment reads are the parallelism unit)")
+        val vals = decodeSegment(meta, s, readAt(path, s.offset, s.byteCount.toInt, carrier.conf))
         val hasData = meta.nodata match {
           case Some(nd) => vals.exists(_ != nd)
           case None => vals.nonEmpty
@@ -405,15 +467,15 @@ object GeoTiff {
     * only) — feeds [[H3Raster.nearestH3Resolution]] without touching pixel
     * data. */
   def readGeoTiffMeta(path: String): (Transform, Option[Double], Int, Int) = {
-    val m = parseMeta(path)
+    val m = parseMeta(path, driverHadoopConf())
     (m.transform, m.nodata, m.width, m.height)
   }
 
   // ---- fixture writer (tests / local oracles) ----------------------------
 
-  /** Write a real single-band GeoTIFF: u8 ("u8") or f32 ("f32") samples,
-    * compression "none" | "deflate" | "lzw" | "packbits", (for u8) the
-    * horizontal-differencing predictor, either byte order, and either
+  /** Write a real single-band GeoTIFF: u8 / u16 / f32 samples,
+    * compression "none" | "deflate" | "lzw" | "packbits", (for integer
+    * dtypes) the horizontal-differencing predictor, either byte order, and either
     * segment organization — strips of `rowsPerStrip` rows (default) or,
     * with `tile = Some((tw, th))`, a tiled layout (tags 322-325, edge
     * tiles zero-padded to the full tile size per TIFF 6.0 §15; tile dims
@@ -428,8 +490,8 @@ object GeoTiff {
       rowsPerStrip: Int = 16, tile: Option[(Int, Int)] = None,
       bigEndian: Boolean = false, bigTiff: Boolean = false): Unit = {
     require(values.length == width * height, "values must be width*height row-major")
-    require(dtype == "u8" || dtype == "f32", s"dtype u8|f32, got $dtype")
-    require(!predictor2 || dtype == "u8", "predictor 2 only for integer samples")
+    require(Set("u8", "u16", "f32").contains(dtype), s"dtype u8|u16|f32, got $dtype")
+    require(!predictor2 || dtype != "f32", "predictor 2 only for integer samples")
     require(Set("none", "deflate", "lzw", "packbits").contains(compression),
       s"compression none|deflate|lzw|packbits, got $compression")
     tile.foreach { case (tw, th) =>
@@ -438,9 +500,9 @@ object GeoTiff {
     }
     require(transform.b == 0.0 && transform.d == 0.0,
       "fixture writer emits PixelScale+Tiepoint: north-up transforms only")
-    val bytesPer = if (dtype == "u8") 1 else 4
+    val bytesPer = dtype match { case "u8" => 1; case "u16" => 2; case _ => 4 }
     val bits = bytesPer * 8
-    val sampleFormat = if (dtype == "u8") 1 else 3
+    val sampleFormat = if (dtype == "f32") 3 else 1
     val compressionTag = compression match {
       case "none" => 1L
       case "lzw" => 5L
@@ -499,12 +561,14 @@ object GeoTiff {
           if (y0 + r < height && x0 + x < width) {
             val v = values((y0 + r) * width + (x0 + x))
             val o = (r * decW + x) * bytesPer
-            if (dtype == "u8") plain(o) = v.toInt.toByte
-            else {
-              val fb = java.lang.Float.floatToIntBits(v.toFloat)
-              val be = Array.tabulate(4)(i => ((fb >> (24 - 8 * i)) & 0xFF).toByte)
-              val enc = if (bigEndian) be else be.reverse
-              System.arraycopy(enc, 0, plain, o, 4)
+            dtype match {
+              case "u8" => plain(o) = v.toInt.toByte
+              case "u16" => wrSample(plain, o, 2, bigEndian, v.toLong & 0xFFFFL)
+              case _ =>
+                val fb = java.lang.Float.floatToIntBits(v.toFloat)
+                val be = Array.tabulate(4)(i => ((fb >> (24 - 8 * i)) & 0xFF).toByte)
+                val enc = if (bigEndian) be else be.reverse
+                System.arraycopy(enc, 0, plain, o, 4)
             }
           }
           x += 1
@@ -512,12 +576,17 @@ object GeoTiff {
         r += 1
       }
       if (predictor2) {
+        // differencing on FULL SAMPLE VALUES, right-to-left (TIFF 6.0 §14)
+        val mask = (1L << (8 * bytesPer)) - 1
         var r = 0
         while (r < decH) {
-          val row = r * decW
+          val row = r * decW * bytesPer
           var x = decW - 1
           while (x >= 1) {
-            plain(row + x) = (plain(row + x) - plain(row + x - 1)).toByte
+            val o = row + x * bytesPer
+            val v = (rdSample(plain, o, bytesPer, bigEndian) -
+              rdSample(plain, o - bytesPer, bytesPer, bigEndian)) & mask
+            wrSample(plain, o, bytesPer, bigEndian, v)
             x -= 1
           }
           r += 1
@@ -637,7 +706,7 @@ object GeoTiff {
     segBytes.foreach { s => out.write(s); if ((s.length & 1) == 1) out.write(0) }
 
     val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+    val fs = p.getFileSystem(driverHadoopConf())
     val os = fs.create(p, true)
     try os.write(out.toByteArray) finally os.close()
   }

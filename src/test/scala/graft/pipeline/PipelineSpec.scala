@@ -1423,6 +1423,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(!f(4, "repetition_ok") && !f(4, "keep"))
   }
 
+  test("videoClipMatches: hot-hash video cap bounds the count-product joins") {
+    // 30 videos share one identical frame hash; with maxBand = 5 only the
+    // 5 smallest video ids participate — C(5,2) pairs, not C(30,2)
+    val frames = (0L until 30L).map(v => (v, 0L, 123456789L)).toDF("vid", "fi", "h")
+    val out = Dedup.videoClipMatches(frames, $"vid", $"fi", $"h",
+        maxHamming = 2, maxBand = 5)
+      .as[(Long, Long, Long)].collect().toSet
+    val expected = (for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b, 1L)).toSet
+    assert(out == expected)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; null texts compare null-safely") {
     val old = Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, null: String), (5L, null: String))
       .toDF("id", "t")
@@ -1475,6 +1486,13 @@ class PipelineSpec extends AnyFunSuite {
       7L -> "tail", 8L -> "tail", 9L -> "tail")
     val expectDe = Map(100L -> "head", 101L -> "head", 102L -> "head", 103L -> "tail")
     assert(out == expectEn ++ expectDe)
+    // NULL lang / NULL score rows survive (null-safe join back), they are
+    // not silently dropped
+    val withNulls = (en ++ de ++ Seq((200L, null: String, 1.0), (201L, "en", Double.NaN)))
+      .toDF("id", "language", "s")
+    val outN = TextOps.perplexityPartition(withNulls, $"id", $"s", $"language")
+      .collect().map(r => r.getLong(0)).toSet
+    assert(outN.contains(200L) && outN.size == withNulls.count())
   }
 
   test("tokenBudgetSelect equals the brute-force walk; straddling doc included") {

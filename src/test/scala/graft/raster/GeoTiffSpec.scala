@@ -160,6 +160,24 @@ class GeoTiffSpec extends AnyFunSuite {
     assert(TiffLzw.encode(runs).length < runs.length / 8)
   }
 
+  test("u16 predictor 2: carries cross byte lanes (0x00FF + 1 = 0x0100, not 0x0000)") {
+    val (w, h) = (37, 11)
+    val t = Transform.northUp(1.0, 2.0, 0.1, 0.1)
+    // consecutive horizontal deltas of +257 force a carry out of the low
+    // byte on most steps — the exact case per-byte-lane undifferencing
+    // silently corrupts
+    val vals = Array.tabulate(w * h)(i => ((i % w) * 257 + (i / w) * 13).toDouble)
+    val expect = pixels(tileRaster(spark, w, h, t, vals, -1.0, tile = 16))
+    for ((comp, be, name) <- Seq(
+        ("deflate", false, "dfl"), ("lzw", false, "lzw"),
+        ("deflate", true, "dflbe"), ("none", true, "nonebe"))) {
+      val path = s"$dir/u16_$name.tif"
+      GeoTiff.writeGeoTiff(path, w, h, t, vals, None, dtype = "u16",
+        compression = comp, predictor2 = true, rowsPerStrip = 4, bigEndian = be)
+      assert(pixels(GeoTiff.readGeoTiff(spark, path)) == expect, name)
+    }
+  }
+
   test("BigTIFF container: strips and lzw tiles round-trip in both byte orders") {
     val (w, h) = (52, 37)
     val t = Transform.northUp(3.0, 47.0, 0.01, 0.01)
