@@ -735,6 +735,23 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // the composed CCNet shape as ONE declarative plan: LM-score -> per-
+    // language head/middle/tail -> drop the tail -> per-(lang, bucket)
+    // retention report (docs + token mass kept) — what the mixture
+    // designer actually reads before setting sampling rates
+    "p69_ccnet_pipeline" -> ((s, dir) => {
+      val scored = TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .localCheckpoint(false) // slim (id, cnt, score, lang); feeds partition + report
+      TextOps.perplexityPartition(scored, col("doc_id"), col("avg_logprob"),
+          col("lang"), headFrac = 0.3, midFrac = 0.3)
+        .filter(col("ppl_bucket") =!= "tail")
+        .join(scored.select(col("doc_id"), col("n_tokens")), "doc_id")
+        .groupBy(col("lang"), col("ppl_bucket"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
+        .orderBy(col("lang"), col("ppl_bucket"))
+    }),
+
     // corpus snapshot delta: tonight's crawl vs the stored corpus — every
     // 10th doc dropped, every 7th survivor edited, every 9th re-added
     // under a new id; statuses derive from a full outer join of two
@@ -2118,6 +2135,26 @@ object PipelineQueries {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, n_tokens, score AS avg_logprob
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p69_ccnet_pipeline" ->
+      s"""WITH $lmScoreCtes,
+         |sl AS (SELECT s.doc_id, d.lang, s.score, s.n_tokens
+         |  FROM sc s JOIN documents d USING (doc_id)),
+         |cls AS (SELECT lang, score, count(*)::BIGINT AS c FROM sl GROUP BY 1, 2),
+         |cum AS (SELECT lang, score,
+         |  CAST(coalesce(sum(c) OVER (PARTITION BY lang ORDER BY score DESC
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS bef,
+         |  CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n FROM cls),
+         |b AS (SELECT lang, score,
+         |  CASE WHEN bef < ceil(n * CAST(0.3 AS DOUBLE)) THEN 'head'
+         |       WHEN bef < ceil(n * CAST(0.6 AS DOUBLE)) THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket FROM cum)
+         |SELECT sl.lang, b.ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(sl.n_tokens) AS BIGINT) AS n_tokens
+         |FROM sl JOIN b USING (lang, score)
+         |WHERE b.ppl_bucket != 'tail'
+         |GROUP BY sl.lang, b.ppl_bucket
+         |ORDER BY sl.lang, b.ppl_bucket""".stripMargin,
 
     "p68_corpus_diff" ->
       s"""WITH o AS (SELECT doc_id AS oid, ${oH("text")} AS ohash FROM documents),
