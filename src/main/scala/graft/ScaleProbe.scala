@@ -27,7 +27,8 @@ object ScaleProbe {
     "p57_video_frames", "p58_substring_dedup", "p59_importance_resample",
     "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup",
     "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined",
-    "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget")
+    "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
+    "p68_corpus_diff", "p69_ccnet_pipeline")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

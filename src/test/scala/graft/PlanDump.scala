@@ -14,7 +14,8 @@ object PlanDump {
     "p52_semantic_dedup", "p54_source_cap", "p58_substring_dedup",
     "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
     "p62_audio_fingerprint_dedup", "p63_video_clip_matches",
-    "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget")
+    "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
+    "p68_corpus_diff", "p69_ccnet_pipeline")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -88,6 +89,13 @@ Audited shapes pinned here against regression:
   (score, id-bucket) CELL aggregate; the within-cell cumsum Window is
   hash-partitioned by the compound key; cell prefixes return via
   BroadcastHashJoin — the corpus is never globally sorted.
+- p68 (corpus diff): both snapshots die at their (id, 8-byte hash)
+  projections before the full outer join — ReadSchema shows no text
+  column crossing an exchange.
+- p69 (composed CCNet): ONE plan — the LM-score subtree appears once
+  (checkpoint barrier), the class-frame windows and bucket broadcast
+  keep the p65 shape, and the retention report is a map-side-partial
+  aggregate over the joined-back slim frame.
 
 """)
     for (name <- Captured) {
