@@ -2151,7 +2151,8 @@ object PipelineQueries {
          |       ELSE 'tail' END AS ppl_bucket FROM cum)
          |SELECT sl.lang, b.ppl_bucket, CAST(count(*) AS BIGINT) AS n_docs,
          |  CAST(sum(sl.n_tokens) AS BIGINT) AS n_tokens
-         |FROM sl JOIN b USING (lang, score)
+         |FROM sl JOIN b ON sl.lang IS NOT DISTINCT FROM b.lang
+         |  AND sl.score IS NOT DISTINCT FROM b.score
          |WHERE b.ppl_bucket != 'tail'
          |GROUP BY sl.lang, b.ppl_bucket
          |ORDER BY sl.lang, b.ppl_bucket""".stripMargin,
@@ -2197,7 +2198,9 @@ object PipelineQueries {
          |       WHEN bef < ceil(n * CAST(0.6 AS DOUBLE)) THEN 'middle'
          |       ELSE 'tail' END AS ppl_bucket FROM cum)
          |SELECT sl.doc_id, sl.lang, sl.score, b.ppl_bucket
-         |FROM sl JOIN b USING (lang, score) ORDER BY sl.doc_id""".stripMargin,
+         |FROM sl JOIN b ON sl.lang IS NOT DISTINCT FROM b.lang
+         |  AND sl.score IS NOT DISTINCT FROM b.score
+         |ORDER BY sl.doc_id""".stripMargin,
 
     "p66_token_budget" ->
       s"""WITH $lmScoreCtes,

@@ -893,7 +893,8 @@ object Dedup {
     * video pair. */
   def videoClipMatches(frames: DataFrame, vid: Column, frameIdx: Column,
       hash: Column, maxHamming: Int = 2, maxBand: Int = MaxSimHashBand,
-      frameBase: Long = 1000000L): DataFrame = {
+      frameBase: Long = 1000000L,
+      maxVideosPerHash: Int = MaxSimHashBand): DataFrame = {
     // Identical frame hashes collapse BEFORE the pairwise path (the same
     // move as [[hashNearDupGroups]]): a re-used frame — black leader, a
     // standard test card, a popular clip — enters the pairwise machinery
@@ -906,9 +907,9 @@ object Dedup {
     // frame pair contributes exactly once). The hot-band cap now
     // truncates to the smallest-k DISTINCT hashes per bucket (by
     // representative composite id) — more diverse than min-k frame ids —
-    // and per-hash VIDEO participation is capped at maxBand (smallest
-    // video ids) so a frame shared across millions of videos cannot
-    // explode the count-product joins.
+    // and per-hash VIDEO participation is capped at maxVideosPerHash
+    // (smallest video ids) so a frame shared across millions of videos
+    // cannot explode the count-product joins.
     val f = frames.select(vid.as("__vid"), frameIdx.as("__fi"), hash.as("__h"))
       .filter(col("__h").isNotNull)
     // per-(hash, video) frame counts; statSafe — feeds three joins below
@@ -921,14 +922,17 @@ object Dedup {
     // hot-hash cap: a hash shared by N videos would otherwise self-join
     // into N^2 within-class rows (and N-per-side cross-class products) —
     // the same unbounded blowup the band cap exists to prevent, just
-    // moved to the count-product joins. Keep the maxBand SMALLEST video
-    // ids per hash (collect_min_k: O(maxBand) buffer, map-side partials
-    // bound the shuffled state); truncation semantics match every other
-    // capped band path and the oracle replicates the rank rule.
+    // moved to the count-product joins. Keep the maxVideosPerHash
+    // SMALLEST video ids per hash (collect_min_k: O(k) buffer, map-side
+    // partials bound the shuffled state); a knob SEPARATE from maxBand —
+    // the two caps bound different blowups (band membership vs
+    // count-product fan-out) and must tune independently. Truncation
+    // semantics match every other capped path; the oracle replicates the
+    // rank rule.
     val vcap = graft.util.Barriers.statSafe(
       vcnt.groupBy(col("__h"))
         .agg(graft.functions.collect_min_k(
-          struct(col("__vid"), col("__cnt")), maxBand).as("__vs"))
+          struct(col("__vid"), col("__cnt")), maxVideosPerHash).as("__vs"))
         .select(col("__h"), explode(col("__vs")).as("__v"))
         .select(col("__h"), col("__v.__vid").as("__vid"), col("__v.__cnt").as("__cnt")))
     // within-class: identical frames shared across different videos

@@ -197,6 +197,9 @@ object GeoTiff {
       val count = if (big) er.u64(o + 4) else er.u32(o + 4)
       val valOff = if (big) o + 12 else o + 8
       val size = TypeSizes.getOrElse(typ, 1).toLong * count
+      if (count < 0 || size > Int.MaxValue - 8)
+        throw new java.io.IOException(
+          s"tag $tag: implausible value size $size bytes (count $count)")
       val raw =
         if (size <= inlineLimit)
           java.util.Arrays.copyOfRange(entB, valOff, valOff + math.max(size, 1L).toInt)

@@ -1424,11 +1424,11 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("videoClipMatches: hot-hash video cap bounds the count-product joins") {
-    // 30 videos share one identical frame hash; with maxBand = 5 only the
-    // 5 smallest video ids participate — C(5,2) pairs, not C(30,2)
+    // 30 videos share one identical frame hash; with maxVideosPerHash = 5
+    // only the 5 smallest video ids participate — C(5,2) pairs, not C(30,2)
     val frames = (0L until 30L).map(v => (v, 0L, 123456789L)).toDF("vid", "fi", "h")
     val out = Dedup.videoClipMatches(frames, $"vid", $"fi", $"h",
-        maxHamming = 2, maxBand = 5)
+        maxHamming = 2, maxVideosPerHash = 5)
       .as[(Long, Long, Long)].collect().toSet
     val expected = (for { a <- 0L until 5L; b <- (a + 1) until 5L } yield (a, b, 1L)).toSet
     assert(out == expected)
