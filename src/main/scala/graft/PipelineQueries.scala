@@ -739,6 +739,31 @@ object PipelineQueries {
     // language head/middle/tail -> drop the tail -> per-(lang, bucket)
     // retention report (docs + token mass kept) — what the mixture
     // designer actually reads before setting sampling rates
+    // fastText-style hashed linear classifier inference (the DCLM /
+    // FineWeb-Edu quality gate): pure per-row projection — zero shuffle,
+    // the weight is a formula of the md5 hash bucket
+    "p70_classifier_score" -> ((s, dir) => {
+      TextOps.classifierScore(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // interpolated bigram LM (the CCNet KenLM step at order 2): corpus
+    // self-trained, add-one smoothed, e4 lattice scores
+    "p71_bigram_lm" -> ((s, dir) => {
+      TextOps.bigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // cross-corpus form (CCNet deployment shape): LM trained on the
+    // English slice, every document scored against it with count-0
+    // add-one backoff for unseen tokens/grams
+    "p72_bigram_lm_cross" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextOps.bigramLmScoreAgainst(d, col("doc_id"), col("text"),
+          d.filter(col("lang") === "en"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
     "p69_ccnet_pipeline" -> ((s, dir) => {
       val scored = TextOps.unigramLogProbScore(docs(s, dir), col("doc_id"), col("text"))
         .join(docs(s, dir).select(col("doc_id"), col("lang")), "doc_id")
@@ -2135,6 +2160,87 @@ object PipelineQueries {
       s"""WITH $lmScoreCtes
          |SELECT doc_id, n_tokens, score AS avg_logprob
          |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "p70_classifier_score" ->
+      s"""WITH tka AS (SELECT doc_id,
+         |    list_filter($oToks, t -> t != '') AS tk FROM documents),
+         |feats AS (SELECT doc_id, unnest(list_concat(tk,
+         |    [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])) AS f FROM tka),
+         |w AS (SELECT doc_id,
+         |  ((((('0x' || substr(md5(f), 1, 15))::BIGINT % 1048576) * 2654435761)
+         |    % 2000001) - 1000000)::BIGINT AS w_e6 FROM feats),
+         |sc AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n,
+         |  CAST(sum(w_e6) AS BIGINT) AS s_e6 FROM w GROUP BY doc_id),
+         |q AS (SELECT d.doc_id, coalesce(sc.n, 0)::BIGINT AS n_features,
+         |  CASE WHEN sc.doc_id IS NULL THEN 0.5
+         |       ELSE floor(1.0 / (1.0 + exp(-((sc.s_e6::DOUBLE / sc.n::DOUBLE) / 1000000.0)))
+         |         * 10000.0 + 0.5) / 10000.0 END AS score
+         |  FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id)
+         |SELECT doc_id, n_features, score,
+         |  CASE WHEN score >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+         |FROM q ORDER BY doc_id""".stripMargin,
+
+    "p71_bigram_lm" ->
+      s"""WITH tka AS (SELECT doc_id,
+         |    list_filter($oToks, t -> t != '') AS tk FROM documents),
+         |tkn AS (SELECT doc_id, tk FROM tka WHERE len(tk) >= 1),
+         |uni AS (SELECT doc_id, unnest(tk) AS t FROM tkn),
+         |vocab AS (SELECT t, count(*)::BIGINT AS c FROM uni GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nvocab FROM vocab),
+         |bg AS (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |    FOR i IN range(1, len(tk))]) AS g FROM tkn),
+         |c12 AS (SELECT g, count(*)::BIGINT AS c12 FROM bg GROUP BY g),
+         |parts AS (SELECT g, c12, string_split(g, ' ')[1] AS w1,
+         |    string_split(g, ' ')[2] AS w2 FROM c12),
+         |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM parts GROUP BY w1),
+         |lp2 AS (SELECT g, CAST(floor(ln(
+         |    0.75 * ((p.c12 + 1)::DOUBLE / (ctx.c1 + tot.nvocab)::DOUBLE)
+         |    + 0.25 * ((v.c + 1)::DOUBLE / (tot.ntok + tot.nvocab)::DOUBLE))
+         |  * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+         |  FROM parts p JOIN ctx USING (w1) JOIN vocab v ON p.w2 = v.t, tot),
+         |lp1 AS (SELECT t, CAST(floor(ln((c + 1)::DOUBLE / (ntok + nvocab)::DOUBLE)
+         |  * 10000.0 + 0.5) AS BIGINT) AS lp_e4 FROM vocab, tot),
+         |scored AS (
+         |  SELECT doc_id, lp_e4 FROM bg JOIN lp2 USING (g)
+         |  UNION ALL
+         |  SELECT f.doc_id, lp1.lp_e4
+         |  FROM (SELECT doc_id, tk[1] AS t FROM tkn) f JOIN lp1 USING (t))
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(lp_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS avg_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "p72_bigram_lm_cross" ->
+      s"""WITH ctka AS (SELECT list_filter($oToks, t -> t != '') AS tk
+         |    FROM documents WHERE lang = 'en'),
+         |ctkn AS (SELECT tk FROM ctka WHERE len(tk) >= 1),
+         |vocab AS (SELECT t, count(*)::BIGINT AS c
+         |  FROM (SELECT unnest(tk) AS t FROM ctkn) GROUP BY t),
+         |tot AS (SELECT CAST(sum(c) AS BIGINT) AS ntok, count(*)::BIGINT AS nvocab FROM vocab),
+         |c12 AS (SELECT g, count(*)::BIGINT AS c12
+         |  FROM (SELECT unnest([tk[i] || ' ' || tk[i+1]
+         |    FOR i IN range(1, len(tk))]) AS g FROM ctkn) GROUP BY g),
+         |ctx AS (SELECT string_split(g, ' ')[1] AS w1, CAST(sum(c12) AS BIGINT) AS c1
+         |  FROM c12 GROUP BY 1),
+         |dtkn AS (SELECT doc_id, list_filter($oToks, t -> t != '') AS tk
+         |  FROM documents WHERE len(list_filter($oToks, t -> t != '')) >= 1),
+         |bg AS (SELECT doc_id, g, string_split(g, ' ')[1] AS w1, string_split(g, ' ')[2] AS w2
+         |  FROM (SELECT doc_id, unnest([tk[i] || ' ' || tk[i+1]
+         |    FOR i IN range(1, len(tk))]) AS g FROM dtkn)),
+         |sc2 AS (SELECT doc_id, CAST(floor(ln(
+         |    0.75 * ((coalesce(c.c12, 0) + 1)::DOUBLE / (coalesce(x.c1, 0) + tot.nvocab)::DOUBLE)
+         |    + 0.25 * ((coalesce(v.c, 0) + 1)::DOUBLE / (tot.ntok + tot.nvocab)::DOUBLE))
+         |  * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+         |  FROM bg LEFT JOIN c12 c USING (g) LEFT JOIN ctx x USING (w1)
+         |    LEFT JOIN vocab v ON bg.w2 = v.t, tot),
+         |sc1 AS (SELECT f.doc_id, CAST(floor(ln(
+         |    (coalesce(v.c, 0) + 1)::DOUBLE / (tot.ntok + tot.nvocab)::DOUBLE)
+         |  * 10000.0 + 0.5) AS BIGINT) AS lp_e4
+         |  FROM (SELECT doc_id, tk[1] AS t FROM dtkn) f
+         |    LEFT JOIN vocab v ON f.t = v.t, tot),
+         |scored AS (SELECT * FROM sc2 UNION ALL SELECT * FROM sc1)
+         |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+         |  floor(CAST(sum(lp_e4) AS DOUBLE) / count(*)::DOUBLE + 0.5) / 10000.0 AS avg_logprob
+         |FROM scored GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
     "p69_ccnet_pipeline" ->
       s"""WITH $lmScoreCtes,

@@ -28,7 +28,8 @@ object ScaleProbe {
     "p60_curation_v2", "p61_image_phash_dedup", "p62_audio_fingerprint_dedup",
     "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined",
     "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
-    "p68_corpus_diff", "p69_ccnet_pipeline")
+    "p68_corpus_diff", "p69_ccnet_pipeline", "p70_classifier_score",
+    "p71_bigram_lm", "p72_bigram_lm_cross")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -599,4 +599,218 @@ object TextOps {
       .orderBy(col("term_count").desc, col("term"))
       .limit(k)
   }
+
+  // -------------------------------------------------------------------
+  // Hashed bag-of-ngrams linear classifier (fastText inference shape)
+  // -------------------------------------------------------------------
+
+  /** Feature-hash bucket count for [[classifierScored]] (2^20, the
+    * fastText `-bucket` default order of magnitude). */
+  val ClassifierBuckets: Long = 1L << 20
+
+  /** Non-empty whitespace tokens — the unigram feature stream shared by
+    * the classifier and the bigram LM. NULL text behaves like empty text
+    * (zero tokens), matching the oracle's no-rows-from-unnest path. */
+  def cleanTokens(text: Column): Column =
+    filter(tokens(coalesce(text, lit(""))), t => t =!= "")
+
+  /** Classifier feature list: unigrams ++ word bigrams over the cleaned
+    * token stream (fastText `-wordNgrams 2`). */
+  def classifierFeatures(text: Column): Column =
+    bind(cleanTokens(text)) { tk => concat(tk, wordNgramsOfTokens(tk, 2)) }
+
+  /** Frozen "pretrained" weight for a hash bucket, in integer MICRO-units
+    * (e6): a Knuth multiplicative scramble of the bucket id folded into
+    * [-1e6, 1e6]. A deterministic weight FORMULA instead of a learned
+    * weight table keeps the operator self-contained and exactly
+    * replayable in any engine (the oracle recomputes it in SQL); swapping
+    * in real trained weights is a broadcast-join against a (bucket,
+    * weight) frame with the identical plan shape. */
+  def bucketWeightE6(bucket: Column): Column =
+    (bucket * lit(2654435761L)) % lit(2000001L) - lit(1000000L)
+
+  /** fastText-style hashed linear classifier INFERENCE (Joulin et al.
+    * 2016, "Bag of Tricks for Efficient Text Classification",
+    * arXiv:1607.01759) — the quality-classifier gate of DCLM / FineWeb-Edu
+    * style curation: every document gets `sigmoid(mean of hashed-feature
+    * weights)` and a keep/drop label at the 0.5 boundary.
+    *
+    * The hashing trick is the entire scale story: features (unigrams +
+    * bigrams) hash into [[ClassifierBuckets]] buckets and the weight is a
+    * FORMULA of the bucket, so scoring is a pure per-row projection —
+    * zero shuffle, zero broadcast, no vocabulary table of any size. On a
+    * 1000-executor cluster this pipelines inside whole-stage codegen on
+    * the scan like any other filter; 100 TB costs exactly one pass.
+    *
+    * Engine-exactness: weights are e6 integers, the per-doc sum is a LONG
+    * fold (order-independent — `aggregate` walks the feature list
+    * in-place), and the single double step (mean → sigmoid) is computed
+    * once and floor-quantized to e4. The keep/drop label compares the
+    * QUANTIZED score so both engines decide identically.
+    *
+    * Returns `struct(n_features LONG, score DOUBLE e4, label STRING)`. */
+  def classifierScored(text: Column): Column = {
+    val sumN = bind(classifierFeatures(text)) { feats =>
+      struct(
+        aggregate(feats, lit(0L),
+          (acc, f) => acc + bucketWeightE6(md5Long(f) % lit(ClassifierBuckets))).as("s"),
+        size(feats).cast("long").as("n"))
+    }
+    bind(sumN) { sn =>
+      val n = sn.getField("n")
+      val logit = (sn.getField("s").cast("double") / n.cast("double")) / lit(1000000.0)
+      val score = when(n === 0, lit(0.5)).otherwise(
+        floor(lit(1.0) / (lit(1.0) + exp(-logit)) * lit(10000.0) + lit(0.5))
+          .cast("double") / lit(10000.0))
+      struct(n.as("n_features"), score.as("score"),
+        when(score >= 0.5, lit("keep")).otherwise(lit("drop")).as("label"))
+    }
+  }
+
+  /** [[classifierScored]] over a frame: `doc_id, n_features, score,
+    * label`. Pure projection — see the scale note there. */
+  def classifierScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    df.select(id.as("doc_id"), classifierScored(text).as("__c"))
+      .select(col("doc_id"), col("__c.n_features").as("n_features"),
+        col("__c.score").as("score"), col("__c.label").as("label"))
+  }
+
+  // -------------------------------------------------------------------
+  // Interpolated bigram language model (the CCNet LM step, order 2)
+  // -------------------------------------------------------------------
+
+  /** Interpolated-bigram LM score per document — the n-gram-LM perplexity
+    * step of CCNet-style curation (arXiv:1911.00359 §3.3 scores with a
+    * 5-gram KenLM; this is the same Jelinek-Mercer-interpolated family at
+    * order 2, trained on the corpus itself like [[unigramLogProbScore]]).
+    * Token positions ≥ 2 score `ln(0.75·P_bigram + 0.25·P_unigram)` with
+    * add-one smoothing in both components; position 1 scores the add-one
+    * unigram. Per-document output is the mean per-token log-prob, so
+    * every non-empty document is scored and `n_tokens` counts scored
+    * positions.
+    *
+    * Engine-exactness: both ln arguments are built from integer counts
+    * with explicit parenthesized IEEE double steps (λ = 0.75 and 0.25 are
+    * exact binary), each ln is floor-quantized to the e4 lattice
+    * IMMEDIATELY, and the per-document mean sums e4 LONGS before one
+    * final quantized division — the [[unigramLogProbScore]] discipline.
+    *
+    * Scale shape: one bigram explode → (gram) count aggregate with
+    * map-side partials; the context-count and right-unigram tables derive
+    * from the AGGREGATED gram frame (distinct-bigram-sized, not
+    * corpus-sized); scores join back on the gram key — the same two
+    * high-cardinality shuffles as the unigram LM, with AQE handling hot
+    * grams ("of the" ≈ 0.5 % of English bigrams). Corpus totals are two
+    * driver longs (bounded driver-held-frame contract). Nothing shuffles
+    * document text — only (doc, gram) pairs.
+    *
+    * Output: `doc_id, n_tokens, avg_logprob`. */
+  def bigramLogProbScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    val base = df.select(id.as("__id"), cleanTokens(text).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val uni = base.select(col("__id"), explode(col("__tk")).as("__t"))
+    // unigram vocab feeds three consumers (totals, backoff component,
+    // first-token scores): one materialization
+    val vocab = uni.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val T = totalsRow.getLong(0)
+    val V = totalsRow.getLong(1)
+    val uniDenom = (T + V).toDouble
+    val bg = base.select(col("__id"),
+      explode(wordNgramsOfTokens(col("__tk"), 2)).as("__g"))
+    val c12 = bg.groupBy(col("__g")).agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
+    // tokens are whitespace-split, so the space-joined gram splits back
+    // losslessly; context counts derive from the aggregated gram frame
+    val parts = c12
+      .withColumn("__w1", element_at(split(col("__g"), " "), 1))
+      .withColumn("__w2", element_at(split(col("__g"), " "), 2))
+    val ctx = parts.groupBy(col("__w1")).agg(sum(col("__c12")).as("__c1"))
+    val lp2 = parts
+      .join(ctx, "__w1")
+      .join(vocab.select(col("__t").as("__w2"), col("__c").as("__c2")), "__w2")
+      .select(col("__g").as("__gk"),
+        floor(log(
+          lit(0.75) * ((col("__c12") + 1).cast("double") / (col("__c1") + V).cast("double"))
+            + lit(0.25) * ((col("__c2") + 1).cast("double") / lit(uniDenom)))
+          * 10000.0 + 0.5).cast("long").as("__lp_e4"))
+    val lp1 = vocab.select(col("__t").as("__ft"),
+      floor(log((col("__c") + 1).cast("double") / lit(uniDenom)) * 10000.0 + 0.5)
+        .cast("long").as("__lp_e4"))
+    val scored = bg.join(lp2, col("__g") === col("__gk"))
+      .select(col("__id"), col("__lp_e4"))
+      .unionAll(
+        base.select(col("__id"), element_at(col("__tk"), 1).as("__t1"))
+          .join(lp1, col("__t1") === col("__ft"))
+          .select(col("__id"), col("__lp_e4")))
+    scored.groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_e4")).as("__sum_e4"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
+          .cast("double") / 10000.0).as("avg_logprob"))
+  }
+
+  /** Score `df` against a bigram LM trained on a SEPARATE `corpus` — the
+    * deployed form of [[bigramLogProbScore]] (CCNet trains its KenLM on
+    * Wikipedia once, then scores every crawl shard against it). Identical
+    * interpolated add-one formula; tokens and bigrams UNSEEN in the
+    * corpus take count 0 in every component (that is what add-one
+    * smoothing is for), so out-of-vocabulary documents score finitely.
+    * Training on the scored frame itself reproduces
+    * [[bigramLogProbScore]] exactly (spec-pinned law).
+    *
+    * Scale shape: the LM tables aggregate the CORPUS (distinct-gram
+    * sized); scoring explodes `df`'s grams and LEFT-joins counts on the
+    * gram / context / right-unigram keys — three high-cardinality
+    * hash joins that AQE broadcasts whenever the trained LM fits, and
+    * the per-doc aggregate. Nothing shuffles document text. */
+  def bigramLmScoreAgainst(df: DataFrame, id: Column, text: Column,
+      corpus: DataFrame, corpusText: Column): DataFrame = {
+    // ----- train on corpus (same tables as bigramLogProbScore) -----
+    val cbase = corpus.select(cleanTokens(corpusText).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val vocab = cbase.select(explode(col("__tk")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val T = totalsRow.getLong(0)
+    val V = totalsRow.getLong(1)
+    val uniDenom = (T + V).toDouble
+    val c12 = cbase.select(explode(wordNgramsOfTokens(col("__tk"), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
+    val ctx = c12.groupBy(element_at(split(col("__g"), " "), 1).as("__w1"))
+      .agg(sum(col("__c12")).as("__c1"))
+    // ----- score df (left joins; unseen keys coalesce to count 0) -----
+    val base = df.select(id.as("__id"), cleanTokens(text).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val bg = base.select(col("__id"),
+      explode(wordNgramsOfTokens(col("__tk"), 2)).as("__dg"))
+      .withColumn("__dw1", element_at(split(col("__dg"), " "), 1))
+      .withColumn("__dw2", element_at(split(col("__dg"), " "), 2))
+    val bgScored = bg
+      .join(c12, col("__dg") === col("__g"), "left")
+      .join(ctx, col("__dw1") === col("__w1"), "left")
+      .join(vocab.select(col("__t").as("__vt2"), col("__c").as("__c2")),
+        col("__dw2") === col("__vt2"), "left")
+      .select(col("__id"),
+        floor(log(
+          lit(0.75) * ((coalesce(col("__c12"), lit(0L)) + 1).cast("double")
+              / (coalesce(col("__c1"), lit(0L)) + V).cast("double"))
+            + lit(0.25) * ((coalesce(col("__c2"), lit(0L)) + 1).cast("double") / lit(uniDenom)))
+          * 10000.0 + 0.5).cast("long").as("__lp_e4"))
+    val ftScored = base.select(col("__id"), element_at(col("__tk"), 1).as("__t1"))
+      .join(vocab.select(col("__t").as("__vt1"), col("__c").as("__c1u")),
+        col("__t1") === col("__vt1"), "left")
+      .select(col("__id"),
+        floor(log((coalesce(col("__c1u"), lit(0L)) + 1).cast("double") / lit(uniDenom))
+          * 10000.0 + 0.5).cast("long").as("__lp_e4"))
+    bgScored.unionAll(ftScored)
+      .groupBy(col("__id").as("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), sum(col("__lp_e4")).as("__sum_e4"))
+      .select(col("doc_id"), col("n_tokens"),
+        (floor(col("__sum_e4").cast("double") / col("n_tokens").cast("double") + 0.5)
+          .cast("double") / 10000.0).as("avg_logprob"))
+  }
 }

@@ -493,6 +493,88 @@ object H3Streaming {
             .cast("double") / 10000.0)).as("dsir_score"))
   }
 
+  /** Streaming form of [[graft.pipeline.TextOps.classifierScore]]: the
+    * hashed linear classifier is a pure stateless per-row projection
+    * (the weight is a formula of the md5 bucket), so it applies to a
+    * streaming frame directly — no state, no watermark, no join; the
+    * ingest-time quality gate. Output matches batch column-for-column. */
+  def streamingClassifierScore(stream: DataFrame, idCol: String, textCol: String): DataFrame = {
+    import graft.pipeline.TextOps
+    stream.select(col(idCol).as("doc_id"),
+        TextOps.classifierScored(col(textCol)).as("__c"))
+      .select(col("doc_id"), col("__c.n_features").as("n_features"),
+        col("__c.score").as("score"), col("__c.label").as("label"))
+  }
+
+  /** Streaming form of [[graft.pipeline.TextOps.bigramLmScoreAgainst]]:
+    * score arriving documents against a bigram LM pre-trained on a STATIC
+    * corpus (CCNet's deployment shape — the KenLM is trained once, every
+    * crawl shard scores against it). The trained LM folds into ONE row of
+    * three lookup maps (unigram / bigram / context counts) plus the two
+    * totals, which the stream cross-joins and Spark broadcasts per
+    * micro-batch; scoring is then a per-row fold over token positions —
+    * no explode, no stateful aggregation, so a document never splits
+    * across state. Unseen tokens/grams take count 0, exactly the batch
+    * add-one backoff (spec-pinned stream == batch, including OOV).
+    *
+    * The broadcast LM is the streaming trade-off: the batch operator
+    * LEFT-joins distinct-gram-sized tables instead; a trained LM is
+    * vocabulary-shaped (not corpus-shaped), which is what makes the
+    * one-row map form viable at scale. */
+  def streamingBigramLmScore(stream: DataFrame, idCol: String, textCol: String,
+      corpus: DataFrame, corpusText: Column): DataFrame = {
+    import graft.pipeline.TextOps
+    val cbase = corpus.select(TextOps.cleanTokens(corpusText).as("__tk"))
+      .filter(size(col("__tk")) >= 1)
+    val vocab = cbase.select(explode(col("__tk")).as("__t"))
+      .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
+      .localCheckpoint(false)
+    val c12 = cbase.select(explode(TextOps.wordNgramsOfTokens(col("__tk"), 2)).as("__g"))
+      .groupBy(col("__g")).agg(count(lit(1)).as("__c12"))
+      .localCheckpoint(false)
+    val ctx = c12.groupBy(element_at(split(col("__g"), " "), 1).as("__w1"))
+      .agg(sum(col("__c12")).as("__c1"))
+    val lm = vocab
+      .agg(map_from_entries(collect_list(struct(col("__t"), col("__c")))).as("__m2"),
+        sum(col("__c")).as("__T"), count(lit(1)).as("__V"))
+      .crossJoin(c12.agg(
+        map_from_entries(collect_list(struct(col("__g"), col("__c12")))).as("__m12")))
+      .crossJoin(ctx.agg(
+        map_from_entries(collect_list(struct(col("__w1"), col("__c1")))).as("__m1")))
+      .withColumn("__one", lit(1))
+    val scored = stream.withColumn("__one", lit(1))
+      .join(lm, Seq("__one"))
+      .withColumn("__tk", TextOps.cleanTokens(col(textCol)))
+      .filter(size(col("__tk")) >= 1)
+    val denom = (col("__T") + col("__V")).cast("double")
+    def e4(x: Column): Column = floor(x * 10000.0 + 0.5).cast("long")
+    val firstLp = e4(log(
+      (coalesce(element_at(col("__m2"), element_at(col("__tk"), 1)), lit(0L)) + 1)
+        .cast("double") / denom))
+    val n = size(col("__tk"))
+    // positions 2..n as a fold; guarded sequence (2-arg sequence steps
+    // DOWN when start > stop, so n = 1 must yield the empty array)
+    val restSum = aggregate(
+      when(n >= 2, sequence(lit(2), greatest(n, lit(2)), lit(1)))
+        .otherwise(array().cast("array<int>")),
+      lit(0L),
+      (acc, i) => {
+        val w1 = element_at(col("__tk"), i - 1)
+        val w2 = element_at(col("__tk"), i)
+        val g = concat(w1, lit(" "), w2)
+        val c12v = coalesce(element_at(col("__m12"), g), lit(0L))
+        val c1v = coalesce(element_at(col("__m1"), w1), lit(0L))
+        val c2v = coalesce(element_at(col("__m2"), w2), lit(0L))
+        acc + e4(log(
+          lit(0.75) * ((c12v + 1).cast("double") / (c1v + col("__V")).cast("double"))
+            + lit(0.25) * ((c2v + 1).cast("double") / denom)))
+      })
+    scored.select(col(idCol).as("doc_id"),
+      n.cast("long").as("n_tokens"),
+      (floor((firstLp + restSum).cast("double") / n.cast("double") + 0.5)
+        .cast("double") / 10000.0).as("avg_logprob"))
+  }
+
   /** Streaming corpus delta against a STATIC stored snapshot — the
     * ingest-time form of [[graft.pipeline.TextOps.corpusDiff]]: each
     * arriving (id, text) classifies as `added` (id unknown to the

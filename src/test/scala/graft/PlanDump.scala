@@ -15,7 +15,8 @@ object PlanDump {
     "p59_importance_resample", "p60_curation_v2", "p61_image_phash_dedup",
     "p62_audio_fingerprint_dedup", "p63_video_clip_matches",
     "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
-    "p68_corpus_diff", "p69_ccnet_pipeline")
+    "p68_corpus_diff", "p69_ccnet_pipeline", "p70_classifier_score",
+    "p71_bigram_lm", "p72_bigram_lm_cross")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -96,6 +97,18 @@ Audited shapes pinned here against regression:
   (checkpoint barrier), the class-frame windows and bucket broadcast
   keep the p65 shape, and the retention report is a map-side-partial
   aggregate over the joined-back slim frame.
+- p70 (hashed classifier): scan → Project → Sort and NOTHING else — no
+  Exchange anywhere above the scan except the final output sort; the
+  hashing-trick weight formula keeps inference a pure projection (the
+  whole point at 100 TB: one pass, zero shuffle, no weight table).
+- p71/p72 (bigram LM): the gram-count aggregates show partial_count
+  before their Exchange; context and right-unigram tables hang off the
+  AGGREGATED gram/vocab frames (rowCount ≈ distinct grams, not token
+  instances); score join-back on the gram key is BroadcastHashJoin at
+  this SF (AQE — the trained LM fits) and degrades to a shuffled hash
+  join, never a sort of the corpus, when it does not; p72's LEFT joins
+  (OOV backoff) preserve every scored position. No text column crosses
+  an exchange — ReadSchema dies at the tokenizer projection.
 
 """)
     for (name <- Captured) {

@@ -1,0 +1,162 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** Specs for the hashed linear classifier (p70) and the interpolated
+  * bigram LM (p71): each is compared against an independent sequential
+  * in-memory reference over real corpus slices, plus edge cases the
+  * corpus does not exercise (empty / NULL / single-token documents). */
+class TextScoringSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  val sfDir = "/root/testdata/sf0.001"
+  lazy val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  private def toks(t: String): Seq[String] =
+    Option(t).getOrElse("").trim.toLowerCase.split("\\s+").filter(_.nonEmpty).toSeq
+
+  // ----- classifier reference -----
+
+  private def refClassifier(text: String): (Long, Double, String) = {
+    val tk = toks(text)
+    val feats = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+    if (feats.isEmpty) (0L, 0.5, "keep")
+    else {
+      val s = feats.map(f =>
+        ((md5Long60(f) % TextOps.ClassifierBuckets) * 2654435761L) % 2000001L - 1000000L).sum
+      val logit = (s.toDouble / feats.size.toDouble) / 1000000.0
+      val sc = math.floor(1.0 / (1.0 + math.exp(-logit)) * 10000.0 + 0.5) / 10000.0
+      (feats.size.toLong, sc, if (sc >= 0.5) "keep" else "drop")
+    }
+  }
+
+  test("classifier matches the sequential reference on a corpus slice") {
+    val slice = docs.limit(50).select($"doc_id", $"text")
+    val expected = slice.as[(Long, String)].collect()
+      .map { case (id, t) => id -> refClassifier(t) }.toMap
+    val got = TextOps.classifierScore(slice, $"doc_id", $"text")
+      .as[(Long, Long, Double, String)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, n, sc, lb) =>
+      val (en, esc, elb) = expected(id)
+      assert(n == en, s"doc $id n_features")
+      assert(sc == esc, s"doc $id score")
+      assert(lb == elb, s"doc $id label")
+    }
+    // mean weight is in [-1, 1], so scores live strictly inside the
+    // sigmoid image of that interval
+    got.foreach { case (_, _, sc, _) => assert(sc >= 0.2689 && sc <= 0.7311) }
+  }
+
+  test("classifier: empty and NULL text score 0.5/keep; result is partitioning-invariant") {
+    val d = Seq((1L, "hello world"), (2L, ""), (3L, null.asInstanceOf[String]), (4L, "   "))
+      .toDF("doc_id", "text")
+    val out = TextOps.classifierScore(d, $"doc_id", $"text")
+      .as[(Long, Long, Double, String)].collect().sortBy(_._1)
+    Seq(2L, 3L, 4L).foreach { id =>
+      val r = out.find(_._1 == id).get
+      assert(r._2 == 0L && r._3 == 0.5 && r._4 == "keep", s"doc $id")
+    }
+    // hello world: 2 unigrams + 1 bigram
+    assert(out.find(_._1 == 1L).get._2 == 3L)
+    val one = TextOps.classifierScore(docs.limit(40).repartition(1), $"doc_id", $"text")
+      .as[(Long, Long, Double, String)].collect().toSet
+    val many = TextOps.classifierScore(docs.limit(40).repartition(7), $"doc_id", $"text")
+      .as[(Long, Long, Double, String)].collect().toSet
+    assert(one == many)
+  }
+
+  // ----- bigram LM reference -----
+
+  private def refBigramLm(texts: Seq[(Long, String)]): Map[Long, (Long, Double)] = {
+    val tk = texts.map { case (id, t) => id -> toks(t) }.filter(_._2.nonEmpty)
+    val uni = tk.flatMap(_._2).groupBy(identity).map { case (w, l) => w -> l.size.toLong }
+    val T = uni.values.sum
+    val V = uni.size.toLong
+    val denom = (T + V).toDouble
+    val bigs = tk.flatMap { case (_, ts) => ts.sliding(2).filter(_.size == 2).map(p => (p(0), p(1))) }
+    val c12 = bigs.groupBy(identity).map { case (g, l) => g -> l.size.toLong }
+    val c1 = c12.toSeq.groupBy(_._1._1).map { case (w, m) => w -> m.map(_._2).sum }
+    def e4(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    tk.map { case (id, ts) =>
+      val first = e4(math.log((uni(ts.head) + 1).toDouble / denom))
+      val rest = ts.sliding(2).filter(_.size == 2).map { p =>
+        val c = c12((p(0), p(1)))
+        e4(math.log(0.75 * ((c + 1).toDouble / (c1(p(0)) + V).toDouble)
+          + 0.25 * ((uni(p(1)) + 1).toDouble / denom)))
+      }.toSeq
+      val all = first +: rest
+      id -> (all.size.toLong, math.floor(all.sum.toDouble / all.size + 0.5) / 10000.0)
+    }.toMap
+  }
+
+  test("bigram LM matches the sequential reference on a corpus slice") {
+    val slice = docs.limit(60).select($"doc_id", $"text")
+    val expected = refBigramLm(slice.as[(Long, String)].collect().toSeq)
+    val got = TextOps.bigramLogProbScore(slice, $"doc_id", $"text")
+      .as[(Long, Long, Double)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, n, sc) =>
+      val (en, esc) = expected(id)
+      assert(n == en, s"doc $id n_tokens")
+      assert(sc == esc, s"doc $id avg_logprob")
+    }
+  }
+
+  test("bigram LM: single-token and empty documents; n_tokens equals scored positions") {
+    val d = Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""), (4L, "beta beta"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLogProbScore(d, $"doc_id", $"text")
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    // empty doc is excluded; the rest score every token position
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 4L))
+    assert(out.find(_._1 == 1L).get._2 == 3L)
+    assert(out.find(_._1 == 2L).get._2 == 1L)
+    val expected = refBigramLm(Seq((1L, "alpha beta alpha"), (2L, "alpha"), (3L, ""), (4L, "beta beta")))
+    out.foreach { case (id, n, sc) =>
+      assert((n, sc) == expected(id), s"doc $id")
+    }
+    // single-token doc scores exactly its add-one unigram log-prob:
+    // corpus unigrams: alpha x3, beta x3 -> T=6, V=2
+    val lpAlpha = math.floor(math.log(4.0 / 8.0) * 10000.0 + 0.5)
+    assert(out.find(_._1 == 2L).get._3 == math.floor(lpAlpha / 1.0 + 0.5) / 10000.0)
+  }
+
+  test("law: bigramLmScoreAgainst trained on the scored frame itself equals bigramLogProbScore") {
+    val slice = docs.limit(80).select($"doc_id", $"text")
+    val self = TextOps.bigramLogProbScore(slice, $"doc_id", $"text")
+      .as[(Long, Long, Double)].collect().toSet
+    val against = TextOps.bigramLmScoreAgainst(slice, $"doc_id", $"text", slice, $"text")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(self == against)
+  }
+
+  test("bigramLmScoreAgainst: out-of-vocabulary documents take count-0 add-one backoff") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha gamma"))
+      .toDF("doc_id", "text")
+    // T=6, V=3; doc "zeta alpha zeta":
+    //   first "zeta": OOV -> ln(1/9)
+    //   "zeta alpha": c12=0, c1(zeta)=0, c2(alpha)=3 -> ln(.75*(1/3)+.25*(4/9))
+    //   "alpha zeta": c12=0, c1(alpha)=3, c2(zeta)=0 -> ln(.75*(1/6)+.25*(1/9))
+    def e4(x: Double): Long = math.floor(x * 10000.0 + 0.5).toLong
+    val lps = Seq(
+      e4(math.log(1.0 / 9.0)),
+      e4(math.log(0.75 * (1.0 / 3.0) + 0.25 * (4.0 / 9.0))),
+      e4(math.log(0.75 * (1.0 / 6.0) + 0.25 * (1.0 / 9.0))))
+    val expected = math.floor(lps.sum.toDouble / 3.0 + 0.5) / 10000.0
+    val out = TextOps.bigramLmScoreAgainst(
+        Seq((9L, "zeta alpha zeta")).toDF("doc_id", "text"),
+        $"doc_id", $"text", corpus, $"text")
+      .as[(Long, Long, Double)].collect()
+    assert(out.toSeq == Seq((9L, 3L, expected)))
+  }
+}

@@ -468,4 +468,53 @@ class H3StreamingSpec extends AnyFunSuite {
         9L -> "added", 3L -> "unchanged"))
     } finally query.stop()
   }
+
+  test("streaming classifier score == batch classifierScore") {
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq((1L, "the quick brown fox"), (2L, ""), (3L, null: String),
+      (4L, "numbers 123 456 and words"))
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingClassifierScore(
+      input.toDF.toDF("id", "text"), "id", "text")
+    val query = out.writeStream
+      .format("memory").queryName("clf").outputMode("append").start()
+    try {
+      input.addData(rows: _*)
+      query.processAllAvailable()
+      val got = spark.table("clf")
+        .as[(Long, Long, Double, String)].collect().toSet
+      val batch = TextOps.classifierScore(rows.toDF("doc_id", "text"),
+          col("doc_id"), col("text"))
+        .as[(Long, Long, Double, String)].collect().toSet
+      assert(got == batch)
+    } finally query.stop()
+  }
+
+  test("streaming bigram LM score == batch bigramLmScoreAgainst, including OOV") {
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "alpha beta gamma"), (2L, "alpha beta"), (3L, "gamma alpha beta"))
+      .toDF("doc_id", "text").localCheckpoint(false)
+    // re-arrivals, a part-OOV doc, a fully-OOV doc, a single-token doc,
+    // and an empty doc (excluded on both sides)
+    val arrivals = Seq((1L, "alpha beta gamma"), (9L, "zeta alpha zeta"),
+      (10L, "wholly novel words"), (11L, "alpha"), (12L, ""))
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingBigramLmScore(
+      input.toDF.toDF("id", "text"), "id", "text", corpus, col("text"))
+    val query = out.writeStream
+      .format("memory").queryName("blm").outputMode("append").start()
+    try {
+      input.addData(arrivals: _*)
+      query.processAllAvailable()
+      val got = spark.table("blm")
+        .as[(Long, Long, Double)].collect().toSet
+      val batch = TextOps.bigramLmScoreAgainst(arrivals.toDF("doc_id", "text"),
+          col("doc_id"), col("text"), corpus, col("text"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == batch)
+      assert(!got.exists(_._1 == 12L) && got.exists(_._1 == 10L))
+    } finally query.stop()
+  }
 }
