@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Dedup, Mixing, Multimodal, Similarity, TextOps}
+import graft.pipeline.{Dedup, Events, Mixing, Multimodal, Similarity, TextOps}
 
 /**
  * Training-data pipeline operators as driver-contract queries with DuckDB
@@ -17,6 +17,18 @@ object PipelineQueries {
     s.read.parquet(s"$dir/documents.parquet")
   private def embs(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
+
+  /** events with an int64 `ts_us` micros ordinal, branching on the ts
+    * physical type like p41 (driver generations have shifted between
+    * TIMESTAMP(NANOS) read as raw longs and TIMESTAMP(MICROS)). */
+  private def eventsUs(s: SparkSession, dir: String): DataFrame = {
+    val ev = s.read.parquet(s"$dir/events.parquet")
+    val tsMicros = ev.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("ts div 1000")
+      case _ => unix_micros(col("ts").cast("timestamp"))
+    }
+    ev.withColumn("ts_us", tsMicros)
+  }
 
   /** documents ∪ shifted exact copies ∪ shifted near-copies — gives the
     * dedup operators real duplicates to find. */
@@ -924,6 +936,47 @@ object PipelineQueries {
         tsMicros, col("value"), gap = 86400L * 1000000L)
         .orderBy(col("key"), col("session_idx"))
     }),
+
+    // as-of join: every purchase picks up the user's latest preceding
+    // click (union-scan form — one key partitioning, no range-join pair
+    // blow-up); ties at equal ts go to the larger click event_id
+    "p73_asof_join" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          floor(col("value") * 100.0 + 0.5).cast("long").as("v_e2"))
+      Events.asOfJoin(purchases, col("user_id"), col("ts_us"), col("event_id"),
+          clicks, col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("asof.event_id").as("click_event_id"),
+          col("asof.ts_us").as("click_ts_us"),
+          col("asof.v_e2").as("click_value_e2"),
+          (col("ts_us") - col("asof.ts_us")).as("wait_us"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ordered funnel signup -> click -> purchase within 7 days, greedy
+    // earliest-completion chain per user
+    "p74_funnel" -> ((s, dir) =>
+      Events.funnel(eventsUs(s, dir), col("user_id"), col("ts_us"),
+          col("event_type"), Seq("signup", "click", "purchase"),
+          maxSpan = 7L * 86400L * 1000000L)
+        .orderBy(col("step_idx"))),
+
+    // retention triangle: first-event-day cohorts x day offsets
+    "p75_cohort_retention" -> ((s, dir) =>
+      Events.cohortRetention(eventsUs(s, dir), col("user_id"), col("ts_us"),
+          dayUnit = 86400000000L)
+        .orderBy(col("cohort_day"), col("day_offset"))),
+
+    // hopping-window rollup: 6 h windows sliding every 2 h, per event type
+    "p76_hopping_stats" -> ((s, dir) =>
+      Events.hoppingWindowStats(eventsUs(s, dir), col("ts_us"),
+          col("event_type"), col("value"),
+          windowLen = 21600000000L, slide = 7200000000L)
+        .orderBy(col("window_start"), col("group"))),
 
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
@@ -2437,6 +2490,63 @@ object PipelineQueries {
         |  min(ts) AS start_ts, max(ts) AS end_ts,
         |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum_e2
         |FROM s GROUP BY user_id, sidx ORDER BY key, session_idx""".stripMargin,
+
+    "p73_asof_join" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v_e2, event_type FROM events),
+        |u AS (
+        |  SELECT user_id AS k, ts_us, 1 AS side, event_id AS seq,
+        |    event_id, ts_us AS l_ts, NULL::BIGINT AS r_eid,
+        |    NULL::BIGINT AS r_ts, NULL::BIGINT AS r_v
+        |  FROM e WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts_us, 0, event_id,
+        |    NULL::BIGINT, NULL::BIGINT, event_id, ts_us, v_e2
+        |  FROM e WHERE event_type = 'click'),
+        |m AS (SELECT *,
+        |  last_value(r_eid IGNORE NULLS) OVER w AS click_event_id,
+        |  last_value(r_ts IGNORE NULLS) OVER w AS click_ts_us,
+        |  last_value(r_v IGNORE NULLS) OVER w AS click_value_e2
+        |  FROM u WINDOW w AS (PARTITION BY k ORDER BY ts_us, side, seq
+        |    ROWS UNBOUNDED PRECEDING))
+        |SELECT event_id, k AS user_id, l_ts AS ts_us, click_event_id,
+        |  click_ts_us, click_value_e2, l_ts - click_ts_us AS wait_us
+        |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
+
+    "p74_funnel" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS ts, event_type AS t FROM events),
+        |s0 AS (SELECT k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY k),
+        |s1 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
+        |    AND e.ts <= s0.t0 + 604800000000) AS t1
+        |  FROM e JOIN s0 ON e.k = s0.k GROUP BY e.k),
+        |s2 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
+        |    AND e.ts <= s0.t0 + 604800000000) AS t2
+        |  FROM e JOIN s1 ON e.k = s1.k JOIN s0 ON e.k = s0.k GROUP BY e.k)
+        |SELECT 0 AS step_idx, 'signup' AS step,
+        |  (SELECT count(*) FROM s0 WHERE t0 IS NOT NULL)::BIGINT AS n_keys
+        |UNION ALL SELECT 1, 'click',
+        |  (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL)::BIGINT
+        |UNION ALL SELECT 2, 'purchase',
+        |  (SELECT count(*) FROM s2 WHERE t2 IS NOT NULL)::BIGINT
+        |ORDER BY step_idx""".stripMargin,
+
+    "p75_cohort_retention" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS day FROM events),
+        |f AS (SELECT k, min(day) AS cohort_day FROM e GROUP BY k),
+        |d AS (SELECT DISTINCT e.k, f.cohort_day, e.day - f.cohort_day AS day_offset
+        |  FROM e JOIN f ON e.k = f.k)
+        |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
+        |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p76_hopping_stats" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |x AS (SELECT (ts - ts % 7200000000) - k.k * 7200000000 AS window_start, grp, v
+        |  FROM e CROSS JOIN (SELECT unnest(range(3)) AS k) k)
+        |SELECT window_start, grp AS "group", CAST(count(*) AS BIGINT) AS n_events,
+        |  CAST(sum(v) AS BIGINT) AS value_sum_e2
+        |FROM x WHERE window_start >= 0
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p40_gopher_filter" ->
       s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),

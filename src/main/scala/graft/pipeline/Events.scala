@@ -1,0 +1,175 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/**
+ * Event-stream analytics over a keyed, timestamped event table: as-of
+ * join, ordered funnel conversion, cohort retention, and hopping-window
+ * rollups. Together with [[Sessions.sessionize]] these cover the standard
+ * behavioral-analytics surface a training-data/metrics pipeline runs over
+ * its interaction logs.
+ *
+ * Conventions shared with [[Sessions]]: timestamps are int64 ordinals in a
+ * caller-fixed unit (micros in the driver queries — DuckDB `epoch_us`);
+ * real-valued measures are floor-quantized to integer lattices before any
+ * aggregation so every sum is exact integer arithmetic, reproducible
+ * across engines and partition orders.
+ *
+ * Scale design: every operator shuffles ONCE on the event key (window
+ * partitioned by key, or a key-grouped aggregate) and then only touches
+ * frames whose cardinality is bounded by keys × a small factor — never a
+ * self-join of events against events, never a global window over raw
+ * events. All rollup aggregates are partial-aggregated map-side.
+ */
+object Events {
+
+  /**
+   * As-of join: for every left event, the LATEST right event of the same
+   * key with `right.ts <= left.ts` (ties on ts: the right row with the
+   * larger `rightSeq` wins; a right row at exactly the left timestamp
+   * matches). Left rows with no prior right row get a NULL match struct.
+   *
+   * The classic implementation is a range join (`l.key = r.key AND r.ts <=
+   * l.ts`) + argmax, which explodes to O(|L|·|R| per key) pairs before the
+   * argmax prunes. This one is the union-scan form: tag both sides, sort
+   * each key's merged timeline once, and carry the last-seen right row
+   * forward with `last(_, ignoreNulls)` over an unbounded-preceding frame —
+   * O(|L|+|R|) rows, ONE hash partitioning by key, no pair blow-up, and
+   * whole rows never duplicate (left/right payloads ride as structs).
+   * At 100 TB an as-of of a billion-row stream against a billion-row quote
+   * table is one sort-merge-shaped pass instead of a quadratic range join.
+   *
+   * Returns the left columns (original names) plus `asofCol`: a struct of
+   * the matched right row's columns, NULL when no match.
+   */
+  def asOfJoin(left: DataFrame, leftKey: Column, leftTs: Column, leftSeq: Column,
+      right: DataFrame, rightKey: Column, rightTs: Column, rightSeq: Column,
+      asofCol: String = "asof"): DataFrame = {
+    // null literals carry the OTHER side's struct type so the union lines up
+    val rPart = right.select(rightKey.cast("long").as("__k"), rightTs.cast("long").as("__ts"),
+      lit(0).as("__side"), rightSeq.cast("long").as("__seq"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        left.schema.fields)).as("__l"),
+      struct(right.columns.map(col).toIndexedSeq: _*).as("__r"))
+    val lFixed = left.select(leftKey.cast("long").as("__k"), leftTs.cast("long").as("__ts"),
+      lit(1).as("__side"), leftSeq.cast("long").as("__seq"),
+      struct(left.columns.map(col).toIndexedSeq: _*).as("__l"),
+      lit(null).cast(org.apache.spark.sql.types.StructType(
+        right.schema.fields)).as("__r"))
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts"), col("__side"), col("__seq"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    lFixed.unionByName(rPart)
+      .withColumn("__m", last(col("__r"), ignoreNulls = true).over(w))
+      .filter(col("__side") === 1)
+      .select(col("__l.*") +: Seq(col("__m").as(asofCol)): _*)
+  }
+
+  /**
+   * Ordered funnel: how many keys (users) reach each step of
+   * `steps` in sequence, where step i+1 must occur STRICTLY after the
+   * chosen (earliest-completion) occurrence of step i and the whole chain
+   * within `maxSpan` of step 0. The earliest-completion choice is the
+   * standard greedy funnel semantics: it is optimal (if any occurrence
+   * chain exists, the greedy chain exists), so conversion counts are exact.
+   *
+   * One hash partitioning by key; each step adds a Window node over the
+   * SAME partitioning (no ordering — unbounded conditional min), so Spark
+   * plans one Exchange + n_steps windows, then a per-key collapse and a
+   * tiny (n_steps)-row rollup. Per-key state is a handful of longs
+   * regardless of event count.
+   *
+   * Returns (step_idx, step, n_keys) — n_keys monotonically non-increasing.
+   */
+  def funnel(events: DataFrame, key: Column, ts: Column, eventType: Column,
+      steps: Seq[String], maxSpan: Long): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxSpan > 0, s"maxSpan must be positive, got $maxSpan")
+    val byKey = Window.partitionBy(col("__k"))
+    val base = events.select(key.cast("long").as("__k"), ts.cast("long").as("__ts"),
+      eventType.as("__t"))
+    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val cond = if (i == 0) col("__t") === step
+        else col("__t") === step && col("__ts") > col(s"__s${i - 1}") &&
+          col("__ts") <= col("__s0") + maxSpan
+      df.withColumn(s"__s$i", min(when(cond, col("__ts"))).over(byKey))
+    }
+    val stepMins = steps.indices.map(i => max(col(s"__s$i")).as(s"__s$i"))
+    val perKey = withSteps
+      .groupBy(col("__k"))
+      .agg(stepMins.head, stepMins.tail: _*)
+    val stepCounts = steps.indices.map { i =>
+      sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val totals = perKey.agg(stepCounts.head, stepCounts.tail: _*)
+    val stepLit = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"__n$i").as("n_keys"))
+    }: _*)
+    totals.select(explode(stepLit).as("__e")).select(col("__e.*"))
+  }
+
+  /**
+   * Cohort retention: keys grouped by the day of their FIRST event
+   * (cohort), crossed with the day offset of each later activity —
+   * the standard retention triangle. Day = floor(ts / dayUnit) in the
+   * caller's time unit (86400e6 for micros), exact integer arithmetic.
+   *
+   * Plan: one window min over (partition by key) piggybacks on the
+   * key-partitioning Exchange, then the (cohort_day, day_offset, key)
+   * distinct + rollup shuffles a frame bounded by keys × active-days —
+   * already collapsed from raw events map-side by the distinct's partial
+   * aggregation.
+   *
+   * Returns (cohort_day, day_offset, n_keys).
+   */
+  def cohortRetention(events: DataFrame, key: Column, ts: Column,
+      dayUnit: Long): DataFrame = {
+    require(dayUnit > 0, s"dayUnit must be positive, got $dayUnit")
+    val byKey = Window.partitionBy(col("__k"))
+    // exact integer day: long `/` in Spark is double division; subtracting
+    // the mod first makes the double quotient exactly the integer day
+    events.select(key.cast("long").as("__k"),
+        ((ts.cast("long") - pmod(ts.cast("long"), lit(dayUnit))) / dayUnit)
+          .cast("long").as("__day"))
+      .withColumn("__cohort", min(col("__day")).over(byKey))
+      .select(col("__k"), col("__cohort").as("cohort_day"),
+        (col("__day") - col("__cohort")).as("day_offset"))
+      .distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_keys"))
+  }
+
+  /**
+   * Hopping-window rollup: per (window_start, group) event counts and
+   * exact e2-lattice value sums, where windows have length `windowLen`
+   * and slide `slide` (both in the ts unit; `windowLen` a multiple of
+   * `slide`), aligned to ts=0 — the batch twin of Structured Streaming's
+   * `window(ts, len, slide)`, with identical epoch-aligned window starts.
+   *
+   * Each event belongs to exactly windowLen/slide windows; membership is
+   * a generated integer sequence (`explode(sequence(...))`) — pure
+   * integer arithmetic, no timestamp-type round-trips — and the rollup is
+   * a single hash aggregate with map-side partials. Amplification is the
+   * fixed len/slide factor on SLIM (start, group, 1, v) rows, not whole
+   * events.
+   *
+   * Returns (window_start, group, n_events, value_sum_e2).
+   */
+  def hoppingWindowStats(events: DataFrame, ts: Column, group: Column,
+      value: Column, windowLen: Long, slide: Long): DataFrame = {
+    require(slide > 0 && windowLen > 0, "windowLen and slide must be positive")
+    require(windowLen % slide == 0,
+      s"windowLen ($windowLen) must be a multiple of slide ($slide)")
+    val nWin = windowLen / slide
+    events.select(ts.cast("long").as("__ts"), group.as("__g"),
+        floor(value * 100.0 + 0.5).cast("long").as("__v"))
+      .withColumn("__k", explode(sequence(lit(0L), lit(nWin - 1))))
+      .select(((col("__ts") - col("__ts") % slide) - col("__k") * slide).as("window_start"),
+        col("__g").as("group"), col("__v"))
+      .filter(col("window_start") >= 0)
+      .groupBy(col("window_start"), col("group"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("value_sum_e2"))
+  }
+}

@@ -1,0 +1,133 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** Specs for the event-analytics family (as-of join, funnel, cohort
+  * retention, hopping windows): each operator is compared against an
+  * independent brute-force sequential reference on seeded random
+  * multi-partition data, plus edge cases (no-match rows, ts ties,
+  * empty steps, window alignment at ts=0). */
+class EventsSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  // seeded random event log: ~60 keys x ~40 events, intentional ts ties
+  private val rnd = new scala.util.Random(77)
+  private val types = Seq("signup", "click", "purchase", "view")
+  private case class Ev(seq: Long, k: Long, ts: Long, t: String, v: Long)
+  private val evs: Seq[Ev] = (0L until 2400L).map { i =>
+    Ev(i, rnd.nextInt(60).toLong, (rnd.nextInt(500) * 10).toLong,
+      types(rnd.nextInt(types.size)), rnd.nextInt(1000).toLong)
+  }
+  private lazy val evDf = spark.createDataFrame(evs).repartition(7)
+
+  test("asOfJoin matches the brute-force argmax range join, incl. ties and no-match") {
+    val left = evDf.filter($"t" === "purchase").select($"seq", $"k", $"ts")
+    val right = evDf.filter($"t" === "click").select($"seq", $"k", $"ts", $"v")
+    val got = Events.asOfJoin(left, $"k", $"ts", $"seq", right, $"k", $"ts", $"seq")
+      .select($"seq", $"asof.seq".as("mseq"))
+      .collect().map(r => (r.getLong(0), if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+
+    val clicks = evs.filter(_.t == "click")
+    val want = evs.filter(_.t == "purchase").map { p =>
+      val cands = clicks.filter(c => c.k == p.k && c.ts <= p.ts)
+      val m = if (cands.isEmpty) -1L
+        else cands.maxBy(c => (c.ts, c.seq)).seq
+      p.seq -> m
+    }.toMap
+    assert(got == want)
+    // the fixture must actually exercise both regimes
+    assert(want.values.exists(_ == -1L) && want.values.exists(_ != -1L))
+    // ties exist: some purchase shares a ts with a matching click
+    assert(evs.filter(_.t == "purchase").exists(p =>
+      clicks.exists(c => c.k == p.k && c.ts == p.ts)))
+  }
+
+  test("funnel matches a sequential greedy per-key scan") {
+    val steps = Seq("signup", "click", "purchase")
+    val span = 800L
+    val got = Events.funnel(evDf, $"k", $"ts", $"t", steps, span)
+      .orderBy($"step_idx")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+
+    // greedy earliest-completion chain per key
+    def chain(es: Seq[Ev]): Array[Boolean] = {
+      val reached = Array.fill(steps.size)(false)
+      val c0 = es.filter(_.t == steps.head)
+      if (c0.nonEmpty) {
+        val t0 = c0.map(_.ts).min
+        reached(0) = true
+        var prev = t0
+        var i = 1
+        var ok = true
+        while (i < steps.size && ok) {
+          val cand = es.filter(e => e.t == steps(i) && e.ts > prev && e.ts <= t0 + span)
+          if (cand.nonEmpty) { prev = cand.map(_.ts).min; reached(i) = true }
+          else ok = false
+          i += 1
+        }
+      }
+      reached
+    }
+    val perKey = evs.groupBy(_.k).values.map(chain).toSeq
+    val want = steps.indices.map(i => (i, steps(i), perKey.count(_(i)).toLong))
+    assert(got.toSeq == want)
+    // counts strictly decrease on this fixture (every step discriminates)
+    assert(want(0)._3 > want(1)._3 && want(1)._3 > want(2)._3 && want(2)._3 > 0)
+  }
+
+  test("cohortRetention matches brute force") {
+    val dayUnit = 700L
+    val got = Events.cohortRetention(evDf, $"k", $"ts", dayUnit)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val first = evs.groupBy(_.k).map { case (k, es) => k -> es.map(_.ts / dayUnit).min }
+    val want = evs.map(e => (e.k, first(e.k), e.ts / dayUnit - first(e.k)))
+      .distinct.groupBy(e => (e._2, e._3)).map { case (kk, g) => kk -> g.size.toLong }
+    assert(got == want)
+  }
+
+  test("hoppingWindowStats matches per-event window enumeration") {
+    val len = 300L
+    val slide = 100L
+    val got = Events.hoppingWindowStats(evDf, $"ts", $"t", $"v", len, slide)
+      .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    val want = evs.flatMap { e =>
+      (0L until len / slide).map(i => (e.ts - e.ts % slide - i * slide, e.t, e.v * 100))
+    }.filter(_._1 >= 0)
+      .groupBy(x => (x._1, x._2))
+      .map { case (kk, g) => kk -> (g.size.toLong, g.map(_._3).sum) }
+    assert(got == want)
+    // ts=0 events are members of exactly ONE window (starts never negative)
+    assert(evs.exists(_.ts == 0L))
+  }
+
+  test("hoppingWindowStats window starts agree with Spark's built-in window()") {
+    // cross-check the epoch alignment contract against the engine's own
+    // streaming window assignment on second-unit timestamps
+    val df = evDf.select(($"ts" + 1).as("ts"), $"t", $"v") // avoid ts=0 edge: builtin keeps it too, just symmetric
+    val ours = Events.hoppingWindowStats(df, $"ts", $"t", lit(0.0), 300L, 100L)
+      .select($"window_start", $"n_events")
+    val builtin = df
+      .select(timestamp_seconds($"ts").as("tss"), $"t")
+      .groupBy(window($"tss", "300 seconds", "100 seconds"), $"t")
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_timestamp($"window.start").as("window_start"), $"n_events")
+      .filter($"window_start" >= 0)
+    val a = ours.groupBy($"window_start").agg(sum($"n_events").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = builtin.groupBy($"window_start").agg(sum($"n_events").as("n")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a == b)
+  }
+
+  test("asOfJoin plans one exchange on the key, no join node") {
+    val left = evDf.filter($"t" === "purchase").select($"seq", $"k", $"ts")
+    val right = evDf.filter($"t" === "click").select($"seq", $"k", $"ts", $"v")
+    val plan = Events.asOfJoin(left, $"k", $"ts", $"seq", right, $"k", $"ts", $"seq")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+}
