@@ -978,6 +978,14 @@ object PipelineQueries {
           windowLen = 21600000000L, slide = 7200000000L)
         .orderBy(col("window_start"), col("group"))),
 
+    // hashed linear classifier TRAINING: 3 full-batch GD iterations on
+    // logistic loss vs a seed-keyword weak label (the fastText-bootstrap
+    // shape), then score the corpus with the learned weights
+    "p77_classifier_train" -> ((s, dir) =>
+      TextOps.classifierTrain(docs(s, dir), col("doc_id"), col("text"),
+          when(col("text").contains("vector"), 1L).otherwise(0L))
+        .orderBy(col("doc_id"))),
+
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
     "p40_gopher_filter" -> ((s, dir) => {
@@ -2547,6 +2555,47 @@ object PipelineQueries {
         |  CAST(sum(v) AS BIGINT) AS value_sum_e2
         |FROM x WHERE window_start >= 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p77_classifier_train" ->
+      s"""WITH tka AS (SELECT doc_id,
+         |    list_filter($oToks, t -> t != '') AS tk FROM documents),
+         |fts AS (SELECT doc_id, unnest(list_concat(tk,
+         |    [tk[i] || ' ' || tk[i+1] FOR i IN range(1, len(tk))])) AS f FROM tka),
+         |yy AS (SELECT doc_id, CASE WHEN text LIKE '%vector%' THEN 1 ELSE 0 END AS y FROM documents),
+         |fc AS (SELECT doc_id, ('0x' || substr(md5(f), 1, 15))::BIGINT % 4096 AS b,
+         |    count(*)::BIGINT AS c FROM fts GROUP BY 1, 2),
+         |fn AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n FROM fc GROUP BY 1),
+         |nd AS (SELECT count(*)::BIGINT AS nd FROM fn),
+         |g1 AS (SELECT b, CAST(sum((500000 - yy.y * 1000000) * c) AS BIGINT) AS g
+         |  FROM fc JOIN yy USING (doc_id) GROUP BY b),
+         |w1 AS (SELECT b, CAST(-floor(g::DOUBLE / (2.0 * nd)) AS BIGINT) AS w FROM g1, nd),
+         |s2 AS (SELECT fc.doc_id, CAST(sum(c * coalesce(w1.w, 0)) AS BIGINT) AS s
+         |  FROM fc LEFT JOIN w1 USING (b) GROUP BY fc.doc_id),
+         |p2 AS (SELECT doc_id, CAST(floor(1.0 / (1.0 + exp(-(s::DOUBLE
+         |    / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS p FROM s2),
+         |g2 AS (SELECT b, CAST(sum((p - yy.y * 1000000) * c) AS BIGINT) AS g
+         |  FROM fc JOIN p2 USING (doc_id) JOIN yy USING (doc_id) GROUP BY b),
+         |w2 AS (SELECT b, CAST(coalesce(w1.w, 0) - floor(g2.g::DOUBLE / (2.0 * nd)) AS BIGINT) AS w
+         |  FROM g2 LEFT JOIN w1 USING (b), nd),
+         |s3 AS (SELECT fc.doc_id, CAST(sum(c * coalesce(w2.w, 0)) AS BIGINT) AS s
+         |  FROM fc LEFT JOIN w2 USING (b) GROUP BY fc.doc_id),
+         |p3 AS (SELECT doc_id, CAST(floor(1.0 / (1.0 + exp(-(s::DOUBLE
+         |    / 1000000.0))) * 1000000.0 + 0.5) AS BIGINT) AS p FROM s3),
+         |g3 AS (SELECT b, CAST(sum((p - yy.y * 1000000) * c) AS BIGINT) AS g
+         |  FROM fc JOIN p3 USING (doc_id) JOIN yy USING (doc_id) GROUP BY b),
+         |w3 AS (SELECT b, CAST(coalesce(w2.w, 0) - floor(g3.g::DOUBLE / (2.0 * nd)) AS BIGINT) AS w
+         |  FROM g3 LEFT JOIN w2 USING (b), nd),
+         |sf AS (SELECT fc.doc_id, CAST(sum(c * coalesce(w3.w, 0)) AS BIGINT) AS s
+         |  FROM fc LEFT JOIN w3 USING (b) GROUP BY fc.doc_id),
+         |sc AS (SELECT doc_id, floor(1.0 / (1.0 + exp(-(s::DOUBLE
+         |    / 1000000.0))) * 10000.0 + 0.5) / 10000.0 AS score FROM sf)
+         |SELECT d.doc_id, yy.y::BIGINT AS y, coalesce(fn.n, 0)::BIGINT AS n_features,
+         |  coalesce(sc.score, 0.5) AS score,
+         |  CASE WHEN coalesce(sc.score, 0.5) >= 0.5 THEN 'keep' ELSE 'drop' END AS label
+         |FROM documents d JOIN yy ON d.doc_id = yy.doc_id
+         |LEFT JOIN fn ON d.doc_id = fn.doc_id
+         |LEFT JOIN sc ON d.doc_id = sc.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "p40_gopher_filter" ->
       s"""WITH toks AS (SELECT doc_id, $oToks AS tk FROM documents),

@@ -675,6 +675,113 @@ object TextOps {
         col("__c.score").as("score"), col("__c.label").as("label"))
   }
 
+  /**
+   * fastText-style hashed linear classifier TRAINING (Joulin et al. 2016)
+   * — the learning half of [[classifierScore]]: full-batch gradient
+   * descent on logistic loss over hashed bag-of-ngram features against a
+   * caller-supplied (weak) 0/1 label, then score every document with the
+   * learned weights. This is the DCLM / FineWeb-Edu curation shape:
+   * bootstrap a quality classifier from weak labels, apply it at corpus
+   * scale.
+   *
+   * Model: `logit(doc) = Σ_f c_f * w[h(f)]` — standard logistic
+   * regression on hashed count features (the mean-normalized form of
+   * [[classifierScored]] is NOT used for training: its gradient scales as
+   * 1/n² per feature, so full-batch GD barely moves in a few iterations;
+   * the sum form has the textbook gradient `Σ_docs (p - y) * c` and
+   * converges, and its gradient is pure long arithmetic — no per-doc
+   * division at all).
+   *
+   * Scale design: the exploded feature frame is computed ONCE, collapsed
+   * to slim `(doc_id, y, bucket, c, n)` longs, and localCheckpoint'ed;
+   * each iteration re-reads it twice (a per-doc window sum for scores and
+   * a per-bucket aggregate for the gradient — 2 bounded shuffles of the
+   * slim frame, never the texts). The weight vector is `buckets` longs:
+   * broadcast-joined INTO each iteration and collected OUT of it — the
+   * bounded driver-held-frame contract (4096 buckets = 32 KB; the bucket
+   * count bounds driver memory, never the corpus). Iterations are a
+   * fixed hyperparameter, so the whole train is `O(iters)` jobs over one
+   * cached slim frame — at 100 TB the texts are read exactly once.
+   *
+   * Engine-exactness (the oracle unrolls the same iterations in SQL):
+   * weights live on the e6 integer lattice; per-doc sums and the gradient
+   * are exact long arithmetic; the only double steps are the sigmoid
+   * (floor-quantized to e6 immediately; saturation is exact — sigmoid of
+   * a huge logit floors to exactly 0 or 1e6 in both engines) and the
+   * weight-update floor-division, whose magnitudes are far below 2^53.
+   *
+   * Recurrence, on the lattice: `p_e6 = floor(sigmoid(Σ c*w_e6 / 1e6) *
+   * 1e6 + 0.5)`; `r_e6 = p_e6 - y*1e6`; `grad_e6(b) = Σ_docs r_e6 *
+   * c_db`; `w_e6(b) -= floor(grad_e6(b) / (lrDenom * nDocs))`.
+   *
+   * Returns `(doc_id, y, n_features, score, label)` — score is the
+   * learned-weight sigmoid on the e4 lattice, label the 0.5-boundary
+   * keep/drop; featureless (empty/NULL text) docs score 0.5 like
+   * [[classifierScore]].
+   */
+  def classifierTrain(df: DataFrame, id: Column, text: Column, label: Column,
+      buckets: Long = 4096L, iters: Int = 3, lrDenom: Double = 2.0): DataFrame = {
+    require(buckets >= 1 && buckets <= (1L << 22),
+      s"buckets must be in [1, 2^22] (driver-held weight vector), got $buckets")
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val byDoc = Window.partitionBy(col("doc_id"))
+    val feats = df.select(id.cast("long").as("doc_id"),
+        label.cast("long").as("y"),
+        explode(classifierFeatures(text)).as("f"))
+      .select(col("doc_id"), col("y"), (md5Long(col("f")) % lit(buckets)).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val nDocs = feats.select(col("doc_id")).distinct().count()
+
+    def pE6(s: Column): Column = {
+      val logit = s.cast("double") / lit(1000000.0)
+      floor(lit(1.0) / (lit(1.0) + exp(-logit)) * lit(1000000.0) + lit(0.5))
+        .cast("long")
+    }
+    def withW(w: Map[Long, Long]) = {
+      val wDf = w.toSeq.toDF("b", "w_e6")
+      feats.join(broadcast(wDf), Seq("b"), "left")
+        .withColumn("w_e6", coalesce(col("w_e6"), lit(0L)))
+    }
+
+    var w = Map.empty[Long, Long]
+    for (_ <- 1 to iters) {
+      val scored =
+        if (w.isEmpty) feats.withColumn("p_e6", lit(500000L)) // sigmoid(0)
+        else withW(w)
+          .withColumn("p_e6", pE6(sum(col("c") * col("w_e6")).over(byDoc)))
+      val grad = scored
+        .withColumn("q", (col("p_e6") - col("y") * lit(1000000L)) * col("c"))
+        .groupBy(col("b")).agg(sum(col("q")).as("g"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      w = grad.map { case (b, g) =>
+        b -> (w.getOrElse(b, 0L) -
+          math.floor(g.toDouble / (lrDenom * nDocs)).toLong)
+      }
+    }
+
+    // final e4 score exactly as classifierScored's lattice: sigmoid
+    // computed once, floor(sigmoid*1e4+0.5)/1e4
+    val scoredDocs = withW(w)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("w_e6")).as("s"), sum(col("c")).as("n"))
+      .select(col("doc_id"), col("n").as("n_features"), {
+        val logit = col("s").cast("double") / lit(1000000.0)
+        (floor(lit(1.0) / (lit(1.0) + exp(-logit)) * lit(10000.0) + lit(0.5))
+          .cast("double") / lit(10000.0)).as("score")
+      })
+    df.select(id.cast("long").as("doc_id"), label.cast("long").as("y"))
+      .join(scoredDocs, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("y"),
+        coalesce(col("n_features"), lit(0L)).as("n_features"),
+        coalesce(col("score"), lit(0.5)).as("score"))
+      .withColumn("label",
+        when(col("score") >= 0.5, lit("keep")).otherwise(lit("drop")))
+  }
+
   // -------------------------------------------------------------------
   // Interpolated bigram language model (the CCNet LM step, order 2)
   // -------------------------------------------------------------------

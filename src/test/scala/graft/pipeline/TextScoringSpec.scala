@@ -159,4 +159,103 @@ class TextScoringSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(out.toSeq == Seq((9L, 3L, expected)))
   }
+
+  // ----- classifier training reference -----
+
+  /** Sequential full-batch GD on the e6 lattice — the exact
+    * [[TextOps.classifierTrain]] recurrence. */
+  private def refTrain(rows: Seq[(Long, String, Long)], buckets: Long,
+      iters: Int, lrDenom: Double): Map[Long, (Long, Double, String)] = {
+    // (doc -> (y, Map[bucket, count], n))
+    val feats = rows.map { case (id, t, y) =>
+      val tk = toks(t)
+      val fs = tk ++ tk.sliding(2).filter(_.size == 2).map(_.mkString(" "))
+      val bc = fs.groupBy(f => md5Long60(f) % buckets).map { case (b, g) => b -> g.size.toLong }
+      (id, y, bc, bc.values.sum)
+    }
+    val trained = feats.filter(_._4 > 0)
+    val nDocs = trained.size.toLong
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (it <- 1 to iters) {
+      val grad = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      trained.foreach { case (_, y, bc, _) =>
+        val pE6 =
+          if (it == 1) 500000L
+          else {
+            val s = bc.map { case (b, c) => c * w(b) }.sum
+            math.floor(1.0 / (1.0 + math.exp(-(s.toDouble / 1000000.0))) * 1000000.0 + 0.5).toLong
+          }
+        val r = pE6 - y * 1000000L
+        bc.foreach { case (b, c) => grad(b) += r * c }
+      }
+      w = grad.map { case (b, g) =>
+        b -> (w(b) - math.floor(g.toDouble / (lrDenom * nDocs)).toLong)
+      }.toMap.withDefaultValue(0L)
+    }
+    feats.map { case (id, y, bc, n) =>
+      val score = if (n == 0) 0.5 else {
+        val s = bc.map { case (b, c) => c * w(b) }.sum
+        math.floor(1.0 / (1.0 + math.exp(-(s.toDouble / 1000000.0))) * 10000.0 + 0.5) / 10000.0
+      }
+      id -> (n, score, if (score >= 0.5) "keep" else "drop")
+    }.toMap
+  }
+
+  test("classifierTrain matches the sequential lattice-GD reference on a corpus slice") {
+    val slice = docs.limit(60).select($"doc_id", $"text",
+      when($"lang" === "en", 1L).otherwise(0L).as("y"))
+    val rows = slice.as[(Long, String, Long)].collect().toSeq
+    val expected = refTrain(rows, buckets = 512L, iters = 3, lrDenom = 4.0)
+    val got = TextOps.classifierTrain(slice.repartition(7), $"doc_id", $"text", $"y",
+        buckets = 512L, iters = 3, lrDenom = 4.0)
+      .as[(Long, Long, Long, Double, String)].collect()
+    assert(got.length == expected.size)
+    got.foreach { case (id, y, n, sc, lb) =>
+      val (en, esc, elb) = expected(id)
+      assert(n == en, s"doc $id n_features")
+      assert(sc == esc, s"doc $id score")
+      assert(lb == elb, s"doc $id label")
+      assert(y == rows.find(_._1 == id).get._3, s"doc $id y passthrough")
+    }
+  }
+
+  test("classifierTrain learns: separates the classes and beats the untrained loss") {
+    // seed-keyword weak label: the fastText-bootstrap supervision shape
+    // (the corpus vocabularies do not differ by lang, so a lang label has
+    // no bag-of-words signal — a keyword label does)
+    val slice = docs.select($"doc_id", $"text",
+      when($"text".contains("vector"), 1L).otherwise(0L).as("y"))
+    val out = TextOps.classifierTrain(slice, $"doc_id", $"text", $"y")
+      .as[(Long, Long, Long, Double, String)].collect()
+    val pos = out.filter(_._2 == 1L).map(_._4)
+    val neg = out.filter(_._2 == 0L).map(_._4)
+    assert(pos.nonEmpty && neg.nonEmpty)
+    // trained scores separate the weak classes in the mean
+    assert(pos.sum / pos.size > neg.sum / neg.size + 0.05,
+      s"mean(pos)=${pos.sum / pos.size} mean(neg)=${neg.sum / neg.size}")
+    // and logistic loss beats the untrained w=0 model (ln 2 everywhere);
+    // clamp scores off {0,1} since they ride the e4 lattice
+    val eps = 1e-4
+    val loss = out.map { case (_, y, _, sc, _) =>
+      val p = math.min(1.0 - eps, math.max(eps, sc))
+      -(y * math.log(p) + (1 - y) * math.log(1 - p))
+    }.sum / out.length
+    assert(loss < math.log(2.0) - 0.05, s"loss=$loss")
+  }
+
+  test("classifierTrain: featureless docs score 0.5 and ride through training") {
+    val d = Seq((1L, "alpha beta alpha", 1L), (2L, "", 0L),
+      (3L, null.asInstanceOf[String], 1L), (4L, "gamma delta", 0L))
+      .toDF("doc_id", "text", "y")
+    val out = TextOps.classifierTrain(d, $"doc_id", $"text", $"y", buckets = 64L)
+      .as[(Long, Long, Long, Double, String)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L))
+    Seq(2L, 3L).foreach { id =>
+      val r = out.find(_._1 == id).get
+      assert(r._3 == 0L && r._4 == 0.5 && r._5 == "keep", s"doc $id")
+    }
+    // the two labeled real docs move off 0.5 in the right directions
+    assert(out.find(_._1 == 1L).get._4 > 0.5)
+    assert(out.find(_._1 == 4L).get._4 < 0.5)
+  }
 }
