@@ -965,6 +965,14 @@ object PipelineQueries {
           maxSpan = 7L * 86400L * 1000000L)
         .orderBy(col("step_idx"))),
 
+    // per-key funnel completion rows (the frame p74 rolls up; the
+    // streaming funnel twin emits these incrementally)
+    "p78_funnel_steps" -> ((s, dir) =>
+      Events.funnelCompletions(eventsUs(s, dir), col("user_id"), col("ts_us"),
+          col("event_type"), Seq("signup", "click", "purchase"),
+          maxSpan = 7L * 86400L * 1000000L)
+        .orderBy(col("key"), col("step_idx"))),
+
     // retention triangle: first-event-day cohorts x day offsets
     "p75_cohort_retention" -> ((s, dir) =>
       Events.cohortRetention(eventsUs(s, dir), col("user_id"), col("ts_us"),
@@ -2537,6 +2545,23 @@ object PipelineQueries {
         |UNION ALL SELECT 2, 'purchase',
         |  (SELECT count(*) FROM s2 WHERE t2 IS NOT NULL)::BIGINT
         |ORDER BY step_idx""".stripMargin,
+
+    "p78_funnel_steps" ->
+      """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS ts, event_type AS t FROM events),
+        |s0 AS (SELECT k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY k),
+        |s1 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
+        |    AND e.ts <= s0.t0 + 604800000000) AS t1
+        |  FROM e JOIN s0 ON e.k = s0.k GROUP BY e.k),
+        |s2 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
+        |    AND e.ts <= s0.t0 + 604800000000) AS t2
+        |  FROM e JOIN s1 ON e.k = s1.k JOIN s0 ON e.k = s0.k GROUP BY e.k)
+        |SELECT * FROM (
+        |  SELECT k AS key, 0 AS step_idx, 'signup' AS step, t0 AS ts FROM s0 WHERE t0 IS NOT NULL
+        |  UNION ALL
+        |  SELECT k, 1, 'click', t1 FROM s1 WHERE t1 IS NOT NULL
+        |  UNION ALL
+        |  SELECT k, 2, 'purchase', t2 FROM s2 WHERE t2 IS NOT NULL)
+        |ORDER BY key, step_idx""".stripMargin,
 
     "p75_cohort_retention" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) // 86400000000 AS day FROM events),

@@ -85,6 +85,39 @@ object Events {
    */
   def funnel(events: DataFrame, key: Column, ts: Column, eventType: Column,
       steps: Seq[String], maxSpan: Long): DataFrame = {
+    val perKey = funnelPerKey(events, key, ts, eventType, steps, maxSpan)
+    val stepCounts = steps.indices.map { i =>
+      sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")
+    }
+    val totals = perKey.agg(stepCounts.head, stepCounts.tail: _*)
+    val stepLit = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"__n$i").as("n_keys"))
+    }: _*)
+    totals.select(explode(stepLit).as("__e")).select(col("__e.*"))
+  }
+
+  /**
+   * Per-key funnel completion rows: `(key, step_idx, step, ts)` — one row
+   * per step each key completed, with the greedy chain's completion
+   * timestamp. [[funnel]] is the rollup of this frame; the streaming twin
+   * ([[graft.streaming.H3Streaming.streamingFunnel]]) emits the same rows
+   * incrementally. Same one-Exchange plan as [[funnel]].
+   */
+  def funnelCompletions(events: DataFrame, key: Column, ts: Column,
+      eventType: Column, steps: Seq[String], maxSpan: Long): DataFrame = {
+    val perKey = funnelPerKey(events, key, ts, eventType, steps, maxSpan)
+    val stepLit = array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"__s$i").as("ts"))
+    }: _*)
+    perKey.select(col("__k").as("key"), explode(stepLit).as("__e"))
+      .select(col("key"), col("__e.*"))
+      .filter(col("ts").isNotNull)
+  }
+
+  /** shared funnel builder: one row per key with `__s0..__sN` greedy
+    * completion timestamps (NULL where the chain stopped). */
+  private def funnelPerKey(events: DataFrame, key: Column, ts: Column,
+      eventType: Column, steps: Seq[String], maxSpan: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(maxSpan > 0, s"maxSpan must be positive, got $maxSpan")
     val byKey = Window.partitionBy(col("__k"))
@@ -97,17 +130,7 @@ object Events {
       df.withColumn(s"__s$i", min(when(cond, col("__ts"))).over(byKey))
     }
     val stepMins = steps.indices.map(i => max(col(s"__s$i")).as(s"__s$i"))
-    val perKey = withSteps
-      .groupBy(col("__k"))
-      .agg(stepMins.head, stepMins.tail: _*)
-    val stepCounts = steps.indices.map { i =>
-      sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")
-    }
-    val totals = perKey.agg(stepCounts.head, stepCounts.tail: _*)
-    val stepLit = array(steps.zipWithIndex.map { case (s, i) =>
-      struct(lit(i).as("step_idx"), lit(s).as("step"), col(s"__n$i").as("n_keys"))
-    }: _*)
-    totals.select(explode(stepLit).as("__e")).select(col("__e.*"))
+    withSteps.groupBy(col("__k")).agg(stepMins.head, stepMins.tail: _*)
   }
 
   /**

@@ -18,6 +18,15 @@ final case class SimHashCandidate(id_a: Long, id_b: Long, hamming: Int)
   * internally — event-time timeouts are millisecond-grained). */
 final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Long)
 
+/** per-key funnel progress for [[H3Streaming.streamingFunnel]]: greedy
+  * chain anchor (first step-0 ts), last completed step's ts, and the next
+  * step index to match — three numbers regardless of event volume. */
+final case class FunnelProgress(t0Ms: Long, prevMs: Long, idx: Int)
+
+/** step completion emitted by [[H3Streaming.streamingFunnel]] (millis —
+  * event-time state timeouts are millisecond-grained). */
+final case class FunnelHit(key: Long, step_idx: Int, step: String, ts_ms: Long)
+
 /** closed session emitted by [[H3Streaming.streamingSessionize]]; bounds
   * are int64 nanoseconds (batch-operator parity). */
 final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
@@ -60,6 +69,24 @@ object H3Streaming {
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen))
       .agg(h3_compact_agg(col(cellCol)).as("cells"))
+
+  /** Watermarked HOPPING-window rollup per group — the streaming twin of
+    * [[graft.pipeline.Events.hoppingWindowStats]]: same epoch-aligned
+    * window starts (Spark's `window(ts, len, slide)` assigns each event
+    * to len/slide windows), same e2-lattice exact sums, `window_start`
+    * surfaced as int64 micros for batch parity. State is (windows in
+    * flight) x (distinct groups); the watermark closes windows. */
+  def streamingHoppingStats(stream: DataFrame, tsCol: String, groupCol: String,
+      valueCol: String, windowLen: String, slide: String,
+      watermark: String): DataFrame =
+    stream
+      .withColumn("__v", floor(col(valueCol) * 100.0 + 0.5).cast("long"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen, slide), col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("value_sum_e2"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("group"), col("n_events"), col("value_sum_e2"))
+      .filter(col("window_start") >= 0)
 
   /** Streaming exact dedup (the training-pipeline ingest shape): drop
     * documents whose content hash was already seen, with state bounded by
@@ -353,6 +380,66 @@ object H3Streaming {
             }
           }
           out.iterator
+      }
+  }
+
+  /** Streaming ordered funnel — the incremental twin of
+    * [[graft.pipeline.Events.funnelCompletions]]: emits `(key, step_idx,
+    * step, ts_ms)` the moment a key completes its next step (step i+1
+    * strictly after step i's completion, whole chain within
+    * `maxSpanMillis` of the first step-0 event). State per key is THREE
+    * numbers ([[FunnelProgress]]) — O(live keys), never O(events) — and
+    * is dropped via event-time timeout once the watermark passes
+    * `t0 + span` (no further completion is possible then; a brand-new
+    * step-0 event for a long-expired key restarts a fresh chain, the
+    * standard state/recall trade every watermarked operator makes).
+    * Within a micro-batch events are processed in event-time order;
+    * parity with the batch operator is exact when each key's events
+    * arrive in order across batches. */
+  def streamingFunnel(stream: DataFrame, keyCol: String, tsCol: String,
+      typeCol: String, steps: Seq[String], maxSpanMillis: Long,
+      watermark: String): Dataset[FunnelHit] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(maxSpanMillis > 0, s"maxSpanMillis must be positive, got $maxSpanMillis")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(typeCol).cast("string").as("t"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, String)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[FunnelProgress, FunnelHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[FunnelProgress]) =>
+          if (rows.isEmpty) { // timeout: chain can no longer advance
+            state.remove()
+            Iterator.empty
+          } else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
+            var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, 0))
+            val sorted = rows.toArray.sortBy(_._2.getTime)
+            for ((_, ts, t) <- sorted) {
+              val ms = ts.getTime
+              if (st.idx < steps.size && t == steps(st.idx) &&
+                  (st.idx == 0 ||
+                    (ms > st.prevMs && ms <= st.t0Ms + maxSpanMillis))) {
+                out += FunnelHit(key, st.idx, steps(st.idx), ms)
+                st = FunnelProgress(if (st.idx == 0) ms else st.t0Ms, ms, st.idx + 1)
+              }
+            }
+            if (st.idx > 0) {
+              state.update(st)
+              // an already-expired chain (stalled, then touched by an
+              // unrelated event after the watermark passed t0+span) must
+              // still set a timeout AFTER the current watermark — Spark
+              // rejects earlier ones
+              state.setTimeoutTimestamp(math.max(st.t0Ms + maxSpanMillis + 1L,
+                state.getCurrentWatermarkMs() + 1L))
+            }
+            out.iterator
+          }
       }
   }
 

@@ -78,6 +78,26 @@ class EventsSpec extends AnyFunSuite {
     assert(want(0)._3 > want(1)._3 && want(1)._3 > want(2)._3 && want(2)._3 > 0)
   }
 
+  test("funnelCompletions rolls up to funnel, and chains agree with the scan") {
+    val steps = Seq("signup", "click", "purchase")
+    val span = 800L
+    val comps = Events.funnelCompletions(evDf, $"k", $"ts", $"t", steps, span)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3)))
+    // rollup equality
+    val counts = comps.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val funnelCounts = Events.funnel(evDf, $"k", $"ts", $"t", steps, span)
+      .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+    steps.indices.foreach { i =>
+      assert(funnelCounts(i) == counts.getOrElse(i, 0L), s"step $i")
+    }
+    // per-key chain structure: idx set is a prefix, timestamps increase
+    comps.groupBy(_._1).values.foreach { g =>
+      val byIdx = g.sortBy(_._2)
+      assert(byIdx.map(_._2).toSeq == (0 until byIdx.size).toSeq)
+      assert(byIdx.map(_._4).toSeq == byIdx.map(_._4).sorted.toSeq)
+    }
+  }
+
   test("cohortRetention matches brute force") {
     val dayUnit = 700L
     val got = Events.cohortRetention(evDf, $"k", $"ts", dayUnit)

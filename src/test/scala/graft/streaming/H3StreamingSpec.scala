@@ -517,4 +517,75 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(!got.exists(_._1 == 12L) && got.exists(_._1 == 10L))
     } finally query.stop()
   }
+
+  test("streaming hopping-window rollup == batch hoppingWindowStats") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    // micros-grained events over ~90 s, two groups, value lattice checks
+    val base = 1700000000000000L // epoch micros
+    val evs = Seq(
+      (0L, "a", 1.25), (5000000L, "a", 2.5), (12000000L, "b", 0.07),
+      (31000000L, "a", 4.0), (44000000L, "b", 1.111), (59999999L, "a", 3.3),
+      (60000000L, "b", 9.99), (88000000L, "a", 0.005))
+      .map { case (us, g, v) => (new Timestamp((base + us) / 1000L), g, v) }
+    val input = MemoryStream[(Timestamp, String, Double)]
+    val out = H3Streaming.streamingHoppingStats(
+      input.toDF.toDF("ts", "grp", "value"), "ts", "grp", "value",
+      windowLen = "30 seconds", slide = "10 seconds", watermark = "10 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("hop").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      val got = spark.table("hop")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toMap
+      val batch = Events.hoppingWindowStats(
+          evs.map { case (t, g, v) => (t.getTime * 1000L, g, v) }.toDF("ts", "grp", "value"),
+          col("ts"), col("grp"), col("value"),
+          windowLen = 30000000L, slide = 10000000L)
+        .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+      assert(got == batch)
+      // each event lands in exactly len/slide = 3 windows
+      assert(got.values.map(_._1).sum == evs.size * 3L)
+    } finally query.stop()
+  }
+
+  test("streaming funnel == batch funnelCompletions under in-order arrival") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("signup", "click", "purchase")
+    val span = 60000L // ms
+    val rnd = new scala.util.Random(31)
+    val types = Seq("signup", "click", "purchase", "view")
+    // in-order per key (globally sorted suffices)
+    val evs = (0 until 600).map { i =>
+      (rnd.nextInt(25).toLong, 1700000000000L + i * 997L, types(rnd.nextInt(types.size)))
+    }.sortBy(_._2)
+    val input = MemoryStream[(Long, Timestamp, String)]
+    // watermark horizon longer than the fixture: state never times out
+    // mid-test, so an expired chain cannot be dropped and wrongly
+    // restarted by a late signup (batch semantics anchor at the FIRST
+    // signup forever)
+    val out = H3Streaming.streamingFunnel(
+      input.toDF.toDF("key", "ts", "t"), "key", "ts", "t", steps, span,
+      watermark = "30 days")
+    val query = out.writeStream
+      .format("memory").queryName("funnel").outputMode("append").start()
+    try {
+      // two batches to exercise cross-batch state carry
+      val (a, b) = evs.splitAt(300)
+      input.addData(a.map { case (k, ms, t) => (k, new Timestamp(ms), t) }: _*)
+      query.processAllAvailable()
+      input.addData(b.map { case (k, ms, t) => (k, new Timestamp(ms), t) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("funnel")
+        .as[(Long, Int, String, Long)].collect().toSet
+      val batch = Events.funnelCompletions(
+          evs.toDF("key", "ts", "t"), col("key"), col("ts"), col("t"), steps, span)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got.exists(_._2 == 2) && got.exists(_._2 == 0)) // fixture discriminates
+    } finally query.stop()
+  }
 }
