@@ -994,6 +994,18 @@ object PipelineQueries {
           when(col("text").contains("vector"), 1L).otherwise(0L))
         .orderBy(col("doc_id"))),
 
+    // KMV distinct-count sketch: per-language vocabulary estimate
+    // (O(k) state per group vs the corpus-sized expand of exact
+    // count-distinct), exact distinct alongside for error inspection
+    "p79_kmv_vocab" -> ((s, dir) => {
+      val toks = docs(s, dir).select(col("lang"),
+        explode(TextOps.cleanTokens(col("text"))).as("t"))
+      graft.pipeline.Sketches.approxDistinct(toks, Seq(col("lang")), col("t"), k = 256)
+        .join(toks.groupBy(col("lang")).agg(countDistinct(col("t")).as("distinct_exact")),
+          Seq("lang"))
+        .orderBy(col("lang"))
+    }),
+
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
     "p40_gopher_filter" -> ((s, dir) => {
@@ -2580,6 +2592,22 @@ object PipelineQueries {
         |  CAST(sum(v) AS BIGINT) AS value_sum_e2
         |FROM x WHERE window_start >= 0
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p79_kmv_vocab" ->
+      s"""WITH tk AS (SELECT lang, unnest(list_filter($oToks, t -> t != '')) AS t FROM documents),
+         |h AS (SELECT lang, t, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tk),
+         |nr AS (SELECT lang, count(*)::BIGINT AS n_rows FROM tk GROUP BY lang),
+         |dh AS (SELECT DISTINCT lang, h FROM h),
+         |rk AS (SELECT lang, h, row_number() OVER (PARTITION BY lang ORDER BY h) AS rn FROM dh),
+         |agg AS (SELECT lang, count(*)::BIGINT AS nd,
+         |    max(CASE WHEN rn = 256 THEN h END) AS kth FROM rk GROUP BY lang),
+         |ex AS (SELECT lang, count(DISTINCT t)::BIGINT AS distinct_exact FROM tk GROUP BY lang)
+         |SELECT nr.lang, nr.n_rows,
+         |  CASE WHEN agg.nd < 256 THEN agg.nd
+         |       ELSE CAST(floor(255.0 * 1152921504606846976.0 / kth::DOUBLE) AS BIGINT)
+         |  END AS distinct_est,
+         |  ex.distinct_exact
+         |FROM nr JOIN agg USING (lang) JOIN ex USING (lang) ORDER BY lang""".stripMargin,
 
     "p77_classifier_train" ->
       s"""WITH tka AS (SELECT doc_id,

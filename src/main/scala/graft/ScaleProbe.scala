@@ -29,7 +29,9 @@ object ScaleProbe {
     "p63_video_clip_matches", "p52_semantic_dedup", "p55_semantic_dedup_refined",
     "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
     "p68_corpus_diff", "p69_ccnet_pipeline", "p70_classifier_score",
-    "p71_bigram_lm", "p72_bigram_lm_cross")
+    "p71_bigram_lm", "p72_bigram_lm_cross",
+    "p73_asof_join", "p75_cohort_retention", "p76_hopping_stats",
+    "p77_classifier_train", "p78_funnel_steps")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")
@@ -75,6 +77,19 @@ object ScaleProbe {
           .as("embedding"),
         col("label"))
       .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
+
+    // events multiply by replicating USERS (disjoint user/event id
+    // ranges, timestamps untouched): more users is how an event log
+    // grows; per-key event counts — the per-partition window/state cost
+    // of the event-analytics family — stay realistic instead of
+    // multiplying each user's timeline.
+    val ev = spark.read.parquet(s"$base/events.parquet")
+    ev.crossJoin(reps).select(
+        (col("event_id") + col("__k") * 1000000000L).as("event_id"),
+        col("ts"),
+        (col("user_id") + col("__k") * 1000000L).as("user_id"),
+        col("event_type"), col("value"), col("props"))
+      .write.mode("overwrite").parquet(s"$out/events.parquet")
 
     // noop sink, not count(): count() lets Catalyst collapse row-preserving
     // plans (projections, left joins against aggregated-unique keys) down

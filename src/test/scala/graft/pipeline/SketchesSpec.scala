@@ -1,0 +1,70 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** KMV distinct-count sketch: sequential-reference equality, the
+  * exact-below-k regime, partitioning invariance (exercises the min-k
+  * merge), and the estimator's accuracy on a large distinct set. */
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  private def refKmv(values: Seq[String], k: Int): Long = {
+    val hs = values.map(md5Long60).distinct.sorted
+    if (hs.size < k) hs.size.toLong
+    else math.floor((k - 1).toDouble * 1152921504606846976.0 / hs(k - 1).toDouble).toLong
+  }
+
+  test("approxDistinct matches the sequential KMV reference per group") {
+    val rnd = new scala.util.Random(5)
+    val rows = (0 until 30000).map { _ =>
+      val g = rnd.nextInt(3)
+      // group cardinalities straddle k=64: g0 ~30 distinct, g1 ~300, g2 ~30000
+      val v = g match {
+        case 0 => s"a${rnd.nextInt(30)}"
+        case 1 => s"b${rnd.nextInt(300)}"
+        case _ => s"c${rnd.nextInt(100000)}"
+      }
+      (g.toLong, v)
+    }
+    val df = rows.toDF("g", "v").repartition(11)
+    val got = Sketches.approxDistinct(df, Seq(col("g")), col("v"), k = 64)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    rows.groupBy(_._1).foreach { case (g, vs) =>
+      val (nRows, est) = got(g)
+      assert(nRows == vs.size.toLong, s"group $g n_rows")
+      assert(est == refKmv(vs.map(_._2), 64), s"group $g estimate")
+    }
+    // below-k group is exact
+    assert(got(0L)._2 == rows.filter(_._1 == 0L).map(_._2).distinct.size.toLong)
+    // the big group's estimate is within 25% of truth (k=64 -> ~12.5% sigma)
+    val truth = rows.filter(_._1 == 2L).map(_._2).distinct.size.toDouble
+    assert(math.abs(got(2L)._2 - truth) / truth < 0.25,
+      s"est=${got(2L)._2} truth=$truth")
+  }
+
+  test("sketch is partitioning-invariant (min-k merge is exact)") {
+    val df = (0 until 5000).map(i => (i % 4, s"v${i % 997}")).toDF("g", "v")
+    val a = Sketches.approxDistinct(df.repartition(1), Seq(col("g")), col("v"), k = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    val b = Sketches.approxDistinct(df.repartition(17), Seq(col("g")), col("v"), k = 128)
+      .collect().map(r => (r.getInt(0), r.getLong(2))).toSet
+    assert(a == b)
+  }
+
+  test("nulls are dropped from the sketch but counted in n_rows") {
+    val df = Seq((1, "x"), (1, null.asInstanceOf[String]), (1, "y"), (1, "x"))
+      .toDF("g", "v")
+    val r = Sketches.approxDistinct(df, Seq(col("g")), col("v"), k = 8).collect().head
+    assert(r.getLong(1) == 4L) // n_rows counts every row
+    assert(r.getLong(2) == 2L) // distinct_est over non-null values
+  }
+}
