@@ -127,6 +127,20 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // PQ-ADC ANN: spherical per-subspace codebooks (4 x 16 dims, 8
+    // codes, 2 Lloyd rounds), corpus compressed to codes, queries scan
+    // codes with per-subspace dot tables
+    "p80_ann_pq" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val books = Similarity.collectCodebooks(
+        Similarity.pqCodebooks(e, col("vec_id"), col("embedding"),
+          dim = 64, m = 4, k = 8, iters = 2))
+      Similarity.pqCosineTopK(e, col("vec_id"), col("embedding"),
+          e.filter(col("vec_id") < 10), col("vec_id"), col("embedding"),
+          books, k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
     "p09_simhash" -> ((s, dir) => {
       Dedup.simHash(docs(s, dir), col("doc_id"), col("text"))
         .withColumnRenamed("__id", "doc_id")
@@ -1209,6 +1223,12 @@ object PipelineQueries {
   private def dotSql(a: String, b: String, dim: Int): String =
     (1 to dim).map(k => s"$a[$k]*$b[$k]").mkString("(", " + ", ")")
 
+  /** dot of `a`'s elements starting at 1-based offset `off+1` against
+    * `b[1..dim]` — the subspace-slice dot PQ's ADC tables need; same
+    * left-assoc order as dotSql. */
+  private def dotOffsetSql(a: String, off: Int, b: String, dim: Int): String =
+    (1 to dim).map(k => s"$a[${off + k}]*$b[$k]").mkString("(", " + ", ")")
+
   /** Hyperplane signature over a DOUBLE[] column — mirrors
     * Similarity.hyperplaneSignature bit for bit: per plane i the sign of
     * the left-assoc sum of v[j] * (numerator/48.0); both engines evaluate
@@ -1229,26 +1249,59 @@ object PipelineQueries {
     * max_by struct order of ivfAssign) and lattice-exact means
     * ((Σ floor(x·1e4+0.5)) / n / 1e4), empty clusters keeping the previous
     * centroid — mirrors Similarity.kMeansCentroids bit for bit. */
-  private def kmeansRoundSql(t: Int, dim: Int): String = {
-    val prev = s"cents${t - 1}"
-    s"""asgn$t AS (
+  private def kmeansRoundSql(t: Int, dim: Int, corpus: String = "corpus",
+      sfx: String = ""): String = {
+    val prev = s"cents${t - 1}$sfx"
+    s"""asgn$t$sfx AS (
        |  SELECT vec_id, v, cid FROM (
        |    SELECT s.vec_id, s.v, t.cid,
        |      row_number() OVER (PARTITION BY s.vec_id
        |        ORDER BY (${dotSql("s.v", "t.c", dim)} /
        |          (sqrt(${dotSql("s.v", "s.v", dim)}) * sqrt(${dotSql("t.c", "t.c", dim)}))) DESC,
        |          t.cid) AS rnk
-       |    FROM corpus s CROSS JOIN $prev t) WHERE rnk = 1),
-       |sums$t AS (
+       |    FROM $corpus s CROSS JOIN $prev t) WHERE rnk = 1),
+       |sums$t$sfx AS (
        |  SELECT cid, pos, CAST(sum(CAST(floor(v[pos] * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS isum,
        |    count(*) AS n
-       |  FROM asgn$t CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS pos) p
+       |  FROM asgn$t$sfx CROSS JOIN (SELECT unnest(range(1, $dim + 1)) AS pos) p
        |  GROUP BY cid, pos),
-       |cents$t AS (
+       |cents$t$sfx AS (
        |  SELECT c0.cid, coalesce(nl.c, c0.c) AS c
        |  FROM $prev c0 LEFT JOIN (
        |    SELECT cid, list((isum::DOUBLE / n::DOUBLE) / 10000.0 ORDER BY pos) AS c
-       |    FROM sums$t GROUP BY cid) nl ON nl.cid = c0.cid)""".stripMargin
+       |    FROM sums$t$sfx GROUP BY cid) nl ON nl.cid = c0.cid)""".stripMargin
+  }
+
+  /** Full PQ-side oracle chain for one subspace `s` (dsub dims, k
+    * centroids, 2 Lloyd rounds): sliced sub-corpus, seeded + trained
+    * codebook, per-vector code (cosine argmax, smaller-cid tiebreak),
+    * per-centroid squared norm. */
+  private def pqSubSql(s: Int, dsub: Int, k: Int): String = {
+    val lo = s * dsub + 1
+    val hi = (s + 1) * dsub
+    // cb (the trained codebook) and corpus_s are each referenced by
+    // several consumers: MATERIALIZED stops DuckDB inlining the whole
+    // 2-round window-over-crossjoin chain once per consumer (OOM at
+    // sf0.01 without it)
+    s"""corpus_s$s AS MATERIALIZED (SELECT vec_id, v[$lo:$hi] AS v FROM base),
+       |cents0_s$s AS (
+       |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+       |  FROM (SELECT vec_id, v FROM corpus_s$s ORDER BY vec_id LIMIT $k)),
+       |${kmeansRoundSql(1, dsub, s"corpus_s$s", s"_s$s")},
+       |${kmeansRoundSql(2, dsub, s"corpus_s$s", s"_s$s")},
+       |cb_s$s AS MATERIALIZED (SELECT cid, c FROM cents2_s$s),
+       |codes_s$s AS MATERIALIZED (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT c.vec_id, t.cid,
+       |      row_number() OVER (PARTITION BY c.vec_id
+       |        ORDER BY (${dotSql("c.v", "t.c", dsub)} /
+       |          (sqrt(${dotSql("c.v", "c.v", dsub)}) * sqrt(${dotSql("t.c", "t.c", dsub)}))) DESC,
+       |          t.cid) AS rnk
+       |    FROM corpus_s$s c CROSS JOIN cb_s$s t) WHERE rnk = 1),
+       |n2_s$s AS MATERIALIZED (SELECT cid, ${dotSql("c", "c", dsub)} AS n2 FROM cb_s$s),
+       |tq_s$s AS MATERIALIZED (SELECT q.query_id, t.cid,
+       |    ${dotOffsetSql("q.qv", s * dsub, "t.c", dsub)} AS d
+       |  FROM q CROSS JOIN cb_s$s t)""".stripMargin
   }
 
   /** Projection of a DuckDB list column onto the first `dimOut` integer-
@@ -1351,6 +1404,39 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "p09_simhash" -> simhashOracle,
+
+    // PQ: 4 independent subspace quantizer chains (each the p36 kmeans
+    // oracle on a slice), codes by cosine argmax, ADC score =
+    // left-assoc sum of per-subspace dot-table lookups over
+    // ||q||*||recon||, same quantize4 + rank discipline as p08
+    "p80_ann_pq" ->
+      s"""WITH base AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, v AS qv,
+         |    sqrt(${dotSql("v", "v", 64)}) AS qn FROM base WHERE vec_id < 10),
+         |${(0 until 4).map(s => pqSubSql(s, 16, 8)).mkString(",\n")},
+         |codes AS (
+         |  SELECT c0.vec_id, c0.cid AS k0, c1.cid AS k1, c2.cid AS k2, c3.cid AS k3
+         |  FROM codes_s0 c0 JOIN codes_s1 c1 USING (vec_id)
+         |    JOIN codes_s2 c2 USING (vec_id) JOIN codes_s3 c3 USING (vec_id)),
+         |recon AS (
+         |  SELECT codes.vec_id, k0, k1, k2, k3,
+         |    sqrt(((a.n2 + b.n2) + c.n2) + d.n2) AS rn
+         |  FROM codes JOIN n2_s0 a ON a.cid = k0 JOIN n2_s1 b ON b.cid = k1
+         |    JOIN n2_s2 c ON c.cid = k2 JOIN n2_s3 d ON d.cid = k3),
+         |scored AS (
+         |  SELECT t0.query_id, r.vec_id AS neighbor_id,
+         |    floor((((t0.d + t1.d) + t2.d) + t3.d) / (q.qn * r.rn) * 10000.0 + 0.5) / 10000.0 AS sim
+         |  FROM recon r
+         |  CROSS JOIN q
+         |  JOIN tq_s0 t0 ON t0.query_id = q.query_id AND t0.cid = r.k0
+         |  JOIN tq_s1 t1 ON t1.query_id = q.query_id AND t1.cid = r.k1
+         |  JOIN tq_s2 t2 ON t2.query_id = q.query_id AND t2.cid = r.k2
+         |  JOIN tq_s3 t3 ON t3.query_id = q.query_id AND t3.cid = r.k3)
+         |SELECT query_id, neighbor_id, sim,
+         |  row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rank
+         |FROM scored
+         |QUALIFY rank <= 5
+         |ORDER BY query_id, rank""".stripMargin,
 
     "p22_simhash_neardup" ->
       s"""WITH corpus AS (SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 2 = 0),

@@ -361,4 +361,116 @@ object Similarity {
       .filter(col("__rank") <= k)
       .select(col("query_id"), col("neighbor_id"), col("sim"), col("__rank").cast("long").as("rank"))
   }
+
+  // -------------------------------------------------------------------
+  // Product quantization (Jégou et al. 2011, "Product quantization for
+  // nearest neighbor search") — the memory-side ANN scale path: vectors
+  // compress to m small codes, queries scan CODES with per-subspace
+  // lookup tables (ADC), full vectors never touched at query time.
+  // -------------------------------------------------------------------
+
+  /** PQ codebooks: an independent spherical Lloyd quantizer per subspace
+    * (the [[kMeansCentroids]] machinery on `dim/m`-dim slices — cosine
+    * assignment, lattice-exact means, deterministic seeds). Returns
+    * `(sub, centroid_id, centroid)`, m·k rows, broadcast-sized.
+    *
+    * Scale: each subspace train is the kMeansCentroids shape (broadcast
+    * assignment, slim mean shuffles) over SLICED vectors — m trains of
+    * dim/m-wide data cost what one full-dim train costs. */
+  def pqCodebooks(corpus: DataFrame, id: Column, vec: Column, dim: Int,
+      m: Int, k: Int, iters: Int): DataFrame = {
+    require(m >= 1 && dim % m == 0, s"dim ($dim) must split into m ($m) equal subspaces")
+    val dsub = dim / m
+    (0 until m).map { s =>
+      kMeansCentroids(
+        corpus.select(id.as("__pqid"),
+          slice(vec.cast("array<double>"), s * dsub + 1, dsub).as("__pqv")),
+        col("__pqid"), col("__pqv"), k, iters)
+        .select(lit(s).as("sub"), col("centroid_id"), col("centroid"))
+    }.reduce(_.unionAll(_))
+  }
+
+  /** Driver-collect PQ codebooks: `books(sub)` = (centroid_id, codeword)
+    * ascending by id. Broadcast-sized by the [[ivfCentroids]] contract. */
+  def collectCodebooks(codebooks: DataFrame): Array[Array[(Int, Array[Double])]] =
+    codebooks.select(col("sub").cast("int"), col("centroid_id").cast("int"),
+        col("centroid").cast("array<double>")).collect()
+      .map(r => (r.getInt(0), (r.getInt(1), r.getSeq[Double](2).toArray)))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.map(_._2).sortBy(_._1))
+
+  /** PQ encoding as a PURE PROJECTION (the streaming-ingest form, like
+    * [[ivfAssignProjection]]): per subspace the nearest codeword by
+    * cosine (array_max over (sim, -idx) structs — smaller centroid_id
+    * wins ties), emitting `codes` (array of centroid ids, one per
+    * subspace) and `recon_norm` = ||concatenated codewords||, the
+    * corpus-side constant ADC needs. m·k literal-array dots per row,
+    * all inside whole-stage codegen; no shuffle. */
+  def pqAssignProjection(df: DataFrame, id: Column, vec: Column,
+      books: Array[Array[(Int, Array[Double])]]): DataFrame = {
+    require(books.nonEmpty && books.forall(_.nonEmpty), "empty codebooks")
+    val m = books.length
+    val dsub = books(0)(0)._2.length
+    val v = vec.cast("array<double>")
+    def codeOf(s: Int): Column = {
+      val sv = slice(v, s * dsub + 1, dsub)
+      val svn = sqrt(dot(sv, sv))
+      val entries = books(s).zipWithIndex.map { case ((_, cw), i) =>
+        val cwLit = array(cw.map(x => lit(x)): _*)
+        val cwNorm = math.sqrt(cw.map(x => x * x).sum)
+        struct((dot(sv, cwLit) / (svn * lit(cwNorm))).as("s"), lit(-i).as("ni"))
+      }
+      val ids = array(books(s).map(c => lit(c._1)): _*)
+      element_at(ids, (-array_max(array(entries: _*)).getField("ni")).cast("int") + 1)
+    }
+    // ||recon||^2 = Σ_sub ||codeword||^2 — literal lookup by code, summed
+    // left-assoc (the oracle mirrors this order)
+    def norm2Of(s: Int, code: Column): Column = {
+      val n2 = array(books(s).map { case (_, cw) =>
+        lit(cw.map(x => x * x).sum) }: _*)
+      element_at(n2, code)
+    }
+    val withCodes = df.select(id.as("vec_id"), v.as("__v"),
+      array((0 until m).map(codeOf): _*).as("codes"))
+    val recon2 = (0 until m).map(s =>
+      norm2Of(s, element_at(col("codes"), s + 1))).reduce(_ + _)
+    withCodes.select(col("vec_id"), col("codes"), sqrt(recon2).as("recon_norm"))
+  }
+
+  /** PQ-ADC top-k: queries scan corpus CODES, not vectors. Each query row
+    * carries a flat m·k lookup table (`dot(q_sub, codeword)` literals —
+    * computed once per query), each corpus row sums m table lookups
+    * (left-assoc) and normalizes by ||q||·||recon|| — the asymmetric
+    * distance computation. Approximation error is the codebook
+    * reconstruction error (spec-checked recall vs brute force).
+    *
+    * Scale shape: corpus side is (id, m codes, norm) — the full vectors
+    * are GONE from the query path (8 bytes of codes vs 512 bytes of
+    * floats at dim 64·m 4); queries broadcast; one Window ranks per
+    * query. */
+  def pqCosineTopK(corpus: DataFrame, corpusId: Column, corpusVec: Column,
+      queries: DataFrame, queryId: Column, queryVec: Column,
+      books: Array[Array[(Int, Array[Double])]], k: Int): DataFrame = {
+    val m = books.length
+    val nCodes = books(0).length
+    val dsub = books(0)(0)._2.length
+    val coded = pqAssignProjection(corpus, corpusId, corpusVec, books)
+    val qv = queryVec.cast("array<double>")
+    val tbl = array((for (s <- 0 until m; (_, cw) <- books(s)) yield
+      dot(slice(qv, s * dsub + 1, dsub), array(cw.map(x => lit(x)): _*))): _*)
+    val q = queries.select(queryId.as("query_id"), tbl.as("__tbl"),
+      sqrt(dot(qv, qv)).as("__qn"))
+    // flat index of sub s's code c (ids are 1..k from ivfCentroids):
+    // s*k + c — codes double as 1-based offsets within their block
+    val adc = (0 until m).map { s =>
+      element_at(col("__tbl"), lit(s * nCodes) + element_at(col("codes"), s + 1))
+    }.reduce(_ + _)
+    val scored = coded.crossJoin(broadcast(q))
+      .withColumn("sim", quantize4(adc / (col("__qn") * col("recon_norm"))))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("sim").desc, col("vec_id").asc)
+    scored.withColumn("__rank", row_number().over(w))
+      .filter(col("__rank") <= k)
+      .select(col("query_id"), col("vec_id").as("neighbor_id"), col("sim"),
+        col("__rank").cast("long").as("rank"))
+  }
 }

@@ -739,6 +739,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(approx.count { case (a, b) => a == b } == 20)
   }
 
+  test("PQ-ADC ANN: codes well-formed, encoding partition-invariant, recall vs brute force") {
+    val books = Similarity.collectCodebooks(
+      Similarity.pqCodebooks(embs, $"vec_id", $"embedding", dim = 64, m = 4, k = 8, iters = 2))
+    assert(books.length == 4 && books.forall(_.length == 8))
+    assert(books.forall(_.forall(_._2.length == 16)))
+    // codes: one id per subspace, each a valid centroid id of that book
+    val coded = Similarity.pqAssignProjection(embs, $"vec_id", $"embedding", books)
+    val rows = coded.collect()
+    rows.foreach { r =>
+      val cs = r.getSeq[Int](1)
+      assert(cs.length == 4)
+      cs.zipWithIndex.foreach { case (c, s) => assert(books(s).exists(_._1 == c)) }
+      assert(r.getDouble(2) > 0.0) // recon norm positive
+    }
+    // projection-only encoding is partitioning-invariant
+    val again = Similarity.pqAssignProjection(embs.repartition(13), $"vec_id", $"embedding", books)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toMap
+    rows.foreach(r => assert(again(r.getLong(0)) == r.getSeq[Int](1)))
+
+    val q = embs.filter($"vec_id" < 20)
+    val exact = Similarity.cosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding", k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.pqCosineTopK(embs, $"vec_id", $"embedding",
+        q, $"vec_id", $"embedding", books, k = 3)
+      .select($"query_id", $"neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = exact.count(approx.contains).toDouble / exact.size
+    // 4x8 codes = 12 bits/vector (42x compression at dim 64): coarse but
+    // far above the 3/N random-top-3 floor
+    assert(recall >= 0.3, s"PQ recall $recall")
+  }
+
   test("IVF ANN: self found at rank 1; recall vs brute force scales with nprobe") {
     val q = embs.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding", k = 3)
