@@ -88,6 +88,29 @@ object H3Streaming {
         col("group"), col("n_events"), col("value_sum_e2"))
       .filter(col("window_start") >= 0)
 
+  /** Watermarked windowed KMV distinct-count sketch per group — the
+    * streaming twin of [[graft.pipeline.Sketches.approxDistinct]]: per
+    * (window, group) the k smallest distinct 60-bit md5 hashes
+    * accumulate in the state store (CollectMinK buffers serialize into
+    * state rows), and each closed window emits `n_rows` + the KMV
+    * `distinct_est`. State is O(k) per (window, group) no matter how
+    * many rows stream through — vocabulary tracking over an unbounded
+    * ingest feed in a few KB per stratum. */
+  def streamingApproxDistinct(stream: DataFrame, tsCol: String,
+      groupCol: String, valueCol: String, k: Int, watermark: String,
+      windowLen: String): DataFrame = {
+    require(k >= 2, s"KMV needs k >= 2, got $k")
+    stream
+      .withColumn("__h", graft.pipeline.TextOps.md5Long(col(valueCol)))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.collect_min_k(col("__h"), k).as("__mk"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("group"), col("n_rows"),
+        graft.pipeline.Sketches.kmvEstimate(col("__mk"), k).as("distinct_est"))
+  }
+
   /** Streaming exact dedup (the training-pipeline ingest shape): drop
     * documents whose content hash was already seen, with state bounded by
     * the watermark — a duplicate arriving later than `watermark` after the

@@ -551,6 +551,43 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed KMV sketch == batch approxDistinct per window") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(13)
+    val base = 1700000000000000L
+    // two 30s windows, two groups, cardinalities straddling k=16
+    val evs = (0 until 2000).map { i =>
+      val g = if (i % 2 == 0) "a" else "b"
+      val v = if (g == "a") s"x${rnd.nextInt(8)}" else s"y${rnd.nextInt(500)}"
+      (new Timestamp((base + (i % 50) * 1000000L) / 1000L), g, v)
+    }
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = H3Streaming.streamingApproxDistinct(
+      input.toDF.toDF("ts", "grp", "v"), "ts", "grp", "v",
+      k = 16, watermark = "10 seconds", windowLen = "30 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("kmv").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      val got = spark.table("kmv")
+        .as[(Long, String, Long, Long)].collect()
+        .map(r => ((r._1, r._2), (r._3, r._4))).toSet
+      val winLen = 30000000L
+      val batchDf = evs.map { case (t, g, v) => (t.getTime * 1000L, g, v) }
+        .toDF("ts", "grp", "v")
+        .withColumn("window_start", ($"ts" - $"ts" % winLen))
+      val batch = Sketches.approxDistinct(batchDf,
+          Seq(col("window_start"), col("grp")), col("v"), k = 16)
+        .collect().map(r => ((r.getLong(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toSet
+      assert(got == batch)
+      // group a sits in the exact (below-k) regime, group b estimates
+      assert(got.exists { case ((_, g), (_, est)) => g == "a" && est <= 8 })
+      assert(got.exists { case ((_, g), (_, est)) => g == "b" && est > 16 })
+    } finally query.stop()
+  }
+
   test("streaming funnel == batch funnelCompletions under in-order arrival") {
     import graft.pipeline.Events
     implicit val sqlCtx = spark.sqlContext
