@@ -127,6 +127,36 @@ object PipelineQueries {
         .orderBy(col("query_id"), col("rank"))
     }),
 
+    // cluster-balanced mixing (topic-balance shape): kmeans clusters on
+    // embeddings, per-cluster rate = target/size (e4 lattice, capped),
+    // deterministic hash-admission mix — small clusters upsample, big
+    // ones downsample toward uniform cluster mass
+    "p81_cluster_mix" -> ((s, dir) => {
+      val e = embs(s, dir)
+      val cents = Similarity.kMeansCentroids(e, col("vec_id"), col("embedding"),
+        m = 8, iters = 2)
+      val assigned = Similarity.ivfAssign(e, col("vec_id"), col("embedding"),
+          cents, nprobe = 1)
+        .select(col("vec_id"), col("centroid_id")).localCheckpoint(false)
+      val sizes = assigned.groupBy(col("centroid_id")).count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val target = sizes.values.sum.toDouble / 8.0
+      val rates = sizes.map { case (c, n) =>
+        c.toString -> math.min(10000000.0,
+          math.floor(target / n * 10000.0 + 0.5)) / 10000.0
+      }
+      val mixed = graft.pipeline.Mixing.mixSample(
+        assigned.select(col("vec_id"), col("centroid_id").cast("string").as("stratum")),
+        col("vec_id"), col("stratum"), rates, salt = "cb1")
+      val nIn = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_in"))
+      mixed.groupBy(col("stratum")).agg(count(lit(1)).as("n_out"))
+        .join(nIn.withColumn("stratum", col("centroid_id").cast("string")),
+          Seq("stratum"))
+        .select(col("centroid_id").cast("long").as("centroid_id"),
+          col("n_in"), col("n_out"))
+        .orderBy(col("centroid_id"))
+    }),
+
     // PQ-ADC ANN: spherical per-subspace codebooks (4 x 16 dims, 8
     // codes, 2 Lloyd rounds), corpus compressed to codes, queries scan
     // codes with per-subspace dot tables
@@ -1404,6 +1434,39 @@ object PipelineQueries {
         |ORDER BY query_id, rank""".stripMargin,
 
     "p09_simhash" -> simhashOracle,
+
+    // cluster-balanced mix: the p36/p52 kmeans chain, cosine-argmax
+    // assignment, computed e4-lattice rates (floor(x*1e4+0.5), capped at
+    // 1e7), and the copyCount hash-admission rule
+    "p81_cluster_mix" ->
+      s"""WITH corpus AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |cents0 AS (
+         |  SELECT row_number() OVER (ORDER BY vec_id) AS cid, v AS c
+         |  FROM (SELECT vec_id, v FROM corpus ORDER BY vec_id LIMIT 8)),
+         |${kmeansRoundSql(1, 64)},
+         |${kmeansRoundSql(2, 64)},
+         |asgn AS MATERIALIZED (
+         |  SELECT vec_id, cid FROM (
+         |    SELECT s.vec_id, t.cid,
+         |      row_number() OVER (PARTITION BY s.vec_id
+         |        ORDER BY (${dotSql("s.v", "t.c", 64)} /
+         |          (sqrt(${dotSql("s.v", "s.v", 64)}) * sqrt(${dotSql("t.c", "t.c", 64)}))) DESC,
+         |          t.cid) AS rnk
+         |    FROM corpus s CROSS JOIN cents2 t) WHERE rnk = 1),
+         |sizes AS (SELECT cid, count(*)::BIGINT AS n_in FROM asgn GROUP BY cid),
+         |tot AS (SELECT CAST(sum(n_in) AS BIGINT) AS n FROM sizes),
+         |rates AS (SELECT cid, n_in,
+         |    CAST(LEAST(10000000.0, floor(n::DOUBLE / 8.0 / n_in::DOUBLE * 10000.0 + 0.5)) AS BIGINT) AS r10k
+         |  FROM sizes, tot),
+         |cc AS (SELECT a.vec_id, a.cid, r.r10k,
+         |    ('0x' || substr(md5(a.vec_id::VARCHAR || 'cb1'), 1, 15))::BIGINT % 10000 AS bucket
+         |  FROM asgn a JOIN rates r USING (cid)),
+         |copies AS (SELECT cid,
+         |    (r10k // 10000) + CASE WHEN bucket < r10k % 10000 THEN 1 ELSE 0 END AS ncopy
+         |  FROM cc)
+         |SELECT r.cid AS centroid_id, r.n_in, CAST(sum(c.ncopy) AS BIGINT) AS n_out
+         |FROM copies c JOIN rates r ON c.cid = r.cid
+         |GROUP BY 1, 2 ORDER BY 1""".stripMargin,
 
     // PQ: 4 independent subspace quantizer chains (each the p36 kmeans
     // oracle on a slice), codes by cosine argmax, ADC score =

@@ -770,6 +770,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(recall >= 0.3, s"PQ recall $recall")
   }
 
+  test("cluster-balanced mix moves cluster mass toward uniform") {
+    val out = graft.PipelineQueries.queries("p81_cluster_mix")(spark, sfDir)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val totalIn = out.map(_._1).sum.toDouble
+    val totalOut = out.map(_._2).sum.toDouble
+    val target = totalIn / 8.0
+    val imbalanceIn = out.map(x => math.abs(x._1 - target)).sum / totalIn
+    val imbalanceOut = out.map(x => math.abs(x._2 - totalOut / out.size)).sum / totalOut
+    // the fixture's kmeans clusters are measurably uneven (5.8% mean
+    // deviation at sf0.001), and the mix strictly reduces the imbalance
+    assert(imbalanceIn > 0.02, s"fixture not uneven: $imbalanceIn")
+    assert(imbalanceOut < imbalanceIn,
+      s"imbalance in=$imbalanceIn out=$imbalanceOut")
+    // every surviving cluster lands within sampling noise of its target
+    out.foreach { case (_, nOut) =>
+      assert(math.abs(nOut - totalOut / out.size) / (totalOut / out.size) < 0.35)
+    }
+  }
+
   test("IVF ANN: self found at rank 1; recall vs brute force scales with nprobe") {
     val q = embs.filter($"vec_id" < 20)
     val exact = Similarity.cosineTopK(embs, $"vec_id", $"embedding", q, $"vec_id", $"embedding", k = 3)
