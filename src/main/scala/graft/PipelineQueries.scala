@@ -1023,6 +1023,12 @@ object PipelineQueries {
           dayUnit = 86400000000L)
         .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // per-event trailing 24 h activity (count + e2 sum for the same user)
+    "p82_rolling_stats" -> ((s, dir) =>
+      Events.rollingWindowStats(eventsUs(s, dir), col("user_id"), col("ts_us"),
+          col("event_id"), col("value"), lookback = 86400000000L)
+        .orderBy(col("seq"))),
+
     // hopping-window rollup: 6 h windows sliding every 2 h, per event type
     "p76_hopping_stats" -> ((s, dir) =>
       Events.hoppingWindowStats(eventsUs(s, dir), col("ts_us"),
@@ -2731,6 +2737,16 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p82_rolling_stats" ->
+      """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS ts, event_id AS seq,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events)
+        |SELECT key, ts, seq,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |  CAST(sum(v) OVER w AS BIGINT) AS sum_trailing_e2
+        |FROM e WINDOW w AS (PARTITION BY key ORDER BY ts
+        |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
+        |ORDER BY seq""".stripMargin,
 
     "p76_hopping_stats" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp,

@@ -165,6 +165,32 @@ object Events {
   }
 
   /**
+   * Per-event trailing-window aggregates: for every event, the count and
+   * exact e2-lattice value sum of the SAME key's events in
+   * `(ts - lookback, ts]` — the rolling-activity / velocity feature
+   * (txn-count-last-24h style) every feature store derives from an event
+   * log. A RANGE window frame, so simultaneous events (ts ties) all see
+   * the same closed window — order within a tie does not matter.
+   *
+   * One hash partitioning by key + one per-partition sort; no
+   * self-join (the naive `e JOIN e ON same key AND ts BETWEEN ...` is
+   * O(rows × window-occupancy) pairs — this is O(rows log rows) with the
+   * running frame maintained incrementally by the window operator).
+   */
+  def rollingWindowStats(events: DataFrame, key: Column, ts: Column,
+      seq: Column, value: Column, lookback: Long): DataFrame = {
+    require(lookback > 0, s"lookback must be positive, got $lookback")
+    val w = Window.partitionBy(col("key")).orderBy(col("ts"))
+      .rangeBetween(-(lookback - 1), 0)
+    events.select(key.cast("long").as("key"), ts.cast("long").as("ts"),
+        seq.cast("long").as("seq"),
+        floor(value * 100.0 + 0.5).cast("long").as("__v"))
+      .withColumn("n_trailing", count(lit(1)).over(w))
+      .withColumn("sum_trailing_e2", sum(col("__v")).over(w))
+      .drop("__v")
+  }
+
+  /**
    * Hopping-window rollup: per (window_start, group) event counts and
    * exact e2-lattice value sums, where windows have length `windowLen`
    * and slide `slide` (both in the ts unit; `windowLen` a multiple of

@@ -108,6 +108,21 @@ class EventsSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("rollingWindowStats matches the brute-force trailing scan, ties included") {
+    val lookback = 300L
+    val got = Events.rollingWindowStats(evDf, $"k", $"ts", $"seq", $"v", lookback)
+      .collect().map(r => (r.getLong(2), (r.getLong(3), r.getLong(4)))).toMap
+    evs.foreach { e =>
+      val frame = evs.filter(o => o.k == e.k && o.ts > e.ts - lookback && o.ts <= e.ts)
+      assert(got(e.seq) == (frame.size.toLong, frame.map(_.v * 100).sum),
+        s"event ${e.seq}")
+    }
+    // ties exist and see identical closed windows
+    val tied = evs.groupBy(e => (e.k, e.ts)).values.filter(_.size > 1)
+    assert(tied.nonEmpty)
+    tied.foreach(g => assert(g.map(e => got(e.seq)._1).toSet.size == 1))
+  }
+
   test("hoppingWindowStats matches per-event window enumeration") {
     val len = 300L
     val slide = 100L
