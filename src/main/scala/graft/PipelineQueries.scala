@@ -1029,6 +1029,44 @@ object PipelineQueries {
           col("event_id"), col("value"), lookback = 86400000000L)
         .orderBy(col("seq"))),
 
+    // feature-assembly macro: one declarative plan builds the per-purchase
+    // feature row — latest preceding click (as-of), trailing 24 h activity
+    // (rolling), funnel stage reached, cohort day — the feature-store
+    // shape the whole events family composes into
+    "p83_event_features" -> ((s, dir) => {
+      val ev = eventsUs(s, dir)
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("event_id"), col("user_id"), col("ts_us"))
+      val asof = Events.asOfJoin(purchases, col("user_id"), col("ts_us"), col("event_id"),
+          clicks, col("user_id"), col("ts_us"), col("event_id"))
+        .select(col("event_id"), col("asof.event_id").as("click_event_id"),
+          (col("ts_us") - col("asof.ts_us")).as("wait_us"))
+      val rolling = Events.rollingWindowStats(ev, col("user_id"), col("ts_us"),
+          col("event_id"), col("value"), lookback = 86400000000L)
+        .select(col("seq").as("event_id"), col("n_trailing"), col("sum_trailing_e2"))
+      val stages = Events.funnelCompletions(ev, col("user_id"), col("ts_us"),
+          col("event_type"), Seq("signup", "click", "purchase"),
+          maxSpan = 7L * 86400L * 1000000L)
+        .groupBy(col("key")).agg(max(col("step_idx")).as("__stage"))
+      val cohort = ev.select(col("user_id"),
+          ((col("ts_us") - pmod(col("ts_us"), lit(86400000000L))) / 86400000000L)
+            .cast("long").as("__day"))
+        .groupBy(col("user_id")).agg(min(col("__day")).as("cohort_day"))
+      purchases
+        .join(asof, Seq("event_id"))
+        .join(rolling, Seq("event_id"))
+        .join(stages.withColumnRenamed("key", "user_id"), Seq("user_id"), "left")
+        .join(cohort, Seq("user_id"))
+        .select(col("event_id"), col("user_id"), col("ts_us"),
+          col("click_event_id"), col("wait_us"),
+          col("n_trailing"), col("sum_trailing_e2"),
+          coalesce(col("__stage"), lit(-1)).cast("long").as("funnel_stage"),
+          col("cohort_day"))
+        .orderBy(col("event_id"))
+    }),
+
     // hopping-window rollup: 6 h windows sliding every 2 h, per event type
     "p76_hopping_stats" -> ((s, dir) =>
       Events.hoppingWindowStats(eventsUs(s, dir), col("ts_us"),
@@ -2737,6 +2775,50 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p83_event_features" ->
+      """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type AS t,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |u AS (
+        |  SELECT user_id AS k, ts, 1 AS side, event_id AS seq,
+        |    event_id, ts AS l_ts, NULL::BIGINT AS r_eid, NULL::BIGINT AS r_ts
+        |  FROM e WHERE t = 'purchase'
+        |  UNION ALL
+        |  SELECT user_id, ts, 0, event_id, NULL::BIGINT, NULL::BIGINT, event_id, ts
+        |  FROM e WHERE t = 'click'),
+        |m AS (SELECT *,
+        |  last_value(r_eid IGNORE NULLS) OVER w AS click_event_id,
+        |  last_value(r_ts IGNORE NULLS) OVER w AS click_ts
+        |  FROM u WINDOW w AS (PARTITION BY k ORDER BY ts, side, seq
+        |    ROWS UNBOUNDED PRECEDING)),
+        |aj AS (SELECT event_id, click_event_id, l_ts - click_ts AS wait_us
+        |  FROM m WHERE side = 1),
+        |roll AS (SELECT event_id,
+        |  CAST(count(*) OVER w AS BIGINT) AS n_trailing,
+        |  CAST(sum(v) OVER w AS BIGINT) AS sum_trailing_e2
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)),
+        |s0 AS (SELECT user_id AS k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY 1),
+        |s1 AS (SELECT e.user_id AS k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
+        |    AND e.ts <= s0.t0 + 604800000000) AS t1
+        |  FROM e JOIN s0 ON e.user_id = s0.k GROUP BY 1),
+        |s2 AS (SELECT e.user_id AS k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
+        |    AND e.ts <= s0.t0 + 604800000000) AS t2
+        |  FROM e JOIN s1 ON e.user_id = s1.k JOIN s0 ON e.user_id = s0.k GROUP BY 1),
+        |st AS (SELECT s0.k, CAST(CASE WHEN s2.t2 IS NOT NULL THEN 2
+        |    WHEN s1.t1 IS NOT NULL THEN 1
+        |    WHEN s0.t0 IS NOT NULL THEN 0 ELSE -1 END AS BIGINT) AS funnel_stage
+        |  FROM s0 JOIN s1 ON s0.k = s1.k JOIN s2 ON s0.k = s2.k),
+        |f AS (SELECT user_id, min(ts // 86400000000) AS cohort_day FROM e GROUP BY 1)
+        |SELECT p.event_id, p.user_id, p.ts AS ts_us, a.click_event_id, a.wait_us,
+        |  r.n_trailing, r.sum_trailing_e2, st.funnel_stage, f.cohort_day
+        |FROM e p
+        |JOIN aj a ON a.event_id = p.event_id
+        |JOIN roll r ON r.event_id = p.event_id
+        |JOIN st ON st.k = p.user_id
+        |JOIN f ON f.user_id = p.user_id
+        |WHERE p.t = 'purchase'
+        |ORDER BY p.event_id""".stripMargin,
 
     "p82_rolling_stats" ->
       """WITH e AS (SELECT user_id AS key, epoch_us(ts) AS ts, event_id AS seq,

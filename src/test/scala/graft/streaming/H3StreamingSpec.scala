@@ -551,6 +551,33 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("PQ encoding is projection-only: runs unchanged in a stream, batch-identical") {
+    import graft.pipeline.Similarity
+    implicit val sqlCtx = spark.sqlContext
+    val embs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val books = Similarity.collectCodebooks(
+      Similarity.pqCodebooks(embs, col("vec_id"), col("embedding"),
+        dim = 64, m = 4, k = 8, iters = 1))
+    val sample = embs.limit(40)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toSeq
+    val input = MemoryStream[(Long, Seq[Double])]
+    val out = Similarity.pqAssignProjection(
+      input.toDF.toDF("vec_id", "embedding"), col("vec_id"), col("embedding"), books)
+    val query = out.writeStream
+      .format("memory").queryName("pqcodes").outputMode("append").start()
+    try {
+      input.addData(sample: _*)
+      query.processAllAvailable()
+      val got = spark.table("pqcodes")
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+      val batch = Similarity.pqAssignProjection(sample.toDF("vec_id", "embedding"),
+          col("vec_id"), col("embedding"), books)
+        .collect().map(r => (r.getLong(0), r.getSeq[Int](1), r.getDouble(2))).toSet
+      assert(got == batch && got.size == 40)
+    } finally query.stop()
+  }
+
   test("streaming windowed KMV sketch == batch approxDistinct per window") {
     import graft.pipeline.Sketches
     implicit val sqlCtx = spark.sqlContext
