@@ -1029,6 +1029,28 @@ object PipelineQueries {
           col("event_id"), col("value"), lookback = 86400000000L)
         .orderBy(col("seq"))),
 
+    // WARC container roundtrip: documents become response records via the
+    // distributed writer, read back through the format("warc") DSv2 scan
+    // with 64 KB ranges (forces mid-record splits + resync at every SF)
+    "p84_warc_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        concat(lit("http://corpus/"), col("source"), lit("/"), col("doc_id")).as("uri"),
+        lit("text/plain").as("content_type"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"))
+      val out = s"/tmp/graft-warc/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      graft.sources.warc.WarcWriter.writeResponses(d, out, "2026-01-01T00:00:00Z")
+      s.read.format("warc").option("maxPartitionBytes", 64L << 10).load(out)
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          col("record_type"), col("record_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // feature-assembly macro: one declarative plan builds the per-purchase
     // feature row — latest preceding click (as-of), trailing 24 h activity
     // (rolling), funnel stage reached, cohort day — the feature-store
@@ -2775,6 +2797,14 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p84_warc_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS content_length,
+        |  md5(coalesce(text, '')) AS payload_md5,
+        |  'response' AS record_type,
+        |  'urn:md5:' || md5('http://corpus/' || source || '/' || doc_id) AS record_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p83_event_features" ->
       """WITH e AS (SELECT event_id, user_id, epoch_us(ts) AS ts, event_type AS t,
