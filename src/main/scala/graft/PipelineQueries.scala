@@ -1029,6 +1029,22 @@ object PipelineQueries {
           col("event_id"), col("value"), lookback = 86400000000L)
         .orderBy(col("seq"))),
 
+    // WET-style HTML -> text extraction: documents wrapped in noisy HTML
+    // (script with tag decoys, style, comments, entities), recovered by
+    // the regex-only extractor — pure projection, oracle-replayed
+    "p85_html_extract" -> ((s, dir) => {
+      val html = concat(
+        lit("<html><head><title>t</title><style>body{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = \"<p>decoy</p>\";</script></head>" +
+          "<body><!-- comment --><h1>Doc "), col("doc_id").cast("string"),
+        lit("</h1><p>"), coalesce(col("text"), lit("")),
+        lit("</p><div>footer &amp; nav &lt;end&gt;</div></body></html>"))
+      docs(s, dir).select(col("doc_id"), TextOps.htmlToText(html).as("__t"))
+        .select(col("doc_id"), md5(col("__t").cast("binary")).as("clean_md5"),
+          length(col("__t")).cast("long").as("n_chars"))
+        .orderBy(col("doc_id"))
+    }),
+
     // WARC container roundtrip: documents become response records via the
     // distributed writer, read back through the format("warc") DSv2 scan
     // with 64 KB ranges (forces mid-record splits + resync at every SF)
@@ -2797,6 +2813,28 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p85_html_extract" ->
+      """WITH h AS (SELECT doc_id,
+        |  '<html><head><title>t</title><style>body{color:red}</style><script type="text/javascript">var x = "<p>decoy</p>";</script></head><body><!-- comment --><h1>Doc '
+        |    || doc_id || '</h1><p>' || coalesce(text, '')
+        |    || '</p><div>footer &amp; nav &lt;end&gt;</div></body></html>' AS s
+        |  FROM documents),
+        |t1 AS (SELECT doc_id, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        |t2 AS (SELECT doc_id, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM t1),
+        |t3 AS (SELECT doc_id, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM t2),
+        |t4 AS (SELECT doc_id, regexp_replace(s,
+        |  '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>', chr(10), 'g') AS s FROM t3),
+        |t5 AS (SELECT doc_id, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM t4),
+        |e AS (SELECT doc_id,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS s FROM t5),
+        |w AS (SELECT doc_id, regexp_replace(regexp_replace(
+        |  regexp_replace(s, '[ \t\x0B\f\r]+', ' ', 'g'),
+        |  '\s*\n\s*', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS s FROM e)
+        |SELECT doc_id, md5(s) AS clean_md5, CAST(length(s) AS BIGINT) AS n_chars
+        |FROM w ORDER BY doc_id""".stripMargin,
 
     "p84_warc_roundtrip" ->
       """SELECT doc_id,

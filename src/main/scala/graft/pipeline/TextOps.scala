@@ -221,6 +221,35 @@ object TextOps {
     trim(regexp_replace(regexp_replace(text, "[\\x00-\\x1F\\x7F]", " "),
       "\\s{2,}", " "))
 
+  /** HTML → text extraction (the WET step between a raw crawl and the
+    * curation filters): drop script/style subtrees and comments, turn
+    * block-closing tags into newlines, strip remaining tags, decode the
+    * common entities, collapse whitespace. A deliberately regex-only
+    * "trafilatura-lite" — every pattern uses `(?is)` + lazy repetition
+    * only, semantics identical in Java regex (Spark) and RE2 (DuckDB),
+    * so the extraction is oracle-replayable. Pure codegen'd projection:
+    * no shuffle, 100 TB is one pass over the payload column. */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noComment = regexp_replace(noStyle, "(?s)<!--.*?-->", " ")
+    val blocks = regexp_replace(noComment,
+      "(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>", "\n")
+    val noTags = regexp_replace(blocks, "(?s)<[^>]*>", " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (e, r)) =>
+      regexp_replace(c, e, r)
+    }
+    // full-whitespace edge trim (trim() strips spaces only, and block
+    // closes leave edge newlines); \x0B already collapsed above, so the
+    // Java-vs-RE2 \s difference cannot bite
+    regexp_replace(
+      regexp_replace(regexp_replace(decoded, "[ \\t\\x0B\\f\\r]+", " "),
+        "\\s*\\n\\s*", "\n"),
+      "^\\s+|\\s+$", "")
+  }
+
   /** PII patterns, deliberately restricted to syntax with identical
     * semantics in Java regex (Spark) and RE2 (DuckDB): character classes,
     * bounded repetition and `\b` only — no lookaround, no backrefs. */

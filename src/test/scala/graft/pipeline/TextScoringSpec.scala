@@ -160,6 +160,25 @@ class TextScoringSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((9L, 3L, expected)))
   }
 
+  test("htmlToText: scripts/styles/comments die, blocks break lines, entities decode") {
+    def x(h: String): String = {
+      Seq((1L, h)).toDF("id", "h")
+        .select(TextOps.htmlToText($"h").as("t")).head.getString(0)
+    }
+    assert(x("<p>hello <b>world</b></p>") == "hello world")
+    assert(x("<script>var a = '<p>fake</p>';</script>real") == "real")
+    assert(x("<style type='text/css'>p { color: red }</style>kept") == "kept")
+    assert(x("a<!-- <p>never</p> -->b") == "a b")
+    assert(x("<p>one</p><p>two</p><div>three</div>") == "one\ntwo\nthree")
+    assert(x("line<br/>break<BR >caps") == "line\nbreak\ncaps")
+    assert(x("5 &lt; 6 &amp;&amp; 7 &gt; 2, &quot;q&quot; &#39;s&#39; a&nbsp;b")
+      == "5 < 6 && 7 > 2, \"q\" 's' a b")
+    // &amp; decodes LAST: the literal string "&amp;lt;" means "&lt;"
+    assert(x("&amp;lt;") == "&lt;")
+    assert(x("  <p>  spaced\t\tout  </p>  ") == "spaced out")
+    assert(x("<SCRIPT>upper</SCRIPT>ok") == "ok")
+  }
+
   // ----- classifier training reference -----
 
   /** Sequential full-batch GD on the e6 lattice — the exact
