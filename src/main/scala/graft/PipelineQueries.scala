@@ -1029,6 +1029,52 @@ object PipelineQueries {
           col("event_id"), col("value"), lookback = 86400000000L)
         .orderBy(col("seq"))),
 
+    // crawl-to-corpus macro: HTML-wrapped docs (with injected duplicate
+    // records) go to disk as WARC, come back through the splittable scan,
+    // and run extract -> quality gate -> exact dedup as ONE declarative
+    // plan — the CommonCrawl front-end stitched to the curation pipeline
+    "p86_crawl_pipeline" -> ((s, dir) => {
+      def htmlOf(id: org.apache.spark.sql.Column,
+          text: org.apache.spark.sql.Column) = concat(
+        lit("<html><head><title>t</title><style>body{color:red}</style>" +
+          "<script type=\"text/javascript\">var x = \"<p>decoy</p>\";</script></head>" +
+          "<body><!-- comment --><h1>Doc "), id.cast("string"),
+        lit("</h1><p>"), coalesce(text, lit("")),
+        lit("</p><div>footer &amp; nav &lt;end&gt;</div></body></html>"))
+      val base = docs(s, dir).select(col("doc_id"), col("source"),
+        htmlOf(col("doc_id"), col("text")).cast("binary").as("payload"))
+      val recs = base.select(
+          concat(lit("http://corpus/"), col("source"), lit("/"), col("doc_id")).as("uri"),
+          lit("text/html").as("ct"), col("payload"))
+        .unionAll(base.filter(col("doc_id") % 7 === 0).select(
+          concat(lit("http://corpus/"), col("source"), lit("/"), col("doc_id"),
+            lit("-dup")).as("uri"),
+          lit("text/html").as("ct"), col("payload")))
+      val out = s"/tmp/graft-warc-pipe/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sessionState.newHadoopConf()).delete(p, true)
+      graft.sources.warc.WarcWriter.writeResponses(recs, out, "2026-01-01T00:00:00Z")
+      val ext = s.read.format("warc")
+        .option("maxPartitionBytes", 64L << 10).load(out)
+        .select(element_at(split(col("target_uri"), "/"), 4).as("source"),
+          TextOps.htmlToText(col("payload").cast("string")).as("__t"))
+      val tk = TextOps.cleanTokens(col("__t"))
+      val stats = ext.select(col("source"), col("__t"),
+        size(tk).cast("long").as("__nw"),
+        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("__sl"))
+      val kept = stats.filter(col("__nw") >= 30 &&
+        col("__sl") >= col("__nw") * 3 && col("__sl") <= col("__nw") * 10)
+      val perSrc = kept.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          countDistinct(md5(col("__t").cast("binary"))).as("n_unique"))
+      ext.groupBy(col("source")).agg(count(lit(1)).as("n_records"))
+        .join(perSrc, Seq("source"), "left")
+        .select(col("source"), col("n_records"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+          coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+        .orderBy(col("source"))
+    }),
+
     // WET-style HTML -> text extraction: documents wrapped in noisy HTML
     // (script with tag decoys, style, comments, entities), recovered by
     // the regex-only extractor — pure projection, oracle-replayed
@@ -2813,6 +2859,44 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p86_crawl_pipeline" ->
+      """WITH docs2 AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, source, text FROM documents WHERE doc_id % 7 = 0),
+        |h AS (SELECT source,
+        |  '<html><head><title>t</title><style>body{color:red}</style><script type="text/javascript">var x = "<p>decoy</p>";</script></head><body><!-- comment --><h1>Doc '
+        |    || doc_id || '</h1><p>' || coalesce(text, '')
+        |    || '</p><div>footer &amp; nav &lt;end&gt;</div></body></html>' AS s
+        |  FROM docs2),
+        |t1 AS (SELECT source, regexp_replace(s, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS s FROM h),
+        |t2 AS (SELECT source, regexp_replace(s, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS s FROM t1),
+        |t3 AS (SELECT source, regexp_replace(s, '(?s)<!--.*?-->', ' ', 'g') AS s FROM t2),
+        |t4 AS (SELECT source, regexp_replace(s,
+        |  '(?i)</(p|div|li|h[1-6]|tr|table|ul|ol|blockquote)>|<br[^>]*>', chr(10), 'g') AS s FROM t3),
+        |t5 AS (SELECT source, regexp_replace(s, '(?s)<[^>]*>', ' ', 'g') AS s FROM t4),
+        |e AS (SELECT source,
+        |  replace(replace(replace(replace(replace(replace(s,
+        |    '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |    '&#39;', ''''), '&amp;', '&') AS s FROM t5),
+        |w AS (SELECT source, regexp_replace(regexp_replace(
+        |  regexp_replace(s, '[ \t\x0B\f\r]+', ' ', 'g'),
+        |  '\s*\n\s*', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS s FROM e),
+        |tok AS (SELECT source, s,
+        |  list_filter(string_split_regex(s, '\s+'), t -> t != '') AS tk FROM w),
+        |st AS (SELECT source, s, CAST(len(tk) AS BIGINT) AS nw,
+        |  CASE WHEN len(tk) = 0 THEN 0
+        |       ELSE CAST(list_reduce(list_transform(tk, z -> len(z)), (a, b) -> a + b) AS BIGINT)
+        |  END AS sl FROM tok),
+        |k AS (SELECT source, s FROM st
+        |  WHERE nw >= 30 AND sl >= nw * 3 AND sl <= nw * 10),
+        |agg AS (SELECT source, count(*)::BIGINT AS n_records FROM docs2 GROUP BY source),
+        |kk AS (SELECT source, count(*)::BIGINT AS n_kept,
+        |  count(DISTINCT md5(s))::BIGINT AS n_unique FROM k GROUP BY source)
+        |SELECT a.source, a.n_records, coalesce(kk.n_kept, 0) AS n_kept,
+        |  coalesce(kk.n_unique, 0) AS n_unique
+        |FROM agg a LEFT JOIN kk USING (source) ORDER BY a.source""".stripMargin,
 
     "p85_html_extract" ->
       """WITH h AS (SELECT doc_id,
