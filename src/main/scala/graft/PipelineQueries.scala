@@ -1023,6 +1023,16 @@ object PipelineQueries {
           dayUnit = 86400000000L)
         .orderBy(col("cohort_day"), col("day_offset"))),
 
+    // semi-structured props extraction: per-row JSON field pull
+    // (codegen'd get_json_object — no UDF, no shuffle) + rollup
+    "p87_props_extract" -> ((s, dir) =>
+      eventsUs(s, dir)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("__k"))
+        .groupBy(col("event_type"), (col("__k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), sum(col("__k")).as("k_sum"))
+        .orderBy(col("event_type"), col("k_mod"))),
+
     // per-event trailing 24 h activity (count + e2 sum for the same user)
     "p82_rolling_stats" -> ((s, dir) =>
       Events.rollingWindowStats(eventsUs(s, dir), col("user_id"), col("ts_us"),
@@ -2859,6 +2869,13 @@ object PipelineQueries {
         |  FROM e JOIN f ON e.k = f.k)
         |SELECT cohort_day, day_offset, count(*)::BIGINT AS n_keys
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "p87_props_extract" ->
+      """WITH e AS (SELECT event_type,
+        |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events)
+        |SELECT event_type, k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
+        |  CAST(sum(k) AS BIGINT) AS k_sum
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p86_crawl_pipeline" ->
       """WITH docs2 AS (
