@@ -1069,19 +1069,20 @@ object PipelineQueries {
         .select(element_at(split(col("target_uri"), "/"), 4).as("source"),
           TextOps.htmlToText(col("payload").cast("string")).as("__t"))
       val tk = TextOps.cleanTokens(col("__t"))
-      val stats = ext.select(col("source"), col("__t"),
-        size(tk).cast("long").as("__nw"),
-        aggregate(tk, lit(0L), (a, t) => a + length(t)).as("__sl"))
-      val kept = stats.filter(col("__nw") >= 30 &&
-        col("__sl") >= col("__nw") * 3 && col("__sl") <= col("__nw") * 10)
-      val perSrc = kept.groupBy(col("source"))
-        .agg(count(lit(1)).as("n_kept"),
-          countDistinct(md5(col("__t").cast("binary"))).as("n_unique"))
-      ext.groupBy(col("source")).agg(count(lit(1)).as("n_records"))
-        .join(perSrc, Seq("source"), "left")
-        .select(col("source"), col("n_records"),
-          coalesce(col("n_kept"), lit(0L)).as("n_kept"),
-          coalesce(col("n_unique"), lit(0L)).as("n_unique"))
+      // ONE crawl scan: the gate is a flag, the rollup conditional —
+      // a second scan of 100 TB of WARC just to count raw records would
+      // double the whole job's IO
+      val flagged = ext
+        .select(col("source"), col("__t"),
+          size(tk).cast("long").as("__nw"),
+          aggregate(tk, lit(0L), (a, t) => a + length(t)).as("__sl"))
+        .withColumn("__keep", col("__nw") >= 30 &&
+          col("__sl") >= col("__nw") * 3 && col("__sl") <= col("__nw") * 10)
+      flagged.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_records"),
+          sum(when(col("__keep"), 1L).otherwise(0L)).as("n_kept"),
+          countDistinct(when(col("__keep"), md5(col("__t").cast("binary"))))
+            .as("n_unique"))
         .orderBy(col("source"))
     }),
 
@@ -2906,14 +2907,12 @@ object PipelineQueries {
         |  CASE WHEN len(tk) = 0 THEN 0
         |       ELSE CAST(list_reduce(list_transform(tk, z -> len(z)), (a, b) -> a + b) AS BIGINT)
         |  END AS sl FROM tok),
-        |k AS (SELECT source, s FROM st
-        |  WHERE nw >= 30 AND sl >= nw * 3 AND sl <= nw * 10),
-        |agg AS (SELECT source, count(*)::BIGINT AS n_records FROM docs2 GROUP BY source),
-        |kk AS (SELECT source, count(*)::BIGINT AS n_kept,
-        |  count(DISTINCT md5(s))::BIGINT AS n_unique FROM k GROUP BY source)
-        |SELECT a.source, a.n_records, coalesce(kk.n_kept, 0) AS n_kept,
-        |  coalesce(kk.n_unique, 0) AS n_unique
-        |FROM agg a LEFT JOIN kk USING (source) ORDER BY a.source""".stripMargin,
+        |k AS (SELECT source, s,
+        |  (nw >= 30 AND sl >= nw * 3 AND sl <= nw * 10) AS keep FROM st)
+        |SELECT source, count(*)::BIGINT AS n_records,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  count(DISTINCT CASE WHEN keep THEN md5(s) END)::BIGINT AS n_unique
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
 
     "p85_html_extract" ->
       """WITH h AS (SELECT doc_id,
