@@ -578,6 +578,30 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("HTML extraction is stateless: runs unchanged in-stream, batch-identical") {
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val pages = Seq(
+      (1L, "<p>alpha</p><script>var x='<p>no</p>'</script>"),
+      (2L, "<div>beta &amp; gamma</div><br>delta"),
+      (3L, ""))
+    val input = MemoryStream[(Long, String)]
+    val out = input.toDF.toDF("id", "html")
+      .select($"id", TextOps.htmlToText($"html").as("text"))
+    val query = out.writeStream
+      .format("memory").queryName("htmlx").outputMode("append").start()
+    try {
+      input.addData(pages: _*)
+      query.processAllAvailable()
+      val got = spark.table("htmlx").as[(Long, String)].collect().toSet
+      val batch = pages.toDF("id", "html")
+        .select($"id", TextOps.htmlToText($"html").as("text"))
+        .as[(Long, String)].collect().toSet
+      assert(got == batch)
+      assert(got.contains((1L, "alpha")) && got.contains((2L, "beta & gamma\ndelta")))
+    } finally query.stop()
+  }
+
   test("streaming windowed KMV sketch == batch approxDistinct per window") {
     import graft.pipeline.Sketches
     implicit val sqlCtx = spark.sqlContext
