@@ -74,7 +74,7 @@ final class WarcTable(options: CaseInsensitiveStringMap) extends Table with Supp
   override def name(): String = s"warc(${options.get("path")})"
   override def schema(): StructType = WarcSource.Schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
     new WarcScanBuilder(opts)
 }
@@ -119,6 +119,66 @@ final class WarcScan(required: StructType, path: String, maxPartitionBytes: Long
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames, confW)
+
+  /** Streaming crawl ingest: each micro-batch reads the `.warc` members
+    * that appeared in the directory since the last batch (files are
+    * immutable once written — the standard crawl-dump contract). The
+    * offset is the set of file names already processed, so restarts
+    * resume exactly; within a batch, files split into byte ranges and
+    * resync exactly like the batch scan. */
+  override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    new WarcMicroBatchStream(required, path, maxPartitionBytes, confW)
+}
+
+final case class WarcStreamOffset(files: Seq[String])
+  extends org.apache.spark.sql.connector.read.streaming.Offset {
+  override def json(): String =
+    files.sorted.map(f => "\"" + f.replace("\\", "\\\\").replace("\"", "\\\"") + "\"")
+      .mkString("[", ",", "]")
+}
+
+final class WarcMicroBatchStream(required: StructType, path: String,
+    maxPartitionBytes: Long, confW: SerializableHadoopConf)
+  extends org.apache.spark.sql.connector.read.streaming.MicroBatchStream {
+  import org.apache.spark.sql.connector.read.streaming.Offset
+
+  private def listNow(): Seq[String] =
+    try WarcSource.resolveFiles(path, confW.value).map(_.toString).sorted
+    catch { case _: java.io.FileNotFoundException => Nil } // dir not yet created
+
+  override def initialOffset(): Offset = WarcStreamOffset(Nil)
+  override def latestOffset(): Offset = WarcStreamOffset(listNow())
+
+  override def deserializeOffset(json: String): Offset = {
+    // the inverse of WarcStreamOffset.json (a flat string array)
+    val files = "\"((?:[^\"\\\\]|\\\\.)*)\"".r.findAllMatchIn(json)
+      .map(_.group(1).replace("\\\"", "\"").replace("\\\\", "\\")).toSeq
+    WarcStreamOffset(files)
+  }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
+    val fresh = end.asInstanceOf[WarcStreamOffset].files.filterNot(seen)
+    val conf = confW.value
+    val parts = ArrayBuffer.empty[InputPartition]
+    fresh.foreach { f =>
+      val p = new Path(f)
+      val len = p.getFileSystem(conf).getFileStatus(p).getLen
+      var s = 0L
+      while (s < len) {
+        val e = math.min(len, s + maxPartitionBytes)
+        parts += WarcPartition(f, s, e, len)
+        s = e
+      }
+    }
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new WarcReaderFactory(required.fieldNames, confW)
+
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
 }
 
 final class WarcReaderFactory(columns: Array[String], confW: SerializableHadoopConf)

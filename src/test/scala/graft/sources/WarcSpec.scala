@@ -113,6 +113,29 @@ class WarcSpec extends AnyFunSuite {
     assert(rows.toSeq == Seq("http://e/1", "http://e/2"))
   }
 
+  test("streaming ingest: files arriving between micro-batches are read once each") {
+    val dir = tmpDir("warc-stream")
+    writeFile(dir, "a.warc")(Seq("http://st/1" -> "one".getBytes, "http://st/2" -> "two".getBytes))
+    val stream = spark.readStream.format("warc")
+      .option("maxPartitionBytes", 4096).load(dir)
+      .select($"target_uri", $"payload".cast("string").as("body"))
+    val query = stream.writeStream
+      .format("memory").queryName("warcstream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      assert(spark.table("warcstream").count() == 2)
+      writeFile(dir, "b.warc")(Seq("http://st/3" -> "three".getBytes))
+      query.processAllAvailable()
+      val rows = spark.table("warcstream")
+        .as[(String, String)].collect().toSet
+      assert(rows == Set(("http://st/1", "one"), ("http://st/2", "two"),
+        ("http://st/3", "three")))
+      // a re-trigger with no new files adds nothing (offset = files seen)
+      query.processAllAvailable()
+      assert(spark.table("warcstream").count() == 3)
+    } finally query.stop()
+  }
+
   test("column pruning reaches the reader: payload-free scan lists no payload column") {
     val dir = tmpDir("warc-prune")
     writeFile(dir, "f.warc")(Seq("http://p/1" -> "abc".getBytes))
