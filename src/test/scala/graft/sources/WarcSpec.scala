@@ -136,6 +136,41 @@ class WarcSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("in-stream crawl pipeline: warc tail -> extract -> gate -> exact dedup in ONE query") {
+    import graft.pipeline.TextOps
+    import graft.streaming.H3Streaming
+    val dir = tmpDir("warc-pipe")
+    val longBody = ("the quick brown fox jumps over the lazy dog and keeps " * 6).trim
+    def page(body: String) =
+      s"<html><script>x='<p>no</p>'</script><body><p>$body</p></body></html>"
+    writeFile(dir, "a.warc")(Seq(
+      "http://c/1" -> page(longBody).getBytes("UTF-8"),
+      "http://c/2" -> page("too short").getBytes("UTF-8")))
+    val stream = spark.readStream.format("warc").load(dir)
+      .select($"target_uri",
+        TextOps.htmlToText($"payload".cast("string")).as("text"),
+        lit(new java.sql.Timestamp(1700000000000L)).as("ts"))
+    val tk = TextOps.cleanTokens($"text")
+    val gated = stream
+      .withColumn("__nw", size(tk).cast("long"))
+      .filter($"__nw" >= 30)
+    val deduped = H3Streaming.streamingExactDedup(gated, "ts", "text",
+      watermark = "1 hour")
+    val query = deduped.writeStream
+      .format("memory").queryName("crawlpipe").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      // batch 2: a duplicate of doc 1's content under a new uri + a novel doc
+      writeFile(dir, "b.warc")(Seq(
+        "http://c/3" -> page(longBody).getBytes("UTF-8"),
+        "http://c/4" -> page(longBody + " novel ending tokens here").getBytes("UTF-8")))
+      query.processAllAvailable()
+      val uris = spark.table("crawlpipe").select($"target_uri").as[String].collect().sorted
+      // 2 gated out (short), 3 deduped against 1's content, 1 and 4 survive
+      assert(uris.toSeq == Seq("http://c/1", "http://c/4"))
+    } finally query.stop()
+  }
+
   test("column pruning reaches the reader: payload-free scan lists no payload column") {
     val dir = tmpDir("warc-prune")
     writeFile(dir, "f.warc")(Seq("http://p/1" -> "abc".getBytes))
