@@ -148,12 +148,14 @@ object PipelineQueries {
       val mixed = graft.pipeline.Mixing.mixSample(
         assigned.select(col("vec_id"), col("centroid_id").cast("string").as("stratum")),
         col("vec_id"), col("stratum"), rates, salt = "cb1")
-      val nIn = assigned.groupBy(col("centroid_id")).agg(count(lit(1)).as("n_in"))
+      // n_in comes from the already-collected `sizes` (8 rows) — no second
+      // aggregation over the corpus
+      import s.implicits._
+      val nIn = sizes.toSeq.map { case (c, n) => (c.toString, c.toLong, n) }
+        .toDF("stratum", "centroid_id", "n_in")
       mixed.groupBy(col("stratum")).agg(count(lit(1)).as("n_out"))
-        .join(nIn.withColumn("stratum", col("centroid_id").cast("string")),
-          Seq("stratum"))
-        .select(col("centroid_id").cast("long").as("centroid_id"),
-          col("n_in"), col("n_out"))
+        .join(broadcast(nIn), Seq("stratum"))
+        .select(col("centroid_id"), col("n_in"), col("n_out"))
         .orderBy(col("centroid_id"))
     }),
 

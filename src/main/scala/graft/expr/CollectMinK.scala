@@ -94,15 +94,30 @@ case class CollectMinK(
     new GenericArrayData(out)
   }
 
-  // elements serialize as single-field UnsafeRow images — type-agnostic
-  // (long ids, (id, hash) structs) and partition-local, so the format only
-  // has to round-trip within one executor generation
+  // Two formats, tagged by a leading version byte:
+  //   0 — raw big-endian longs, for LongType children. VERSION-STABLE:
+  //       streaming consumers (windowed KMV sketches) persist these
+  //       buffers into checkpointed state stores, which must survive a
+  //       Spark upgrade — the long path depends on nothing but the tag.
+  //   1 — single-field UnsafeRow images, for every other child type.
+  //       Partition-local batch exchange format; a checkpoint-durable
+  //       consumer of a non-long child would need a stable encoding here
+  //       first (none exists today — the streaming twin hashes to longs).
   @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
   @transient private lazy val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
+  private def isLong: Boolean = child.dataType == LongType
 
   override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = {
+    if (isLong) {
+      val bb = java.nio.ByteBuffer.allocate(1 + 4 + 8 * buf.size)
+      bb.put(0.toByte)
+      bb.putInt(buf.size)
+      val it = buf.iterator()
+      while (it.hasNext) bb.putLong(it.next().asInstanceOf[Long])
+      return bb.array()
+    }
     val rows = new Array[Array[Byte]](buf.size)
-    var total = 4
+    var total = 1 + 4
     var i = 0
     val it = buf.iterator()
     while (it.hasNext) {
@@ -115,6 +130,7 @@ case class CollectMinK(
       i += 1
     }
     val bb = java.nio.ByteBuffer.allocate(total)
+    bb.put(1.toByte)
     bb.putInt(rows.length)
     rows.foreach { r => bb.putInt(r.length); bb.put(r) }
     bb.array()
@@ -122,8 +138,14 @@ case class CollectMinK(
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Any] = {
     val bb = java.nio.ByteBuffer.wrap(bytes)
+    val version = bb.get()
     val n = bb.getInt
     val buf = createAggregationBuffer()
+    if (version == 0) {
+      var i = 0
+      while (i < n) { buf.add(bb.getLong: java.lang.Long); i += 1 }
+      return buf
+    }
     val row = new UnsafeRow(1)
     var i = 0
     while (i < n) {

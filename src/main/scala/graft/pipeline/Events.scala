@@ -47,8 +47,13 @@ object Events {
   def asOfJoin(left: DataFrame, leftKey: Column, leftTs: Column, leftSeq: Column,
       right: DataFrame, rightKey: Column, rightTs: Column, rightSeq: Column,
       asofCol: String = "asof"): DataFrame = {
-    // null literals carry the OTHER side's struct type so the union lines up
-    val rPart = right.select(rightKey.cast("long").as("__k"), rightTs.cast("long").as("__ts"),
+    // null literals carry the OTHER side's struct type so the union lines up.
+    // NULL-ts right rows are dropped: `r.ts <= l.ts` is unknown for them,
+    // but Spark's nulls-first ascending sort would place them BEFORE the
+    // whole key and last(ignoreNulls) would carry one as a bogus match
+    // (NULL-ts LEFT rows are harmless — they sort first and match nothing)
+    val rPart = right.filter(rightTs.isNotNull)
+      .select(rightKey.cast("long").as("__k"), rightTs.cast("long").as("__ts"),
       lit(0).as("__side"), rightSeq.cast("long").as("__seq"),
       lit(null).cast(org.apache.spark.sql.types.StructType(
         left.schema.fields)).as("__l"),
@@ -86,8 +91,11 @@ object Events {
   def funnel(events: DataFrame, key: Column, ts: Column, eventType: Column,
       steps: Seq[String], maxSpan: Long): DataFrame = {
     val perKey = funnelPerKey(events, key, ts, eventType, steps, maxSpan)
+    // coalesce: a global agg over an EMPTY perKey frame yields one row of
+    // NULL sums — every step must report 0, not NULL
     val stepCounts = steps.indices.map { i =>
-      sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)).as(s"__n$i")
+      coalesce(sum(when(col(s"__s$i").isNotNull, 1L).otherwise(0L)), lit(0L))
+        .as(s"__n$i")
     }
     val totals = perKey.agg(stepCounts.head, stepCounts.tail: _*)
     val stepLit = array(steps.zipWithIndex.map { case (s, i) =>

@@ -68,6 +68,19 @@ object WarcSource {
         .map(_.getPath).sortBy(_.toString)
     else Seq(p)
   }
+
+  /** Byte-range splits of one file — shared by the batch scan and the
+    * micro-batch stream so ownership rules can never diverge. */
+  def splitFile(file: String, len: Long, maxPartitionBytes: Long): Seq[WarcPartition] = {
+    val parts = ArrayBuffer.empty[WarcPartition]
+    var start = 0L
+    while (start < len) {
+      val end = math.min(len, start + maxPartitionBytes)
+      parts += WarcPartition(file, start, end, len)
+      start = end
+    }
+    parts.toSeq
+  }
 }
 
 final class WarcTable(options: CaseInsensitiveStringMap) extends Table with SupportsRead {
@@ -83,12 +96,19 @@ final class WarcScanBuilder(options: CaseInsensitiveStringMap)
     extends ScanBuilder with SupportsPushDownRequiredColumns {
   private var required: StructType = WarcSource.Schema
   override def pruneColumns(requiredSchema: StructType): Unit = required = requiredSchema
-  override def build(): Scan = new WarcScan(required,
-    Option(options.get("path")).getOrElse(
-      throw new IllegalArgumentException("warc requires a path")),
-    options.getLong("maxPartitionBytes", 64L << 20),
-    new SerializableHadoopConf(
-      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  override def build(): Scan = {
+    val mpb = options.getLong("maxPartitionBytes", 64L << 20)
+    // readers buffer range + TailMargin in one array: bound at plan time
+    // instead of wrapping Int and corrupting reads
+    require(mpb > 0 && mpb <= Int.MaxValue.toLong - (1L << 21),
+      s"maxPartitionBytes must be in (0, ~2GiB - 2MiB], got $mpb")
+    new WarcScan(required,
+      Option(options.get("path")).getOrElse(
+        throw new IllegalArgumentException("warc requires a path")),
+      mpb,
+      new SerializableHadoopConf(
+        org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  }
 }
 
 /** One byte range of one file; records STARTING in [start, end) belong
@@ -104,28 +124,25 @@ final class WarcScan(required: StructType, path: String, maxPartitionBytes: Long
 
   override def planInputPartitions(): Array[InputPartition] = {
     val conf = confW.value
-    val parts = ArrayBuffer.empty[InputPartition]
-    WarcSource.resolveFiles(path, conf).foreach { file =>
+    WarcSource.resolveFiles(path, conf).flatMap { file =>
       val len = file.getFileSystem(conf).getFileStatus(file).getLen
-      var start = 0L
-      while (start < len) {
-        val end = math.min(len, start + maxPartitionBytes)
-        parts += WarcPartition(file.toString, start, end, len)
-        start = end
-      }
-    }
-    parts.toArray
+      WarcSource.splitFile(file.toString, len, maxPartitionBytes)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
     new WarcReaderFactory(required.fieldNames, confW)
 
   /** Streaming crawl ingest: each micro-batch reads the `.warc` members
-    * that appeared in the directory since the last batch (files are
-    * immutable once written — the standard crawl-dump contract). The
-    * offset is the set of file names already processed, so restarts
-    * resume exactly; within a batch, files split into byte ranges and
-    * resync exactly like the batch scan. */
+    * that appeared in the directory since the last batch. Members must be
+    * COMPLETE when they become visible under the `.warc` suffix:
+    * [[WarcWriter]] guarantees this with its write-temp + rename commit
+    * (a listing can never catch it mid-write), and external producers
+    * must follow the same write-then-rename discipline — a file listed
+    * mid-append would be read truncated and its name permanently marked
+    * consumed. The offset is the set of file names already processed, so
+    * restarts resume exactly; within a batch, files split into byte
+    * ranges and resync exactly like the batch scan. */
   override def toMicroBatchStream(checkpointLocation: String): org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
     new WarcMicroBatchStream(required, path, maxPartitionBytes, confW)
 }
@@ -160,18 +177,11 @@ final class WarcMicroBatchStream(required: StructType, path: String,
     val seen = start.asInstanceOf[WarcStreamOffset].files.toSet
     val fresh = end.asInstanceOf[WarcStreamOffset].files.filterNot(seen)
     val conf = confW.value
-    val parts = ArrayBuffer.empty[InputPartition]
-    fresh.foreach { f =>
+    fresh.flatMap { f =>
       val p = new Path(f)
       val len = p.getFileSystem(conf).getFileStatus(p).getLen
-      var s = 0L
-      while (s < len) {
-        val e = math.min(len, s + maxPartitionBytes)
-        parts += WarcPartition(f, s, e, len)
-        s = e
-      }
-    }
-    parts.toArray
+      WarcSource.splitFile(f, len, maxPartitionBytes)
+    }.toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

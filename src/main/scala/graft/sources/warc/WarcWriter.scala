@@ -20,7 +20,16 @@ object WarcWriter {
   final case class Rec(uri: String, contentType: String, payload: Array[Byte])
 
   /** df(uri STRING, content_type STRING, payload BINARY) → `dir`. Returns
-    * the number of records written. */
+    * the number of records written.
+    *
+    * Task-commit protocol: each attempt writes
+    * `.part-NNNNN.warc.attempt-A.tmp` (invisible to the reader, which
+    * only lists `*.warc`) and renames into place when its iterator is
+    * exhausted. Rename is the atomic commit: under speculation or task
+    * retry the FIRST attempt to rename wins and later attempts discard
+    * their temp — readers (including a streaming tail of `dir`) can
+    * never observe a half-written or interleaved member. A job that dies
+    * mid-write leaves only `.tmp` litter, never a truncated `.warc`. */
   def writeResponses(df: DataFrame, dir: String, date: String): Long = {
     val confW = new SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf())
@@ -28,19 +37,35 @@ object WarcWriter {
     val counts = df.toDF("uri", "contentType", "payload").as(enc)
       .mapPartitions { it =>
         val tc = org.apache.spark.TaskContext.get()
-        val file = new Path(dir, f"part-${tc.partitionId()}%05d.warc")
-        val fs = file.getFileSystem(confW.value)
-        val out = new DataOutputStream(fs.create(file, true))
+        val finalFile = new Path(dir, f"part-${tc.partitionId()}%05d.warc")
+        val tmpFile = new Path(dir,
+          f".part-${tc.partitionId()}%05d.warc.attempt-${tc.taskAttemptId()}.tmp")
+        val fs = finalFile.getFileSystem(confW.value)
+        val out = new DataOutputStream(fs.create(tmpFile, true))
+        val md = java.security.MessageDigest.getInstance("MD5")
         var n = 0L
+        var committed = false
         try {
           it.foreach { r =>
-            val id = "urn:md5:" + java.security.MessageDigest.getInstance("MD5")
-              .digest(r.uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
+            val id = "urn:md5:" +
+              md.digest(r.uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
             WarcCodec.writeRecord(out, "response", id, date, Some(r.uri),
               Some(r.contentType), r.payload)
             n += 1
           }
-        } finally out.close()
+          out.close()
+          // commit: rename onto an existing destination fails, so the
+          // FIRST attempt wins and later attempts discard their temp.
+          // (Write into a fresh dir — the callers delete it first; a
+          // stale same-name member would win over this job's output.)
+          committed = fs.rename(tmpFile, finalFile)
+          if (!committed) fs.delete(tmpFile, false)
+        } finally {
+          if (!committed) { // failure path: never leave a visible partial
+            try out.close() catch { case _: Throwable => }
+            fs.delete(tmpFile, false)
+          }
+        }
         Iterator.single(n)
       }(Encoders.scalaLong)
     counts.reduce(_ + _)

@@ -20,12 +20,16 @@ final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Long)
 
 /** per-key funnel progress for [[H3Streaming.streamingFunnel]]: greedy
   * chain anchor (first step-0 ts), last completed step's ts, and the next
-  * step index to match — three numbers regardless of event volume. */
-final case class FunnelProgress(t0Ms: Long, prevMs: Long, idx: Int)
+  * step index to match — three numbers regardless of event volume.
+  * MICROsecond ordinals: the batch twin compares raw micros, and a
+  * millisecond-truncated comparison would reject chain steps landing in
+  * the same millisecond (only the TIMEOUT is ms-grained, as Spark's
+  * event-time timeouts are). */
+final case class FunnelProgress(t0Us: Long, prevUs: Long, idx: Int)
 
-/** step completion emitted by [[H3Streaming.streamingFunnel]] (millis —
-  * event-time state timeouts are millisecond-grained). */
-final case class FunnelHit(key: Long, step_idx: Int, step: String, ts_ms: Long)
+/** step completion emitted by [[H3Streaming.streamingFunnel]] (int64
+  * micros — batch-operator parity). */
+final case class FunnelHit(key: Long, step_idx: Int, step: String, ts_us: Long)
 
 /** closed session emitted by [[H3Streaming.streamingSessionize]]; bounds
   * are int64 nanoseconds (batch-operator parity). */
@@ -420,12 +424,16 @@ object H3Streaming {
     * parity with the batch operator is exact when each key's events
     * arrive in order across batches. */
   def streamingFunnel(stream: DataFrame, keyCol: String, tsCol: String,
-      typeCol: String, steps: Seq[String], maxSpanMillis: Long,
+      typeCol: String, steps: Seq[String], maxSpanUs: Long,
       watermark: String): Dataset[FunnelHit] = {
     require(steps.nonEmpty, "funnel needs at least one step")
-    require(maxSpanMillis > 0, s"maxSpanMillis must be positive, got $maxSpanMillis")
+    require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
     val spark = stream.sparkSession
     import spark.implicits._
+    // full micros of a Timestamp: getTime carries the integral millis,
+    // getNanos the full sub-second — batch parity needs the micro digits
+    def usOf(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     stream
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").as("ts"),
@@ -442,14 +450,13 @@ object H3Streaming {
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
             var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, 0))
-            val sorted = rows.toArray.sortBy(_._2.getTime)
-            for ((_, ts, t) <- sorted) {
-              val ms = ts.getTime
+            val sorted = rows.map(r => (r._1, usOf(r._2), r._3)).toArray.sortBy(_._2)
+            for ((_, us, t) <- sorted) {
               if (st.idx < steps.size && t == steps(st.idx) &&
                   (st.idx == 0 ||
-                    (ms > st.prevMs && ms <= st.t0Ms + maxSpanMillis))) {
-                out += FunnelHit(key, st.idx, steps(st.idx), ms)
-                st = FunnelProgress(if (st.idx == 0) ms else st.t0Ms, ms, st.idx + 1)
+                    (us > st.prevUs && us <= st.t0Us + maxSpanUs))) {
+                out += FunnelHit(key, st.idx, steps(st.idx), us)
+                st = FunnelProgress(if (st.idx == 0) us else st.t0Us, us, st.idx + 1)
               }
             }
             if (st.idx > 0) {
@@ -457,8 +464,9 @@ object H3Streaming {
               // an already-expired chain (stalled, then touched by an
               // unrelated event after the watermark passed t0+span) must
               // still set a timeout AFTER the current watermark — Spark
-              // rejects earlier ones
-              state.setTimeoutTimestamp(math.max(st.t0Ms + maxSpanMillis + 1L,
+              // rejects earlier ones; timeouts are ms-grained, so round UP
+              state.setTimeoutTimestamp(math.max(
+                (st.t0Us + maxSpanUs) / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator

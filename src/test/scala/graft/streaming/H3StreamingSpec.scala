@@ -643,37 +643,76 @@ class H3StreamingSpec extends AnyFunSuite {
     import graft.pipeline.Events
     implicit val sqlCtx = spark.sqlContext
     val steps = Seq("signup", "click", "purchase")
-    val span = 60000L // ms
+    val spanUs = 60000000L
     val rnd = new scala.util.Random(31)
     val types = Seq("signup", "click", "purchase", "view")
-    // in-order per key (globally sorted suffices)
+    // MICROS-grained, in-order per key; some events land in the same
+    // millisecond with distinct micros (the batch twin compares micros)
     val evs = (0 until 600).map { i =>
-      (rnd.nextInt(25).toLong, 1700000000000L + i * 997L, types(rnd.nextInt(types.size)))
+      (rnd.nextInt(25).toLong, 1700000000000000L + i * 997300L + rnd.nextInt(3) * 400L,
+        types(rnd.nextInt(types.size)))
     }.sortBy(_._2)
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
     val input = MemoryStream[(Long, Timestamp, String)]
     // watermark horizon longer than the fixture: state never times out
     // mid-test, so an expired chain cannot be dropped and wrongly
     // restarted by a late signup (batch semantics anchor at the FIRST
     // signup forever)
     val out = H3Streaming.streamingFunnel(
-      input.toDF.toDF("key", "ts", "t"), "key", "ts", "t", steps, span,
+      input.toDF.toDF("key", "ts", "t"), "key", "ts", "t", steps, spanUs,
       watermark = "30 days")
     val query = out.writeStream
       .format("memory").queryName("funnel").outputMode("append").start()
     try {
       // two batches to exercise cross-batch state carry
       val (a, b) = evs.splitAt(300)
-      input.addData(a.map { case (k, ms, t) => (k, new Timestamp(ms), t) }: _*)
+      input.addData(a.map { case (k, us, t) => (k, toTs(us), t) }: _*)
       query.processAllAvailable()
-      input.addData(b.map { case (k, ms, t) => (k, new Timestamp(ms), t) }: _*)
+      input.addData(b.map { case (k, us, t) => (k, toTs(us), t) }: _*)
       query.processAllAvailable()
       val got = spark.table("funnel")
         .as[(Long, Int, String, Long)].collect().toSet
       val batch = Events.funnelCompletions(
-          evs.toDF("key", "ts", "t"), col("key"), col("ts"), col("t"), steps, span)
+          evs.toDF("key", "ts", "t"), col("key"), col("ts"), col("t"), steps, spanUs)
         .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
       assert(got == batch)
       assert(got.exists(_._2 == 2) && got.exists(_._2 == 0)) // fixture discriminates
+    } finally query.stop()
+  }
+
+  test("streaming funnel: chain steps inside ONE millisecond still advance") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L // aligned to a whole ms
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // signup, click, purchase at +0us, +200us, +700us — same millisecond
+    val evs = Seq((5L, base, "signup"), (5L, base + 200L, "click"),
+      (5L, base + 700L, "purchase"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = H3Streaming.streamingFunnel(
+      input.toDF.toDF("key", "ts", "t"), "key", "ts", "t",
+      Seq("signup", "click", "purchase"), maxSpanUs = 1000000L,
+      watermark = "1 hour")
+    val query = out.writeStream
+      .format("memory").queryName("funnelus").outputMode("append").start()
+    try {
+      input.addData(evs.map { case (k, us, t) => (k, toTs(us), t) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("funnelus")
+        .as[(Long, Int, String, Long)].collect().toSet
+      val batch = Events.funnelCompletions(evs.toDF("key", "ts", "t"),
+          col("key"), col("ts"), col("t"), Seq("signup", "click", "purchase"), 1000000L)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got.map(_._2) == Set(0, 1, 2), s"all three steps complete: $got")
     } finally query.stop()
   }
 }
