@@ -51,7 +51,27 @@ object GraphQueries {
        |    ${SparkEntry.Synth.oracleCellSql(s"$N", 5)} AS cell,
        |    (SELECT SUM(weight) FROM chain) AS s)""".stripMargin
 
+  /** one unrolled integer-lattice PageRank iteration (oracle side). */
+  private def prIterSql(t: Int): String = {
+    val prev = s"r${t - 1}"
+    s"""c$t AS (SELECT e.dst AS node, CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS s
+       |  FROM e JOIN $prev r ON e.src = r.node JOIN dg d ON e.src = d.src GROUP BY e.dst),
+       |r$t AS (SELECT nd.node, (SELECT tele FROM c0) + coalesce(c$t.s, 0) AS r
+       |  FROM nodes nd LEFT JOIN c$t USING (node))""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // link-graph authority ranking: integer-lattice PageRank (3
+    // iterations) on a deterministic synthetic user->user edge list —
+    // the crawl host-ranking shape, exactly replayable (no floats)
+    "p88_pagerank" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val edges = ev.select(col("user_id").as("src"),
+        pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
+          lit(150L)).as("dst"))
+      graft.graph.Ranks.pageRank(edges, col("src"), col("dst"), iters = 3)
+        .orderBy(col("node"))
+    }),
 
     // P5-P7: many-to-many Dijkstra on the bidirectional chain — exact costs
     "p14_graph_sssp" -> ((s, dir) => {
@@ -222,6 +242,20 @@ object GraphQueries {
   // ---------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "p88_pagerank" ->
+      s"""WITH e AS (SELECT DISTINCT user_id AS src,
+         |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS dst
+         |  FROM events),
+         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |c0 AS (SELECT (1000000000 // count(*)) AS rinit,
+         |  ((100 - 85)::BIGINT * 1000000000) // (100 * count(*)) AS tele FROM nodes),
+         |r0 AS (SELECT node, (SELECT rinit FROM c0) AS r FROM nodes),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)}
+         |SELECT node, CAST(r AS BIGINT) AS rank_e9 FROM r3 ORDER BY node""".stripMargin,
     "p14_graph_sssp" ->
       s"""WITH $oracleChain,
          |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 100, 200))
