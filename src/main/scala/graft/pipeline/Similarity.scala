@@ -381,13 +381,23 @@ object Similarity {
       m: Int, k: Int, iters: Int): DataFrame = {
     require(m >= 1 && dim % m == 0, s"dim ($dim) must split into m ($m) equal subspaces")
     val dsub = dim / m
-    (0 until m).map { s =>
-      kMeansCentroids(
-        corpus.select(id.as("__pqid"),
-          slice(vec.cast("array<double>"), s * dsub + 1, dsub).as("__pqv")),
-        col("__pqid"), col("__pqv"), k, iters)
-        .select(lit(s).as("sub"), col("centroid_id"), col("centroid"))
-    }.reduce(_.unionAll(_))
+    // the m subspace trains are independent chains of SMALL jobs (assign
+    // + means per round, driver-synchronized) — submit them concurrently
+    // so the wall time is the slowest subspace, not the sum; Spark's
+    // scheduler interleaves the jobs across the same executors
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val books = (0 until m).map { s =>
+      Future {
+        kMeansCentroids(
+          corpus.select(id.as("__pqid"),
+            slice(vec.cast("array<double>"), s * dsub + 1, dsub).as("__pqv")),
+          col("__pqid"), col("__pqv"), k, iters)
+          .select(lit(s).as("sub"), col("centroid_id"), col("centroid"))
+      }
+    }
+    Await.result(Future.sequence(books), Duration.Inf).reduce(_.unionAll(_))
   }
 
   /** Driver-collect PQ codebooks: `books(sub)` = (centroid_id, codeword)
