@@ -73,6 +73,30 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // authority-weighted selection: PageRank over a synthetic source-
+    // citation graph, documents admitted with probability proportional
+    // to their source's authority (rank-derived e4 rate, deterministic
+    // hash admission) — the rank-weighted curation composition
+    "p89_authority_mix" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val d = s.read.parquet(s"$dir/documents.parquet")
+      val edges = d.select(md5Long(col("source")).as("src"),
+        md5Long(concat(lit("src"),
+          pmod(md5Long(col("doc_id").cast("string")), lit(20L)))).as("dst"))
+      val ranks = graft.graph.Ranks.pageRank(edges, col("src"), col("dst"), iters = 3)
+      val maxR = ranks.agg(max(col("rank_e9"))).head().getLong(0)
+      d.select(col("doc_id"), col("source"), md5Long(col("source")).as("node"))
+        .join(broadcast(ranks), Seq("node"))
+        .withColumn("rate10k", expr(s"(rank_e9 * 10000) div $maxR"))
+        .withColumn("__b", pmod(md5Long(concat(col("doc_id").cast("string"),
+          lit("am1"))), lit(10000L)))
+        .groupBy(col("source"))
+        .agg(max(col("rank_e9")).as("rank_e9"),
+          count(lit(1)).as("n_docs"),
+          sum(when(col("__b") < col("rate10k"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    }),
+
     // P5-P7: many-to-many Dijkstra on the bidirectional chain — exact costs
     "p14_graph_sssp" -> ((s, dir) => {
       val fwd = chainEdges(s, dir).select(col("origin"), col("destination"), col("weight"))
@@ -242,6 +266,32 @@ object GraphQueries {
   // ---------------------------------------------------------------------
 
   def oracleSql: Map[String, String] = Map(
+    "p89_authority_mix" ->
+      s"""WITH e AS (SELECT DISTINCT
+         |  ('0x' || substr(md5(source), 1, 15))::BIGINT AS src,
+         |  ('0x' || substr(md5('src' ||
+         |    (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 20)), 1, 15))::BIGINT AS dst
+         |  FROM documents),
+         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |c0 AS (SELECT (1000000000 // count(*)) AS rinit,
+         |  ((100 - 85)::BIGINT * 1000000000) // (100 * count(*)) AS tele FROM nodes),
+         |r0 AS (SELECT node, (SELECT rinit FROM c0) AS r FROM nodes),
+         |${prIterSql(1)},
+         |${prIterSql(2)},
+         |${prIterSql(3)},
+         |mx AS (SELECT CAST(max(r) AS BIGINT) AS mr FROM r3),
+         |rated AS (SELECT d.source, CAST(r3.r AS BIGINT) AS rank_e9,
+         |  (CAST(r3.r AS BIGINT) * 10000) // (SELECT mr FROM mx) AS rate10k,
+         |  ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || 'am1'), 1, 15))::BIGINT % 10000 AS b
+         |  FROM documents d
+         |  JOIN r3 ON r3.node = ('0x' || substr(md5(d.source), 1, 15))::BIGINT)
+         |SELECT source, CAST(max(rank_e9) AS BIGINT) AS rank_e9,
+         |  count(*)::BIGINT AS n_docs,
+         |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
     "p88_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT user_id AS src,
          |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS dst
