@@ -32,7 +32,8 @@ object ScaleProbe {
     "p71_bigram_lm", "p72_bigram_lm_cross",
     "p73_asof_join", "p75_cohort_retention", "p76_hopping_stats",
     "p77_classifier_train", "p78_funnel_steps", "p79_kmv_vocab", "p80_ann_pq",
-    "p83_event_features", "p84_warc_roundtrip", "p85_html_extract", "p86_crawl_pipeline")
+    "p83_event_features", "p84_warc_roundtrip", "p85_html_extract", "p86_crawl_pipeline",
+    "p88_pagerank", "p89_authority_mix")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

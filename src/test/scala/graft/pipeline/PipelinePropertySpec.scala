@@ -183,4 +183,35 @@ class PipelinePropertySpec extends AnyFunSuite {
       assert(got == substrRef(rows, 3), s"iter $i")
     }
   }
+
+  test("property: asOfJoin equals the brute-force argmax on random keyed timelines") {
+    // small key/ts domains force heavy ties and no-match cases
+    val genEvents = for {
+      n <- Gen.chooseNum(0, 120)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(0, 5)
+        ts <- Gen.chooseNum(0, 25)
+        side <- Gen.oneOf(0, 1)
+      } yield (k.toLong, ts.toLong, side))
+    } yield rows.zipWithIndex.map { case ((k, ts, side), i) => (i.toLong, k, ts, side) }
+    for (i <- 0 until 6) {
+      val rows = sample(genEvents, 900 + i)
+      val left = rows.filter(_._4 == 1).map(r => (r._1, r._2, r._3))
+      val right = rows.filter(_._4 == 0).map(r => (r._1, r._2, r._3))
+      if (left.nonEmpty) {
+        val got = Events.asOfJoin(
+            left.toDF("seq", "k", "ts").repartition(5), $"k", $"ts", $"seq",
+            right.toDF("seq", "k", "ts"), $"k", $"ts", $"seq")
+          .collect().map { r =>
+            val m = r.getAs[org.apache.spark.sql.Row]("asof")
+            r.getLong(0) -> (if (m == null) -1L else m.getLong(0))
+          }.toMap
+        val want = left.map { case (seq, k, ts) =>
+          val cands = right.filter(c => c._2 == k && c._3 <= ts)
+          seq -> (if (cands.isEmpty) -1L else cands.maxBy(c => (c._3, c._1))._1)
+        }.toMap
+        assert(got == want, s"iter $i")
+      }
+    }
+  }
 }
