@@ -31,6 +31,18 @@ final case class FunnelProgress(t0Us: Long, prevUs: Long, idx: Int)
   * micros — batch-operator parity). */
 final case class FunnelHit(key: Long, step_idx: Int, step: String, ts_us: Long)
 
+/** per-key trailing-window state for [[H3Streaming.streamingRollingStats]]:
+  * the events still inside the lookback horizon of the newest event seen
+  * — size bounded by the key's event rate × lookback, never its
+  * history. */
+final case class RollingState(ts: Seq[Long], v: Seq[Long])
+
+/** per-event trailing aggregate emitted by
+  * [[H3Streaming.streamingRollingStats]] (micros + e2 lattice — batch
+  * parity with [[graft.pipeline.Events.rollingWindowStats]]). */
+final case class RollingHit(key: Long, ts: Long, seq: Long,
+  n_trailing: Long, sum_trailing_e2: Long)
+
 /** closed session emitted by [[H3Streaming.streamingSessionize]]; bounds
   * are int64 nanoseconds (batch-operator parity). */
 final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
@@ -469,6 +481,67 @@ object H3Streaming {
                 (st.t0Us + maxSpanUs) / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
             }
+            out.iterator
+          }
+      }
+  }
+
+  /** Streaming per-event trailing-window aggregates — the incremental
+    * twin of [[graft.pipeline.Events.rollingWindowStats]]: every arriving
+    * event emits the count and e2-lattice sum of the SAME key's events in
+    * `(ts - lookbackUs, ts]`. State per key is only the events still
+    * inside the lookback horizon of the newest timestamp seen (evicted as
+    * the window slides), so a key's state is bounded by rate × lookback,
+    * never its history. Within a micro-batch events process in event-time
+    * order; parity with the batch operator is exact under in-order
+    * arrival per key: ts-ties within one micro-batch are processed as a
+    * group (every tie sees the full CLOSED window, exactly the batch
+    * RANGE-frame semantics); a tie group SPLIT across micro-batches sees
+    * only prior arrivals — the unavoidable emit-per-arrival trade,
+    * stated. */
+  def streamingRollingStats(stream: DataFrame, keyCol: String, tsCol: String,
+      seqCol: String, valueCol: String, lookbackUs: Long,
+      watermark: String): Dataset[RollingHit] = {
+    require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def usOf(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+    stream
+      .select(col(keyCol).cast("long").as("key"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(seqCol).cast("long").as("seq"),
+        floor(col(valueCol) * 100.0 + 0.5).cast("long").as("v"))
+      .withWatermark("ts", watermark)
+      .as[(Long, java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[RollingState, RollingHit](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (key, rows, state: GroupState[RollingState]) =>
+          if (rows.isEmpty) { state.remove(); Iterator.empty }
+          else {
+            val out = scala.collection.mutable.ArrayBuffer.empty[RollingHit]
+            var win = state.getOption
+              .map(s => collection.mutable.ArrayDeque.from(s.ts.zip(s.v)))
+              .getOrElse(collection.mutable.ArrayDeque.empty[(Long, Long)])
+            val sorted = rows.map(r => (usOf(r._2), r._3, r._4)).toArray.sortBy(r => (r._1, r._2))
+            var i = 0
+            while (i < sorted.length) {
+              var j = i // [i, j) = one ts-tie group, admitted atomically
+              while (j < sorted.length && sorted(j)._1 == sorted(i)._1) j += 1
+              val us = sorted(i)._1
+              for (k <- i until j) win += ((us, sorted(k)._3))
+              while (win.nonEmpty && win.head._1 <= us - lookbackUs) win.removeHead()
+              val n = win.size.toLong
+              val sum = win.iterator.map(_._2).sum
+              for (k <- i until j) out += RollingHit(key, us, sorted(k)._2, n, sum)
+              i = j
+            }
+            state.update(RollingState(win.map(_._1).toSeq, win.map(_._2).toSeq))
+            // state is useless once the watermark passes newest + lookback
+            val newestMs = win.last._1 / 1000L
+            state.setTimeoutTimestamp(math.max(newestMs + lookbackUs / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
             out.iterator
           }
       }

@@ -684,6 +684,47 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming rolling stats == batch rollingWindowStats, ts ties included") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(41)
+    val base = 1700000000000000L
+    // in-order, coarse ts lattice -> plenty of (key, ts) ties per batch
+    val evs = (0 until 400).map { i =>
+      (rnd.nextInt(8).toLong, base + (i / 4) * 500000L, i.toLong, rnd.nextInt(500).toDouble / 10.0)
+    }
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    val lookback = 3000000L
+    val input = MemoryStream[(Long, Timestamp, Long, Double)]
+    val out = H3Streaming.streamingRollingStats(
+      input.toDF.toDF("key", "ts", "seq", "value"), "key", "ts", "seq", "value",
+      lookbackUs = lookback, watermark = "30 days")
+    val query = out.writeStream
+      .format("memory").queryName("rolling").outputMode("append").start()
+    try {
+      // batch boundary on a ts-group edge (i=200 starts a fresh ts) so
+      // tie groups are never split across micro-batches
+      val (a, b) = evs.splitAt(200)
+      input.addData(a.map { case (k, us, q, v) => (k, toTs(us), q, v) }: _*)
+      query.processAllAvailable()
+      input.addData(b.map { case (k, us, q, v) => (k, toTs(us), q, v) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("rolling")
+        .as[(Long, Long, Long, Long, Long)].collect().toSet
+      val batch = Events.rollingWindowStats(
+          evs.toDF("key", "ts", "seq", "value"),
+          col("key"), col("ts"), col("seq"), col("value"), lookback)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4))).toSet
+      assert(got == batch)
+      assert(got.exists(_._4 > 1)) // windows genuinely accumulate
+    } finally query.stop()
+  }
+
   test("streaming funnel: chain steps inside ONE millisecond still advance") {
     import graft.pipeline.Events
     implicit val sqlCtx = spark.sqlContext
