@@ -73,6 +73,19 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // triangle counting + local clustering coefficients via
+    // degree-ordered orientation (wedges only at each triangle's
+    // lowest-rank apex — skew capped at outdeg O(sqrt(m)) by
+    // construction); the link-farm / community-structure signal
+    "p92_triangles" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val edges = ev.select(col("user_id").as("src"),
+        pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
+          lit(150L)).as("dst"))
+      graft.graph.Triangles.nodeTriangles(edges, col("src"), col("dst"))
+        .orderBy(col("node"))
+    }),
+
     // authority-weighted selection: PageRank over a synthetic source-
     // citation graph, documents admitted with probability proportional
     // to their source's authority (rank-derived e4 rate, deterministic
@@ -291,6 +304,23 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p92_triangles" ->
+      s"""WITH raw AS (SELECT user_id AS s,
+         |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |deg AS (SELECT n, count(*)::BIGINT AS degree FROM
+         |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM
+         |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri)
+         |  GROUP BY n)
+         |SELECT deg.n AS node, degree, coalesce(n_tri, 0)::BIGINT AS n_tri,
+         |  CAST(CASE WHEN degree < 2 THEN 0
+         |       ELSE (2 * coalesce(n_tri, 0) * 1000000) // (degree * (degree - 1)) END AS BIGINT)
+         |    AS lcc_e6
+         |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin,
 
     "p88_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT user_id AS src,

@@ -1191,6 +1191,26 @@ object PipelineQueries {
         .orderBy(col("lang"))
     }),
 
+    // BPE tokenizer TRAINING: one corpus scan -> (word, count), then a
+    // greedy merge loop on the compact vocab frame only; exact
+    // left-to-right merge semantics replayed verbatim by the oracle
+    "p90_bpe_train" -> ((s, dir) => {
+      val model = graft.pipeline.Bpe.train(
+        graft.pipeline.Bpe.wordCounts(docs(s, dir), col("text")), nMerges = 8)
+      graft.pipeline.Bpe.mergesFrame(docs(s, dir), model).orderBy(col("merge_rank"))
+    }),
+
+    // BPE encoding with the trained model: the final vocab frame already
+    // holds every word's merged form, so per-doc token counts are one
+    // broadcast join against (word, n_symbols)
+    "p91_bpe_encode" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val model = graft.pipeline.Bpe.train(
+        graft.pipeline.Bpe.wordCounts(d, col("text")), nMerges = 8)
+      graft.pipeline.Bpe.encodeCounts(d, col("doc_id"), col("text"), model)
+        .orderBy(col("doc_id"))
+    }),
+
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
     "p40_gopher_filter" -> ((s, dir) => {
@@ -1492,7 +1512,40 @@ object PipelineQueries {
        |    + 0.3 * (1.0 - len(regexp_replace(text, '[^0-9]', '', 'g'))::DOUBLE / greatest(len(text), 1)::DOUBLE))
        |    * 10000.0 + 0.5) / 10000.0""".stripMargin
 
+  /** BPE training oracle CTE chain: `n` unrolled merge rounds, each
+    * p{t} (pair counts) → b{t} (arg-max pair, same tie-break) →
+    * v{t} (double-space literal replace — exact left-to-right merge).
+    * Ends with v{n}: `(w, s, cnt)` after all merges. */
+  private def bpeCtes(n: Int): String = {
+    val rounds = (1 to n).map { t =>
+      s"""p$t AS (SELECT pr.l AS l, pr.r AS r, CAST(sum(cnt) AS BIGINT) AS pc FROM (
+         |    SELECT unnest([{'l': a[i], 'r': a[i+1]} FOR i IN range(1, len(a))]) AS pr, cnt
+         |    FROM (SELECT string_split(trim(s), ' ') AS a, cnt FROM v${t - 1})) GROUP BY 1, 2),
+         |b$t AS (SELECT l, r, pc FROM p$t ORDER BY pc DESC, l, r LIMIT 1),
+         |v$t AS (SELECT w, replace(replace(replace(s, ' ', '  '),
+         |    ' ' || b.l || '  ' || b.r || ' ', ' ' || b.l || b.r || ' '), '  ', ' ') AS s, cnt
+         |  FROM v${t - 1}, b$t b)""".stripMargin
+    }.mkString(",\n")
+    s"""tk AS (SELECT unnest(list_filter($oToks, t -> t != '')) AS w FROM documents),
+       |wc AS (SELECT w, count(*)::BIGINT AS cnt FROM tk GROUP BY w),
+       |v0 AS (SELECT w, ' ' || regexp_replace(w, '(.)', '\\1 ', 'g') AS s, cnt FROM wc),
+       |$rounds""".stripMargin
+  }
+
   def oracleSql: Map[String, String] = Map(
+    "p90_bpe_train" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT * FROM (${(1 to 8).map(t =>
+              s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+                s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin,
+
+    "p91_bpe_encode" ->
+      s"""WITH ${bpeCtes(8)},
+         |enc AS (SELECT w, len(string_split(trim(s), ' '))::BIGINT AS n_sym FROM v8),
+         |dw AS (SELECT doc_id, unnest(list_filter($oToks, t -> t != '')) AS w FROM documents)
+         |SELECT doc_id, count(*)::BIGINT AS n_words, CAST(sum(n_sym) AS BIGINT) AS n_bpe_tokens
+         |FROM dw JOIN enc USING (w) GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // min doc_id per distinct text: the source corpus itself may contain
     // byte-identical texts under different ids (it does at sf0.1)
     "p01_dedup_exact" ->

@@ -1,0 +1,89 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/**
+ * Triangle counting and local clustering coefficients on a link graph —
+ * the community-structure / spam-farm signal of crawl curation (a link
+ * farm is a near-clique: anomalously high clustering at high degree).
+ *
+ * Algorithm: degree-ordered orientation (Latapy 2008 "compact-forward";
+ * the NodeIterator++ MapReduce shape of Suri & Vassilvitskii, WWW'11).
+ * Each undirected edge is directed from its lower-rank endpoint to its
+ * higher-rank endpoint, rank = (degree, id). Wedges are then built only
+ * at each triangle's LOWEST-rank apex — a self-join of the oriented
+ * edge list on the source — and closed against the canonical edge set.
+ *
+ * Why this survives 100 TB: the naive wedge count is Σ deg(v)², which a
+ * single celebrity node turns into 10¹⁴ candidates; after orientation
+ * it is Σ outdeg(v)² with outdeg bounded by O(√m) on ANY graph (a node
+ * of oriented out-degree d has d higher-rank neighbors, each of degree
+ * ≥ d, so d² ≤ 2m) — the skew is structurally capped, no salting
+ * needed. All three joins are hash-partitioned equi-joins on node ids;
+ * nothing is broadcast, nothing is collected; each triangle is emitted
+ * exactly once (at its apex, arms ordered by id).
+ */
+object Triangles {
+
+  /** Canonical undirected edge set: `(u, v)` with `u < v`, loops
+    * dropped, duplicates (either direction) collapsed. */
+  def canonicalEdges(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    edges.select(least(src, dst).cast("long").as("u"),
+        greatest(src, dst).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /**
+   * Per-node triangle stats: `(node, degree, n_tri, lcc_e6)` — degree
+   * in the simple undirected graph, the number of triangles through
+   * the node, and the local clustering coefficient on the e6 integer
+   * lattice, `(2·n_tri·1e6) div (degree·(degree−1))` (0 for degree<2).
+   */
+  def nodeTriangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
+    val e = canonicalEdges(edges, src, dst)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+
+    // orient low rank -> high rank, rank = (deg, id)
+    val du = deg.select(col("n").as("u"), col("deg").as("du"))
+    val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
+    val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
+      .select(
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("a"),
+        when(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("b"))
+
+    // wedges at the apex: two oriented out-edges of a, arms id-ordered
+    // so each unordered arm pair appears once
+    val o1 = oriented.select(col("a"), col("b").as("b1"))
+    val o2 = oriented.select(col("a"), col("b").as("b2"))
+    val wedges = o1.join(o2, Seq("a")).filter(col("b1") < col("b2"))
+
+    // close against the canonical edge set ({b1,b2} with b1 < b2 is
+    // already in canonical form)
+    val tris = wedges.join(e,
+      wedges("b1") === e("u") && wedges("b2") === e("v"))
+      .select(col("a"), col("b1"), col("b2"))
+
+    val perNode = tris
+      .select(explode(array(col("a"), col("b1"), col("b2"))).as("n"))
+      .groupBy(col("n")).agg(count(lit(1)).as("n_tri"))
+
+    deg.join(perNode, Seq("n"), "left")
+      .select(col("n").as("node"), col("deg").as("degree"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"))
+      .withColumn("lcc_e6",
+        when(col("degree") < 2, lit(0L))
+          .otherwise(expr("(2 * n_tri * 1000000) div (degree * (degree - 1))")))
+  }
+
+  /** Global triangle count (each triangle once). */
+  def globalTriangles(edges: DataFrame, src: Column, dst: Column): DataFrame =
+    nodeTriangles(edges, src, dst)
+      .agg((sum(col("n_tri")) / lit(3)).cast("long").as("n_triangles"),
+        count(lit(1)).as("n_nodes"))
+}
