@@ -86,6 +86,24 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // community detection: synchronous min-tie label propagation (3
+    // rounds) over a planted 5-block graph — users connect mostly to
+    // their block's hubs with sparse md5-routed cross-links; LPA
+    // recovers the blocks, exactly replayable (deterministic tie order)
+    "p93_lpa_communities" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+        lit(17L)) === 0
+      val edges = ev.select((col("user_id") + 1000L).as("src"),
+        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      graft.graph.Communities.labelPropagation(edges, col("src"), col("dst"), iters = 3)
+        .select(col("node"), col("label").cast("long").as("label"))
+        .orderBy(col("node"))
+    }),
+
     // authority-weighted selection: PageRank over a synthetic source-
     // citation graph, documents admitted with probability proportional
     // to their source's authority (rank-derived e4 rate, deterministic
@@ -304,6 +322,25 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p93_lpa_communities" -> {
+      def iterCte(t: Int) =
+        s"""nl$t AS (SELECT adj.a AS node, l.label, count(*)::BIGINT AS c
+           |  FROM adj JOIN lab${t - 1} l ON adj.b = l.node GROUP BY 1, 2),
+           |lab$t AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
+           |  FROM nl$t) WHERE rn = 1)""".stripMargin
+      s"""WITH raw AS (SELECT user_id + 1000 AS s,
+         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |  END AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
+         |${(1 to 3).map(iterCte).mkString(",\n")}
+         |SELECT node, CAST(label AS BIGINT) AS label FROM lab3 ORDER BY node""".stripMargin
+    },
 
     "p92_triangles" ->
       s"""WITH raw AS (SELECT user_id AS s,

@@ -1211,6 +1211,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // bottom-k hash sampling: deterministic uniform 256-sample (one
+    // pass, O(k) aggregate state, no global sort) -> quantile
+    // estimates of per-doc token counts from the sample
+    "p94_sampled_quantiles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(TextOps.cleanTokens(col("text"))).cast("long").as("ntok"))
+      graft.pipeline.Sketches.sampledQuantiles(d, col("doc_id"), col("ntok"),
+        k = 256, permille = Seq(250, 500, 900))
+    }),
+
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
     "p40_gopher_filter" -> ((s, dir) => {
@@ -1539,6 +1549,20 @@ object PipelineQueries {
               s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
                 s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
          |ORDER BY merge_rank""".stripMargin,
+
+    "p94_sampled_quantiles" ->
+      s"""WITH v AS (SELECT doc_id,
+         |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bk'), 1, 15))::BIGINT AS h,
+         |    len(list_filter($oToks, t -> t != ''))::BIGINT AS n FROM documents),
+         |r AS (SELECT n, row_number() OVER (ORDER BY h, doc_id) AS rn FROM v),
+         |s AS (SELECT n FROM r WHERE rn <= 256),
+         |o AS (SELECT n, row_number() OVER (ORDER BY n) AS q FROM s),
+         |m AS (SELECT count(*)::BIGINT AS n_sample FROM s)
+         |SELECT (SELECT count(*) FROM v)::BIGINT AS n_rows, m.n_sample,
+         |  (SELECT n FROM o WHERE q = greatest((250 * m.n_sample + 999) // 1000, 1)) AS q250_est,
+         |  (SELECT n FROM o WHERE q = greatest((500 * m.n_sample + 999) // 1000, 1)) AS q500_est,
+         |  (SELECT n FROM o WHERE q = greatest((900 * m.n_sample + 999) // 1000, 1)) AS q900_est
+         |FROM m""".stripMargin,
 
     "p91_bpe_encode" ->
       s"""WITH ${bpeCtes(8)},

@@ -1,0 +1,71 @@
+package graft.graph
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.util.Barriers
+
+/**
+ * Community detection by synchronous label propagation (Raghavan et al.
+ * 2007, arXiv:0709.2938) — the mirror-farm / template-cluster signal of
+ * crawl curation (a community of near-identically-linked hosts is one
+ * "site" for mixing purposes).
+ *
+ * Determinism: the classic algorithm breaks ties randomly and updates
+ * asynchronously; this variant is SYNCHRONOUS (all nodes update from
+ * the previous round's labels) with a total tie order — most frequent
+ * neighbor label, ties to the SMALLEST label — and a fixed round count.
+ * Every step is then pure relational algebra on integers: identical
+ * results under any partitioning, and a SQL oracle replays rounds
+ * verbatim. (Synchronous LPA can oscillate on bipartite structures;
+ * for the curation use the fixed-round label snapshot is the feature —
+ * stable ids are what downstream grouping needs, convergence per se is
+ * not.)
+ *
+ * Scale shape per round: one equi-join of the label frame onto the
+ * (node-keyed) adjacency, then TWO map-side-combinable aggregates —
+ * count by (node, neighbor-label), then struct-max by node for the
+ * arg-max — no window over raw neighbors, so a celebrity node costs
+ * its distinct-neighbor-LABEL count after partial aggregation, not its
+ * degree, and nothing corpus-sized crosses the driver.
+ */
+object Communities {
+
+  /**
+   * `iters` rounds of synchronous min-tie label propagation over the
+   * undirected simple graph of `edges`. Returns `(node, label)` —
+   * nodes sharing a label are one community. Labels start as own ids,
+   * so every label is some member's id.
+   */
+  def labelPropagation(edges: DataFrame, src: Column, dst: Column,
+      iters: Int): DataFrame = {
+    require(iters >= 1, s"iters must be >= 1, got $iters")
+    val e = Triangles.canonicalEdges(edges, src, dst)
+    // adjacency, both directions; checkpointed once, reused every round
+    val adj = Barriers.statSafe(
+      e.select(col("u").as("a"), col("v").as("b"))
+        .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
+    var labels = Barriers.statSafe(
+      adj.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label")))
+    for (_ <- 1 to iters) {
+      labels = Barriers.statSafe(
+        adj.join(labels, adj("b") === labels("node"))
+          .select(adj("a").as("node"), col("label"))
+          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+          // arg-max by (count desc, label asc) == max of (c, -label)
+          .groupBy(col("node"))
+          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+          .select(col("node"), (-col("m.nl")).as("label")))
+    }
+    labels
+  }
+
+  /** Community roll-up: one row per final label with member count and
+    * smallest member id (a stable community representative). */
+  def communities(edges: DataFrame, src: Column, dst: Column,
+      iters: Int): DataFrame =
+    labelPropagation(edges, src, dst, iters)
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_members"), min(col("node")).as("rep"))
+}

@@ -57,4 +57,62 @@ object Sketches {
       .withColumn("distinct_est", kmvEstimate(col("__mk"), k))
       .drop("__mk")
   }
+
+  /**
+   * Deterministic uniform k-sample by bottom-k hashing: the k rows
+   * whose salted id hash ranks smallest under (hash, id) — a uniform
+   * random sample GIVEN the hash, so the selection is exactly
+   * replayable in any engine (and stable across reruns: the sample of
+   * yesterday's corpus is a subset-rule, not a seed).
+   *
+   * Why not `ORDER BY rand() LIMIT k`: that is a global sort of the
+   * corpus (and not replayable). Here the ids ride
+   * [[graft.expr.CollectMinK]] — ONE pass with O(k) state per
+   * partition, partials bound the shuffle at partitions×k — and the
+   * sampled rows come back via a k-row broadcast semi-join. Total
+   * cost at 100 TB: one scan plus a 256-id broadcast.
+   *
+   * `id` must be unique per row (the (hash, id) rank makes collisions
+   * harmless but duplicate ids would double-select).
+   */
+  def bottomKSample(df: DataFrame, id: Column, k: Int,
+      salt: String = "bk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val withH = df.withColumn("__bkid", id.cast("long"))
+      .withColumn("__bkh",
+        TextOps.md5Long(concat(col("__bkid").cast("string"), lit(salt))))
+    val ids = withH
+      .agg(collect_min_k(struct(col("__bkh"), col("__bkid")), k).as("mk"))
+      .select(explode(col("mk")).as("m"))
+      .select(col("m.__bkid").as("__sel"))
+    withH.join(broadcast(ids), col("__bkid") === col("__sel"))
+      .drop("__bkid", "__bkh", "__sel")
+  }
+
+  /**
+   * Sample-estimated quantiles of `value` (long-valued) at the given
+   * per-mille points, from a [[bottomKSample]] of size `k`: one row
+   * with `n_rows` (exact corpus count), `n_sample`, and a
+   * `q{permille}_est` column per requested point — the
+   * `ceil(p·n_sample)`-th smallest sampled value. Error is the
+   * standard sampling bound (~1/√k on the rank), with NO global sort
+   * of the corpus at any point.
+   */
+  def sampledQuantiles(df: DataFrame, id: Column, value: Column, k: Int,
+      permille: Seq[Int]): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000))
+    val sample = bottomKSample(df.select(id.as("__qid"), value.as("__qv")),
+      col("__qid"), k)
+    val sampleAgg = sample.agg(count(lit(1)).as("n_sample"),
+      sort_array(collect_list(col("__qv").cast("long"))).as("__arr"))
+    val total = df.agg(count(lit(1)).as("n_rows"))
+    val qCols = permille.map { p =>
+      // ceil(p * n/1000) as pure integer arithmetic, identical in SQL
+      element_at(col("__arr"),
+        greatest(expr(s"($p * n_sample + 999) div 1000"), lit(1L)).cast("int"))
+        .as(s"q${p}_est")
+    }
+    total.crossJoin(sampleAgg)
+      .select(col("n_rows") +: col("n_sample") +: qCols: _*)
+  }
 }

@@ -67,4 +67,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(r.getLong(1) == 4L) // n_rows counts every row
     assert(r.getLong(2) == 2L) // distinct_est over non-null values
   }
+
+  test("bottomKSample selects exactly the k smallest (hash, id) rows") {
+    val ids = (0L until 1000L)
+    val df = ids.map(i => (i, s"payload$i")).toDF("id", "pl").repartition(13)
+    val got = Sketches.bottomKSample(df, col("id"), 50)
+      .collect().map(_.getLong(0)).toSet
+    val want = ids.sortBy(i => (md5Long60(s"${i}bk"), i)).take(50).toSet
+    assert(got == want)
+    // sample carries the original row payloads, and k > n returns all
+    assert(Sketches.bottomKSample(df, col("id"), 5000).count() == 1000L)
+  }
+
+  test("sampledQuantiles matches the sequential sample-quantile reference") {
+    val rnd = new scala.util.Random(17)
+    val rows = (0L until 2000L).map(i => (i, rnd.nextInt(100000).toLong))
+    val df = rows.toDF("id", "v").repartition(9)
+    val got = Sketches.sampledQuantiles(df, col("id"), col("v"),
+      k = 128, permille = Seq(250, 500, 900, 1000)).collect().head
+
+    val sample = rows.sortBy { case (i, _) => (md5Long60(s"${i}bk"), i) }
+      .take(128).map(_._2).sorted
+    def qAt(p: Int) = sample(math.max((p * 128 + 999) / 1000, 1) - 1)
+    assert(got.getLong(0) == 2000L && got.getLong(1) == 128L)
+    assert((2 to 5).map(got.getLong) == Seq(qAt(250), qAt(500), qAt(900), qAt(1000)))
+    // sanity: the p500 estimate lands near the true median
+    val exact = rows.map(_._2).sorted.apply(1000)
+    assert(math.abs(got.getLong(3) - exact).toDouble / exact < 0.2)
+  }
 }
