@@ -104,6 +104,23 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // deterministic random walks (DeepWalk/node2vec corpus step): one
+    // 4-step walk per node, hash-driven neighbor choice — uniform per
+    // step yet exactly replayable; per step the frontier equi-joins
+    // the ranked adjacency on (node, index), one row per visit
+    "p96_random_walks" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+        lit(17L)) === 0
+      val edges = ev.select((col("user_id") + 1000L).as("src"),
+        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      graft.graph.Walks.walks(edges, col("src"), col("dst"), steps = 4)
+        .orderBy(col("walk_id"))
+    }),
+
     // authority-weighted selection: PageRank over a synthetic source-
     // citation graph, documents admitted with probability proportional
     // to their source's authority (rank-derived e4 rate, deterministic
@@ -322,6 +339,31 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p96_random_walks" -> {
+      def stepCte(t: Int) = {
+        val prev = s"s${t - 1}"
+        s"""w$t AS (SELECT w.walk_id, adj.b AS s$t
+           |  FROM w${t - 1} w JOIN dg ON dg.a = w.$prev
+           |  JOIN adj ON adj.a = w.$prev AND adj.rn =
+           |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t|' || CAST(w.$prev AS VARCHAR)), 1, 15))::BIGINT % dg.deg)""".stripMargin
+      }
+      s"""WITH raw AS (SELECT user_id + 1000 AS s,
+         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |  END AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
+         |dg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
+         |w0 AS (SELECT DISTINCT a AS walk_id, a AS s0 FROM und),
+         |${(1 to 4).map(stepCte).mkString(",\n")}
+         |SELECT w0.walk_id, w0.s0, w1.s1, w2.s2, w3.s3, w4.s4
+         |FROM w0 JOIN w1 USING (walk_id) JOIN w2 USING (walk_id)
+         |  JOIN w3 USING (walk_id) JOIN w4 USING (walk_id)
+         |ORDER BY walk_id""".stripMargin
+    },
 
     "p93_lpa_communities" -> {
       def iterCte(t: Int) =

@@ -1211,6 +1211,16 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // EXACT similarity join by prefix filtering: candidates only on
+    // each doc's rarest gram prefix (no false negatives, unlike LSH;
+    // no hot-gram blowup, unlike the all-shared-gram join). Oracle is
+    // the BRUTE-FORCE join — the gate proves the filter loses nothing.
+    "p95_prefix_jaccard_join" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(length(col("text")) < 150)
+      Dedup.prefixJaccardJoin(c, col("doc_id"), col("text"), n = 8, tNum = 6, tDen = 10)
+        .orderBy(col("id_a"), col("id_b"))
+    }),
+
     // bottom-k hash sampling: deterministic uniform 256-sample (one
     // pass, O(k) aggregate state, no global sort) -> quantile
     // estimates of per-doc token counts from the sample
@@ -1549,6 +1559,23 @@ object PipelineQueries {
               s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
                 s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
          |ORDER BY merge_rank""".stripMargin,
+
+    "p95_prefix_jaccard_join" ->
+      s"""WITH corpus AS (SELECT * FROM ($corpusSqlWithDups) WHERE len(text) < 150),
+         |grams AS (
+         |  SELECT DISTINCT doc_id, ${oH("g")} AS g
+         |  FROM (SELECT doc_id, unnest([substr(lower(trim(text)), i, 8)
+         |      FOR i IN range(1, greatest(len(lower(trim(text))) - 7, 0) + 1)]) AS g FROM corpus)),
+         |sizes AS (SELECT doc_id, count(*)::BIGINT AS n FROM grams GROUP BY doc_id),
+         |inter AS (
+         |  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS i
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, i AS inter, (sa.n + sb.n - i) AS uni,
+         |  CAST((i * 1000000) // (sa.n + sb.n - i) AS BIGINT) AS jac_e6
+         |FROM inter JOIN sizes sa ON sa.doc_id = id_a JOIN sizes sb ON sb.doc_id = id_b
+         |WHERE i * 10 >= (sa.n + sb.n - i) * 6
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "p94_sampled_quantiles" ->
       s"""WITH v AS (SELECT doc_id,

@@ -147,6 +147,61 @@ object Dedup {
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /**
+   * EXACT n-gram Jaccard similarity join by prefix filtering (SSJoin,
+   * Chaudhuri et al. ICDE'06; All-Pairs, Bayardo et al. WWW'07): every
+   * pair at or above `tNum/tDen` is returned — no false negatives,
+   * unlike MinHash banding — yet candidates never form on common grams.
+   *
+   * Principle: order each document's gram set by global rarity (df asc,
+   * gram asc — any total order works); if J(A,B) ≥ t, then A and B must
+   * share a gram within their PREFIXES of length |x| − ⌈t·|x|⌉ + 1
+   * (otherwise the overlap is too small to reach t). So the candidate
+   * join runs only on each doc's rarest ~(1−t) fraction of grams — the
+   * stopword gram that pairs half the corpus in [[ngramJaccardPairs]]'
+   * all-shared-gram join never generates a candidate here, because it
+   * sorts to the END of every prefix-truncated list. Join cost drops
+   * from Σ df² over all grams to Σ df² over rare prefix grams.
+   *
+   * Threshold is a rational `tNum/tDen` and the filter compares
+   * `inter·tDen ≥ union·tNum` in integers — engine-exact. Output:
+   * `(id_a, id_b, inter, uni, jac_e6)`, each qualifying pair once.
+   */
+  def prefixJaccardJoin(df: DataFrame, id: Column, text: Column, n: Int,
+      tNum: Int, tDen: Int): DataFrame = {
+    require(tNum > 0 && tNum <= tDen, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
+    val grams = df.select(id.cast("long").as("__id"),
+      explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
+      .localCheckpoint(false)
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    // per-doc gram list, rarest first; one frame feeds the prefix
+    // explode and both verify sides (barrier against re-derivation)
+    val docArr = grams.join(dfreq, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__a"))
+      .select(col("__id"), transform(col("__a"), x => x.getField("__g")).as("__toks"),
+        size(col("__a")).cast("long").as("__sz"))
+      .localCheckpoint(false)
+    val plen = (col("__sz") - expr(s"(($tNum * __sz + ${tDen - 1}) div $tDen)") + 1)
+      .cast("int")
+    val pref = docArr.select(col("__id"),
+      explode(slice(col("__toks"), lit(1), plen)).as("__pt"))
+    val cand = pref.select(col("__pt"), col("__id").as("id_a"))
+      .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docArr.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__sz").as("__sa")), "id_a")
+      .join(docArr.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__sz").as("__sb")), "id_b")
+      .withColumn("inter", size(array_intersect(col("__ta"), col("__tb"))).cast("long"))
+      .withColumn("uni", col("__sa") + col("__sb") - col("inter"))
+      .filter(col("inter") * lit(tDen.toLong) >= col("uni") * lit(tNum.toLong))
+      .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
+        expr("(inter * 1000000) div uni").as("jac_e6"))
+  }
+
   /** Verify candidate pairs by exact character-n-gram Jaccard, computing
     * gram sets ONLY for documents that appear in a candidate pair (the
     * scale-critical restriction: verification cost scales with candidates,

@@ -1,0 +1,70 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** Deterministic-walk specs: full-sequence equality against a
+  * sequential reference applying the same md5-mod-degree rule, plus
+  * structural checks (every hop is a real edge; restart determinism). */
+class WalksSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def md5Long60(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    java.lang.Long.parseLong(d.substring(0, 15), 16)
+  }
+
+  private def refWalks(edges: Seq[(Long, Long)], steps: Int): Map[Long, Seq[Long]] = {
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val adj = und.toSeq.flatMap(e => Seq(e, e.swap))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    adj.keys.map { start =>
+      var cur = start
+      val path = Seq.newBuilder[Long]
+      path += cur
+      (1 to steps).foreach { t =>
+        val nb = adj(cur)
+        cur = nb((md5Long60(s"$start|$t|$cur") % nb.size).toInt)
+        path += cur
+      }
+      start -> path.result()
+    }.toMap
+  }
+
+  private def run(edges: Seq[(Long, Long)], steps: Int): Map[Long, Seq[Long]] = {
+    val df = edges.toDF("src", "dst").repartition(5)
+    Walks.walks(df, col("src"), col("dst"), steps)
+      .collect()
+      .map(r => r.getLong(0) -> (0 to steps).map(i => r.getAs[Long](s"s$i")))
+      .toMap
+  }
+
+  test("walks match the sequential reference on a seeded random graph") {
+    val rnd = new scala.util.Random(61)
+    val edges = (1 to 250).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val want = refWalks(edges, 5)
+    val got = run(edges, 5)
+    assert(got == want)
+    // walks actually move (some step leaves the start node)
+    assert(want.values.exists(p => p.distinct.size > 2))
+  }
+
+  test("every hop follows a real edge") {
+    val rnd = new scala.util.Random(8)
+    val edges = (1 to 120).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .flatMap(e => Seq(e, e.swap)).toSet
+    run(edges, 4).values.foreach { p =>
+      p.zip(p.drop(1)).foreach { hop => assert(und.contains(hop), s"hop $hop") }
+    }
+  }
+
+  test("single-edge graph oscillates deterministically") {
+    val got = run(Seq((3L, 9L)), 3)
+    assert(got == Map(3L -> Seq(3L, 9L, 3L, 9L), 9L -> Seq(9L, 3L, 9L, 3L)))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.pipeline
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** Prefix-filtered exact Jaccard join: compared against a brute-force
+  * all-pairs reference on seeded random near-duplicate corpora — the
+  * completeness claim (no false negatives) is exactly what the
+  * reference checks, since the filter only ever PRUNES candidates. */
+class PrefixJoinSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val N = 3 // gram size for specs
+
+  private def gramSet(text: String): Set[String] = {
+    val t = text.toLowerCase.trim
+    (0 to t.length - N).map(i => t.substring(i, i + N)).toSet
+  }
+
+  private def brute(docs: Seq[(Long, String)], tNum: Int, tDen: Int): Map[(Long, Long), (Long, Long, Long)] = {
+    val gs = docs.map { case (i, t) => i -> gramSet(t) }.filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- gs; (b, gb) <- gs if a < b
+      inter = (ga & gb).size.toLong
+      uni = ga.size + gb.size - inter
+      if inter * tDen >= uni * tNum
+    } yield (a, b) -> (inter, uni.toLong, inter * 1000000L / uni)).toMap
+  }
+
+  private def run(docs: Seq[(Long, String)], tNum: Int, tDen: Int): Map[(Long, Long), (Long, Long, Long)] = {
+    val df = docs.toDF("id", "text").repartition(7)
+    Dedup.prefixJaccardJoin(df, col("id"), col("text"), n = N, tNum = tNum, tDen = tDen)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toMap
+  }
+
+  test("matches the brute-force all-pairs join on a near-duplicate corpus") {
+    val rnd = new scala.util.Random(29)
+    val base = (0L until 40L).map { i =>
+      i -> (1 to 12).map(_ => "abcd" (rnd.nextInt(4))).mkString
+    }
+    // near-copies: append a short suffix; exact copies under new ids
+    val docs = base ++
+      base.filter(_._1 % 3 == 0).map { case (i, t) => (i + 100) -> (t + "xy") } ++
+      base.filter(_._1 % 5 == 0).map { case (i, t) => (i + 200) -> t }
+    val want = brute(docs, 6, 10)
+    val got = run(docs, 6, 10)
+    assert(got == want)
+    // fixture exercises hits below 1.0 and exact 1.0 pairs
+    assert(want.values.exists(_._3 == 1000000L))
+    assert(want.values.exists(v => v._3 < 1000000L))
+    assert(want.nonEmpty)
+  }
+
+  test("high threshold keeps only exact copies; short docs drop out") {
+    val docs = Seq(
+      1L -> "hello world", 2L -> "hello world", // exact pair
+      3L -> "hello worlds", // near 1-2
+      4L -> "xy") // shorter than the gram size: no grams
+    val got = run(docs, 10, 10) // t = 1.0
+    val want = brute(docs, 10, 10)
+    assert(got == want)
+    assert(got.keySet == Set((1L, 2L)))
+  }
+
+  test("threshold arithmetic is integer-exact at the boundary") {
+    // two docs engineered to land exactly ON a rational threshold:
+    // J = inter/uni must pass t = inter/uni exactly
+    val docs = Seq(10L -> "abcde", 11L -> "bcdef")
+    // 3-grams: {abc,bcd,cde} vs {bcd,cde,def}: inter 2, uni 4, J = 1/2
+    assert(run(docs, 1, 2).keySet == Set((10L, 11L)))
+    assert(run(docs, 51, 100).isEmpty)
+  }
+}
