@@ -104,6 +104,22 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // bounded-round k-core peeling on the block graph: per round, one
+    // degree aggregate + two semi-joins against the slim survivor set;
+    // the dense-core signal for link-ring detection
+    "p97_kcore" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+        lit(17L)) === 0
+      val edges = ev.select((col("user_id") + 1000L).as("src"),
+        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      graft.graph.Cores.kCore(edges, col("src"), col("dst"), k = 4, rounds = 4)
+        .orderBy(col("node"))
+    }),
+
     // deterministic random walks (DeepWalk/node2vec corpus step): one
     // 4-step walk per node, hash-driven neighbor choice — uniform per
     // step yet exactly replayable; per step the frontier equi-joins
@@ -339,6 +355,24 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p97_kcore" -> {
+      def roundCte(t: Int) =
+        s"""dg$t AS (SELECT n, count(*) AS deg FROM
+           |  (SELECT u AS n FROM e${t - 1} UNION ALL SELECT v FROM e${t - 1}) GROUP BY n),
+           |kp$t AS (SELECT n FROM dg$t WHERE deg >= 4),
+           |e$t AS (SELECT u, v FROM e${t - 1}
+           |  WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
+      s"""WITH raw AS (SELECT user_id + 1000 AS s,
+         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |  END AS d FROM events),
+         |e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |${(1 to 4).map(roundCte).mkString(",\n")}
+         |SELECT n AS node, count(*)::BIGINT AS degree FROM
+         |  (SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4) GROUP BY n ORDER BY node""".stripMargin
+    },
 
     "p96_random_walks" -> {
       def stepCte(t: Int) = {

@@ -41,21 +41,27 @@ object Triangles {
    * lattice, `(2·n_tri·1e6) div (degree·(degree−1))` (0 for degree<2).
    */
   def nodeTriangles(edges: DataFrame, src: Column, dst: Column): DataFrame = {
-    val e = canonicalEdges(edges, src, dst)
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // barriers: the canonical edge set feeds THREE consumers (degree
+    // derivation, orientation, wedge closure) and the degree frame two;
+    // without them every consumer re-derives the distinct from the raw
+    // scan (measured 26 scans of the source in one plan)
+    val e = graft.util.Barriers.statSafe(canonicalEdges(edges, src, dst))
+    val deg = graft.util.Barriers.statSafe(
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("deg")))
 
     // orient low rank -> high rank, rank = (deg, id)
     val du = deg.select(col("n").as("u"), col("deg").as("du"))
     val dv = deg.select(col("n").as("v"), col("deg").as("dv"))
-    val oriented = e.join(du, Seq("u")).join(dv, Seq("v"))
-      .select(
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("u"))
-          .otherwise(col("v")).as("a"),
-        when(col("du") < col("dv") ||
-          (col("du") === col("dv") && col("u") < col("v")), col("v"))
-          .otherwise(col("u")).as("b"))
+    val oriented = graft.util.Barriers.statSafe(
+      e.join(du, Seq("u")).join(dv, Seq("v"))
+        .select(
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("u"))
+            .otherwise(col("v")).as("a"),
+          when(col("du") < col("dv") ||
+            (col("du") === col("dv") && col("u") < col("v")), col("v"))
+            .otherwise(col("u")).as("b")))
 
     // wedges at the apex: two oriented out-edges of a, arms id-ordered
     // so each unordered arm pair appears once

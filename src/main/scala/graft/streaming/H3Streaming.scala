@@ -792,4 +792,33 @@ object H3Streaming {
           .otherwise("changed"))
       .drop("__sid", "__sh")
   }
+
+  /** Streaming form of [[graft.pipeline.Bpe.encodeCounts]]: tokenize
+    * the ingest stream with a BATCH-trained BPE model — the
+    * train-once / apply-forever split of a production tokenizer. The
+    * model's vocab frame collapses to one broadcast (word →
+    * n_symbols) map; per row the op is a stateless map lookup, no
+    * state, no watermark. Matches batch column-for-column on
+    * in-vocabulary text; words the training corpus never saw count in
+    * `n_oov` (the batch op's inner join drops them from its word
+    * count; the stream keeps the row and reports the miss — at ingest
+    * the miss RATE is the drift signal a re-train triggers on). */
+  def streamingBpeEncode(stream: DataFrame, idCol: String, textCol: String,
+      model: graft.pipeline.Bpe.Model): DataFrame = {
+    import graft.pipeline.TextOps
+    val vm = model.vocab
+      .select(col("w"), size(split(trim(col("s")), " ")).cast("long").as("__n"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("__n")))).as("__vm"))
+      .withColumn("__one", lit(1))
+    stream.withColumn("__one", lit(1))
+      .join(vm, Seq("__one"))
+      .withColumn("__toks", TextOps.cleanTokens(col(textCol)))
+      .withColumn("__known",
+        filter(col("__toks"), t => element_at(col("__vm"), t).isNotNull))
+      .select(col(idCol).as("doc_id"),
+        size(col("__known")).cast("long").as("n_words"),
+        aggregate(col("__known"), lit(0L),
+          (acc, t) => acc + element_at(col("__vm"), t)).as("n_bpe_tokens"),
+        (size(col("__toks")) - size(col("__known"))).cast("long").as("n_oov"))
+  }
 }

@@ -439,6 +439,36 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming BPE encode == batch encodeCounts on in-vocab docs; OOV words counted") {
+    import graft.pipeline.Bpe
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq((1L, "abab aaa ab"), (2L, "ab abab"), (3L, "zz zz ba")).toDF("doc_id", "text")
+    val model = Bpe.train(Bpe.wordCounts(corpus, $"text"), 3)
+    val input = MemoryStream[(Long, String)]
+    val out = H3Streaming.streamingBpeEncode(
+      input.toDF.toDF("doc_id", "text"), "doc_id", "text", model)
+    val query = out.writeStream
+      .format("memory").queryName("bpe_enc").outputMode("append").start()
+    try {
+      input.addData((1L, "abab aaa ab"), (2L, "ab abab"))
+      query.processAllAvailable()
+      input.addData((3L, "zz zz ba"), (9L, "abab novel ab")) // 'novel' is OOV
+      query.processAllAvailable()
+      val got = spark.table("bpe_enc")
+        .select($"doc_id", $"n_words", $"n_bpe_tokens", $"n_oov")
+        .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      val batch = Bpe.encodeCounts(corpus, $"doc_id", $"text", model)
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      batch.foreach { case (id, (nw, nb)) =>
+        assert(got(id) == ((nw, nb, 0L)), s"doc $id stream/batch mismatch")
+      }
+      // the OOV doc: 2 known words encoded, 1 miss reported, row kept
+      val known = Bpe.encodeCounts(Seq((9L, "abab ab")).toDF("doc_id", "text"),
+        $"doc_id", $"text", model).collect().head
+      assert(got(9L) == ((known.getLong(1), known.getLong(2), 1L)))
+    } finally query.stop()
+  }
+
   test("streaming corpus diff == batch corpusDiff on the added/changed/unchanged subset") {
     import graft.pipeline.TextOps
     implicit val sqlCtx = spark.sqlContext
