@@ -104,6 +104,33 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // graph-feature macro: triangles/clustering + k-core + PageRank +
+    // LPA community size assembled into one per-node feature frame
+    // with a link-farm flag — ONE declarative plan, each operator's
+    // output joined on node id (the spam-scoring composition)
+    "p98_graph_features" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val edges = ev.select(col("user_id").as("src"),
+        pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
+          lit(150L)).as("dst"))
+      val tri = graft.graph.Triangles.nodeTriangles(edges, col("src"), col("dst"))
+      val core = graft.graph.Cores.kCore(edges, col("src"), col("dst"), k = 4, rounds = 4)
+        .select(col("node"), lit(1L).as("in_core"))
+      val rank = graft.graph.Ranks.pageRank(edges, col("src"), col("dst"), iters = 3)
+      val lpa = graft.graph.Communities.labelPropagation(edges, col("src"), col("dst"), iters = 3)
+      val csize = lpa.groupBy(col("label")).agg(count(lit(1)).as("community_size"))
+      tri.join(rank, Seq("node"))
+        .join(lpa, Seq("node"))
+        .join(csize, Seq("label"))
+        .join(core, Seq("node"), "left")
+        .select(col("node"), col("degree"), col("n_tri"), col("lcc_e6"),
+          coalesce(col("in_core"), lit(0L)).as("in_core"),
+          col("rank_e9"), col("label").as("community"), col("community_size"),
+          when(col("lcc_e6") >= 500000 && col("degree") >= 10, 1L).otherwise(0L)
+            .as("spam"))
+        .orderBy(col("node"))
+    }),
+
     // bounded-round k-core peeling on the block graph: per round, one
     // degree aggregate + two semi-joins against the slim survivor set;
     // the dense-core signal for link-ring detection
@@ -355,6 +382,58 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p98_graph_features" -> {
+      def kcoreCte(t: Int) =
+        s"""kd$t AS (SELECT n, count(*) AS deg FROM (SELECT u AS n FROM ke${t - 1} UNION ALL SELECT v FROM ke${t - 1}) GROUP BY n),
+           |kp$t AS (SELECT n FROM kd$t WHERE deg >= 4),
+           |ke$t AS (SELECT u, v FROM ke${t - 1} WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
+      def prCte(t: Int) =
+        s"""pc$t AS (SELECT pe.dst AS node, CAST(sum((r.r * 85) // (100 * pd.deg)) AS BIGINT) AS s
+           |  FROM pe JOIN pr${t - 1} r ON pe.src = r.node JOIN pd ON pe.src = pd.src GROUP BY pe.dst),
+           |pr$t AS (SELECT nd.node, (SELECT tele FROM pcfg) + coalesce(pc$t.s, 0) AS r
+           |  FROM pnodes nd LEFT JOIN pc$t USING (node))""".stripMargin
+      def lpaCte(t: Int) =
+        s"""nl$t AS (SELECT adj.a AS node, l.label, count(*)::BIGINT AS c
+           |  FROM adj JOIN lab${t - 1} l ON adj.b = l.node GROUP BY 1, 2),
+           |lab$t AS (SELECT node, label FROM (
+           |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM nl$t)
+           |  WHERE rn = 1)""".stripMargin
+      val lccSql = """(CASE WHEN deg.degree < 2 THEN 0
+                     |       ELSE (2 * coalesce(pn.n_tri, 0) * 1000000) // (deg.degree * (deg.degree - 1)) END)""".stripMargin
+      s"""WITH raw AS (SELECT user_id AS s,
+         |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |deg AS (SELECT n, count(*)::BIGINT AS degree FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+         |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM
+         |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY n),
+         |ke0 AS (SELECT u, v FROM e),
+         |${(1 to 4).map(kcoreCte).mkString(",\n")},
+         |kc AS (SELECT DISTINCT n FROM (SELECT u AS n FROM ke4 UNION ALL SELECT v FROM ke4)),
+         |pe AS (SELECT DISTINCT s AS src, d AS dst FROM raw),
+         |pd AS (SELECT src, count(*)::BIGINT AS deg FROM pe GROUP BY src),
+         |pnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)),
+         |pcfg AS (SELECT (1000000000 // count(*)) AS rinit, ((100 - 85)::BIGINT * 1000000000) // (100 * count(*)) AS tele FROM pnodes),
+         |pr0 AS (SELECT node, (SELECT rinit FROM pcfg) AS r FROM pnodes),
+         |${(1 to 3).map(prCte).mkString(",\n")},
+         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
+         |${(1 to 3).map(lpaCte).mkString(",\n")},
+         |cs AS (SELECT label, count(*)::BIGINT AS community_size FROM lab3 GROUP BY label)
+         |SELECT deg.n AS node, deg.degree, coalesce(pn.n_tri, 0)::BIGINT AS n_tri,
+         |  CAST($lccSql AS BIGINT) AS lcc_e6,
+         |  CAST(CASE WHEN kc.n IS NULL THEN 0 ELSE 1 END AS BIGINT) AS in_core,
+         |  CAST(pr3.r AS BIGINT) AS rank_e9, lab3.label AS community, cs.community_size,
+         |  CAST(CASE WHEN $lccSql >= 500000 AND deg.degree >= 10 THEN 1 ELSE 0 END AS BIGINT) AS spam
+         |FROM deg LEFT JOIN pn ON pn.n = deg.n
+         |JOIN pr3 ON pr3.node = deg.n
+         |JOIN lab3 ON lab3.node = deg.n
+         |JOIN cs ON cs.label = lab3.label
+         |LEFT JOIN kc ON kc.n = deg.n
+         |ORDER BY node""".stripMargin
+    },
 
     "p97_kcore" -> {
       def roundCte(t: Int) =

@@ -19,7 +19,10 @@ object PlanDump {
     "p71_bigram_lm", "p72_bigram_lm_cross",
     "p73_asof_join", "p74_funnel", "p76_hopping_stats", "p79_kmv_vocab",
     "p80_ann_pq", "p82_rolling_stats", "p83_event_features",
-    "p86_crawl_pipeline", "p88_pagerank")
+    "p86_crawl_pipeline", "p88_pagerank",
+    "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
+    "p94_sampled_quantiles", "p95_prefix_jaccard_join", "p96_random_walks",
+    "p97_kcore")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
