@@ -104,6 +104,24 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // skip-gram co-occurrence + PMI over the walk corpus: the
+    // word2vec-style association table an embedding trainer
+    // approximates — pairs within window 2 of each 4-step walk,
+    // integer counts, e4-quantized ln
+    "p99_walk_pmi" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+        lit(17L)) === 0
+      val edges = ev.select((col("user_id") + 1000L).as("src"),
+        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val w = graft.graph.Walks.walks(edges, col("src"), col("dst"), steps = 4)
+      graft.graph.Walks.walkPmi(w, steps = 4, window = 2)
+        .orderBy(col("u"), col("v"))
+    }),
+
     // graph-feature macro: triangles/clustering + k-core + PageRank +
     // LPA community size assembled into one per-node feature frame
     // with a link-farm flag — ONE declarative plan, each operator's
@@ -382,6 +400,44 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p99_walk_pmi" -> {
+      def stepCte(t: Int) = {
+        val prev = s"s${t - 1}"
+        s"""w$t AS (SELECT w.walk_id, adj.b AS s$t
+           |  FROM w${t - 1} w JOIN dg ON dg.a = w.$prev
+           |  JOIN adj ON adj.a = w.$prev AND adj.rn =
+           |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t|' || CAST(w.$prev AS VARCHAR)), 1, 15))::BIGINT % dg.deg)""".stripMargin
+      }
+      val combos = for { i <- 0 to 4; j <- (i + 1) to math.min(i + 2, 4) } yield (i, j)
+      val pairUnion = combos.map { case (i, j) =>
+        s"SELECT least(s$i, s$j) AS u, greatest(s$i, s$j) AS v FROM wk"
+      }.mkString("\n  UNION ALL ")
+      s"""WITH raw AS (SELECT user_id + 1000 AS s,
+         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |  END AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
+         |dg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
+         |w0 AS (SELECT DISTINCT a AS walk_id, a AS s0 FROM und),
+         |${(1 to 4).map(stepCte).mkString(",\n")},
+         |wk AS (SELECT w0.walk_id, w0.s0, w1.s1, w2.s2, w3.s3, w4.s4
+         |  FROM w0 JOIN w1 USING (walk_id) JOIN w2 USING (walk_id)
+         |    JOIN w3 USING (walk_id) JOIN w4 USING (walk_id)),
+         |pp AS ($pairUnion),
+         |pc AS (SELECT u, v, count(*)::BIGINT AS n_cooc FROM pp GROUP BY u, v),
+         |tt AS (SELECT CAST(sum(n_cooc) AS BIGINT) AS t FROM pc),
+         |mg AS (SELECT n, CAST(sum(c) AS BIGINT) AS cn FROM
+         |  (SELECT u AS n, n_cooc AS c FROM pc UNION ALL SELECT v, n_cooc FROM pc) GROUP BY n)
+         |SELECT pc.u, pc.v, pc.n_cooc,
+         |  CAST(floor(ln((pc.n_cooc::DOUBLE * (SELECT t FROM tt)::DOUBLE)
+         |      / (mu.cn::DOUBLE * mv.cn::DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS pmi_e4
+         |FROM pc JOIN mg mu ON mu.n = pc.u JOIN mg mv ON mv.n = pc.v
+         |ORDER BY u, v""".stripMargin
+    },
 
     "p98_graph_features" -> {
       def kcoreCte(t: Int) =

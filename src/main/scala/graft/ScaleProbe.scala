@@ -35,7 +35,8 @@ object ScaleProbe {
     "p83_event_features", "p84_warc_roundtrip", "p85_html_extract", "p86_crawl_pipeline",
     "p88_pagerank", "p89_authority_mix",
     "p90_bpe_train", "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
-    "p95_prefix_jaccard_join", "p96_random_walks", "p97_kcore")
+    "p95_prefix_jaccard_join", "p96_random_walks", "p97_kcore",
+    "p98_graph_features", "p99_walk_pmi")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -49,7 +49,7 @@ object Walks {
     val deg = Barriers.statSafe(
       und.groupBy(col("a")).agg(count(lit(1)).as("deg")))
 
-    var w = und.select(col("a").as("walk_id")).distinct()
+    var w: DataFrame = und.select(col("a").as("walk_id")).distinct()
       .select(col("walk_id"), col("walk_id").as("s0"))
     for (t <- 1 to steps) {
       val cur = col(s"s${t - 1}")
@@ -63,5 +63,49 @@ object Walks {
         .drop("a", "b", "rn", "__idx")
     }
     w
+  }
+
+  /**
+   * Skip-gram co-occurrence statistics over a walk corpus — the
+   * word2vec-style association table trained from [[walks]] output
+   * ("sentences" of nodes): unordered node pairs within `window`
+   * positions, with pointwise mutual information
+   * `PMI = ln(c(a,b)·T / (c(a)·c(b)))` where `c(a)` counts slot
+   * occurrences and `T` total pair instances. High-PMI pairs are
+   * same-community nodes; the (node, node, pmi) frame is exactly what
+   * an embedding trainer's negative-sampling objective approximates
+   * (Levy & Goldberg, NeurIPS'14).
+   *
+   * Engine-exactness: counts are integers; the single ln argument is
+   * formed by one double multiply/divide chain in a fixed order and
+   * floor-quantized to the e4 lattice immediately (the LM-score
+   * discipline). `T` is one driver long (bounded-frame contract).
+   * Scale: one explode of 7 struct pairs per walk row, one pair count
+   * with map-side partials, one slot-marginal aggregate off the
+   * counted frame (distinct-pair-sized), two joins back on node id.
+   */
+  def walkPmi(walkFrame: DataFrame, steps: Int, window: Int): DataFrame = {
+    require(steps >= 1 && window >= 1)
+    val combos = for { i <- 0 to steps; j <- (i + 1) to math.min(i + window, steps) }
+      yield (i, j)
+    val pairArr = array(combos.map { case (i, j) =>
+      struct(least(col(s"s$i"), col(s"s$j")).as("u"),
+        greatest(col(s"s$i"), col(s"s$j")).as("v"))
+    }: _*)
+    val pc = Barriers.statSafe(
+      walkFrame.select(explode(pairArr).as("p"))
+        .select(col("p.u").as("u"), col("p.v").as("v"))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_cooc")))
+    val total = pc.agg(sum(col("n_cooc"))).head().getLong(0)
+    val marg = Barriers.statSafe(
+      pc.select(col("u").as("n"), col("n_cooc"))
+        .unionAll(pc.select(col("v").as("n"), col("n_cooc")))
+        .groupBy(col("n")).agg(sum(col("n_cooc")).as("cn")))
+    pc.join(marg.select(col("n").as("u"), col("cn").as("cu")), Seq("u"))
+      .join(marg.select(col("n").as("v"), col("cn").as("cv")), Seq("v"))
+      .select(col("u"), col("v"), col("n_cooc"),
+        floor(log(col("n_cooc").cast("double") * lit(total.toDouble)
+            / (col("cu").cast("double") * col("cv").cast("double")))
+          * 10000.0 + 0.5).cast("long").as("pmi_e4"))
   }
 }

@@ -67,4 +67,34 @@ class WalksSpec extends AnyFunSuite {
     val got = run(Seq((3L, 9L)), 3)
     assert(got == Map(3L -> Seq(3L, 9L, 3L, 9L), 9L -> Seq(9L, 3L, 9L, 3L)))
   }
+
+  test("walkPmi matches the sequential count/PMI reference") {
+    val rnd = new scala.util.Random(35)
+    val edges = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+    val steps = 4; val window = 2
+    val walks = refWalks(edges, steps)
+
+    // reference: pair counts, slot marginals, e4-quantized PMI
+    val combos = for { i <- 0 to steps; j <- (i + 1) to math.min(i + window, steps) } yield (i, j)
+    val pairs = walks.values.toSeq.flatMap { p =>
+      combos.map { case (i, j) => (math.min(p(i), p(j)), math.max(p(i), p(j))) }
+    }
+    val pc = pairs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = pc.values.sum
+    val marg = pc.toSeq.flatMap { case ((u, v), c) => Seq(u -> c, v -> c) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = pc.map { case ((u, v), c) =>
+      (u, v) -> (c, math.floor(math.log(c.toDouble * total.toDouble /
+        (marg(u).toDouble * marg(v).toDouble)) * 10000.0 + 0.5).toLong)
+    }
+
+    val wDf = Walks.walks(edges.toDF("src", "dst").repartition(5),
+      col("src"), col("dst"), steps)
+    val got = Walks.walkPmi(wDf, steps, window)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    // fixture has repeated pairs (counts > 1) and self-pairs (backtracking)
+    assert(want.values.exists(_._1 > 1))
+    assert(want.keys.exists(p => p._1 == p._2))
+  }
 }
