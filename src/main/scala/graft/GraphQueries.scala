@@ -128,9 +128,14 @@ object GraphQueries {
     // output joined on node id (the spam-scoring composition)
     "p98_graph_features" -> ((s, dir) => {
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val edges = ev.select(col("user_id").as("src"),
-        pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
-          lit(150L)).as("dst"))
+      // materialize the raw edge projection ONCE: all four operators
+      // derive their own (directed for PageRank, canonical-undirected
+      // for the rest) frame from it — without this barrier each would
+      // re-scan the source and re-run the md5 projection (4 scans -> 1)
+      val edges = graft.util.Barriers.statSafe(
+        ev.select(col("user_id").as("src"),
+          pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
+            lit(150L)).as("dst")))
       val tri = graft.graph.Triangles.nodeTriangles(edges, col("src"), col("dst"))
       val core = graft.graph.Cores.kCore(edges, col("src"), col("dst"), k = 4, rounds = 4)
         .select(col("node"), lit(1L).as("in_core"))

@@ -1126,6 +1126,29 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // CommonCrawl wire-format roundtrip: corpus -> per-record-GZIP warc
+    // members -> splittable gz scan at 64 KB ranges (mid-member splits
+    // at every SF; member boundaries re-found by deflate+header
+    // validation) -> hash-exact against the documents oracle
+    "p100_warc_gz_roundtrip" -> ((s, dir) => {
+      val d = docs(s, dir).select(
+        concat(lit("http://corpus/"), col("source"), lit("/"), col("doc_id")).as("uri"),
+        lit("text/plain").as("content_type"),
+        coalesce(col("text"), lit("")).cast("binary").as("payload"))
+      val out = s"/tmp/graft-warcgz/${new java.io.File(dir).getName}"
+      val p = new org.apache.hadoop.fs.Path(out)
+      val fs = p.getFileSystem(s.sessionState.newHadoopConf())
+      fs.delete(p, true)
+      graft.sources.warc.WarcWriter.writeResponsesGz(d, out, "2026-01-01T00:00:00Z")
+      s.read.format("warc").option("maxPartitionBytes", 64L << 10).load(out)
+        .select(
+          element_at(split(col("target_uri"), "/"), -1).cast("long").as("doc_id"),
+          col("content_length"),
+          md5(col("payload")).as("payload_md5"),
+          col("record_type"), col("record_id"))
+        .orderBy(col("doc_id"))
+    }),
+
     // feature-assembly macro: one declarative plan builds the per-purchase
     // feature row — latest preceding click (as-of), trailing 24 h activity
     // (rolling), funnel stage reached, cohort day — the feature-store
@@ -3041,6 +3064,14 @@ object PipelineQueries {
         |  '\s*\n\s*', chr(10), 'g'), '^\s+|\s+$', '', 'g') AS s FROM e)
         |SELECT doc_id, md5(s) AS clean_md5, CAST(length(s) AS BIGINT) AS n_chars
         |FROM w ORDER BY doc_id""".stripMargin,
+
+    "p100_warc_gz_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(coalesce(text, ''))) AS BIGINT) AS content_length,
+        |  md5(coalesce(text, '')) AS payload_md5,
+        |  'response' AS record_type,
+        |  'urn:md5:' || md5('http://corpus/' || source || '/' || doc_id) AS record_id
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "p84_warc_roundtrip" ->
       """SELECT doc_id,

@@ -95,6 +95,110 @@ object WarcCodec {
     -1
   }
 
+  // -------------------------------------------------------------------
+  // Per-record gzip members (the CommonCrawl `.warc.gz` wire format:
+  // RFC 1952 members back to back, one WARC record per member). JDK
+  // zlib only — no external deps.
+  // -------------------------------------------------------------------
+
+  /** RFC 1952 member magic + CM=deflate. */
+  val GzMagic: Array[Byte] = Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte)
+
+  /** Parse a gzip member header at `pos`; returns the offset of the
+    * DEFLATE data relative to `pos`, or -1 when not a well-formed
+    * header (or truncated within `buf`). */
+  def parseGzHeader(buf: Array[Byte], pos: Int): Int = {
+    if (pos + 10 > buf.length) return -1
+    if (buf(pos) != GzMagic(0) || buf(pos + 1) != GzMagic(1) ||
+      buf(pos + 2) != GzMagic(2)) return -1
+    val flg = buf(pos + 3) & 0xff
+    if ((flg & 0xe0) != 0) return -1 // reserved bits must be zero
+    var p = pos + 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (p + 2 > buf.length) return -1
+      p += 2 + ((buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8))
+    }
+    if ((flg & 8) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FNAME
+    if ((flg & 16) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FCOMMENT
+    if ((flg & 2) != 0) p += 2 // FHCRC
+    if (p >= buf.length) -1 else p - pos
+  }
+
+  /** Inflate one complete gzip member at `pos`. Returns
+    * `(decompressed, compressedLen)`; None when the bytes are not a
+    * valid member — malformed header, DEFLATE error, CRC32/ISIZE
+    * mismatch, or the member is TRUNCATED within `buf` (callers with
+    * file access extend the buffer and retry; see the reader). */
+  def inflateGzMember(buf: Array[Byte], pos: Int): Option[(Array[Byte], Int)] = {
+    val dataOff = parseGzHeader(buf, pos)
+    if (dataOff < 0) return None
+    val p = pos + dataOff
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(buf, p, buf.length - p)
+    val out = new java.io.ByteArrayOutputStream(64 << 10)
+    val tmp = new Array[Byte](64 << 10)
+    val crc = new java.util.zip.CRC32()
+    try {
+      while (!inf.finished()) {
+        val n =
+          try inf.inflate(tmp)
+          catch { case _: java.util.zip.DataFormatException => return None }
+        if (n == 0 && !inf.finished()) return None // truncated input
+        crc.update(tmp, 0, n)
+        out.write(tmp, 0, n)
+      }
+      val trailer = p + (buf.length - p - inf.getRemaining)
+      if (trailer + 8 > buf.length) return None
+      def le32(q: Int): Long = (buf(q) & 0xffL) | ((buf(q + 1) & 0xffL) << 8) |
+        ((buf(q + 2) & 0xffL) << 16) | ((buf(q + 3) & 0xffL) << 24)
+      if (le32(trailer) != crc.getValue) return None
+      if (le32(trailer + 4) != (out.size.toLong & 0xffffffffL)) return None
+      Some((out.toByteArray, trailer + 8 - pos))
+    } finally inf.end()
+  }
+
+  /** Resync validator for `.warc.gz`: does a gzip member whose DEFLATE
+    * stream decodes to a validated WARC record header start at `pos`?
+    * Bounded work — inflates at most [[MaxHeaderBlock]] output bytes,
+    * no CRC (the consuming read verifies it). MUCH stronger than the
+    * plain-format validator: a decoy must be a well-formed gzip header
+    * AND a decodable DEFLATE prefix AND decompress to a well-formed
+    * record header. */
+  def isGzMemberStart(buf: Array[Byte], pos: Int): Boolean = {
+    val dataOff = parseGzHeader(buf, pos)
+    if (dataOff < 0) return false
+    val p = pos + dataOff
+    val inf = new java.util.zip.Inflater(true)
+    inf.setInput(buf, p, math.min(buf.length - p, MaxHeaderBlock * 2))
+    val head = new Array[Byte](MaxHeaderBlock)
+    var got = 0
+    try {
+      while (got < head.length && !inf.finished()) {
+        val n =
+          try inf.inflate(head, got, head.length - got)
+          catch { case _: java.util.zip.DataFormatException => return false }
+        if (n == 0) { // needs more input than the probe window: accept
+          // only if what we already have validates
+          return got >= Magic.length && parseHeader(head, 0, 0L).isDefined
+        }
+        got += n
+      }
+      got >= Magic.length && parseHeader(head, 0, 0L).isDefined
+    } finally inf.end()
+  }
+
+  /** Find the next offset >= `from` where a validated gzip WARC member
+    * starts; -1 when none within `buf`. */
+  def gzResync(buf: Array[Byte], from: Int): Int = {
+    var p = math.max(from, 0)
+    val last = buf.length - GzMagic.length
+    while (p <= last) {
+      if (buf(p) == GzMagic(0) && isGzMemberStart(buf, p)) return p
+      p += 1
+    }
+    -1
+  }
+
   /** Write one record; returns bytes written. Header order is fixed so
     * output is byte-deterministic. */
   def writeRecord(out: DataOutputStream, warcType: String, recordId: String,

@@ -64,7 +64,8 @@ object WarcSource {
     val fs = p.getFileSystem(conf)
     val st = fs.getFileStatus(p)
     if (st.isDirectory)
-      fs.listStatus(p).toSeq.filter(s => s.isFile && s.getPath.getName.endsWith(".warc"))
+      fs.listStatus(p).toSeq.filter(s => s.isFile &&
+          (s.getPath.getName.endsWith(".warc") || s.getPath.getName.endsWith(".warc.gz")))
         .map(_.getPath).sortBy(_.toString)
     else Seq(p)
   }
@@ -193,8 +194,139 @@ final class WarcMicroBatchStream(required: StructType, path: String,
 
 final class WarcReaderFactory(columns: Array[String], confW: SerializableHadoopConf)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new WarcPartitionReader(partition.asInstanceOf[WarcPartition], columns, confW)
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val part = partition.asInstanceOf[WarcPartition]
+    if (part.file.endsWith(".warc.gz") || part.file.endsWith(".gz"))
+      new GzWarcPartitionReader(part, columns, confW)
+    else new WarcPartitionReader(part, columns, confW)
+  }
+}
+
+/**
+ * Reader for per-record-gzip WARC (`.warc.gz`, the CommonCrawl wire
+ * format: RFC 1952 members back to back, one record per member) — and
+ * it stays SPLITTABLE: a reader re-finds the first member inside its
+ * byte range by scanning for the gzip magic and validating that the
+ * DEFLATE stream decodes to a well-formed WARC record header
+ * ([[WarcCodec.isGzMemberStart]] — a far stronger check than the
+ * plain-format resync, since a decoy must be a decodable DEFLATE
+ * prefix too). Members are owned by the range containing their START;
+ * a member overrunning the buffered margin is completed by extending
+ * the buffer with direct reads (exact compressed-length tracking via
+ * the raw Inflater, so the next member starts at a known offset — no
+ * scanning between back-to-back members). CRC32 + ISIZE verify every
+ * consumed member; a corrupt member is skipped by resync, never
+ * half-emitted. A decompressed member may carry several records
+ * (tolerated, though CommonCrawl writes one per member).
+ */
+final class GzWarcPartitionReader(part: WarcPartition, columns: Array[String],
+    confW: SerializableHadoopConf) extends PartitionReader[InternalRow] {
+  private val wantPayload = columns.contains("payload")
+  private val fsPath = new Path(part.file)
+  private val in = fsPath.getFileSystem(confW.value).open(fsPath)
+
+  private val TailMargin: Long = 1L << 20
+  private var bufEndAbs: Long =
+    math.min(part.fileLen, part.end + TailMargin)
+  private var buf = new Array[Byte]((bufEndAbs - part.start).toInt)
+  in.seek(part.start)
+  in.readFully(buf)
+
+  /** Grow the buffer so at least `untilAbs` file bytes are resident. */
+  private def ensure(untilAbs: Long): Unit = {
+    val target = math.min(part.fileLen, untilAbs)
+    if (target <= bufEndAbs) return
+    val grown = java.util.Arrays.copyOf(buf, (target - part.start).toInt)
+    in.seek(bufEndAbs)
+    in.readFully(grown, (bufEndAbs - part.start).toInt, (target - bufEndAbs).toInt)
+    buf = grown
+    bufEndAbs = target
+  }
+
+  // first validated member start within [start, end), or -1
+  private var pos: Int = WarcCodec.gzResync(buf, 0) match {
+    case p if p >= 0 && part.start + p < part.end => p
+    case _ => -1
+  }
+  // records already decompressed but not yet emitted (multi-record members)
+  private val pending = scala.collection.mutable.Queue.empty[InternalRow]
+  private var current: InternalRow = _
+
+  @annotation.tailrec
+  private def readMember(): Boolean = {
+    if (pos < 0) return false
+    val memberStartAbs = part.start + pos
+    WarcCodec.inflateGzMember(buf, pos) match {
+      case Some((bytes, compLen)) =>
+        var rp = 0
+        while (rp >= 0 && rp < bytes.length) {
+          WarcCodec.parseHeader(bytes, rp, memberStartAbs) match {
+            case Some(rec) =>
+              pending += buildRow(rec, bytes, rp)
+              val next = rp + rec.recordHeaderLen + rec.contentLength + 4
+              rp = if (next <= bytes.length) next.toInt else -1
+            case None => rp = -1 // trailing slack inside the member
+          }
+        }
+        val nextPos = pos + compLen
+        pos =
+          if (part.start + nextPos >= part.end) -1
+          else if (nextPos < buf.length &&
+            WarcCodec.isGzMemberStart(buf, nextPos)) nextPos
+          else WarcCodec.gzResync(buf, nextPos) match {
+            case p if p >= 0 && part.start + p < part.end => p
+            case _ => -1
+          }
+        if (pending.nonEmpty) true else readMember()
+      case None =>
+        // truncated in the buffer vs genuinely corrupt: if the buffer
+        // already reaches EOF the member is corrupt — resync past it;
+        // otherwise extend and retry (doubling keeps total IO linear)
+        if (bufEndAbs < part.fileLen) {
+          ensure(bufEndAbs + math.max(TailMargin, bufEndAbs - part.start))
+          readMember()
+        } else {
+          pos = WarcCodec.gzResync(buf, pos + 1) match {
+            case p if p >= 0 && part.start + p < part.end => p
+            case _ => -1
+          }
+          readMember()
+        }
+    }
+  }
+
+  override def next(): Boolean = {
+    if (pending.nonEmpty) { current = pending.dequeue(); return true }
+    if (!readMember()) return false
+    current = pending.dequeue()
+    true
+  }
+
+  /** `rp` = the record's start offset within the decompressed member. */
+  private def buildRow(rec: WarcCodec.WarcRecord, bytes: Array[Byte],
+      rp: Int): InternalRow = {
+    def hdr(name: String): Any =
+      rec.header(name).map(UTF8String.fromString).orNull
+    new GenericInternalRow(columns.map[Any] {
+      case "offset" => rec.offset
+      case "record_type" => hdr("WARC-Type")
+      case "record_id" => hdr("WARC-Record-ID")
+      case "target_uri" => hdr("WARC-Target-URI")
+      case "warc_date" => hdr("WARC-Date")
+      case "content_type" => hdr("Content-Type")
+      case "content_length" => rec.contentLength
+      case "payload" =>
+        if (!wantPayload) null
+        else {
+          val s = rp + rec.recordHeaderLen.toInt
+          java.util.Arrays.copyOfRange(bytes, s,
+            math.min(bytes.length, s + rec.contentLength.toInt))
+        }
+    })
+  }
+
+  override def get(): InternalRow = current
+  override def close(): Unit = in.close()
 }
 
 final class WarcPartitionReader(part: WarcPartition, columns: Array[String],

@@ -30,16 +30,25 @@ object WarcWriter {
     * their temp — readers (including a streaming tail of `dir`) can
     * never observe a half-written or interleaved member. A job that dies
     * mid-write leaves only `.tmp` litter, never a truncated `.warc`. */
-  def writeResponses(df: DataFrame, dir: String, date: String): Long = {
+  /** As [[writeResponses]] with `gzip = true`: per-RECORD gzip members
+    * (`part-NNNNN.warc.gz`), the CommonCrawl wire format — each record
+    * its own RFC 1952 member, so the output stays SPLITTABLE for the
+    * gz reader and any member is independently decompressible. */
+  def writeResponsesGz(df: DataFrame, dir: String, date: String): Long =
+    writeResponses(df, dir, date, gzip = true)
+
+  def writeResponses(df: DataFrame, dir: String, date: String,
+      gzip: Boolean = false): Long = {
     val confW = new SerializableHadoopConf(
       df.sparkSession.sessionState.newHadoopConf())
     val enc = Encoders.product[Rec]
+    val suffix = if (gzip) ".warc.gz" else ".warc"
     val counts = df.toDF("uri", "contentType", "payload").as(enc)
       .mapPartitions { it =>
         val tc = org.apache.spark.TaskContext.get()
-        val finalFile = new Path(dir, f"part-${tc.partitionId()}%05d.warc")
+        val finalFile = new Path(dir, f"part-${tc.partitionId()}%05d$suffix")
         val tmpFile = new Path(dir,
-          f".part-${tc.partitionId()}%05d.warc.attempt-${tc.taskAttemptId()}.tmp")
+          f".part-${tc.partitionId()}%05d$suffix.attempt-${tc.taskAttemptId()}.tmp")
         val fs = finalFile.getFileSystem(confW.value)
         val out = new DataOutputStream(fs.create(tmpFile, true))
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -49,8 +58,19 @@ object WarcWriter {
           it.foreach { r =>
             val id = "urn:md5:" +
               md.digest(r.uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
-            WarcCodec.writeRecord(out, "response", id, date, Some(r.uri),
-              Some(r.contentType), r.payload)
+            if (gzip) {
+              // one gzip member per record: buffer the record bytes,
+              // wrap them in their own member
+              val rec = new java.io.ByteArrayOutputStream()
+              WarcCodec.writeRecord(new DataOutputStream(rec), "response", id,
+                date, Some(r.uri), Some(r.contentType), r.payload)
+              val gz = new java.util.zip.GZIPOutputStream(out, 64 << 10)
+              gz.write(rec.toByteArray)
+              gz.finish() // flush THIS member; the underlying stream stays open
+            } else {
+              WarcCodec.writeRecord(out, "response", id, date, Some(r.uri),
+                Some(r.contentType), r.payload)
+            }
             n += 1
           }
           out.close()

@@ -171,6 +171,114 @@ class WarcSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  // ---- per-record-gzip (.warc.gz, the CommonCrawl wire format) ----
+
+  private def writeGzFile(dir: String, name: String)(recs: Seq[(String, Array[Byte])]): Unit = {
+    val p = new Path(dir, name)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = new DataOutputStream(fs.create(p, true))
+    try recs.foreach { case (uri, payload) =>
+      val rec = new java.io.ByteArrayOutputStream()
+      WarcCodec.writeRecord(new DataOutputStream(rec), "response", s"urn:test:$uri",
+        "2026-01-01T00:00:00Z", Some(uri), Some("application/octet-stream"), payload)
+      val gz = new java.util.zip.GZIPOutputStream(out)
+      gz.write(rec.toByteArray)
+      gz.finish()
+    } finally out.close()
+  }
+
+  test("gz roundtrip: per-record members, binary payloads with embedded gzip magic") {
+    val dir = tmpDir("warcgz-rt")
+    // payload containing the gzip magic AND a plain WARC magic — the
+    // member validator must not be fooled by either inside DEFLATE data
+    val decoy = Array[Byte](0x1f, 0x8b.toByte, 0x08, 0, 0, 0, 0, 0, 0, 0) ++
+      "WARC/1.0\r\nContent-Length: 0\r\nWARC-Type: response\r\n\r\n".getBytes(StandardCharsets.UTF_8)
+    val binary = Array.tabulate[Byte](700)(i => (i * 31 % 256 - 128).toByte)
+    val recs = Seq(
+      "http://g/1" -> "hello gzip world".getBytes(StandardCharsets.UTF_8),
+      "http://g/2" -> decoy,
+      "http://g/3" -> binary,
+      "http://g/4" -> Array.emptyByteArray)
+    writeGzFile(dir, "f.warc.gz")(recs)
+    val rows = spark.read.format("warc").load(dir)
+      .select($"target_uri", $"record_type", $"content_length", $"payload")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getAs[Array[Byte]](3)))
+      .sortBy(_._1)
+    assert(rows.length == 4)
+    rows.zip(recs.sortBy(_._1)).foreach { case ((uri, tpe, len, payload), (wUri, wPayload)) =>
+      assert(uri == wUri && tpe == "response")
+      assert(len == wPayload.length)
+      assert(payload.toSeq == wPayload.toSeq, uri)
+    }
+  }
+
+  test("gz tiny split ranges force mid-member boundaries; rows identical to one range") {
+    val dir = tmpDir("warcgz-split")
+    val rnd = new scala.util.Random(7)
+    val recs = (0 until 150).map { i =>
+      val body = new Array[Byte](300 + rnd.nextInt(1200))
+      rnd.nextBytes(body) // random bytes barely compress: members span ranges
+      f"http://s/$i%03d" -> body
+    }
+    writeGzFile(dir, "f.warc.gz")(recs)
+    def read(mpb: Long) = spark.read.format("warc")
+      .option("maxPartitionBytes", mpb).load(dir)
+    val whole = read(1L << 30).select($"target_uri", md5($"payload").as("m"))
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    for (mpb <- Seq(2048L, 4096L, 16384L)) {
+      val split = read(mpb).select($"target_uri", md5($"payload").as("m"))
+        .collect().map(r => (r.getString(0), r.getString(1))).sorted
+      assert(split.toSeq == whole.toSeq, s"mpb=$mpb")
+    }
+  }
+
+  test("gz corrupt member is skipped by resync; valid neighbors survive") {
+    val dir = tmpDir("warcgz-corrupt")
+    val recs = (0 until 10).map(i => s"http://c/$i" -> s"payload $i".getBytes(StandardCharsets.UTF_8))
+    writeGzFile(dir, "f.warc.gz")(recs)
+    // flip a byte in the MIDDLE of the file (inside some member's deflate
+    // data): that member fails CRC and is dropped, the rest survive
+    val f = new java.io.File(dir, "f.warc.gz")
+    val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+    bytes(bytes.length / 2) = (bytes(bytes.length / 2) ^ 0x55).toByte
+    java.nio.file.Files.write(f.toPath, bytes)
+    // drop Hadoop's checksum sidecar — the corruption is the point
+    new java.io.File(dir, ".f.warc.gz.crc").delete()
+    val uris = spark.read.format("warc").load(dir)
+      .select($"target_uri").collect().map(_.getString(0)).toSet
+    assert(uris.size >= 8 && uris.size < 10, s"got ${uris.size}")
+    assert(uris.subsetOf(recs.map(_._1).toSet))
+  }
+
+  test("gz distributed writer roundtrips through the gz reader; mixed dir reads both formats") {
+    val dir = tmpDir("warcgz-writer")
+    val df = (0 until 60).map(i => (s"http://w/$i", "text/plain",
+      s"doc body $i".getBytes(StandardCharsets.UTF_8))).toDF("uri", "content_type", "payload")
+      .repartition(4)
+    val n = WarcWriter.writeResponsesGz(df, dir, "2026-01-01T00:00:00Z")
+    assert(n == 60L)
+    // plus one PLAIN member in the same directory: listing accepts both
+    writeFile(dir, "extra.warc")(Seq("http://w/plain" -> "plain".getBytes(StandardCharsets.UTF_8)))
+    val got = spark.read.format("warc").load(dir)
+      .select($"target_uri").collect().map(_.getString(0)).toSet
+    assert(got == ((0 until 60).map(i => s"http://w/$i").toSet + "http://w/plain"))
+  }
+
+  test("gz member larger than the tail margin is completed by buffer growth") {
+    val dir = tmpDir("warcgz-big")
+    val rnd = new scala.util.Random(11)
+    val big = new Array[Byte]((1 << 21) + 12345) // 2 MiB: twice the margin
+    rnd.nextBytes(big)
+    val recs = Seq("http://b/small" -> "x".getBytes(StandardCharsets.UTF_8),
+      "http://b/big" -> big, "http://b/tail" -> "y".getBytes(StandardCharsets.UTF_8))
+    writeGzFile(dir, "f.warc.gz")(recs)
+    val rows = spark.read.format("warc")
+      .option("maxPartitionBytes", 4096L).load(dir)
+      .select($"target_uri", $"content_length", md5($"payload").as("m"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).sortBy(_._1)
+    assert(rows.toSeq == recs.map(r => (r._1, r._2.length.toLong)).sortBy(_._1))
+  }
+
   test("column pruning reaches the reader: payload-free scan lists no payload column") {
     val dir = tmpDir("warc-prune")
     writeFile(dir, "f.warc")(Seq("http://p/1" -> "abc".getBytes))
