@@ -793,6 +793,68 @@ object H3Streaming {
       .drop("__sid", "__sh")
   }
 
+  /**
+   * Streaming incremental triangle counting: per micro-batch, the
+   * number of triangles CLOSED by the batch's new edges — the
+   * link-graph twin of [[graft.graph.Triangles]], maintained as the
+   * crawl's host graph grows instead of recounted.
+   *
+   * Exactly-once attribution: a triangle is counted in the batch where
+   * its LAST edge arrives, at that batch's SMALLEST new edge it
+   * contains — new edges get a deterministic batch-local rank, old
+   * edges rank ∞, and edge e counts wedge (u,w),(v,w) only when
+   * `rank(e) < min(rank(uw), rank(vw))`. Summing `n_closed` over all
+   * epochs equals the batch operator's total on the union graph
+   * (spec-pinned). Re-arrivals of known edges close nothing.
+   *
+   * Scale shape per batch: the new-edge frame (small by construction)
+   * joins the accumulated adjacency twice — cost Σ(deg(u)+deg(v)) over
+   * new edges, the canonical streaming-triangle bound; the accumulated
+   * graph is union-appended and lineage-cut per batch, never
+   * rescanned from source. (The batch-local rank is a window over the
+   * new-edge frame only.) `foreachBatch` envelope: at-least-once on
+   * retry; production would key the adjacency state in a store
+   * partitioned by node — the join shape is identical.
+   */
+  def streamingTriangles(stream: DataFrame, srcCol: String, dstCol: String,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    import graft.graph.Triangles
+    import graft.util.Barriers
+    import org.apache.spark.sql.expressions.Window
+    var graph: DataFrame = null // accumulated canonical edges (u, v)
+    stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val cand = Triangles.canonicalEdges(batch, col(srcCol), col(dstCol))
+      val fresh = Barriers.statSafe(
+        (if (graph == null) cand
+         else cand.join(graph, Seq("u", "v"), "left_anti"))
+          .withColumn("erank",
+            row_number().over(Window.orderBy(col("u"), col("v"))).cast("long")))
+      val Inf = Long.MaxValue
+      def bothDir(df: DataFrame, rank: Column) =
+        df.select(col("u").as("a"), col("v").as("b"), rank.as("r"))
+          .unionAll(df.select(col("v").as("a"), col("u").as("b"), rank.as("r")))
+      val adj = Barriers.statSafe(
+        if (graph == null) bothDir(fresh, col("erank"))
+        else bothDir(graph, lit(Inf)).unionAll(bothDir(fresh, col("erank"))))
+      val closed = fresh
+        .join(adj.select(col("a").as("u"), col("b").as("w"), col("r").as("r1")), Seq("u"))
+        .filter(col("w") =!= col("v"))
+        .join(adj.select(col("a").as("v"), col("b").as("w"), col("r").as("r2")),
+          Seq("v", "w"))
+        .filter(col("erank") < least(col("r1"), col("r2")))
+        .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_closed"))
+      val out = fresh.select(col("u"), col("v"))
+        .join(closed, Seq("u", "v"), "left")
+        .select(col("u"), col("v"), coalesce(col("n_closed"), lit(0L)).as("n_closed"))
+      sink(out, epoch)
+      graph = Barriers.statSafe(
+        if (graph == null) fresh.select(col("u"), col("v"))
+        else graph.unionAll(fresh.select(col("u"), col("v"))))
+    }
+      .outputMode("append")
+  }
+
   /** Streaming form of [[graft.pipeline.Bpe.encodeCounts]]: tokenize
     * the ingest stream with a BATCH-trained BPE model — the
     * train-once / apply-forever split of a production tokenizer. The

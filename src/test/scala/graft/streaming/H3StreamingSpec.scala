@@ -439,6 +439,46 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming triangles: per-epoch closures sum to the batch total, incl. re-arrivals") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    val all = (1 to 240).map(_ => (rnd.nextInt(28).toLong, rnd.nextInt(28).toLong))
+    val batches = all.grouped(80).toSeq
+
+    def bruteTotal(edges: Seq[(Long, Long)]): Long = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        if und((nodes(i), nodes(j))) && und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))
+      } yield 1).size.toLong
+    }
+
+    val perEpoch = scala.collection.mutable.Map.empty[Long, Long]
+    val input = MemoryStream[(Long, Long)]
+    val writer = H3Streaming.streamingTriangles(
+      input.toDF.toDF("src", "dst"), "src", "dst",
+      (out, epoch) => perEpoch(epoch) =
+        out.agg(coalesce(sum($"n_closed"), lit(0L))).collect().head.getLong(0))
+    val query = writer.start()
+    try {
+      var prevTotal = 0L
+      batches.zipWithIndex.foreach { case (b, i) =>
+        // re-send some earlier edges too: known edges must close nothing
+        input.addData(b ++ (if (i > 0) batches(i - 1).take(10) else Nil): _*)
+        query.processAllAvailable()
+        val total = bruteTotal(batches.take(i + 1).flatten)
+        val got = perEpoch.values.sum
+        assert(got == total, s"after batch $i: got $got want $total")
+        assert(total >= prevTotal)
+        prevTotal = total
+      }
+      assert(prevTotal > 0, "fixture must actually form triangles")
+      assert(perEpoch.size == batches.size)
+    } finally query.stop()
+  }
+
   test("streaming BPE encode == batch encodeCounts on in-vocab docs; OOV words counted") {
     import graft.pipeline.Bpe
     implicit val sqlCtx = spark.sqlContext
