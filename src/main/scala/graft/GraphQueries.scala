@@ -104,6 +104,24 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // link prediction: common-neighbor count + Adamic-Adar over
+    // non-edges of the block graph — same-block users share hubs, so
+    // predictions recover the planted structure; per-term e6
+    // quantization keeps the sum order-free
+    "p101_link_prediction" -> ((s, dir) => {
+      import graft.pipeline.TextOps.md5Long
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+        lit(17L)) === 0
+      val edges = ev.select((col("user_id") + 1000L).as("src"),
+        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      graft.graph.Triangles.commonNeighborScores(edges, col("src"), col("dst"),
+        minCommon = 3)
+        .orderBy(col("u"), col("v"))
+    }),
+
     // skip-gram co-occurrence + PMI over the walk corpus: the
     // word2vec-style association table an embedding trainer
     // approximates — pairs within window 2 of each 4-step walk,
@@ -405,6 +423,29 @@ object GraphQueries {
          |  count(*)::BIGINT AS n_docs,
          |  CAST(sum(CASE WHEN b < rate10k THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
+
+    "p101_link_prediction" ->
+      s"""WITH raw AS (SELECT user_id + 1000 AS s,
+         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+         |  END AS d FROM events),
+         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |deg AS (SELECT n, count(*)::BIGINT AS deg FROM
+         |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
+         |adj AS (SELECT w, nb,
+         |    CASE WHEN deg >= 2
+         |         THEN CAST(floor(1000000.0 / ln(deg::DOUBLE) + 0.5) AS BIGINT)
+         |         ELSE 0 END AS aa
+         |  FROM (SELECT u AS w, v AS nb FROM e UNION ALL SELECT v, u FROM e)
+         |  JOIN deg ON deg.n = w),
+         |wed AS (SELECT a.nb AS u, b.nb AS v, a.aa
+         |  FROM adj a JOIN adj b ON a.w = b.w AND a.nb < b.nb),
+         |sc AS (SELECT u, v, count(*)::BIGINT AS n_common, CAST(sum(aa) AS BIGINT) AS adamic_adar_e6
+         |  FROM wed GROUP BY u, v HAVING count(*) >= 3)
+         |SELECT sc.u, sc.v, sc.n_common, sc.adamic_adar_e6
+         |FROM sc LEFT JOIN e ON e.u = sc.u AND e.v = sc.v
+         |WHERE e.u IS NULL ORDER BY sc.u, sc.v""".stripMargin,
 
     "p99_walk_pmi" -> {
       def stepCte(t: Int) = {

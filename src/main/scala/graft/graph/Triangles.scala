@@ -92,4 +92,46 @@ object Triangles {
     nodeTriangles(edges, src, dst)
       .agg((sum(col("n_tri")) / lit(3)).cast("long").as("n_triangles"),
         count(lit(1)).as("n_nodes"))
+
+  /**
+   * Link prediction by common neighbors: for every NON-edge pair with
+   * ≥ `minCommon` shared neighbors, the common-neighbor count and the
+   * Adamic–Adar score `Σ_w 1/ln(deg w)` (Adamic & Adar 2003) on the e6
+   * integer lattice (each term floor-quantized before the sum, so the
+   * aggregation order cannot change the result — the LM-score
+   * discipline). The recommend-an-edge / find-missing-link op.
+   *
+   * Scale note: candidate pairs form at the wedge MIDDLE, so the cost
+   * is Σ deg(w)² — inherent to common-neighbor scoring (every pair
+   * scored IS a wedge). A celebrity hub contributes ~0 to Adamic–Adar
+   * (1/ln(deg) → 0) while dominating the wedge count, so production
+   * runs cap hub degree before this operator; the operator itself
+   * stays exact.
+   */
+  def commonNeighborScores(edges: DataFrame, src: Column, dst: Column,
+      minCommon: Long): DataFrame = {
+    val e = graft.util.Barriers.statSafe(canonicalEdges(edges, src, dst))
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
+    // each wedge middle w contributes its (id-ordered) neighbor pairs
+    val adj = graft.util.Barriers.statSafe(
+      e.select(col("u").as("w"), col("v").as("nb"))
+        .unionAll(e.select(col("v").as("w"), col("u").as("nb")))
+        .join(deg.select(col("n").as("w"), col("deg")), Seq("w"))
+        // per-term quantization: floor(1e6 / ln(deg) + 0.5). A deg-1
+        // node never forms a wedge pair, but its adjacency row still
+        // evaluates the projection — guard it (ln 1 = 0 would make an
+        // Inf the ANSI cast rejects)
+        .select(col("w"), col("nb"),
+          when(col("deg") >= 2,
+            floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
+              .cast("long")).otherwise(lit(0L)).as("aa_e6")))
+    val a = adj.select(col("w"), col("nb").as("u"), col("aa_e6"))
+    val b = adj.select(col("w"), col("nb").as("v"))
+    val wedges = a.join(b, Seq("w")).filter(col("u") < col("v"))
+    wedges.groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("n_common"), sum(col("aa_e6")).as("adamic_adar_e6"))
+      .filter(col("n_common") >= minCommon)
+      .join(e, Seq("u", "v"), "left_anti") // only NON-edges: predictions
+  }
 }

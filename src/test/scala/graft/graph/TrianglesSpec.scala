@@ -72,6 +72,31 @@ class TrianglesSpec extends AnyFunSuite {
     assert(want.values.map(_._3).toSet.size > 3)
   }
 
+  test("commonNeighborScores matches brute force; edges excluded; AA per-term-quantized") {
+    val rnd = new scala.util.Random(47)
+    val edges = (1 to 260).map(_ => (rnd.nextInt(35).toLong, rnd.nextInt(35).toLong))
+    val und = edges.filter(e => e._1 != e._2)
+      .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+    val nodes = und.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map { n =>
+      n -> und.collect { case (a, b) if a == n => b; case (a, b) if b == n => a }
+    }.toMap
+    def aaTerm(w: Long): Long =
+      math.floor(1000000.0 / math.log(adj(w).size.toDouble) + 0.5).toLong
+    val want = (for {
+      u <- nodes.toSeq; v <- nodes.toSeq if u < v && !und((u, v))
+      common = adj(u) & adj(v) if common.size >= 3
+    } yield (u, v) -> ((common.size.toLong, common.toSeq.map(aaTerm).sum))).toMap
+
+    val got = Triangles.commonNeighborScores(
+        edges.toDF("src", "dst").repartition(5), col("src"), col("dst"), minCommon = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got == want)
+    assert(want.nonEmpty)
+    // no predicted pair is an existing edge
+    assert(got.keys.forall(p => !und(p)))
+  }
+
   test("globalTriangles counts each triangle once") {
     val edges = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
     val r = Triangles.globalTriangles(edges.toDF("src", "dst"), col("src"), col("dst"))
