@@ -1126,6 +1126,30 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // leakage-safe train/val/test split: assignment is keyed by the
+    // near-dup GROUP representative, so every member of a duplicate
+    // cluster lands in the SAME fold — the split that keeps eval sets
+    // uncontaminated by training near-copies (doc-keyed p25 cannot
+    // guarantee this)
+    "p102_group_split" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(col("doc_id") % 4 === 1)
+      val pairs = Dedup.lshCandidatePairs(c, col("doc_id"), col("text"), k = 8,
+        maxBucket = Int.MaxValue)
+      val verified = Dedup.ngramJaccardVerify(c, col("doc_id"), col("text"),
+        n = 8, threshold = 0.5, pairs)
+      val groups = Dedup.nearDupGroups(c, col("doc_id"), verified)
+      val bucket = pmod(TextOps.md5Long(
+        concat(col("group_id").cast("string"), lit("gs"))), lit(10000L))
+      groups.withColumn("split",
+          when(bucket < 8000, lit("train"))
+            .when(bucket < 9000, lit("val")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("group_id")).as("n_groups"),
+          sum(col("doc_id")).as("id_sum"))
+        .orderBy(col("split"))
+    }),
+
     // CommonCrawl wire-format roundtrip: corpus -> per-record-GZIP warc
     // members -> splittable gz scan at 64 KB ranges (mid-member splits
     // at every SF; member boundaries re-found by deflate+header
@@ -2417,6 +2441,27 @@ object PipelineQueries {
          |SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
          |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "p102_group_split" ->
+      s"""WITH RECURSIVE ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 4 = 1")},
+         |edges AS (
+         |  SELECT id_a AS src, id_b AS dst FROM verified
+         |  UNION SELECT id_b, id_a FROM verified),
+         |reach AS (
+         |  SELECT src AS id, src AS label FROM edges
+         |  UNION
+         |  SELECT e.dst AS id, r.label FROM reach r JOIN edges e ON e.src = r.id),
+         |comp AS (SELECT id, min(label) AS group_id FROM reach GROUP BY id),
+         |g AS (SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
+         |  FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id),
+         |b AS (SELECT doc_id, group_id,
+         |    ${oH("group_id::VARCHAR || 'gs'")} % 10000 AS bucket FROM g)
+         |SELECT (CASE WHEN bucket < 8000 THEN 'train'
+         |             WHEN bucket < 9000 THEN 'val' ELSE 'test' END) AS split,
+         |  count(*)::BIGINT AS n_docs,
+         |  count(DISTINCT group_id)::BIGINT AS n_groups,
+         |  CAST(sum(doc_id) AS BIGINT) AS id_sum
+         |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     "p25_split" ->
       s"""WITH b AS (
