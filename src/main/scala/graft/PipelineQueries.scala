@@ -1126,6 +1126,15 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // retrieval eval harness: per-query recall@10 and MRR@10 of the
+    // BM25 ranker against conjunctive-match relevance, integer-lattice
+    // metrics; top-k plans as TakeOrdered (no full sort)
+    "p103_retrieval_metrics" -> ((s, dir) =>
+      graft.pipeline.Ranking.retrievalMetrics(docs(s, dir), col("doc_id"), col("text"),
+        Seq("q1" -> Seq("spark", "window"), "q2" -> Seq("merge", "sort", "fast"),
+          "q3" -> Seq("customer", "line")), k = 10)
+        .orderBy(col("query_id"))),
+
     // leakage-safe train/val/test split: assignment is keyed by the
     // near-dup GROUP representative, so every member of a duplicate
     // cluster lands in the SAME fold — the split that keeps eval sets
@@ -1450,7 +1459,7 @@ object PipelineQueries {
 
   /** BM25 CTE chain ending in `lex` (doc_id, bm25) over `documents` —
     * shared by the p33 oracle and the p45 hybrid fusion. */
-  private def bm25LexCtes(terms: Seq[String]): String = {
+  private def bm25LexCtes(terms: Seq[String], pfx: String = ""): String = {
     val tfDefs = terms.zipWithIndex.map { case (t, i) =>
       s"len(list_filter(tk, x -> x = '$t'))::BIGINT AS tf$i" }.mkString(",\n  ")
     val dfDefs = terms.indices.map(i =>
@@ -1459,15 +1468,15 @@ object PipelineQueries {
       s"(floor(ln((n::DOUBLE - df$i::DOUBLE + 0.5) / (df$i::DOUBLE + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0)" +
         s" * (tf$i::DOUBLE * 2.2) / (tf$i::DOUBLE + 1.2 * (0.25 + (0.75 * dl::DOUBLE) / (sumdl::DOUBLE / n::DOUBLE)))"
     }.mkString(" + ")
-    s"""toks AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
-       |tf AS (SELECT doc_id, len(tk)::BIGINT AS dl,
+    s"""toks$pfx AS (SELECT doc_id, string_split(lower(trim(text)), ' ') AS tk FROM documents),
+       |tf$pfx AS (SELECT doc_id, len(tk)::BIGINT AS dl,
        |  $tfDefs
-       |  FROM toks),
-       |st AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
+       |  FROM toks$pfx),
+       |st$pfx AS (SELECT count(*)::BIGINT AS n, CAST(sum(dl) AS BIGINT) AS sumdl,
        |  $dfDefs
-       |  FROM tf),
-       |lex AS (SELECT doc_id, floor(($termSql) * 10000.0 + 0.5) / 10000.0 AS bm25
-       |  FROM tf, st)""".stripMargin
+       |  FROM tf$pfx),
+       |lex$pfx AS (SELECT doc_id, floor(($termSql) * 10000.0 + 0.5) / 10000.0 AS bm25
+       |  FROM tf$pfx, st$pfx)""".stripMargin
   }
 
   private def brightnessSql: String =
@@ -2441,6 +2450,28 @@ object PipelineQueries {
          |SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
          |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "p103_retrieval_metrics" -> {
+      val qs = Seq(("a", "q1", Seq("spark", "window")),
+        ("b", "q2", Seq("merge", "sort", "fast")),
+        ("c", "q3", Seq("customer", "line")))
+      def block(pfx: String, qid: String, terms: Seq[String]) = {
+        val termList = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+        s"""r$pfx AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk FROM lex$pfx),
+           |rel$pfx AS (SELECT doc_id FROM toks$pfx WHERE list_has_all(tk, $termList)),
+           |m$pfx AS (SELECT '$qid' AS query_id,
+           |  (SELECT count(*)::BIGINT FROM rel$pfx) AS n_rel,
+           |  (SELECT count(*)::BIGINT FROM r$pfx JOIN rel$pfx USING (doc_id) WHERE rk <= 10) AS rel_at_k,
+           |  (SELECT 1000000 // min(rk) FROM r$pfx JOIN rel$pfx USING (doc_id) WHERE rk <= 10) AS mrr)""".stripMargin
+      }
+      s"""WITH ${qs.map(q => bm25LexCtes(q._3, q._1)).mkString(",\n")},
+         |${qs.map(q => block(q._1, q._2, q._3)).mkString(",\n")},
+         |uni AS (${qs.map(q => s"SELECT * FROM m${q._1}").mkString(" UNION ALL ")})
+         |SELECT query_id, n_rel, rel_at_k,
+         |  CAST(CASE WHEN n_rel > 0 THEN (rel_at_k * 1000000) // n_rel ELSE 0 END AS BIGINT) AS recall_e6,
+         |  CAST(coalesce(mrr, 0) AS BIGINT) AS mrr_e6
+         |FROM uni ORDER BY query_id""".stripMargin
+    },
 
     "p102_group_split" ->
       s"""WITH RECURSIVE ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE doc_id % 4 = 1")},

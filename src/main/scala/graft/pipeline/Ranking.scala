@@ -144,4 +144,46 @@ object Ranking {
       .orderBy(col("fused").desc, col("doc_id"))
       .limit(k)
   }
+
+  /**
+   * Retrieval evaluation: per query, recall@k and MRR@k of the BM25
+   * ranker against conjunctive-match relevance (a document is relevant
+   * iff it contains EVERY query term) — the eval harness of a
+   * RAG/retrieval pipeline, with metrics on the e6 integer lattice
+   * (`recall = hits·1e6 div n_rel`, `mrr = 1e6 div first_hit_rank`,
+   * 0 when undefined) so they replay exactly in any engine.
+   *
+   * Scale shape per query: one BM25 pass (one corpus aggregate, see
+   * [[bm25]]), a top-k via orderBy+limit — Spark plans
+   * TakeOrderedAndProject, map-side partial top-k, NO full sort — and
+   * three small aggregates on the k-row / relevant frames. Queries
+   * union independent plans, so a 100-query eval fans out as 100
+   * independent jobs over the same cached corpus.
+   */
+  def retrievalMetrics(df: DataFrame, id: Column, text: Column,
+      queries: Seq[(String, Seq[String])], k: Int): DataFrame = {
+    require(queries.nonEmpty && k >= 1)
+    import org.apache.spark.sql.expressions.Window
+    queries.map { case (qid, terms) =>
+      val scored = bm25(df, id, text, terms)
+      val topk = scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+        .withColumn("rk",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
+            .cast("long"))
+      val rel = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
+        .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
+        .filter(terms.indices.map(i => col("__tc").getItem(i) > 0).reduce(_ && _))
+        .select(col("doc_id"))
+      val nRel = rel.agg(count(lit(1)).as("n_rel"))
+      val hits = topk.join(rel, Seq("doc_id"))
+        .agg(count(lit(1)).as("rel_at_k"), min(col("rk")).as("__first"))
+      nRel.crossJoin(hits).select(
+        lit(qid).as("query_id"), col("n_rel"),
+        col("rel_at_k"),
+        when(col("n_rel") > 0, expr("(rel_at_k * 1000000) div n_rel"))
+          .otherwise(lit(0L)).as("recall_e6"),
+        when(col("__first").isNotNull, expr("1000000 div __first"))
+          .otherwise(lit(0L)).as("mrr_e6"))
+    }.reduce(_ unionAll _)
+  }
 }

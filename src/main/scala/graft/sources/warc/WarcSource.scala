@@ -236,6 +236,13 @@ final class GzWarcPartitionReader(part: WarcPartition, columns: Array[String],
   private def ensure(untilAbs: Long): Unit = {
     val target = math.min(part.fileLen, untilAbs)
     if (target <= bufEndAbs) return
+    // a single member cannot span more than the addressable buffer; a
+    // >2 GiB compressed member is outside the format's practical range
+    // (CommonCrawl members are MBs) — fail with a clear message rather
+    // than wrapping the Int and corrupting reads
+    require(target - part.start <= Int.MaxValue - 16,
+      s"gzip member starting in range [${part.start}, ${part.end}) of ${part.file} " +
+        s"spans past ${Int.MaxValue} buffered bytes")
     val grown = java.util.Arrays.copyOf(buf, (target - part.start).toInt)
     in.seek(bufEndAbs)
     in.readFully(grown, (bufEndAbs - part.start).toInt, (target - bufEndAbs).toInt)

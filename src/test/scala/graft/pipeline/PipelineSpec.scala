@@ -1594,6 +1594,43 @@ class PipelineSpec extends AnyFunSuite {
       "absent stratum selects nothing")
   }
 
+  test("retrievalMetrics: recall@k and MRR discriminate on crafted docs") {
+    // 20 LONG relevant docs (both terms, heavy length penalty), 2 short
+    // high-tf alpha-only decoys that outrank them, 6 beta-carrying
+    // fillers that depress beta's idf — the top-3 mixes decoys and
+    // relevant, so recall and MRR land strictly inside (0, 1)
+    val docs =
+      (1L to 20L).map(i => (i, "alpha beta" + (" pad" * 100))) ++
+        (100L to 101L).map(i => (i, "alpha alpha alpha alpha alpha")) ++
+        (200L to 205L).map(i => (i, "beta gamma filler"))
+    val df = docs.toDF("doc_id", "text").repartition(4)
+    val out = Ranking.retrievalMetrics(df, $"doc_id", $"text",
+        Seq("q" -> Seq("alpha", "beta")), k = 3)
+      .collect().head
+    // reference: score every doc with the same lattice bm25, take top-3
+    val scored = Ranking.bm25(df, $"doc_id", $"text", Seq("alpha", "beta"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      .sortBy { case (id, s) => (-s, id) }
+    val top3 = scored.take(3).map(_._1)
+    val relevant = (1L to 20L).toSet
+    val hits = top3.count(relevant)
+    val firstRank = top3.indexWhere(relevant).toLong + 1
+    assert(out.getLong(1) == 20L)
+    assert(out.getLong(2) == hits.toLong)
+    assert(out.getLong(3) == hits * 1000000L / 20L)
+    assert(out.getLong(4) == (if (firstRank > 0) 1000000L / firstRank else 0L))
+    // the fixture must exercise the MIXED regime: some but not all of
+    // the top-3 relevant, so both metrics are strictly inside (0, 1)
+    assert(out.getLong(2) > 0L && out.getLong(2) < 3L)
+    assert(out.getLong(3) > 0L && out.getLong(3) < 1000000L)
+    assert(out.getLong(4) > 0L && out.getLong(4) < 1000000L)
+
+    // no relevant docs at all: both metrics zero, no division error
+    val none = Ranking.retrievalMetrics(df, $"doc_id", $"text",
+        Seq("z" -> Seq("zeta", "eta")), k = 3).collect().head
+    assert(none.getLong(1) == 0L && none.getLong(3) == 0L && none.getLong(4) == 0L)
+  }
+
   test("tokenBudgetSelect: constant-score corpus stays parallel and walks id order") {
     // every doc shares one score: the compound (score, id-bucket) cell key
     // must still give the id-ordered global walk
