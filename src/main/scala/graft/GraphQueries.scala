@@ -118,7 +118,7 @@ object GraphQueries {
         (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
           .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
       graft.graph.Triangles.commonNeighborScores(edges, col("src"), col("dst"),
-        minCommon = 3)
+        minCommon = 3, maxDegree = 1000)
         .orderBy(col("u"), col("v"))
     }),
 
@@ -438,7 +438,7 @@ object GraphQueries {
          |         THEN CAST(floor(1000000.0 / ln(deg::DOUBLE) + 0.5) AS BIGINT)
          |         ELSE 0 END AS aa
          |  FROM (SELECT u AS w, v AS nb FROM e UNION ALL SELECT v, u FROM e)
-         |  JOIN deg ON deg.n = w),
+         |  JOIN deg ON deg.n = w WHERE deg <= 1000),
          |wed AS (SELECT a.nb AS u, b.nb AS v, a.aa
          |  FROM adj a JOIN adj b ON a.w = b.w AND a.nb < b.nb),
          |sc AS (SELECT u, v, count(*)::BIGINT AS n_common, CAST(sum(aa) AS BIGINT) AS adamic_adar_e6

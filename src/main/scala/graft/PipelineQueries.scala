@@ -1126,6 +1126,32 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // dedup eval harness: the LSH->verify near-dup pipeline scored
+    // against KNOWN planted duplicates (the +1e6 near-copies ARE the
+    // ground truth) — precision/recall on the e6 lattice; the
+    // eval-the-approximate-op pattern, exactly replayable
+    "p104_dedup_eval" -> ((s, dir) => {
+      val c = corpusWithDups(s, dir).filter(length(col("text")) < 150)
+      val pairs = Dedup.lshCandidatePairs(c, col("doc_id"), col("text"), k = 8,
+        maxBucket = Int.MaxValue)
+      val predicted = Dedup.ngramJaccardVerify(c, col("doc_id"), col("text"),
+        n = 8, threshold = 0.5, pairs)
+        .select(col("id_a"), col("id_b"))
+      // ground truth: each planted near-copy pairs with its source
+      val truth = c.filter(col("doc_id") >= 1000000L)
+        .select((col("doc_id") - 1000000L).as("id_a"), col("doc_id").as("id_b"))
+      val tp = predicted.join(truth, Seq("id_a", "id_b"), "leftsemi")
+        .agg(count(lit(1)).as("n_tp"))
+      val np = predicted.agg(count(lit(1)).as("n_pred"))
+      val nt = truth.agg(count(lit(1)).as("n_truth"))
+      tp.crossJoin(np).crossJoin(nt).select(
+        col("n_tp"), col("n_pred"), col("n_truth"),
+        when(col("n_pred") > 0, expr("(n_tp * 1000000) div n_pred"))
+          .otherwise(lit(0L)).as("precision_e6"),
+        when(col("n_truth") > 0, expr("(n_tp * 1000000) div n_truth"))
+          .otherwise(lit(0L)).as("recall_e6"))
+    }),
+
     // retrieval eval harness: per-query recall@10 and MRR@10 of the
     // BM25 ranker against conjunctive-match relevance, integer-lattice
     // metrics; top-k plans as TakeOrdered (no full sort)
@@ -2450,6 +2476,19 @@ object PipelineQueries {
          |SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
          |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "p104_dedup_eval" ->
+      s"""WITH ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE len(text) < 150")},
+         |truth AS (SELECT doc_id - 1000000 AS id_a, doc_id AS id_b
+         |  FROM corpus WHERE doc_id >= 1000000),
+         |tp AS (SELECT count(*)::BIGINT AS n_tp FROM verified v
+         |  JOIN truth t ON v.id_a = t.id_a AND v.id_b = t.id_b),
+         |np AS (SELECT count(*)::BIGINT AS n_pred FROM verified),
+         |nt AS (SELECT count(*)::BIGINT AS n_truth FROM truth)
+         |SELECT n_tp, n_pred, n_truth,
+         |  CAST(CASE WHEN n_pred > 0 THEN (n_tp * 1000000) // n_pred ELSE 0 END AS BIGINT) AS precision_e6,
+         |  CAST(CASE WHEN n_truth > 0 THEN (n_tp * 1000000) // n_truth ELSE 0 END AS BIGINT) AS recall_e6
+         |FROM tp, np, nt""".stripMargin,
 
     "p103_retrieval_metrics" -> {
       val qs = Seq(("a", "q1", Seq("spark", "window")),

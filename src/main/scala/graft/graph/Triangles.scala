@@ -104,20 +104,25 @@ object Triangles {
    * Scale note: candidate pairs form at the wedge MIDDLE, so the cost
    * is Σ deg(w)² — inherent to common-neighbor scoring (every pair
    * scored IS a wedge). A celebrity hub contributes ~0 to Adamic–Adar
-   * (1/ln(deg) → 0) while dominating the wedge count, so production
-   * runs cap hub degree before this operator; the operator itself
-   * stays exact.
+   * (1/ln(deg) → 0) while dominating the wedge count, so `maxDegree`
+   * excludes hubs as wedge MIDDLES (they remain scoreable endpoints):
+   * common-neighbor counts then count sub-cap shared neighbors only —
+   * the standard production semantics, and it bounds the pair blowup
+   * at nodes·cap² by construction (measured: uncapped, a 30×
+   * user-multiplied probe graph OOMs a 128 GB JVM on the ~900×
+   * wedge inflation; capped, the wedge frame grows with NODES).
    */
   def commonNeighborScores(edges: DataFrame, src: Column, dst: Column,
-      minCommon: Long): DataFrame = {
+      minCommon: Long, maxDegree: Long = Long.MaxValue): DataFrame = {
     val e = graft.util.Barriers.statSafe(canonicalEdges(edges, src, dst))
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // each wedge middle w contributes its (id-ordered) neighbor pairs
+    // each sub-cap wedge middle w contributes its neighbor pairs
     val adj = graft.util.Barriers.statSafe(
       e.select(col("u").as("w"), col("v").as("nb"))
         .unionAll(e.select(col("v").as("w"), col("u").as("nb")))
         .join(deg.select(col("n").as("w"), col("deg")), Seq("w"))
+        .filter(col("deg") <= maxDegree)
         // per-term quantization: floor(1e6 / ln(deg) + 0.5). A deg-1
         // node never forms a wedge pair, but its adjacency row still
         // evaluates the projection — guard it (ln 1 = 0 would make an

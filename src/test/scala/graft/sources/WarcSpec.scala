@@ -136,6 +136,25 @@ class WarcSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming ingest tails .warc.gz members alongside plain ones") {
+    val dir = tmpDir("warcgz-stream")
+    writeGzFile(dir, "a.warc.gz")(Seq("http://gs/1" -> "one".getBytes))
+    val stream = spark.readStream.format("warc")
+      .option("maxPartitionBytes", 4096).load(dir)
+      .select($"target_uri", $"payload".cast("string").as("body"))
+    val query = stream.writeStream
+      .format("memory").queryName("warcgzstream").outputMode("append").start()
+    try {
+      query.processAllAvailable()
+      writeGzFile(dir, "b.warc.gz")(Seq("http://gs/2" -> "two".getBytes))
+      writeFile(dir, "c.warc")(Seq("http://gs/3" -> "three".getBytes))
+      query.processAllAvailable()
+      val rows = spark.table("warcgzstream").as[(String, String)].collect().toSet
+      assert(rows == Set(("http://gs/1", "one"), ("http://gs/2", "two"),
+        ("http://gs/3", "three")))
+    } finally query.stop()
+  }
+
   test("in-stream crawl pipeline: warc tail -> extract -> gate -> exact dedup in ONE query") {
     import graft.pipeline.TextOps
     import graft.streaming.H3Streaming
