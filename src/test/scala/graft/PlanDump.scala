@@ -22,7 +22,8 @@ object PlanDump {
     "p86_crawl_pipeline", "p88_pagerank",
     "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
     "p94_sampled_quantiles", "p95_prefix_jaccard_join", "p96_random_walks",
-    "p97_kcore")
+    "p97_kcore", "p98_graph_features", "p99_walk_pmi", "p101_link_prediction",
+    "p103_retrieval_metrics")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
