@@ -60,6 +60,29 @@ object GraphQueries {
        |  FROM nodes nd LEFT JOIN c$t USING (node))""".stripMargin
   }
 
+  /** The planted 5-block community graph over events: users (id+1000)
+    * connect to their own block's 40 hubs via md5-routed edges, with
+    * sparse (1/17) cross-block links — the shared fixture of
+    * p93/p96/p97/p99/p101. */
+  private def blockGraphEdges(ev: DataFrame): DataFrame = {
+    import graft.pipeline.TextOps.md5Long
+    val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
+    val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
+      lit(17L)) === 0
+    ev.select((col("user_id") + 1000L).as("src"),
+      (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
+        .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+  }
+
+  /** [[blockGraphEdges]] verbatim in the oracle dialect (the `raw` CTE
+    * body every block-graph oracle starts from). */
+  private val blockGraphRawSql: String =
+    """raw AS (SELECT user_id + 1000 AS s,
+      |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
+      |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+      |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
+      |  END AS d FROM events)""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // link-graph authority ranking: integer-lattice PageRank (3
     // iterations) on a deterministic synthetic user->user edge list —
@@ -91,14 +114,7 @@ object GraphQueries {
     // their block's hubs with sparse md5-routed cross-links; LPA
     // recovers the blocks, exactly replayable (deterministic tie order)
     "p93_lpa_communities" -> ((s, dir) => {
-      import graft.pipeline.TextOps.md5Long
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
-      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
-        lit(17L)) === 0
-      val edges = ev.select((col("user_id") + 1000L).as("src"),
-        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
-          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val edges = blockGraphEdges(s.read.parquet(s"$dir/events.parquet"))
       graft.graph.Communities.labelPropagation(edges, col("src"), col("dst"), iters = 3)
         .select(col("node"), col("label").cast("long").as("label"))
         .orderBy(col("node"))
@@ -109,14 +125,7 @@ object GraphQueries {
     // predictions recover the planted structure; per-term e6
     // quantization keeps the sum order-free
     "p101_link_prediction" -> ((s, dir) => {
-      import graft.pipeline.TextOps.md5Long
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
-      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
-        lit(17L)) === 0
-      val edges = ev.select((col("user_id") + 1000L).as("src"),
-        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
-          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val edges = blockGraphEdges(s.read.parquet(s"$dir/events.parquet"))
       graft.graph.Triangles.commonNeighborScores(edges, col("src"), col("dst"),
         minCommon = 3, maxDegree = 1000)
         .orderBy(col("u"), col("v"))
@@ -127,14 +136,7 @@ object GraphQueries {
     // approximates — pairs within window 2 of each 4-step walk,
     // integer counts, e4-quantized ln
     "p99_walk_pmi" -> ((s, dir) => {
-      import graft.pipeline.TextOps.md5Long
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
-      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
-        lit(17L)) === 0
-      val edges = ev.select((col("user_id") + 1000L).as("src"),
-        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
-          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val edges = blockGraphEdges(s.read.parquet(s"$dir/events.parquet"))
       val w = graft.graph.Walks.walks(edges, col("src"), col("dst"), steps = 4)
       graft.graph.Walks.walkPmi(w, steps = 4, window = 2)
         .orderBy(col("u"), col("v"))
@@ -176,14 +178,7 @@ object GraphQueries {
     // degree aggregate + two semi-joins against the slim survivor set;
     // the dense-core signal for link-ring detection
     "p97_kcore" -> ((s, dir) => {
-      import graft.pipeline.TextOps.md5Long
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
-      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
-        lit(17L)) === 0
-      val edges = ev.select((col("user_id") + 1000L).as("src"),
-        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
-          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val edges = blockGraphEdges(s.read.parquet(s"$dir/events.parquet"))
       graft.graph.Cores.kCore(edges, col("src"), col("dst"), k = 4, rounds = 4)
         .orderBy(col("node"))
     }),
@@ -193,14 +188,7 @@ object GraphQueries {
     // step yet exactly replayable; per step the frontier equi-joins
     // the ranked adjacency on (node, index), one row per visit
     "p96_random_walks" -> ((s, dir) => {
-      import graft.pipeline.TextOps.md5Long
-      val ev = s.read.parquet(s"$dir/events.parquet")
-      val hm = pmod(md5Long(col("event_id").cast("string")), lit(40L))
-      val cross = pmod(md5Long(concat(col("event_id").cast("string"), lit("x"))),
-        lit(17L)) === 0
-      val edges = ev.select((col("user_id") + 1000L).as("src"),
-        (when(cross, ((col("user_id") + 1) % 5) * 40 + hm)
-          .otherwise((col("user_id") % 5) * 40 + hm)).as("dst"))
+      val edges = blockGraphEdges(s.read.parquet(s"$dir/events.parquet"))
       graft.graph.Walks.walks(edges, col("src"), col("dst"), steps = 4)
         .orderBy(col("walk_id"))
     }),
@@ -425,11 +413,7 @@ object GraphQueries {
          |FROM rated GROUP BY source ORDER BY source""".stripMargin,
 
     "p101_link_prediction" ->
-      s"""WITH raw AS (SELECT user_id + 1000 AS s,
-         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
-         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |  END AS d FROM events),
+      s"""WITH $blockGraphRawSql,
          |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |deg AS (SELECT n, count(*)::BIGINT AS deg FROM
          |  (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
@@ -459,11 +443,7 @@ object GraphQueries {
       val pairUnion = combos.map { case (i, j) =>
         s"SELECT least(s$i, s$j) AS u, greatest(s$i, s$j) AS v FROM wk"
       }.mkString("\n  UNION ALL ")
-      s"""WITH raw AS (SELECT user_id + 1000 AS s,
-         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
-         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |  END AS d FROM events),
+      s"""WITH $blockGraphRawSql,
          |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
          |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
@@ -544,11 +524,7 @@ object GraphQueries {
            |kp$t AS (SELECT n FROM dg$t WHERE deg >= 4),
            |e$t AS (SELECT u, v FROM e${t - 1}
            |  WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
-      s"""WITH raw AS (SELECT user_id + 1000 AS s,
-         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
-         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |  END AS d FROM events),
+      s"""WITH $blockGraphRawSql,
          |e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT n AS node, count(*)::BIGINT AS degree FROM
@@ -563,11 +539,7 @@ object GraphQueries {
            |  JOIN adj ON adj.a = w.$prev AND adj.rn =
            |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t|' || CAST(w.$prev AS VARCHAR)), 1, 15))::BIGINT % dg.deg)""".stripMargin
       }
-      s"""WITH raw AS (SELECT user_id + 1000 AS s,
-         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
-         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |  END AS d FROM events),
+      s"""WITH $blockGraphRawSql,
          |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
          |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
@@ -587,11 +559,7 @@ object GraphQueries {
            |lab$t AS (SELECT node, label FROM (
            |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
            |  FROM nl$t) WHERE rn = 1)""".stripMargin
-      s"""WITH raw AS (SELECT user_id + 1000 AS s,
-         |  CASE WHEN ('0x' || substr(md5(CAST(event_id AS VARCHAR) || 'x'), 1, 15))::BIGINT % 17 = 0
-         |       THEN ((user_id + 1) % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |       ELSE (user_id % 5) * 40 + ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 40
-         |  END AS d FROM events),
+      s"""WITH $blockGraphRawSql,
          |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
          |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),

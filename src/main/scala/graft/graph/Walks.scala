@@ -96,7 +96,10 @@ object Walks {
       walkFrame.select(explode(pairArr).as("p"))
         .select(col("p.u").as("u"), col("p.v").as("v"))
         .groupBy(col("u"), col("v")).agg(count(lit(1)).as("n_cooc")))
-    val total = pc.agg(sum(col("n_cooc"))).head().getLong(0)
+    // sum over an EMPTY pair frame is one NULL row — an empty walk
+    // corpus must yield an empty result, not an NPE
+    val totalRow = pc.agg(sum(col("n_cooc"))).head()
+    val total = if (totalRow.isNullAt(0)) 0L else totalRow.getLong(0)
     val marg = Barriers.statSafe(
       pc.select(col("u").as("n"), col("n_cooc"))
         .unionAll(pc.select(col("v").as("n"), col("n_cooc")))

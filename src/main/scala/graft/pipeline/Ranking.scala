@@ -28,52 +28,23 @@ object Ranking {
   def bm25(df: DataFrame, id: Column, text: Column, terms: Seq[String],
       k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
-    // ALL term frequencies in ONE codegen'd pass over the token array
-    // (TermCounts) — the composed per-term size(filter(..)) re-walks the
-    // whole document K times with an interpreted lambda per element
-    val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
-      .withColumn("__dl", size(col("__toks")).cast("long"))
-      .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
-    val tfCols = terms.indices.map(i => col("__tc").getItem(i).as(s"__tf$i"))
-    val withTf = base.select((col("doc_id") +: col("__dl") +: tfCols): _*)
-    // ONE corpus aggregate: doc count, Σdl (exact long sum), per-term df.
-    val aggExprs = count(lit(1)).as("__N") +: sum(col("__dl")).as("__sumdl") +:
-      terms.indices.map(i => sum(when(col(s"__tf$i") > 0, 1L).otherwise(0L)).as(s"__df$i"))
-    val stats = withTf.agg(aggExprs.head, aggExprs.tail: _*)
-    val joined = withTf.crossJoin(broadcast(stats))
-
-    val nD = col("__N").cast("double")
-    val avgdl = col("__sumdl").cast("double") / nD
-    def idfQ(i: Int): Column = {
-      val dfD = col(s"__df$i").cast("double")
-      floor(log((nD - dfD + 0.5) / (dfD + 0.5) + 1.0) * 10000.0 + 0.5) / 10000.0
-    }
-    def termScore(i: Int): Column = {
-      val tf = col(s"__tf$i").cast("double")
-      val dl = col("__dl").cast("double")
-      idfQ(i) * (tf * lit(k1 + 1.0)) /
-        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
-    }
+    val (joined, termScore) = bm25Scaffold(df, id, text, terms, k1, b)
     val score = terms.indices.map(termScore).reduce(_ + _) // fixed left-assoc order
     joined.select(col("doc_id"), Similarity.quantize4(score).as("bm25"))
   }
 
-  /** Domain tagging: BM25-score every document against K named term sets
-    * in ONE corpus pass (all domains' term frequencies and document
-    * frequencies ride the same aggregate) and assign the argmax domain —
-    * declaration-order tiebreak, `und` when every domain scores 0. The
-    * router feeding per-domain mixing/curation ("is this math, code, or
-    * medical text?").
-    *
-    * Same engine-exactness as [[bm25]]: quantized idf on the integer
-    * lattice, fixed-order arithmetic, quantized scores compared with a
-    * strict `>` fold. */
-  def domainTag(df: DataFrame, id: Column, text: Column,
-      domains: Seq[(String, Seq[String])],
-      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    require(domains.nonEmpty && domains.forall(_._2.nonEmpty), "need non-empty domains")
-    val terms = domains.flatMap(_._2).distinct
-    // same single-pass codegen'd term counting as [[bm25]]
+  /** Shared BM25 scaffolding for [[bm25]]/[[domainTag]]/
+    * [[retrievalMetrics]] — the one place the engine-exactness
+    * conventions (quantized idf, fixed-order arithmetic) live:
+    * ALL term frequencies in ONE codegen'd pass over the token array
+    * (TermCounts — the composed per-term size(filter(..)) re-walks the
+    * whole document K times with an interpreted lambda per element),
+    * then ONE corpus aggregate (doc count, exact-long Σdl, per-term
+    * df) broadcast back over the frame. Returns the scored-input frame
+    * (doc_id, __dl, __tf*, stats columns) and the per-term-index BM25
+    * score expression builder. */
+  private def bm25Scaffold(df: DataFrame, id: Column, text: Column,
+      terms: Seq[String], k1: Double, b: Double): (DataFrame, Int => Column) = {
     val base = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
       .withColumn("__dl", size(col("__toks")).cast("long"))
       .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
@@ -93,6 +64,26 @@ object Ranking {
       idfQ * (tf * lit(k1 + 1.0)) /
         (tf + lit(k1) * (lit(1.0 - b) + lit(b) * dl / avgdl))
     }
+    (joined, termScore)
+  }
+
+  /** Domain tagging: BM25-score every document against K named term sets
+    * in ONE corpus pass (all domains' term frequencies and document
+    * frequencies ride the same aggregate) and assign the argmax domain —
+    * declaration-order tiebreak, `und` when every domain scores 0. The
+    * router feeding per-domain mixing/curation ("is this math, code, or
+    * medical text?").
+    *
+    * Same engine-exactness as [[bm25]]: quantized idf on the integer
+    * lattice, fixed-order arithmetic, quantized scores compared with a
+    * strict `>` fold. */
+  def domainTag(df: DataFrame, id: Column, text: Column,
+      domains: Seq[(String, Seq[String])],
+      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(domains.nonEmpty && domains.forall(_._2.nonEmpty), "need non-empty domains")
+    val terms = domains.flatMap(_._2).distinct
+    // all domains' tf/df ride ONE scaffold pass and one aggregate
+    val (joined, termScore) = bm25Scaffold(df, id, text, terms, k1, b)
     val idx = terms.zipWithIndex.toMap
     val domainScores = domains.map { case (name, ts) =>
       name -> Similarity.quantize4(ts.map(t => termScore(idx(t))).reduce(_ + _))
@@ -165,15 +156,19 @@ object Ranking {
     require(queries.nonEmpty && k >= 1)
     import org.apache.spark.sql.expressions.Window
     queries.map { case (qid, terms) =>
-      val scored = bm25(df, id, text, terms)
-      val topk = scored.orderBy(col("bm25").desc, col("doc_id")).limit(k)
+      // ONE corpus pass serves both the score and the relevance
+      // predicate (the __tf columns are the conjunctive-match test);
+      // the barrier stops top-k and relevance re-deriving the scan
+      val (joined, termScore) = bm25Scaffold(df, id, text, terms, 1.2, 0.75)
+      val score = terms.indices.map(termScore).reduce(_ + _)
+      val frame = graft.util.Barriers.statSafe(joined.select(col("doc_id"),
+        Similarity.quantize4(score).as("bm25"),
+        terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ && _).as("__rel")))
+      val topk = frame.orderBy(col("bm25").desc, col("doc_id")).limit(k)
         .withColumn("rk",
           row_number().over(Window.orderBy(col("bm25").desc, col("doc_id")))
             .cast("long"))
-      val rel = df.select(id.as("doc_id"), TextOps.tokens(text).as("__toks"))
-        .withColumn("__tc", graft.functions.term_counts(col("__toks"), terms))
-        .filter(terms.indices.map(i => col("__tc").getItem(i) > 0).reduce(_ && _))
-        .select(col("doc_id"))
+      val rel = frame.filter(col("__rel")).select(col("doc_id"))
       val nRel = rel.agg(count(lit(1)).as("n_rel"))
       val hits = topk.join(rel, Seq("doc_id"))
         .agg(count(lit(1)).as("rel_at_k"), min(col("rk")).as("__first"))

@@ -107,9 +107,12 @@ object Sketches {
       sort_array(collect_list(col("__qv").cast("long"))).as("__arr"))
     val total = df.agg(count(lit(1)).as("n_rows"))
     val qCols = permille.map { p =>
-      // ceil(p * n/1000) as pure integer arithmetic, identical in SQL
-      element_at(col("__arr"),
-        greatest(expr(s"($p * n_sample + 999) div 1000"), lit(1L)).cast("int"))
+      // ceil(p * n/1000) as pure integer arithmetic, identical in SQL;
+      // the n_sample=0 guard keeps an empty input a NULL estimate
+      // instead of an ANSI element_at(…, 1) error on the empty array
+      when(col("n_sample") > 0,
+        element_at(col("__arr"),
+          greatest(expr(s"($p * n_sample + 999) div 1000"), lit(1L)).cast("int")))
         .as(s"q${p}_est")
     }
     total.crossJoin(sampleAgg)

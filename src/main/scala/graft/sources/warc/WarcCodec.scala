@@ -105,33 +105,44 @@ object WarcCodec {
   val GzMagic: Array[Byte] = Array(0x1f.toByte, 0x8b.toByte, 0x08.toByte)
 
   /** Parse a gzip member header at `pos`; returns the offset of the
-    * DEFLATE data relative to `pos`, or -1 when not a well-formed
-    * header (or truncated within `buf`). */
+    * DEFLATE data relative to `pos`, `-1` when MALFORMED (bad magic,
+    * method, or reserved flags), `-2` when the header is TRUNCATED
+    * within `buf` (more file bytes could complete it). */
   def parseGzHeader(buf: Array[Byte], pos: Int): Int = {
-    if (pos + 10 > buf.length) return -1
+    if (pos + 3 > buf.length) return -2
     if (buf(pos) != GzMagic(0) || buf(pos + 1) != GzMagic(1) ||
       buf(pos + 2) != GzMagic(2)) return -1
+    if (pos + 10 > buf.length) return -2
     val flg = buf(pos + 3) & 0xff
     if ((flg & 0xe0) != 0) return -1 // reserved bits must be zero
     var p = pos + 10
     if ((flg & 4) != 0) { // FEXTRA
-      if (p + 2 > buf.length) return -1
+      if (p + 2 > buf.length) return -2
       p += 2 + ((buf(p) & 0xff) | ((buf(p + 1) & 0xff) << 8))
     }
     if ((flg & 8) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FNAME
     if ((flg & 16) != 0) { while (p < buf.length && buf(p) != 0) p += 1; p += 1 } // FCOMMENT
     if ((flg & 2) != 0) p += 2 // FHCRC
-    if (p >= buf.length) -1 else p - pos
+    if (p >= buf.length) -2 else p - pos
   }
 
-  /** Inflate one complete gzip member at `pos`. Returns
-    * `(decompressed, compressedLen)`; None when the bytes are not a
-    * valid member — malformed header, DEFLATE error, CRC32/ISIZE
-    * mismatch, or the member is TRUNCATED within `buf` (callers with
-    * file access extend the buffer and retry; see the reader). */
-  def inflateGzMember(buf: Array[Byte], pos: Int): Option[(Array[Byte], Int)] = {
+  /** [[inflateGzMember]] outcome: the reader must treat truncation
+    * (extend the buffer, retry) and corruption (resync past the
+    * member) differently — a conflated signal made a corrupt member
+    * near the front of a large file buffer to EOF before failing. */
+  sealed trait GzInflate
+  final case class GzOk(bytes: Array[Byte], compressedLen: Int) extends GzInflate
+  case object GzTruncated extends GzInflate
+  case object GzCorrupt extends GzInflate
+
+  /** Inflate one complete gzip member at `pos`: [[GzOk]] with the
+    * decompressed bytes and exact compressed length, [[GzTruncated]]
+    * when more file bytes are needed, [[GzCorrupt]] on a malformed
+    * header, DEFLATE error, or CRC32/ISIZE mismatch. */
+  def inflateGzMember(buf: Array[Byte], pos: Int): GzInflate = {
     val dataOff = parseGzHeader(buf, pos)
-    if (dataOff < 0) return None
+    if (dataOff == -1) return GzCorrupt
+    if (dataOff < 0) return GzTruncated
     val p = pos + dataOff
     val inf = new java.util.zip.Inflater(true)
     inf.setInput(buf, p, buf.length - p)
@@ -142,18 +153,23 @@ object WarcCodec {
       while (!inf.finished()) {
         val n =
           try inf.inflate(tmp)
-          catch { case _: java.util.zip.DataFormatException => return None }
-        if (n == 0 && !inf.finished()) return None // truncated input
+          catch { case _: java.util.zip.DataFormatException => return GzCorrupt }
+        if (n == 0 && !inf.finished()) {
+          // all input consumed -> the DEFLATE stream continues past the
+          // buffer; input left over -> the inflater is stuck (e.g.
+          // needs-dictionary), which no gzip member ever is
+          return if (inf.getRemaining == 0) GzTruncated else GzCorrupt
+        }
         crc.update(tmp, 0, n)
         out.write(tmp, 0, n)
       }
       val trailer = p + (buf.length - p - inf.getRemaining)
-      if (trailer + 8 > buf.length) return None
+      if (trailer + 8 > buf.length) return GzTruncated
       def le32(q: Int): Long = (buf(q) & 0xffL) | ((buf(q + 1) & 0xffL) << 8) |
         ((buf(q + 2) & 0xffL) << 16) | ((buf(q + 3) & 0xffL) << 24)
-      if (le32(trailer) != crc.getValue) return None
-      if (le32(trailer + 4) != (out.size.toLong & 0xffffffffL)) return None
-      Some((out.toByteArray, trailer + 8 - pos))
+      if (le32(trailer) != crc.getValue) return GzCorrupt
+      if (le32(trailer + 4) != (out.size.toLong & 0xffffffffL)) return GzCorrupt
+      GzOk(out.toByteArray, trailer + 8 - pos)
     } finally inf.end()
   }
 

@@ -264,7 +264,7 @@ final class GzWarcPartitionReader(part: WarcPartition, columns: Array[String],
     if (pos < 0) return false
     val memberStartAbs = part.start + pos
     WarcCodec.inflateGzMember(buf, pos) match {
-      case Some((bytes, compLen)) =>
+      case WarcCodec.GzOk(bytes, compLen) =>
         var rp = 0
         while (rp >= 0 && rp < bytes.length) {
           WarcCodec.parseHeader(bytes, rp, memberStartAbs) match {
@@ -285,20 +285,20 @@ final class GzWarcPartitionReader(part: WarcPartition, columns: Array[String],
             case _ => -1
           }
         if (pending.nonEmpty) true else readMember()
-      case None =>
-        // truncated in the buffer vs genuinely corrupt: if the buffer
-        // already reaches EOF the member is corrupt — resync past it;
-        // otherwise extend and retry (doubling keeps total IO linear)
-        if (bufEndAbs < part.fileLen) {
-          ensure(bufEndAbs + math.max(TailMargin, bufEndAbs - part.start))
-          readMember()
-        } else {
-          pos = WarcCodec.gzResync(buf, pos + 1) match {
-            case p if p >= 0 && part.start + p < part.end => p
-            case _ => -1
-          }
-          readMember()
+      case WarcCodec.GzTruncated if bufEndAbs < part.fileLen =>
+        // member continues past the buffer: extend and retry (doubling
+        // keeps total IO linear)
+        ensure(bufEndAbs + math.max(TailMargin, bufEndAbs - part.start))
+        readMember()
+      case _ =>
+        // corrupt member (CRC/DEFLATE/header failure — detected
+        // in-place, no buffering to EOF), or truncated AT EOF (an
+        // incomplete final member): resync past it
+        pos = WarcCodec.gzResync(buf, pos + 1) match {
+          case p if p >= 0 && part.start + p < part.end => p
+          case _ => -1
         }
+        readMember()
     }
   }
 

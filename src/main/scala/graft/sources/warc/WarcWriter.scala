@@ -60,13 +60,24 @@ object WarcWriter {
               md.digest(r.uri.getBytes("UTF-8")).map("%02x".format(_)).mkString
             if (gzip) {
               // one gzip member per record: buffer the record bytes,
-              // wrap them in their own member
+              // wrap them in their own member. close() through a
+              // close-shield: it finishes THIS member and ends the
+              // stream's native Deflater (finish() alone leaks zlib
+              // state until GC — unbounded RSS on million-record
+              // partitions) while the underlying stream stays open.
               val rec = new java.io.ByteArrayOutputStream()
               WarcCodec.writeRecord(new DataOutputStream(rec), "response", id,
                 date, Some(r.uri), Some(r.contentType), r.payload)
-              val gz = new java.util.zip.GZIPOutputStream(out, 64 << 10)
+              val shield = new java.io.FilterOutputStream(out) {
+                // FilterOutputStream's default array write loops per
+                // byte — delegate the bulk write
+                override def write(b: Array[Byte], off: Int, len: Int): Unit =
+                  out.write(b, off, len)
+                override def close(): Unit = flush() // keep `out` open
+              }
+              val gz = new java.util.zip.GZIPOutputStream(shield, 64 << 10)
               gz.write(rec.toByteArray)
-              gz.finish() // flush THIS member; the underlying stream stays open
+              gz.close() // finish member + Deflater.end()
             } else {
               WarcCodec.writeRecord(out, "response", id, date, Some(r.uri),
                 Some(r.contentType), r.payload)
