@@ -96,6 +96,19 @@ object GraphQueries {
         .orderBy(col("node"))
     }),
 
+    // personalized PageRank: teleport only to the seed users — rank =
+    // proximity to the trusted seeds (the TrustRank / crawl-frontier
+    // prioritization shape), same integer-lattice iteration as p88
+    "p105_personalized_pagerank" -> ((s, dir) => {
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val edges = ev.select(col("user_id").as("src"),
+        pmod(graft.pipeline.TextOps.md5Long(col("event_id").cast("string")),
+          lit(150L)).as("dst"))
+      graft.graph.Ranks.personalizedPageRank(edges, col("src"), col("dst"),
+        seeds = Seq(0L, 1L, 2L), iters = 3)
+        .orderBy(col("node"))
+    }),
+
     // triangle counting + local clustering coefficients via
     // degree-ordered orientation (wedges only at each triangle's
     // lowest-rank apex — skew capped at outdeg O(sqrt(m)) by
@@ -583,6 +596,29 @@ object GraphQueries {
          |       ELSE (2 * coalesce(n_tri, 0) * 1000000) // (degree * (degree - 1)) END AS BIGINT)
          |    AS lcc_e6
          |FROM deg LEFT JOIN pn USING (n) ORDER BY node""".stripMargin,
+
+    "p105_personalized_pagerank" -> {
+      def iterCte(t: Int) =
+        s"""c$t AS (SELECT e.dst AS node, CAST(sum((r.r * 85) // (100 * d.deg)) AS BIGINT) AS s
+           |  FROM e JOIN r${t - 1} r ON e.src = r.node JOIN dg d ON e.src = d.src GROUP BY e.dst),
+           |r$t AS (SELECT nd.node,
+           |  (CASE WHEN nd.node IN (0, 1, 2) THEN (SELECT tele FROM cfg) ELSE 0 END)
+           |    + coalesce(c$t.s, 0) AS r
+           |  FROM nodes nd LEFT JOIN c$t USING (node))""".stripMargin
+      s"""WITH e AS (SELECT DISTINCT user_id AS src,
+         |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS dst
+         |  FROM events),
+         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nodes AS (SELECT DISTINCT node FROM
+         |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+         |cfg AS (SELECT (1000000000 // 3)::BIGINT AS rinit,
+         |  (((100 - 85)::BIGINT * 1000000000) // (100 * 3))::BIGINT AS tele),
+         |r0 AS (SELECT node,
+         |  CASE WHEN node IN (0, 1, 2) THEN (SELECT rinit FROM cfg) ELSE 0 END AS r
+         |  FROM nodes),
+         |${(1 to 3).map(iterCte).mkString(",\n")}
+         |SELECT node, CAST(r AS BIGINT) AS rank_e9 FROM r3 ORDER BY node""".stripMargin
+    },
 
     "p88_pagerank" ->
       s"""WITH e AS (SELECT DISTINCT user_id AS src,

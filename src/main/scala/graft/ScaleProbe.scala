@@ -37,7 +37,8 @@ object ScaleProbe {
     "p90_bpe_train", "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
     "p95_prefix_jaccard_join", "p96_random_walks", "p97_kcore",
     "p98_graph_features", "p99_walk_pmi", "p100_warc_gz_roundtrip",
-    "p101_link_prediction", "p102_group_split", "p103_retrieval_metrics", "p104_dedup_eval")
+    "p101_link_prediction", "p102_group_split", "p103_retrieval_metrics", "p104_dedup_eval",
+    "p105_personalized_pagerank")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -57,4 +57,45 @@ object Ranks {
     }
     ranks.select(col("node"), col("r").as("rank_e9"))
   }
+
+  /**
+   * Personalized PageRank (Jeh & Widom, WWW'03): teleport mass returns
+   * only to the SEED set, so rank measures proximity to the seeds —
+   * the crawl-frontier prioritization / trusted-seed propagation shape
+   * (TrustRank, Gyöngyi et al. VLDB'04). Same e9 integer lattice and
+   * iteration plan as [[pageRank]] (one join + one map-side-combined
+   * sum + one left join per round, nothing corpus-sized broadcast);
+   * the seed membership test is a tiny literal IN-list (seeds are a
+   * handful of trusted hosts, never corpus-sized — a large seed frame
+   * would become a broadcast join on node id, same plan shape).
+   */
+  def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
+      seeds: Seq[Long], iters: Int,
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+    require(iters >= 1 && seeds.nonEmpty, "need iters >= 1 and a non-empty seed set")
+    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
+    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+      .distinct()
+    val withDeg = Barriers.statSafe(
+      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
+    val nodes = Barriers.statSafe(
+      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+        .distinct())
+    val teleE9 = ((dampDen - dampNum) * 1000000000L) / (dampDen * seeds.length)
+    def isSeed = col("node").isin(seeds: _*)
+    var ranks = Barriers.statSafe(nodes.select(col("node"),
+      when(isSeed, lit(1000000000L / seeds.length)).otherwise(lit(0L)).as("r")))
+    for (_ <- 1 to iters) {
+      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
+        .select(col("dst").as("node"),
+          expr(s"(r * $dampNum) div ($dampDen * deg)").as("c"))
+        .groupBy(col("node")).agg(sum(col("c")).as("s"))
+      ranks = Barriers.statSafe(
+        nodes.join(contrib, Seq("node"), "left")
+          .select(col("node"),
+            (when(isSeed, lit(teleE9)).otherwise(lit(0L))
+              + coalesce(col("s"), lit(0L))).as("r")))
+    }
+    ranks.select(col("node"), col("r").as("rank_e9"))
+  }
 }

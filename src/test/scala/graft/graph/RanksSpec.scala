@@ -53,4 +53,31 @@ class RanksSpec extends AnyFunSuite {
     // mass only decays (floor losses + dangling), never appears
     assert(a.values.sum <= 1000000000L)
   }
+
+  private def refPpr(es: Seq[(Long, Long)], seeds: Set[Long], iters: Int): Map[Long, Long] = {
+    val deg = es.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = (es.map(_._1) ++ es.map(_._2)).distinct
+    val tele = (15L * 1000000000L) / (100L * seeds.size)
+    var r = nodes.map(v => v -> (if (seeds(v)) 1000000000L / seeds.size else 0L)).toMap
+    for (_ <- 1 to iters) {
+      val in = collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      es.foreach { case (s, d) => in(d) += (r(s) * 85L) / (100L * deg(s)) }
+      r = nodes.map(v => v -> ((if (seeds(v)) tele else 0L) + in(v))).toMap
+    }
+    r
+  }
+
+  test("personalizedPageRank matches the sequential recurrence; mass localizes at seeds") {
+    val seeds = Seq(3L, 11L)
+    val df = edges.toDF("s", "d").repartition(9)
+    val got = Ranks.personalizedPageRank(df, $"s", $"d", seeds, iters = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == refPpr(edges, seeds.toSet, 3))
+    // two components joined by NO path: mass never reaches the island
+    val island = edges ++ Seq((100L, 101L), (101L, 102L), (102L, 100L))
+    val gotI = Ranks.personalizedPageRank(island.toDF("s", "d"), $"s", $"d", seeds, 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(100L, 101L, 102L).forall(n => gotI(n) == 0L))
+    assert(gotI.filterKeys(_ < 100L).toMap == refPpr(island, seeds.toSet, 3).filterKeys(_ < 100L).toMap)
+  }
 }
