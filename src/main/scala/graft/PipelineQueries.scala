@@ -1126,6 +1126,18 @@ object PipelineQueries {
         .orderBy(col("doc_id"))
     }),
 
+    // weighted sampling without replacement (exponential clocks on the
+    // bounded min-k kernel): inclusion follows token-count weights,
+    // one pass, no global sort, exactly replayable
+    "p106_weighted_sample" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"),
+        size(TextOps.cleanTokens(col("text"))).cast("long").as("ntok"))
+        .filter(col("ntok") > 0)
+      graft.pipeline.Sketches.weightedBottomKSample(d, col("doc_id"), col("ntok"), k = 200)
+        .select(col("doc_id"), col("ntok"), col("sample_key_e6"))
+        .orderBy(col("doc_id"))
+    }),
+
     // dedup eval harness: the LSH->verify near-dup pipeline scored
     // against KNOWN planted duplicates (the +1e6 near-copies ARE the
     // ground truth) — precision/recall on the e6 lattice; the
@@ -2476,6 +2488,15 @@ object PipelineQueries {
          |SELECT c.doc_id, coalesce(comp.group_id, c.doc_id) AS group_id
          |FROM corpus c LEFT JOIN comp ON comp.id = c.doc_id
          |ORDER BY c.doc_id""".stripMargin,
+
+    "p106_weighted_sample" ->
+      s"""WITH v AS (SELECT doc_id, len(list_filter($oToks, t -> t != ''))::BIGINT AS ntok FROM documents),
+         |w AS (SELECT doc_id, ntok,
+         |  CAST(floor((-ln((${oH("doc_id::VARCHAR || 'wk'")} + 1)::DOUBLE / 1152921504606846976.0)
+         |      / ntok::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS k
+         |  FROM v WHERE ntok > 0),
+         |r AS (SELECT doc_id, ntok, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM w)
+         |SELECT doc_id, ntok, k AS sample_key_e6 FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin,
 
     "p104_dedup_eval" ->
       s"""WITH ${nearDedupCtesOver(s"SELECT * FROM ($corpusSqlWithDups) WHERE len(text) < 150")},

@@ -90,6 +90,43 @@ object Sketches {
   }
 
   /**
+   * Weighted k-sample WITHOUT replacement by exponential clocks
+   * (Efraimidis & Spirakis 2006): row i gets clock
+   * `key_i = -ln(u_i)/w_i` from its salted id hash
+   * `u_i = (h+1)/2^60 ∈ (0,1]`, and the k smallest clocks are the
+   * sample — inclusion probability follows the weights, replayable
+   * given the hash (importance-weighted corpus subsampling: longer /
+   * higher-quality documents proportionally more likely).
+   *
+   * Engine-exactness: the one transcendental is quantized to the e6
+   * lattice immediately (clock range is [0, ~41.5/w_min] — a 1e-6
+   * quantum is ~10⁷ ulps wide there, so a 1-ulp libm difference
+   * cannot cross a boundary); rank ties break on (key, id). Same
+   * O(k)-state CollectMinK shape as [[bottomKSample]]: one pass,
+   * partials bound the shuffle, k-row broadcast join-back.
+   *
+   * `weight` must be strictly positive; `id` unique per row.
+   */
+  def weightedBottomKSample(df: DataFrame, id: Column, weight: Column, k: Int,
+      salt: String = "wk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val withK = df.withColumn("__wkid", id.cast("long"))
+      .withColumn("__u",
+        (TextOps.md5Long(concat(col("__wkid").cast("string"), lit(salt))) + 1)
+          .cast("double") / lit(1152921504606846976.0))
+      .withColumn("__wkey",
+        floor((-log(col("__u")) / weight.cast("double")) * 1000000.0 + 0.5)
+          .cast("long"))
+    val ids = withK
+      .agg(collect_min_k(struct(col("__wkey"), col("__wkid")), k).as("mk"))
+      .select(explode(col("mk")).as("m"))
+      .select(col("m.__wkid").as("__sel"))
+    withK.join(broadcast(ids), col("__wkid") === col("__sel"))
+      .drop("__wkid", "__u", "__sel")
+      .withColumnRenamed("__wkey", "sample_key_e6")
+  }
+
+  /**
    * Sample-estimated quantiles of `value` (long-valued) at the given
    * per-mille points, from a [[bottomKSample]] of size `k`: one row
    * with `n_rows` (exact corpus count), `n_sample`, and a

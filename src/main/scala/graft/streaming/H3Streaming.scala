@@ -127,6 +127,34 @@ object H3Streaming {
         graft.pipeline.Sketches.kmvEstimate(col("__mk"), k).as("distinct_est"))
   }
 
+  /** Windowed weighted sample per group: for every event-time window,
+    * the k smallest exponential clocks
+    * ([[graft.pipeline.Sketches.weightedBottomKSample]]'s key, same e6
+    * lattice) — a per-window importance sample of the stream ("keep
+    * 100 weighted exemplars per hour per source for monitoring").
+    * CollectMinK state is O(k) per (window, group) and its serialized
+    * buffers live in the state store like the windowed KMV twin.
+    * Output: one row per sampled id with its window start. */
+  def streamingWeightedSample(stream: DataFrame, tsCol: String,
+      groupCol: String, idCol: String, weightCol: String, k: Int,
+      watermark: String, windowLen: String, salt: String = "wk"): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val key = floor((-log(
+      (graft.pipeline.TextOps.md5Long(concat(col(idCol).cast("string"), lit(salt))) + 1)
+        .cast("double") / lit(1152921504606846976.0))
+      / col(weightCol).cast("double")) * 1000000.0 + 0.5).cast("long")
+    stream
+      .withColumn("__wkey", key)
+      .withColumn("__wkid", col(idCol).cast("long"))
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
+      .agg(graft.functions.collect_min_k(struct(col("__wkey"), col("__wkid")), k).as("mk"))
+      .select(unix_micros(col("window.start")).as("window_start"), col("group"),
+        explode(col("mk")).as("m"))
+      .select(col("window_start"), col("group"),
+        col("m.__wkid").as("doc_id"), col("m.__wkey").as("sample_key_e6"))
+  }
+
   /** Streaming exact dedup (the training-pipeline ingest shape): drop
     * documents whose content hash was already seen, with state bounded by
     * the watermark — a duplicate arriving later than `watermark` after the

@@ -79,6 +79,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(Sketches.bottomKSample(df, col("id"), 5000).count() == 1000L)
   }
 
+  test("weightedBottomKSample matches the sequential clock reference; weights honored") {
+    val rows = (0L until 200L).map(i => (i, if (i < 100) 1L else 100L))
+    val df = rows.toDF("id", "w").repartition(9)
+    def refKey(i: Long, w: Long): Long = {
+      val u = (md5Long60(s"${i}wk") + 1).toDouble / 1152921504606846976.0
+      math.floor((-math.log(u) / w.toDouble) * 1000000.0 + 0.5).toLong
+    }
+    val want = rows.map { case (i, w) => (i, w, refKey(i, w)) }
+      .sortBy { case (i, _, k) => (k, i) }.take(50)
+      .map { case (i, w, k) => i -> ((w, k)) }.toMap
+    val got = Sketches.weightedBottomKSample(df, col("id"), col("w"), 50)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got == want)
+    // exponential clocks: the 100x-weighted half dominates the sample
+    val heavy = got.keys.count(_ >= 100L)
+    assert(heavy > 40, s"heavy=$heavy of 50")
+  }
+
   test("sampledQuantiles matches the sequential sample-quantile reference") {
     val rnd = new scala.util.Random(17)
     val rows = (0L until 2000L).map(i => (i, rnd.nextInt(100000).toLong))

@@ -709,6 +709,42 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed weighted sample == batch clocks per window") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(83)
+    // two 30s windows, two groups, weights spread over [1, 50]
+    val evs = (0L until 300L).map { i =>
+      (ts(rnd.nextInt(55)), if (i % 2 == 0) "x" else "y", i, 1L + rnd.nextInt(50))
+    }
+    val input = MemoryStream[(Timestamp, String, Long, Long)]
+    val out = H3Streaming.streamingWeightedSample(
+      input.toDF.toDF("ts", "grp", "id", "w"), "ts", "grp", "id", "w",
+      k = 10, watermark = "10 seconds", windowLen = "30 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("wsample").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      val got = spark.table("wsample")
+        .as[(Long, String, Long, Long)].collect().toSet
+      // batch reference: weightedBottomKSample per (window, group)
+      val winLen = 30000000L
+      val batch = evs.flatMap { case (t, g, i, w) =>
+        val ws = (t.getTime * 1000L) - (t.getTime * 1000L) % winLen
+        Seq((ws, g, i, w))
+      }.groupBy(r => (r._1, r._2)).toSeq.flatMap { case ((ws, g), rows) =>
+        val df = rows.map(r => (r._3, r._4)).toDF("id", "w")
+        Sketches.weightedBottomKSample(df, col("id"), col("w"), 10)
+          .collect().map(r => (ws, g, r.getLong(0), r.getLong(2))).toSeq
+      }.toSet
+      assert(got == batch)
+      // every (window, group) cell carries exactly k samples
+      val perCell = got.groupBy(r => (r._1, r._2)).view.mapValues(_.size)
+      assert(perCell.values.forall(_ == 10) && perCell.size >= 4)
+    } finally query.stop()
+  }
+
   test("streaming funnel == batch funnelCompletions under in-order arrival") {
     import graft.pipeline.Events
     implicit val sqlCtx = spark.sqlContext
