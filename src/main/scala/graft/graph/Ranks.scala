@@ -31,7 +31,21 @@ object Ranks {
 
   /** Returns `(node, rank_e9)` for every node appearing as src or dst. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
+    rankLoop(edges, src, dst, iters, dampNum, dampDen) { n =>
+      (lit(1000000000L / n), lit(((dampDen - dampNum) * 1000000000L) / (dampDen * n)))
+    }
+
+  /** The shared iteration of [[pageRank]] / [[personalizedPageRank]]:
+    * edge dedup + out-degree frame + node set, then per round one
+    * equi-join, one map-side-combined sum by dst, one left join back —
+    * statSafe barriers throughout so size-only stats can never elect a
+    * stale broadcast inside the loop. `mkInitTele` receives the node
+    * count and returns the (initial rank, per-node teleport)
+    * expressions — the ONLY place the two ranks differ. */
+  private def rankLoop(edges: DataFrame, src: Column, dst: Column, iters: Int,
+      dampNum: Long, dampDen: Long)(
+      mkInitTele: Long => (Column, Column)): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
     val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
@@ -41,10 +55,8 @@ object Ranks {
     val nodes = Barriers.statSafe(
       e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
         .distinct())
-    val n = nodes.count()
-    val teleE9 = ((dampDen - dampNum) * 1000000000L) / (dampDen * n)
-    var ranks = Barriers.statSafe(
-      nodes.select(col("node"), lit(1000000000L / n).as("r")))
+    val (init, tele) = mkInitTele(nodes.count())
+    var ranks = Barriers.statSafe(nodes.select(col("node"), init.as("r")))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
@@ -52,8 +64,7 @@ object Ranks {
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
       ranks = Barriers.statSafe(
         nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (lit(teleE9) + coalesce(col("s"), lit(0L))).as("r")))
+          .select(col("node"), (tele + coalesce(col("s"), lit(0L))).as("r")))
     }
     ranks.select(col("node"), col("r").as("rank_e9"))
   }
@@ -72,30 +83,12 @@ object Ranks {
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
       seeds: Seq[Long], iters: Int,
       dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
-    require(iters >= 1 && seeds.nonEmpty, "need iters >= 1 and a non-empty seed set")
-    require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct()
-    val withDeg = Barriers.statSafe(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
-    val nodes = Barriers.statSafe(
-      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
-        .distinct())
+    require(seeds.nonEmpty, "need a non-empty seed set")
     val teleE9 = ((dampDen - dampNum) * 1000000000L) / (dampDen * seeds.length)
     def isSeed = col("node").isin(seeds: _*)
-    var ranks = Barriers.statSafe(nodes.select(col("node"),
-      when(isSeed, lit(1000000000L / seeds.length)).otherwise(lit(0L)).as("r")))
-    for (_ <- 1 to iters) {
-      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
-        .select(col("dst").as("node"),
-          expr(s"(r * $dampNum) div ($dampDen * deg)").as("c"))
-        .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = Barriers.statSafe(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"),
-            (when(isSeed, lit(teleE9)).otherwise(lit(0L))
-              + coalesce(col("s"), lit(0L))).as("r")))
+    rankLoop(edges, src, dst, iters, dampNum, dampDen) { _ =>
+      (when(isSeed, lit(1000000000L / seeds.length)).otherwise(lit(0L)),
+        when(isSeed, lit(teleE9)).otherwise(lit(0L)))
     }
-    ranks.select(col("node"), col("r").as("rank_e9"))
   }
 }

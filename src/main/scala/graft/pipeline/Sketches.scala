@@ -100,31 +100,42 @@ object Sketches {
    *
    * Engine-exactness: the one transcendental is quantized to the e6
    * lattice immediately (clock range is [0, ~41.5/w_min] — a 1e-6
-   * quantum is ~10⁷ ulps wide there, so a 1-ulp libm difference
-   * cannot cross a boundary); rank ties break on (key, id). Same
-   * O(k)-state CollectMinK shape as [[bottomKSample]]: one pass,
-   * partials bound the shuffle, k-row broadcast join-back.
+   * quantum is ~10⁷ ulps wide there, so a 1-ulp libm difference flips
+   * a key only when the clock lands within 1 ulp of a quantum
+   * boundary, ~1e-8 per row; a flip matters only at the k-th rank
+   * boundary — vanishingly unlikely, not impossible); rank ties break
+   * on (key, id). Same O(k)-state CollectMinK shape as
+   * [[bottomKSample]]: one pass, partials bound the shuffle, k-row
+   * broadcast join-back.
    *
-   * `weight` must be strictly positive; `id` unique per row.
+   * Rows with non-positive weight are DROPPED (a zero weight is an
+   * infinite clock — never sampled — and the Inf would trip the ANSI
+   * long cast); `id` unique per row.
    */
   def weightedBottomKSample(df: DataFrame, id: Column, weight: Column, k: Int,
       salt: String = "wk"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val withK = df.withColumn("__wkid", id.cast("long"))
-      .withColumn("__u",
-        (TextOps.md5Long(concat(col("__wkid").cast("string"), lit(salt))) + 1)
-          .cast("double") / lit(1152921504606846976.0))
-      .withColumn("__wkey",
-        floor((-log(col("__u")) / weight.cast("double")) * 1000000.0 + 0.5)
-          .cast("long"))
+      .filter(weight.cast("double") > 0.0)
+      .withColumn("__wkey", esClockKeyE6(col("__wkid"), weight, salt))
     val ids = withK
       .agg(collect_min_k(struct(col("__wkey"), col("__wkid")), k).as("mk"))
       .select(explode(col("mk")).as("m"))
       .select(col("m.__wkid").as("__sel"))
     withK.join(broadcast(ids), col("__wkid") === col("__sel"))
-      .drop("__wkid", "__u", "__sel")
+      .drop("__wkid", "__sel")
       .withColumnRenamed("__wkey", "sample_key_e6")
   }
+
+  /** The exponential-clock key, e6-quantized — the ONE definition both
+    * the batch sample and its streaming twin hash from (a long-cast
+    * id; hashing a raw non-bigint id column would silently break
+    * batch/stream parity). Caller guarantees `weight > 0`. */
+  def esClockKeyE6(idLong: Column, weight: Column, salt: String): Column =
+    floor((-log(
+      (TextOps.md5Long(concat(idLong.cast("string"), lit(salt))) + 1)
+        .cast("double") / lit(1152921504606846976.0))
+      / weight.cast("double")) * 1000000.0 + 0.5).cast("long")
 
   /**
    * Sample-estimated quantiles of `value` (long-valued) at the given

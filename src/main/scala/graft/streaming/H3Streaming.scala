@@ -139,13 +139,15 @@ object H3Streaming {
       groupCol: String, idCol: String, weightCol: String, k: Int,
       watermark: String, windowLen: String, salt: String = "wk"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
-    val key = floor((-log(
-      (graft.pipeline.TextOps.md5Long(concat(col(idCol).cast("string"), lit(salt))) + 1)
-        .cast("double") / lit(1152921504606846976.0))
-      / col(weightCol).cast("double")) * 1000000.0 + 0.5).cast("long")
     stream
-      .withColumn("__wkey", key)
+      // the batch op's contract, enforced here too: non-positive
+      // weights drop (an Inf clock would ANSI-crash the query — a
+      // poison-pill event a live stream cannot be pre-filtered of)
       .withColumn("__wkid", col(idCol).cast("long"))
+      .filter(col(weightCol).cast("double") > 0.0)
+      // the ONE shared key definition (long-cast id) — see esClockKeyE6
+      .withColumn("__wkey",
+        graft.pipeline.Sketches.esClockKeyE6(col("__wkid"), col(weightCol), salt))
       .withWatermark(tsCol, watermark)
       .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
       .agg(graft.functions.collect_min_k(struct(col("__wkey"), col("__wkid")), k).as("mk"))
