@@ -1265,6 +1265,15 @@ object PipelineQueries {
           windowLen = 21600000000L, slide = 7200000000L)
         .orderBy(col("window_start"), col("group"))),
 
+    // rate-anomaly alarm: tumbling 2h windows vs the mean of the 3
+    // preceding windows, integer cross-multiplied 3/2 threshold — the
+    // ingest monitoring shape (window sort over the aggregate frame,
+    // never the event log)
+    "p107_rate_anomaly" -> ((s, dir) =>
+      Events.rateAnomaly(eventsUs(s, dir), col("ts_us"), col("event_type"),
+          windowLen = 7200000000L, baseline = 3, threshNum = 3L, threshDen = 2L)
+        .orderBy(col("window_start"), col("group"))),
+
     // hashed linear classifier TRAINING: 3 full-batch GD iterations on
     // logistic loss vs a seed-keyword weak label (the fastText-bootstrap
     // shape), then score the corpus with the learned weights
@@ -3270,6 +3279,22 @@ object PipelineQueries {
         |FROM e WINDOW w AS (PARTITION BY key ORDER BY ts
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
         |ORDER BY seq""".stripMargin,
+
+    "p107_rate_anomaly" ->
+      """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp FROM events),
+        |c AS (SELECT (ts - ts % 7200000000) AS window_start, grp,
+        |    count(*)::BIGINT AS n_events
+        |  FROM e GROUP BY 1, 2),
+        |w AS (SELECT window_start, grp, n_events,
+        |  CAST(coalesce(sum(n_events) OVER (PARTITION BY grp ORDER BY window_start
+        |    RANGE BETWEEN 21600000000 PRECEDING AND 7200000000 PRECEDING), 0) AS BIGINT) AS prev_sum,
+        |  CAST(count(*) OVER (PARTITION BY grp ORDER BY window_start
+        |    RANGE BETWEEN 21600000000 PRECEDING AND 7200000000 PRECEDING) AS BIGINT) AS prev_cnt
+        |  FROM c)
+        |SELECT window_start, grp AS "group", n_events, prev_sum, prev_cnt,
+        |  CAST(CASE WHEN prev_cnt > 0 AND n_events * prev_cnt * 2 > prev_sum * 3
+        |       THEN 1 ELSE 0 END AS BIGINT) AS anomaly
+        |FROM w ORDER BY window_start, "group" """.stripMargin,
 
     "p76_hopping_stats" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp,

@@ -229,4 +229,47 @@ object Events {
       .groupBy(col("window_start"), col("group"))
       .agg(count(lit(1)).as("n_events"), sum(col("__v")).as("value_sum_e2"))
   }
+
+  /**
+   * Rate-anomaly detection over tumbling windows: per (group, window),
+   * flag windows whose event count exceeds `threshNum/threshDen` times
+   * the mean of the `baseline` immediately-preceding windows — the
+   * monitoring alarm of an ingest pipeline (traffic spike, scraper
+   * burst, broken producer). The comparison is pure integer
+   * cross-multiplication (`n · prev_cnt · threshDen > prev_sum ·
+   * threshNum`), exactly replayable; windows with NO baseline yet are
+   * never flagged (prev_cnt = 0). Empty windows produce no row, so the
+   * baseline averages only preceding windows that HAD events — a quiet
+   * gap shrinks the baseline rather than zero-filling it (flagging the
+   * first burst after silence against a zero mean would alarm on every
+   * resume).
+   *
+   * Scale shape: one tumbling-window count aggregate (map-side
+   * partials), then a RANGE-frame window over the per-(group, window)
+   * COUNT frame — rowCount = groups × windows, not events, so the
+   * window sort is over the tiny aggregate, never the event log.
+   *
+   * Returns (window_start, group, n_events, prev_sum, prev_cnt,
+   * anomaly).
+   */
+  def rateAnomaly(events: DataFrame, ts: Column, group: Column,
+      windowLen: Long, baseline: Int,
+      threshNum: Long, threshDen: Long): DataFrame = {
+    require(windowLen > 0 && baseline >= 1 && threshNum > 0 && threshDen > 0)
+    val counts = events
+      .select(ts.cast("long").as("__ts"), group.as("group"))
+      .select((col("__ts") - col("__ts") % windowLen).as("window_start"),
+        col("group"))
+      .groupBy(col("window_start"), col("group"))
+      .agg(count(lit(1)).as("n_events"))
+    val frame = Window.partitionBy(col("group")).orderBy(col("window_start"))
+      .rangeBetween(-baseline * windowLen, -windowLen)
+    counts
+      .withColumn("prev_sum", coalesce(sum(col("n_events")).over(frame), lit(0L)))
+      .withColumn("prev_cnt", count(lit(1)).over(frame))
+      .withColumn("anomaly",
+        when(col("prev_cnt") > 0 &&
+          col("n_events") * col("prev_cnt") * lit(threshDen) >
+            col("prev_sum") * lit(threshNum), 1L).otherwise(0L))
+  }
 }

@@ -885,6 +885,61 @@ object H3Streaming {
       .outputMode("append")
   }
 
+  /**
+   * Streaming rate-anomaly alarm — the live twin of
+   * [[graft.pipeline.Events.rateAnomaly]]: a watermarked tumbling
+   * count aggregate emits each (window, group) count once FINALIZED
+   * (append mode), and the foreachBatch envelope scores it against a
+   * driver-held trailing baseline of the last `baseline` non-empty
+   * windows per group (pruned each batch — state is groups ×
+   * baseline longs, not the stream). Same integer
+   * cross-multiplication and had-events baseline semantics as batch;
+   * the alarm fires when the window closes, which is what a
+   * monitoring alarm wants (scoring partial windows would flap).
+   * `sink` receives (window_start, group, n_events, prev_sum,
+   * prev_cnt, anomaly) rows per epoch; at-least-once on retry.
+   */
+  def streamingRateAnomaly(stream: DataFrame, tsCol: String, groupCol: String,
+      windowLen: String, watermark: String, baseline: Int,
+      threshNum: Long, threshDen: Long,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(baseline >= 1 && threshNum > 0 && threshDen > 0)
+    val counts = stream.withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("group").cast("string").as("group"), col("n_events"))
+    val lenUs = org.apache.spark.sql.catalyst.util.IntervalUtils
+      .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(windowLen))
+    val windowUs = lenUs.days * 86400000000L + lenUs.microseconds
+    // trailing per-group history of non-empty windows: (window_start -> n)
+    val hist = scala.collection.mutable.Map.empty[String, scala.collection.mutable.TreeMap[Long, Long]]
+    counts.writeStream.outputMode("append").foreachBatch { (batch: DataFrame, epoch: Long) =>
+      val spark = batch.sparkSession
+      val rows = batch.collect() // finalized windows only: groups x new windows
+      // several windows of one group can finalize in the SAME batch:
+      // score them in window order, inserting each before the next, so
+      // an in-batch predecessor is baseline for its successor exactly
+      // as in the batch operator
+      val scored = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+        .sortBy { case (ws, g, _) => (g, ws) }
+        .map { case (ws, g, n) =>
+          val h = hist.getOrElseUpdate(g, scala.collection.mutable.TreeMap.empty)
+          val prev = h.range(ws - baseline * windowUs, ws - windowUs + 1).values.toSeq
+          val (psum, pcnt) = (prev.sum, prev.size.toLong)
+          val flag = if (pcnt > 0 && n * pcnt * threshDen > psum * threshNum) 1L else 0L
+          h += ws -> n
+          val cutoff = h.lastKey - baseline * windowUs
+          h.keys.takeWhile(_ < cutoff).toSeq.foreach(h.remove)
+          (ws, g, n, psum, pcnt, flag)
+        }
+      import spark.implicits._
+      sink(scored.toSeq.toDF("window_start", "group", "n_events",
+        "prev_sum", "prev_cnt", "anomaly"), epoch)
+    }
+  }
+
   /** Streaming form of [[graft.pipeline.Bpe.encodeCounts]]: tokenize
     * the ingest stream with a BATCH-trained BPE model — the
     * train-once / apply-forever split of a production tokenizer. The

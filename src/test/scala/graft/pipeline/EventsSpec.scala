@@ -157,6 +157,44 @@ class EventsSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("rateAnomaly matches the sequential baseline reference, incl. gaps") {
+    // group "a": steady 5/window then a 20-burst; group "b": events,
+    // then a 2-window SILENT gap, then a burst (baseline must average
+    // only windows that had events, not zero-fill the gap)
+    val W = 100L
+    val evs =
+      (0 until 5).flatMap(w => (0 until 5).map(i => ("a", w * W + i))) ++
+        (0 until 20).map(i => ("a", 5 * W + i)) ++
+        (0 until 4).map(i => ("b", i.toLong)) ++
+        (0 until 12).map(i => ("b", 3 * W + i))
+    val df = evs.toDF("g", "ts").repartition(5)
+    val got = Events.rateAnomaly(df, $"ts", $"g",
+        windowLen = W, baseline = 3, threshNum = 3, threshDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+
+    val counts = evs.groupBy { case (g, ts) => (g, ts / W * W) }
+      .view.mapValues(_.size.toLong).toMap
+    val want = counts.map { case ((g, ws), n) =>
+      val prev = counts.collect {
+        case ((g2, ws2), n2) if g2 == g && ws2 >= ws - 3 * W && ws2 <= ws - W => n2
+      }.toSeq
+      val (psum, pcnt) = (prev.sum, prev.size.toLong)
+      val flag = if (pcnt > 0 && n * pcnt * 2 > psum * 3) 1L else 0L
+      (ws, g) -> ((n, psum, pcnt, flag))
+    }
+    assert(got == want)
+    // the burst windows are flagged; the steady windows are not
+    assert(got((5 * W, "a"))._4 == 1L)
+    assert(got((2 * W, "a"))._4 == 0L)
+    // after the gap, b's baseline is the single pre-gap window (the
+    // two empty windows contribute nothing, not zeros)
+    assert(got((3 * W, "b")) == ((12L, 4L, 1L, 1L)))
+    // the very first window of each group is never flagged
+    assert(got((0L, "a"))._4 == 0L && got((0L, "b"))._4 == 0L)
+  }
+
   test("asOfJoin plans one exchange on the key, no join node") {
     val left = evDf.filter($"t" === "purchase").select($"seq", $"k", $"ts")
     val right = evDf.filter($"t" === "click").select($"seq", $"k", $"ts", $"v")

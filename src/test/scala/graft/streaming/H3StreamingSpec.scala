@@ -709,6 +709,43 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming rate anomaly == batch on finalized windows across micro-batches") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    // steady then burst for group a; b quiet-gap case — events arrive
+    // over TWO batches, a final far-future event closes all windows
+    val evs1 = (0 until 3).flatMap(w => (0 until 5).map(i => (ts(w * 30), "a"))) ++
+      Seq.fill(4)((ts(0), "b"))
+    val evs2 = (0 until 20).map(_ => (ts(90), "a")) ++
+      (0 until 12).map(_ => (ts(60), "b"))
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long, Long, Long, Long)]
+    val input = MemoryStream[(Timestamp, String)]
+    val writer = H3Streaming.streamingRateAnomaly(
+      input.toDF.toDF("ts", "g"), "ts", "g",
+      windowLen = "30 seconds", watermark = "5 seconds", baseline = 3,
+      threshNum = 3L, threshDen = 2L,
+      (out, _) => got ++= out.as[(Long, String, Long, Long, Long, Long)].collect())
+    val query = writer.start()
+    try {
+      input.addData(evs1: _*)
+      query.processAllAvailable()
+      input.addData(evs2: _*)
+      query.processAllAvailable()
+      input.addData((ts(1000), "a")) // advance watermark: close everything
+      query.processAllAvailable()
+
+      val batch = Events.rateAnomaly(
+          (evs1 ++ evs2).map { case (t, g) => (t.getTime * 1000L, g) }.toDF("ts", "g"),
+          $"ts", $"g", windowLen = 30000000L, baseline = 3,
+          threshNum = 3L, threshDen = 2L)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+      assert(got.toSet == batch)
+      // the alarm actually fired exactly for the burst windows
+      assert(got.count(_._6 == 1L) == 2)
+    } finally query.stop()
+  }
+
   test("streaming windowed weighted sample == batch clocks per window") {
     import graft.pipeline.Sketches
     implicit val sqlCtx = spark.sqlContext
