@@ -1265,6 +1265,27 @@ object PipelineQueries {
           windowLen = 21600000000L, slide = 7200000000L)
         .orderBy(col("window_start"), col("group"))),
 
+    // CDC/upsert snapshot merge (MERGE semantics, relationally): one
+    // union + one per-id struct-max arg-max (no corpus window), delete
+    // rows filtered after the version race
+    "p108_apply_changes" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("doc_id"), col("text"))
+      val changes = d.filter(col("doc_id") % 5 === 0)
+        .select(col("doc_id"), lit("upsert").as("op"),
+          concat(col("text"), lit(" v2")).as("text"), lit(2L).as("version"))
+        .unionAll(d.filter(col("doc_id") % 11 === 3 && col("doc_id") % 5 =!= 0)
+          .select(col("doc_id"), lit("delete").as("op"),
+            lit(null).cast("string").as("text"), lit(2L).as("version")))
+        .unionAll(d.filter(col("doc_id") % 13 === 1)
+          .select((col("doc_id") + 2000000L).as("doc_id"), lit("upsert").as("op"),
+            concat(lit("new "), col("text")).as("text"), lit(2L).as("version")))
+      TextOps.applyChanges(d, col("doc_id"), col("text"),
+          changes, col("doc_id"), col("op"), col("text"), col("version"))
+        .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("text_md5"),
+          col("version"), col("last_op"))
+        .orderBy(col("doc_id"))
+    }),
+
     // rate-anomaly alarm: tumbling 2h windows vs the mean of the 3
     // preceding windows, integer cross-multiplied 3/2 threshold — the
     // ingest monitoring shape (window sort over the aggregate frame,
@@ -3279,6 +3300,21 @@ object PipelineQueries {
         |FROM e WINDOW w AS (PARTITION BY key ORDER BY ts
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
         |ORDER BY seq""".stripMargin,
+
+    "p108_apply_changes" ->
+      """WITH ch AS (
+        |  SELECT doc_id, 'upsert' AS op, text || ' v2' AS text, 2 AS v
+        |  FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL SELECT doc_id, 'delete', NULL, 2
+        |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 5 != 0
+        |  UNION ALL SELECT doc_id + 2000000, 'upsert', 'new ' || text, 2
+        |  FROM documents WHERE doc_id % 13 = 1),
+        |u AS (SELECT doc_id, 0::BIGINT AS v, 'base' AS op, text, 0 AS pref FROM documents
+        |  UNION ALL SELECT doc_id, v::BIGINT, op, text, 1 FROM ch),
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, pref DESC) AS rn
+        |  FROM u)
+        |SELECT doc_id, md5(coalesce(text, '')) AS text_md5, v AS version, op AS last_op
+        |FROM r WHERE rn = 1 AND op != 'delete' ORDER BY doc_id""".stripMargin,
 
     "p107_rate_anomaly" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp FROM events),

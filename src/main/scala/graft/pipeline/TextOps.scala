@@ -615,6 +615,41 @@ object TextOps {
           .otherwise("changed").as("status"))
   }
 
+  /**
+   * Apply a change batch to a corpus snapshot — the CDC/upsert merge
+   * of data-lake table maintenance (Delta/Iceberg MERGE semantics,
+   * relationally): `changes` carries `(id, op ∈ {upsert, delete},
+   * text, version)`; per id the HIGHEST version wins (ties to the
+   * change side — a same-version change is a correction), a winning
+   * `delete` removes the row, a winning `upsert` replaces or inserts
+   * it, untouched base rows carry through. Output: the merged snapshot
+   * `(doc_id, text, version, last_op)`.
+   *
+   * Scale shape: one union of (id, version, op, text) tuples + one
+   * per-id arg-max via struct-max aggregate (map-side combinable — NO
+   * window over the corpus) + a delete filter. Snapshots bucketed on
+   * id ([[Prepared.writeBucketed]]) satisfy the aggregate's
+   * clustering straight off the scan.
+   */
+  def applyChanges(base: DataFrame, baseId: Column, baseText: Column,
+      changes: DataFrame, chId: Column, chOp: Column, chText: Column,
+      chVersion: Column): DataFrame = {
+    val b = base.select(baseId.cast("long").as("doc_id"),
+      lit(0L).as("__v"), lit("base").as("__op"), baseText.as("__text"),
+      lit(0L).as("__pref"))
+    val c = changes.select(chId.cast("long").as("doc_id"),
+      chVersion.cast("long").as("__v"), chOp.as("__op"), chText.as("__text"),
+      lit(1L).as("__pref"))
+    b.unionAll(c)
+      .groupBy(col("doc_id"))
+      // arg-max by (version, change-side preference); struct-max keeps
+      // the whole winning row without a corpus-wide window
+      .agg(max(struct(col("__v"), col("__pref"), col("__op"), col("__text"))).as("w"))
+      .filter(col("w.__op") =!= "delete")
+      .select(col("doc_id"), col("w.__text").as("text"),
+        col("w.__v").as("version"), col("w.__op").as("last_op"))
+  }
+
   /** Corpus vocabulary: term frequency and document frequency per token,
     * top `k` by frequency (ties broken by term). One explode + one
     * hash-partitioned aggregate with map-side partials; the top-k is a

@@ -1594,6 +1594,27 @@ class PipelineSpec extends AnyFunSuite {
       "absent stratum selects nothing")
   }
 
+  test("applyChanges: MERGE semantics — version race, delete, insert, passthrough") {
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val changes = Seq(
+      (1L, "upsert", "one-v2", 2L),   // update
+      (1L, "upsert", "one-v3", 3L),   // later version wins the race
+      (2L, "delete", null, 2L),       // delete
+      (9L, "upsert", "nine", 2L),     // insert
+      (4L, "delete", null, 5L),       // delete at high version
+      (4L, "upsert", "four-v2", 2L))  // loses to the higher-version delete
+      .toDF("doc_id", "op", "text", "version")
+    val got = TextOps.applyChanges(base, $"doc_id", $"text",
+        changes, $"doc_id", $"op", $"text", $"version")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got == Map(
+      1L -> (("one-v3", 3L, "upsert")),
+      3L -> (("three", 0L, "base")),
+      9L -> (("nine", 2L, "upsert"))))
+  }
+
   test("retrievalMetrics: recall@k and MRR discriminate on crafted docs") {
     // 20 LONG relevant docs (both terms, heavy length penalty), 2 short
     // high-tf alpha-only decoys that outrank them, 6 beta-carrying
