@@ -1277,7 +1277,7 @@ object PipelineQueries {
           .select(col("doc_id"), lit("delete").as("op"),
             lit(null).cast("string").as("text"), lit(2L).as("version")))
         .unionAll(d.filter(col("doc_id") % 13 === 1)
-          .select((col("doc_id") + 2000000L).as("doc_id"), lit("upsert").as("op"),
+          .select((col("doc_id") + 10000000L).as("doc_id"), lit("upsert").as("op"),
             concat(lit("new "), col("text")).as("text"), lit(2L).as("version")))
       TextOps.applyChanges(d, col("doc_id"), col("text"),
           changes, col("doc_id"), col("op"), col("text"), col("version"))
@@ -3307,18 +3307,18 @@ object PipelineQueries {
         |  FROM documents WHERE doc_id % 5 = 0
         |  UNION ALL SELECT doc_id, 'delete', NULL, 2
         |  FROM documents WHERE doc_id % 11 = 3 AND doc_id % 5 != 0
-        |  UNION ALL SELECT doc_id + 2000000, 'upsert', 'new ' || text, 2
+        |  UNION ALL SELECT doc_id + 10000000, 'upsert', 'new ' || text, 2
         |  FROM documents WHERE doc_id % 13 = 1),
         |u AS (SELECT doc_id, 0::BIGINT AS v, 'base' AS op, text, 0 AS pref FROM documents
         |  UNION ALL SELECT doc_id, v::BIGINT, op, text, 1 FROM ch),
-        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, pref DESC) AS rn
+        |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY v DESC, pref DESC, op DESC, text DESC) AS rn
         |  FROM u)
         |SELECT doc_id, md5(coalesce(text, '')) AS text_md5, v AS version, op AS last_op
         |FROM r WHERE rn = 1 AND op != 'delete' ORDER BY doc_id""".stripMargin,
 
     "p107_rate_anomaly" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp FROM events),
-        |c AS (SELECT (ts - ts % 7200000000) AS window_start, grp,
+        |c AS (SELECT (ts - ((ts % 7200000000 + 7200000000) % 7200000000)) AS window_start, grp,
         |    count(*)::BIGINT AS n_events
         |  FROM e GROUP BY 1, 2),
         |w AS (SELECT window_start, grp, n_events,

@@ -258,7 +258,10 @@ object Events {
     require(windowLen > 0 && baseline >= 1 && threshNum > 0 && threshDen > 0)
     val counts = events
       .select(ts.cast("long").as("__ts"), group.as("group"))
-      .select((col("__ts") - col("__ts") % windowLen).as("window_start"),
+      // FLOOR alignment (pmod, not %): pre-epoch timestamps must fall
+      // in their own negative window, matching the streaming twin's
+      // window() semantics — truncation would fold (-W, 0) into [0, W)
+      .select((col("__ts") - pmod(col("__ts"), lit(windowLen))).as("window_start"),
         col("group"))
       .groupBy(col("window_start"), col("group"))
       .agg(count(lit(1)).as("n_events"))

@@ -623,7 +623,10 @@ object TextOps {
    * change side — a same-version change is a correction), a winning
    * `delete` removes the row, a winning `upsert` replaces or inserts
    * it, untouched base rows carry through. Output: the merged snapshot
-   * `(doc_id, text, version, last_op)`.
+   * `(doc_id, text, version, last_op)`. Among duplicate SAME-version
+   * changes for one id the (op, text) lexicographic max wins — an
+   * `upsert` beats a same-version `delete` — deterministic, but
+   * version your changes distinctly if you care which.
    *
    * Scale shape: one union of (id, version, op, text) tuples + one
    * per-id arg-max via struct-max aggregate (map-side combinable — NO

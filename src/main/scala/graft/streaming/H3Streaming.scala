@@ -897,7 +897,13 @@ object H3Streaming {
    * the alarm fires when the window closes, which is what a
    * monitoring alarm wants (scoring partial windows would flap).
    * `sink` receives (window_start, group, n_events, prev_sum,
-   * prev_cnt, anomaly) rows per epoch; at-least-once on retry.
+   * prev_cnt, anomaly) rows per epoch. Retry semantics: the history
+   * commits only AFTER the sink returns, so a failed epoch rescored on
+   * retry emits IDENTICAL rows (at-least-once duplicates, never
+   * contradictory alarms). The history is driver-held: a restart from
+   * checkpoint starts with an empty baseline and under-alarms until
+   * `baseline` windows refill — callers needing restart-exact
+   * baselines should bootstrap `sink`-side from their stored output.
    */
   def streamingRateAnomaly(stream: DataFrame, tsCol: String, groupCol: String,
       windowLen: String, watermark: String, baseline: Int,
@@ -921,11 +927,17 @@ object H3Streaming {
       // several windows of one group can finalize in the SAME batch:
       // score them in window order, inserting each before the next, so
       // an in-batch predecessor is baseline for its successor exactly
-      // as in the batch operator
+      // as in the batch operator. Score against a WORKING COPY and
+      // commit it only after the sink returns — a sink failure +
+      // foreachBatch retry then rescores identical rows instead of
+      // seeing half-mutated, half-pruned history.
+      val work = scala.collection.mutable.Map(hist.toSeq.map { case (g, h) =>
+        g -> h.clone()
+      }: _*)
       val scored = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .sortBy { case (ws, g, _) => (g, ws) }
         .map { case (ws, g, n) =>
-          val h = hist.getOrElseUpdate(g, scala.collection.mutable.TreeMap.empty)
+          val h = work.getOrElseUpdate(g, scala.collection.mutable.TreeMap.empty)
           val prev = h.range(ws - baseline * windowUs, ws - windowUs + 1).values.toSeq
           val (psum, pcnt) = (prev.sum, prev.size.toLong)
           val flag = if (pcnt > 0 && n * pcnt * threshDen > psum * threshNum) 1L else 0L
@@ -937,6 +949,8 @@ object H3Streaming {
       import spark.implicits._
       sink(scored.toSeq.toDF("window_start", "group", "n_events",
         "prev_sum", "prev_cnt", "anomaly"), epoch)
+      hist.clear()
+      work.foreach { case (g, h) => hist(g) = h }
     }
   }
 

@@ -193,6 +193,14 @@ class EventsSpec extends AnyFunSuite {
     assert(got((3 * W, "b")) == ((12L, 4L, 1L, 1L)))
     // the very first window of each group is never flagged
     assert(got((0L, "a"))._4 == 0L && got((0L, "b"))._4 == 0L)
+
+    // pre-epoch timestamps floor-align into their OWN negative window
+    // (truncation would fold them into [0, W) and inflate its count)
+    val neg = Events.rateAnomaly(
+        Seq(("c", -50L), ("c", -20L), ("c", 10L)).toDF("g", "ts"),
+        $"ts", $"g", windowLen = W, baseline = 3, threshNum = 3, threshDen = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(neg == Map(-100L -> 2L, 0L -> 1L))
   }
 
   test("asOfJoin plans one exchange on the key, no join node") {
