@@ -60,21 +60,25 @@ class BpeSpec extends AnyFunSuite {
     m.vocab.select($"w", $"s").collect()
       .map(r => r.getString(0) -> r.getString(1).trim.split(" ").toList).toMap
 
-  test("train matches the sequential reference on a seeded random corpus") {
-    val rnd = new scala.util.Random(41)
-    val alphabet = "abc" // small alphabet: later merges must involve learned symbols
-    val words = (1 to 120).map { _ =>
-      (1 to (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
-    }.groupBy(identity).map { case (w, g) => w -> (g.size.toLong * (1 + rnd.nextInt(9))) }
-    val (wantMerges, wantVocab) = refTrain(words, 12)
-    assert(wantMerges.size == 12) // fixture keeps 12 rounds mergeable
-    // the fixture must exercise a multi-char merge (a learned symbol
-    // appearing as one side of a later merge)
-    assert(wantMerges.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 })
+  test("train matches the sequential reference on seeded random corpora (3 seeds)") {
+    for (seed <- Seq(41, 13, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc" // small alphabet: later merges must involve learned symbols
+      val words = (1 to 120).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).map { case (w, g) => w -> (g.size.toLong * (1 + rnd.nextInt(9))) }
+      val (wantMerges, wantVocab) = refTrain(words, 12)
+      assert(wantMerges.size == 12, s"seed $seed") // 12 rounds stay mergeable
+      // the fixture must exercise a multi-char merge (a learned symbol
+      // appearing as one side of a later merge)
+      assert(wantMerges.exists { case (_, l, r, _) => l.length > 1 || r.length > 1 },
+        s"seed $seed")
 
-    val model = trainOn(words, 12)
-    assert(model.merges.map(m => (m.rank, m.l, m.r, m.pairCount)) == wantMerges)
-    assert(gotVocab(model) == wantVocab)
+      val model = trainOn(words, 12)
+      assert(model.merges.map(m => (m.rank, m.l, m.r, m.pairCount)) == wantMerges,
+        s"seed $seed")
+      assert(gotVocab(model) == wantVocab, s"seed $seed")
+    }
   }
 
   test("self-pair and interleaved merges apply left-to-right non-overlapping") {

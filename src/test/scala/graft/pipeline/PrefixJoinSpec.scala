@@ -37,22 +37,24 @@ class PrefixJoinSpec extends AnyFunSuite {
       .toMap
   }
 
-  test("matches the brute-force all-pairs join on a near-duplicate corpus") {
-    val rnd = new scala.util.Random(29)
-    val base = (0L until 40L).map { i =>
-      i -> (1 to 12).map(_ => "abcd" (rnd.nextInt(4))).mkString
+  test("matches the brute-force all-pairs join on near-duplicate corpora (3 seeds)") {
+    for (seed <- Seq(29, 101, 7)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0L until 40L).map { i =>
+        i -> (1 to 12).map(_ => "abcd" (rnd.nextInt(4))).mkString
+      }
+      // near-copies: append a short suffix; exact copies under new ids
+      val docs = base ++
+        base.filter(_._1 % 3 == 0).map { case (i, t) => (i + 100) -> (t + "xy") } ++
+        base.filter(_._1 % 5 == 0).map { case (i, t) => (i + 200) -> t }
+      val want = brute(docs, 6, 10)
+      val got = run(docs, 6, 10)
+      assert(got == want, s"seed $seed")
+      // fixture exercises hits below 1.0 and exact 1.0 pairs
+      assert(want.values.exists(_._3 == 1000000L), s"seed $seed")
+      assert(want.values.exists(v => v._3 < 1000000L), s"seed $seed")
+      assert(want.nonEmpty)
     }
-    // near-copies: append a short suffix; exact copies under new ids
-    val docs = base ++
-      base.filter(_._1 % 3 == 0).map { case (i, t) => (i + 100) -> (t + "xy") } ++
-      base.filter(_._1 % 5 == 0).map { case (i, t) => (i + 200) -> t }
-    val want = brute(docs, 6, 10)
-    val got = run(docs, 6, 10)
-    assert(got == want)
-    // fixture exercises hits below 1.0 and exact 1.0 pairs
-    assert(want.values.exists(_._3 == 1000000L))
-    assert(want.values.exists(v => v._3 < 1000000L))
-    assert(want.nonEmpty)
   }
 
   test("high threshold keeps only exact copies; short docs drop out") {
