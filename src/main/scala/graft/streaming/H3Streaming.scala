@@ -62,6 +62,14 @@ final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
  */
 object H3Streaming {
 
+  /** [[streamingApplyChanges]] per-id state: the current winning
+    * (version, change-side preference, op, text) — ordered exactly
+    * like the batch operator's struct-max (nulls lose ties, matching
+    * Catalyst's null-first struct comparison). */
+  final case class MergeState(v: Long, pref: Long, op: String, text: Option[String])
+  implicit val mergeStateOrdering: Ordering[MergeState] =
+    Ordering.by((s: MergeState) => (s.v, s.pref, s.op, s.text))
+
   /** stateless enrichment: point stream -> cell + parent columns. */
   def withCells(stream: DataFrame, latCol: String, lngCol: String, res: Int,
       parentRes: Int): DataFrame =
@@ -952,6 +960,52 @@ object H3Streaming {
       hist.clear()
       work.foreach { case (g, h) => hist(g) = h }
     }
+  }
+
+  /**
+   * Streaming CDC merge — the live twin of
+   * [[graft.pipeline.TextOps.applyChanges]]: a change stream
+   * `(id, op, text, version)` folds into per-id state seeded from the
+   * base snapshot, with the SAME winner rule (highest (version,
+   * change-side, op, text) tuple; nulls lose ties like Catalyst's
+   * struct ordering). Each micro-batch emits the new current row for
+   * every touched id — `(doc_id, text, version, last_op, live)`,
+   * `live = false` when the winner is a delete — i.e. the changelog a
+   * downstream materializer upserts. State is one slim tuple per id
+   * (snapshot-keyed, like the production state store such a merge
+   * would run against); no watermark — versions, not time, order
+   * changes.
+   */
+  def streamingApplyChanges(stream: DataFrame, idCol: String, opCol: String,
+      textCol: String, versionCol: String,
+      base: DataFrame, baseId: Column, baseText: Column): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import H3Streaming.{MergeState, mergeStateOrdering}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    val init = base.select(baseId.cast("long").as("id"), baseText.as("t"))
+      .as[(Long, Option[String])]
+      .groupByKey(_._1)
+      .mapValues { case (_, t) => MergeState(0L, 0L, "base", t) }
+    val changes = stream.select(col(idCol).cast("long").as("id"),
+        col(versionCol).cast("long").as("v"), col(opCol).as("op"),
+        col(textCol).as("t"))
+      .as[(Long, Long, String, Option[String])]
+      .groupByKey(_._1)
+    changes.flatMapGroupsWithState(OutputMode.Update,
+        GroupStateTimeout.NoTimeout, init)(
+      (id: Long, rows: Iterator[(Long, Long, String, Option[String])],
+          state: GroupState[MergeState]) => {
+        val incoming = rows.map { case (_, v, op, t) => MergeState(v, 1L, op, t) }
+        val best = (state.getOption.iterator ++ incoming).max
+        val changed = state.getOption.forall(_ != best)
+        state.update(best)
+        if (changed)
+          Iterator.single((id, best.text.orNull, best.v, best.op,
+            best.op != "delete"))
+        else Iterator.empty
+      })
+      .toDF("doc_id", "text", "version", "last_op", "live")
   }
 
   /** Streaming form of [[graft.pipeline.Bpe.encodeCounts]]: tokenize

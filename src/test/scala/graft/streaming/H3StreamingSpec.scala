@@ -709,6 +709,49 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming CDC merge: final state == batch applyChanges; untouched ids silent") {
+    import graft.pipeline.TextOps
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, "one"), (2L, "two"), (3L, "three"), (4L, "four"))
+      .toDF("doc_id", "text")
+    val b1 = Seq((1L, "upsert", "one-v2", 2L), (2L, "delete", null, 2L))
+    val b2 = Seq((1L, "upsert", "one-v3", 3L), (9L, "upsert", "nine", 2L),
+      (4L, "upsert", "four-v1-late", 0L)) // loses to base at same version? no:
+    // v0 change vs v0 base: change side (pref=1) wins the tie — emitted
+    val input = MemoryStream[(Long, String, String, Long)]
+    val out = H3Streaming.streamingApplyChanges(
+      input.toDF.toDF("id", "op", "text", "version"), "id", "op", "text", "version",
+      base, $"doc_id", $"text")
+    val query = out.writeStream
+      .format("memory").queryName("cdc").outputMode("update").start()
+    try {
+      input.addData(b1: _*); query.processAllAvailable()
+      input.addData(b2: _*); query.processAllAvailable()
+      val emitted = spark.table("cdc")
+        .as[(Long, String, Long, String, Boolean)].collect()
+      // final state per id = the max-(version,...) emission (state is monotone)
+      val finalRows = emitted.groupBy(_._1).view
+        .mapValues(_.maxBy(r => (r._3, r._4, Option(r._2)))).toMap
+      val changes = (b1 ++ b2).toDF("doc_id", "op", "text", "version")
+      val batch = TextOps.applyChanges(base, $"doc_id", $"text",
+          changes, $"doc_id", $"op", $"text", $"version")
+        .collect().map(r => r.getLong(0) ->
+          ((r.getString(1), r.getLong(2), r.getString(3)))).toMap
+      // live final rows match the batch snapshot exactly
+      finalRows.filter(_._2._5).foreach { case (id, (_, text, v, op, _)) =>
+        assert(batch(id) == ((text, v, op)), s"id $id")
+      }
+      // deleted id emitted with live=false and absent from batch
+      assert(finalRows(2L)._5 == false && !batch.contains(2L))
+      // untouched base id never emitted; batch carries it through
+      assert(!finalRows.contains(3L) && batch(3L) == (("three", 0L, "base")))
+      // every live batch row whose id was touched appears in the stream
+      assert(Set(1L, 4L, 9L).subsetOf(finalRows.keySet))
+      // the v3 race winner is the final text for id 1
+      assert(finalRows(1L)._2 == "one-v3")
+    } finally query.stop()
+  }
+
   test("streaming rate anomaly == batch on finalized windows across micro-batches") {
     import graft.pipeline.Events
     implicit val sqlCtx = spark.sqlContext
