@@ -23,7 +23,8 @@ object PlanDump {
     "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
     "p94_sampled_quantiles", "p95_prefix_jaccard_join", "p96_random_walks",
     "p97_kcore", "p98_graph_features", "p99_walk_pmi", "p101_link_prediction",
-    "p103_retrieval_metrics")
+    "p103_retrieval_metrics", "p105_personalized_pagerank",
+    "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
