@@ -3335,7 +3335,7 @@ object PipelineQueries {
     "p76_hopping_stats" ->
       """WITH e AS (SELECT epoch_us(ts) AS ts, event_type AS grp,
         |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
-        |x AS (SELECT (ts - ts % 7200000000) - k.k * 7200000000 AS window_start, grp, v
+        |x AS (SELECT (ts - ((ts % 7200000000 + 7200000000) % 7200000000)) - k.k * 7200000000 AS window_start, grp, v
         |  FROM e CROSS JOIN (SELECT unnest(range(3)) AS k) k)
         |SELECT window_start, grp AS "group", CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(v) AS BIGINT) AS value_sum_e2

@@ -223,7 +223,11 @@ object Events {
     events.select(ts.cast("long").as("__ts"), group.as("__g"),
         floor(value * 100.0 + 0.5).cast("long").as("__v"))
       .withColumn("__k", explode(sequence(lit(0L), lit(nWin - 1))))
-      .select(((col("__ts") - col("__ts") % slide) - col("__k") * slide).as("window_start"),
+      // FLOOR alignment (pmod): a pre-epoch event must enumerate its own
+      // negative windows (all dropped by the >= 0 filter, like the
+      // built-in window()), not fold into [0, slide) and inflate it
+      .select(((col("__ts") - pmod(col("__ts"), lit(slide))) - col("__k") * slide)
+          .as("window_start"),
         col("__g").as("group"), col("__v"))
       .filter(col("window_start") >= 0)
       .groupBy(col("window_start"), col("group"))

@@ -624,9 +624,10 @@ object TextOps {
    * `delete` removes the row, a winning `upsert` replaces or inserts
    * it, untouched base rows carry through. Output: the merged snapshot
    * `(doc_id, text, version, last_op)`. Among duplicate SAME-version
-   * changes for one id the (op, text) lexicographic max wins — an
-   * `upsert` beats a same-version `delete` — deterministic, but
-   * version your changes distinctly if you care which.
+   * changes for one id the (op, text) max wins under Catalyst's
+   * UTF8String BINARY string order — an `upsert` beats a same-version
+   * `delete` — deterministic, but version your changes distinctly if
+   * you care which. Null-op change rows are dropped as invalid.
    *
    * Scale shape: one union of (id, version, op, text) tuples + one
    * per-id arg-max via struct-max aggregate (map-side combinable — NO
@@ -643,6 +644,10 @@ object TextOps {
     val c = changes.select(chId.cast("long").as("doc_id"),
       chVersion.cast("long").as("__v"), chOp.as("__op"), chText.as("__text"),
       lit(1L).as("__pref"))
+      // a null op is an invalid change row: dropped up front (the
+      // delete filter below would otherwise drop its winner SILENTLY
+      // — delete-like by accident); same contract as the streaming twin
+      .filter(col("__op").isNotNull)
     b.unionAll(c)
       .groupBy(col("doc_id"))
       // arg-max by (version, change-side preference); struct-max keeps

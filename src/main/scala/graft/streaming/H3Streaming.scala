@@ -64,11 +64,20 @@ object H3Streaming {
 
   /** [[streamingApplyChanges]] per-id state: the current winning
     * (version, change-side preference, op, text) — ordered exactly
-    * like the batch operator's struct-max (nulls lose ties, matching
-    * Catalyst's null-first struct comparison). */
+    * like the batch operator's struct-max: strings compare as UTF-8
+    * BYTES (Catalyst's UTF8String binary order — Java String
+    * compareTo would rank surrogate-pair text differently and pick a
+    * different same-version tie winner), and a null/None text loses
+    * ties, matching Catalyst's null-first struct comparison. */
   final case class MergeState(v: Long, pref: Long, op: String, text: Option[String])
+  private val utf8BinaryOrdering: Ordering[String] = (a: String, b: String) =>
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
   implicit val mergeStateOrdering: Ordering[MergeState] =
-    Ordering.by((s: MergeState) => (s.v, s.pref, s.op, s.text))
+    Ordering.Tuple4(Ordering.Long, Ordering.Long, utf8BinaryOrdering,
+        Ordering.Option(utf8BinaryOrdering))
+      .on((s: MergeState) => (s.v, s.pref, s.op, s.text))
 
   /** stateless enrichment: point stream -> cell + parent columns. */
   def withCells(stream: DataFrame, latCol: String, lngCol: String, res: Int,
@@ -935,13 +944,14 @@ object H3Streaming {
       // several windows of one group can finalize in the SAME batch:
       // score them in window order, inserting each before the next, so
       // an in-batch predecessor is baseline for its successor exactly
-      // as in the batch operator. Score against a WORKING COPY and
-      // commit it only after the sink returns — a sink failure +
-      // foreachBatch retry then rescores identical rows instead of
-      // seeing half-mutated, half-pruned history.
-      val work = scala.collection.mutable.Map(hist.toSeq.map { case (g, h) =>
-        g -> h.clone()
-      }: _*)
+      // as in the batch operator. Score against WORKING COPIES of only
+      // the TOUCHED groups and commit them after the sink returns — a
+      // sink failure + foreachBatch retry then rescores identical rows
+      // instead of seeing half-mutated history, and an epoch touching
+      // 5 of 10k groups clones 5 maps, not 10k.
+      val touched = rows.map(_.getString(1)).toSet
+      val work = scala.collection.mutable.Map(touched.toSeq.flatMap(g =>
+        hist.get(g).map(h => g -> h.clone())): _*)
       val scored = rows.map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
         .sortBy { case (ws, g, _) => (g, ws) }
         .map { case (ws, g, n) =>
@@ -957,8 +967,7 @@ object H3Streaming {
       import spark.implicits._
       sink(scored.toSeq.toDF("window_start", "group", "n_events",
         "prev_sum", "prev_cnt", "anomaly"), epoch)
-      hist.clear()
-      work.foreach { case (g, h) => hist(g) = h }
+      work.foreach { case (g, h) => hist(g) = h } // untouched groups keep theirs
     }
   }
 
@@ -980,16 +989,26 @@ object H3Streaming {
       textCol: String, versionCol: String,
       base: DataFrame, baseId: Column, baseText: Column): DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    import H3Streaming.{MergeState, mergeStateOrdering}
     val spark = stream.sparkSession
     import spark.implicits._
+    // duplicate base ids resolve by the same max rule as batch (the
+    // initial-state API requires ONE row per key — feeding duplicates
+    // would kill the query on its first batch)
     val init = base.select(baseId.cast("long").as("id"), baseText.as("t"))
       .as[(Long, Option[String])]
       .groupByKey(_._1)
       .mapValues { case (_, t) => MergeState(0L, 0L, "base", t) }
+      .reduceGroups((a: MergeState, b: MergeState) =>
+        if (mergeStateOrdering.gteq(a, b)) a else b)
+      .groupByKey(_._1)
+      .mapValues(_._2)
+    // a null op is an invalid change: batch's delete filter would drop
+    // its winner SILENTLY and a null would NPE the ordering — both
+    // sides drop null-op rows up front (the uniform contract)
     val changes = stream.select(col(idCol).cast("long").as("id"),
         col(versionCol).cast("long").as("v"), col(opCol).as("op"),
         col(textCol).as("t"))
+      .filter(col("op").isNotNull)
       .as[(Long, Long, String, Option[String])]
       .groupByKey(_._1)
     changes.flatMapGroupsWithState(OutputMode.Update,
