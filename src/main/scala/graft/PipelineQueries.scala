@@ -3124,38 +3124,49 @@ object PipelineQueries {
         |  click_ts_us, click_value_e2, l_ts - click_ts_us AS wait_us
         |FROM m WHERE side = 1 ORDER BY event_id""".stripMargin,
 
+    // re-anchoring funnel semantics (exists-a-chain): a_i = latest
+    // possible step-0 anchor of any chain to step i ending at each event
+    // (max over STRICTLY earlier events — integer-ts RANGE 1 PRECEDING);
+    // a step completes at the earliest event with ts <= a_i + span
     "p74_funnel" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS ts, event_type AS t FROM events),
-        |s0 AS (SELECT k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY k),
-        |s1 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
-        |    AND e.ts <= s0.t0 + 604800000000) AS t1
-        |  FROM e JOIN s0 ON e.k = s0.k GROUP BY e.k),
-        |s2 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
-        |    AND e.ts <= s0.t0 + 604800000000) AS t2
-        |  FROM e JOIN s1 ON e.k = s1.k JOIN s0 ON e.k = s0.k GROUP BY e.k)
-        |SELECT 0 AS step_idx, 'signup' AS step,
-        |  (SELECT count(*) FROM s0 WHERE t0 IS NOT NULL)::BIGINT AS n_keys
-        |UNION ALL SELECT 1, 'click',
-        |  (SELECT count(*) FROM s1 WHERE t1 IS NOT NULL)::BIGINT
-        |UNION ALL SELECT 2, 'purchase',
-        |  (SELECT count(*) FROM s2 WHERE t2 IS NOT NULL)::BIGINT
+        |w1 AS (SELECT k, ts, t, CASE WHEN t = 'signup' THEN ts END AS a0 FROM e),
+        |w2 AS (SELECT k, ts, t, a0, CASE WHEN t = 'click' THEN
+        |    max(a0) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a1 FROM w1),
+        |w3 AS (SELECT k, ts, t, a0, a1, CASE WHEN t = 'purchase' THEN
+        |    max(a1) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a2 FROM w2),
+        |s AS (SELECT k,
+        |  min(CASE WHEN a0 IS NOT NULL AND ts <= a0 + 604800000000 THEN ts END) AS t0,
+        |  min(CASE WHEN a1 IS NOT NULL AND ts <= a1 + 604800000000 THEN ts END) AS t1,
+        |  min(CASE WHEN a2 IS NOT NULL AND ts <= a2 + 604800000000 THEN ts END) AS t2
+        |  FROM w3 GROUP BY k)
+        |SELECT 0 AS step_idx, 'signup' AS step, count(t0)::BIGINT AS n_keys FROM s
+        |UNION ALL SELECT 1, 'click', count(t1)::BIGINT FROM s
+        |UNION ALL SELECT 2, 'purchase', count(t2)::BIGINT FROM s
         |ORDER BY step_idx""".stripMargin,
 
     "p78_funnel_steps" ->
       """WITH e AS (SELECT user_id AS k, epoch_us(ts) AS ts, event_type AS t FROM events),
-        |s0 AS (SELECT k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY k),
-        |s1 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
-        |    AND e.ts <= s0.t0 + 604800000000) AS t1
-        |  FROM e JOIN s0 ON e.k = s0.k GROUP BY e.k),
-        |s2 AS (SELECT e.k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
-        |    AND e.ts <= s0.t0 + 604800000000) AS t2
-        |  FROM e JOIN s1 ON e.k = s1.k JOIN s0 ON e.k = s0.k GROUP BY e.k)
+        |w1 AS (SELECT k, ts, t, CASE WHEN t = 'signup' THEN ts END AS a0 FROM e),
+        |w2 AS (SELECT k, ts, t, a0, CASE WHEN t = 'click' THEN
+        |    max(a0) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a1 FROM w1),
+        |w3 AS (SELECT k, ts, t, a0, a1, CASE WHEN t = 'purchase' THEN
+        |    max(a1) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a2 FROM w2),
+        |s AS (SELECT k,
+        |  min(CASE WHEN a0 IS NOT NULL AND ts <= a0 + 604800000000 THEN ts END) AS t0,
+        |  min(CASE WHEN a1 IS NOT NULL AND ts <= a1 + 604800000000 THEN ts END) AS t1,
+        |  min(CASE WHEN a2 IS NOT NULL AND ts <= a2 + 604800000000 THEN ts END) AS t2
+        |  FROM w3 GROUP BY k)
         |SELECT * FROM (
-        |  SELECT k AS key, 0 AS step_idx, 'signup' AS step, t0 AS ts FROM s0 WHERE t0 IS NOT NULL
+        |  SELECT k AS key, 0 AS step_idx, 'signup' AS step, t0 AS ts FROM s WHERE t0 IS NOT NULL
         |  UNION ALL
-        |  SELECT k, 1, 'click', t1 FROM s1 WHERE t1 IS NOT NULL
+        |  SELECT k, 1, 'click', t1 FROM s WHERE t1 IS NOT NULL
         |  UNION ALL
-        |  SELECT k, 2, 'purchase', t2 FROM s2 WHERE t2 IS NOT NULL)
+        |  SELECT k, 2, 'purchase', t2 FROM s WHERE t2 IS NOT NULL)
         |ORDER BY key, step_idx""".stripMargin,
 
     "p75_cohort_retention" ->
@@ -3269,17 +3280,18 @@ object PipelineQueries {
         |  CAST(sum(v) OVER w AS BIGINT) AS sum_trailing_e2
         |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |    RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)),
-        |s0 AS (SELECT user_id AS k, min(ts) FILTER (WHERE t = 'signup') AS t0 FROM e GROUP BY 1),
-        |s1 AS (SELECT e.user_id AS k, min(e.ts) FILTER (WHERE e.t = 'click' AND e.ts > s0.t0
-        |    AND e.ts <= s0.t0 + 604800000000) AS t1
-        |  FROM e JOIN s0 ON e.user_id = s0.k GROUP BY 1),
-        |s2 AS (SELECT e.user_id AS k, min(e.ts) FILTER (WHERE e.t = 'purchase' AND e.ts > s1.t1
-        |    AND e.ts <= s0.t0 + 604800000000) AS t2
-        |  FROM e JOIN s1 ON e.user_id = s1.k JOIN s0 ON e.user_id = s0.k GROUP BY 1),
-        |st AS (SELECT s0.k, CAST(CASE WHEN s2.t2 IS NOT NULL THEN 2
-        |    WHEN s1.t1 IS NOT NULL THEN 1
-        |    WHEN s0.t0 IS NOT NULL THEN 0 ELSE -1 END AS BIGINT) AS funnel_stage
-        |  FROM s0 JOIN s1 ON s0.k = s1.k JOIN s2 ON s0.k = s2.k),
+        |w1 AS (SELECT user_id AS k, ts, t, CASE WHEN t = 'signup' THEN ts END AS a0 FROM e),
+        |w2 AS (SELECT k, ts, t, a0, CASE WHEN t = 'click' THEN
+        |    max(a0) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a1 FROM w1),
+        |w3 AS (SELECT k, ts, a0, a1, CASE WHEN t = 'purchase' THEN
+        |    max(a1) OVER (PARTITION BY k ORDER BY ts
+        |      RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) END AS a2 FROM w2),
+        |st AS (SELECT k, CAST(CASE
+        |    WHEN count(CASE WHEN a2 IS NOT NULL AND ts <= a2 + 604800000000 THEN 1 END) > 0 THEN 2
+        |    WHEN count(CASE WHEN a1 IS NOT NULL AND ts <= a1 + 604800000000 THEN 1 END) > 0 THEN 1
+        |    WHEN count(a0) > 0 THEN 0 ELSE -1 END AS BIGINT) AS funnel_stage
+        |  FROM w3 GROUP BY k),
         |f AS (SELECT user_id, min(ts // 86400000000) AS cohort_day FROM e GROUP BY 1)
         |SELECT p.event_id, p.user_id, p.ts AS ts_us, a.click_event_id, a.wait_us,
         |  r.n_trailing, r.sum_trailing_e2, st.funnel_stage, f.cohort_day

@@ -74,17 +74,29 @@ object Events {
 
   /**
    * Ordered funnel: how many keys (users) reach each step of
-   * `steps` in sequence, where step i+1 must occur STRICTLY after the
-   * chosen (earliest-completion) occurrence of step i and the whole chain
-   * within `maxSpan` of step 0. The earliest-completion choice is the
-   * standard greedy funnel semantics: it is optimal (if any occurrence
-   * chain exists, the greedy chain exists), so conversion counts are exact.
+   * `steps` in sequence — a key completes step i iff there EXISTS a chain
+   * of events `e_0 < e_1 < ... < e_i` (strictly increasing timestamps)
+   * whose types match `steps(0..i)` with the whole chain within `maxSpan`
+   * of its own step-0 anchor. Every step-0 occurrence is a candidate
+   * anchor (re-anchoring): a key with `A@0, A@100, B@105` and span 10
+   * converts via the `A@100` anchor even though the first `A` expired.
+   * Conversion counts are therefore exact over ALL chains, not just the
+   * chain from the first anchor.
    *
-   * One hash partitioning by key; each step adds a Window node over the
-   * SAME partitioning (no ordering — unbounded conditional min), so Spark
-   * plans one Exchange + n_steps windows, then a per-key collapse and a
-   * tiny (n_steps)-row rollup. Per-key state is a handful of longs
-   * regardless of event count.
+   * Exactness comes from a max-anchor recursion: per event `e` of type
+   * `steps(i)`, `a_i(e)` = the latest possible anchor over all chains to
+   * step i ending at `e` — `a_0(e) = ts(e)`; `a_i(e) = max a_{i-1}(f)`
+   * over earlier events `f` of type `steps(i-1)` (no span condition in
+   * the recursion: intermediate chain elements precede `e`, so
+   * `ts(e) <= anchor + maxSpan` bounds them too). A chain within span
+   * exists at `e` iff `ts(e) <= a_i(e) + maxSpan` — maximizing the
+   * anchor is optimal, so the test is exact.
+   *
+   * One hash partitioning by key + one per-partition sort by ts; each
+   * step adds a running-max Window node over the SAME (partition, order),
+   * so Spark plans one Exchange + one Sort + n_steps windows, then a
+   * per-key collapse and a tiny (n_steps)-row rollup. Per-key window
+   * state is a handful of longs regardless of event count.
    *
    * Returns (step_idx, step, n_keys) — n_keys monotonically non-increasing.
    */
@@ -106,10 +118,14 @@ object Events {
 
   /**
    * Per-key funnel completion rows: `(key, step_idx, step, ts)` — one row
-   * per step each key completed, with the greedy chain's completion
-   * timestamp. [[funnel]] is the rollup of this frame; the streaming twin
-   * ([[graft.streaming.H3Streaming.streamingFunnel]]) emits the same rows
-   * incrementally. Same one-Exchange plan as [[funnel]].
+   * per step each key completed, with the EARLIEST timestamp at which any
+   * valid chain (see [[funnel]] — re-anchoring semantics) completes that
+   * step. Per-key timestamps strictly increase with step_idx: the first
+   * chain to complete step i passes through an event that completed step
+   * i-1 strictly earlier. [[funnel]] is the rollup of this frame; the
+   * streaming twin ([[graft.streaming.H3Streaming.streamingFunnel]])
+   * emits the same rows incrementally. Same one-Exchange plan as
+   * [[funnel]].
    */
   def funnelCompletions(events: DataFrame, key: Column, ts: Column,
       eventType: Column, steps: Seq[String], maxSpan: Long): DataFrame = {
@@ -122,23 +138,32 @@ object Events {
       .filter(col("ts").isNotNull)
   }
 
-  /** shared funnel builder: one row per key with `__s0..__sN` greedy
-    * completion timestamps (NULL where the chain stopped). */
+  /** Shared funnel builder: one row per key with `__s0..__sN` — the
+    * EARLIEST timestamp at which the key completes each step under the
+    * re-anchoring exists-a-chain semantics (NULL where no chain ever
+    * completes the step). `__a$i` is the per-event max-anchor column of
+    * the recursion documented on [[funnel]]; the strict-predecessor frame
+    * (`rangeBetween(unboundedPreceding, -1)` over integer ts) excludes
+    * same-timestamp events, enforcing strictly increasing chains. */
   private def funnelPerKey(events: DataFrame, key: Column, ts: Column,
       eventType: Column, steps: Seq[String], maxSpan: Long): DataFrame = {
     require(steps.nonEmpty, "funnel needs at least one step")
     require(maxSpan > 0, s"maxSpan must be positive, got $maxSpan")
-    val byKey = Window.partitionBy(col("__k"))
+    val strictlyBefore = Window.partitionBy(col("__k")).orderBy(col("__ts"))
+      .rangeBetween(Window.unboundedPreceding, -1)
     val base = events.select(key.cast("long").as("__k"), ts.cast("long").as("__ts"),
       eventType.as("__t"))
-    val withSteps = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
-      val cond = if (i == 0) col("__t") === step
-        else col("__t") === step && col("__ts") > col(s"__s${i - 1}") &&
-          col("__ts") <= col("__s0") + maxSpan
-      df.withColumn(s"__s$i", min(when(cond, col("__ts"))).over(byKey))
+    val withAnchors = steps.zipWithIndex.foldLeft(base) { case (df, (step, i)) =>
+      val anchor = if (i == 0) when(col("__t") === step, col("__ts"))
+        else when(col("__t") === step,
+          max(col(s"__a${i - 1}")).over(strictlyBefore))
+      df.withColumn(s"__a$i", anchor)
     }
-    val stepMins = steps.indices.map(i => max(col(s"__s$i")).as(s"__s$i"))
-    withSteps.groupBy(col("__k")).agg(stepMins.head, stepMins.tail: _*)
+    val done = steps.indices.map { i =>
+      min(when(col(s"__a$i").isNotNull &&
+        col("__ts") <= col(s"__a$i") + maxSpan, col("__ts"))).as(s"__s$i")
+    }
+    withAnchors.groupBy(col("__k")).agg(done.head, done.tail: _*)
   }
 
   /**

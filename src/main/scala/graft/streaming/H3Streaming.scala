@@ -18,14 +18,16 @@ final case class SimHashCandidate(id_a: Long, id_b: Long, hamming: Int)
   * internally — event-time timeouts are millisecond-grained). */
 final case class OpenSession(startMs: Long, lastMs: Long, n: Long, sum: Long)
 
-/** per-key funnel progress for [[H3Streaming.streamingFunnel]]: greedy
-  * chain anchor (first step-0 ts), last completed step's ts, and the next
-  * step index to match — three numbers regardless of event volume.
+/** per-key funnel progress for [[H3Streaming.streamingFunnel]]:
+  * `anchors(i)` = the latest possible step-0 anchor over all chains to
+  * step i seen so far ([[graft.pipeline.Events.funnel]]'s max-anchor
+  * recursion; `Long.MinValue` = no chain yet), `done` = number of steps
+  * already emitted — `steps.size + 1` longs regardless of event volume.
   * MICROsecond ordinals: the batch twin compares raw micros, and a
   * millisecond-truncated comparison would reject chain steps landing in
   * the same millisecond (only the TIMEOUT is ms-grained, as Spark's
   * event-time timeouts are). */
-final case class FunnelProgress(t0Us: Long, prevUs: Long, idx: Int)
+final case class FunnelProgress(anchorsUs: Seq[Long], done: Int)
 
 /** step completion emitted by [[H3Streaming.streamingFunnel]] (int64
   * micros — batch-operator parity). */
@@ -471,14 +473,24 @@ object H3Streaming {
 
   /** Streaming ordered funnel — the incremental twin of
     * [[graft.pipeline.Events.funnelCompletions]]: emits `(key, step_idx,
-    * step, ts_ms)` the moment a key completes its next step (step i+1
-    * strictly after step i's completion, whole chain within
-    * `maxSpanMillis` of the first step-0 event). State per key is THREE
-    * numbers ([[FunnelProgress]]) — O(live keys), never O(events) — and
-    * is dropped via event-time timeout once the watermark passes
-    * `t0 + span` (no further completion is possible then; a brand-new
-    * step-0 event for a long-expired key restarts a fresh chain, the
-    * standard state/recall trade every watermarked operator makes).
+    * step, ts_us)` the FIRST time a key completes each step under the
+    * batch operator's re-anchoring semantics (a key completes step i iff
+    * a strictly-increasing chain of step events exists with the whole
+    * chain within `maxSpanUs` of ITS OWN step-0 anchor — every step-0
+    * occurrence is a candidate anchor, so a chain whose first anchor
+    * expired still converts via a later one). Implemented with the same
+    * max-anchor recursion as batch: `anchors(i)` carries the latest
+    * possible anchor of any chain to step i; an event of type `steps(i)`
+    * at `t` completes step i iff `t <= anchors(i-1) + span` (anchors from
+    * strictly-earlier events only — same-ts events are processed against
+    * a snapshot taken before their tie group, enforcing strict chains).
+    *
+    * State per key is `steps.size + 1` longs ([[FunnelProgress]]) —
+    * O(live keys), never O(events) — and is dropped via event-time
+    * timeout once the watermark passes `max(anchors) + span` (no held
+    * anchor can complete a future step then; a brand-new step-0 event for
+    * a long-expired key restarts a fresh chain and MAY re-emit low steps
+    * — the standard state/recall trade every watermarked operator makes).
     * Within a micro-batch events are processed in event-time order;
     * parity with the batch operator is exact when each key's events
     * arrive in order across batches. */
@@ -489,6 +501,7 @@ object H3Streaming {
     require(maxSpanUs > 0, s"maxSpanUs must be positive, got $maxSpanUs")
     val spark = stream.sparkSession
     import spark.implicits._
+    val Unset = Long.MinValue
     // full micros of a Timestamp: getTime carries the integral millis,
     // getNanos the full sub-second — batch parity needs the micro digits
     def usOf(ts: java.sql.Timestamp): Long =
@@ -503,29 +516,54 @@ object H3Streaming {
       .flatMapGroupsWithState[FunnelProgress, FunnelHit](
         OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (key, rows, state: GroupState[FunnelProgress]) =>
-          if (rows.isEmpty) { // timeout: chain can no longer advance
+          if (rows.isEmpty) { // timeout: no held anchor can still complete
             state.remove()
             Iterator.empty
           } else {
             val out = scala.collection.mutable.ArrayBuffer.empty[FunnelHit]
-            var st = state.getOption.getOrElse(FunnelProgress(-1L, -1L, 0))
+            val st = state.getOption.getOrElse(
+              FunnelProgress(Seq.fill(steps.size)(Unset), 0))
+            val anchors = st.anchorsUs.toArray
+            var done = st.done
             val sorted = rows.map(r => (r._1, usOf(r._2), r._3)).toArray.sortBy(_._2)
-            for ((_, us, t) <- sorted) {
-              if (st.idx < steps.size && t == steps(st.idx) &&
-                  (st.idx == 0 ||
-                    (us > st.prevUs && us <= st.t0Us + maxSpanUs))) {
-                out += FunnelHit(key, st.idx, steps(st.idx), us)
-                st = FunnelProgress(if (st.idx == 0) us else st.t0Us, us, st.idx + 1)
+            var g = 0
+            while (g < sorted.length) {
+              var end = g // tie group [g, end): same-ts events can't chain
+              while (end < sorted.length && sorted(end)._2 == sorted(g)._2) end += 1
+              val snap = anchors.clone()
+              var j = g
+              while (j < end) {
+                val (_, us, t) = sorted(j)
+                // descending i: an event matching several step indices
+                // (repeated step types) must not feed its own updates
+                var i = steps.size - 1
+                while (i >= 0) {
+                  if (t == steps(i)) {
+                    val anchor = if (i == 0) us else snap(i - 1)
+                    if (anchor != Unset) {
+                      if (anchors(i) < anchor) anchors(i) = anchor
+                      if (us <= anchor + maxSpanUs && done == i) {
+                        out += FunnelHit(key, i, steps(i), us)
+                        done = i + 1
+                      }
+                    }
+                  }
+                  i -= 1
+                }
+                j += 1
               }
+              g = end
             }
-            if (st.idx > 0) {
-              state.update(st)
-              // an already-expired chain (stalled, then touched by an
-              // unrelated event after the watermark passed t0+span) must
-              // still set a timeout AFTER the current watermark — Spark
-              // rejects earlier ones; timeouts are ms-grained, so round UP
+            val maxAnchor = anchors.max
+            if (maxAnchor != Unset) {
+              state.update(FunnelProgress(anchors.toSeq, done))
+              // an already-expired state (stalled, then touched by an
+              // unrelated event after the watermark passed anchor+span)
+              // must still set a timeout AFTER the current watermark —
+              // Spark rejects earlier ones; timeouts are ms-grained, so
+              // round UP
               state.setTimeoutTimestamp(math.max(
-                (st.t0Us + maxSpanUs) / 1000L + 1L,
+                (maxAnchor + maxSpanUs) / 1000L + 1L,
                 state.getCurrentWatermarkMs() + 1L))
             }
             out.iterator

@@ -45,37 +45,73 @@ class EventsSpec extends AnyFunSuite {
       clicks.exists(c => c.k == p.k && c.ts == p.ts)))
   }
 
-  test("funnel matches a sequential greedy per-key scan") {
+  /** brute-force re-anchoring oracle: per key, the earliest completion ts
+    * of each step over ALL valid chains — greedy-from-each-anchor is
+    * optimal per anchor, so the min over anchors is exact. */
+  private def bruteFunnel(es: Seq[Ev], steps: Seq[String],
+      span: Long): Array[Option[Long]] = {
+    val earliest = Array.fill[Option[Long]](steps.size)(None)
+    def note(i: Int, ts: Long): Unit =
+      if (earliest(i).forall(_ > ts)) earliest(i) = Some(ts)
+    for (a <- es if a.t == steps.head) {
+      note(0, a.ts)
+      var prev = a.ts
+      var i = 1
+      var ok = true
+      while (i < steps.size && ok) {
+        val cand = es.filter(e => e.t == steps(i) && e.ts > prev &&
+          e.ts <= a.ts + span)
+        if (cand.nonEmpty) { prev = cand.map(_.ts).min; note(i, prev) }
+        else ok = false
+        i += 1
+      }
+    }
+    earliest
+  }
+
+  test("funnel matches a per-anchor greedy scan (re-anchoring semantics)") {
     val steps = Seq("signup", "click", "purchase")
     val span = 800L
     val got = Events.funnel(evDf, $"k", $"ts", $"t", steps, span)
       .orderBy($"step_idx")
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
 
-    // greedy earliest-completion chain per key
-    def chain(es: Seq[Ev]): Array[Boolean] = {
-      val reached = Array.fill(steps.size)(false)
-      val c0 = es.filter(_.t == steps.head)
-      if (c0.nonEmpty) {
-        val t0 = c0.map(_.ts).min
-        reached(0) = true
-        var prev = t0
-        var i = 1
-        var ok = true
-        while (i < steps.size && ok) {
-          val cand = es.filter(e => e.t == steps(i) && e.ts > prev && e.ts <= t0 + span)
-          if (cand.nonEmpty) { prev = cand.map(_.ts).min; reached(i) = true }
-          else ok = false
-          i += 1
-        }
-      }
-      reached
-    }
-    val perKey = evs.groupBy(_.k).values.map(chain).toSeq
-    val want = steps.indices.map(i => (i, steps(i), perKey.count(_(i)).toLong))
+    val perKey = evs.groupBy(_.k).values
+      .map(es => bruteFunnel(es, steps, span)).toSeq
+    val want = steps.indices.map(i =>
+      (i, steps(i), perKey.count(_(i).isDefined).toLong))
     assert(got.toSeq == want)
-    // counts strictly decrease on this fixture (every step discriminates)
-    assert(want(0)._3 > want(1)._3 && want(1)._3 > want(2)._3 && want(2)._3 > 0)
+    // counts are non-increasing and the last step still discriminates on
+    // this fixture (re-anchoring lifts early-step conversions — with 60
+    // active keys and dense events, nearly every signup eventually clicks)
+    assert(want(0)._3 >= want(1)._3 && want(1)._3 > want(2)._3 && want(2)._3 > 0)
+  }
+
+  test("funnel re-anchors on a fresh step-0 after the first anchor expires") {
+    // A@0, A@100, B@105, span 10: the first anchor's window closes at 10,
+    // but the A@100 anchor converts via B@105 — first-anchor-only
+    // semantics would report zero conversions (the r9 ADVICE bug)
+    val df = Seq((1L, 0L, "A"), (1L, 100L, "A"), (1L, 105L, "B"))
+      .toDF("k", "ts", "t")
+    val got = Events.funnel(df, $"k", $"ts", $"t", Seq("A", "B"), 10L)
+      .orderBy($"step_idx").collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((0, 1L), (1, 1L)))
+    val comps = Events.funnelCompletions(df, $"k", $"ts", $"t", Seq("A", "B"), 10L)
+      .orderBy($"step_idx").collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(comps.toSeq == Seq((0, 0L), (1, 105L)))
+  }
+
+  test("funnel: same-timestamp events never chain, repeated step types do") {
+    // strict increase: A@5, B@5 is NOT a chain; A@5, A@7 completes both
+    // steps of [A, A] at 5 and 7
+    val df1 = Seq((1L, 5L, "A"), (1L, 5L, "B")).toDF("k", "ts", "t")
+    val g1 = Events.funnel(df1, $"k", $"ts", $"t", Seq("A", "B"), 100L)
+      .orderBy($"step_idx").collect().map(_.getLong(2))
+    assert(g1.toSeq == Seq(1L, 0L))
+    val df2 = Seq((1L, 5L, "A"), (1L, 7L, "A")).toDF("k", "ts", "t")
+    val g2 = Events.funnelCompletions(df2, $"k", $"ts", $"t", Seq("A", "A"), 100L)
+      .orderBy($"step_idx").collect().map(r => (r.getInt(1), r.getLong(3)))
+    assert(g2.toSeq == Seq((0, 5L), (1, 7L)))
   }
 
   test("funnelCompletions rolls up to funnel, and chains agree with the scan") {
@@ -95,6 +131,13 @@ class EventsSpec extends AnyFunSuite {
       val byIdx = g.sortBy(_._2)
       assert(byIdx.map(_._2).toSeq == (0 until byIdx.size).toSeq)
       assert(byIdx.map(_._4).toSeq == byIdx.map(_._4).sorted.toSeq)
+    }
+    // completion timestamps are the brute-force earliest over ALL anchors
+    val byKey = evs.groupBy(_.k)
+    comps.groupBy(_._1).foreach { case (k, g) =>
+      val want = bruteFunnel(byKey(k), steps, span)
+      g.foreach { case (_, i, _, ts) => assert(want(i).contains(ts), s"key $k step $i") }
+      assert(g.size == want.count(_.isDefined), s"key $k")
     }
   }
 

@@ -845,9 +845,8 @@ class H3StreamingSpec extends AnyFunSuite {
     }
     val input = MemoryStream[(Long, Timestamp, String)]
     // watermark horizon longer than the fixture: state never times out
-    // mid-test, so an expired chain cannot be dropped and wrongly
-    // restarted by a late signup (batch semantics anchor at the FIRST
-    // signup forever)
+    // mid-test, so anchors and emitted-step flags survive the whole run
+    // (batch semantics consider every anchor ever seen)
     val out = H3Streaming.streamingFunnel(
       input.toDF.toDF("key", "ts", "t"), "key", "ts", "t", steps, spanUs,
       watermark = "30 days")
@@ -908,6 +907,43 @@ class H3StreamingSpec extends AnyFunSuite {
           r.getLong(3), r.getLong(4))).toSet
       assert(got == batch)
       assert(got.exists(_._4 > 1)) // windows genuinely accumulate
+    } finally query.stop()
+  }
+
+  test("streaming funnel re-anchors on a fresh step-0 across batches") {
+    import graft.pipeline.Events
+    implicit val sqlCtx = spark.sqlContext
+    val base = 1700000000000000L
+    def toTs(us: Long): Timestamp = {
+      val t = new Timestamp(us / 1000L)
+      t.setNanos(((us % 1000000L) * 1000L).toInt)
+      t
+    }
+    // A@0, A@100s, B@105s with span 10s: the first anchor expires before
+    // B, conversion rides the SECOND anchor — and the anchor refresh
+    // crosses a micro-batch boundary
+    val spanUs = 10000000L
+    val evs = Seq((7L, base, "A"), (7L, base + 100000000L, "A"),
+      (7L, base + 105000000L, "B"))
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val out = H3Streaming.streamingFunnel(
+      input.toDF.toDF("key", "ts", "t"), "key", "ts", "t",
+      Seq("A", "B"), spanUs, watermark = "30 days")
+    val query = out.writeStream
+      .format("memory").queryName("funnelra").outputMode("append").start()
+    try {
+      val (a, b) = evs.splitAt(2)
+      input.addData(a.map { case (k, us, t) => (k, toTs(us), t) }: _*)
+      query.processAllAvailable()
+      input.addData(b.map { case (k, us, t) => (k, toTs(us), t) }: _*)
+      query.processAllAvailable()
+      val got = spark.table("funnelra")
+        .as[(Long, Int, String, Long)].collect().toSet
+      val batch = Events.funnelCompletions(evs.toDF("key", "ts", "t"),
+          col("key"), col("ts"), col("t"), Seq("A", "B"), spanUs)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3))).toSet
+      assert(got == batch)
+      assert(got == Set((7L, 0, "A", base), (7L, 1, "B", base + 105000000L)))
     } finally query.stop()
   }
 
