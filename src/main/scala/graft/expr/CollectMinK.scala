@@ -137,19 +137,36 @@ case class CollectMinK(
   }
 
   override def deserialize(bytes: Array[Byte]): java.util.TreeSet[Any] = {
+    // This buffer sits under checkpointed streaming state (windowed KMV):
+    // validate the tag and the payload length against it LOUDLY. A
+    // foreign/corrupt buffer whose first byte happens to be 0 or 1 must
+    // fail here, not silently parse into garbage elements — and an
+    // unknown tag (a future encoding) must never fall through to an
+    // older decoder.
+    require(bytes.length >= 5, s"CollectMinK buffer truncated: ${bytes.length} bytes")
     val bb = java.nio.ByteBuffer.wrap(bytes)
     val version = bb.get()
     val n = bb.getInt
+    require(n >= 0, s"CollectMinK buffer corrupt: negative count $n")
     val buf = createAggregationBuffer()
     if (version == 0) {
+      require(isLong,
+        s"CollectMinK version-0 (raw long) buffer for non-long child ${child.dataType}")
+      require(bytes.length == 5 + 8L * n,
+        s"CollectMinK version-0 buffer length ${bytes.length} != ${5 + 8L * n} for count $n")
       var i = 0
       while (i < n) { buf.add(bb.getLong: java.lang.Long); i += 1 }
       return buf
     }
+    require(version == 1,
+      s"CollectMinK buffer has unknown version tag $version (known: 0, 1)")
     val row = new UnsafeRow(1)
     var i = 0
     while (i < n) {
+      require(bb.remaining >= 4, s"CollectMinK version-1 buffer truncated at element $i/$n")
       val len = bb.getInt
+      require(len >= 0 && bb.remaining >= len,
+        s"CollectMinK version-1 element $i length $len exceeds remaining ${bb.remaining}")
       val img = new Array[Byte](len)
       bb.get(img)
       row.pointTo(img, len)
@@ -157,6 +174,8 @@ case class CollectMinK(
       buf.add(InternalRow.copyValue(row.get(0, child.dataType)))
       i += 1
     }
+    require(bb.remaining == 0,
+      s"CollectMinK version-1 buffer has ${bb.remaining} trailing bytes")
     buf
   }
 

@@ -6,10 +6,13 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
 import graft.functions._
 
 /** One (band, member) row of the streaming SimHash band index. */
-final case class SimHashBandRow(id: Long, simhash: Long, bandIdx: Int, bandVal: Long)
+final case class SimHashBandRow(id: Long, simhash: Long, ts: java.sql.Timestamp,
+  bandIdx: Int, bandVal: Long)
 
-/** Per-band state: the most recent members, newest first. */
-final case class SimHashBandMembers(ids: List[Long], hashes: List[Long])
+/** Per-band state: the most recent members, newest first, with each
+  * member's event time (micros) for TTL pruning. */
+final case class SimHashBandMembers(ids: List[Long], hashes: List[Long],
+  tsUs: List[Long])
 
 /** A streaming near-dup candidate: ids ordered, hamming distance attached. */
 final case class SimHashCandidate(id_a: Long, id_b: Long, hamming: Int)
@@ -61,6 +64,37 @@ final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
  * rollups become ordinary windowed groupBys. State lives in Spark's state
  * store — sized by (windows in flight) x (distinct groups), the right
  * shape for a 100 TB/day ingest feed.
+ *
+ * == State-store bounds per stateful twin (the unbounded-ingest audit) ==
+ *
+ * Watermarked-aggregation twins (hopping stats, approx distinct, weighted
+ * sample, exact dedup, rate anomaly): state = (windows in flight) x
+ * (groups); the watermark closes windows — bounded by lateness horizon.
+ *
+ * flatMapGroupsWithState twins:
+ *  - `streamingSessionize`: one [[OpenSession]] per live key; event-time
+ *    timeout at `last + gap` evicts — bounded by keys active within gap.
+ *  - `streamingFunnel`: `steps+1` longs per key; event-time timeout at
+ *    `max(anchor) + span` — bounded by keys with a live anchor.
+ *  - `streamingRollingStats`: per key, events inside the lookback horizon
+ *    of its newest event — bounded by rate x lookback, never history.
+ *  - `streamingSimHashCandidates`: `maxPerBand` members per band value;
+ *    event-time timeout + arrival-time pruning at `stateTtlUs` — bounded
+ *    by bands active within the TTL window.
+ *  - `streamingSourceCap` (NoTimeout, BY DESIGN): ONE long per distinct
+ *    source ever seen. The key domain is a curated source/domain list
+ *    (millions of domains = a few MB) and the cap must outlive any
+ *    horizon — a timeout would re-admit an exhausted source. Do NOT key
+ *    it by an unbounded domain (per-URL); that needs a TTL'd variant.
+ *  - `streamingApplyChanges` (NoTimeout, BY DESIGN): one [[MergeState]]
+ *    per live doc id — the state IS the materialized table (CDC merge),
+ *    bounded by table cardinality, not stream length. Evicting a key
+ *    would resurrect a deleted or stale version on its next change.
+ *
+ * foreachBatch twins (incremental near-dedup, perceptual dedup,
+ * triangles): no state store; the triangle twin's driver-held graph is
+ * bounded by distinct edges and freed generationally
+ * ([[graft.util.Barriers.generation]]).
  */
 object H3Streaming {
 
@@ -240,7 +274,9 @@ object H3Streaming {
     * per executor covers billions of reference lines with no per-line
     * shuffle at ingest. All other columns pass through; `textCol` is
     * replaced by the stripped text and (n_lines, n_kept) accounting is
-    * appended. */
+    * appended. Null text keeps its null and reports ZEROED accounting —
+    * the batch operator's null-doc contract (TextOps.lineDedup), not
+    * null counts. */
   def streamingLineDedup(stream: DataFrame, textCol: String,
       ref: DataFrame, refTextCol: String, minLineChars: Int = 5,
       expectedRefLines: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
@@ -250,7 +286,10 @@ object H3Streaming {
       .stat.bloomFilter("__h", expectedRefLines, fpp)
     val seed = 42L // xxhash64's fixed seed
     val strip = udf { (text: String) =>
-      if (text == null) null
+      // null text: null stays null with ZERO counts (batch lineDedup's
+      // null-doc contract) — a null tuple here would nullify the
+      // accounting columns and break stream/batch parity
+      if (text == null) (null: String, 0L, 0L)
       else {
         val lines = text.split("\n", -1)
         val kept = lines.filter { l =>
@@ -296,7 +335,9 @@ object H3Streaming {
       .stat.bloomFilter("__h", expectedRefGrams, fpp)
     val seed = 42L // xxhash64's fixed seed
     val strip = udf { (text: String) =>
-      if (text == null) null
+      // null text: null stays null with ZERO counts (same null-doc
+      // contract as streamingLineDedup / the batch operators)
+      if (text == null) (null: String, 0L, 0L)
       else {
         // tokenize EXACTLY like the batch TextOps.tokens column expression:
         // UTF8String.trim strips only U+0020 (not tabs/newlines, unlike
@@ -345,40 +386,79 @@ object H3Streaming {
     *    at-least-once delivery; downstream dedupes or tolerates;
     *  - state per band value is capped FIFO at `maxPerBand` (hot templated
     *    bands degrade recall, never memory), so state size is bounded by
-    *    (#distinct live band values) x maxPerBand x 16 bytes. */
+    *    (#distinct live band values) x maxPerBand x 24 bytes;
+    *  - the matching horizon is `stateTtlUs` of EVENT time: members older
+    *    than the band's newest event by more than the TTL are pruned on
+    *    arrival, and a band quiet past `last event + TTL` is dropped
+    *    whole by event-time timeout once the `watermark` passes it — so
+    *    on an unbounded ingest the number of LIVE band values is bounded
+    *    by the TTL window's distinct bands, never the stream's history
+    *    (the previous NoTimeout form grew without bound). A near-dup
+    *    arriving more than a TTL after its twin is not matched — the
+    *    state/recall trade, stated. */
   def streamingSimHashCandidates(stream: DataFrame, idCol: String, textCol: String,
-      maxHamming: Int = 3, maxPerBand: Int = 64): Dataset[SimHashCandidate] = {
+      tsCol: String, watermark: String, maxHamming: Int = 3, maxPerBand: Int = 64,
+      stateTtlUs: Long = 3600000000L): Dataset[SimHashCandidate] = {
     import graft.pipeline.Dedup
+    require(stateTtlUs > 0, s"stateTtlUs must be positive, got $stateTtlUs")
     val spark = stream.sparkSession
     import spark.implicits._
+    def usOf(ts: java.sql.Timestamp): Long =
+      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     val banded = stream
       .select(col(idCol).cast("long").as("id"),
-        Dedup.simHashColumn(col(textCol)).as("simhash"))
-      .select(col("id"), col("simhash"),
+        Dedup.simHashColumn(col(textCol)).as("simhash"),
+        col(tsCol).cast("timestamp").as("ts"))
+      .withWatermark("ts", watermark)
+      .select(col("id"), col("simhash"), col("ts"),
         posexplode(Dedup.simHashBandValues(col("simhash"), maxHamming))
           .as(Seq("bandIdx", "bandVal")))
       .as[SimHashBandRow]
     banded
       .groupByKey(r => (r.bandIdx, r.bandVal))
       .flatMapGroupsWithState[SimHashBandMembers, SimHashCandidate](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         case (_, rows, state: GroupState[SimHashBandMembers]) =>
-          var ids = state.getOption.map(_.ids).getOrElse(Nil)
-          var hashes = state.getOption.map(_.hashes).getOrElse(Nil)
-          val out = scala.collection.mutable.ArrayBuffer.empty[SimHashCandidate]
-          for (r <- rows) {
-            var is = ids; var hs = hashes
-            while (is.nonEmpty) {
-              val ham = java.lang.Long.bitCount(r.simhash ^ hs.head)
-              if (ham <= maxHamming && is.head != r.id)
-                out += SimHashCandidate(math.min(is.head, r.id), math.max(is.head, r.id), ham)
-              is = is.tail; hs = hs.tail
+          if (rows.isEmpty) { // timeout: band quiet past its TTL horizon
+            state.remove()
+            Iterator.empty
+          } else {
+            var ids = state.getOption.map(_.ids).getOrElse(Nil)
+            var hashes = state.getOption.map(_.hashes).getOrElse(Nil)
+            var tss = state.getOption.map(_.tsUs).getOrElse(Nil)
+            val out = scala.collection.mutable.ArrayBuffer.empty[SimHashCandidate]
+            var newest = tss.headOption.getOrElse(Long.MinValue)
+            for (r <- rows) {
+              val us = usOf(r.ts)
+              if (us > newest) newest = us
+              // prune members that fell out of the TTL horizon of the
+              // band's newest event BEFORE matching — an expired twin
+              // must not match even when its band was never quiet
+              // (exact filter, not a suffix cut: out-of-order arrivals
+              // can interleave timestamps in the newest-first list)
+              val horizon = newest - stateTtlUs
+              val kept = ids.zip(hashes).zip(tss)
+                .collect { case ((i, h), t) if t >= horizon => (i, h, t) }
+              ids = kept.map(_._1); hashes = kept.map(_._2); tss = kept.map(_._3)
+              var is = ids; var hs = hashes
+              while (is.nonEmpty) {
+                val ham = java.lang.Long.bitCount(r.simhash ^ hs.head)
+                if (ham <= maxHamming && is.head != r.id)
+                  out += SimHashCandidate(math.min(is.head, r.id), math.max(is.head, r.id), ham)
+                is = is.tail; hs = hs.tail
+              }
+              ids = (r.id :: ids).take(maxPerBand)
+              hashes = (r.simhash :: hashes).take(maxPerBand)
+              tss = (us :: tss).take(maxPerBand)
             }
-            ids = (r.id :: ids).take(maxPerBand)
-            hashes = (r.simhash :: hashes).take(maxPerBand)
+            state.update(SimHashBandMembers(ids, hashes, tss))
+            // ms-grained event-time timeout, rounded UP past the horizon;
+            // never at-or-before the current watermark (Spark rejects it)
+            state.setTimeoutTimestamp(math.max(
+              (newest + stateTtlUs) / 1000L + 1L,
+              state.getCurrentWatermarkMs() + 1L))
+            out.iterator
           }
-          state.update(SimHashBandMembers(ids, hashes))
-          out.iterator
       }
   }
 
@@ -895,22 +975,39 @@ object H3Streaming {
    * Scale shape per batch: the new-edge frame (small by construction)
    * joins the accumulated adjacency twice — cost Σ(deg(u)+deg(v)) over
    * new edges, the canonical streaming-triangle bound; the accumulated
-   * graph is union-appended and lineage-cut per batch, never
-   * rescanned from source. (The batch-local rank is a window over the
-   * new-edge frame only.) `foreachBatch` envelope: at-least-once on
-   * retry; production would key the adjacency state in a store
-   * partitioned by node — the join shape is identical.
+   * graph is union-appended and lineage-cut per batch, never rescanned
+   * from source, and each epoch's superseded checkpoint generation is
+   * UNPERSISTED once the next one is materialized (blocks held at any
+   * moment: current graph + one in-flight epoch, not the stream's
+   * history). `foreachBatch` envelope: at-least-once on retry (the
+   * graph advances only after `sink` returns, so a retried epoch
+   * re-emits identical rows).
+   *
+   * Restart semantics, stated: the accumulated graph is DRIVER-HELD, not
+   * checkpointed — a restart from a streaming checkpoint begins with an
+   * empty graph and would re-attribute triangles whose edges re-arrive.
+   * Callers needing restart-exact attribution pass `initialGraph`: the
+   * distinct `(u, v)` rows their sink has stored (exactly what this
+   * operator emitted before the restart) — known edges then close
+   * nothing again, same as within a run. Production would key the
+   * adjacency in a node-partitioned store; the join shape is identical.
    */
   def streamingTriangles(stream: DataFrame, srcCol: String, dstCol: String,
-      sink: (DataFrame, Long) => Unit):
+      sink: (DataFrame, Long) => Unit,
+      initialGraph: Option[DataFrame] = None):
       org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
     import graft.graph.Triangles
     import graft.util.Barriers
     import org.apache.spark.sql.expressions.Window
-    var graph: DataFrame = null // accumulated canonical edges (u, v)
+    // accumulated canonical edges (u, v); bootstrap from the sink's
+    // stored output on restart (canonicalized + distinct — tolerates a
+    // sink that stored at-least-once duplicates or (src, dst) order)
+    var graph: DataFrame = initialGraph
+      .map(g => Triangles.canonicalEdges(g, col("u"), col("v"))).orNull
+    var freeGraph: () => Unit = () => ()
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
       val cand = Triangles.canonicalEdges(batch, col(srcCol), col(dstCol))
-      val fresh = Barriers.statSafe(
+      val (fresh, freeFresh) = Barriers.generation(
         (if (graph == null) cand
          else cand.join(graph, Seq("u", "v"), "left_anti"))
           .withColumn("erank",
@@ -919,7 +1016,7 @@ object H3Streaming {
       def bothDir(df: DataFrame, rank: Column) =
         df.select(col("u").as("a"), col("v").as("b"), rank.as("r"))
           .unionAll(df.select(col("v").as("a"), col("u").as("b"), rank.as("r")))
-      val adj = Barriers.statSafe(
+      val (adj, freeAdj) = Barriers.generation(
         if (graph == null) bothDir(fresh, col("erank"))
         else bothDir(graph, lit(Inf)).unionAll(bothDir(fresh, col("erank"))))
       val closed = fresh
@@ -933,9 +1030,14 @@ object H3Streaming {
         .join(closed, Seq("u", "v"), "left")
         .select(col("u"), col("v"), coalesce(col("n_closed"), lit(0L)).as("n_closed"))
       sink(out, epoch)
-      graph = Barriers.statSafe(
+      val (nextGraph, freeNext) = Barriers.generation(
         if (graph == null) fresh.select(col("u"), col("v"))
         else graph.unionAll(fresh.select(col("u"), col("v"))))
+      // the new generation is materialized (eager) — every superseded
+      // block set of this epoch can be freed now
+      freeGraph(); freeFresh(); freeAdj()
+      graph = nextGraph
+      freeGraph = freeNext
     }
       .outputMode("append")
   }

@@ -66,6 +66,30 @@ object Barriers {
     cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
   }
 
+  /** EAGER [[statSafe]] whose blocks can be FREED: returns the re-wrapped
+    * frame plus a thunk that unpersists the generation's checkpoint
+    * blocks. For foreachBatch loops that supersede a cumulative frame
+    * every epoch (streaming triangle counting's accumulated graph) —
+    * without freeing, every epoch's localCheckpoint blocks survive for
+    * the stream's lifetime. Eager: the blocks exist before this returns,
+    * so the PREVIOUS generation can be freed immediately after. Call the
+    * thunk only once every consumer of the frame has been materialized —
+    * the lineage behind the blocks is truncated, so a recompute after
+    * unpersist fails loudly rather than silently rescanning. */
+  def generation(df: DataFrame): (DataFrame, () => Unit) = {
+    val cp = df.localCheckpoint(eager = true)
+    val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val free: () => Unit = () => cp.queryExecution.analyzed match {
+      // the persisted RDD is the one inside the checkpoint's LogicalRDD
+      // leaf; unpersisting the re-wrapped frame's .rdd would only drop a
+      // derived wrapper and leak the actual blocks
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => () // unexpected plan shape: leak rather than misfree
+    }
+    (out, free)
+  }
+
   /** [[roundBarrier]] that ALSO counts rows matching `changed` — in the
     * SAME job that materializes the checkpoint, via an accumulator
     * threaded through the row stream. An iterative loop's convergence

@@ -98,6 +98,44 @@ class CollectMinKSpec extends AnyFunSuite {
     assert(got == (0L, Seq(1234567L)))
   }
 
+  test("deserialize validates tags and payload lengths loudly") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val agg = CollectMinK(BoundReference(0, LongType, nullable = true), 4)
+    // round-trip sanity
+    val buf = agg.createAggregationBuffer()
+    Seq(3L, 1L, 9L).foreach(v => buf.add(v: java.lang.Long))
+    val bytes = agg.serialize(buf)
+    assert(agg.deserialize(bytes).toArray.toSeq == Seq(1L, 3L, 9L))
+    def expectReject(b: Array[Byte], what: String, a: CollectMinK = agg): Unit = {
+      val e = intercept[IllegalArgumentException] { a.deserialize(b) }
+      assert(e.getMessage.contains("CollectMinK"), s"$what: ${e.getMessage}")
+    }
+    // truncated header
+    expectReject(Array[Byte](0, 0), "truncated header")
+    // version-0 buffer whose length disagrees with its count — the
+    // pre-change decoder parsed any count<2^24 prefix as raw longs
+    expectReject(bytes.dropRight(1), "short v0 payload")
+    expectReject(bytes :+ 0.toByte, "long v0 payload")
+    // unknown version tag must never fall through to the UnsafeRow path
+    val badTag = bytes.clone(); badTag(0) = 7
+    expectReject(badTag, "unknown tag")
+    // negative count
+    val negCount = bytes.clone(); negCount(1) = 0xFF.toByte
+    expectReject(negCount, "negative count")
+    // version-0 tag on a non-long child is a foreign buffer
+    val strAgg = CollectMinK(BoundReference(0, StringType, nullable = true), 4)
+    expectReject(strAgg.serialize(strAgg.createAggregationBuffer())
+      .patch(0, Array[Byte](0), 1), "v0 tag for non-long child", strAgg)
+    // version-1 element length pointing past the buffer end
+    val sbuf = strAgg.createAggregationBuffer()
+    sbuf.add(org.apache.spark.unsafe.types.UTF8String.fromString("abc"))
+    val v1 = strAgg.serialize(sbuf)
+    val overLen = v1.clone(); overLen(5) = 0x7F // first element length -> huge
+    val e = intercept[IllegalArgumentException] { strAgg.deserialize(overLen) }
+    assert(e.getMessage.contains("CollectMinK"))
+  }
+
   test("unorderable child type fails at analysis time") {
     val df = Seq((1, Map("a" -> 1))).toDF("g", "m")
     val e = intercept[Exception] { df.groupBy($"g").agg(collect_min_k($"m", 3)).collect() }

@@ -83,20 +83,58 @@ class H3StreamingSpec extends AnyFunSuite {
     val ham = java.lang.Long.bitCount(h1 ^ h2)
     assume(ham <= 3, s"fixture drifted: hamming $ham")
 
-    val input = MemoryStream[(Long, String)]
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val t0 = new Timestamp(1700000000000L)
     val cands = H3Streaming.streamingSimHashCandidates(
-      input.toDF.toDF("doc_id", "text"), "doc_id", "text", maxHamming = 3)
+      input.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "10 seconds", maxHamming = 3)
     val query = cands.writeStream
       .format("memory").queryName("cands").outputMode("append").start()
     try {
-      input.addData((1L, base), (2L, far))
+      input.addData((1L, t0, base), (2L, t0, far))
       query.processAllAvailable()
       assert(spark.table("cands").isEmpty) // no qualifying pair yet
       // the near-dup arrives in a LATER micro-batch: state must carry over
-      input.addData((3L, nearDup))
+      input.addData((3L, new Timestamp(t0.getTime + 1000L), nearDup))
       query.processAllAvailable()
       val pairs = spark.table("cands").as[(Long, Long, Int)].collect().toSet
       assert(pairs == Set((1L, 3L, ham)), s"got $pairs")
+    } finally query.stop()
+  }
+
+  test("streaming simhash state evicts past the event-time TTL") {
+    import graft.pipeline.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(12)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val nearDup = base + " ok"
+    val far = "completely unrelated content about spark physical plans and shuffles"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val t0 = new Timestamp(1700000000000L)
+    // TTL 5 s: the twin arriving 60 s later must NOT match (its partner
+    // was pruned), while a fresh in-horizon pair still does
+    val cands = H3Streaming.streamingSimHashCandidates(
+      input.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "0 seconds", maxHamming = 3, stateTtlUs = 5000000L)
+    val query = cands.writeStream
+      .format("memory").queryName("cands_ttl").outputMode("append").start()
+    try {
+      input.addData((1L, t0, base))
+      query.processAllAvailable()
+      // unrelated traffic advances the watermark far past t0 + TTL
+      input.addData((2L, new Timestamp(t0.getTime + 60000L), far))
+      query.processAllAvailable()
+      // doc 1's bands are expired: whether by quiet-band timeout or by
+      // arrival-time pruning, the old twin must not match
+      input.addData((3L, new Timestamp(t0.getTime + 61000L), nearDup))
+      query.processAllAvailable()
+      assert(spark.table("cands_ttl").isEmpty,
+        spark.table("cands_ttl").collect().mkString(","))
+      // a fresh near-dup pair inside the horizon still matches
+      input.addData((4L, new Timestamp(t0.getTime + 62000L), base))
+      query.processAllAvailable()
+      val pairs = spark.table("cands_ttl").as[(Long, Long, Int)].collect().toSet
+      assert(pairs.nonEmpty && pairs.forall(p => Set(p._1, p._2).subsetOf(Set(3L, 4L))),
+        s"got $pairs")
     } finally query.stop()
   }
 
@@ -156,15 +194,22 @@ class H3StreamingSpec extends AnyFunSuite {
       input.addData(
         (10L, "fresh paragraph here\nsubscribe to our newsletter today\nmore fresh prose"),
         (11L, "copyright example corporation\nok\nnovel line entirely"),
-        (12L, "all novel content"))
+        (12L, "all novel content"),
+        (13L, null))
       query.processAllAvailable()
       val got = spark.table("linestrip")
         .select($"doc_id", $"text", $"n_lines", $"n_kept")
-        .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
-      assert(got(10L) == ((10L, "fresh paragraph here\nmore fresh prose", 3L, 2L)))
+        .collect().map(r => r.getLong(0) ->
+          ((if (r.isNullAt(1)) null else r.getString(1)), r.isNullAt(2),
+            if (r.isNullAt(2)) -1L else r.getLong(2),
+            if (r.isNullAt(3)) -1L else r.getLong(3))).toMap
+      assert(got(10L) == (("fresh paragraph here\nmore fresh prose", false, 3L, 2L)))
       // "ok" is under minLineChars: bypasses even though short
-      assert(got(11L) == ((11L, "ok\nnovel line entirely", 3L, 2L)))
-      assert(got(12L) == ((12L, "all novel content", 1L, 1L)))
+      assert(got(11L) == (("ok\nnovel line entirely", false, 3L, 2L)))
+      assert(got(12L) == (("all novel content", false, 1L, 1L)))
+      // null text: null stays null, accounting ZEROED (batch lineDedup's
+      // null-doc contract) — not null counts
+      assert(got(13L) == ((null, false, 0L, 0L)))
     } finally query.stop()
   }
 
@@ -402,6 +447,12 @@ class H3StreamingSpec extends AnyFunSuite {
         .select(graft.pipeline.TextOps.tokenCount($"t")).as[Long].head()
       assert(batchTokens == 4L, "batch convention itself")
       assert(got(14L) == ((14L, "", 4L, 3L)), "stream must match batch tokens() on tabs")
+      // null text: null stays null, accounting zeroed (shared null-doc contract)
+      input.addData((15L, null))
+      query.processAllAvailable()
+      val nullRow = spark.table("substrip").filter($"doc_id" === 15L)
+        .select($"text", $"n_tokens", $"n_removed").collect().head
+      assert(nullRow.isNullAt(0) && nullRow.getLong(1) == 0L && nullRow.getLong(2) == 0L)
     } finally query.stop()
   }
 
@@ -477,6 +528,59 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(prevTotal > 0, "fixture must actually form triangles")
       assert(perEpoch.size == batches.size)
     } finally query.stop()
+  }
+
+  test("streaming triangles restart: initialGraph bootstrap avoids double-counting") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(73)
+    val all = (1 to 200).map(_ => (rnd.nextInt(20).toLong, rnd.nextInt(20).toLong))
+    val (run1, run2) = all.splitAt(120)
+
+    def bruteTotal(edges: Seq[(Long, Long)]): Long = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        if und((nodes(i), nodes(j))) && und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))
+      } yield 1).size.toLong
+    }
+
+    // first run: accumulate edges and remember what the sink stored
+    var stored = Seq.empty[(Long, Long)]
+    var total1 = 0L
+    val in1 = MemoryStream[(Long, Long)]
+    val q1 = H3Streaming.streamingTriangles(
+      in1.toDF.toDF("src", "dst"), "src", "dst",
+      (out, _) => {
+        val rows = out.select($"u", $"v", $"n_closed").as[(Long, Long, Long)].collect()
+        stored = stored ++ rows.map(r => (r._1, r._2))
+        total1 += rows.map(_._3).sum
+      }).start()
+    try {
+      in1.addData(run1: _*)
+      q1.processAllAvailable()
+    } finally q1.stop()
+    assert(total1 == bruteTotal(run1))
+
+    // "restart": a NEW writer bootstrapped from the sink's stored edges;
+    // run2 re-sends some run1 edges, which must close nothing again
+    var total2 = 0L
+    val in2 = MemoryStream[(Long, Long)]
+    val q2 = H3Streaming.streamingTriangles(
+      in2.toDF.toDF("src", "dst"), "src", "dst",
+      (out, _) => total2 +=
+        out.agg(coalesce(sum($"n_closed"), lit(0L))).collect().head.getLong(0),
+      initialGraph = Some(stored.toDF("u", "v"))).start()
+    try {
+      in2.addData(run2 ++ run1.take(30): _*)
+      q2.processAllAvailable()
+    } finally q2.stop()
+    assert(total1 + total2 == bruteTotal(all),
+      s"run1 $total1 + run2 $total2 != ${bruteTotal(all)}")
+    // an un-bootstrapped restart would have re-counted run1 triangles
+    assert(bruteTotal(run2 ++ run1.take(30)) != bruteTotal(all) - total1 ||
+      total1 > 0)
   }
 
   test("streaming BPE encode == batch encodeCounts on in-vocab docs; OOV words counted") {
