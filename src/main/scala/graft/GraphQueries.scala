@@ -447,7 +447,9 @@ object GraphQueries {
     "p99_walk_pmi" -> {
       def stepCte(t: Int) = {
         val prev = s"s${t - 1}"
-        s"""w$t AS (SELECT w.walk_id, adj.b AS s$t
+        // each step is referenced twice (next step + wk): materialized,
+        // or default inlining re-derives the join chain doubling per step
+        s"""w$t AS MATERIALIZED (SELECT w.walk_id, adj.b AS s$t
            |  FROM w${t - 1} w JOIN dg ON dg.a = w.$prev
            |  JOIN adj ON adj.a = w.$prev AND adj.rn =
            |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t|' || CAST(w.$prev AS VARCHAR)), 1, 15))::BIGINT % dg.deg)""".stripMargin
@@ -456,18 +458,22 @@ object GraphQueries {
       val pairUnion = combos.map { case (i, j) =>
         s"SELECT least(s$i, s$j) AS u, greatest(s$i, s$j) AS v FROM wk"
       }.mkString("\n  UNION ALL ")
+      // MATERIALIZED throughout: adj/dg feed one join per walk step and
+      // wk feeds the 7-way pair union — default CTE inlining re-derives
+      // the whole walk-join chain per reference, which is the measured
+      // DuckDB OOM (> 6 GB at sf0.01; ~1 GB materialized)
       s"""WITH $blockGraphRawSql,
-         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
-         |dg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
+         |adj AS MATERIALIZED (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
+         |dg AS MATERIALIZED (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
          |w0 AS (SELECT DISTINCT a AS walk_id, a AS s0 FROM und),
          |${(1 to 4).map(stepCte).mkString(",\n")},
-         |wk AS (SELECT w0.walk_id, w0.s0, w1.s1, w2.s2, w3.s3, w4.s4
+         |wk AS MATERIALIZED (SELECT w0.walk_id, w0.s0, w1.s1, w2.s2, w3.s3, w4.s4
          |  FROM w0 JOIN w1 USING (walk_id) JOIN w2 USING (walk_id)
          |    JOIN w3 USING (walk_id) JOIN w4 USING (walk_id)),
          |pp AS ($pairUnion),
-         |pc AS (SELECT u, v, count(*)::BIGINT AS n_cooc FROM pp GROUP BY u, v),
+         |pc AS MATERIALIZED (SELECT u, v, count(*)::BIGINT AS n_cooc FROM pp GROUP BY u, v),
          |tt AS (SELECT CAST(sum(n_cooc) AS BIGINT) AS t FROM pc),
          |mg AS (SELECT n, CAST(sum(c) AS BIGINT) AS cn FROM
          |  (SELECT u AS n, n_cooc AS c FROM pc UNION ALL SELECT v, n_cooc FROM pc) GROUP BY n)
@@ -479,41 +485,45 @@ object GraphQueries {
     },
 
     "p98_graph_features" -> {
+      // MATERIALIZED per round: ke/kp are referenced 3x per k-core
+      // round (3^4 inline blowup without it), each PageRank iteration
+      // re-references pe/pd, each LPA round re-references adj — the
+      // measured DuckDB OOM under a 3 GB cap at sf0.01
       def kcoreCte(t: Int) =
         s"""kd$t AS (SELECT n, count(*) AS deg FROM (SELECT u AS n FROM ke${t - 1} UNION ALL SELECT v FROM ke${t - 1}) GROUP BY n),
-           |kp$t AS (SELECT n FROM kd$t WHERE deg >= 4),
-           |ke$t AS (SELECT u, v FROM ke${t - 1} WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
+           |kp$t AS MATERIALIZED (SELECT n FROM kd$t WHERE deg >= 4),
+           |ke$t AS MATERIALIZED (SELECT u, v FROM ke${t - 1} WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
       def prCte(t: Int) =
         s"""pc$t AS (SELECT pe.dst AS node, CAST(sum((r.r * 85) // (100 * pd.deg)) AS BIGINT) AS s
            |  FROM pe JOIN pr${t - 1} r ON pe.src = r.node JOIN pd ON pe.src = pd.src GROUP BY pe.dst),
-           |pr$t AS (SELECT nd.node, (SELECT tele FROM pcfg) + coalesce(pc$t.s, 0) AS r
+           |pr$t AS MATERIALIZED (SELECT nd.node, (SELECT tele FROM pcfg) + coalesce(pc$t.s, 0) AS r
            |  FROM pnodes nd LEFT JOIN pc$t USING (node))""".stripMargin
       def lpaCte(t: Int) =
         s"""nl$t AS (SELECT adj.a AS node, l.label, count(*)::BIGINT AS c
            |  FROM adj JOIN lab${t - 1} l ON adj.b = l.node GROUP BY 1, 2),
-           |lab$t AS (SELECT node, label FROM (
+           |lab$t AS MATERIALIZED (SELECT node, label FROM (
            |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn FROM nl$t)
            |  WHERE rn = 1)""".stripMargin
       val lccSql = """(CASE WHEN deg.degree < 2 THEN 0
                      |       ELSE (2 * coalesce(pn.n_tri, 0) * 1000000) // (deg.degree * (deg.degree - 1)) END)""".stripMargin
-      s"""WITH raw AS (SELECT user_id AS s,
+      s"""WITH raw AS MATERIALIZED (SELECT user_id AS s,
          |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS d FROM events),
-         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |deg AS (SELECT n, count(*)::BIGINT AS degree FROM (SELECT u AS n FROM e UNION ALL SELECT v FROM e) GROUP BY n),
-         |tri AS (SELECT e1.u AS x, e1.v AS y, e2.v AS z
+         |tri AS MATERIALIZED (SELECT e1.u AS x, e1.v AS y, e2.v AS z
          |  FROM e e1 JOIN e e2 ON e2.u = e1.v JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
          |pn AS (SELECT n, count(*)::BIGINT AS n_tri FROM
          |  (SELECT x AS n FROM tri UNION ALL SELECT y FROM tri UNION ALL SELECT z FROM tri) GROUP BY n),
          |ke0 AS (SELECT u, v FROM e),
          |${(1 to 4).map(kcoreCte).mkString(",\n")},
          |kc AS (SELECT DISTINCT n FROM (SELECT u AS n FROM ke4 UNION ALL SELECT v FROM ke4)),
-         |pe AS (SELECT DISTINCT s AS src, d AS dst FROM raw),
-         |pd AS (SELECT src, count(*)::BIGINT AS deg FROM pe GROUP BY src),
-         |pnodes AS (SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)),
+         |pe AS MATERIALIZED (SELECT DISTINCT s AS src, d AS dst FROM raw),
+         |pd AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM pe GROUP BY src),
+         |pnodes AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM pe UNION ALL SELECT dst FROM pe)),
          |pcfg AS (SELECT (1000000000 // count(*)) AS rinit, ((100 - 85)::BIGINT * 1000000000) // (100 * count(*)) AS tele FROM pnodes),
          |pr0 AS (SELECT node, (SELECT rinit FROM pcfg) AS r FROM pnodes),
          |${(1 to 3).map(prCte).mkString(",\n")},
-         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
          |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
          |${(1 to 3).map(lpaCte).mkString(",\n")},
          |cs AS (SELECT label, count(*)::BIGINT AS community_size FROM lab3 GROUP BY label)
@@ -531,14 +541,17 @@ object GraphQueries {
     },
 
     "p97_kcore" -> {
+      // MATERIALIZED per round: e_{t-1} is referenced 3x per peel
+      // round — default inlining is a 3^4 re-derivation (measured OOM
+      // under a 3 GB cap at sf0.01)
       def roundCte(t: Int) =
         s"""dg$t AS (SELECT n, count(*) AS deg FROM
            |  (SELECT u AS n FROM e${t - 1} UNION ALL SELECT v FROM e${t - 1}) GROUP BY n),
-           |kp$t AS (SELECT n FROM dg$t WHERE deg >= 4),
-           |e$t AS (SELECT u, v FROM e${t - 1}
+           |kp$t AS MATERIALIZED (SELECT n FROM dg$t WHERE deg >= 4),
+           |e$t AS MATERIALIZED (SELECT u, v FROM e${t - 1}
            |  WHERE u IN (SELECT n FROM kp$t) AND v IN (SELECT n FROM kp$t))""".stripMargin
       s"""WITH $blockGraphRawSql,
-         |e0 AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |e0 AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |${(1 to 4).map(roundCte).mkString(",\n")}
          |SELECT n AS node, count(*)::BIGINT AS degree FROM
          |  (SELECT u AS n FROM e4 UNION ALL SELECT v FROM e4) GROUP BY n ORDER BY node""".stripMargin
@@ -547,16 +560,18 @@ object GraphQueries {
     "p96_random_walks" -> {
       def stepCte(t: Int) = {
         val prev = s"s${t - 1}"
-        s"""w$t AS (SELECT w.walk_id, adj.b AS s$t
+        // materialized: each step is referenced twice (next step + the
+        // final join) — see the p99 OOM note
+        s"""w$t AS MATERIALIZED (SELECT w.walk_id, adj.b AS s$t
            |  FROM w${t - 1} w JOIN dg ON dg.a = w.$prev
            |  JOIN adj ON adj.a = w.$prev AND adj.rn =
            |    ('0x' || substr(md5(CAST(w.walk_id AS VARCHAR) || '|$t|' || CAST(w.$prev AS VARCHAR)), 1, 15))::BIGINT % dg.deg)""".stripMargin
       }
       s"""WITH $blockGraphRawSql,
-         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
          |und AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
-         |adj AS (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
-         |dg AS (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
+         |adj AS MATERIALIZED (SELECT a, b, row_number() OVER (PARTITION BY a ORDER BY b) - 1 AS rn FROM und),
+         |dg AS MATERIALIZED (SELECT a, count(*)::BIGINT AS deg FROM und GROUP BY a),
          |w0 AS (SELECT DISTINCT a AS walk_id, a AS s0 FROM und),
          |${(1 to 4).map(stepCte).mkString(",\n")}
          |SELECT w0.walk_id, w0.s0, w1.s1, w2.s2, w3.s3, w4.s4
@@ -573,8 +588,8 @@ object GraphQueries {
            |  SELECT node, label, row_number() OVER (PARTITION BY node ORDER BY c DESC, label) AS rn
            |  FROM nl$t) WHERE rn = 1)""".stripMargin
       s"""WITH $blockGraphRawSql,
-         |e AS (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
-         |adj AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+         |e AS MATERIALIZED (SELECT DISTINCT least(s, d) AS u, greatest(s, d) AS v FROM raw WHERE s != d),
+         |adj AS MATERIALIZED (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
          |lab0 AS (SELECT DISTINCT a AS node, a AS label FROM adj),
          |${(1 to 3).map(iterCte).mkString(",\n")}
          |SELECT node, CAST(label AS BIGINT) AS label FROM lab3 ORDER BY node""".stripMargin

@@ -3032,9 +3032,13 @@ object PipelineQueries {
 
     "p42_curation_pipeline" -> {
       val gram6 = "tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||tk[i+4]||' '||tk[i+5]"
-      s"""WITH base AS (
+      // MATERIALIZED on the multiply-referenced frames: base feeds
+      // btoks+kc, btoks feeds flat + three gg arms — default inlining
+      // re-tokenizes the corpus per reference (measured OOM under a
+      // 3 GB DuckDB cap at sf0.01)
+      s"""WITH base AS MATERIALIZED (
          |  SELECT doc_id, text FROM ($corpusSqlWithDups) WHERE doc_id % 3 = 1),
-         |btoks AS (SELECT doc_id, $oToks AS tk FROM base),
+         |btoks AS MATERIALIZED (SELECT doc_id, $oToks AS tk FROM base),
          |flat AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n_words,
          |  floor(CAST(list_reduce(list_transform(tk, x -> len(x)), (a, b) -> a + b) AS DOUBLE)
          |    / len(tk) * 10000.0 + 0.5) / 10000.0 AS mean_len,
@@ -3059,7 +3063,7 @@ object PipelineQueries {
          |  WHERE f.n_words >= 15 AND f.n_words <= 100000
          |    AND f.mean_len >= 3.0 AND f.mean_len <= 10.0 AND f.stop_hits >= 1
          |    AND r.topf <= 0.15 AND r.dup2 <= 0.15 AND r.dup3 <= 0.10),
-         |kc AS (SELECT b.doc_id, b.text FROM base b JOIN kept USING (doc_id)),
+         |kc AS MATERIALIZED (SELECT b.doc_id, b.text FROM base b JOIN kept USING (doc_id)),
          |etoks AS (SELECT $oToks AS tk FROM documents WHERE doc_id % 11 = 5),
          |eg AS (SELECT DISTINCT unnest([$gram6 FOR i IN range(1, len(tk) - 4)]) AS g FROM etoks),
          |cg AS (SELECT doc_id, unnest([$gram6 FOR i IN range(1, len(tk) - 4)]) AS g
@@ -3067,7 +3071,7 @@ object PipelineQueries {
          |cont AS (SELECT DISTINCT doc_id FROM cg WHERE g IN (SELECT g FROM eg)),
          |clean AS (SELECT doc_id, text FROM kc WHERE doc_id NOT IN (SELECT doc_id FROM cont)),
          |${nearDedupCtesOver("SELECT doc_id, text FROM clean")},
-         |survivors AS (
+         |survivors AS MATERIALIZED (
          |  SELECT doc_id, text FROM corpus
          |  WHERE doc_id NOT IN (SELECT id_b FROM verified)),
          |tr AS (SELECT doc_id, text FROM survivors
