@@ -11,15 +11,20 @@ import org.apache.spark.sql.functions._
  *
  * Scale shape: the corpus is scanned ONCE into a `(word, count)`
  * frame — Heaps'-law-bounded (a 100 TB crawl has ~10⁷ distinct words,
- * not 10¹² tokens) — and every merge iteration runs on that compact
- * vocab frame only: one pair-explode + map-side-combined count, one
- * `LIMIT 1` all-reduce for the arg-max pair, one literal-replace
- * projection to apply the merge. The corpus itself is never touched
- * again; nothing corpus-sized ever shuffles. (For production merge
- * counts — 30k-100k — batch each round's top-k symbol-disjoint pairs
- * into one pass; the per-round plan is identical, only the driver
- * loop shortens. The sequential form here is the exactly-replayable
- * reference semantics.)
+ * not 10¹² tokens) — which is then collected to the driver under the
+ * same bounded-driver-frame contract as the bloom/centroid builders
+ * (fail-fast over `maxDriverVocab`). The merge loop itself is
+ * DRIVER-LOCAL and INCREMENTAL: a pair→count table plus a
+ * pair→words inverted index, a lazy-deletion max-heap for the
+ * arg-max, and per-merge delta updates touching only the words that
+ * contain the merged pair — the classic Sennrich trainer. A real
+ * 32k-100k-merge tokenizer is therefore seconds of driver CPU, not
+ * tens of thousands of Spark rounds (the previous form ran one
+ * pair-explode + LIMIT 1 job PER merge: correct, but days of
+ * scheduling overhead at production merge counts). The corpus is
+ * never touched again after the one scan; nothing corpus-sized ever
+ * shuffles, and the final per-word symbol strings return to the
+ * cluster as an ordinary createDataFrame of the vocab.
  *
  * Exact-replay discipline: a merge of pair (l, r) must replace
  * adjacent occurrences LEFT-TO-RIGHT, NON-OVERLAPPING — the classic
@@ -74,39 +79,169 @@ object Bpe {
         lit(s" $l  $r "), lit(s" ${l}${r} ")),
       lit("  "), lit(" "))
 
+  /** UTF-8 byte order — Catalyst's UTF8String / DuckDB binary collation.
+    * The previous distributed arg-max tie-broke with Spark's string
+    * ordering; Java String.compareTo (UTF-16 code units) would rank
+    * supplementary-plane symbols differently, so the driver loop
+    * compares raw UTF-8 bytes. */
+  private def utf8Compare(a: String, b: String): Int =
+    java.util.Arrays.compareUnsigned(
+      a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+
+  /** Code-point symbol split — matching [[charSplit]]'s `(.)` regex,
+    * which consumes a full surrogate pair per match. */
+  private def codePointSymbols(w: String): Array[String] =
+    w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+
   /**
    * Train `nMerges` BPE merges on a `(w, cnt)` word-frequency frame.
-   * Driver loop: each iteration collects exactly ONE row (the arg-max
-   * pair) and extends the vocab plan by one codegen'd projection; the
-   * vocab is locally checkpointed each round to keep lineage flat.
-   * Stops early if no adjacent pair remains (fully merged vocab).
+   *
+   * The vocab is collected ONCE to the driver (fail-fast above
+   * `maxDriverVocab` distinct words — the bounded-driver-frame
+   * contract); merges then run as an incremental driver loop: per
+   * merge, only words containing the chosen pair are re-segmented, and
+   * pair counts update by delta. The arg-max is a lazy-deletion heap —
+   * entries are pushed on every count change and validated against the
+   * live table on pop, so each merge costs O(affected words × length +
+   * log-heap), independent of vocab size. Semantics are byte-identical
+   * to the relational form ([[applyMerge]] replayed by the DuckDB
+   * oracle): overlap-counted adjacent pairs, left-to-right
+   * non-overlapping application, (count desc, l asc, r asc) tie-break
+   * in UTF-8 byte order. Stops early if no adjacent pair remains.
    */
-  def train(wordCounts: DataFrame, nMerges: Int): Model = {
+  def train(wordCounts: DataFrame, nMerges: Int,
+      maxDriverVocab: Int = 20000000): Model = {
     require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
-    var vocab = wordCounts
-      .select(col("w"), charSplit(col("w")).as("s"), col("cnt"))
-      .localCheckpoint(false)
+    val spark = wordCounts.sparkSession
+    val collected: Array[Row] =
+      wordCounts.select(col("w"), col("cnt").cast("long")).collect()
+    require(collected.length <= maxDriverVocab,
+      s"BPE vocab has ${collected.length} distinct words — over the " +
+        s"$maxDriverVocab driver-frame bound; raise maxDriverVocab or " +
+        "frequency-floor the word counts first")
+    val words: Array[Array[String]] =
+      collected.map(r => codePointSymbols(r.getString(0)))
+    val counts: Array[Long] = collected.map(_.getLong(1))
+
+    // pair -> weighted adjacency count (overlaps included), and
+    // pair -> ids of words currently containing the adjacency
+    val pairCounts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+    val pairWords =
+      scala.collection.mutable.HashMap.empty[(String, String), scala.collection.mutable.Set[Int]]
+    def addPair(p: (String, String), wid: Int, delta: Long): Unit = {
+      val nc = pairCounts.getOrElse(p, 0L) + delta
+      if (nc == 0L) pairCounts.remove(p) else pairCounts(p) = nc
+      if (delta > 0) pairWords.getOrElseUpdate(p, scala.collection.mutable.Set.empty) += wid
+    }
+    // heap of (count, l, r) with lazy deletion: max count, then MIN l/r
+    // in utf8 order — the first popped entry matching the live table is
+    // the exact arg-max
+    implicit val heapOrd: Ordering[(Long, String, String)] =
+      (a: (Long, String, String), b: (Long, String, String)) => {
+        val c = java.lang.Long.compare(a._1, b._1)
+        if (c != 0) c
+        else {
+          val cl = utf8Compare(b._2, a._2) // smaller l = higher priority
+          if (cl != 0) cl else utf8Compare(b._3, a._3)
+        }
+      }
+    val heap = scala.collection.mutable.PriorityQueue.empty[(Long, String, String)]
+    var wid = 0
+    while (wid < words.length) {
+      val sym = words(wid)
+      var i = 0
+      while (i + 1 < sym.length) {
+        addPair((sym(i), sym(i + 1)), wid, counts(wid))
+        i += 1
+      }
+      wid += 1
+    }
+    pairCounts.foreach { case ((l, r), c) => heap.enqueue((c, l, r)) }
+
     val merges = Seq.newBuilder[Merge]
     var rank = 1
     var exhausted = false
     while (rank <= nMerges && !exhausted) {
-      val best: Array[Row] = vocab
-        .select(explode(adjacentPairs(col("s"))).as("pr"), col("cnt"))
-        .groupBy(col("pr.l"), col("pr.r"))
-        .agg(sum(col("cnt")).as("pc"))
-        .orderBy(col("pc").desc, col("l"), col("r"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
+      // pop stale entries until one matches the live count
+      var best: (Long, String, String) = null
+      while (best == null && heap.nonEmpty) {
+        val top = heap.dequeue()
+        if (pairCounts.get((top._2, top._3)).contains(top._1)) best = top
+      }
+      if (best == null) exhausted = true
       else {
-        val (l, r, pc) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val (pc, l, r) = best
         merges += Merge(rank, l, r, pc)
-        vocab = vocab
-          .select(col("w"), applyMerge(col("s"), l, r).as("s"), col("cnt"))
-          .localCheckpoint(false)
+        val merged = l + r
+        val affected = pairWords.getOrElse((l, r), scala.collection.mutable.Set.empty)
+          .toArray
+        val touched = scala.collection.mutable.Set.empty[(String, String)]
+        for (id <- affected) {
+          val before = words(id)
+          // left-to-right non-overlapping apply (applyMerge's contract)
+          val out = Array.newBuilder[String]
+          var i = 0
+          var changed = false
+          while (i < before.length) {
+            if (i + 1 < before.length && before(i) == l && before(i + 1) == r) {
+              out += merged; i += 2; changed = true
+            } else { out += before(i); i += 1 }
+          }
+          if (changed) {
+            val after = out.result()
+            var j = 0
+            while (j + 1 < before.length) {
+              val p = (before(j), before(j + 1))
+              addPair(p, id, -counts(id)); touched += p
+              j += 1
+            }
+            j = 0
+            while (j + 1 < after.length) {
+              val p = (after(j), after(j + 1))
+              addPair(p, id, counts(id)); touched += p
+              j += 1
+            }
+            words(id) = after
+          }
+        }
+        // membership cleanup + heap refresh for every changed pair
+        touched.foreach { p =>
+          pairCounts.get(p) match {
+            case Some(c) =>
+              pairWords.get(p).foreach(_.filterInPlace(id => {
+                val s = words(id)
+                var has = false
+                var i = 0
+                while (!has && i + 1 < s.length) {
+                  has = s(i) == p._1 && s(i + 1) == p._2; i += 1
+                }
+                has
+              }))
+              heap.enqueue((c, p._1, p._2))
+            case None => pairWords.remove(p)
+          }
+        }
         rank += 1
       }
     }
+
+    // the padded " a b " symbol-string format of charSplit (empty word
+    // stays the bare " " that `concat(" ", regexp_replace(...))` yields)
+    val vocabRows = collected.indices.map { i =>
+      val s = if (words(i).isEmpty) " " else words(i).mkString(" ", " ", " ")
+      Row(collected(i).getString(0), s, counts(i))
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("w",
+        org.apache.spark.sql.types.StringType, nullable = true),
+      org.apache.spark.sql.types.StructField("s",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("cnt",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val vocab = spark.createDataFrame(
+      spark.sparkContext.parallelize(vocabRows, math.max(1,
+        math.min(200, vocabRows.length / 10000 + 1))), schema)
     Model(merges.result(), vocab)
   }
 

@@ -107,6 +107,32 @@ class BpeSpec extends AnyFunSuite {
     assert(gotVocab(model) == Map("ab" -> List("ab")))
   }
 
+  test("1000+ merges train in seconds and match the sequential reference") {
+    // production-shape merge count: the driver-incremental loop must not
+    // cost one Spark round per merge (the pre-rework form did — 1000
+    // merges were 1000 scheduled jobs)
+    val rnd = new scala.util.Random(7)
+    val alphabet = "abcd"
+    val words = (1 to 2000).map { _ =>
+      (1 to (12 + rnd.nextInt(10))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }.groupBy(identity).map { case (w, g) => w -> (g.size.toLong * (1 + rnd.nextInt(5))) }
+    val wc = words.toSeq.toDF("w", "cnt").repartition(8)
+    val t0 = System.nanoTime()
+    val model = Bpe.train(wc, 1000)
+    val trainSec = (System.nanoTime() - t0) / 1e9
+    assert(model.merges.size == 1000, s"only ${model.merges.size} merges possible")
+    assert(trainSec < 30.0, f"1000 merges took $trainSec%.1f s")
+    val (wantMerges, wantVocab) = refTrain(words, 1000)
+    assert(model.merges.map(m => (m.rank, m.l, m.r, m.pairCount)) == wantMerges)
+    assert(gotVocab(model) == wantVocab)
+  }
+
+  test("train fails fast over the driver-vocab bound") {
+    val wc = Seq(("aa", 1L), ("bb", 2L), ("cc", 3L)).toDF("w", "cnt")
+    val e = intercept[IllegalArgumentException] { Bpe.train(wc, 2, maxDriverVocab = 2) }
+    assert(e.getMessage.contains("driver-frame bound"))
+  }
+
   test("encodeCounts sums merged symbol counts per document") {
     val docs = Seq((1L, "abab aaa ab"), (2L, "ab"), (3L, "zz zz")).toDF("doc_id", "text")
     val model = Bpe.train(Bpe.wordCounts(docs, col("text")), 2)
