@@ -70,6 +70,52 @@ object GeoQueries {
         .orderBy(col("event_id"))
     }),
 
+    // spiral traversal order + named neighbor-window operator laws
+    "h3_30_spiral_window" -> ((s, dir) => {
+      import graft.df.H3DataFrameOps._
+      val base = ev(s, dir, 1200)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+      val spiral = base.select(
+        col("event_id"), col("cell"),
+        h3_grid_disk_spiral(col("cell"), lit(2)).as("sp"),
+        h3_grid_disk_spiral_distances(col("cell"), lit(2)).as("spd"))
+        .select(
+          col("event_id"), col("cell"),
+          (array_sort(col("sp")) === h3_grid_disk(col("cell"), lit(2))).as("sp_set_ok"),
+          (element_at(col("sp"), 1) === col("cell")).as("sp_center_ok"),
+          (transform(col("spd"), x => x.getField("k")) ===
+            array_sort(transform(col("spd"), x => x.getField("k")))).as("sp_order_ok"),
+          (array_sort(transform(filter(col("spd"), x => x.getField("k") === 1),
+            x => x.getField("cell"))) ===
+            h3_grid_ring(col("cell"), lit(1))).as("sp_ring1_ok"),
+          (array_sort(transform(filter(col("spd"), x => x.getField("k") === 2),
+            x => x.getField("cell"))) ===
+            h3_grid_ring(col("cell"), lit(2))).as("sp_ring2_ok"))
+      // neighbor-window laws over the distinct-cell value map
+      val cells = base.select(col("cell")).distinct()
+        .withColumn("value", pmod(col("cell"), lit(1000L)))
+      val winDefault = cells.h3NeighborsWithValues("cell", "value", 1, 1,
+          defaultValue = Some(lit(-1L)))
+      val winAgg = winDefault.groupBy(col("cell")).agg(
+        (count(lit(1)) === 6).as("win_count_ok"),
+        min(col("neighbor_value") === pmod(col("neighbor_cell"), lit(1000L)) ||
+          col("neighbor_value") === -1L).as("win_val_ok"),
+        min(h3_are_neighbor_cells(col("cell"), col("neighbor_cell")) &&
+          col("k") === 1).as("win_nbr_ok"),
+        sum(when(col("neighbor_value") =!= -1L, 1L).otherwise(0L)).as("__n_known"))
+      // the no-default variant must emit exactly the known-neighbor rows
+      val winNoDefault = cells.h3NeighborsWithValues("cell", "value", 1, 1)
+        .groupBy(col("cell")).agg(count(lit(1)).as("__n_nodefault"))
+      val winChecks = winAgg.join(winNoDefault, Seq("cell"), "left")
+        .select(col("cell"), col("win_count_ok"), col("win_val_ok"), col("win_nbr_ok"),
+          (coalesce(col("__n_nodefault"), lit(0L)) === col("__n_known")).as("win_twin_ok"))
+      spiral.join(winChecks, Seq("cell"))
+        .select(col("event_id"), col("sp_set_ok"), col("sp_center_ok"),
+          col("sp_order_ok"), col("sp_ring1_ok"), col("sp_ring2_ok"),
+          col("win_count_ok"), col("win_val_ok"), col("win_nbr_ok"), col("win_twin_ok"))
+        .orderBy(col("event_id"))
+    }),
+
     // S14/G7: distance laws and path connectivity
     "h3_14_distance_path" -> ((s, dir) => {
       val base = ev(s, dir, 1200)
@@ -493,6 +539,9 @@ object GeoQueries {
         "WHERE event_id < 1500"),
     "h3_14_distance_path" ->
       allTrue(Seq("d_ok", "sym_ok", "pathlen_ok", "ends_ok", "nbr_ok"), "WHERE event_id < 1200"),
+    "h3_30_spiral_window" ->
+      allTrue(Seq("sp_set_ok", "sp_center_ok", "sp_order_ok", "sp_ring1_ok", "sp_ring2_ok",
+        "win_count_ok", "win_val_ok", "win_nbr_ok", "win_twin_ok"), "WHERE event_id < 1200"),
     "h3_15_edges_geo" ->
       s"""SELECT event_id, TRUE AS nbr_ok, TRUE AS rev_ok, TRUE AS edge_rt_ok,
          |  TRUE AS len_ok, TRUE AS wkt_ok, TRUE AS cells_ok

@@ -98,5 +98,46 @@ object H3DataFrameOps {
         .map(_.getInt(0)).sorted
       distinctRes.toIndexedSeq.map(r => r -> df.filter(resCol === lit(r)))
     }
+
+    /** Named neighbor-window operator — the relational form of the
+      * reference's `neighbors_within_distance_window_or_default`
+      * iterator (h3ron/src/iter/neighbor.rs:94-115): for every cell of
+      * this frame that HAS a value (null-valued rows are not visited as
+      * centers, the iterator's `get_cell_value_fn → None` rule), emit one
+      * row per disk neighbor in `kMin..kMax` whose value is known —
+      * `(cell, cell_value, neighbor_cell, neighbor_value, k)`. A
+      * neighbor absent from the frame takes `defaultValue` when given
+      * (the `_or_default` variant); with no default it is skipped, and
+      * `kMin = 0` includes the center itself, exactly as the reference's
+      * `GridDiskBuilder(k_min, k_max)` window does.
+      *
+      * Plan shape: explode the k-window disk (a per-row expression, no
+      * shuffle), then ONE equi-join back on the neighbor cell for the
+      * value lookup — hash-partitioned by cell at scale, broadcast when
+      * the value frame is small; nothing quadratic, fan-out is the fixed
+      * disk size ~3k(k+1)+1 per center. */
+    def h3NeighborsWithValues(cellCol: String, valueCol: String,
+        kMin: Int, kMax: Int, defaultValue: Option[Column] = None): DataFrame = {
+      require(kMin >= 0 && kMax >= kMin,
+        s"need 0 <= kMin <= kMax, got kMin=$kMin kMax=$kMax")
+      val values = df.select(col(cellCol).as("__nc"), col(valueCol).as("__nv"))
+        .filter(col("__nv").isNotNull)
+      val centers = df
+        .select(col(cellCol).as("cell"), col(valueCol).as("cell_value"))
+        .filter(col("cell_value").isNotNull)
+        .select(col("cell"), col("cell_value"),
+          explode(h3_grid_disk_distances_window(col("cell"), lit(kMin), lit(kMax)))
+            .as("__n"))
+        .select(col("cell"), col("cell_value"),
+          col("__n.cell").as("neighbor_cell"), col("__n.k").as("k"))
+      val joined = centers.join(values, centers("neighbor_cell") === values("__nc"), "left")
+      val withVal = defaultValue match {
+        case Some(d) => joined.withColumn("neighbor_value", coalesce(col("__nv"), d))
+        case None => joined.filter(col("__nv").isNotNull)
+          .withColumn("neighbor_value", col("__nv"))
+      }
+      withVal.select(col("cell"), col("cell_value"), col("neighbor_cell"),
+        col("neighbor_value"), col("k"))
+    }
   }
 }

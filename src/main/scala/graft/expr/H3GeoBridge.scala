@@ -91,6 +91,19 @@ object H3GeoBridge {
     })
   }
 
+  def gridDiskSpiral(h: Long, k: Int): ArrayData =
+    if (!H3Core.isValidCell(h) || k < 0) null
+    else new GenericArrayData(H3Traversal.gridDiskSpiral(h, k))
+
+  /** array of struct (cell, k) in spiral traversal order. */
+  def gridDiskSpiralDistances(h: Long, k: Int): ArrayData = {
+    if (!H3Core.isValidCell(h) || k < 0) return null
+    val pairs = H3Traversal.gridDiskDistancesSpiral(h, k)
+    new GenericArrayData(pairs.map { case (c, d) =>
+      new GenericInternalRow(Array[Any](c, d)): Any
+    })
+  }
+
   def gridDistance(a: Long, b: Long): java.lang.Long = {
     if (!H3Core.isValidCell(a) || !H3Core.isValidCell(b)) return null
     val d = H3Traversal.gridDistance(a, b)

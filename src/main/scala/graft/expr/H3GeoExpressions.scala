@@ -252,6 +252,29 @@ case class H3GridDiskDistances(left: Expression, right: Expression) extends H3Ge
     copy(left = l, right = r)
 }
 
+/** [[H3GridDisk]] in libh3 SPIRAL traversal order (gridDiskDistancesUnsafe;
+  * h3ron/src/iter/grid_disk.rs) instead of sorted cell ids — for code
+  * ported from h3/h3ron that depends on the traversal order. */
+case class H3GridDiskSpiral(left: Expression, right: Expression) extends H3GeoBinaryIntExpr {
+  override def prettyName: String = "h3_grid_disk_spiral"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override protected def bridgeName: String = "gridDiskSpiral"
+  override protected def bridge(h: Long, k: Int): Any = H3GeoBridge.gridDiskSpiral(h, k)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+case class H3GridDiskSpiralDistances(left: Expression, right: Expression)
+    extends H3GeoBinaryIntExpr {
+  override def prettyName: String = "h3_grid_disk_spiral_distances"
+  override def dataType: DataType = ArrayType(H3GeoTypes.cellDistStruct, containsNull = false)
+  override protected def bridgeName: String = "gridDiskSpiralDistances"
+  override protected def bridge(h: Long, k: Int): Any =
+    H3GeoBridge.gridDiskSpiralDistances(h, k)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 case class H3GridDistance(left: Expression, right: Expression) extends H3GeoBinaryLongExpr {
   override def prettyName: String = "h3_grid_distance"
   override def dataType: DataType = LongType

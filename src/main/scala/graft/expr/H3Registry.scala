@@ -56,6 +56,8 @@ object H3Registry {
     "h3_grid_disk" -> (a => H3GridDisk(a(0), a(1))),
     "h3_grid_ring" -> (a => H3GridRing(a(0), a(1))),
     "h3_grid_disk_distances" -> (a => H3GridDiskDistances(a(0), a(1))),
+    "h3_grid_disk_spiral" -> (a => H3GridDiskSpiral(a(0), a(1))),
+    "h3_grid_disk_spiral_distances" -> (a => H3GridDiskSpiralDistances(a(0), a(1))),
     "h3_grid_distance" -> (a => H3GridDistance(a(0), a(1))),
     "h3_grid_path" -> (a => H3GridPath(a(0), a(1))),
     "h3_are_neighbor_cells" -> (a => H3AreNeighborCells(a(0), a(1))),

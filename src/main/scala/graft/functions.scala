@@ -106,6 +106,15 @@ object functions {
     import org.apache.spark.sql.functions.filter
     filter(h3_grid_disk_distances(cell, kmax), s => s.getField("k") >= kmin)
   }
+  /** S11 in libh3 SPIRAL traversal order (gridDiskDistancesUnsafe, the
+    * order h3ron's GridDiskBuilder iterates — grid_disk.rs:60-77):
+    * center, then ring by ring counter-clockwise. Pentagon-distorted
+    * disks fall back to (k asc, cell asc) — documented deviation. */
+  def h3_grid_disk_spiral(cell: Column, k: Column): Column =
+    c(H3GridDiskSpiral(e(cell), e(k.cast("int"))))
+  /** [[h3_grid_disk_spiral]] with struct(cell, k) entries. */
+  def h3_grid_disk_spiral_distances(cell: Column, k: Column): Column =
+    c(H3GridDiskSpiralDistances(e(cell), e(k.cast("int"))))
   /** S14: grid distance in steps (NULL when not computable). */
   def h3_grid_distance(a: Column, b: Column): Column = c(H3GridDistance(e(a), e(b)))
   /** G7: line of cells between two cells. */

@@ -99,6 +99,92 @@ class H3LawsSpec extends AnyFunSuite {
     }
   }
 
+  test("law: spiral disk partitions into the grid rings, in ring order") {
+    forAll(genCell, n = 300) { (c: Long) =>
+      for (k <- 1 to 3) {
+        val spiral = H3Traversal.gridDiskDistancesSpiral(c, k)
+        // same (cell, k) SET as the safe disk
+        assert(spiral.toSet == H3Traversal.gridDiskDistances(c, k).toSet, s"cell $c k $k")
+        // center first, distances non-decreasing ring blocks
+        assert(spiral.head == ((c, 0)))
+        assert(spiral.map(_._2).toSeq == spiral.map(_._2).sorted.toSeq)
+        // ring-by-ring partition equals gridRing's sets (h3_13's law)
+        for (r <- 0 to k) {
+          val ringCells = spiral.collect { case (cc, d) if d == r => cc }
+          assert(ringCells.sorted.toSeq == H3Traversal.gridRing(c, r).toSeq,
+            s"cell $c k $k ring $r")
+        }
+      }
+    }
+  }
+
+  test("law: pentagon-free spirals walk each ring by single neighbor steps") {
+    forAll(genCell, n = 300) { (c: Long) =>
+      H3Traversal.gridDiskDistancesSpiralUnsafe(c, 3).foreach { spiral =>
+        for (r <- 1 to 3) {
+          val ring = spiral.collect { case (cc, d) if d == r => cc }
+          // consecutive ring cells are grid neighbors and the ring closes
+          // (the libh3 spiral walks the hexagon ring edge by edge)
+          ring.sliding(2).foreach { case Array(a, b) =>
+            assert(H3Traversal.areNeighborCells(a, b), s"cell $c ring $r")
+          }
+          assert(H3Traversal.areNeighborCells(ring.last, ring.head), s"cell $c ring $r")
+        }
+      }
+    }
+  }
+
+  test("spiral walk equals the tracked-rotations walk away from pentagon base cells") {
+    // the tracked h3NeighborRotations port is validated against libh3
+    // semantics outside pentagon base cells — there, the geometric
+    // (canonicalNeighbor + back-direction) walk must reproduce it
+    // cell-for-cell, pinning the spiral to libh3's exact order
+    def inPentBC(cell: Long): Boolean =
+      H3Core.isPentagon(H3Core.cellToParent(cell, 0))
+    var checked = 0
+    forAll(genCell.suchThat(c => getResolution(c) >= 1), n = 300) { (c: Long) =>
+      val k = 2
+      if (!H3Traversal.gridDisk(c, k).exists(inPentBC)) {
+        checked += 1
+        val spiral = H3Traversal.gridDiskDistancesSpiralUnsafe(c, k)
+        assert(spiral.isDefined, s"cell $c")
+        // replicate libh3's loop with the tracked port
+        val out = scala.collection.mutable.ArrayBuffer((c, 0))
+        var ring = 1; var direction = 0; var i = 0; var rot = 0; var cur = c
+        while (ring <= k) {
+          if (direction == 0 && i == 0) {
+            val (n, r) = H3Traversal.h3NeighborRotations(cur, H3Traversal.NextRingDirection, rot)
+            cur = n; rot = r
+          }
+          val (n, r) = H3Traversal.h3NeighborRotations(cur, H3Traversal.Directions(direction), rot)
+          cur = n; rot = r
+          out += ((cur, ring))
+          i += 1
+          if (i == ring) { i = 0; direction += 1; if (direction == 6) { ring += 1; direction = 0 } }
+        }
+        assert(spiral.get.toSeq == out.toSeq, s"cell $c")
+      }
+    }
+    assert(checked > 100, s"fixture covered only $checked clean disks")
+  }
+
+  test("spiral fallback near pentagons still yields the exact disk set") {
+    // every res-1 cell around each of the 12 pentagons: unsafe walk fails
+    // (libh3 E_PENTAGON), the fallback must still return the full set
+    val pentagons = H3Core.res0Cells().filter(H3Core.isPentagon)
+      .flatMap(p => H3Core.cellToChildren(p, 1))
+    assert(pentagons.nonEmpty)
+    var sawFallback = false
+    for (c <- pentagons; k <- 1 to 2) {
+      val unsafe = H3Traversal.gridDiskDistancesSpiralUnsafe(c, k)
+      if (unsafe.isEmpty) sawFallback = true
+      val spiral = H3Traversal.gridDiskDistancesSpiral(c, k)
+      assert(spiral.toSet == H3Traversal.gridDiskDistances(c, k).toSet, s"cell $c k $k")
+      assert(spiral.head == ((c, 0)))
+    }
+    assert(sawFallback, "fixture must exercise the pentagon fallback")
+  }
+
   test("law: edge destinations partition the ring-1 set") {
     forAll(genCell.suchThat(c => getResolution(c) >= 1)) { (c: Long) =>
       val dests = H3Core.originToDirectedEdges(c).map(H3Traversal.edgeDestination)
