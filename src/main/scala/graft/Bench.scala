@@ -51,8 +51,10 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
+    def queriesJson(fmt: Double => String, entries: Seq[(String, Double)]): String =
+      entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
+        .mkString("{", ",", "}")
+    val sorted = results.toSeq.sortBy(_._1)
     val total = if (results.nonEmpty) results.values.sum else 0.0
     // the reference's three published macro shapes (BASELINE.md §bench):
     // many-to-many routing, two-stage spatial filter, raster value-group +
@@ -61,21 +63,37 @@ object Bench {
       "routing_many_to_many" -> "h3_26_routing_bench",
       "spatial_filter_two_stage" -> "h3_25_spatial_bench",
       "raster_compact" -> "r01_raster_to_cells").collect {
-        case (m, q) if results.contains(q) => s"\"$m\":${results(q)}"
+        case (m, q) if results.contains(q) => f""""$m":${results(q)}%.3f"""
       }.mkString("{", ",", "}")
-    val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"macro_shapes":$macros,"sf":"$sfDir"}"""
-    println(json)
-    // stdout gets truncated to a 4 KB tail by the driver's capture; the
-    // full artifact also lands in the repo so per-query numbers are never
-    // lost (BENCH_r07 dropped 35 of 96 timings to that truncation)
+    def line(qs: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"macro_shapes":$macros$extra,"sf":"$sfDir"}"""
+    // full-precision artifact to the repo file — per-query numbers are
+    // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
+    val fullJson = line(queriesJson(_.toString, sorted))
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json"))
-      java.nio.file.Files.write(out, json.getBytes("UTF-8"))
+      java.nio.file.Files.write(out, fullJson.getBytes("UTF-8"))
     } catch { case e: Throwable =>
       System.err.println(s"[bench] WARN: could not write bench artifact: ${e.getMessage}")
     }
+    // stdout is truncated to a ~4 KB TAIL by the driver's capture: the
+    // stdout line must stay under that or BENCH_r{N} records parsed:null
+    // (r9 and r10 both did). 10 ms precision keeps the full catalog under
+    // the limit; if the catalog ever outgrows it, keep the slowest
+    // queries and say how many were dropped rather than truncate silently.
+    val MaxStdoutBytes = 3800
+    var stdoutJson = line(queriesJson(v => f"$v%.2f", sorted))
+    if (stdoutJson.length > MaxStdoutBytes) {
+      var keep = sorted.length
+      while (stdoutJson.length > MaxStdoutBytes && keep > 10) {
+        keep -= 10
+        val slowest = sorted.sortBy(-_._2).take(keep).sortBy(_._1)
+        stdoutJson = line(queriesJson(v => f"$v%.2f", slowest),
+          s""","queries_omitted":${sorted.length - keep}""")
+      }
+    }
+    println(stdoutJson)
     spark.stop()
   }
 }
