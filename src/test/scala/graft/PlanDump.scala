@@ -17,7 +17,8 @@ object PlanDump {
     "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
     "p68_corpus_diff", "p69_ccnet_pipeline", "p70_classifier_score",
     "p71_bigram_lm", "p72_bigram_lm_cross",
-    "p73_asof_join", "p74_funnel", "p76_hopping_stats", "p79_kmv_vocab",
+    "p73_asof_join", "p74_funnel", "p78_funnel_steps", "h3_30_spiral_window",
+    "p76_hopping_stats", "p79_kmv_vocab",
     "p80_ann_pq", "p82_rolling_stats", "p83_event_features",
     "p86_crawl_pipeline", "p88_pagerank",
     "p91_bpe_encode", "p92_triangles", "p93_lpa_communities",
