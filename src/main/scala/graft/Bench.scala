@@ -59,14 +59,19 @@ object Bench {
     // the reference's three published macro shapes (BASELINE.md §bench):
     // many-to-many routing, two-stage spatial filter, raster value-group +
     // compact — surfaced under their own names for direct diffing
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and a
+    // comma-decimal locale would turn every number into invalid JSON —
+    // exactly the parsed:null this formatting exists to prevent
+    def num(v: Double, decimals: Int): String =
+      String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val macros = Seq(
       "routing_many_to_many" -> "h3_26_routing_bench",
       "spatial_filter_two_stage" -> "h3_25_spatial_bench",
       "raster_compact" -> "r01_raster_to_cells").collect {
-        case (m, q) if results.contains(q) => f""""$m":${results(q)}%.3f"""
+        case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""
       }.mkString("{", ",", "}")
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"macro_shapes":$macros$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros$extra,"sf":"$sfDir"}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
     val fullJson = line(queriesJson(_.toString, sorted))
@@ -83,13 +88,13 @@ object Bench {
     // the limit; if the catalog ever outgrows it, keep the slowest
     // queries and say how many were dropped rather than truncate silently.
     val MaxStdoutBytes = 3800
-    var stdoutJson = line(queriesJson(v => f"$v%.2f", sorted))
+    var stdoutJson = line(queriesJson(num(_, 2), sorted))
     if (stdoutJson.length > MaxStdoutBytes) {
       var keep = sorted.length
       while (stdoutJson.length > MaxStdoutBytes && keep > 10) {
         keep -= 10
         val slowest = sorted.sortBy(-_._2).take(keep).sortBy(_._1)
-        stdoutJson = line(queriesJson(v => f"$v%.2f", slowest),
+        stdoutJson = line(queriesJson(num(_, 2), slowest),
           s""","queries_omitted":${sorted.length - keep}""")
       }
     }

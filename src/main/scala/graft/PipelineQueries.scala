@@ -1003,8 +1003,9 @@ object PipelineQueries {
         .orderBy(col("event_id"))
     }),
 
-    // ordered funnel signup -> click -> purchase within 7 days, greedy
-    // earliest-completion chain per user
+    // ordered funnel signup -> click -> purchase within 7 days —
+    // re-anchoring exists-a-chain semantics (every signup is a candidate
+    // anchor; see Events.funnel)
     "p74_funnel" -> ((s, dir) =>
       Events.funnel(eventsUs(s, dir), col("user_id"), col("ts_us"),
           col("event_type"), Seq("signup", "click", "purchase"),

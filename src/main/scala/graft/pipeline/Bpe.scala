@@ -55,21 +55,6 @@ object Bpe {
     df.select(explode(TextOps.cleanTokens(text)).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
 
-  /** Initial symbol string for a word: every char a symbol, padded —
-    * `"ab"` → `" a b "`. Symbols never contain spaces, so the padded
-    * string is an unambiguous symbol-sequence encoding. */
-  private def charSplit(w: Column): Column =
-    concat(lit(" "), regexp_replace(w, "(.)", "$1 "))
-
-  /** Adjacent symbol pairs of a padded symbol string, as
-    * `struct(l, r)` — one element per adjacency, overlaps included
-    * (the pair-count convention of the reference BPE trainer). */
-  private def adjacentPairs(s: Column): Column = {
-    val a = split(trim(s), " ")
-    transform(slice(a, lit(1), size(a) - 1),
-      (x, i) => struct(x.as("l"), element_at(a, i + lit(2)).as("r")))
-  }
-
   /** Apply merge (l, r) → lr to a padded symbol string, left-to-right
     * non-overlapping (see the class doc for why this is exact). */
   def applyMerge(s: Column, l: String, r: String): Column =
@@ -89,8 +74,11 @@ object Bpe {
       a.getBytes(java.nio.charset.StandardCharsets.UTF_8),
       b.getBytes(java.nio.charset.StandardCharsets.UTF_8))
 
-  /** Code-point symbol split — matching [[charSplit]]'s `(.)` regex,
-    * which consumes a full surrogate pair per match. */
+  /** Initial symbol split of a word: one symbol per CODE POINT (the
+    * historical relational form split with a `(.)` regex, which consumes
+    * a full surrogate pair per match). Symbols never contain spaces, so
+    * the padded `" a b "` vocab string built from these is an unambiguous
+    * symbol-sequence encoding. */
   private def codePointSymbols(w: String): Array[String] =
     w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
 

@@ -98,6 +98,14 @@ final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
  */
 object H3Streaming {
 
+  /** Full MICROS of a Timestamp: getTime carries the integral millis,
+    * getNanos the full sub-second — batch parity needs the micro digits
+    * (a millis-truncated comparison would reject chain steps / window
+    * members landing in the same millisecond). Shared by every
+    * event-time twin so their arithmetic cannot drift. */
+  private def usOf(ts: java.sql.Timestamp): Long =
+    ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
+
   /** [[streamingApplyChanges]] per-id state: the current winning
     * (version, change-side preference, op, text) — ordered exactly
     * like the batch operator's struct-max: strings compare as UTF-8
@@ -403,8 +411,6 @@ object H3Streaming {
     require(stateTtlUs > 0, s"stateTtlUs must be positive, got $stateTtlUs")
     val spark = stream.sparkSession
     import spark.implicits._
-    def usOf(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     val banded = stream
       .select(col(idCol).cast("long").as("id"),
         Dedup.simHashColumn(col(textCol)).as("simhash"),
@@ -427,29 +433,43 @@ object H3Streaming {
             var hashes = state.getOption.map(_.hashes).getOrElse(Nil)
             var tss = state.getOption.map(_.tsUs).getOrElse(Nil)
             val out = scala.collection.mutable.ArrayBuffer.empty[SimHashCandidate]
-            var newest = tss.headOption.getOrElse(Long.MinValue)
+            // the band's newest EVENT time — max over held members, not
+            // the most-recently-arrived (head): an out-of-order arrival
+            // prepends an older timestamp, and restoring from the head
+            // would regress the horizon AND the timeout
+            var newest = if (tss.isEmpty) Long.MinValue else tss.max
             for (r <- rows) {
               val us = usOf(r.ts)
               if (us > newest) newest = us
-              // prune members that fell out of the TTL horizon of the
-              // band's newest event BEFORE matching — an expired twin
-              // must not match even when its band was never quiet
-              // (exact filter, not a suffix cut: out-of-order arrivals
-              // can interleave timestamps in the newest-first list)
               val horizon = newest - stateTtlUs
-              val kept = ids.zip(hashes).zip(tss)
-                .collect { case ((i, h), t) if t >= horizon => (i, h, t) }
-              ids = kept.map(_._1); hashes = kept.map(_._2); tss = kept.map(_._3)
-              var is = ids; var hs = hashes
-              while (is.nonEmpty) {
-                val ham = java.lang.Long.bitCount(r.simhash ^ hs.head)
-                if (ham <= maxHamming && is.head != r.id)
-                  out += SimHashCandidate(math.min(is.head, r.id), math.max(is.head, r.id), ham)
-                is = is.tail; hs = hs.tail
+              // a LATE row older than the horizon itself neither matches
+              // (its event-time gap to every kept member exceeds the TTL)
+              // nor enters state (it would arrive pre-expired)
+              if (us >= horizon) {
+                // prune members that fell out of the TTL horizon of the
+                // band's newest event BEFORE matching — an expired twin
+                // must not match even when its band was never quiet
+                // (exact filter, not a suffix cut: out-of-order arrivals
+                // can interleave timestamps in the newest-first list)
+                val kept = ids.zip(hashes).zip(tss)
+                  .collect { case ((i, h), t) if t >= horizon => (i, h, t) }
+                ids = kept.map(_._1); hashes = kept.map(_._2); tss = kept.map(_._3)
+                var is = ids; var hs = hashes; var ts2 = tss
+                while (is.nonEmpty) {
+                  val ham = java.lang.Long.bitCount(r.simhash ^ hs.head)
+                  // symmetric-TTL invariant, kept explicit: with both
+                  // sides inside [newest - TTL, newest] the gap is
+                  // provably <= TTL, and this guard keeps that contract
+                  // true under any future change to the pruning rule
+                  if (ham <= maxHamming && is.head != r.id &&
+                      math.abs(ts2.head - us) <= stateTtlUs)
+                    out += SimHashCandidate(math.min(is.head, r.id), math.max(is.head, r.id), ham)
+                  is = is.tail; hs = hs.tail; ts2 = ts2.tail
+                }
+                ids = (r.id :: ids).take(maxPerBand)
+                hashes = (r.simhash :: hashes).take(maxPerBand)
+                tss = (us :: tss).take(maxPerBand)
               }
-              ids = (r.id :: ids).take(maxPerBand)
-              hashes = (r.simhash :: hashes).take(maxPerBand)
-              tss = (us :: tss).take(maxPerBand)
             }
             state.update(SimHashBandMembers(ids, hashes, tss))
             // ms-grained event-time timeout, rounded UP past the horizon;
@@ -582,10 +602,6 @@ object H3Streaming {
     val spark = stream.sparkSession
     import spark.implicits._
     val Unset = Long.MinValue
-    // full micros of a Timestamp: getTime carries the integral millis,
-    // getNanos the full sub-second — batch parity needs the micro digits
-    def usOf(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     stream
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").as("ts"),
@@ -670,8 +686,6 @@ object H3Streaming {
     require(lookbackUs > 0, s"lookbackUs must be positive, got $lookbackUs")
     val spark = stream.sparkSession
     import spark.implicits._
-    def usOf(ts: java.sql.Timestamp): Long =
-      ts.getTime * 1000L + (ts.getNanos / 1000L) % 1000L
     stream
       .select(col(keyCol).cast("long").as("key"),
         col(tsCol).cast("timestamp").as("ts"),

@@ -138,6 +138,38 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming simhash: late rows respect the event-time TTL symmetrically") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq.fill(12)("the quick brown fox jumps over the lazy dog").mkString(" ")
+    val nearDup = base + " ok"
+    val input = MemoryStream[(Long, Timestamp, String)]
+    val t0 = 1700000000000L
+    // generous watermark so late rows REACH the operator; TTL 60 s
+    val cands = H3Streaming.streamingSimHashCandidates(
+      input.toDF.toDF("doc_id", "ts", "text"), "doc_id", "text", "ts",
+      watermark = "30 days", maxHamming = 3, stateTtlUs = 60000000L)
+    val query = cands.writeStream
+      .format("memory").queryName("cands_late").outputMode("append").start()
+    try {
+      input.addData((1L, new Timestamp(t0 + 100000L), base))
+      query.processAllAvailable()
+      // late arrival 70 s OLDER than the band's newest member: outside the
+      // TTL horizon — must neither match nor enter state (pre-change code
+      // emitted this pair with an event-time gap beyond the TTL)
+      input.addData((2L, new Timestamp(t0 + 30000L), nearDup))
+      query.processAllAvailable()
+      assert(spark.table("cands_late").isEmpty,
+        spark.table("cands_late").collect().mkString(","))
+      // late but INSIDE the horizon (5 s gap): matches doc 1 only (doc 2
+      // was never admitted)
+      input.addData((3L, new Timestamp(t0 + 95000L), nearDup))
+      query.processAllAvailable()
+      val pairs = spark.table("cands_late").as[(Long, Long, Int)].collect().toSet
+      assert(pairs.nonEmpty && pairs.forall(p => (p._1, p._2) == ((1L, 3L))),
+        s"got $pairs")
+    } finally query.stop()
+  }
+
   test("windowed compaction emits compacted cell sets per window") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Timestamp, Long)]
