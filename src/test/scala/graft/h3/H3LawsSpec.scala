@@ -168,6 +168,32 @@ class H3LawsSpec extends AnyFunSuite {
     assert(checked > 100, s"fixture covered only $checked clean disks")
   }
 
+  test("law: coarse-resolution spirals survive repeated base-cell crossings") {
+    // res 0-3 disks at k=4 cross several base-cell boundaries per ring —
+    // the regime where rotation-frame bookkeeping errors surface
+    val genCoarse: Gen[Long] = for {
+      lat <- genLat; lng <- genLng; res <- Gen.chooseNum(0, 3)
+    } yield latLngToCell(lat, lng, res)
+    forAll(genCoarse, n = 200) { (c: Long) =>
+      val k = 4
+      val spiral = H3Traversal.gridDiskDistancesSpiral(c, k)
+      assert(spiral.toSet == H3Traversal.gridDiskDistances(c, k).toSet, s"cell $c")
+      for (r <- 0 to k) {
+        val ringCells = spiral.collect { case (cc, d) if d == r => cc }
+        assert(ringCells.sorted.toSeq == H3Traversal.gridRing(c, r).toSeq, s"cell $c ring $r")
+      }
+      H3Traversal.gridDiskDistancesSpiralUnsafe(c, k).foreach { sp =>
+        for (r <- 1 to k) {
+          val ring = sp.collect { case (cc, d) if d == r => cc }
+          ring.sliding(2).foreach { case Array(a, b) =>
+            assert(H3Traversal.areNeighborCells(a, b), s"cell $c ring $r")
+          }
+          assert(H3Traversal.areNeighborCells(ring.last, ring.head), s"cell $c ring $r")
+        }
+      }
+    }
+  }
+
   test("spiral fallback near pentagons still yields the exact disk set") {
     // every res-1 cell around each of the 12 pentagons: unsafe walk fails
     // (libh3 E_PENTAGON), the fallback must still return the full set
