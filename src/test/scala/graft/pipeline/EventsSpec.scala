@@ -87,6 +87,36 @@ class EventsSpec extends AnyFunSuite {
     assert(want(0)._3 >= want(1)._3 && want(1)._3 > want(2)._3 && want(2)._3 > 0)
   }
 
+  test("funnel matches the per-anchor scan across seeds, spans and densities") {
+    // multi-seed hardening: sparse and dense event regimes, tight and
+    // loose spans — tight spans force re-anchoring to matter (the first
+    // anchor's window usually closes before later steps)
+    val steps = Seq("signup", "click", "purchase")
+    for (seed <- Seq(5, 23, 71); span <- Seq(40L, 400L, 5000L)) {
+      val r = new scala.util.Random(seed)
+      val es = (0L until 600L).map { i =>
+        Ev(i, r.nextInt(30).toLong, (r.nextInt(800) * 5).toLong,
+          types(r.nextInt(types.size)), 0L)
+      }
+      val got = Events.funnel(spark.createDataFrame(es).repartition(5),
+          $"k", $"ts", $"t", steps, span)
+        .orderBy($"step_idx").collect().map(r2 => (r2.getInt(0), r2.getLong(2)))
+      val perKey = es.groupBy(_.k).values.map(g => bruteFunnel(g, steps, span)).toSeq
+      val want = steps.indices.map(i => (i, perKey.count(_(i).isDefined).toLong))
+      assert(got.toSeq == want, s"seed $seed span $span")
+      // per-key completion timestamps too
+      val comps = Events.funnelCompletions(spark.createDataFrame(es).repartition(5),
+          $"k", $"ts", $"t", steps, span)
+        .collect().map(r2 => (r2.getLong(0), r2.getInt(1), r2.getLong(3)))
+      val wantComps = es.groupBy(_.k).toSeq.flatMap { case (k, g) =>
+        bruteFunnel(g, steps, span).zipWithIndex.collect {
+          case (Some(ts), i) => (k, i, ts)
+        }.toSeq
+      }.toSet
+      assert(comps.toSet == wantComps, s"seed $seed span $span")
+    }
+  }
+
   test("funnel re-anchors on a fresh step-0 after the first anchor expires") {
     // A@0, A@100, B@105, span 10: the first anchor's window closes at 10,
     // but the A@100 anchor converts via B@105 — first-anchor-only
