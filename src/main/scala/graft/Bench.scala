@@ -10,6 +10,14 @@ import org.apache.spark.sql.SparkSession
   * (every output column demanded, the noop sink) lives in
   * [[ScaleProbe]] — use that for scaling claims, this for trend. */
 object Bench {
+  /** Unpersist every RDD still registered with the block manager — the
+    * localCheckpoint generations a finished query left behind. Blocking
+    * so the next timed query starts from a clean block manager. */
+  private[graft] def dropLeakedBlocks(spark: SparkSession): Unit =
+    try spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    catch { case _: Throwable => () }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -42,6 +50,7 @@ object Bench {
         var failed = 0
         SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (_, fn) =>
           try fn(spark, warmDir).count() catch { case _: Throwable => failed += 1 }
+          dropLeakedBlocks(spark)
         }
         if (failed > 0) System.err.println(s"[bench] WARN: $failed warm-up queries failed ($warmDir)")
       }
@@ -49,7 +58,15 @@ object Bench {
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      // outside the timed window: queries that cut lineage with
+      // localCheckpoint leave their blocks pinned in the block manager
+      // for the session's lifetime; dropping them between queries keeps
+      // the 143-query session's block manager from accumulating dead
+      // generations. (Bench hygiene, not a measured bottleneck — totals
+      // are unchanged within this box's run-to-run noise.)
+      dropLeakedBlocks(spark)
+      name -> sec
     }.toMap
     def queriesJson(fmt: Double => String, entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
