@@ -161,14 +161,42 @@ case class CollectMinK(
     require(version == 1,
       s"CollectMinK buffer has unknown version tag $version (known: 0, 1)")
     val row = new UnsafeRow(1)
+    val fixedLen = UnsafeRow.isFixedLength(child.dataType)
     var i = 0
     while (i < n) {
       require(bb.remaining >= 4, s"CollectMinK version-1 buffer truncated at element $i/$n")
       val len = bb.getInt
       require(len >= 0 && bb.remaining >= len,
         s"CollectMinK version-1 element $i length $len exceeds remaining ${bb.remaining}")
+      // a 1-field UnsafeRow is 8 null-bitset bytes + an 8-byte slot, plus
+      // variable-length payload; shorter images would make the row read
+      // past the array
+      require(len >= 16, s"CollectMinK version-1 element $i image too short: $len")
+      if (fixedLen) require(len == 16,
+        s"CollectMinK version-1 fixed-width element $i has length $len, expected 16")
       val img = new Array[Byte](len)
       bb.get(img)
+      // serialize never writes null elements, so the 1-field null bitset
+      // must be empty — a set bit would surface a null into the TreeSet
+      // and NPE its ordering later
+      var nb = 0
+      while (nb < 8) {
+        require(img(nb) == 0,
+          s"CollectMinK version-1 element $i has a non-empty null bitset")
+        nb += 1
+      }
+      if (!fixedLen) {
+        // validate the field's (offset, size) word BEFORE the row
+        // dereferences it — a corrupt word would otherwise drive an
+        // Unsafe copy from a wild offset (the slot uses native byte
+        // order, exactly as UnsafeRow reads it)
+        val slot = java.nio.ByteBuffer.wrap(img, 8, 8)
+          .order(java.nio.ByteOrder.nativeOrder()).getLong
+        val off = (slot >> 32).toInt
+        val size = slot.toInt
+        require(off >= 16 && size >= 0 && off.toLong + size <= len,
+          s"CollectMinK version-1 element $i has corrupt offset/size ($off, $size) for length $len")
+      }
       row.pointTo(img, len)
       // hand the set an owned copy of the field value
       buf.add(InternalRow.copyValue(row.get(0, child.dataType)))

@@ -115,6 +115,15 @@ object functions {
   /** [[h3_grid_disk_spiral]] with struct(cell, k) entries. */
   def h3_grid_disk_spiral_distances(cell: Column, k: Column): Column =
     c(H3GridDiskSpiralDistances(e(cell), e(k.cast("int"))))
+  /** S12 in spiral walk order: ring k exactly, in the order the libh3
+    * spiral traverses it (composition of [[h3_grid_disk_spiral_distances]]
+    * — a filter, no second walk). */
+  def h3_grid_ring_spiral(cell: Column, k: Column): Column = {
+    import org.apache.spark.sql.functions.{filter, transform}
+    transform(
+      filter(h3_grid_disk_spiral_distances(cell, k), s => s.getField("k") === k),
+      s => s.getField("cell"))
+  }
   /** S14: grid distance in steps (NULL when not computable). */
   def h3_grid_distance(a: Column, b: Column): Column = c(H3GridDistance(e(a), e(b)))
   /** G7: line of cells between two cells. */

@@ -68,6 +68,21 @@ class H3NeighborsSpec extends AnyFunSuite {
     assert(!got.exists(_._1 == ring1(1)), "null-valued cell must not be a center")
   }
 
+  test("h3_grid_ring_spiral is the spiral disk's ring-k segment") {
+    val df = Seq(center).toDF("cell")
+    val got = df.select(
+        h3_grid_ring_spiral($"cell", lit(2)).as("ring"),
+        h3_grid_disk_spiral_distances($"cell", lit(2)).as("spd"),
+        h3_grid_ring($"cell", lit(2)).as("sorted_ring"))
+      .collect().head
+    val ring = got.getSeq[Long](0)
+    val spd = got.getSeq[org.apache.spark.sql.Row](1)
+      .filter(_.getInt(1) == 2).map(_.getLong(0))
+    assert(ring == spd, "ring order must be the disk walk's k=2 segment")
+    assert(ring.sorted == got.getSeq[Long](2).sorted)
+    assert(ring.length == 12)
+  }
+
   test("k window 1..2 emits the exact per-k ring membership") {
     val disk2 = H3Traversal.gridDisk(center, 2)
     val df = disk2.toSeq.toDF("cell").withColumn("value", col("cell") % 97)

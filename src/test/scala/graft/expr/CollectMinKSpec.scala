@@ -136,6 +136,29 @@ class CollectMinKSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CollectMinK"))
   }
 
+  test("deserialize fuzz: random bytes always reject cleanly, never crash") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val longAgg = CollectMinK(BoundReference(0, LongType, nullable = true), 4)
+    val strAgg = CollectMinK(BoundReference(0, StringType, nullable = true), 4)
+    val rnd = new scala.util.Random(17)
+    var rejected = 0
+    for (_ <- 0 until 2000) {
+      val b = new Array[Byte](rnd.nextInt(64))
+      rnd.nextBytes(b)
+      for (agg <- Seq(longAgg, strAgg)) {
+        try { agg.deserialize(b); () }
+        catch {
+          case _: IllegalArgumentException => rejected += 1
+          case e: Throwable => fail(s"non-IAE ${e.getClass} on ${b.toSeq}")
+        }
+      }
+    }
+    // nearly all random buffers must be rejected (a 0-tag buffer of
+    // exactly matching length can legitimately parse)
+    assert(rejected > 3500, s"only $rejected rejections")
+  }
+
   test("unorderable child type fails at analysis time") {
     val df = Seq((1, Map("a" -> 1))).toDF("g", "m")
     val e = intercept[Exception] { df.groupBy($"g").agg(collect_min_k($"m", 3)).collect() }
