@@ -1706,7 +1706,8 @@ object PipelineQueries {
       s"""WITH v AS (SELECT doc_id,
          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bk'), 1, 15))::BIGINT AS h,
          |    len(list_filter($oToks, t -> t != ''))::BIGINT AS n FROM documents),
-         |r AS (SELECT n, row_number() OVER (ORDER BY h, doc_id) AS rn FROM v),
+         |r AS (SELECT n, row_number() OVER (ORDER BY h, doc_id) AS rn FROM v
+         |  WHERE n IS NOT NULL),
          |s AS (SELECT n FROM r WHERE rn <= 256),
          |o AS (SELECT n, row_number() OVER (ORDER BY n) AS q FROM s),
          |m AS (SELECT count(*)::BIGINT AS n_sample FROM s)
@@ -2523,8 +2524,8 @@ object PipelineQueries {
     "p106_weighted_sample" ->
       s"""WITH v AS (SELECT doc_id, len(list_filter($oToks, t -> t != ''))::BIGINT AS ntok FROM documents),
          |w AS (SELECT doc_id, ntok,
-         |  CAST(floor((-ln((${oH("doc_id::VARCHAR || 'wk'")} + 1)::DOUBLE / 1152921504606846976.0)
-         |      / ntok::DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS k
+         |  CAST(floor(least((-ln((${oH("doc_id::VARCHAR || 'wk'")} + 1)::DOUBLE / 1152921504606846976.0)
+         |      / ntok::DOUBLE), 9000000000000.0) * 1000000.0 + 0.5) AS BIGINT) AS k
          |  FROM v WHERE ntok > 0),
          |r AS (SELECT doc_id, ntok, k, row_number() OVER (ORDER BY k, doc_id) AS rn FROM w)
          |SELECT doc_id, ntok, k AS sample_key_e6 FROM r WHERE rn <= 200 ORDER BY doc_id""".stripMargin,
@@ -2992,7 +2993,10 @@ object PipelineQueries {
       s"""WITH ${bm25LexCtes(Seq("spark", "table", "window"))},
          |qv AS (SELECT embedding::DOUBLE[] AS q FROM embeddings WHERE vec_id = 7),
          |den AS (SELECT vec_id AS doc_id,
-         |  floor(list_cosine_similarity(embedding::DOUBLE[], q) * 10000.0 + 0.5) / 10000.0 AS cos
+         |  CASE WHEN sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) *
+         |            sqrt(list_dot_product(q, q)) = 0 THEN 0.0
+         |       ELSE floor(list_cosine_similarity(embedding::DOUBLE[], q) * 10000.0 + 0.5) / 10000.0
+         |  END AS cos
          |  FROM embeddings, qv),
          |f AS (SELECT l.doc_id, bm25, cos,
          |  floor((bm25 * $alpha + cos * ${1.0 - alpha}) * 10000.0 + 0.5) / 10000.0 AS fused

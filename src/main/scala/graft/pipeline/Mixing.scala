@@ -30,7 +30,7 @@ object Mixing {
       "rates must be in [0, 1000]")
     // integer 10000ths, resolved in Scala so both engines see literals
     val rate10k = rates.map { case (k, v) => k -> math.round(v * 10000.0) }
-    val bucket = pmod(TextOps.md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
+    val bucket = TextOps.hashBucket10k(id, salt)
     val r = rate10k.foldLeft(lit(0L)) { case (acc, (name, v)) =>
       when(stratum === name, lit(v)).otherwise(acc)
     }
@@ -186,7 +186,13 @@ object Mixing {
     import org.apache.spark.sql.expressions.Window
     val base = df
       .select(id.cast("long").as("doc_id"), score.as("score"),
-        tokenCount.cast("long").as("n_tokens"), stratum.as("stratum"))
+        // clamp: a null/negative count (a null-text size() under legacy
+        // sizeOfNull, an upstream bug) would break the max(__local +
+        // n_tokens) cell-total identity and silently shift every later
+        // cell's cum_before — packSequences filters these, the walk
+        // zeroes them (the row still appears, consuming no budget)
+        greatest(coalesce(tokenCount.cast("long"), lit(0L)), lit(0L)).as("n_tokens"),
+        stratum.as("stratum"))
       // non-nullable bucket key, same plan-shape reasoning as packSequences
       .withColumn("__b", coalesce(floor(col("doc_id") / bucketWidth), lit(-1L)))
     val inCell = Window.partitionBy(col("stratum"), col("score"), col("__b"))

@@ -116,7 +116,14 @@ object Ranking {
     * top-k is a TakeOrdered, never a global sort. Both components are
     * lattice-quantized BEFORE fusion, so the fused score (plain IEEE
     * arithmetic on quantized inputs) stays engine-exact and the rank
-    * order is reproducible anywhere. */
+    * order is reproducible anywhere.
+    *
+    * Contracts, stated: a zero-norm embedding (or query vector) scores
+    * cosine 0.0 — the 0/0 NaN would otherwise quantize differently per
+    * engine; and the fusion join is INNER on doc_id, so a document
+    * missing from `embs` cannot rank — callers own the completeness of
+    * the embedding table (an outer join defaulting cos would silently
+    * rank half-scored docs, which is worse than absence). */
   def hybridTopK(docs: DataFrame, id: Column, text: Column,
       embs: DataFrame, vecId: Column, vec: Column,
       terms: Seq[String], queryVec: DataFrame, alpha: Double, k: Int): DataFrame = {
@@ -126,9 +133,11 @@ object Ranking {
       .withColumn("__qn", Similarity.l2Norm(col("__qv")))
     val dense = embs.select(vecId.as("doc_id"), vec.cast("array<double>").as("__v"))
       .crossJoin(broadcast(qv))
-      .select(col("doc_id"), Similarity.quantize4(
-        Similarity.dot(col("__v"), col("__qv")) /
-          (Similarity.l2Norm(col("__v")) * col("__qn"))).as("cos"))
+      .withColumn("__den", Similarity.l2Norm(col("__v")) * col("__qn"))
+      .select(col("doc_id"),
+        when(col("__den") > 0.0, Similarity.quantize4(
+          Similarity.dot(col("__v"), col("__qv")) / col("__den")))
+          .otherwise(lit(0.0)).as("cos"))
     lex.join(dense, "doc_id")
       .withColumn("fused",
         Similarity.quantize4(col("bm25") * alpha + col("cos") * lit(1.0 - alpha)))

@@ -27,6 +27,11 @@ object Sessions {
    * `value_sum_e2` — the
    * per-event values floor-quantized to a 1e-2 integer lattice and
    * summed as longs (the cross-engine-exact aggregation convention).
+   *
+   * NULL-timestamp events are DROPPED: an unparseable timestamp cannot
+   * be placed in any session, and under the nulls-first sort each such
+   * row would otherwise open its own bogus null-bounded session and
+   * shift every real session's index.
    */
   def sessionize(df: DataFrame, key: Column, ts: Column, value: Column,
       gap: Long): DataFrame = {
@@ -36,6 +41,7 @@ object Sessions {
       .rowsBetween(Window.unboundedPreceding, 0)
     df.select(key.as("__key"), ts.cast("long").as("__ts"),
         floor(value * 100.0 + 0.5).cast("long").as("__v"))
+      .filter(col("__ts").isNotNull)
       .withColumn("__prev", lag(col("__ts"), 1).over(byKey))
       .withColumn("__new",
         when(col("__prev").isNull || col("__ts") - col("__prev") > gap, 1L)

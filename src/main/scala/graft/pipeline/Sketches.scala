@@ -127,33 +127,52 @@ object Sketches {
       .withColumnRenamed("__wkey", "sample_key_e6")
   }
 
+  /** Clock values above this clamp all map to the same max key: the e6
+    * quantization must survive the ANSI long cast (9e12 * 1e6 < 2^63),
+    * and a clock this large means weight < ~5e-12 — rows that can never
+    * win a realistic sample anyway; among clamped rows the (key, id)
+    * tiebreak decides, documented. */
+  private val MaxClock: Double = 9.0e12
+
   /** The exponential-clock key, e6-quantized — the ONE definition both
     * the batch sample and its streaming twin hash from (a long-cast
     * id; hashing a raw non-bigint id column would silently break
-    * batch/stream parity). Caller guarantees `weight > 0`. */
+    * batch/stream parity). Caller guarantees `weight > 0`; tiny
+    * positive weights clamp at [[MaxClock]] instead of overflowing the
+    * long cast. */
   def esClockKeyE6(idLong: Column, weight: Column, salt: String): Column =
-    floor((-log(
+    floor(least(-log(
       (TextOps.md5Long(concat(idLong.cast("string"), lit(salt))) + 1)
-        .cast("double") / lit(1152921504606846976.0))
-      / weight.cast("double")) * 1000000.0 + 0.5).cast("long")
+        .cast("double") / lit(HashSpace))
+      / weight.cast("double"), lit(MaxClock)) * 1000000.0 + 0.5).cast("long")
 
   /**
    * Sample-estimated quantiles of `value` (long-valued) at the given
-   * per-mille points, from a [[bottomKSample]] of size `k`: one row
-   * with `n_rows` (exact corpus count), `n_sample`, and a
+   * per-mille points, from a [[bottomKSample]]-keyed sample of size
+   * `k` (same salted (hash, id) selection rule, restricted to rows
+   * whose value is NON-NULL — a null value cannot rank, and counting
+   * it while dropping it from the sorted array would push the rank
+   * index past the array end): one row with `n_rows` (exact corpus
+   * count, null-valued rows included), `n_sample`, and a
    * `q{permille}_est` column per requested point — the
    * `ceil(p·n_sample)`-th smallest sampled value. Error is the
    * standard sampling bound (~1/√k on the rank), with NO global sort
-   * of the corpus at any point.
+   * of the corpus at any point — and ONE corpus scan: the exact count
+   * and the bounded min-k sample ride the same aggregate (the
+   * join-back of [[bottomKSample]] is unnecessary when only the
+   * sampled VALUES are wanted).
    */
   def sampledQuantiles(df: DataFrame, id: Column, value: Column, k: Int,
       permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000))
-    val sample = bottomKSample(df.select(id.as("__qid"), value.as("__qv")),
-      col("__qid"), k)
-    val sampleAgg = sample.agg(count(lit(1)).as("n_sample"),
-      sort_array(collect_list(col("__qv").cast("long"))).as("__arr"))
-    val total = df.agg(count(lit(1)).as("n_rows"))
+    val salt = "bk" // bottomKSample's selection key, verbatim
+    val base = df.select(id.cast("long").as("__qid"), value.cast("long").as("__qv"))
+    val agg = base.agg(
+      count(lit(1)).as("n_rows"),
+      collect_min_k(when(col("__qv").isNotNull,
+        struct(
+          TextOps.md5Long(concat(col("__qid").cast("string"), lit(salt))).as("__h"),
+          col("__qid").as("__i"), col("__qv").as("__v"))), k).as("__mk"))
     val qCols = permille.map { p =>
       // ceil(p * n/1000) as pure integer arithmetic, identical in SQL;
       // the n_sample=0 guard keeps an empty input a NULL estimate
@@ -163,7 +182,10 @@ object Sketches {
           greatest(expr(s"($p * n_sample + 999) div 1000"), lit(1L)).cast("int")))
         .as(s"q${p}_est")
     }
-    total.crossJoin(sampleAgg)
+    agg
+      .withColumn("n_sample", size(col("__mk")).cast("long"))
+      .withColumn("__arr",
+        sort_array(transform(col("__mk"), m => m.getField("__v"))))
       .select(col("n_rows") +: col("n_sample") +: qCols: _*)
   }
 }

@@ -135,11 +135,18 @@ object TextOps {
     * `weights` are (name, weight) fractions, normalized internally;
     * boundaries are laid out on a 0..9999 hash lattice in declaration
     * order, so expected proportions hold to 1e-4. */
+  /** The shared md5 10000-lattice bucket — THE definition every
+    * hash-admission op ([[deterministicSplit]], Mixing.copyCount,
+    * train/holdout splits) buckets with; one definition so the
+    * "same lattice" guarantees in their docs hold by construction. */
+  def hashBucket10k(id: Column, salt: String): Column =
+    pmod(md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
+
   def deterministicSplit(id: Column, weights: Seq[(String, Double)],
       salt: String = ""): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")
     val total = weights.map(_._2).sum
-    val bucket = pmod(md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
+    val bucket = hashBucket10k(id, salt)
     // cumulative upper bounds on the 10000-lattice; last bound forced to
     // 10000 so fp rounding can never leave a bucket unassigned
     val cums = weights.scanLeft(0.0)(_ + _._2).tail.map(c => math.round(c / total * 10000.0))

@@ -1267,6 +1267,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(none.forall(_._2 == 0.0))
   }
 
+  test("hybridTopK: zero-norm embeddings score cosine 0.0, not NaN") {
+    val d = Seq((1L, "alpha beta"), (2L, "alpha beta"), (3L, "alpha beta"))
+      .toDF("doc_id", "text")
+    val embs = Seq((1L, Seq(1.0, 0.0)), (2L, Seq(0.0, 0.0)), (3L, Seq(0.0, 1.0)))
+      .toDF("vec_id", "embedding")
+    val qv = Seq(Tuple1(Seq(1.0, 0.0))).toDF("embedding")
+    val out = Ranking.hybridTopK(d, $"doc_id", $"text", embs, $"vec_id",
+        $"embedding", Seq("alpha"), qv, alpha = 0.5, k = 3)
+      .select($"doc_id", $"cos").as[(Long, Double)].collect().toMap
+    assert(out(1L) == 1.0 && out(3L) == 0.0)
+    assert(out(2L) == 0.0 && !out(2L).isNaN) // 0/0 would be NaN pre-guard
+  }
+
+  test("sessionize drops null-timestamp events without shifting session indexes") {
+    import graft.pipeline.Sessions
+    val df = Seq(
+      (1L, Some(100L), 1.0), (1L, None, 9.0), (1L, Some(150L), 1.0),
+      (1L, None, 9.0), (1L, Some(5000L), 1.0)).toDF("k", "t", "v")
+    val got = Sessions.sessionize(df, $"k", $"t", $"v", gap = 1000L)
+      .orderBy($"session_idx")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // two real sessions, 0-indexed from 0 — null-ts rows neither open
+    // bogus null-bounded sessions nor shift the numbering
+    assert(got.toSeq == Seq((0L, 100L, 150L, 2L), (1L, 5000L, 5000L, 1L)))
+  }
+
   test("sourceCap: hot source capped, small sources pass whole, equals the rank rule") {
     import org.apache.spark.sql.expressions.Window
     // skew: half the docs in one hot source, the rest spread thin
@@ -1565,6 +1591,23 @@ class PipelineSpec extends AnyFunSuite {
         assert(out(id) == ((expect(id)._1, expect(id)._2)), s"doc $id budget $budget")
       }
     }
+  }
+
+  test("tokenBudgetSelect: null/negative token counts zero out instead of corrupting the walk") {
+    // a null count would break the max(__local + n_tokens) cell-total
+    // identity and shift every later cell's cum_before
+    val rows = Seq((0L, 2.0, Some(10L)), (1L, 2.0, None), (2L, 2.0, Some(-5L)),
+      (3L, 2.0, Some(20L)), (4L, 1.0, Some(30L)))
+    val df = rows.toDF("id", "q", "cnt")
+    val out = Mixing.tokenBudgetSelect(df, $"id", $"q", $"cnt", budget = 25L,
+        bucketWidth = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .sortBy(_._1)
+    // walk order (score desc, id asc) with nulls/negatives as 0 tokens:
+    // cum_before = 0,10,10,10,30
+    assert(out.map(t => (t._1, t._2, t._3, t._4)).toSeq == Seq(
+      (0L, 10L, 0L, true), (1L, 0L, 10L, true), (2L, 0L, 10L, true),
+      (3L, 20L, 10L, true), (4L, 30L, 30L, false)))
   }
 
   test("tokenBudgetSelectPerStratum: independent walks per stratum; absent stratum gets 0") {

@@ -113,4 +113,35 @@ class SketchesSpec extends AnyFunSuite {
     val exact = rows.map(_._2).sorted.apply(1000)
     assert(math.abs(got.getLong(3) - exact).toDouble / exact < 0.2)
   }
+
+  test("sampledQuantiles: null values are excluded from the sample, counted in n_rows") {
+    // pre-fix, null-valued sampled rows inflated n_sample past the
+    // collected array and the high-permille rank read past the end
+    val rows = (0L until 500L).map(i =>
+      (i, if (i % 3 == 0) None else Some(i * 7 % 1000)))
+    val df = rows.toDF("id", "v").repartition(7)
+    val got = Sketches.sampledQuantiles(df, col("id"), col("v"),
+      k = 64, permille = Seq(500, 1000)).collect().head
+    assert(got.getLong(0) == 500L && got.getLong(1) == 64L)
+    val sample = rows.collect { case (i, Some(v)) => (i, v) }
+      .sortBy { case (i, _) => (md5Long60(s"${i}bk"), i) }
+      .take(64).map(_._2.toLong).sorted
+    assert(got.getLong(2) == sample(31) && got.getLong(3) == sample(63))
+    // an ALL-null value column: n_sample 0, null estimates, no error
+    val allNull = Sketches.sampledQuantiles(
+      (0L until 50L).map(i => (i, None: Option[Long])).toDF("id", "v"),
+      col("id"), col("v"), k = 16, permille = Seq(500)).collect().head
+    assert(allNull.getLong(0) == 50L && allNull.getLong(1) == 0L && allNull.isNullAt(2))
+  }
+
+  test("weightedBottomKSample: tiny positive weights clamp instead of overflowing") {
+    // weight 1e-13 drives the raw clock past the e6 long range; the
+    // clamp keeps the key finite and the row sampleable last
+    val df = Seq((1L, 1.0), (2L, 1.0e-13), (3L, 2.0)).toDF("id", "w")
+    val got = Sketches.weightedBottomKSample(df, col("id"), col("w"), 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got.keySet == Set(1L, 2L, 3L))
+    assert(got(2L) == 9000000000000000000L) // MaxClock * 1e6
+    assert(got(1L) < got(2L) && got(3L) < got(2L))
+  }
 }
