@@ -16,7 +16,7 @@ object Bench {
   private[graft] def dropLeakedBlocks(spark: SparkSession): Unit =
     try spark.sparkContext.getPersistentRDDs.values
       .foreach(_.unpersist(blocking = true))
-    catch { case _: Throwable => () }
+    catch { case scala.util.control.NonFatal(_) => () }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

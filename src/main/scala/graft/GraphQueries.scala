@@ -221,8 +221,7 @@ object GraphQueries {
       d.select(col("doc_id"), col("source"), md5Long(col("source")).as("node"))
         .join(broadcast(ranks), Seq("node"))
         .withColumn("rate10k", expr(s"(rank_e9 * 10000) div $maxR"))
-        .withColumn("__b", pmod(md5Long(concat(col("doc_id").cast("string"),
-          lit("am1"))), lit(10000L)))
+        .withColumn("__b", graft.pipeline.TextOps.hashBucket10k(col("doc_id"), "am1"))
         .groupBy(col("source"))
         .agg(max(col("rank_e9")).as("rank_e9"),
           count(lit(1)).as("n_docs"),

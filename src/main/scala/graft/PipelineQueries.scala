@@ -1186,8 +1186,7 @@ object PipelineQueries {
       val verified = Dedup.ngramJaccardVerify(c, col("doc_id"), col("text"),
         n = 8, threshold = 0.5, pairs)
       val groups = Dedup.nearDupGroups(c, col("doc_id"), verified)
-      val bucket = pmod(TextOps.md5Long(
-        concat(col("group_id").cast("string"), lit("gs"))), lit(10000L))
+      val bucket = TextOps.hashBucket10k(col("group_id"), "gs")
       groups.withColumn("split",
           when(bucket < 8000, lit("train"))
             .when(bucket < 9000, lit("val")).otherwise(lit("test")))

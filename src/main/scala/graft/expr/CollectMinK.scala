@@ -107,6 +107,26 @@ case class CollectMinK(
   @transient private lazy val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
   private def isLong: Boolean = child.dataType == LongType
 
+  /** Minimum byte size a version-1 nested (non-root-fixed-width) value
+    * image can legally have: a struct is its null bitset plus one 8-byte
+    * slot per field; an array is at least its 8-byte element-count
+    * header; strings/binary may be empty. One level deep is exact for
+    * every catalog child type (the struct children are all fixed-width
+    * longs). */
+  @transient private lazy val minNestedPayload: Int = child.dataType match {
+    case s: StructType => 8 * ((s.length + 63) / 64) + 8 * s.length
+    case _: ArrayType => 8
+    case _ => 0
+  }
+
+  /** True when the nested value's size is fully determined by its type
+    * (a struct of only fixed-width fields), so deserialize can demand
+    * size == [[minNestedPayload]] instead of >=. */
+  @transient private lazy val nestedExact: Boolean = child.dataType match {
+    case s: StructType => s.fields.forall(f => UnsafeRow.isFixedLength(f.dataType))
+    case _ => false
+  }
+
   override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = {
     if (isLong) {
       val bb = java.nio.ByteBuffer.allocate(1 + 4 + 8 * buf.size)
@@ -196,6 +216,17 @@ case class CollectMinK(
         val size = slot.toInt
         require(off >= 16 && size >= 0 && off.toLong + size <= len,
           s"CollectMinK version-1 element $i has corrupt offset/size ($off, $size) for length $len")
+        // the nested value itself must be big enough for its type — a
+        // zero-size struct image would pass the window check above and
+        // then feed out-of-bounds Unsafe reads to the TreeSet ordering
+        // (garbage, not an exception). All catalog struct children are
+        // fully fixed-width, so their size is checked EXACTLY.
+        require(size >= minNestedPayload,
+          s"CollectMinK version-1 element $i nested value size $size < minimum " +
+            s"$minNestedPayload for ${child.dataType.simpleString}")
+        if (nestedExact) require(size == minNestedPayload,
+          s"CollectMinK version-1 element $i fixed-width ${child.dataType.simpleString} " +
+            s"has size $size, expected $minNestedPayload")
       }
       row.pointTo(img, len)
       // hand the set an owned copy of the field value

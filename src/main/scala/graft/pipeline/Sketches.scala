@@ -139,12 +139,17 @@ object Sketches {
     * id; hashing a raw non-bigint id column would silently break
     * batch/stream parity). Caller guarantees `weight > 0`; tiny
     * positive weights clamp at [[MaxClock]] instead of overflowing the
-    * long cast. */
-  def esClockKeyE6(idLong: Column, weight: Column, salt: String): Column =
-    floor(least(-log(
+    * long cast. A NULL id or weight propagates a NULL key (struct keys
+    * then sort nulls-first, the pre-clamp behavior) — `least` skips
+    * NULLs, so without the explicit guard a NULL clock would silently
+    * clamp to the MAX key and flip the row from first to last. */
+  def esClockKeyE6(idLong: Column, weight: Column, salt: String): Column = {
+    val clock = -log(
       (TextOps.md5Long(concat(idLong.cast("string"), lit(salt))) + 1)
-        .cast("double") / lit(HashSpace))
-      / weight.cast("double"), lit(MaxClock)) * 1000000.0 + 0.5).cast("long")
+        .cast("double") / lit(HashSpace)) / weight.cast("double")
+    when(idLong.isNull || weight.isNull, lit(null).cast("long"))
+      .otherwise(floor(least(clock, lit(MaxClock)) * 1000000.0 + 0.5).cast("long"))
+  }
 
   /**
    * Sample-estimated quantiles of `value` (long-valued) at the given

@@ -125,6 +125,13 @@ object TextOps {
     when(best._2 > 0, best._1).otherwise(lit("und"))
   }
 
+  /** The shared md5 10000-lattice bucket — THE definition every
+    * hash-admission op ([[deterministicSplit]], Mixing.copyCount,
+    * train/holdout splits) buckets with; one definition so the
+    * "same lattice" guarantees in their docs hold by construction. */
+  def hashBucket10k(id: Column, salt: String): Column =
+    pmod(md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
+
   /** Deterministic split assignment ("train"/"val"/"test"-style) from a
     * stable hash of the id plus a salt. Content-independent and
     * engine-portable (md5 arithmetic): re-running on a grown corpus never
@@ -135,13 +142,6 @@ object TextOps {
     * `weights` are (name, weight) fractions, normalized internally;
     * boundaries are laid out on a 0..9999 hash lattice in declaration
     * order, so expected proportions hold to 1e-4. */
-  /** The shared md5 10000-lattice bucket — THE definition every
-    * hash-admission op ([[deterministicSplit]], Mixing.copyCount,
-    * train/holdout splits) buckets with; one definition so the
-    * "same lattice" guarantees in their docs hold by construction. */
-  def hashBucket10k(id: Column, salt: String): Column =
-    pmod(md5Long(concat(id.cast("string"), lit(salt))), lit(10000L))
-
   def deterministicSplit(id: Column, weights: Seq[(String, Double)],
       salt: String = ""): Column = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "weights must be positive")

@@ -136,6 +136,38 @@ class CollectMinKSpec extends AnyFunSuite {
     assert(e.getMessage.contains("CollectMinK"))
   }
 
+  test("deserialize rejects corrupt nested struct images (zero/short size)") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, UnsafeProjection}
+    import org.apache.spark.sql.types.{DataType, LongType, StructField, StructType}
+    // the bottomKSample / sampledQuantiles child shape: all-long struct
+    val st = StructType(Seq(StructField("h", LongType), StructField("i", LongType)))
+    val agg = CollectMinK(BoundReference(0, st, nullable = true), 4)
+    val proj = UnsafeProjection.create(Array[DataType](st))
+    val buf = agg.createAggregationBuffer()
+    buf.add(InternalRow.copyValue(proj(InternalRow(InternalRow(3L, 7L))).get(0, st)))
+    val bytes = agg.serialize(buf)
+    // round-trip sanity: one 40-byte element (16 root + 24 nested)
+    assert(agg.deserialize(bytes).size() == 1)
+    // corrupt the root (offset,size) slot — img starts at byte 9, slot at
+    // img[8..16], native order exactly as UnsafeRow reads it. A (16, 0)
+    // slot passed the pre-change window check and fed a 0-byte struct to
+    // the TreeSet ordering (out-of-bounds Unsafe reads, garbage order).
+    for (size <- Seq(0, 16)) { // zero and short-of-24
+      val bad = bytes.clone()
+      java.nio.ByteBuffer.wrap(bad, 9 + 8, 8)
+        .order(java.nio.ByteOrder.nativeOrder()).putLong((16L << 32) | size.toLong)
+      val e = intercept[IllegalArgumentException] { agg.deserialize(bad) }
+      assert(e.getMessage.contains("nested value size"), s"size=$size: ${e.getMessage}")
+    }
+    // an all-fixed-width struct's size is exact: 32 (too long, but inside
+    // the 40-byte window) must also reject, not read 8 trailing bytes
+    val long = bytes.clone()
+    java.nio.ByteBuffer.wrap(long, 9 + 8, 8)
+      .order(java.nio.ByteOrder.nativeOrder()).putLong((16L << 32) | 24L)
+    assert(agg.deserialize(long).size() == 1) // the true slot, unharmed
+  }
+
   test("deserialize fuzz: random bytes always reject cleanly, never crash") {
     import org.apache.spark.sql.catalyst.expressions.BoundReference
     import org.apache.spark.sql.types.{LongType, StringType}

@@ -144,4 +144,18 @@ class SketchesSpec extends AnyFunSuite {
     assert(got(2L) == 9000000000000000000L) // MaxClock * 1e6
     assert(got(1L) < got(2L) && got(3L) < got(2L))
   }
+
+  test("esClockKeyE6: NULL id/weight propagates a NULL key, not the max clamp") {
+    // least() skips NULLs — without the explicit guard a NULL clock
+    // clamps to MaxClock and the row flips from nulls-first (always
+    // sampled under the struct ordering) to effectively never sampled
+    val rows = Seq((Option(1L), Option(1.0)), (None: Option[Long], Option(1.0)),
+      (Option(2L), None: Option[Double]))
+    val got = rows.toDF("id", "w")
+      .select(col("id"), Sketches.esClockKeyE6(col("id"), col("w"), "wk").as("k"))
+      .collect().map(r => (if (r.isNullAt(0)) -1L else r.getLong(0)) -> r.isNullAt(1)).toMap
+    assert(!got(1L), "real id+weight must key")
+    assert(got(-1L), "NULL id must propagate a NULL key")
+    assert(got(2L), "NULL weight must propagate a NULL key")
+  }
 }
