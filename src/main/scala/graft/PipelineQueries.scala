@@ -1268,6 +1268,20 @@ object PipelineQueries {
     // CDC/upsert snapshot merge (MERGE semantics, relationally): one
     // union + one per-id struct-max arg-max (no corpus window), delete
     // rows filtered after the version race
+    // guaranteed heavy hitters: every token in >= 4 permille of corpus
+    // tokens, with its EXACT count — one Misra-Gries sketch scan (O(k)
+    // counters per partition, never a vocabulary-sized hash aggregate)
+    // generates a guaranteed-superset candidate list; a second scan
+    // counts only the <= k broadcast candidates exactly
+    "p109_heavy_hitters" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.pipeline.Sketches.heavyHitters(toks, col("token"), minPermille = 4, k = 256)
+        .withColumnRenamed("item", "token")
+        .orderBy(desc("n_occurrences"), col("token"))
+    }),
+
     "p108_apply_changes" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val changes = d.filter(col("doc_id") % 5 === 0)
@@ -3320,6 +3334,15 @@ object PipelineQueries {
         |FROM e WINDOW w AS (PARTITION BY key ORDER BY ts
         |  RANGE BETWEEN 86399999999 PRECEDING AND CURRENT ROW)
         |ORDER BY seq""".stripMargin,
+
+    "p109_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest($oToks) AS token FROM documents),
+         |t AS (SELECT token FROM tk WHERE token != ''),
+         |n AS (SELECT count(*)::BIGINT AS n_total FROM t)
+         |SELECT token, count(*)::BIGINT AS n_occurrences, n_total
+         |FROM t, n GROUP BY token, n_total
+         |HAVING count(*) * 1000 >= n_total * 4
+         |ORDER BY n_occurrences DESC, token""".stripMargin,
 
     "p108_apply_changes" ->
       """WITH ch AS (

@@ -38,6 +38,8 @@ object H3Registry {
     // k must be a foldable integer literal (evaluated at registration time)
     "collect_min_k" -> (a =>
       CollectMinK(a(0), a(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
+    "freq_sketch_k" -> (a =>
+      FreqSketchK(a(0), a(1).eval().asInstanceOf[Number].intValue).toAggregateExpression()),
     // geometry / traversal layer
     "h3_latlng_to_cell" -> (a => H3LatLngToCell(a(0), a(1), a(2))),
     "h3_cell_to_latlng" -> (a => H3CellToLatLng(a.head)),

@@ -62,6 +62,13 @@ object functions {
     * with an O(k) aggregation buffer (the dedup hot-band cap kernel). */
   def collect_min_k(col: Column, k: Int): Column = shims.aggColumn(CollectMinK(e(col), k))
 
+  /** Bounded frequent-items sketch (Misra-Gries): at most k (item,
+    * count_lb) counters per group — every item with true frequency
+    * > N/(k+1) guaranteed present, counts are lower bounds. Candidate
+    * generator for [[graft.pipeline.Sketches.heavyHitters]]'s exact
+    * two-pass; O(k) state under map-side combine like collect_min_k. */
+  def freq_sketch_k(col: Column, k: Int): Column = shims.aggColumn(FreqSketchK(e(col), k))
+
   // ---- geometry layer (S1-S3, S10-S14, S18, S20, E3-E8, G1-G7, X4-X6) ----
 
   /** S1: (lat, lng) degrees -> cell at res. */

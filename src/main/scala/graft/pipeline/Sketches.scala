@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.collect_min_k
+import graft.functions.{collect_min_k, freq_sketch_k}
 
 /**
  * Mergeable sketches for corpus statistics. First resident: the KMV
@@ -192,5 +192,54 @@ object Sketches {
       .withColumn("__arr",
         sort_array(transform(col("__mk"), m => m.getField("__v"))))
       .select(col("n_rows") +: col("n_sample") +: qCols: _*)
+  }
+
+  /**
+   * EXACT heavy hitters with a bounded plan: every item occurring in at
+   * least `minPermille`/1000 of the non-null rows, with its EXACT
+   * occurrence count — `GROUP BY item HAVING 1000*count >= permille*N`
+   * semantics without ever hash-aggregating the full item domain.
+   *
+   * Two passes, both O(k)-state:
+   *  1. One scan aggregates N and a [[graft.functions.freq_sketch_k]]
+   *     Misra-Gries sketch. The sketch's guarantee — every item with
+   *     frequency > N/(k+1) keeps a counter under ANY merge order — plus
+   *     the static requirement `(k+1) * minPermille > 1000` make the
+   *     sketch items a SUPERSET of the true heavy hitters.
+   *  2. A second scan counts ONLY the ≤ k candidate items exactly (a
+   *     broadcast join admits candidate rows; everything else never
+   *     reaches the aggregate) and applies the threshold in pure integer
+   *     arithmetic.
+   * False candidates are filtered by their exact counts, so the output is
+   * deterministic and engine-exact even though sketch counters are not.
+   *
+   * At 100 TB: a naive `GROUP BY item` over a token column shuffles the
+   * full vocabulary (billions of keys); here the only aggregate over the
+   * corpus carries 2k counters per partition, the candidate join is a
+   * ≤ k-row broadcast, and the exact pass aggregates ≤ k keys. Finding
+   * boilerplate tokens, hot domains, or over-represented URLs in a crawl
+   * is exactly this shape.
+   *
+   * Output: `item` (the column's values), `n_occurrences` (exact), plus
+   * `n_total` = N for rate computation downstream. Unordered — callers
+   * own the final sort.
+   */
+  def heavyHitters(df: DataFrame, item: Column, minPermille: Int, k: Int): DataFrame = {
+    require(minPermille >= 1 && minPermille <= 1000,
+      s"minPermille must be in [1, 1000], got $minPermille")
+    require((k + 1).toLong * minPermille > 1000,
+      s"k=$k cannot guarantee completeness at $minPermille permille: " +
+        s"need (k+1)*minPermille > 1000 (Misra-Gries retains items above N/(k+1))")
+    val base = df.select(item.as("item")).filter(col("item").isNotNull)
+    val candidates = base
+      .agg(count(lit(1)).as("n_total"), freq_sketch_k(col("item"), k).as("__sk"))
+      .select(col("n_total"), explode(col("__sk")).as("__c"))
+      .select(col("n_total"), col("__c.item").as("item"))
+    base.join(broadcast(candidates), Seq("item"))
+      .groupBy(col("item"), col("n_total"))
+      .agg(count(lit(1)).as("n_occurrences"))
+      // count >= ceil(N*p/1000)  ⇔  1000*count >= N*p  (integer counts)
+      .filter(col("n_occurrences") * 1000L >= col("n_total") * minPermille.toLong)
+      .select(col("item"), col("n_occurrences"), col("n_total"))
   }
 }

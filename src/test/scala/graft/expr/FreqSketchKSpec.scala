@@ -1,0 +1,147 @@
+package graft.expr
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.functions.freq_sketch_k
+import graft.pipeline.Sketches
+
+/**
+ * The Misra-Gries frequent-items kernel and the exact two-pass
+ * heavyHitters built on it. The sketch contract under test is the
+ * mergeable-summaries guarantee: after ANY partitioning, every item with
+ * true count > N/(k+1) keeps a counter, and each counter is a lower bound
+ * short by at most N/(k+1).
+ */
+class FreqSketchKSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** Planted-heavy stream: `heavy` items each repeated `rep` times, plus a
+    * distinct uniform tail. Deterministic ids. */
+  private def planted(heavy: Int, rep: Int, tail: Int): Seq[Long] = {
+    val h = for (i <- 0 until heavy; _ <- 0 until rep) yield i.toLong
+    val t = (0 until tail).map(i => 1000000L + i)
+    // interleave deterministically so heavy items aren't contiguous
+    (h ++ t).zipWithIndex.sortBy { case (v, i) => (i * 2654435761L) % 1000003 }.map(_._1)
+  }
+
+  test("guarantee: items above N/(k+1) always present, counts are lower bounds within N/(k+1)") {
+    val k = 16
+    for (parts <- Seq(1, 7, 32)) {
+      val xs = planted(heavy = 8, rep = 400, tail = 4000) // N = 7200
+      val n = xs.length
+      val trueCounts = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val got = xs.toDF("v").repartition(parts)
+        .agg(freq_sketch_k($"v", k)).collect().head
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size <= k)
+      val bound = n.toDouble / (k + 1)
+      trueCounts.foreach { case (v, c) =>
+        if (c > bound) {
+          assert(got.contains(v), s"parts=$parts: heavy item $v (count $c > $bound) missing")
+        }
+      }
+      got.foreach { case (v, lb) =>
+        val c = trueCounts(v)
+        assert(lb <= c, s"parts=$parts: counter $lb exceeds true count $c for $v")
+        assert(lb >= c - bound - 1, s"parts=$parts: counter $lb under-shoots $c by more than $bound")
+      }
+    }
+  }
+
+  test("distinct-light group: fewer than k distinct items means exact counts") {
+    val xs = Seq(1L, 1L, 1L, 2L, 2L, 3L)
+    val got = xs.toDF("v").repartition(4)
+      .agg(freq_sketch_k($"v", 8)).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // no purge ever fires: exact, sorted (count desc, item asc)
+    assert(got == Seq(1L -> 3L, 2L -> 2L, 3L -> 1L))
+  }
+
+  test("string items, per-group sketches, null dropped") {
+    val rows = Seq(
+      ("a", "the"), ("a", "the"), ("a", "the"), ("a", "x"),
+      ("b", "le"), ("b", "le"), ("b", null)).map { case (g, t) => (g, Option(t)) }
+    val got = rows.toDF("g", "t").repartition(5)
+      .groupBy($"g").agg(freq_sketch_k($"t", 4).as("sk"))
+      .collect().map(r => r.getString(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(x => x.getString(0) -> x.getLong(1))).toMap
+    assert(got("a") == Seq("the" -> 3L, "x" -> 1L))
+    assert(got("b") == Seq("le" -> 2L)) // null dropped like collect_set
+  }
+
+  test("SQL registration: freq_sketch_k(v, k) runs through spark.sql") {
+    Seq(1L, 1L, 2L).toDF("v").createOrReplaceTempView("fsk_t")
+    val got = spark.sql("SELECT freq_sketch_k(v, 4) FROM fsk_t").collect().head
+      .getSeq[org.apache.spark.sql.Row](0).map(r => r.getLong(0) -> r.getLong(1))
+    assert(got == Seq(1L -> 2L, 2L -> 1L))
+  }
+
+  test("serialize round-trips; corrupt buffers reject loudly") {
+    import org.apache.spark.sql.catalyst.expressions.BoundReference
+    import org.apache.spark.sql.types.{LongType, StringType}
+    val agg = FreqSketchK(BoundReference(0, LongType, nullable = true), 4)
+    val buf = agg.createAggregationBuffer()
+    buf.update(7L: java.lang.Long, 3L)
+    buf.update(9L: java.lang.Long, 1L)
+    val bytes = agg.serialize(buf)
+    assert(agg.deserialize(bytes).toMap == Map[Any, Long](7L -> 3L, 9L -> 1L))
+    def reject(b: Array[Byte], what: String, a: FreqSketchK = agg): Unit = {
+      val e = intercept[IllegalArgumentException] { a.deserialize(b) }
+      assert(e.getMessage.contains("FreqSketchK"), s"$what: ${e.getMessage}")
+    }
+    reject(Array[Byte](0, 0), "truncated header")
+    reject(bytes.dropRight(1), "short v0 payload")
+    reject(bytes :+ 0.toByte, "long v0 payload")
+    val badTag = bytes.clone(); badTag(0) = 9; reject(badTag, "unknown tag")
+    // zero/negative counts are never serialized — a foreign buffer marker
+    val zeroCount = bytes.clone()
+    java.nio.ByteBuffer.wrap(zeroCount, 5 + 8, 8).putLong(0L)
+    reject(zeroCount, "non-positive count")
+    val strAgg = FreqSketchK(BoundReference(0, StringType, nullable = true), 4)
+    val sbuf = strAgg.createAggregationBuffer()
+    sbuf.update(org.apache.spark.unsafe.types.UTF8String.fromString("xy"), 2L)
+    val v1 = strAgg.serialize(sbuf)
+    assert(strAgg.deserialize(v1).values.toSeq == Seq(2L))
+    reject(v1.patch(0, Array[Byte](0), 1), "v0 tag for non-long child", strAgg)
+    val overLen = v1.clone(); overLen(5) = 0x7F
+    reject(overLen, "element length past buffer", strAgg)
+  }
+
+  test("unsupported child type fails at analysis time") {
+    val e = intercept[Exception] {
+      Seq((1, (2L, 3L))).toDF("g", "s").agg(freq_sketch_k($"s", 4)).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("atomic") ||
+      e.getMessage.toLowerCase.contains("freq_sketch_k"))
+  }
+
+  test("heavyHitters equals exact GROUP BY/HAVING brute force across partitionings and thresholds") {
+    // zipf-ish corpus: token i appears ~ N/i times
+    val xs = (1 to 60).flatMap(i => Seq.fill(600 / i)(s"tok$i"))
+    for (parts <- Seq(1, 13); permille <- Seq(10, 50)) {
+      val df = xs.toDF("t").repartition(parts)
+      val k = math.max(1000 / permille + 1, 8)
+      val got = Sketches.heavyHitters(df, col("t"), permille, k)
+        .orderBy(desc("n_occurrences"), col("item"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val n = xs.length.toLong
+      val want = xs.groupBy(identity).view.mapValues(_.size.toLong).toSeq
+        .filter { case (_, c) => c * 1000 >= n * permille }
+        .sortBy { case (t, c) => (-c, t) }
+        .map { case (t, c) => (t, c, n) }
+      assert(got.toSeq == want, s"parts=$parts permille=$permille")
+    }
+  }
+
+  test("heavyHitters rejects an under-provisioned k; empty input yields empty output") {
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHitters(Seq("a").toDF("t"), col("t"), minPermille = 5, k = 100)
+    }
+    val empty = Sketches.heavyHitters(
+      spark.emptyDataset[String].toDF("t"), col("t"), minPermille = 100, k = 16)
+    assert(empty.count() == 0)
+  }
+}
