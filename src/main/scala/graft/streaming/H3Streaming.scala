@@ -68,8 +68,9 @@ final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
  * == State-store bounds per stateful twin (the unbounded-ingest audit) ==
  *
  * Watermarked-aggregation twins (hopping stats, approx distinct, weighted
- * sample, exact dedup, rate anomaly): state = (windows in flight) x
- * (groups); the watermark closes windows — bounded by lateness horizon.
+ * sample, heavy-hitter candidates, exact dedup, rate anomaly): state =
+ * (windows in flight) x (groups); the watermark closes windows — bounded
+ * by lateness horizon. The sketch twins carry O(k) buffers per cell.
  *
  * flatMapGroupsWithState twins:
  *  - `streamingSessionize`: one [[OpenSession]] per live key; event-time
@@ -186,6 +187,39 @@ object H3Streaming {
       .select(unix_micros(col("window.start")).as("window_start"),
         col("group"), col("n_rows"),
         graft.pipeline.Sketches.kmvEstimate(col("__mk"), k).as("distinct_est"))
+  }
+
+  /** Windowed frequent-items candidates per group — the streaming face
+    * of [[graft.pipeline.Sketches.heavyHitters]]'s sketch pass: per
+    * (window, group) a Misra-Gries [[graft.functions.freq_sketch_k]]
+    * accumulates in the state store (O(k) serialized buffers, like the
+    * windowed KMV twin), and each closed window emits its candidate
+    * items with lower-bound counts plus the window's exact non-null row
+    * count. Per-window guarantees (any merge order): the emitted items
+    * are a SUPERSET of every item above `n_rows/(k+1)` occurrences, and
+    * each `count_lb` underestimates its true count by at most
+    * `n_rows/(k+1)`. Counter VALUES are not deterministic across merge
+    * orders — where exactness matters, run the batch operator's exact
+    * second pass over the persisted window; candidates + bounds are the
+    * monitoring-grade output ("top domains per hour per source").
+    * State bound: O(k) per (window, group); the watermark closes
+    * windows. */
+  def streamingHeavyHitterCandidates(stream: DataFrame, tsCol: String,
+      groupCol: String, itemCol: String, k: Int, watermark: String,
+      windowLen: String): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    stream
+      // n_rows counts what the sketch sees: non-null items (the batch
+      // operator's N definition)
+      .filter(col(itemCol).isNotNull)
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.freq_sketch_k(col(itemCol), k).as("__sk"))
+      .select(unix_micros(col("window.start")).as("window_start"),
+        col("group"), col("n_rows"), explode(col("__sk")).as("__c"))
+      .select(col("window_start"), col("group"), col("n_rows"),
+        col("__c.item").as("item"), col("__c.count_lb").as("count_lb"))
   }
 
   /** Windowed weighted sample per group: for every event-time window,

@@ -925,6 +925,56 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming heavy-hitter candidates: per-window superset + lower-bound laws") {
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(59)
+    val k = 6
+    // two 30s windows, two groups; a few planted-hot tokens over a
+    // uniform tail so the sketch purges (distinct per cell >> k)
+    val evs = (0 until 800).map { i =>
+      val hot = rnd.nextInt(10)
+      val tok = if (hot < 6) s"hot${hot % 3}" else s"tail${rnd.nextInt(120)}"
+      (ts(rnd.nextInt(55)), if (i % 2 == 0) "x" else "y", tok)
+    }
+    val input = MemoryStream[(Timestamp, String, String)]
+    val out = H3Streaming.streamingHeavyHitterCandidates(
+      input.toDF.toDF("ts", "grp", "item"), "ts", "grp", "item",
+      k = k, watermark = "10 seconds", windowLen = "30 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("hhcand").outputMode("complete").start()
+    try {
+      input.addData(evs: _*)
+      query.processAllAvailable()
+      val got = spark.table("hhcand")
+        .as[(Long, String, Long, String, Long)].collect()
+        .groupBy(r => (r._1, r._2))
+      val winLen = 30000000L
+      val truth = evs.map { case (t, g, tok) =>
+        ((t.getTime * 1000L) - (t.getTime * 1000L) % winLen, g, tok)
+      }.groupBy(r => (r._1, r._2))
+      assert(got.keySet == truth.keySet && got.size >= 4)
+      truth.foreach { case (cell, rows) =>
+        val counts = rows.groupBy(_._3).view.mapValues(_.size.toLong).toMap
+        val n = rows.size.toLong
+        val bound = n.toDouble / (k + 1)
+        val cands = got(cell).map(r => r._4 -> r._5).toMap
+        assert(got(cell).forall(_._3 == n), s"$cell n_rows")
+        assert(cands.size <= k)
+        // superset law: every item above n/(k+1) emitted
+        counts.foreach { case (tok, c) =>
+          if (c > bound) assert(cands.contains(tok), s"$cell: $tok ($c > $bound) missing")
+        }
+        // lower-bound law: count_lb in [true - n/(k+1), true]
+        cands.foreach { case (tok, lb) =>
+          val c = counts(tok)
+          assert(lb <= c && lb >= c - bound - 1, s"$cell: $tok lb=$lb true=$c")
+        }
+        // planted hot tokens are genuinely above the bound in this data
+        assert(Seq("hot0", "hot1", "hot2").forall(cands.contains), s"$cell hot set")
+      }
+    } finally query.stop()
+  }
+
   test("streaming windowed weighted sample == batch clocks per window") {
     import graft.pipeline.Sketches
     implicit val sqlCtx = spark.sqlContext
