@@ -25,7 +25,8 @@ object PlanDump {
     "p94_sampled_quantiles", "p95_prefix_jaccard_join", "p96_random_walks",
     "p97_kcore", "p98_graph_features", "p99_walk_pmi", "p101_link_prediction",
     "p103_retrieval_metrics", "p105_personalized_pagerank",
-    "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes")
+    "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
+    "p109_heavy_hitters")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
