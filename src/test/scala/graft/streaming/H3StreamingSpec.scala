@@ -943,7 +943,13 @@ class H3StreamingSpec extends AnyFunSuite {
     val query = out.writeStream
       .format("memory").queryName("hhcand").outputMode("complete").start()
     try {
-      input.addData(evs: _*)
+      // two micro-batches: the second batch re-reads the first's sketch
+      // buffers from the state store — serialize AND deserialize run on
+      // the production path, not just in unit tests
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
       query.processAllAvailable()
       val got = spark.table("hhcand")
         .as[(Long, String, Long, String, Long)].collect()
