@@ -1265,9 +1265,6 @@ object PipelineQueries {
           windowLen = 21600000000L, slide = 7200000000L)
         .orderBy(col("window_start"), col("group"))),
 
-    // CDC/upsert snapshot merge (MERGE semantics, relationally): one
-    // union + one per-id struct-max arg-max (no corpus window), delete
-    // rows filtered after the version race
     // guaranteed heavy hitters: every token in >= 4 permille of corpus
     // tokens, with its EXACT count — one Misra-Gries sketch scan (O(k)
     // counters per partition, never a vocabulary-sized hash aggregate)
@@ -1282,6 +1279,9 @@ object PipelineQueries {
         .orderBy(desc("n_occurrences"), col("token"))
     }),
 
+    // CDC/upsert snapshot merge (MERGE semantics, relationally): one
+    // union + one per-id struct-max arg-max (no corpus window), delete
+    // rows filtered after the version race
     "p108_apply_changes" -> ((s, dir) => {
       val d = docs(s, dir).select(col("doc_id"), col("text"))
       val changes = d.filter(col("doc_id") % 5 === 0)

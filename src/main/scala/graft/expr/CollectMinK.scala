@@ -2,7 +2,7 @@ package graft.expr
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -103,29 +103,10 @@ case class CollectMinK(
   //       Partition-local batch exchange format; a checkpoint-durable
   //       consumer of a non-long child would need a stable encoding here
   //       first (none exists today — the streaming twin hashes to longs).
-  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
-  @transient private lazy val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
   private def isLong: Boolean = child.dataType == LongType
-
-  /** Minimum byte size a version-1 nested (non-root-fixed-width) value
-    * image can legally have: a struct is its null bitset plus one 8-byte
-    * slot per field; an array is at least its 8-byte element-count
-    * header; strings/binary may be empty. One level deep is exact for
-    * every catalog child type (the struct children are all fixed-width
-    * longs). */
-  @transient private lazy val minNestedPayload: Int = child.dataType match {
-    case s: StructType => 8 * ((s.length + 63) / 64) + 8 * s.length
-    case _: ArrayType => 8
-    case _ => 0
-  }
-
-  /** True when the nested value's size is fully determined by its type
-    * (a struct of only fixed-width fields), so deserialize can demand
-    * size == [[minNestedPayload]] instead of >=. */
-  @transient private lazy val nestedExact: Boolean = child.dataType match {
-    case s: StructType => s.fields.forall(f => UnsafeRow.isFixedLength(f.dataType))
-    case _ => false
-  }
+  // shared element codec: ALL length/offset hardening lives in
+  // ValueImageCodec so it cannot diverge from FreqSketchK's
+  @transient private lazy val codec = new ValueImageCodec(child.dataType, "CollectMinK", "element")
 
   override def serialize(buf: java.util.TreeSet[Any]): Array[Byte] = {
     if (isLong) {
@@ -141,11 +122,7 @@ case class CollectMinK(
     var i = 0
     val it = buf.iterator()
     while (it.hasNext) {
-      holder.update(0, it.next())
-      // copy(): for fixed-width children the projection's UnsafeRow reuses
-      // one backing array across applies — getBytes on it would alias every
-      // serialized element to the last value written
-      rows(i) = proj.apply(holder).copy().getBytes
+      rows(i) = codec.imageOf(it.next())
       total += 4 + rows(i).length
       i += 1
     }
@@ -180,57 +157,9 @@ case class CollectMinK(
     }
     require(version == 1,
       s"CollectMinK buffer has unknown version tag $version (known: 0, 1)")
-    val row = new UnsafeRow(1)
-    val fixedLen = UnsafeRow.isFixedLength(child.dataType)
     var i = 0
     while (i < n) {
-      require(bb.remaining >= 4, s"CollectMinK version-1 buffer truncated at element $i/$n")
-      val len = bb.getInt
-      require(len >= 0 && bb.remaining >= len,
-        s"CollectMinK version-1 element $i length $len exceeds remaining ${bb.remaining}")
-      // a 1-field UnsafeRow is 8 null-bitset bytes + an 8-byte slot, plus
-      // variable-length payload; shorter images would make the row read
-      // past the array
-      require(len >= 16, s"CollectMinK version-1 element $i image too short: $len")
-      if (fixedLen) require(len == 16,
-        s"CollectMinK version-1 fixed-width element $i has length $len, expected 16")
-      val img = new Array[Byte](len)
-      bb.get(img)
-      // serialize never writes null elements, so the 1-field null bitset
-      // must be empty — a set bit would surface a null into the TreeSet
-      // and NPE its ordering later
-      var nb = 0
-      while (nb < 8) {
-        require(img(nb) == 0,
-          s"CollectMinK version-1 element $i has a non-empty null bitset")
-        nb += 1
-      }
-      if (!fixedLen) {
-        // validate the field's (offset, size) word BEFORE the row
-        // dereferences it — a corrupt word would otherwise drive an
-        // Unsafe copy from a wild offset (the slot uses native byte
-        // order, exactly as UnsafeRow reads it)
-        val slot = java.nio.ByteBuffer.wrap(img, 8, 8)
-          .order(java.nio.ByteOrder.nativeOrder()).getLong
-        val off = (slot >> 32).toInt
-        val size = slot.toInt
-        require(off >= 16 && size >= 0 && off.toLong + size <= len,
-          s"CollectMinK version-1 element $i has corrupt offset/size ($off, $size) for length $len")
-        // the nested value itself must be big enough for its type — a
-        // zero-size struct image would pass the window check above and
-        // then feed out-of-bounds Unsafe reads to the TreeSet ordering
-        // (garbage, not an exception). All catalog struct children are
-        // fully fixed-width, so their size is checked EXACTLY.
-        require(size >= minNestedPayload,
-          s"CollectMinK version-1 element $i nested value size $size < minimum " +
-            s"$minNestedPayload for ${child.dataType.simpleString}")
-        if (nestedExact) require(size == minNestedPayload,
-          s"CollectMinK version-1 element $i fixed-width ${child.dataType.simpleString} " +
-            s"has size $size, expected $minNestedPayload")
-      }
-      row.pointTo(img, len)
-      // hand the set an owned copy of the field value
-      buf.add(InternalRow.copyValue(row.get(0, child.dataType)))
+      buf.add(codec.readImage(bb, i)) // validated, owned copy
       i += 1
     }
     require(bb.remaining == 0,

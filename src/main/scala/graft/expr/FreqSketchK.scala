@@ -4,7 +4,7 @@ import scala.collection.mutable
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.{GenericArrayData, TypeUtils}
 import org.apache.spark.sql.types._
@@ -65,9 +65,11 @@ case class FreqSketchK(
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     // atomic values have stable equals/hashCode across Catalyst
-    // representations — the property the HashMap buffer keys on. Struct
-    // keys would compare Generic vs Unsafe rows by reference; hash the
-    // fields into an atomic value upstream instead.
+    // representations — the property the HashMap buffer keys on (floats
+    // need canonical() for the ±0.0/NaN encodings Catalyst grouping
+    // already treats equal). Struct keys would compare Generic vs
+    // Unsafe rows by reference; hash the fields into an atomic value
+    // upstream instead.
     // no BinaryType: Array[Byte] hashes by reference — md5Long it upstream
     case StringType | BooleanType | ByteType | ShortType | IntegerType |
          LongType | FloatType | DoubleType | DateType | TimestampType |
@@ -95,7 +97,26 @@ case class FreqSketchK(
     buf.filterInPlace((_, c) => c > 0)
   }
 
-  private def add(buf: mutable.HashMap[Any, Long], v: Any, inc: Long): Unit = {
+  /** Canonicalize float/double keys: -0.0 and 0.0 (and NaN payloads) are
+    * DISTINCT boxed HashMap keys but EQUAL under Catalyst grouping — a
+    * heavy value split across encodings would hold two sub-threshold
+    * counters and could lose its retention guarantee. Catalyst's
+    * NormalizeFloatingNumbers fixes group/join keys only, never
+    * aggregate inputs, so the buffer must do it. */
+  private def canonical(v: Any): Any = v match {
+    case d: java.lang.Double =>
+      if (d.doubleValue() == 0.0d) (0.0d: java.lang.Double)
+      else if (d.isNaN) (java.lang.Double.NaN: java.lang.Double)
+      else d
+    case f: java.lang.Float =>
+      if (f.floatValue() == 0.0f) (0.0f: java.lang.Float)
+      else if (f.isNaN) (java.lang.Float.NaN: java.lang.Float)
+      else f
+    case other => other
+  }
+
+  private def add(buf: mutable.HashMap[Any, Long], v0: Any, inc: Long): Unit = {
+    val v = canonical(v0)
     buf.get(v) match {
       case Some(c) => buf.update(v, c + inc) // existing key object retained
       case None => buf.update(InternalRow.copyValue(v), inc) // own the key
@@ -134,12 +155,11 @@ case class FreqSketchK(
   //   0 — LongType fast path: n, then n × (raw long item, long count).
   //   1 — generic: n, then n × (len-prefixed 1-field UnsafeRow image,
   //       long count).
-  @transient private lazy val proj = UnsafeProjection.create(Array(child.dataType))
-  @transient private lazy val holder = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(1)
   private def isLong: Boolean = child.dataType == LongType
+  // shared element codec: ALL length/offset hardening lives in
+  // ValueImageCodec so it cannot diverge from CollectMinK's
+  @transient private lazy val codec = new ValueImageCodec(child.dataType, "FreqSketchK", "entry")
 
-  /** Same one-level minimum-size validation as [[CollectMinK]]: atomic
-    * var-length children are strings/binary/decimal, which may be empty. */
   private def validCount(c: Long): Unit =
     require(c > 0, s"FreqSketchK buffer corrupt: non-positive count $c")
 
@@ -155,9 +175,7 @@ case class FreqSketchK(
     var total = 1 + 4
     var i = 0
     buf.foreach { case (v, c) =>
-      holder.update(0, v)
-      // copy(): the projection reuses one backing array across applies
-      rows(i) = (proj.apply(holder).copy().getBytes, c)
+      rows(i) = (codec.imageOf(v), c)
       total += 4 + rows(i)._1.length + 8
       i += 1
     }
@@ -184,44 +202,24 @@ case class FreqSketchK(
       while (i < n) {
         val v = bb.getLong; val c = bb.getLong
         validCount(c)
-        buf.update(v: java.lang.Long, c)
+        buf.update(v: java.lang.Long, buf.getOrElse(v: java.lang.Long, 0L) + c)
         i += 1
       }
       return buf
     }
     require(version == 1,
       s"FreqSketchK buffer has unknown version tag $version (known: 0, 1)")
-    val row = new UnsafeRow(1)
-    val fixedLen = UnsafeRow.isFixedLength(child.dataType)
     var i = 0
     while (i < n) {
-      require(bb.remaining >= 4, s"FreqSketchK version-1 buffer truncated at entry $i/$n")
-      val len = bb.getInt
-      require(len >= 0 && bb.remaining >= len + 8,
-        s"FreqSketchK version-1 entry $i length $len exceeds remaining ${bb.remaining}")
-      require(len >= 16, s"FreqSketchK version-1 entry $i image too short: $len")
-      if (fixedLen) require(len == 16,
-        s"FreqSketchK version-1 fixed-width entry $i has length $len, expected 16")
-      val img = new Array[Byte](len)
-      bb.get(img)
-      var nb = 0
-      while (nb < 8) {
-        require(img(nb) == 0,
-          s"FreqSketchK version-1 entry $i has a non-empty null bitset")
-        nb += 1
-      }
-      if (!fixedLen) {
-        val slot = java.nio.ByteBuffer.wrap(img, 8, 8)
-          .order(java.nio.ByteOrder.nativeOrder()).getLong
-        val off = (slot >> 32).toInt
-        val size = slot.toInt
-        require(off >= 16 && size >= 0 && off.toLong + size <= len,
-          s"FreqSketchK version-1 entry $i has corrupt offset/size ($off, $size) for length $len")
-      }
-      row.pointTo(img, len)
+      val v = codec.readImage(bb, i) // validated, owned copy
+      require(bb.remaining >= 8, s"FreqSketchK version-1 entry $i missing its count")
       val c = bb.getLong
       validCount(c)
-      buf.update(InternalRow.copyValue(row.get(0, child.dataType)), c)
+      // canonical(): a pre-canonicalization buffer may carry -0.0/NaN
+      // encodings that now collide — combine their counts instead of
+      // letting a later entry overwrite an earlier one
+      val key = canonical(v)
+      buf.update(key, buf.getOrElse(key, 0L) + c)
       i += 1
     }
     require(bb.remaining == 0,

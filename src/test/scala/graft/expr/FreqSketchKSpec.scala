@@ -108,6 +108,26 @@ class FreqSketchKSpec extends AnyFunSuite {
     reject(v1.patch(0, Array[Byte](0), 1), "v0 tag for non-long child", strAgg)
     val overLen = v1.clone(); overLen(5) = 0x7F
     reject(overLen, "element length past buffer", strAgg)
+    // a length near Int.MaxValue must reject cleanly, not wrap an int
+    // comparison and attempt a ~2 GB allocation
+    val maxLen = v1.clone()
+    java.nio.ByteBuffer.wrap(maxLen, 5, 4).putInt(Int.MaxValue)
+    reject(maxLen, "Int.MaxValue length", strAgg)
+  }
+
+  test("float/double keys canonicalize: -0.0/0.0 and NaN payloads share one counter") {
+    // -0.0 and 0.0 box to DISTINCT HashMap keys but are equal under
+    // Catalyst grouping; split encodings must not split the counter
+    // (a heavy value could otherwise drop below the purge bound twice)
+    val zeros = Seq.fill(30)(0.0d) ++ Seq.fill(30)(-0.0d) ++
+      (1 to 25).map(_.toDouble) // tail pressure, k=4 forces purges
+    val got = zeros.toDF("v").repartition(8)
+      .agg(freq_sketch_k($"v", 4)).collect().head
+      .getSeq[org.apache.spark.sql.Row](0)
+      .map(r => r.getDouble(0) -> r.getLong(1))
+    assert(got.head._1 == 0.0d && got.head._2 >= 60 - (85.0 / 5) - 1,
+      s"zero counter not merged: $got")
+    assert(got.count(_._1 == 0.0d) == 1)
   }
 
   test("unsupported child type fails at analysis time") {
