@@ -1369,6 +1369,18 @@ object PipelineQueries {
         k = 256, permille = Seq(250, 500, 900))
     }),
 
+    // PER-GROUP sample quantiles: each language carries its own bounded
+    // min-k sample inside ONE hash aggregate (O(k) state per group, no
+    // corpus sort) — per-stratum token-length distributions, the corpus
+    // profiling shape at 100 TB
+    "p110_lang_quantiles" -> ((s, dir) => {
+      val d = docs(s, dir).select(col("lang"), col("doc_id"),
+        size(TextOps.cleanTokens(col("text"))).cast("long").as("ntok"))
+      graft.pipeline.Sketches.sampledQuantilesBy(d, Seq(col("lang")),
+          col("doc_id"), col("ntok"), k = 128, permille = Seq(250, 500, 900))
+        .orderBy(col("lang"))
+    }),
+
     // Gopher-style rule filter: per-rule flags + keep, thresholds placed
     // inside the corpus distributions so every rule discriminates
     "p40_gopher_filter" -> ((s, dir) => {
@@ -1729,6 +1741,24 @@ object PipelineQueries {
          |  (SELECT n FROM o WHERE q = greatest((500 * m.n_sample + 999) // 1000, 1)) AS q500_est,
          |  (SELECT n FROM o WHERE q = greatest((900 * m.n_sample + 999) // 1000, 1)) AS q900_est
          |FROM m""".stripMargin,
+
+    "p110_lang_quantiles" ->
+      s"""WITH v AS (SELECT lang, doc_id,
+         |    ${oH("CAST(doc_id AS VARCHAR) || 'bk'")} AS h,
+         |    len(list_filter($oToks, t -> t != ''))::BIGINT AS n FROM documents),
+         |t AS (SELECT lang, count(*)::BIGINT AS n_rows FROM v GROUP BY lang),
+         |r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
+         |  FROM v WHERE n IS NOT NULL),
+         |s AS (SELECT lang, n FROM r WHERE rn <= 128),
+         |o AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS q FROM s),
+         |m AS (SELECT lang, count(*)::BIGINT AS n_sample FROM s GROUP BY lang)
+         |SELECT t.lang, t.n_rows, coalesce(m.n_sample, 0)::BIGINT AS n_sample,
+         |  max(CASE WHEN o.q = greatest((250 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q250_est,
+         |  max(CASE WHEN o.q = greatest((500 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q500_est,
+         |  max(CASE WHEN o.q = greatest((900 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q900_est
+         |FROM t LEFT JOIN m USING (lang) LEFT JOIN o USING (lang)
+         |GROUP BY t.lang, t.n_rows, m.n_sample
+         |ORDER BY t.lang""".stripMargin,
 
     "p91_bpe_encode" ->
       s"""WITH ${bpeCtes(8)},

@@ -168,19 +168,35 @@ object Sketches {
    * sampled VALUES are wanted).
    */
   def sampledQuantiles(df: DataFrame, id: Column, value: Column, k: Int,
-      permille: Seq[Int]): DataFrame = {
+      permille: Seq[Int]): DataFrame =
+    sampledQuantilesBy(df, Seq.empty, id, value, k, permille)
+
+  /**
+   * [[sampledQuantiles]] PER GROUP: one row per group (aliased group
+   * columns pass through, the [[approxDistinct]] convention) with that
+   * group's exact `n_rows`, its `n_sample`, and a `q{permille}_est`
+   * column per requested point — each group carries its OWN bounded
+   * min-k sample, so per-stratum distributions (token-length quantiles
+   * per language, latency quantiles per source) cost one hash aggregate
+   * with O(k) state per group and zero sorts of the corpus. The empty
+   * group list degrades to the global one-row form.
+   */
+  def sampledQuantilesBy(df: DataFrame, groups: Seq[Column], id: Column,
+      value: Column, k: Int, permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000))
     val salt = "bk" // bottomKSample's selection key, verbatim
-    val base = df.select(id.cast("long").as("__qid"), value.cast("long").as("__qv"))
-    val agg = base.agg(
+    val idL = id.cast("long")
+    val vL = value.cast("long")
+    val agg = df.groupBy(groups: _*).agg(
       count(lit(1)).as("n_rows"),
-      collect_min_k(when(col("__qv").isNotNull,
+      collect_min_k(when(vL.isNotNull,
         struct(
-          TextOps.md5Long(concat(col("__qid").cast("string"), lit(salt))).as("__h"),
-          col("__qid").as("__i"), col("__qv").as("__v"))), k).as("__mk"))
+          TextOps.md5Long(concat(idL.cast("string"), lit(salt))).as("__h"),
+          idL.as("__i"), vL.as("__v"))), k).as("__mk"))
+    val gCols = agg.columns.takeWhile(_ != "n_rows").map(col)
     val qCols = permille.map { p =>
       // ceil(p * n/1000) as pure integer arithmetic, identical in SQL;
-      // the n_sample=0 guard keeps an empty input a NULL estimate
+      // the n_sample=0 guard keeps a sample-less group a NULL estimate
       // instead of an ANSI element_at(…, 1) error on the empty array
       when(col("n_sample") > 0,
         element_at(col("__arr"),
@@ -191,7 +207,7 @@ object Sketches {
       .withColumn("n_sample", size(col("__mk")).cast("long"))
       .withColumn("__arr",
         sort_array(transform(col("__mk"), m => m.getField("__v"))))
-      .select(col("n_rows") +: col("n_sample") +: qCols: _*)
+      .select(gCols ++ (col("n_rows") +: col("n_sample") +: qCols): _*)
   }
 
   /**

@@ -114,6 +114,31 @@ class SketchesSpec extends AnyFunSuite {
     assert(math.abs(got.getLong(3) - exact).toDouble / exact < 0.2)
   }
 
+  test("sampledQuantilesBy: each group carries its own sample; small groups are exact") {
+    val rnd = new scala.util.Random(23)
+    // group "a": 900 rows (sample pressure at k=64); "b": 40 rows (< k, so
+    // its sample IS the group and quantiles are exact ranks); "c": 3 rows
+    val rows = (0L until 900L).map(i => ("a", i, rnd.nextInt(10000).toLong)) ++
+      (0L until 40L).map(i => ("b", 10000L + i, i * 13 % 700)) ++
+      Seq(("c", 20001L, 5L), ("c", 20002L, 9L), ("c", 20003L, 1L))
+    val df = rows.toDF("g", "id", "v").repartition(11)
+    val got = Sketches.sampledQuantilesBy(df, Seq(col("g")), col("id"), col("v"),
+        k = 64, permille = Seq(500, 900))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    def ref(g: String): (Long, Long, Long, Long) = {
+      val grp = rows.filter(_._1 == g)
+      val sample = grp.sortBy { case (_, i, _) => (md5Long60(s"${i}bk"), i) }
+        .take(64).map(_._3).sorted
+      def qAt(p: Int) = sample(math.max((p * sample.size + 999) / 1000, 1) - 1)
+      (grp.size.toLong, sample.size.toLong, qAt(500), qAt(900))
+    }
+    assert(got.keySet == Set("a", "b", "c"))
+    Seq("a", "b", "c").foreach(g => assert(got(g) == ref(g), s"group $g"))
+    // the sub-k groups are exact order statistics of their full data
+    assert(got("c") == ((3L, 3L, 5L, 9L)))
+  }
+
   test("sampledQuantiles: null values are excluded from the sample, counted in n_rows") {
     // pre-fix, null-valued sampled rows inflated n_sample past the
     // collected array and the high-permille rank read past the end
