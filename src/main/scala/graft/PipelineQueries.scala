@@ -1369,6 +1369,20 @@ object PipelineQueries {
         k = 256, permille = Seq(250, 500, 900))
     }),
 
+    // PER-GROUP heavy hitters: hot tokens per language against each
+    // language's OWN total — grouped Misra-Gries sketch (O(k) counters
+    // per group), groups x k candidate broadcast, exact per-group pass;
+    // never a (lang x vocabulary) hash aggregate
+    "p111_lang_heavy_tokens" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("lang"), explode(TextOps.tokens(col("text"))).as("token"))
+        .filter(col("token") =!= "")
+      graft.pipeline.Sketches.heavyHittersBy(toks, Seq(col("lang")),
+          col("token"), minPermille = 5, k = 256)
+        .withColumnRenamed("item", "token")
+        .orderBy(col("lang"), desc("n_occurrences"), col("token"))
+    }),
+
     // PER-GROUP sample quantiles: each language carries its own bounded
     // min-k sample inside ONE hash aggregate (O(k) state per group, no
     // corpus sort) — per-stratum token-length distributions, the corpus
@@ -1741,6 +1755,16 @@ object PipelineQueries {
          |  (SELECT n FROM o WHERE q = greatest((500 * m.n_sample + 999) // 1000, 1)) AS q500_est,
          |  (SELECT n FROM o WHERE q = greatest((900 * m.n_sample + 999) // 1000, 1)) AS q900_est
          |FROM m""".stripMargin,
+
+    "p111_lang_heavy_tokens" ->
+      s"""WITH tk AS (SELECT lang, unnest($oToks) AS token FROM documents),
+         |t AS (SELECT lang, token FROM tk WHERE token != ''),
+         |n AS (SELECT lang, count(*)::BIGINT AS n_total FROM t GROUP BY lang)
+         |SELECT t.lang, token, count(*)::BIGINT AS n_occurrences, n.n_total
+         |FROM t JOIN n USING (lang)
+         |GROUP BY t.lang, token, n.n_total
+         |HAVING count(*) * 1000 >= n.n_total * 5
+         |ORDER BY t.lang, n_occurrences DESC, token""".stripMargin,
 
     "p110_lang_quantiles" ->
       s"""WITH v AS (SELECT lang, doc_id,

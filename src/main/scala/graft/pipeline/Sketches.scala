@@ -240,22 +240,40 @@ object Sketches {
    * `n_total` = N for rate computation downstream. Unordered — callers
    * own the final sort.
    */
-  def heavyHitters(df: DataFrame, item: Column, minPermille: Int, k: Int): DataFrame = {
+  def heavyHitters(df: DataFrame, item: Column, minPermille: Int, k: Int): DataFrame =
+    heavyHittersBy(df, Seq.empty, item, minPermille, k)
+
+  /**
+   * [[heavyHitters]] PER GROUP: every item at or above
+   * `minPermille`/1000 of ITS group's non-null rows, with exact counts
+   * against the group's own total. Aliased group columns pass through
+   * (the [[approxDistinct]] convention); the empty group list degrades
+   * to the global form. Same two-pass plan: one grouped sketch
+   * aggregate (O(k) counters per group), a `groups × k`-row broadcast
+   * of candidates, one exact count pass over admitted rows — hot tokens
+   * per language / hot URLs per crawl snapshot without ever
+   * hash-aggregating a (group × vocabulary) key space.
+   */
+  def heavyHittersBy(df: DataFrame, groups: Seq[Column], item: Column,
+      minPermille: Int, k: Int): DataFrame = {
     require(minPermille >= 1 && minPermille <= 1000,
       s"minPermille must be in [1, 1000], got $minPermille")
     require((k + 1).toLong * minPermille > 1000,
       s"k=$k cannot guarantee completeness at $minPermille permille: " +
         s"need (k+1)*minPermille > 1000 (Misra-Gries retains items above N/(k+1))")
-    val base = df.select(item.as("item")).filter(col("item").isNotNull)
+    val base = df.select(groups :+ item.as("item"): _*).filter(col("item").isNotNull)
+    val gNames = base.columns.dropRight(1).toSeq
+    val gCols = gNames.map(col)
     val candidates = base
+      .groupBy(gCols: _*)
       .agg(count(lit(1)).as("n_total"), freq_sketch_k(col("item"), k).as("__sk"))
-      .select(col("n_total"), explode(col("__sk")).as("__c"))
-      .select(col("n_total"), col("__c.item").as("item"))
-    base.join(broadcast(candidates), Seq("item"))
-      .groupBy(col("item"), col("n_total"))
+      .select(gCols :+ col("n_total") :+ explode(col("__sk")).as("__c"): _*)
+      .select(gCols :+ col("n_total") :+ col("__c.item").as("item"): _*)
+    base.join(broadcast(candidates), gNames :+ "item")
+      .groupBy(gCols :+ col("item") :+ col("n_total"): _*)
       .agg(count(lit(1)).as("n_occurrences"))
       // count >= ceil(N*p/1000)  ⇔  1000*count >= N*p  (integer counts)
       .filter(col("n_occurrences") * 1000L >= col("n_total") * minPermille.toLong)
-      .select(col("item"), col("n_occurrences"), col("n_total"))
+      .select(gCols :+ col("item") :+ col("n_occurrences") :+ col("n_total"): _*)
   }
 }

@@ -156,6 +156,18 @@ class FreqSketchKSpec extends AnyFunSuite {
     }
   }
 
+  test("heavyHittersBy: per-group thresholds against each group's own total") {
+    // group "a": token heavy only relative to a's small total; group "b":
+    // same token diluted below threshold by b's volume
+    val rows = Seq.fill(20)(("a", "hot")) ++ (1 to 80).map(i => ("a", s"ta$i")) ++
+      Seq.fill(20)(("b", "hot")) ++ (1 to 980).map(i => ("b", s"tb$i"))
+    val got = Sketches.heavyHittersBy(rows.toDF("g", "t").repartition(9),
+        Seq(col("g")), col("t"), minPermille = 100, k = 64)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    // "hot" is 20% of a (>=10%) but 2% of b (<10%)
+    assert(got.toSeq == Seq(("a", "hot", 20L, 100L)))
+  }
+
   test("heavyHitters rejects an under-provisioned k; empty input yields empty output") {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(Seq("a").toDF("t"), col("t"), minPermille = 5, k = 100)
