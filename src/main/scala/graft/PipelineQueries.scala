@@ -1761,10 +1761,10 @@ object PipelineQueries {
          |t AS (SELECT lang, token FROM tk WHERE token != ''),
          |n AS (SELECT lang, count(*)::BIGINT AS n_total FROM t GROUP BY lang)
          |SELECT t.lang, token, count(*)::BIGINT AS n_occurrences, n.n_total
-         |FROM t JOIN n USING (lang)
+         |FROM t JOIN n ON t.lang IS NOT DISTINCT FROM n.lang
          |GROUP BY t.lang, token, n.n_total
          |HAVING count(*) * 1000 >= n.n_total * 5
-         |ORDER BY t.lang, n_occurrences DESC, token""".stripMargin,
+         |ORDER BY t.lang NULLS FIRST, n_occurrences DESC, token""".stripMargin,
 
     "p110_lang_quantiles" ->
       s"""WITH v AS (SELECT lang, doc_id,
@@ -1780,9 +1780,10 @@ object PipelineQueries {
          |  max(CASE WHEN o.q = greatest((250 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q250_est,
          |  max(CASE WHEN o.q = greatest((500 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q500_est,
          |  max(CASE WHEN o.q = greatest((900 * m.n_sample + 999) // 1000, 1) THEN o.n END) AS q900_est
-         |FROM t LEFT JOIN m USING (lang) LEFT JOIN o USING (lang)
+         |FROM t LEFT JOIN m ON t.lang IS NOT DISTINCT FROM m.lang
+         |  LEFT JOIN o ON t.lang IS NOT DISTINCT FROM o.lang
          |GROUP BY t.lang, t.n_rows, m.n_sample
-         |ORDER BY t.lang""".stripMargin,
+         |ORDER BY t.lang NULLS FIRST""".stripMargin,
 
     "p91_bpe_encode" ->
       s"""WITH ${bpeCtes(8)},

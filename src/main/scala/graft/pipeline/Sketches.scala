@@ -187,13 +187,22 @@ object Sketches {
     val salt = "bk" // bottomKSample's selection key, verbatim
     val idL = id.cast("long")
     val vL = value.cast("long")
+    val reserved = Set("n_rows", "n_sample", "__mk", "__arr") ++
+      permille.map(p => s"q${p}_est")
+    // resolve group names BEFORE the aggregate: a group aliased to a
+    // reserved name (e.g. "n_rows") would silently corrupt the output
+    val gNames = if (groups.isEmpty) Seq.empty[String]
+      else df.select(groups: _*).columns.toSeq
+    require(gNames.forall(!reserved(_)),
+      s"group aliases ${gNames.mkString(", ")} must avoid the reserved output names " +
+        reserved.mkString(", "))
     val agg = df.groupBy(groups: _*).agg(
       count(lit(1)).as("n_rows"),
       collect_min_k(when(vL.isNotNull,
         struct(
           TextOps.md5Long(concat(idL.cast("string"), lit(salt))).as("__h"),
           idL.as("__i"), vL.as("__v"))), k).as("__mk"))
-    val gCols = agg.columns.takeWhile(_ != "n_rows").map(col)
+    val gCols = gNames.map(col)
     val qCols = permille.map { p =>
       // ceil(p * n/1000) as pure integer arithmetic, identical in SQL;
       // the n_sample=0 guard keeps a sample-less group a NULL estimate
@@ -263,13 +272,25 @@ object Sketches {
         s"need (k+1)*minPermille > 1000 (Misra-Gries retains items above N/(k+1))")
     val base = df.select(groups :+ item.as("item"): _*).filter(col("item").isNotNull)
     val gNames = base.columns.dropRight(1).toSeq
+    val reserved = Set("item", "n_total", "n_occurrences", "__sk", "__c")
+    require(gNames.forall(!reserved(_)),
+      s"group aliases ${gNames.mkString(", ")} must avoid the reserved output names " +
+        reserved.mkString(", "))
     val gCols = gNames.map(col)
     val candidates = base
       .groupBy(gCols: _*)
       .agg(count(lit(1)).as("n_total"), freq_sketch_k(col("item"), k).as("__sk"))
       .select(gCols :+ col("n_total") :+ explode(col("__sk")).as("__c"): _*)
       .select(gCols :+ col("n_total") :+ col("__c.item").as("item"): _*)
-    base.join(broadcast(candidates), gNames :+ "item")
+      // prefixed names for an explicit NULL-SAFE join below — a plain
+      // USING join is EqualTo and would silently drop every heavy hitter
+      // of a NULL-keyed group (groupBy treats NULL as a group; the
+      // join-back must too)
+      .toDF(gNames.map("__cg_" + _) :+ "n_total" :+ "__c_item": _*)
+    val joinCond = gNames
+      .map(n => col(n) <=> col("__cg_" + n)) // null-safe per group key
+      .foldLeft(col("item") === col("__c_item"))(_ && _) // item is non-null
+    base.join(broadcast(candidates), joinCond)
       .groupBy(gCols :+ col("item") :+ col("n_total"): _*)
       .agg(count(lit(1)).as("n_occurrences"))
       // count >= ceil(N*p/1000)  ⇔  1000*count >= N*p  (integer counts)

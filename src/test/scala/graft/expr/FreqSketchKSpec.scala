@@ -168,6 +168,30 @@ class FreqSketchKSpec extends AnyFunSuite {
     assert(got.toSeq == Seq(("a", "hot", 20L, 100L)))
   }
 
+  test("heavyHittersBy: NULL group keys keep their heavy hitters (null-safe join-back)") {
+    // groupBy treats NULL as a group; a plain USING join-back would
+    // silently drop the NULL group's candidates (NULL != NULL)
+    val rows = Seq.fill(5)((None: Option[String], "hot")) ++
+      (1 to 5).map(i => (None: Option[String], s"t$i")) ++
+      Seq.fill(4)((Option("en"), "the")) ++ (1 to 6).map(i => (Option("en"), s"e$i"))
+    val got = Sketches.heavyHittersBy(rows.toDF("g", "t").repartition(4),
+        Seq(col("g")), col("t"), minPermille = 300, k = 8)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSet == Set((None, "hot", 5L, 10L), (Some("en"), "the", 4L, 10L)))
+  }
+
+  test("grouped sketch operators reject reserved group aliases loudly") {
+    val df = Seq(("a", 1L, 2L)).toDF("g", "id", "v")
+    intercept[IllegalArgumentException] {
+      Sketches.heavyHittersBy(df, Seq(col("g").as("n_total")), col("v"),
+        minPermille = 500, k = 8)
+    }
+    intercept[IllegalArgumentException] {
+      Sketches.sampledQuantilesBy(df, Seq(col("g").as("n_rows")), col("id"),
+        col("v"), k = 8, permille = Seq(500))
+    }
+  }
+
   test("heavyHitters rejects an under-provisioned k; empty input yields empty output") {
     intercept[IllegalArgumentException] {
       Sketches.heavyHitters(Seq("a").toDF("t"), col("t"), minPermille = 5, k = 100)
