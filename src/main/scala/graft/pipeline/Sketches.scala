@@ -184,7 +184,6 @@ object Sketches {
   def sampledQuantilesBy(df: DataFrame, groups: Seq[Column], id: Column,
       value: Column, k: Int, permille: Seq[Int]): DataFrame = {
     require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000))
-    val salt = "bk" // bottomKSample's selection key, verbatim
     val idL = id.cast("long")
     val vL = value.cast("long")
     val reserved = Set("n_rows", "n_sample", "__mk", "__arr") ++
@@ -198,13 +197,31 @@ object Sketches {
         reserved.mkString(", "))
     val agg = df.groupBy(groups: _*).agg(
       count(lit(1)).as("n_rows"),
-      collect_min_k(when(vL.isNotNull,
-        struct(
-          TextOps.md5Long(concat(idL.cast("string"), lit(salt))).as("__h"),
-          idL.as("__i"), vL.as("__v"))), k).as("__mk"))
+      quantileSampleAgg(idL, vL, k).as("__mk"))
     val gCols = gNames.map(col)
-    val qCols = permille.map { p =>
-      // ceil(p * n/1000) as pure integer arithmetic, identical in SQL;
+    agg
+      .withColumn("n_sample", size(col("__mk")).cast("long"))
+      .withColumn("__arr",
+        sort_array(transform(col("__mk"), m => m.getField("__v"))))
+      .select(gCols ++ (col("n_rows") +: col("n_sample") +: quantileEstCols(permille)): _*)
+  }
+
+  /** The quantile sample aggregate — ONE definition of the salted
+    * (hash, id, value) bottom-k selection shared by the batch forms and
+    * the streaming twin, so their samples are bit-identical on the same
+    * rows. NULL values are excluded (a null cannot rank); NULL ids hash
+    * to a null struct and drop like collect_set drops nulls. */
+  private[graft] def quantileSampleAgg(idL: Column, vL: Column, k: Int): Column =
+    collect_min_k(when(vL.isNotNull,
+      struct(
+        TextOps.md5Long(concat(idL.cast("string"), lit("bk"))).as("__h"),
+        idL.as("__i"), vL.as("__v"))), k)
+
+  /** `q{permille}_est` columns over the `n_sample`/`__arr` columns — the
+    * ONE rank-arithmetic definition (ceil(p·n/1000) as pure integers,
+    * NULL on an empty sample) shared by batch and streaming. */
+  private[graft] def quantileEstCols(permille: Seq[Int]): Seq[Column] =
+    permille.map { p =>
       // the n_sample=0 guard keeps a sample-less group a NULL estimate
       // instead of an ANSI element_at(…, 1) error on the empty array
       when(col("n_sample") > 0,
@@ -212,12 +229,6 @@ object Sketches {
           greatest(expr(s"($p * n_sample + 999) div 1000"), lit(1L)).cast("int")))
         .as(s"q${p}_est")
     }
-    agg
-      .withColumn("n_sample", size(col("__mk")).cast("long"))
-      .withColumn("__arr",
-        sort_array(transform(col("__mk"), m => m.getField("__v"))))
-      .select(gCols ++ (col("n_rows") +: col("n_sample") +: qCols): _*)
-  }
 
   /**
    * EXACT heavy hitters with a bounded plan: every item occurring in at

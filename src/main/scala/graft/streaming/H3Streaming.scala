@@ -68,9 +68,10 @@ final case class SessionRow(key: Long, start_ns: Long, end_ns: Long,
  * == State-store bounds per stateful twin (the unbounded-ingest audit) ==
  *
  * Watermarked-aggregation twins (hopping stats, approx distinct, weighted
- * sample, heavy-hitter candidates, exact dedup, rate anomaly): state =
- * (windows in flight) x (groups); the watermark closes windows — bounded
- * by lateness horizon. The sketch twins carry O(k) buffers per cell.
+ * sample, sample quantiles, heavy-hitter candidates, exact dedup, rate
+ * anomaly): state = (windows in flight) x (groups); the watermark closes
+ * windows — bounded by lateness horizon. The sketch twins carry O(k)
+ * buffers per cell.
  *
  * flatMapGroupsWithState twins:
  *  - `streamingSessionize`: one [[OpenSession]] per live key; event-time
@@ -187,6 +188,36 @@ object H3Streaming {
       .select(unix_micros(col("window.start")).as("window_start"),
         col("group"), col("n_rows"),
         graft.pipeline.Sketches.kmvEstimate(col("__mk"), k).as("distinct_est"))
+  }
+
+  /** Windowed per-group sample quantiles — the streaming twin of
+    * [[graft.pipeline.Sketches.sampledQuantilesBy]]: per (window,
+    * group), the SAME salted (hash, id) bottom-k selection
+    * ([[graft.pipeline.Sketches.quantileSampleAgg]], one shared
+    * definition) accumulates in the state store, and each closed window
+    * emits `n_rows`, `n_sample`, and the `q{permille}_est` ranks
+    * ([[graft.pipeline.Sketches.quantileEstCols]], same shared rank
+    * arithmetic). The selection is deterministic given the hash, so
+    * stream == batch EXACTLY on the same window's rows — unlike the
+    * sketch twins there is no merge-order caveat. State is O(k) per
+    * (window, group); the watermark closes windows. */
+  def streamingSampledQuantiles(stream: DataFrame, tsCol: String,
+      groupCol: String, idCol: String, valueCol: String, k: Int,
+      permille: Seq[Int], watermark: String, windowLen: String): DataFrame = {
+    require(permille.nonEmpty && permille.forall(p => p >= 1 && p <= 1000))
+    import graft.pipeline.Sketches
+    stream
+      .withWatermark(tsCol, watermark)
+      .groupBy(window(col(tsCol), windowLen), col(groupCol).as("group"))
+      .agg(count(lit(1)).as("n_rows"),
+        Sketches.quantileSampleAgg(
+          col(idCol).cast("long"), col(valueCol).cast("long"), k).as("__mk"))
+      .withColumn("n_sample", size(col("__mk")).cast("long"))
+      .withColumn("__arr",
+        sort_array(transform(col("__mk"), m => m.getField("__v"))))
+      .select(unix_micros(col("window.start")).as("window_start") +:
+        col("group") +: col("n_rows") +: col("n_sample") +:
+        Sketches.quantileEstCols(permille): _*)
   }
 
   /** Windowed frequent-items candidates per group — the streaming face

@@ -925,6 +925,47 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming windowed sample quantiles == batch sampledQuantilesBy per window") {
+    import graft.pipeline.Sketches
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(71)
+    // two 30s windows, two groups; values spread so ranks discriminate
+    val evs = (0L until 400L).map { i =>
+      (ts(rnd.nextInt(55)), if (i % 2 == 0) "x" else "y", i, rnd.nextInt(5000).toLong)
+    }
+    val input = MemoryStream[(Timestamp, String, Long, Long)]
+    val out = H3Streaming.streamingSampledQuantiles(
+      input.toDF.toDF("ts", "grp", "id", "v"), "ts", "grp", "id", "v",
+      k = 32, permille = Seq(250, 500, 900),
+      watermark = "10 seconds", windowLen = "30 seconds")
+    val query = out.writeStream
+      .format("memory").queryName("squant").outputMode("complete").start()
+    try {
+      // two micro-batches: the second re-reads min-k buffers from the
+      // state store (production serialize/deserialize path)
+      val (b1, b2) = evs.splitAt(evs.size / 2)
+      input.addData(b1: _*)
+      query.processAllAvailable()
+      input.addData(b2: _*)
+      query.processAllAvailable()
+      val got = spark.table("squant")
+        .as[(Long, String, Long, Long, Long, Long, Long)].collect().toSet
+      // batch twin: sampledQuantilesBy per (window, group) — the shared
+      // selection + rank definitions make this EXACT equality
+      val winLen = 30000000L
+      val batch = evs.groupBy { case (t, g, _, _) =>
+        ((t.getTime * 1000L) - (t.getTime * 1000L) % winLen, g)
+      }.toSeq.map { case ((ws, g), rows) =>
+        val df = rows.map(r => (r._3, r._4)).toDF("id", "v")
+        val r = Sketches.sampledQuantilesBy(df, Seq.empty, col("id"), col("v"),
+          k = 32, permille = Seq(250, 500, 900)).collect().head
+        (ws, g, r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      }.toSet
+      assert(got == batch)
+      assert(got.size >= 4)
+    } finally query.stop()
+  }
+
   test("streaming heavy-hitter candidates: per-window superset + lower-bound laws") {
     implicit val sqlCtx = spark.sqlContext
     val rnd = new scala.util.Random(59)
