@@ -1369,6 +1369,14 @@ object PipelineQueries {
         k = 256, permille = Seq(250, 500, 900))
     }),
 
+    // character-entropy quality signal: Shannon entropy of each doc's
+    // char distribution on the e4 ln-lattice (the compressibility proxy
+    // — low = repetitive boilerplate, high = random junk); two hash
+    // aggregates on the doc key, no joins, no compressor dependency
+    "p112_char_entropy" -> ((s, dir) =>
+      TextOps.charEntropyE4(docs(s, dir), col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))),
+
     // PER-GROUP heavy hitters: hot tokens per language against each
     // language's OWN total — grouped Misra-Gries sketch (O(k) counters
     // per group), groups x k candidate broadcast, exact per-group pass;
@@ -1755,6 +1763,18 @@ object PipelineQueries {
          |  (SELECT n FROM o WHERE q = greatest((500 * m.n_sample + 999) // 1000, 1)) AS q500_est,
          |  (SELECT n FROM o WHERE q = greatest((900 * m.n_sample + 999) // 1000, 1)) AS q900_est
          |FROM m""".stripMargin,
+
+    "p112_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents),
+        |cc AS (SELECT doc_id, c, count(*)::BIGINT AS cnt FROM ch WHERE c != ''
+        |  GROUP BY doc_id, c),
+        |d AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n_chars,
+        |  CAST(sum(cnt * CAST(floor(ln(cnt::DOUBLE) * 10000.0 + 0.5) AS BIGINT)) AS BIGINT) AS clnc
+        |  FROM cc GROUP BY doc_id)
+        |SELECT doc_id, n_chars,
+        |  CAST(floor((n_chars * CAST(floor(ln(n_chars::DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+        |    - clnc)::DOUBLE / n_chars::DOUBLE + 0.5) AS BIGINT) AS entropy_e4
+        |FROM d ORDER BY doc_id""".stripMargin,
 
     "p111_lang_heavy_tokens" ->
       s"""WITH tk AS (SELECT lang, unnest($oToks) AS token FROM documents),

@@ -39,7 +39,8 @@ object ScaleProbe {
     "p98_graph_features", "p99_walk_pmi", "p100_warc_gz_roundtrip",
     "p101_link_prediction", "p102_group_split", "p103_retrieval_metrics", "p104_dedup_eval",
     "p105_personalized_pagerank", "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
-    "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens")
+    "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
+    "p112_char_entropy")
 
   def main(args: Array[String]): Unit = {
     val base = args.headOption.getOrElse("/root/testdata/sf0.1")

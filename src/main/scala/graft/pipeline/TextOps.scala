@@ -98,6 +98,39 @@ object TextOps {
     floor(score * lit(10000.0) + lit(0.5)).cast("double") / lit(10000.0)
   }
 
+  /** Per-document character-entropy quality signal: Shannon entropy of
+    * the character distribution in nats on the e4 integer lattice — the
+    * classic compressibility proxy (repetitive boilerplate scores low,
+    * natural prose mid, random junk high) without a compressor
+    * dependency, so it stays a pure relational plan.
+    *
+    * Engine-exact convention: each ln is floor-quantized to e4
+    * IMMEDIATELY (`lnq(x) = floor(ln(x)·1e4 + 0.5)`; quantum ≫ libm ulp
+    * at |ln| ≤ ~12), per-char contributions combine as LONGS, and
+    * `entropy_e4 = floor((n·lnq(n) − Σ c·lnq(c)) / n + 0.5)` — the
+    * identity H = Σ (c/n)(ln n − ln c) on the lattice, identical in
+    * Spark and DuckDB.
+    *
+    * Scale shape: char explode → (doc, char) count aggregate (map-side
+    * partials shrink each doc to ≤ alphabet-size rows) → per-doc
+    * aggregate. Two hash aggregates on the doc key, no joins. Documents
+    * with NULL/empty text produce no rows (no characters, no
+    * distribution). */
+  def charEntropyE4(df: DataFrame, id: Column, text: Column): DataFrame = {
+    def lnqE4(c: Column): Column =
+      floor(log(c.cast("double")) * 10000.0 + 0.5).cast("long")
+    df.select(id.as("doc_id"), explode(split(text, "")).as("__ch"))
+      .filter(col("__ch") =!= "")
+      .groupBy(col("doc_id"), col("__ch"))
+      .agg(count(lit(1)).as("__c"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("__c")).as("n_chars"),
+        sum(col("__c") * lnqE4(col("__c"))).as("__clnc"))
+      .select(col("doc_id"), col("n_chars"),
+        floor((col("n_chars") * lnqE4(col("n_chars")) - col("__clnc")).cast("double")
+          / col("n_chars").cast("double") + 0.5).cast("long").as("entropy_e4"))
+  }
+
   /** Marker lexicons for the language-ID heuristic. Order matters: ties are
     * broken by this priority. */
   val LangMarkers: Seq[(String, Seq[String])] = Seq(

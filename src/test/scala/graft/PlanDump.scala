@@ -26,7 +26,8 @@ object PlanDump {
     "p97_kcore", "p98_graph_features", "p99_walk_pmi", "p101_link_prediction",
     "p103_retrieval_metrics", "p105_personalized_pagerank",
     "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
-    "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens")
+    "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
+    "p112_char_entropy")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"

@@ -277,4 +277,41 @@ class TextScoringSpec extends AnyFunSuite {
     assert(out.find(_._1 == 1L).get._4 > 0.5)
     assert(out.find(_._1 == 4L).get._4 < 0.5)
   }
+
+  test("charEntropyE4 matches the sequential lattice reference; signal orders quality") {
+    def refE4(t: String): Option[(Long, Long)] = {
+      val cs = t.toCharArray.map(_.toString).filter(_.nonEmpty)
+      if (cs.isEmpty) None else {
+        def lnq(c: Long) = math.floor(math.log(c.toDouble) * 10000.0 + 0.5).toLong
+        val counts = cs.groupBy(identity).values.map(_.length.toLong)
+        val n = counts.sum
+        val clnc = counts.map(c => c * lnq(c)).sum
+        Some((n, math.floor((n * lnq(n) - clnc).toDouble / n + 0.5).toLong))
+      }
+    }
+    val texts = Seq(
+      1L -> "aaaaaaaaaaaaaaaaaaaa", // repetitive: entropy 0
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "abcdefghijklmnopqrst", // all-distinct: entropy = ln 20
+      4L -> "aaaa bbbb aaaa bbbb aaaa")
+    val rows = texts ++ Seq(5L -> (null: String), 6L -> "")
+    val got = TextOps.charEntropyE4(rows.toDF("doc_id", "text"),
+        col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // null/empty texts produce no row
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    texts.foreach { case (i, t) => assert(got(i) == refE4(t).get, s"doc $i") }
+    assert(got(1L)._2 == 0L) // single-symbol stream has zero entropy
+    assert(got(3L)._2 == math.floor(math.log(20.0) * 10000.0 + 0.5).toLong)
+    // the quality ordering the filter relies on: repetition < prose
+    assert(got(1L)._2 < got(4L)._2 && got(4L)._2 < got(2L)._2)
+    // real corpus slice vs the same reference, exact
+    val corpus = docs.limit(50).collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[String]("text"))
+    val gotC = TextOps.charEntropyE4(
+        docs.limit(50), col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    corpus.foreach { case (i, t) =>
+      assert(refE4(t).forall(_ == gotC(i)), s"corpus doc $i") }
+  }
 }
