@@ -96,13 +96,17 @@ case class CollectMinK(
 
   // Two formats, tagged by a leading version byte:
   //   0 — raw big-endian longs, for LongType children. VERSION-STABLE:
-  //       streaming consumers (windowed KMV sketches) persist these
-  //       buffers into checkpointed state stores, which must survive a
-  //       Spark upgrade — the long path depends on nothing but the tag.
+  //       depends on nothing but the tag.
   //   1 — single-field UnsafeRow images, for every other child type.
-  //       Partition-local batch exchange format; a checkpoint-durable
-  //       consumer of a non-long child would need a stable encoding here
-  //       first (none exists today — the streaming twin hashes to longs).
+  //       Checkpoint durability: Spark's streaming state stores persist
+  //       state rows AS UnsafeRow bytes themselves, so these images
+  //       share exactly the state store's own layout-stability
+  //       envelope — a hypothetical UnsafeRow layout change would break
+  //       every checkpoint, not just these buffers, and the strict
+  //       deserialize validation below turns that into a LOUD failure
+  //       instead of a misparse. Streaming consumers with struct
+  //       children (windowed weighted sample, windowed quantiles) ride
+  //       this path.
   private def isLong: Boolean = child.dataType == LongType
   // shared element codec: ALL length/offset hardening lives in
   // ValueImageCodec so it cannot diverge from FreqSketchK's

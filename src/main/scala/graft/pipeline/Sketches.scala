@@ -209,10 +209,14 @@ object Sketches {
   /** The quantile sample aggregate — ONE definition of the salted
     * (hash, id, value) bottom-k selection shared by the batch forms and
     * the streaming twin, so their samples are bit-identical on the same
-    * rows. NULL values are excluded (a null cannot rank); NULL ids hash
-    * to a null struct and drop like collect_set drops nulls. */
+    * rows. NULL values are excluded (a null cannot rank), and so are
+    * NULL ids: the id IS the deterministic sampling key, and a null id
+    * would yield a null HASH inside a non-null struct — which sorts
+    * nulls-FIRST and would preferentially occupy every sample slot
+    * instead of dropping. Both guards sit on the struct's `when`, so
+    * such rows still count in `n_rows`. */
   private[graft] def quantileSampleAgg(idL: Column, vL: Column, k: Int): Column =
-    collect_min_k(when(vL.isNotNull,
+    collect_min_k(when(idL.isNotNull && vL.isNotNull,
       struct(
         TextOps.md5Long(concat(idL.cast("string"), lit("bk"))).as("__h"),
         idL.as("__i"), vL.as("__v"))), k)

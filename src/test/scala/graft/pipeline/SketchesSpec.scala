@@ -139,6 +139,24 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("c") == ((3L, 3L, 5L, 9L)))
   }
 
+  test("sampledQuantiles: NULL ids are excluded from the sample, counted in n_rows") {
+    // a null id yields a null HASH inside a non-null struct, which sorts
+    // nulls-first — unguarded, >= k null-id rows would occupy every
+    // sample slot and silently bias all estimates toward their values
+    val rows = (0L until 64L).map(i => (Option(i), 100L + i)) ++
+      (0L until 64L).map(i => (None: Option[Long], 900000L + i))
+    val got = Sketches.sampledQuantiles(rows.toDF("id", "v"), col("id"), col("v"),
+      k = 32, permille = Seq(500, 1000)).collect().head
+    assert(got.getLong(0) == 128L && got.getLong(1) == 32L)
+    // the sample is drawn ONLY from the identified rows (values < 900000)
+    assert(got.getLong(2) < 900000L && got.getLong(3) < 900000L)
+    val sample = (0L until 64L).map(i => (i, 100L + i))
+      .sortBy { case (i, _) => (md5Long60(s"${i}bk"), i) }
+      .take(32).map(_._2).sorted
+    assert(got.getLong(2) == sample((500 * 32 + 999) / 1000 - 1))
+    assert(got.getLong(3) == sample(31))
+  }
+
   test("sampledQuantiles: null values are excluded from the sample, counted in n_rows") {
     // pre-fix, null-valued sampled rows inflated n_sample past the
     // collected array and the high-permille rank read past the end

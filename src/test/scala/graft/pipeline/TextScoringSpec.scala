@@ -280,7 +280,11 @@ class TextScoringSpec extends AnyFunSuite {
 
   test("charEntropyE4 matches the sequential lattice reference; signal orders quality") {
     def refE4(t: String): Option[(Long, Long)] = {
-      val cs = t.toCharArray.map(_.toString).filter(_.nonEmpty)
+      // CODE POINTS, not UTF-16 units: Spark's split(text, "") and
+      // DuckDB's string_split(text, '') both emit one element per code
+      // point (verified on Spark 4.1.2: 'a😀b' -> [a, 😀, b]), so the
+      // reference must too or it would disagree on supplementary chars
+      val cs = t.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
       if (cs.isEmpty) None else {
         def lnq(c: Long) = math.floor(math.log(c.toDouble) * 10000.0 + 0.5).toLong
         val counts = cs.groupBy(identity).values.map(_.length.toLong)
@@ -293,13 +297,15 @@ class TextScoringSpec extends AnyFunSuite {
       1L -> "aaaaaaaaaaaaaaaaaaaa", // repetitive: entropy 0
       2L -> "the quick brown fox jumps over the lazy dog",
       3L -> "abcdefghijklmnopqrst", // all-distinct: entropy = ln 20
-      4L -> "aaaa bbbb aaaa bbbb aaaa")
+      4L -> "aaaa bbbb aaaa bbbb aaaa",
+      7L -> "a😀b😀") // supplementary chars: one element per CODE POINT
     val rows = texts ++ Seq(5L -> (null: String), 6L -> "")
     val got = TextOps.charEntropyE4(rows.toDF("doc_id", "text"),
         col("doc_id"), col("text")).collect()
       .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
     // null/empty texts produce no row
-    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got.keySet == Set(1L, 2L, 3L, 4L, 7L))
+    assert(got(7L)._1 == 4L) // 4 code points, not 6 UTF-16 units
     texts.foreach { case (i, t) => assert(got(i) == refE4(t).get, s"doc $i") }
     assert(got(1L)._2 == 0L) // single-symbol stream has zero entropy
     assert(got(3L)._2 == math.floor(math.log(20.0) * 10000.0 + 0.5).toLong)
