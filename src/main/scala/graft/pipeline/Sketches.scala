@@ -73,12 +73,17 @@ object Sketches {
    * cost at 100 TB: one scan plus a 256-id broadcast.
    *
    * `id` must be unique per row (the (hash, id) rank makes collisions
-   * harmless but duplicate ids would double-select).
+   * harmless but duplicate ids would double-select). NULL-id rows are
+   * DROPPED: the id is the replay key, and a null one would produce a
+   * null hash that sorts nulls-FIRST into the min-k buffer yet can
+   * never equi-join back — each such row would silently burn a sample
+   * slot, shrinking the returned sample below k.
    */
   def bottomKSample(df: DataFrame, id: Column, k: Int,
       salt: String = "bk"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val withH = df.withColumn("__bkid", id.cast("long"))
+      .filter(col("__bkid").isNotNull)
       .withColumn("__bkh",
         TextOps.md5Long(concat(col("__bkid").cast("string"), lit(salt))))
     val ids = withH
@@ -110,13 +115,16 @@ object Sketches {
    *
    * Rows with non-positive weight are DROPPED (a zero weight is an
    * infinite clock — never sampled — and the Inf would trip the ANSI
-   * long cast); `id` unique per row.
+   * long cast); `id` unique per row. NULL-id rows are DROPPED for the
+   * same reason as [[bottomKSample]]: a null clock key sorts
+   * nulls-first into the buffer but can never equi-join back — a
+   * silently burned sample slot.
    */
   def weightedBottomKSample(df: DataFrame, id: Column, weight: Column, k: Int,
       salt: String = "wk"): DataFrame = {
     require(k >= 1, s"k must be >= 1, got $k")
     val withK = df.withColumn("__wkid", id.cast("long"))
-      .filter(weight.cast("double") > 0.0)
+      .filter(col("__wkid").isNotNull && weight.cast("double") > 0.0)
       .withColumn("__wkey", esClockKeyE6(col("__wkid"), weight, salt))
     val ids = withK
       .agg(collect_min_k(struct(col("__wkey"), col("__wkid")), k).as("mk"))

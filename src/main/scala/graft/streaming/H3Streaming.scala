@@ -268,9 +268,11 @@ object H3Streaming {
     stream
       // the batch op's contract, enforced here too: non-positive
       // weights drop (an Inf clock would ANSI-crash the query — a
-      // poison-pill event a live stream cannot be pre-filtered of)
+      // poison-pill event a live stream cannot be pre-filtered of),
+      // and NULL ids drop (a null key would burn a sample slot it can
+      // never join back from)
       .withColumn("__wkid", col(idCol).cast("long"))
-      .filter(col(weightCol).cast("double") > 0.0)
+      .filter(col("__wkid").isNotNull && col(weightCol).cast("double") > 0.0)
       // the ONE shared key definition (long-cast id) — see esClockKeyE6
       .withColumn("__wkey",
         graft.pipeline.Sketches.esClockKeyE6(col("__wkid"), col(weightCol), salt))

@@ -139,6 +139,19 @@ class SketchesSpec extends AnyFunSuite {
     assert(got("c") == ((3L, 3L, 5L, 9L)))
   }
 
+  test("bottom-k samplers: NULL-id rows cannot burn sample slots") {
+    // pre-fix, each null id put a nulls-first (NULL hash, NULL id) entry
+    // into the min-k buffer that the equi-join back could never return —
+    // k null-id rows silently shrank the sample to zero
+    val rows = (0L until 40L).map(i => (Option(i), 1.0 + i)) ++
+      (0L until 40L).map(_ => (None: Option[Long], 5.0))
+    val df = rows.toDF("id", "w").repartition(6)
+    val uni = Sketches.bottomKSample(df.select(col("id")), col("id"), k = 16)
+    assert(uni.count() == 16 && uni.filter(col("id").isNull).count() == 0)
+    val wtd = Sketches.weightedBottomKSample(df, col("id"), col("w"), k = 16)
+    assert(wtd.count() == 16 && wtd.filter(col("id").isNull).count() == 0)
+  }
+
   test("sampledQuantiles: NULL ids are excluded from the sample, counted in n_rows") {
     // a null id yields a null HASH inside a non-null struct, which sorts
     // nulls-first — unguarded, >= k null-id rows would occupy every
