@@ -164,6 +164,41 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: freq_sketch_k guarantee holds on random multisets and partitionings") {
+    import graft.functions.freq_sketch_k
+    // skewed value domain so some items are genuinely heavy and the
+    // 2k-buffer purge fires (domain ~40 >> 2k at k=6)
+    val genRows = for {
+      n <- Gen.chooseNum(50, 1500)
+      rows <- Gen.listOfN(n, Gen.frequency(
+        3 -> Gen.chooseNum(0L, 2L),     // planted-hot candidates
+        2 -> Gen.chooseNum(3L, 9L),
+        1 -> Gen.chooseNum(10L, 39L)))  // tail
+    } yield rows
+    for (i <- 0 until 10) {
+      val rows = sample(genRows, 900 + i)
+      val k = sample(Gen.chooseNum(2, 12), 700 + i)
+      val parts = sample(Gen.oneOf(1, 3, 17), 500 + i)
+      val trueCounts = rows.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = rows.size
+      val bound = n.toDouble / (k + 1)
+      val got = rows.toDF("v").repartition(parts)
+        .agg(freq_sketch_k(col("v"), k)).collect().head
+        .getSeq[org.apache.spark.sql.Row](0)
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.size <= k, s"i=$i k=$k: ${got.size} counters")
+      trueCounts.foreach { case (v, c) =>
+        if (c > bound) assert(got.contains(v),
+          s"i=$i k=$k parts=$parts: heavy $v (count $c > $bound) missing")
+      }
+      got.foreach { case (v, lb) =>
+        val c = trueCounts(v)
+        assert(lb <= c && lb >= c - bound - 1,
+          s"i=$i k=$k parts=$parts: counter $lb for $v out of [$c - $bound, $c]")
+      }
+    }
+  }
+
   test("property: substringDedup equals the brute-force reference on random corpora") {
     // tiny vocabulary on purpose: random docs then share many 3-grams,
     // exercising cross-doc spans, within-doc repeats and full wipeouts
