@@ -1754,7 +1754,7 @@ object PipelineQueries {
          |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR) || 'bk'), 1, 15))::BIGINT AS h,
          |    len(list_filter($oToks, t -> t != ''))::BIGINT AS n FROM documents),
          |r AS (SELECT n, row_number() OVER (ORDER BY h, doc_id) AS rn FROM v
-         |  WHERE n IS NOT NULL),
+         |  WHERE n IS NOT NULL AND doc_id IS NOT NULL),
          |s AS (SELECT n FROM r WHERE rn <= 256),
          |o AS (SELECT n, row_number() OVER (ORDER BY n) AS q FROM s),
          |m AS (SELECT count(*)::BIGINT AS n_sample FROM s)
@@ -1792,7 +1792,7 @@ object PipelineQueries {
          |    len(list_filter($oToks, t -> t != ''))::BIGINT AS n FROM documents),
          |t AS (SELECT lang, count(*)::BIGINT AS n_rows FROM v GROUP BY lang),
          |r AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rn
-         |  FROM v WHERE n IS NOT NULL),
+         |  FROM v WHERE n IS NOT NULL AND doc_id IS NOT NULL),
          |s AS (SELECT lang, n FROM r WHERE rn <= 128),
          |o AS (SELECT lang, n, row_number() OVER (PARTITION BY lang ORDER BY n) AS q FROM s),
          |m AS (SELECT lang, count(*)::BIGINT AS n_sample FROM s GROUP BY lang)

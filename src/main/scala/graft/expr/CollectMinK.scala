@@ -163,7 +163,7 @@ case class CollectMinK(
       s"CollectMinK buffer has unknown version tag $version (known: 0, 1)")
     var i = 0
     while (i < n) {
-      buf.add(codec.readImage(bb, i)) // validated, owned copy
+      buf.add(codec.readImage(bb, i, n)) // validated, owned copy
       i += 1
     }
     require(bb.remaining == 0,

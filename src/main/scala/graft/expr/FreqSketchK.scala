@@ -115,23 +115,26 @@ case class FreqSketchK(
     case other => other
   }
 
-  private def add(buf: mutable.HashMap[Any, Long], v0: Any, inc: Long): Unit = {
+  /** `owned`: merge/deserialize keys are already owned copies — skip the
+    * per-key re-copy that the eval-path (buffer-reused) values need. */
+  private def add(buf: mutable.HashMap[Any, Long], v0: Any, inc: Long,
+      owned: Boolean): Unit = {
     val v = canonical(v0)
     buf.get(v) match {
       case Some(c) => buf.update(v, c + inc) // existing key object retained
-      case None => buf.update(InternalRow.copyValue(v), inc) // own the key
+      case None => buf.update(if (owned) v else InternalRow.copyValue(v), inc)
     }
     if (buf.size > 2 * k) reduceToK(buf)
   }
 
   override def update(buf: mutable.HashMap[Any, Long], input: InternalRow): mutable.HashMap[Any, Long] = {
     val v = child.eval(input)
-    if (v != null) add(buf, v, 1L)
+    if (v != null) add(buf, v, 1L, owned = false)
     buf
   }
 
   override def merge(b1: mutable.HashMap[Any, Long], b2: mutable.HashMap[Any, Long]): mutable.HashMap[Any, Long] = {
-    b2.foreach { case (v, c) => add(b1, v, c) } // keys already owned copies
+    b2.foreach { case (v, c) => add(b1, v, c, owned = true) }
     b1
   }
 
@@ -211,7 +214,7 @@ case class FreqSketchK(
       s"FreqSketchK buffer has unknown version tag $version (known: 0, 1)")
     var i = 0
     while (i < n) {
-      val v = codec.readImage(bb, i) // validated, owned copy
+      val v = codec.readImage(bb, i, n) // validated, owned copy
       require(bb.remaining >= 8, s"FreqSketchK version-1 entry $i missing its count")
       val c = bb.getLong
       validCount(c)

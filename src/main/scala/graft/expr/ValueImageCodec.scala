@@ -14,8 +14,9 @@ import org.apache.spark.sql.types._
  * diverged once before this was extracted.
  *
  * `owner`/`noun` parameterize error messages ("CollectMinK version-1
- * element 3 …" vs "FreqSketchK version-1 entry 3 …") so existing
- * diagnostics and the specs pinning them stay byte-compatible.
+ * element 3 …" vs "FreqSketchK version-1 entry 3 …") so the
+ * diagnostics keep their per-aggregate identity and the specs pinning
+ * their key phrases keep passing.
  */
 private[expr] final class ValueImageCodec(
     dataType: DataType, owner: String, noun: String) extends Serializable {
@@ -56,9 +57,11 @@ private[expr] final class ValueImageCodec(
 
   /** Decode ONE len-prefixed image from `bb`, validating every length
     * and offset before any Unsafe read, and return an OWNED copy of the
-    * value. `i` is the element index for diagnostics. */
-  def readImage(bb: java.nio.ByteBuffer, i: Int): Any = {
-    require(bb.remaining >= 4, s"$owner version-1 buffer truncated at $noun $i")
+    * value. `i`/`of` are the element index and expected total for
+    * diagnostics (an "$i/$of" report distinguishes short-by-one from
+    * short-by-most when triaging a corrupt state-store image). */
+  def readImage(bb: java.nio.ByteBuffer, i: Int, of: Int): Any = {
+    require(bb.remaining >= 4, s"$owner version-1 buffer truncated at $noun $i/$of")
     val len = bb.getInt
     require(len >= 0 && bb.remaining >= len,
       s"$owner version-1 $noun $i length $len exceeds remaining ${bb.remaining}")

@@ -152,10 +152,14 @@ object Sketches {
     * NULLs, so without the explicit guard a NULL clock would silently
     * clamp to the MAX key and flip the row from first to last. */
   def esClockKeyE6(idLong: Column, weight: Column, salt: String): Column = {
+    // guard on the POST-cast weight: a non-null value whose double cast
+    // yields NULL (non-ANSI string weights) must also propagate NULL,
+    // not slip through least()'s null-skip into the max clamp
+    val w = weight.cast("double")
     val clock = -log(
       (TextOps.md5Long(concat(idLong.cast("string"), lit(salt))) + 1)
-        .cast("double") / lit(HashSpace)) / weight.cast("double")
-    when(idLong.isNull || weight.isNull, lit(null).cast("long"))
+        .cast("double") / lit(HashSpace)) / w
+    when(idLong.isNull || w.isNull, lit(null).cast("long"))
       .otherwise(floor(least(clock, lit(MaxClock)) * 1000000.0 + 0.5).cast("long"))
   }
 

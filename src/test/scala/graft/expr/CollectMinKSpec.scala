@@ -160,12 +160,24 @@ class CollectMinKSpec extends AnyFunSuite {
       val e = intercept[IllegalArgumentException] { agg.deserialize(bad) }
       assert(e.getMessage.contains("nested value size"), s"size=$size: ${e.getMessage}")
     }
-    // an all-fixed-width struct's size is exact: 32 (too long, but inside
-    // the 40-byte window) must also reject, not read 8 trailing bytes
-    val long = bytes.clone()
-    java.nio.ByteBuffer.wrap(long, 9 + 8, 8)
+    // rewriting the true slot (16, 24) is a no-op sanity check
+    val same = bytes.clone()
+    java.nio.ByteBuffer.wrap(same, 9 + 8, 8)
       .order(java.nio.ByteOrder.nativeOrder()).putLong((16L << 32) | 24L)
-    assert(agg.deserialize(long).size() == 1) // the true slot, unharmed
+    assert(agg.deserialize(same).size() == 1)
+    // the OVERSIZE branch: an all-fixed-width struct's size is EXACT, so
+    // size=32 must reject even when an inflated element length makes the
+    // (off, size) window check pass. Build it: 48-byte element image =
+    // the real 40 bytes + 8 zero-pad, slot patched to (16, 32); buffer =
+    // tag, n=1, len=48, image.
+    val img48 = new Array[Byte](48)
+    System.arraycopy(bytes, 9, img48, 0, 40)
+    java.nio.ByteBuffer.wrap(img48, 8, 8)
+      .order(java.nio.ByteOrder.nativeOrder()).putLong((16L << 32) | 32L)
+    val oversize = java.nio.ByteBuffer.allocate(1 + 4 + 4 + 48)
+      .put(1.toByte).putInt(1).putInt(48).put(img48).array()
+    val e2 = intercept[IllegalArgumentException] { agg.deserialize(oversize) }
+    assert(e2.getMessage.contains("expected 24"), e2.getMessage)
   }
 
   test("deserialize fuzz: random bytes always reject cleanly, never crash") {
