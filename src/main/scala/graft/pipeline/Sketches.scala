@@ -289,6 +289,13 @@ object Sketches {
    * of candidates, one exact count pass over admitted rows — hot tokens
    * per language / hot URLs per crawl snapshot without ever
    * hash-aggregating a (group × vocabulary) key space.
+   *
+   * Regime bound: the candidate frame is `groups × k` rows, which the
+   * explicit broadcast assumes fits the broadcast limits — right for
+   * stratum-style groups (languages, domain classes, snapshots; up to
+   * ~10⁵ groups at k=256). For id-like group keys (millions+), each
+   * group is small enough that the sketch buys nothing — aggregate per
+   * (group, item) directly instead.
    */
   def heavyHittersBy(df: DataFrame, groups: Seq[Column], item: Column,
       minPermille: Int, k: Int): DataFrame = {

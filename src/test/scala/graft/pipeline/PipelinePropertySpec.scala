@@ -199,6 +199,29 @@ class PipelinePropertySpec extends AnyFunSuite {
     }
   }
 
+  test("property: heavyHitters equals GROUP BY/HAVING brute force on random corpora") {
+    val genRows = for {
+      n <- Gen.chooseNum(30, 1200)
+      rows <- Gen.listOfN(n, Gen.frequency(
+        4 -> Gen.chooseNum(0L, 3L),
+        1 -> Gen.chooseNum(4L, 99L)))
+    } yield rows.map(v => s"tok$v")
+    for (i <- 0 until 8) {
+      val rows = sample(genRows, 1300 + i)
+      val permille = sample(Gen.oneOf(20, 50, 120), 1400 + i)
+      val parts = sample(Gen.oneOf(1, 9), 1500 + i)
+      val k = 1000 / permille + 1
+      val got = Sketches.heavyHitters(rows.toDF("t").repartition(parts),
+          col("t"), permille, k)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val n = rows.size.toLong
+      val want = rows.groupBy(identity).view.mapValues(_.size.toLong)
+        .filter { case (_, c) => c * 1000 >= n * permille }
+        .map { case (t, c) => (t, c, n) }.toSet
+      assert(got == want, s"i=$i permille=$permille parts=$parts k=$k")
+    }
+  }
+
   test("property: substringDedup equals the brute-force reference on random corpora") {
     // tiny vocabulary on purpose: random docs then share many 3-grams,
     // exercising cross-doc spans, within-doc repeats and full wipeouts
