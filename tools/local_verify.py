@@ -54,7 +54,9 @@ INVARIANTS = {
     "p74_funnel":
         "SELECT count(*) = 3 AND min(n_keys) >= 0 FROM out",
 }
-DEFAULT_INVARIANT = "SELECT count(*) >= 0 FROM out"
+# No vacuous fallback: a query WITHOUT a named invariant that loses its
+# oracle has no evidence either way — that must surface in the exit
+# status, not degrade to a count(*)>=0 that is true of any parquet file.
 
 
 def norm(df: pd.DataFrame) -> pd.DataFrame:
@@ -115,8 +117,16 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
                 con.close()
                 con = connect(sf_dir, THREADS)
         if exp is None:
-            # degrade to the secondary invariant over the Spark output
-            inv_sql = INVARIANTS.get(name, DEFAULT_INVARIANT)
+            # degrade to the secondary invariant over the Spark output —
+            # but only if the query HAS one: without a meaningful named
+            # invariant there is no evidence of correctness, so count the
+            # query as FAILED rather than quietly weakening the gate
+            inv_sql = INVARIANTS.get(name)
+            if inv_sql is None:
+                print(f"FAIL {name}: oracle error and no named invariant "
+                      f"({str(err)[:80]})")
+                n_fail += 1
+                continue
             try:
                 con.execute("CREATE OR REPLACE VIEW out AS "
                             f"SELECT * FROM read_parquet('{out_dir}/{name}/*.parquet')")
