@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scale probe for the distributed routing regime
+  * ([[graft.graph.H3Graph.shortestPathsIterative]]): times the Pregel-style
+  * relaxation on a fixed-diameter random graph at 1x and 30x edge counts,
+  * separating the two cost axes — per-round shuffle volume (scales with
+  * |edges|) from round count (scales with diameter, held constant here).
+  * A chain probe would conflate them. Run: `Test/runMain graft.SsspScaleProbe`.
+  *
+  * Fixture: nodes 0..n-1 as synthesized H3 cells, each node u gets edges to
+  * (u*31+j*97)%n for j in 1..8 with weight 1+((u+j)%10)/10 — an
+  * expander-like graph whose diameter stays ~log n, so 30x more edges means
+  * ~same rounds with 30x-bigger frontier joins: the regime the operator
+  * exists for. */
+object SsspScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import graft.graph.H3Graph
+
+    def run(nNodes: Int): (Double, Long) = {
+      val edges = spark.range(nNodes).select(col("id").as("u"),
+          explode(sequence(lit(1), lit(8))).as("j"))
+        .select(
+          expr(SparkEntry.Synth.cellSql("u", 5)).as("origin"),
+          expr(SparkEntry.Synth.cellSql(s"(u * 31 + j * 97) % $nNodes", 5)).as("destination"),
+          (lit(1.0) + pmod(col("u") + col("j"), lit(10)).cast("double") / 10.0).as("weight"))
+      val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+        .localCheckpoint(false)
+      val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
+      val t0 = System.nanoTime()
+      val n = H3Graph.shortestPathsIterative(spark, graph, origins, dests).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+
+    run(2000) // warm codegen + JIT
+    val (t1, n1) = run(2000)
+    val (t30, n30) = run(60000)
+    println(f"[ssspProbe] 1x  (2k nodes, 16k edges):  $t1%6.2f s, $n1 result rows")
+    println(f"[ssspProbe] 30x (60k nodes, 480k edges): $t30%6.2f s, $n30 result rows")
+    println(f"[ssspProbe] scale factor: ${t30 / t1}%.2f x for 30x edges (diameter held ~constant)")
+    spark.stop()
+  }
+}
