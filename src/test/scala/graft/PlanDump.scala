@@ -27,7 +27,8 @@ object PlanDump {
     "p103_retrieval_metrics", "p105_personalized_pagerank",
     "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
     "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
-    "p112_char_entropy")
+    "p112_char_entropy", "p113_ann_recall", "p114_sssp_iterative",
+    "h3_31_misc_laws")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -120,6 +121,22 @@ Audited shapes pinned here against regression:
   join, never a sort of the corpus, when it does not; p72's LEFT joins
   (OOV backoff) preserve every scored position. No text column crosses
   an exchange — ReadSchema dies at the tokenizer projection.
+- p113 (ANN recall): the four top-k subtrees each broadcast the 20-query
+  frame against the corpus scan (BroadcastNestedLoopJoin is the
+  intentional scored crossJoin for brute/PQ; IVF and projected keep
+  their bucket/coarse-prune joins); the planted-hit check is a map-side
+  partial aggregate per method — nothing corpus-sized shuffles except
+  each method's own scoring pass.
+- p114 (iterative SSSP): the final plan is a broadcast join of the
+  destination frame against the CONVERGED best-cost frame (a
+  parallelized localCheckpoint leaf) — the relaxation rounds happened
+  eagerly, each a frontier-edges equi-join bounded by the frontier
+  size, never materializing paths; round count is diameter-bound by the
+  express-edge construction.
+- h3_31 (misc laws): the per-event law columns are one codegen'd
+  projection over the events scan; the F5/G6 global booleans arrive as
+  three broadcast 1-row frames — no shuffle over events except the
+  final presentation sort.
 
 """)
     for (name <- Captured) {
