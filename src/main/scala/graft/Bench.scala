@@ -55,37 +55,45 @@ object Bench {
         if (failed > 0) System.err.println(s"[bench] WARN: $failed warm-up queries failed ($warmDir)")
       }
     } catch { case _: Throwable => }
-    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // returns (elapsed sec, succeeded) — failures still record elapsed
+    // time (the round-over-round diff needs a number) but are flagged so
+    // they are never re-run or laundered into a "median of 3"
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      val ok = try { fn(spark, sfDir).count(); true } catch { case _: Throwable => false }
       val sec = (System.nanoTime() - t0) / 1e9
       // outside the timed window: queries that cut lineage with
       // localCheckpoint leave their blocks pinned in the block manager
       // for the session's lifetime; dropping them between queries keeps
-      // the 143-query session's block manager from accumulating dead
+      // the 150-query session's block manager from accumulating dead
       // generations. (Bench hygiene, not a measured bottleneck — totals
       // are unchanged within this box's run-to-run noise.)
       dropLeakedBlocks(spark)
-      sec
+      (sec, ok)
     }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      name -> timeOnce(fn)
+      (name, timeOnce(fn))
     }
+    val failedNames = firstPass.collect { case (name, (_, false)) => name }
+    if (failedNames.nonEmpty)
+      System.err.println(s"[bench] WARN: ${failedNames.length} queries FAILED: ${failedNames.mkString(",")}")
     // De-noise the judged numbers: anything slow enough to matter for
     // round-over-round diffs (>1.5 s) gets two more runs and reports the
     // median of 3 — single-run variance burned two judge cycles on phantom
     // regressions (p63 in r10, p95/p96 in r11: committed 6.77 s vs a
-    // reproducible 1.88 s).
+    // reproducible 1.88 s). Failed queries keep their single failure
+    // duration: re-running a doomed query twice more wastes wall time and
+    // would mislabel a failure as a de-noised timing.
     val SlowCutoffSec = 1.5
-    val results = firstPass.map { case (name, first) =>
-      if (first <= SlowCutoffSec) name -> first
+    val results = firstPass.map { case (name, (first, ok)) =>
+      if (!ok || first <= SlowCutoffSec) name -> first
       else {
         val fn = SparkEntry.queries(name)
-        val runs = Seq(first, timeOnce(fn), timeOnce(fn)).sorted
+        val runs = Seq(first, timeOnce(fn)._1, timeOnce(fn)._1).sorted
         name -> runs(1)
       }
     }.toMap
-    val median3Count = firstPass.count(_._2 > SlowCutoffSec)
+    val median3Count = firstPass.count { case (_, (sec, ok)) => ok && sec > SlowCutoffSec }
     def queriesJson(fmt: Double => String, entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -105,8 +113,11 @@ object Bench {
       "raster_compact" -> "r01_raster_to_cells").collect {
         case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""
       }.mkString("{", ",", "}")
+    val failedJson =
+      if (failedNames.isEmpty) ""
+      else failedNames.map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
     def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros,"median3_queries":$median3Count$extra,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros,"median3_queries":$median3Count$failedJson$extra,"sf":"$sfDir"}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
     val fullJson = line(queriesJson(_.toString, sorted))
@@ -121,10 +132,10 @@ object Bench {
     // stdout line must stay under that or BENCH_r{N} records parsed:null
     // (r9, r10, AND r11 did — the r11 tail starts mid-line, so the real
     // capture window is under 3800 bytes). 3000 forces the slowest-N +
-    // queries_omitted protocol to engage at the 147-query catalog size,
-    // which is the point: a complete parseable JSON object of the slowest
-    // queries beats a truncated full one. Full precision for every query
-    // still lands in bench_latest.json above.
+    // queries_omitted protocol to engage at the current 150-query catalog
+    // size, which is the point: a complete parseable JSON object of the
+    // slowest queries beats a truncated full one. Full precision for
+    // every query still lands in bench_latest.json above.
     val MaxStdoutBytes = 3000
     var stdoutJson = line(queriesJson(num(_, 2), sorted))
     if (stdoutJson.length > MaxStdoutBytes) {

@@ -153,8 +153,12 @@ object GeoQueries {
       val parts = mixed.h3PartitionByResolution("cell")
       val partKeysOk = parts.map(_._1) == Seq(5, 9)
       val unionBack = parts.map(_._2).reduceLeft(_ unionAll _)
+      // purity via the INDEPENDENT bit-layout derivation of resolution
+      // (cell >> 52) & 15 — checking with h3_get_resolution would be a
+      // tautology, since that is the very predicate the partitioner used
       val purity = parts.map { case (r, d) =>
-        d.agg(coalesce(min(h3_get_resolution(col("cell")) === lit(r)), lit(false)).as("p"))
+        d.agg(coalesce(min(shiftright(col("cell"), 52).bitwiseAND(lit(15L)) === lit(r.toLong)),
+          lit(false)).as("p"))
       }.reduceLeft(_ unionAll _).agg(min(col("p")).as("f5_pure_ok"))
       val counts = mixed.groupBy(h3_get_resolution(col("cell")).as("r"))
         .agg(count(lit(1)).as("n1"))

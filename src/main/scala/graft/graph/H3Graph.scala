@@ -482,15 +482,19 @@ object H3Graph {
     * each round joins the improved frontier against the edge table (an
     * equi-join Catalyst plans as a shuffle join — or broadcast, if the
     * frontier is small under AQE) and keeps per-(cell, src) minima with a
-    * map-side partial min. Converges in <= graph-diameter rounds; lineage
-    * is cut per round with localCheckpoint. Costs match local Dijkstra
+    * map-side partial min. Each materialized round performs `hopsPerRound`
+    * relaxation hops (default 2 — the barrier job is the latency driver
+    * at scale, and total shuffle volume per hop is unchanged), so it
+    * converges in <= ceil(diameter / hopsPerRound) + 1 rounds; lineage is
+    * cut per round with localCheckpoint. Costs match local Dijkstra
     * exactly (spec-pinned); paths are not materialized on this path —
     * predecessor reconstruction at this scale belongs in storage, not a
     * result column. Origins/destinations must be graph nodes (no snapping
     * on the distributed path). */
   def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
       destinations: Seq[Long], maxRounds: Int = 256,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
+    require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     import spark.implicits._
     val edges = graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
       col("weight").cast("double").as("__ew")).localCheckpoint(false)
@@ -500,24 +504,46 @@ object H3Graph {
     var frontier = best
     var round = 0
     var converged = false
-    while (!converged && round < maxRounds) {
-      val relaxed = frontier.join(edges, col("cell") === col("__eo"))
+    def relax(f: DataFrame): DataFrame =
+      f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
+    def fold(b: DataFrame, r: DataFrame): DataFrame =
+      b.unionByName(r).groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost"))
+    def improved(nb: DataFrame, old: DataFrame): DataFrame =
+      nb.join(old.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select(col("cell"), col("src"), col("cost"))
+    while (!converged && round < maxRounds) {
+      // hopsPerRound relaxation hops per materialized round: the per-round
+      // barrier job is the latency driver at scale (rounds = graph
+      // diameter / hopsPerRound) while total shuffle volume is unchanged —
+      // the same per-hop fold runs either way, intermediate hops just stay
+      // lazy behind statSafe instead of paying their own barrier.
+      // Convergence stays exact: each hop re-relaxes the previous hop's
+      // improvements within the round, so a round whose LAST hop improves
+      // nothing has propagated every improvement — the Bellman-Ford
+      // fixpoint. Default 2 suits grid-like H3 routing graphs (diameter ~
+      // sqrt(N)); pass 1 for low-diameter graphs where the extra per-round
+      // plan depth outweighs the saved barriers.
+      var acc = best
+      var front = frontier
+      for (_ <- 1 until hopsPerRound) {
+        val next = graft.util.Barriers.statSafe(fold(acc, relax(front)))
+        front = improved(next, acc)
+        acc = next
+      }
       // checkpointDir upgrades every few rounds to a reliable checkpoint
       // (executor-loss-safe); see graft.util.Barriers
       val nb = graft.util.Barriers.roundBarrier(
-        best.unionByName(relaxed)
-          .groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost")),
-        round, checkpointDir, eager = false)
+        fold(acc, relax(front)), round, checkpointDir, eager = false)
       // the frontier's materializing job doubles as the convergence
       // check (accumulator row count — see Barriers.roundBarrierCounting):
       // one action per round, and the frontier blocks it caches are the
-      // ones next round's edge join reads
+      // ones next round's edge join reads. The frontier is the LAST hop's
+      // improvement set only — earlier hops' improvements were already
+      // re-relaxed within the round.
       val (nf, frontierSize) = graft.util.Barriers.roundBarrierCounting(
-        nb.join(best.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
-          .filter(col("__old").isNull || col("cost") < col("__old"))
-          .select(col("cell"), col("src"), col("cost")),
-        round, None)(_ => true)
+        improved(nb, acc), round, None)(_ => true)
       frontier = nf
       converged = frontierSize == 0L
       best = nb

@@ -25,7 +25,9 @@ import graft.h3.{H3Core, H3Geo, H3Polygon}
  */
 object H3Raster {
 
-  /** R4: 6-coefficient affine geotransform, GDAL ordering:
+  /** R4: 6-coefficient affine geotransform in the rasterio/affine
+    * coefficient ORDER (the positional constructor is [[Transform.fromRasterio]];
+    * GDAL's GetGeoTransform array order differs — use [[Transform.fromGdal]]):
     * xGeo = a*px + b*py + c ; yGeo = d*px + e*py + f (pixel centers at
     * px+0.5). Mirrors transform.rs:27-110. */
   final case class Transform(a: Double, b: Double, c: Double, d: Double, e: Double, f: Double) {

@@ -24,7 +24,7 @@ object SsspScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.graph.H3Graph
 
-    def run(nNodes: Int): (Double, Long) = {
+    def run(nNodes: Int, hops: Int = 2): (Double, Long) = {
       val edges = spark.range(nNodes).select(col("id").as("u"),
           explode(sequence(lit(1), lit(8))).as("j"))
         .select(
@@ -36,7 +36,8 @@ object SsspScaleProbe {
       val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
       val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
       val t0 = System.nanoTime()
-      val n = H3Graph.shortestPathsIterative(spark, graph, origins, dests).count()
+      val n = H3Graph.shortestPathsIterative(spark, graph, origins, dests,
+        hopsPerRound = hops).count()
       ((System.nanoTime() - t0) / 1e9, n)
     }
 
@@ -46,6 +47,11 @@ object SsspScaleProbe {
     println(f"[ssspProbe] 1x  (2k nodes, 16k edges):  $t1%6.2f s, $n1 result rows")
     println(f"[ssspProbe] 30x (60k nodes, 480k edges): $t30%6.2f s, $n30 result rows")
     println(f"[ssspProbe] scale factor: ${t30 / t1}%.2f x for 30x edges (diameter held ~constant)")
+    // hopsPerRound tradeoff on a LOW-diameter graph (the shape where the
+    // extra per-round plan depth can outweigh saved barriers)
+    val (h1, _) = run(60000, hops = 1)
+    val (h2, _) = run(60000, hops = 2)
+    println(f"[ssspProbe] 30x hopsPerRound=1: $h1%6.2f s, hopsPerRound=2: $h2%6.2f s (low-diameter expander)")
     spark.stop()
   }
 }

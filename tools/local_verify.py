@@ -13,10 +13,14 @@ rounds running): the connection runs with a hard memory_limit and few
 threads so a resident Spark JVM can't starve DuckDB into "Failed to
 allocate block"; every oracle has been verified to pass under a 2 GB cap
 at sf0.01 (the heavy ones carry MATERIALIZED CTE hints for exactly this).
-An oracle that still errors is retried once single-threaded; if it fails
-again, the query degrades to UNVERIFIED and a cheap SECONDARY INVARIANT
-over the Spark output decides whether there is evidence of breakage —
-"no signal" is reported as unverified, never silently dropped.
+An oracle that still errors is retried once single-threaded. If it fails
+again AND the query has a named SECONDARY INVARIANT below, the invariant
+over the Spark output decides: holds -> UNVF (visible, exit 0), violated
+-> FAIL. A query WITHOUT a named invariant hard-FAILs on oracle error —
+there is no evidence either way, and a red gate that says "add an
+invariant or re-run on a quiet box" beats a vacuous count(*)>=0 pass
+(the gate silently weakened that way once). Do not run concurrently
+with Spark JVMs; transient OOM FAILs re-compare clean on a quiet box.
 """
 import json
 import sys
@@ -123,8 +127,8 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             # query as FAILED rather than quietly weakening the gate
             inv_sql = INVARIANTS.get(name)
             if inv_sql is None:
-                print(f"FAIL {name}: oracle error and no named invariant "
-                      f"({str(err)[:80]})")
+                print(f"FAIL {name}: oracle error and no named invariant — "
+                      f"add one or re-run on a quiet box ({str(err)[:80]})")
                 n_fail += 1
                 continue
             try:
