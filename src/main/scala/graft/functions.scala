@@ -159,6 +159,44 @@ object functions {
   def h3_edge_length_km(edge: Column): Column = c(H3EdgeLengthKm(e(edge)))
   def h3_edge_length_m(edge: Column): Column = c(H3EdgeLengthM(e(edge)))
 
+  /** The 5 edges leading away from this edge's destination, excluding the
+    * reverse of the input (reference
+    * `following_edges_leading_from_destination`, iter/edge.rs:47-58).
+    * Composed from codegen'd primitives; 5-element arrays. */
+  def h3_edges_leading_from_destination(edge: Column): Column = {
+    import org.apache.spark.sql.functions.array_remove
+    // array_remove is null-propagating on a NULL array, matching the
+    // invalid->NULL convention of the primitives it composes
+    array_remove(h3_origin_to_directed_edges(h3_edge_destination(edge)),
+      h3_edge_reverse(edge))
+  }
+
+  /** The 5 edges leading INTO this edge's origin, excluding the input
+    * (reference `previous_edges_leading_to_origin`, iter/edge.rs:35-45):
+    * each edge away from the origin except the input itself, reversed. */
+  def h3_edges_leading_to_origin(edge: Column): Column = {
+    import org.apache.spark.sql.functions.{filter, transform}
+    transform(
+      filter(h3_origin_to_directed_edges(h3_edge_origin(edge)),
+        x => !(x <=> edge)),
+      x => h3_edge_reverse(x))
+  }
+
+  /** Edges connecting consecutive DISTINCT cells of a path array
+    * (reference `continuous_cells_to_edges`, iter/edge.rs:89-141):
+    * consecutive duplicate cells are skipped (the iterator's rule), then
+    * each adjacent pair becomes a directed edge — a non-neighbor pair
+    * yields a NULL element (the reference errors there; NULL is this
+    * engine's loud-but-columnar equivalent). Use on `h3_grid_path` /
+    * `h3_linestring_to_cells` output. */
+  def h3_continuous_cells_to_edges(cells: Column): Column = {
+    import org.apache.spark.sql.functions.{filter, zip_with, slice, size, lit, greatest, element_at}
+    val dedup = filter(cells, (x, i) => (i === 0) || !(x <=> element_at(cells, i)))
+    val n = greatest(size(dedup) - 1, lit(0))
+    zip_with(slice(dedup, lit(1), n), slice(dedup, lit(2), n),
+      (a, b) => h3_cells_to_directed_edge(a, b))
+  }
+
   /** G1: polyfill — cells at res whose centroid is inside the WKT
     * (MULTI)POLYGON. */
   def h3_polygon_to_cells(wkt: Column, res: Column): Column =

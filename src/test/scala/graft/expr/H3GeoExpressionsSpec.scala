@@ -442,4 +442,64 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
       .select(h3_edge_length_avg_km($"res")).head()
     assert(nr.isNullAt(0))
   }
+
+  test("edges leading to origin / from destination (iter/edge.rs:150-200 fixtures)") {
+    // the reference's own fixture: res-7 cell at (lat 30.5, lng 34.2) —
+    // note its Coord is (x=lng, y=lat) = (34.2, 30.5)
+    val cell = H3Geo.latLngToCell(30.5, 34.2, 7)
+    val rows = Seq(cell).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("edge"))
+      .select($"edge",
+        h3_edges_leading_from_destination($"edge").as("fwd"),
+        h3_edges_leading_to_origin($"edge").as("back"))
+      .collect()
+    assert(rows.length == 6)
+    rows.foreach { r =>
+      val edge = r.getLong(0)
+      val fwd = r.getSeq[Long](1)
+      val back = r.getSeq[Long](2)
+      // following: 5 edges, input excluded, each origin == input's destination
+      assert(fwd.length == 5 && !fwd.contains(edge))
+      assert(fwd.forall(f => H3Core.edgeOrigin(f) == graft.h3.H3Traversal.edgeDestination(edge)))
+      // previous: 5 edges, input excluded, each destination == input's origin
+      assert(back.length == 5 && !back.contains(edge))
+      assert(back.forall(b => graft.h3.H3Traversal.edgeDestination(b) == H3Core.edgeOrigin(edge)))
+    }
+    // NULL in -> NULL out
+    val n = Seq[Option[Long]](None).toDF("edge")
+      .select(h3_edges_leading_from_destination($"edge"),
+        h3_edges_leading_to_origin($"edge")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1))
+  }
+
+  test("continuous cells to edges: dup-skip, path conformance, non-neighbor NULL") {
+    val a = H3Geo.latLngToCell(30.5, 34.2, 7)
+    // a grid path is continuous by construction: n cells -> n-1 edges whose
+    // origins are the path prefix and destinations the path suffix
+    val far = H3Geo.latLngToCell(30.55, 34.28, 7)
+    val out = Seq((a, far)).toDF("a", "b")
+      .select(h3_grid_path($"a", $"b").as("path"))
+      .select($"path", h3_continuous_cells_to_edges($"path").as("edges"))
+      .head()
+    val path = out.getSeq[Long](0)
+    val edges = out.getSeq[Long](1)
+    assert(path.length >= 3 && edges.length == path.length - 1)
+    edges.zipWithIndex.foreach { case (ed, i) =>
+      assert(H3Core.edgeOrigin(ed) == path(i) && graft.h3.H3Traversal.edgeDestination(ed) == path(i + 1))
+    }
+    // consecutive duplicates are skipped (the reference iterator's rule)
+    val b = path(1)
+    val dup = Seq(Seq(a, a, b, b, b)).toDF("cells")
+      .select(h3_continuous_cells_to_edges($"cells").as("e")).head().getSeq[Long](0)
+    assert(dup.length == 1 && H3Core.edgeOrigin(dup.head) == a &&
+      graft.h3.H3Traversal.edgeDestination(dup.head) == b)
+    // a non-neighbor pair yields a NULL element (reference errors there)
+    val gap = Seq(Seq(a, far)).toDF("cells")
+      .select(h3_continuous_cells_to_edges($"cells").as("e")).head().getSeq[Any](0)
+    assert(gap.length == 1 && gap.head == null)
+    // degenerate inputs: empty and single-cell arrays -> empty edge arrays
+    val deg = Seq((Seq.empty[Long], Seq(a))).toDF("e0", "e1")
+      .select(h3_continuous_cells_to_edges($"e0"), h3_continuous_cells_to_edges($"e1")).head()
+    assert(deg.getSeq[Long](0).isEmpty && deg.getSeq[Long](1).isEmpty)
+  }
 }
