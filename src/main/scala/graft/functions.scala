@@ -159,6 +159,16 @@ object functions {
   def h3_edge_length_km(edge: Column): Column = c(H3EdgeLengthKm(e(edge)))
   def h3_edge_length_m(edge: Column): Column = c(H3EdgeLengthM(e(edge)))
 
+  /** All direction digits leading to this cell (or edge origin), coarse to
+    * fine — digit at each resolution 1..res (reference
+    * `H3Direction::iter_directions_over_resolutions`,
+    * direction.rs:100-139). Composed: sequence + per-res digit extract. */
+  def h3_directions_over_resolutions(cell: Column): Column = {
+    import org.apache.spark.sql.functions.{transform, sequence, lit}
+    transform(sequence(lit(1), h3_get_resolution(cell)),
+      r => h3_direction_to_parent(cell, r))
+  }
+
   /** The 5 edges leading away from this edge's destination, excluding the
     * reverse of the input (reference
     * `following_edges_leading_from_destination`, iter/edge.rs:47-58).

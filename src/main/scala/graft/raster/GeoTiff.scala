@@ -461,7 +461,8 @@ object GeoTiff {
               "read limit (re-tile the raster; per-segment reads are the parallelism unit)")
         val vals = decodeSegment(meta, s, readAt(path, s.offset, s.byteCount.toInt, carrier.conf))
         val hasData = meta.nodata match {
-          case Some(nd) => vals.exists(_ != nd)
+          // NaN-nodata: v != NaN is always true, so test isNaN explicitly
+          case Some(nd) => vals.exists(v => v != nd && !(nd.isNaN && v.isNaN))
           case None => vals.nonEmpty
         }
         Row(s.idx.toLong, s.x0, s.y0, s.cols, s.rows, tArr, vals.toSeq, nodataV, hasData)

@@ -93,7 +93,8 @@ object H3Raster {
         while (xx < w) {
           val v = values((y0 + yy) * width + (x0 + xx))
           vals(yy * w + xx) = v
-          if (v != nodata) hasData = true
+          // NaN-nodata convention: v != NaN is always true, so test isNaN
+          if (v != nodata && !(nodata.isNaN && v.isNaN)) hasData = true
           xx += 1
         }
         yy += 1
@@ -124,7 +125,12 @@ object H3Raster {
         val w = r.getInt(3); val h = r.getInt(4)
         val t = Transform.fromArray(r.getSeq[Double](5))
         val values = r.getSeq[Double](6)
-        val nodata = if (r.isNullAt(7)) Double.NaN else r.getDouble(7)
+        // NaN is a pixel VALUE like any other unless declared as the
+        // nodata marker (reference preserve_nan_values, array.rs tests):
+        // with no nodata configured nothing is pruned; NaN nodata prunes
+        // NaN pixels (== comparison is always false for NaN)
+        val hasNodata = !r.isNullAt(7)
+        val nodata = if (hasNodata) r.getDouble(7) else 0.0
         val inv = t.invert
 
         // tile window corners -> geo bbox (1px margin for rotation safety)
@@ -145,7 +151,7 @@ object H3Raster {
           if (px < x0 || px >= x0 + w || py < y0 || py >= y0 + h) Iterator.empty
           else {
             val v = values((py - y0) * w + (px - x0))
-            if (v == nodata || v.isNaN) Iterator.empty
+            if (hasNodata && (v == nodata || (nodata.isNaN && v.isNaN))) Iterator.empty
             else Iterator.single(Row(v, cell))
           }
         }

@@ -49,6 +49,10 @@ class H3NeighborsSpec extends AnyFunSuite {
     }
     // the no-default wrapper (neighbors_within_distance_window) skips them
     assert(df.h3NeighborsWithValues("cell", "value", 1, 1).isEmpty)
+    // reference ..._or_default_empty: an empty frame yields no rows even
+    // with a default value configured
+    val empty = Seq.empty[(Long, Int)].toDF("cell", "value")
+    assert(empty.h3NeighborsWithValues("cell", "value", 1, 1, Some(lit(6))).isEmpty)
   }
 
   test("kMin = 0 includes the center itself; null-valued cells are not centers") {

@@ -35,8 +35,12 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
       size(h3_grid_disk($"cell", lit(2))).as("n2"),
       size(h3_grid_ring($"cell", lit(1))).as("r1"),
       array_contains(h3_grid_disk($"cell", lit(1)), $"cell").as("selfIn"),
-      size(h3_grid_disk_distances($"cell", lit(2))).as("ndd")).head()
+      size(h3_grid_disk_distances($"cell", lit(2))).as("ndd"),
+      // k=0 edge cases (reference test_grid_ring_unsafe_0): both are [self]
+      h3_grid_ring($"cell", lit(0)).as("r0"),
+      h3_grid_disk($"cell", lit(0)).as("d0")).head()
     assert(row.getInt(0) == 19 && row.getInt(1) == 6 && row.getBoolean(2) && row.getInt(3) == 19)
+    assert(row.getSeq[Long](4) == Seq(sf) && row.getSeq[Long](5) == Seq(sf))
 
     val ring = H3Traversal.gridRing(sf, 3)
     val d = Seq((sf, ring.head)).toDF("a", "b")
@@ -441,6 +445,37 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     val nr = Seq[Option[Int]](None).toDF("res")
       .select(h3_edge_length_avg_km($"res")).head()
     assert(nr.isNullAt(0))
+  }
+
+  test("directions over resolutions (direction.rs:227-260 fixtures)") {
+    // the reference's cell fixture: res-6 cell, digits coarse->fine are
+    // [J, I, Ik, J, Jk, Ij] = [2, 4, 5, 2, 3, 6]
+    val cell = 0x861ea54f7ffffffL
+    val out = Seq(cell).toDF("cell")
+      .select(h3_directions_over_resolutions($"cell").as("d")).head().getSeq[Int](0)
+    assert(out == Seq(2, 4, 5, 2, 3, 6))
+    // edge variant (the reference's _edge twin): an edge iterates its
+    // origin's digit path
+    val edges = Seq(cell).toDF("cell")
+      .select(explode(h3_origin_to_directed_edges($"cell")).as("e"))
+      .select(h3_directions_over_resolutions($"e").as("d")).collect()
+    edges.foreach(r => assert(r.getSeq[Int](0) == Seq(2, 4, 5, 2, 3, 6)))
+    // NULL/invalid in -> NULL out
+    val n = Seq[Option[Long]](None).toDF("c")
+      .select(h3_directions_over_resolutions($"c")).head()
+    assert(n.isNullAt(0))
+  }
+
+  test("grid path across icosahedron faces signals not-computable (lib.rs:153-160 fixture)") {
+    // the reference (and libh3's testH3Line.c) error for this pair; this
+    // engine signals NULL — never a silently-wrong line. (Nearby
+    // pentagon-involved pairs still get the bounded-BFS answer.)
+    val start = 0x85285aa7fffffffL
+    val end = 0x851d9b1bfffffffL
+    val r = Seq((start, end)).toDF("a", "b")
+      .select(h3_grid_distance($"a", $"b").as("d"), h3_grid_path($"a", $"b").as("p")).head()
+    assert(r.isNullAt(0) || r.getLong(0) > 0) // distance: NULL (or a real count if computable)
+    if (r.isNullAt(0)) assert(r.isNullAt(1) || r.getSeq[Long](1).isEmpty)
   }
 
   test("edges leading to origin / from destination (iter/edge.rs:150-200 fixtures)") {

@@ -79,6 +79,23 @@ class H3GraphSpec extends AnyFunSuite {
     assert(snapped.count() == 1)
   }
 
+  test("snapToNode: in-set cell snaps to itself; otherwise nearest ring wins (nearest_graph_nodes.rs fixtures)") {
+    val cell = 0x89283080ddbffffL
+    // reference nearest_finds_given_cell_first: a disk containing the
+    // cell itself yields the cell at k=0
+    val disk3 = H3Traversal.gridDisk(cell, 3).toSet
+    assert(H3Graph.snapToNode(cell, disk3, 3).contains(cell))
+    // reference nearest_finds_all_with_same_k: nodes at rings 2 and 4 —
+    // the snap must come from ring 2 (the reference yields all same-k
+    // nodes; this engine's snap is the deterministic min of that set)
+    val near = H3Traversal.gridRing(cell, 2).take(2)
+    val far = H3Traversal.gridRing(cell, 4).take(2)
+    val nodes = (near ++ far).toSet
+    assert(H3Graph.snapToNode(cell, nodes, 8).contains(near.min))
+    // beyond maxK: no snap
+    assert(H3Graph.snapToNode(cell, far.toSet, 2).isEmpty)
+  }
+
   test("long-edge contraction: identical costs+paths, O(junctions) settles on deep chains (P5)") {
     // synthetic deep chain 0-1-...-299 with two leaves hanging off the end
     // junction; unit weights (ids need not be H3 cells for the local core)

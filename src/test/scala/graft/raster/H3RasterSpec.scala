@@ -55,6 +55,31 @@ class H3RasterSpec extends AnyFunSuite {
     assert(cells.select($"value").distinct().as[Double].collect().toSeq == Seq(5.0))
   }
 
+  test("NaN pixel values are preserved as values, pruned only as declared nodata (array.rs preserve_nan_values)") {
+    val w = 8; val h = 8
+    val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
+    // left half NaN, right half 1.0
+    val values = Array.tabulate(w * h)(i => if (i % w < w / 2) Double.NaN else 1.0)
+    // no nodata configured: NaN is a value group like any other (the
+    // reference's cell_map carries both the NAN and the 1.0 keys)
+    val noNodata = tileRaster(spark, w, h, t, values, nodata = Double.NaN, tile = 8)
+      .withColumn("nodata", lit(null).cast("double"))
+    val groups = rasterToCells(noNodata, res = 7)
+      .groupBy($"value").count().collect()
+      .map(r => (r.getDouble(0), r.getLong(1))).toMap
+    assert(groups.keys.exists(_.isNaN), "NaN value group must be preserved")
+    assert(groups.contains(1.0))
+    // NaN declared AS nodata: NaN pixels pruned, 1.0 kept
+    val nanNodata = tileRaster(spark, w, h, t, values, nodata = Double.NaN, tile = 8)
+    val pruned = rasterToCells(nanNodata, res = 7)
+      .select($"value").distinct().as[Double].collect()
+    assert(pruned.toSeq == Seq(1.0))
+    // hasData: a tile that is ALL NaN under NaN-nodata is prunable
+    val allNan = tileRaster(spark, w, h, t, Array.fill(w * h)(Double.NaN),
+      nodata = Double.NaN, tile = 8)
+    assert(allNan.filter($"has_data").count() == 0)
+  }
+
   test("sampled cell values match direct pixel lookup (R1)") {
     val w = 16; val h = 16
     val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
