@@ -909,6 +909,33 @@ object H3Streaming {
       }
       .outputMode("append")
 
+  /** Streaming ANN retrieval — the query half of the persistent IVF store
+    * ([[graft.pipeline.AnnStore]]; [[AnnStore.streamIngest]] is the write
+    * half): each micro-batch of query vectors runs the store's probe path
+    * and `sink` receives the standard `(query_id, neighbor_id, sim, rank)`
+    * rows, identical to the batch [[AnnStore.query]] over the same
+    * quantizer (spec-pinned).
+    *
+    * Per-batch scale shape is the store's: the probe list (batch queries x
+    * nprobe rows) broadcasts against the partition-pruned parquet read —
+    * IO per batch is nprobe/m of the corpus regardless of corpus size,
+    * the online-retrieval serving shape. Re-reading the store per batch
+    * is the point, not a cost: appends from a concurrent
+    * [[AnnStore.streamIngest]] become visible to the next micro-batch.
+    * Retry semantics: pure read + rank, so a retried epoch re-emits
+    * identical rows (at-least-once duplicates, never divergent ranks for
+    * an unchanged store). */
+  def streamingAnnTopK(stream: DataFrame, idCol: String, vecCol: String,
+      storePath: String, centroids: DataFrame, nprobe: Int, k: Int,
+      sink: (DataFrame, Long) => Unit):
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    stream.writeStream
+      .foreachBatch { (batch: DataFrame, epoch: Long) =>
+        sink(graft.pipeline.AnnStore.query(batch.sparkSession, storePath,
+          centroids, batch, col(idCol), col(vecCol), nprobe, k), epoch)
+      }
+      .outputMode("append")
+
   def streamingImportanceScore(stream: DataFrame, idCol: String, textCol: String,
       corpus: DataFrame, corpusText: Column,
       target: DataFrame, targetText: Column): DataFrame = {

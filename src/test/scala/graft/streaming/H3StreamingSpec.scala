@@ -680,6 +680,44 @@ class H3StreamingSpec extends AnyFunSuite {
       s"run1 $total1 + run2 $total2 != ${bruteTotal(all)}")
   }
 
+  test("streaming ANN top-k == batch store query; appends visible to later batches") {
+    import graft.pipeline.{AnnStore, Similarity}
+    implicit val sqlCtx = spark.sqlContext
+    val e = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .select($"vec_id", $"embedding".cast("array<double>").as("embedding"))
+      .localCheckpoint(false)
+    val cents = Similarity.kMeansCentroids(e, $"vec_id", $"embedding", m = 8, iters = 1)
+      .localCheckpoint(false)
+    val dir = java.nio.file.Files.createTempDirectory("ann-stream-q").toString + "/store"
+    AnnStore.write(e.filter($"vec_id" < 400), $"vec_id", $"embedding", cents, dir)
+
+    var epochs = Map.empty[Long, Set[Seq[Any]]]
+    val input = MemoryStream[(Long, Seq[Double])]
+    val writer = H3Streaming.streamingAnnTopK(input.toDF.toDF("vec_id", "embedding"),
+      "vec_id", "embedding", dir, cents, nprobe = 2, k = 3,
+      (out, epoch) => epochs += epoch -> out.collect().map(_.toSeq).toSet)
+    val query = writer.start()
+    try {
+      val q1 = e.filter($"vec_id" < 5).as[(Long, Seq[Double])].collect().toSeq
+      input.addData(q1)
+      query.processAllAvailable()
+      // epoch 0 == the batch query path over the same store + quantizer
+      val batch1 = AnnStore.query(spark, dir, cents, e.filter($"vec_id" < 5),
+        $"vec_id", $"embedding", nprobe = 2, k = 3).collect().map(_.toSeq).toSet
+      assert(epochs(epochs.keys.min) == batch1)
+
+      // append vec 450 to the store; the NEXT micro-batch must see it:
+      // querying with 450's own vector now self-matches at rank 1
+      AnnStore.appendBatch(e.filter($"vec_id" === 450), $"vec_id", $"embedding", cents, dir)
+      val q2 = e.filter($"vec_id" === 450).as[(Long, Seq[Double])].collect().toSeq
+      input.addData(q2)
+      query.processAllAvailable()
+      val last = epochs(epochs.keys.max)
+      val rank1 = last.find(r => r(3) == 1L).get
+      assert(rank1(0) == 450L && rank1(1) == 450L && rank1(2) == 1.0)
+    } finally query.stop()
+  }
+
   test("streaming BPE encode == batch encodeCounts on in-vocab docs; OOV words counted") {
     import graft.pipeline.Bpe
     implicit val sqlCtx = spark.sqlContext
