@@ -164,9 +164,14 @@ object functions {
     * `H3Direction::iter_directions_over_resolutions`,
     * direction.rs:100-139). Composed: sequence + per-res digit extract. */
   def h3_directions_over_resolutions(cell: Column): Column = {
-    import org.apache.spark.sql.functions.{transform, sequence, lit}
-    transform(sequence(lit(1), h3_get_resolution(cell)),
-      r => h3_direction_to_parent(cell, r))
+    import org.apache.spark.sql.functions.{transform, sequence, lit, when, array}
+    val res = h3_get_resolution(cell)
+    // res-0 guard: sequence(1, 0) is Spark's DESCENDING [1, 0], which would
+    // turn a valid res-0 cell into [null, null]; the iterator contract is
+    // the empty digit path. Invalid/NULL input keeps NULL (res is NULL).
+    when(res > 0,
+      transform(sequence(lit(1), res), r => h3_direction_to_parent(cell, r)))
+      .when(res === 0, array().cast("array<int>"))
   }
 
   /** The 5 edges leading away from this edge's destination, excluding the

@@ -504,6 +504,9 @@ object H3Graph {
     var frontier = best
     var round = 0
     var converged = false
+    // frees the superseded best generation's blocks (no-op before round 1;
+    // the FINAL best is never freed — the caller's result reads it)
+    var freeBest: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
       f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
@@ -527,14 +530,16 @@ object H3Graph {
       // plan depth outweighs the saved barriers.
       var acc = best
       var front = frontier
+      var freeIntermediates: List[() => Unit] = Nil
       for (_ <- 1 until hopsPerRound) {
-        val next = graft.util.Barriers.statSafe(fold(acc, relax(front)))
+        val (next, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
+        freeIntermediates ::= free
         front = improved(next, acc)
         acc = next
       }
       // checkpointDir upgrades every few rounds to a reliable checkpoint
       // (executor-loss-safe); see graft.util.Barriers
-      val nb = graft.util.Barriers.roundBarrier(
+      val (nb, freeNb) = graft.util.Barriers.roundBarrierFreeable(
         fold(acc, relax(front)), round, checkpointDir, eager = false)
       // the frontier's materializing job doubles as the convergence
       // check (accumulator row count — see Barriers.roundBarrierCounting):
@@ -544,6 +549,13 @@ object H3Graph {
       // re-relaxed within the round.
       val (nf, frontierSize) = graft.util.Barriers.roundBarrierCounting(
         improved(nb, acc), round, None)(_ => true)
+      // that action materialized nb and nf; every generation it superseded
+      // — the previous round's best-cost table and this round's intra-round
+      // intermediates — is dead and its blocks can be freed. Blocks held at
+      // any moment: current best + frontier, not one generation per round.
+      freeIntermediates.foreach(_())
+      freeBest()
+      freeBest = freeNb
       frontier = nf
       converged = frontierSize == 0L
       best = nb

@@ -37,7 +37,19 @@ object Barriers {
     * these slim per-round label frames never want stats-driven broadcast
     * decisions anyway. */
   def roundBarrier(df: DataFrame, round: Int, checkpointDir: Option[String],
-      eager: Boolean): DataFrame = {
+      eager: Boolean): DataFrame =
+    roundBarrierFreeable(df, round, checkpointDir, eager)._1
+
+  /** [[roundBarrier]] that ALSO returns a thunk unpersisting the
+    * generation's checkpoint blocks — for loops that supersede a full-size
+    * frame every round (SSSP best-cost table): without freeing, every
+    * round's localCheckpoint generation stays pinned in the block manager
+    * for the session. Call the thunk only after every consumer of the
+    * frame has been materialized (the truncated lineage cannot recompute
+    * freed blocks). Reliable-checkpoint rounds return an effective no-op
+    * (their data lives in files, not blocks). */
+  def roundBarrierFreeable(df: DataFrame, round: Int, checkpointDir: Option[String],
+      eager: Boolean): (DataFrame, () => Unit) = {
     val cp = checkpointDir match {
       case Some(dir) if round % ReliableEvery == ReliableEvery - 1 =>
         val sc = df.sparkSession.sparkContext
@@ -45,7 +57,13 @@ object Barriers {
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val free: () => Unit = () => cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    (out, free)
   }
 
   /** Stat-safe lazy barrier: `localCheckpoint(eager = false)` + re-wrap
@@ -61,9 +79,21 @@ object Barriers {
     * so only AQE's RUNTIME sizes — which are exact — can still choose a
     * broadcast. Use for any frame whose size estimate is untrustworthy
     * and that feeds a join. */
-  def statSafe(df: DataFrame): DataFrame = {
+  def statSafe(df: DataFrame): DataFrame = statSafeFreeable(df)._1
+
+  /** [[statSafe]] that also returns an unpersist thunk, for intra-round
+    * intermediates that are dead once the round's action has run — same
+    * call-after-every-consumer-materialized contract as
+    * [[roundBarrierFreeable]]. */
+  def statSafeFreeable(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = df.localCheckpoint(eager = false)
-    cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
+    val free: () => Unit = () => cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    }
+    (out, free)
   }
 
   /** EAGER [[statSafe]] whose blocks can be FREED: returns the re-wrapped

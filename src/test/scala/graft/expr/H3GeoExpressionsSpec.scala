@@ -464,6 +464,12 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
     val n = Seq[Option[Long]](None).toDF("c")
       .select(h3_directions_over_resolutions($"c")).head()
     assert(n.isNullAt(0))
+    // res-0 cell: the digit path is EMPTY, not [null, null] (sequence(1,0)
+    // is Spark's descending [1,0] — the res-0 guard exists for this)
+    val r0 = Seq(1).toDF("x")
+      .select(explode(h3_res0_cells()).as("c")).limit(1)
+      .select(h3_directions_over_resolutions($"c").as("d")).head()
+    assert(!r0.isNullAt(0) && r0.getSeq[Int](0).isEmpty)
   }
 
   test("grid path across icosahedron faces signals not-computable (lib.rs:153-160 fixture)") {
