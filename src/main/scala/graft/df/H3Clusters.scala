@@ -106,13 +106,18 @@ object H3Clusters {
         }
         var changed = true
         var iter = 0
+        // frees the superseded label generation once the round's action
+        // has materialized its successor (the final generation is never
+        // freed — the result join below reads it)
+        var freeLabels: () => Unit = () => ()
         while (changed && iter < maxIterations) {
           // the slim relaxed frame is barrier'd BEFORE the compression
           // self-join: with propagate's join tree on both sides, Catalyst's
           // size-only stats estimation multiplies the unknown-size leaves
           // into astronomically wide BigInts (minutes of Toom-Cook per
           // round); as a leaf, the self-join costs nothing to plan
-          val relaxed = graft.util.Barriers.statSafe(propagate(labels, carryPrev = true))
+          val (relaxed, freeRelaxed) = graft.util.Barriers.statSafeFreeable(
+            propagate(labels, carryPrev = true))
           // checkpointDir upgrades every few rounds to a reliable
           // checkpoint (executor-loss-safe); see graft.util.Barriers.
           // Each key's previous label rides the frame, so change counting
@@ -122,8 +127,10 @@ object H3Clusters {
           val comp = compress(relaxed)
           val ci = comp.columns.indexOf("cluster")
           val pi = comp.columns.indexOf("__prev")
-          val (next, nChanged) = graft.util.Barriers.roundBarrierCounting(
+          val (next, nChanged, freeNext) = graft.util.Barriers.roundBarrierCountingFreeable(
             comp, iter, checkpointDir)(r => r.get(ci) != r.get(pi))
+          freeRelaxed(); freeLabels()
+          freeLabels = freeNext
           labels = next.drop("__prev")
           changed = nChanged > 0
           iter += 1

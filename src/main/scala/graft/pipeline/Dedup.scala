@@ -491,9 +491,15 @@ object Dedup {
     // would otherwise pay (edges is a lazy localCheckpoint)
     if (integral && driverEdgeLimit > 0 && edges.count() <= driverEdgeLimit)
       return driverComponents(edges, idType)
-    var labels = graft.util.Barriers.statSafe(
+    val (labels0, freeLabels0) = graft.util.Barriers.statSafeFreeable(
       edges.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))
+    var labels = labels0
+    // frees the superseded label generation once the round's action has
+    // materialized its successor — blocks held at any moment: the current
+    // generation, not one per round (the final generation is never freed;
+    // the caller's result reads it)
+    var freeLabels: () => Unit = freeLabels0
     val labelType = labels.schema("component").dataType
     var changed = 1L
     var round = 0
@@ -510,7 +516,7 @@ object Dedup {
       // self-join — with the union+aggregate on both join sides it would
       // evaluate twice per round (and feed Catalyst's size-only stats a
       // join of two unknown-size subtrees)
-      val relaxed = graft.util.Barriers.statSafe(
+      val (relaxed, freeRelaxed) = graft.util.Barriers.statSafeFreeable(
         labels.select(col("id"), col("component"), col("component").as("__prev"))
           .unionByName(msgs)
           .groupBy(col("id")).agg(min(col("component")).as("component"),
@@ -521,7 +527,7 @@ object Dedup {
       // Change detection rides the SAME job that materializes the round
       // barrier (accumulator over the row stream): exactly one action per
       // round — on slim label frames the loop cost IS job count.
-      val (next, nChanged) = graft.util.Barriers.roundBarrierCounting(
+      val (next, nChanged, freeNext) = graft.util.Barriers.roundBarrierCountingFreeable(
         relaxed.join(
             relaxed.select(col("id").as("__rid"), col("component").as("__rcomp")),
             relaxed("component") === col("__rid"), "left")
@@ -530,6 +536,10 @@ object Dedup {
             col("__prev")),
         round, checkpointDir)(r => r.get(1) != r.get(2))
       changed = nChanged
+      // next is materialized: the round's intermediates and the previous
+      // label generation are dead
+      freeRelaxed(); freeLabels()
+      freeLabels = freeNext
       labels = next.select(col("id"), col("component"))
       round += 1
     }

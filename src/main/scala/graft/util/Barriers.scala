@@ -137,6 +137,16 @@ object Barriers {
     * the action); intermediate rounds are exactly one job. */
   def roundBarrierCounting(df: DataFrame, round: Int,
       checkpointDir: Option[String])(changed: Row => Boolean): (DataFrame, Long) = {
+    val (out, n, _) = roundBarrierCountingFreeable(df, round, checkpointDir)(changed)
+    (out, n)
+  }
+
+  /** [[roundBarrierCounting]] that also returns the generation's unpersist
+    * thunk (same supersession contract as [[roundBarrierFreeable]]);
+    * reliable-checkpoint rounds already read off files, so their thunk is
+    * a no-op. */
+  def roundBarrierCountingFreeable(df: DataFrame, round: Int,
+      checkpointDir: Option[String])(changed: Row => Boolean): (DataFrame, Long, () => Unit) = {
     val spark = df.sparkSession
     val acc = spark.sparkContext.longAccumulator(s"graft.changed.r$round")
     val marked = df.rdd.map { r => if (changed(r)) acc.add(1L); r }
@@ -150,11 +160,12 @@ object Barriers {
         marked.checkpoint()
         marked.count()
         marked.unpersist(blocking = false) // reads now come off checkpoint files
-        (spark.createDataFrame(marked, df.schema), acc.value)
+        (spark.createDataFrame(marked, df.schema), acc.value, () => ())
       case _ =>
         marked.localCheckpoint()
         marked.count()
-        (spark.createDataFrame(marked, df.schema), acc.value)
+        (spark.createDataFrame(marked, df.schema), acc.value,
+          () => { marked.unpersist(blocking = false); () })
     }
   }
 }
