@@ -146,6 +146,11 @@ class H3GraphSpec extends AnyFunSuite {
     viaIterative.foreach { case (o, d, c) =>
       assert(math.abs(c - dMap((o, d))) < 1e-9, s"cost mismatch for ($o,$d)")
     }
+    // both relaxation regimes converge to the identical fixpoint: the
+    // single-hop loop and the default two-hop loop must agree exactly
+    val oneHop = H3Graph.shortestPathsIterative(spark, chainGraph, origins, dests,
+      hopsPerRound = 1).as[(Long, Long, Double)].collect().toSet
+    assert(oneHop == viaIterative, "hopsPerRound=1 and =2 diverged")
   }
 
   test("single-chain build is guarded by a declared size bound (VERDICT r03 #3)") {
