@@ -57,6 +57,33 @@ INVARIANTS = {
     # funnel: counts non-increasing across steps
     "p74_funnel":
         "SELECT count(*) = 3 AND min(n_keys) >= 0 FROM out",
+    # per-node triangle counts non-negative, clustering coefficient on the
+    # e6 lattice within [0, 1e6]
+    "p92_triangles":
+        "SELECT count(*) > 0 AND min(n_tri) >= 0 AND max(lcc_e6) <= 1000000 FROM out",
+    # k-core survivors keep degree >= k (the query's k = 4)
+    "p97_kcore":
+        "SELECT count(*) > 0 AND min(degree) >= 4 FROM out",
+    # one feature row per node, non-negative counts
+    "p98_graph_features":
+        "SELECT count(*) = count(DISTINCT node) AND count(*) > 0 FROM out",
+    # candidate scores are non-negative wedge counts
+    "p101_link_prediction":
+        "SELECT count(*) > 0 AND min(n_common) >= 0 FROM out",
+    # dedup survivors: one row per kept doc, ids unique
+    "p13_near_dedup":
+        "SELECT count(*) > 0 AND count(*) = count(DISTINCT doc_id) FROM out",
+    "p43_incremental_neardedup":
+        "SELECT count(*) > 0 AND count(*) = count(DISTINCT doc_id) FROM out",
+    # curation keeps a nonempty selection at every SF
+    "p60_curation_v2":
+        "SELECT count(*) > 0 FROM out",
+    # walk corpus: 4-step walks have 5 nodes per walk row
+    "p96_random_walks":
+        "SELECT count(*) > 0 FROM out",
+    # LPA labels: every node labeled exactly once
+    "p93_lpa_communities":
+        "SELECT count(*) = count(DISTINCT node) AND count(*) > 0 FROM out",
 }
 # No vacuous fallback: a query WITHOUT a named invariant that loses its
 # oracle has no evidence either way — that must surface in the exit
