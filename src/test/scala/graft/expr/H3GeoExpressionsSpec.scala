@@ -511,6 +511,18 @@ class H3GeoExpressionsSpec extends AnyFunSuite {
       .select(h3_edges_leading_from_destination($"edge"),
         h3_edges_leading_to_origin($"edge")).head()
     assert(n.isNullAt(0) && n.isNullAt(1))
+    // pentagon edge case: a pentagon origin has 5 edges, so the walks
+    // yield 4 siblings instead of 5 — the exclusion rules must not assume
+    // hexagon arity
+    val pent = Seq(1).toDF("x")
+      .select(explode(h3_res0_cells()).as("c"))
+      .filter(h3_is_pentagon($"c"))
+      .select(h3_cell_to_center_child($"c", lit(9)).as("p")).limit(1)
+    val pr = pent.select(
+      size(h3_origin_to_directed_edges($"p")).as("n_edges"),
+      explode(h3_origin_to_directed_edges($"p")).as("e"))
+      .select($"n_edges", size(h3_edges_leading_to_origin($"e")).as("n_back")).head()
+    assert(pr.getInt(0) == 5 && pr.getInt(1) == 4)
   }
 
   test("continuous cells to edges: dup-skip, path conformance, non-neighbor NULL") {
