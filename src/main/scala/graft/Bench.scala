@@ -85,6 +85,8 @@ object Bench {
     // duration: re-running a doomed query twice more wastes wall time and
     // would mislabel a failure as a de-noised timing.
     val SlowCutoffSec = 1.5
+    var median3Count = 0
+    var rerunFailedNames = List.empty[String]
     val results = firstPass.map { case (name, (first, ok)) =>
       if (!ok || first <= SlowCutoffSec) name -> first
       else {
@@ -92,17 +94,18 @@ object Bench {
         // only SUCCESSFUL runs enter the median — a re-run that fails fast
         // would otherwise launder its failure duration into a phantom
         // speedup; with any re-run failure, fall back to the first
-        // (successful) timing and say so
+        // (successful) timing and report the query as rerun-failed (it is
+        // NOT counted as median-of-3)
         val reruns = Seq(timeOnce(fn), timeOnce(fn))
         val good = first +: reruns.collect { case (sec, true) => sec }
-        if (good.length == 3) name -> good.sorted.apply(1)
+        if (good.length == 3) { median3Count += 1; name -> good.sorted.apply(1) }
         else {
           System.err.println(s"[bench] WARN: $name failed on ${3 - good.length} re-run(s); reporting first-run time")
+          rerunFailedNames ::= name
           name -> first
         }
       }
     }.toMap
-    val median3Count = firstPass.count { case (_, (sec, ok)) => ok && sec > SlowCutoffSec }
     def queriesJson(fmt: Double => String, entries: Seq[(String, Double)]): String =
       entries.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
         .mkString("{", ",", "}")
@@ -122,18 +125,24 @@ object Bench {
       "raster_compact" -> "r01_raster_to_cells").collect {
         case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""
       }.mkString("{", ",", "}")
-    // bounded: a mass-failure run must not push the stdout line past the
-    // driver's capture window (failed_count carries the full signal; the
-    // first 10 names identify the breakage)
-    val failedJson =
-      if (failedNames.isEmpty) ""
+    // failure surface: the durable artifact carries EVERY failed name plus
+    // the rerun-failed (flaky) ones; the stdout line truncates the list to
+    // 10 so a mass-failure run cannot push it past the driver's capture
+    // window (failed_count always carries the full signal)
+    def failedJson(maxNames: Int): String = {
+      val rerun = if (rerunFailedNames.isEmpty) ""
+        else rerunFailedNames.sorted.take(maxNames)
+          .map("\"" + _ + "\"").mkString(""","rerun_failed":[""", ",", "]")
+      if (failedNames.isEmpty) rerun
       else s""","failed_count":${failedNames.length}""" +
-        failedNames.take(10).map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]")
-    def line(qs: String, extra: String = ""): String =
-      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros,"median3_queries":$median3Count$failedJson$extra,"sf":"$sfDir"}"""
+        failedNames.take(maxNames).map("\"" + _ + "\"").mkString(""","failed":[""", ",", "]") +
+        rerun
+    }
+    def line(qs: String, failed: String, extra: String = ""): String =
+      s"""{"metric":"total","value":${num(total, 3)},"unit":"sec","queries":$qs,"macro_shapes":$macros,"median3_queries":$median3Count$failed$extra,"sf":"$sfDir"}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
-    val fullJson = line(queriesJson(_.toString, sorted))
+    val fullJson = line(queriesJson(_.toString, sorted), failedJson(Int.MaxValue))
     try {
       val out = java.nio.file.Paths.get(
         sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json"))
@@ -150,13 +159,13 @@ object Bench {
     // slowest queries beats a truncated full one. Full precision for
     // every query still lands in bench_latest.json above.
     val MaxStdoutBytes = 3000
-    var stdoutJson = line(queriesJson(num(_, 2), sorted))
+    var stdoutJson = line(queriesJson(num(_, 2), sorted), failedJson(10))
     if (stdoutJson.length > MaxStdoutBytes) {
       var keep = sorted.length
       while (stdoutJson.length > MaxStdoutBytes && keep > 10) {
         keep -= 10
         val slowest = sorted.sortBy(-_._2).take(keep).sortBy(_._1)
-        stdoutJson = line(queriesJson(num(_, 2), slowest),
+        stdoutJson = line(queriesJson(num(_, 2), slowest), failedJson(10),
           s""","queries_omitted":${sorted.length - keep}""")
       }
     }

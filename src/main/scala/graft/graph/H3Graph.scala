@@ -496,17 +496,19 @@ object H3Graph {
       checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
     require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     import spark.implicits._
-    val edges = graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-      col("weight").cast("double").as("__ew")).localCheckpoint(false)
+    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
+      graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+        col("weight").cast("double").as("__ew")))
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
       .localCheckpoint(false)
     var frontier = best
     var round = 0
     var converged = false
-    // frees the superseded best generation's blocks (no-op before round 1;
-    // the FINAL best is never freed — the caller's result reads it)
+    // frees the superseded best/frontier generations' blocks (no-ops before
+    // round 1; the FINAL best is never freed — the caller's result reads it)
     var freeBest: () => Unit = () => ()
+    var freeFrontier: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
       f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
@@ -547,20 +549,25 @@ object H3Graph {
       // ones next round's edge join reads. The frontier is the LAST hop's
       // improvement set only — earlier hops' improvements were already
       // re-relaxed within the round.
-      val (nf, frontierSize) = graft.util.Barriers.roundBarrierCounting(
+      val (nf, frontierSize, freeNf) = graft.util.Barriers.roundBarrierCountingFreeable(
         improved(nb, acc), round, None)(_ => true)
       // that action materialized nb and nf; every generation it superseded
-      // — the previous round's best-cost table and this round's intra-round
-      // intermediates — is dead and its blocks can be freed. Blocks held at
-      // any moment: current best + frontier, not one generation per round.
+      // — the previous round's best-cost table and frontier, and this
+      // round's intra-round intermediates — is dead and its blocks can be
+      // freed. Blocks held at any moment: current best + frontier, not one
+      // generation per round.
       freeIntermediates.foreach(_())
-      freeBest()
+      freeBest(); freeFrontier()
       freeBest = freeNb
+      freeFrontier = freeNf
       frontier = nf
       converged = frontierSize == 0L
       best = nb
       round += 1
     }
+    // the result's lineage reads only the final best's checkpoint blocks:
+    // the edge table and the last (empty-on-convergence) frontier are dead
+    freeEdges(); freeFrontier()
     val dests = destinations.distinct.toDF("cell")
     best.join(broadcast(dests), "cell")
       .select(col("src").as("origin"), col("cell").as("destination"), col("cost"))

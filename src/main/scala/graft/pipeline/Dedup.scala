@@ -480,7 +480,7 @@ object Dedup {
     // at the 30× probe, and an OOM at 100 TB. With the estimate reset,
     // AQE still broadcasts the genuinely-small side (labels) from exact
     // runtime sizes.
-    val edges = graft.util.Barriers.statSafe(
+    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
       pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
         .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
         .distinct())
@@ -489,8 +489,13 @@ object Dedup {
       idType == org.apache.spark.sql.types.IntegerType
     // the count doubles as the edge materialization the loop's first round
     // would otherwise pay (edges is a lazy localCheckpoint)
-    if (integral && driverEdgeLimit > 0 && edges.count() <= driverEdgeLimit)
-      return driverComponents(edges, idType)
+    if (integral && driverEdgeLimit > 0 && edges.count() <= driverEdgeLimit) {
+      // driverComponents collects the edges into a local result frame —
+      // nothing downstream reads the checkpoint blocks
+      val out = driverComponents(edges, idType)
+      freeEdges()
+      return out
+    }
     val (labels0, freeLabels0) = graft.util.Barriers.statSafeFreeable(
       edges.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -547,6 +552,9 @@ object Dedup {
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         s"connectedComponents stopped after maxRounds=$maxRounds with $changed labels " +
           "still changing: components may be split; raise maxRounds")
+    // the final labels generation is its own checkpoint — the edge table's
+    // blocks are dead once the loop has converged
+    freeEdges()
     labels
   }
 

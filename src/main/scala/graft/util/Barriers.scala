@@ -36,6 +36,17 @@ object Barriers {
     * number of rounds; the blocks behind the RDD are untouched, and
     * these slim per-round label frames never want stats-driven broadcast
     * decisions anyway. */
+  /** Unpersist thunk for a checkpointed frame: the persisted RDD is the
+    * one inside the checkpoint's LogicalRDD leaf — unpersisting a derived
+    * wrapper's .rdd would drop a wrapper and leak the actual blocks; an
+    * unexpected plan shape leaks rather than misfrees. */
+  private def freeThunk(cp: DataFrame): () => Unit =
+    () => try cp.queryExecution.analyzed match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false); ()
+      case _ => ()
+    } catch { case scala.util.control.NonFatal(_) => () } // leak, don't fail
+
   def roundBarrier(df: DataFrame, round: Int, checkpointDir: Option[String],
       eager: Boolean): DataFrame =
     roundBarrierFreeable(df, round, checkpointDir, eager)._1
@@ -58,12 +69,7 @@ object Barriers {
       case _ => df.localCheckpoint(eager)
     }
     val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    val free: () => Unit = () => cp.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
-    (out, free)
+    (out, freeThunk(cp))
   }
 
   /** Stat-safe lazy barrier: `localCheckpoint(eager = false)` + re-wrap
@@ -88,12 +94,7 @@ object Barriers {
   def statSafeFreeable(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = df.localCheckpoint(eager = false)
     val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    val free: () => Unit = () => cp.queryExecution.analyzed match {
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => ()
-    }
-    (out, free)
+    (out, freeThunk(cp))
   }
 
   /** EAGER [[statSafe]] whose blocks can be FREED: returns the re-wrapped
@@ -109,15 +110,7 @@ object Barriers {
   def generation(df: DataFrame): (DataFrame, () => Unit) = {
     val cp = df.localCheckpoint(eager = true)
     val out = cp.sparkSession.createDataFrame(cp.rdd, cp.schema)
-    val free: () => Unit = () => cp.queryExecution.analyzed match {
-      // the persisted RDD is the one inside the checkpoint's LogicalRDD
-      // leaf; unpersisting the re-wrapped frame's .rdd would only drop a
-      // derived wrapper and leak the actual blocks
-      case lr: org.apache.spark.sql.execution.LogicalRDD =>
-        lr.rdd.unpersist(blocking = false); ()
-      case _ => () // unexpected plan shape: leak rather than misfree
-    }
-    (out, free)
+    (out, freeThunk(cp))
   }
 
   /** [[roundBarrier]] that ALSO counts rows matching `changed` — in the

@@ -61,9 +61,10 @@ INVARIANTS = {
     # e6 lattice within [0, 1e6]
     "p92_triangles":
         "SELECT count(*) > 0 AND min(n_tri) >= 0 AND max(lcc_e6) <= 1000000 FROM out",
-    # k-core survivors keep degree >= k (the query's k = 4)
+    # bounded peel: survivors exist with positive degree (the fixpoint
+    # min-degree >= k law does NOT hold for a fixed rounds budget)
     "p97_kcore":
-        "SELECT count(*) > 0 AND min(degree) >= 4 FROM out",
+        "SELECT count(*) > 0 AND min(degree) >= 1 FROM out",
     # one feature row per node, non-negative counts
     "p98_graph_features":
         "SELECT count(*) = count(DISTINCT node) AND count(*) > 0 FROM out",
@@ -78,9 +79,10 @@ INVARIANTS = {
     # curation keeps a nonempty selection at every SF
     "p60_curation_v2":
         "SELECT count(*) > 0 FROM out",
-    # walk corpus: 4-step walks have 5 nodes per walk row
+    # walk corpus: one row per walk, all five step columns populated
     "p96_random_walks":
-        "SELECT count(*) > 0 FROM out",
+        "SELECT count(*) > 0 AND count(*) = count(DISTINCT walk_id) "
+        "AND count(s0) = count(*) AND count(s4) = count(*) FROM out",
     # LPA labels: every node labeled exactly once
     "p93_lpa_communities":
         "SELECT count(*) = count(DISTINCT node) AND count(*) > 0 FROM out",
