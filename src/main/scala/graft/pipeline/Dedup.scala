@@ -553,8 +553,11 @@ object Dedup {
         s"connectedComponents stopped after maxRounds=$maxRounds with $changed labels " +
           "still changing: components may be split; raise maxRounds")
     // the final labels generation is its own checkpoint — the edge table's
-    // blocks are dead once the loop has converged
-    freeEdges()
+    // blocks are dead once the loop has converged. Guarded on round > 0:
+    // with maxRounds <= 0 the loop body never ran, labels is still the
+    // lazy labels0 whose lineage READS the edges checkpoint, and freeing
+    // it here would hand the caller a frame over unpersisted blocks.
+    if (round > 0) freeEdges()
     labels
   }
 

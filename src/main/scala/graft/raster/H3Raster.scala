@@ -74,9 +74,13 @@ object H3Raster {
     StructField("has_data", BooleanType, nullable = false)))
 
   /** build a tiled raster DataFrame from a full in-memory grid (test/ingest
-    * helper): row-major `values`, tiles of `tile x tile` pixels. */
+    * helper): row-major `values`, tiles of `tile x tile` pixels. `nodata =
+    * None` means "no nodata declared" — the column is written null, every
+    * non-empty tile is `has_data`, and NaN pixels flow through as plain
+    * values (the same rule [[rasterToCells]]/[[graft.raster.GeoTiff]]
+    * apply; reference preserve_nan_values, array.rs). */
   def tileRaster(spark: SparkSession, width: Int, height: Int, transform: Transform,
-      values: Array[Double], nodata: Double, tile: Int): DataFrame = {
+      values: Array[Double], nodata: Option[Double], tile: Int): DataFrame = {
     val rows = for {
       ty <- 0 until (height + tile - 1) / tile
       tx <- 0 until (width + tile - 1) / tile
@@ -94,17 +98,25 @@ object H3Raster {
           val v = values((y0 + yy) * width + (x0 + xx))
           vals(yy * w + xx) = v
           // NaN-nodata convention: v != NaN is always true, so test isNaN
-          if (v != nodata && !(nodata.isNaN && v.isNaN)) hasData = true
+          hasData = hasData || (nodata match {
+            case None => true // no marker declared: every pixel is data
+            case Some(nd) => v != nd && !(nd.isNaN && v.isNaN)
+          })
           xx += 1
         }
         yy += 1
       }
       Row((ty.toLong << 32) | tx.toLong, x0, y0, w, h, transform.toArray.toSeq, vals.toSeq,
-        nodata, hasData)
+        nodata.map(Double.box).orNull, hasData)
     }
     spark.createDataFrame(spark.sparkContext.parallelize(rows.toSeq, math.min(rows.size, 32)),
       tileSchema)
   }
+
+  /** Double-nodata convenience overload (the marker is always declared). */
+  def tileRaster(spark: SparkSession, width: Int, height: Int, transform: Transform,
+      values: Array[Double], nodata: Double, tile: Int): DataFrame =
+    tileRaster(spark, width, height, transform, values, Some(nodata), tile)
 
   val cellValueSchema: StructType = StructType(Seq(
     StructField("value", DoubleType, nullable = false),

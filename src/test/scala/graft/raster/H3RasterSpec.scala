@@ -62,8 +62,7 @@ class H3RasterSpec extends AnyFunSuite {
     val values = Array.tabulate(w * h)(i => if (i % w < w / 2) Double.NaN else 1.0)
     // no nodata configured: NaN is a value group like any other (the
     // reference's cell_map carries both the NAN and the 1.0 keys)
-    val noNodata = tileRaster(spark, w, h, t, values, nodata = Double.NaN, tile = 8)
-      .withColumn("nodata", lit(null).cast("double"))
+    val noNodata = tileRaster(spark, w, h, t, values, nodata = None, tile = 8)
     val groups = rasterToCells(noNodata, res = 7)
       .groupBy($"value").count().collect()
       .map(r => (r.getDouble(0), r.getLong(1))).toMap
@@ -78,6 +77,15 @@ class H3RasterSpec extends AnyFunSuite {
     val allNan = tileRaster(spark, w, h, t, Array.fill(w * h)(Double.NaN),
       nodata = Double.NaN, tile = 8)
     assert(allNan.filter($"has_data").count() == 0)
+    // ...but an all-NaN tile with NO nodata declared carries NaN as plain
+    // pixel values: has_data=true and the NaN value group survives the
+    // pruning filter end-to-end
+    val allNanNoMarker = tileRaster(spark, w, h, t, Array.fill(w * h)(Double.NaN),
+      nodata = None, tile = 8)
+    assert(allNanNoMarker.filter($"has_data").count() == allNanNoMarker.count())
+    val nanGroups = rasterToCells(allNanNoMarker, res = 7)
+      .select($"value").as[Double].collect()
+    assert(nanGroups.nonEmpty && nanGroups.forall(_.isNaN))
   }
 
   test("sampled cell values match direct pixel lookup (R1)") {
