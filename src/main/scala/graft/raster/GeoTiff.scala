@@ -20,8 +20,12 @@ import graft.raster.H3Raster.Transform
  * (8 and the legacy 32946 — JDK Inflater decodes both), PackBits (32773),
  * horizontal-differencing predictor (2) for integer samples, GeoTIFF
  * geotransform from ModelPixelScale+ModelTiepoint or ModelTransformation,
- * and GDAL's ASCII nodata tag. Multi-band and palette images are
- * rejected with a clear error — not silently misread.
+ * and GDAL's ASCII nodata tag. Multi-band chunky-interleaved images
+ * (PlanarConfiguration=1, e.g. RGB) read ONE band per call — the same
+ * one-band-at-a-time contract as the reference's
+ * `dataset.rasterband(1).read_as_array` (convert_dataset_r.rs:13-16);
+ * planar-separate multi-band and palette images are rejected with a clear
+ * error — not silently misread.
  *
  * Scale shape: the driver reads only the KB-scale IFD; every strip/tile
  * becomes one task that POSITION-READS its own byte range through the
@@ -43,7 +47,7 @@ object GeoTiff {
   private final case class TiffMeta(
       width: Int, height: Int, bits: Int, sampleFormat: Int, compression: Int,
       predictor: Int, bigEndian: Boolean, transform: Transform,
-      nodata: Option[Double], segments: Array[SegMeta])
+      nodata: Option[Double], samplesPerPixel: Int, segments: Array[SegMeta])
 
   // ---- low-level readers -------------------------------------------------
 
@@ -220,8 +224,21 @@ object GeoTiff {
     if (width <= 0 || height <= 0)
       throw new java.io.IOException(s"bad dimensions ${width}x$height")
     val samplesPerPixel = optLong(277, 1L).toInt
-    if (samplesPerPixel != 1)
-      throw new java.io.IOException(s"multi-band TIFF ($samplesPerPixel samples/px) not supported")
+    if (samplesPerPixel < 1 || samplesPerPixel > 256)
+      throw new java.io.IOException(s"implausible SamplesPerPixel $samplesPerPixel")
+    if (samplesPerPixel > 1) {
+      // chunky interleave only: each pixel's samples are adjacent, so a
+      // segment read can slice out one band. PlanarConfiguration=2 stores
+      // whole per-band planes whose segment bookkeeping differs — reject
+      // rather than misread.
+      if (optLong(284, 1L) != 1L)
+        throw new java.io.IOException(
+          "multi-band TIFF with PlanarConfiguration=2 (separate planes) not supported")
+      val bps = req(258, "BitsPerSample").longs
+      if (bps.distinct.length != 1)
+        throw new java.io.IOException(
+          s"heterogeneous BitsPerSample ${bps.mkString(",")} not supported")
+    }
     val bits = optLong(258, 1L).toInt
     val sampleFormat = optLong(339, 1L).toInt
     (bits, sampleFormat) match {
@@ -298,7 +315,7 @@ object GeoTiff {
 
     val nodata = entries.get(42113).flatMap(e => e.ascii.trim.toDoubleOption)
     TiffMeta(width, height, bits, sampleFormat, compression, predictor, bigEndian,
-      transform, nodata, segments)
+      transform, nodata, samplesPerPixel, segments)
   }
 
   // ---- strip decode (executor side) -------------------------------------
@@ -323,12 +340,15 @@ object GeoTiff {
     out
   }
 
-  /** Decode one strip/tile to its CROPPED `cols x rows` sample grid. The
-    * decompressed buffer is `decW x decH` (tiles are edge-padded); predictor
-    * rows run at the decoded stride. */
-  private def decodeSegment(m: TiffMeta, s: SegMeta, raw0: Array[Byte]): Array[Double] = {
+  /** Decode one strip/tile to its CROPPED `cols x rows` sample grid of the
+    * 0-based `bandIdx`. The decompressed buffer is `decW x decH x spp`
+    * chunky-interleaved samples (tiles are edge-padded); predictor rows run
+    * at the decoded stride. */
+  private def decodeSegment(m: TiffMeta, s: SegMeta, raw0: Array[Byte],
+      bandIdx: Int): Array[Double] = {
     val bytesPer = m.bits / 8
-    val expectL = s.decW.toLong * s.decH * bytesPer
+    val spp = m.samplesPerPixel
+    val expectL = s.decW.toLong * s.decH * spp * bytesPer
     if (expectL > Int.MaxValue - 8)
       throw new java.io.IOException(
         s"segment decodes to $expectL bytes — beyond the 2 GiB per-segment limit " +
@@ -345,18 +365,21 @@ object GeoTiff {
     if (m.predictor == 2) {
       // horizontal differencing on FULL SAMPLE VALUES (TIFF 6.0 §14):
       // per-byte-lane addition would lose the carry between the bytes of a
-      // multi-byte sample (0x00FF + 0x0001 must give 0x0100, not 0x0000)
+      // multi-byte sample (0x00FF + 0x0001 must give 0x0100, not 0x0000).
+      // With spp > 1 each sample is predicted from the SAME channel of the
+      // previous pixel (stride spp samples), not the adjacent sample.
       val mask = (1L << (8 * bytesPer)) - 1
+      val rowSamples = s.decW * spp
       var r = 0
       while (r < s.decH) {
-        val row = r * s.decW * bytesPer
-        var x = 1
-        while (x < s.decW) {
-          val o = row + x * bytesPer
+        val row = r * rowSamples * bytesPer
+        var si = spp
+        while (si < rowSamples) {
+          val o = row + si * bytesPer
           val v = (rdSample(raw, o, bytesPer, m.bigEndian) +
-            rdSample(raw, o - bytesPer, bytesPer, m.bigEndian)) & mask
+            rdSample(raw, o - spp * bytesPer, bytesPer, m.bigEndian)) & mask
           wrSample(raw, o, bytesPer, m.bigEndian, v)
-          x += 1
+          si += 1
         }
         r += 1
       }
@@ -367,7 +390,7 @@ object GeoTiff {
     while (y < s.rows) {
       var x = 0
       while (x < s.cols) {
-        val o = (y * s.decW + x) * bytesPer
+        val o = ((y * s.decW + x) * spp + bandIdx) * bytesPer
         out(y * s.cols + x) = (m.bits, m.sampleFormat) match {
           case (8, 1) => (raw(o) & 0xFF).toDouble
           case (8, 2) => raw(o).toDouble
@@ -446,9 +469,19 @@ object GeoTiff {
     * tiles — [[H3Raster.rasterToCells]] is tile-shape-agnostic). The driver
     * touches only the IFD; segment payloads are position-read and decoded
     * by the executors. */
-  def readGeoTiff(spark: SparkSession, path: String): DataFrame = {
+  def readGeoTiff(spark: SparkSession, path: String): DataFrame =
+    readGeoTiff(spark, path, band = 1)
+
+  /** As [[readGeoTiff]], selecting one band of a chunky multi-band image.
+    * `band` is 1-based, GDAL-style (`rasterband(1)` is the first band —
+    * what the reference's raster bench reads, convert_dataset_r.rs:13). */
+  def readGeoTiff(spark: SparkSession, path: String, band: Int): DataFrame = {
     val hconf = spark.sessionState.newHadoopConf()
     val meta = parseMeta(path, hconf)
+    if (band < 1 || band > meta.samplesPerPixel)
+      throw new java.io.IOException(
+        s"band $band out of range 1..${meta.samplesPerPixel}")
+    val bandIdx = band - 1
     val carrier = new ConfCarrier(hconf)
     val tArr = meta.transform.toArray.toSeq
     val nodataV: java.lang.Double = meta.nodata.map(Double.box).orNull
@@ -459,7 +492,8 @@ object GeoTiff {
           throw new java.io.IOException(
             s"segment ${s.idx} is ${s.byteCount} bytes — beyond the 2 GiB per-segment " +
               "read limit (re-tile the raster; per-segment reads are the parallelism unit)")
-        val vals = decodeSegment(meta, s, readAt(path, s.offset, s.byteCount.toInt, carrier.conf))
+        val vals = decodeSegment(meta, s,
+          readAt(path, s.offset, s.byteCount.toInt, carrier.conf), bandIdx)
         val hasData = meta.nodata match {
           // NaN-nodata: v != NaN is always true, so test isNaN explicitly
           case Some(nd) => vals.exists(v => v != nd && !(nd.isNaN && v.isNaN))
@@ -477,6 +511,10 @@ object GeoTiff {
     val m = parseMeta(path, driverHadoopConf())
     (m.transform, m.nodata, m.width, m.height)
   }
+
+  /** Band count of a GeoTIFF (driver-side IFD read only). */
+  def readGeoTiffBandCount(path: String): Int =
+    parseMeta(path, driverHadoopConf()).samplesPerPixel
 
   // ---- fixture writer (tests / local oracles) ----------------------------
 

@@ -145,17 +145,40 @@ object H3Raster {
         val nodata = if (hasNodata) r.getDouble(7) else 0.0
         val inv = t.invert
 
-        // tile window corners -> geo bbox (1px margin for rotation safety)
+        // tile window corners -> geo bbox (1px margin for rotation safety);
+        // lat clamped to the valid range (a whole-globe tile's margin row
+        // would otherwise push past the pole)
         val corners = Seq(
           t.forward(x0 - 1, y0 - 1), t.forward(x0 + w + 1, y0 - 1),
           t.forward(x0 - 1, y0 + h + 1), t.forward(x0 + w + 1, y0 + h + 1))
         val lngMin = corners.map(_._1).min; val lngMax = corners.map(_._1).max
-        val latMin = corners.map(_._2).min; val latMax = corners.map(_._2).max
-        val windowPoly = H3Polygon.Polygon(Array(Array(
-          (lngMin, latMin), (lngMax, latMin), (lngMax, latMax), (lngMin, latMax),
-          (lngMin, latMin))))
+        val latMin = math.max(-90.0, corners.map(_._2).min)
+        val latMax = math.min(90.0, corners.map(_._2).max)
+        // A window >= 180 deg of longitude would trip H3Polygon's
+        // antimeridian heuristic (a corner jump > 180 deg reads as a
+        // wrapped ring) and collapse a whole-globe strip to a sliver.
+        // Split wide windows into < 120-deg slabs — planar by
+        // construction — with a hair of overlap so a centroid exactly on
+        // a slab edge cannot fall between slabs; dedup makes the overlap
+        // harmless (each cell is emitted once, the pixel test is
+        // idempotent).
+        def slabPoly(a: Double, b: Double) = H3Polygon.Polygon(Array(Array(
+          (a, latMin), (b, latMin), (b, latMax), (a, latMax), (a, latMin))))
+        val slabCount = math.max(1, math.ceil((lngMax - lngMin) / 120.0).toInt)
+        val candidates: Iterator[Long] =
+          if (slabCount == 1) H3Polygon.polygonToCells(slabPoly(lngMin, lngMax), res).iterator
+          else {
+            val seen = new java.util.HashSet[Long]()
+            val step = (lngMax - lngMin) / slabCount
+            val eps = 1e-7
+            Iterator.range(0, slabCount).flatMap { i =>
+              val a = math.max(lngMin, lngMin + i * step - eps)
+              val b = math.min(lngMax, lngMin + (i + 1) * step + eps)
+              H3Polygon.polygonToCells(slabPoly(a, b), res).iterator.filter(seen.add)
+            }
+          }
 
-        H3Polygon.polygonToCells(windowPoly, res).iterator.flatMap { cell =>
+        candidates.flatMap { cell =>
           val g = H3Geo.cellToLatLng(cell)
           val (pxD, pyD) = inv.forward(g.lng, g.lat)
           val px = math.floor(pxD).toInt
@@ -180,6 +203,55 @@ object H3Raster {
   /** R3: resolution whose average cell area best matches the pixel area
     * (resolution.rs:12-99); `smallerThanPixel` forces cells at least as
     * fine as a pixel. */
+  /** Shape-aware resolution search — the reference's exact algorithm
+    * (resolution.rs:23-88): pixel area is the Chamberlain-Duquette
+    * spherical area of the WHOLE raster's bbox divided by the pixel count
+    * (so a whole-globe raster doesn't get judged by one polar pixel), and
+    * each candidate resolution is scored by the exact boundary area of the
+    * cell at the bbox center, not the global average hexagon area. */
+  def nearestH3Resolution(transform: Transform, width: Int, height: Int,
+      smallerThanPixel: Boolean): Int = {
+    require(width > 0 && height > 0, s"empty raster ${width}x$height")
+    // reference bbox: pixel (0,0) to pixel (shape-1, shape-1), model space
+    val (x1, y1) = transform.forward(0, 0)
+    val (x2, y2) = transform.forward(width - 1, height - 1)
+    val (lngMin, lngMax) = (math.min(x1, x2), math.max(x1, x2))
+    val (latMin, latMax) = (math.min(y1, y2), math.max(y1, y2))
+    val rectRing = Array((lngMin, latMin), (lngMin, latMax), (lngMax, latMax),
+      (lngMax, latMin), (lngMin, latMin))
+    val pixelAreaM2 = chamberlainDuquetteAreaM2(rectRing) / (width.toDouble * height)
+    val centerCellArea = (res: Int) => {
+      val cell = H3Geo.latLngToCell((latMin + latMax) / 2, (lngMin + lngMax) / 2, res)
+      val b = H3Geo.cellToBoundary(cell)
+      chamberlainDuquetteAreaM2(b.map(v => (v.lng, v.lat)) :+ (b.head.lng, b.head.lat))
+    }
+    if (smallerThanPixel)
+      (0 to 15).find(centerCellArea(_) <= pixelAreaM2).getOrElse(15)
+    else
+      (0 to 15).minBy(res => math.abs(centerCellArea(res) - pixelAreaM2))
+  }
+
+  /** Chamberlain-Duquette spherical ring area in m2 over the WGS84
+    * equatorial radius — the formula the reference scores resolutions
+    * with (sphere.rs:13-24); closed ring as (lng, lat) degree pairs. */
+  private def chamberlainDuquetteAreaM2(ring: IndexedSeq[(Double, Double)]): Double = {
+    val rEq = 6378137.0
+    var s = 0.0
+    var i = 0
+    while (i < ring.length - 1) {
+      val (x0, y0) = ring(i)
+      val (x1, y1) = ring(i + 1)
+      s += math.toRadians(x1 - x0) *
+        (2.0 + math.sin(math.toRadians(y0)) + math.sin(math.toRadians(y1)))
+      i += 1
+    }
+    math.abs(s) * rEq * rEq / 2.0
+  }
+
+  /** Shape-free heuristic variant (origin-pixel area vs average hexagon
+    * areas) — adequate for small mid-latitude rasters; prefer the
+    * shape-aware overload above, which matches the reference bit-for-bit
+    * on its own fixtures. */
   def nearestH3Resolution(transform: Transform, smallerThanPixel: Boolean = false): Int = {
     // pixel area on the sphere at the transform origin, km^2
     val r = H3Geo.EarthRadiusKm
