@@ -142,6 +142,9 @@ object Bench {
       String.format(java.util.Locale.ROOT, s"%.${decimals}f", Double.box(v))
     val macros = Seq(
       "routing_many_to_many" -> "h3_26_routing_bench",
+      // the reference's route_many_to_many bench on its OWN Germany
+      // fixture (75k nodes / 312k edges), not a synthetic chain
+      "routing_germany_real" -> "p115_germany_route",
       "spatial_filter_two_stage" -> "h3_25_spatial_bench",
       "raster_compact" -> "r01_raster_to_cells").collect {
         case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""

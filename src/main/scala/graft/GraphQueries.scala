@@ -283,6 +283,41 @@ object GraphQueries {
         .orderBy(col("origin"), col("destination"))
     }),
 
+    // P6/P14 on REAL data: the reference's own prepared Germany street
+    // graph (75k nodes / 312k edges, bincode+lz4) routed through its
+    // route_many_to_many bench query — Wangen im Allgaeu -> {Emden,
+    // Stralsund} (route_germany.rs:27-55). Costs/path lengths are pinned
+    // literals in the oracle; walk_ok re-derives each cost by joining the
+    // decompressed cell walk back to the normalized edge list (the Path
+    // contract law, path.rs:13-266). SF-independent by design: the input
+    // is the fixture, not the testdata tables.
+    "p115_germany_route" -> ((s, dir) => {
+      val fixture = "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+      val edges = graft.sources.bincode.PreparedGraphBincode.edgesDF(s, fixture)
+      val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+        .localCheckpoint(false) // feeds Dijkstra AND the walk-law join
+      val wangen = graft.h3.H3Geo.latLngToCell(47.68708804564653, 9.834909439086914, 7)
+      val emden = graft.h3.H3Geo.latLngToCell(53.3689915114596, 7.20600128173828, 7)
+      val stralsund = graft.h3.H3Geo.latLngToCell(54.3153216473314, 13.092269897460938, 7)
+      val paths = H3Graph.shortestPaths(s, graph, Seq(wangen), Seq(emden, stralsund))
+        .localCheckpoint(false) // small (2 rows); two consumers below
+      val hops = paths.select(col("destination"), posexplode(col("path")))
+        .select(col("destination"), col("pos"), col("col").as("cell"))
+      val pairs = hops.as("a").join(hops.as("b"),
+          expr("a.destination = b.destination AND b.pos = a.pos + 1"))
+        .select(col("a.destination").as("dest"), col("a.cell").as("o"),
+          col("b.cell").as("d"))
+      val walkCost = pairs.join(graph,
+          pairs("o") === graph("origin") && pairs("d") === graph("destination"))
+        .groupBy(col("dest")).agg(sum(col("weight")).as("walk_cost"))
+      paths.join(walkCost, paths("destination") === walkCost("dest"))
+        .select(paths("destination"),
+          expr("CAST(floor(cost * 10000 + 0.5) AS BIGINT)").as("cost_q"),
+          size(col("path")).cast("long").as("path_len"),
+          (abs(col("walk_cost") - col("cost")) < lit(1e-6)).as("walk_ok"))
+        .orderBy(col("destination"))
+    }),
+
     // P8: isochrone flood within threshold 80 from node 150 — exact set
     "p15_graph_isochrone" -> ((s, dir) => {
       val fwd = chainEdges(s, dir).select(col("origin"), col("destination"), col("weight"))
@@ -703,6 +738,15 @@ object GraphQueries {
          |  round(abs(d.s - o.s), 4) AS cost
          |FROM origins o CROSS JOIN pfx d
          |ORDER BY origin, destination""".stripMargin,
+
+    // pinned from the fixture route (deterministic: unique-min Dijkstra
+    // over integral weights); walk_ok is the in-plan path-cost law
+    "p115_germany_route" ->
+      """SELECT * FROM (VALUES
+        |  (608531400022294527, CAST(13300000 AS BIGINT), CAST(421 AS BIGINT), TRUE),
+        |  (608532734163288063, CAST(11600000 AS BIGINT), CAST(363 AS BIGINT), TRUE))
+        |AS t(destination, cost_q, path_len, walk_ok)
+        |ORDER BY destination""".stripMargin,
 
     "p15_graph_isochrone" ->
       s"""WITH $oracleChain,

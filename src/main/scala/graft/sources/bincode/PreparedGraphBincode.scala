@@ -1,0 +1,165 @@
+package graft.sources.bincode
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.types._
+
+/**
+ * Reader for the reference's serialized routing graphs — the
+ * `PreparedH3EdgeGraph<OrderedFloat<f64>>` bincode records its
+ * `route_germany` bench loads (h3ron-graph/benches/route_germany.rs:15-25,
+ * data/graph-germany_r7_f64.bincode.lz). Layout derived from the public
+ * struct definitions, NOT from any serialized-format documentation:
+ *
+ *  - optional LZ4 FRAME compression (io/serde_util.rs:28-41 writes
+ *    lz4_flex frames; `net.jpountz.lz4.LZ4FrameInputStream`, already on
+ *    Spark's classpath, reads the same interchange format),
+ *  - bincode 1.x defaults: little-endian, fixed-width ints, `usize`
+ *    length prefixes as u64, `Option` as a 1-byte tag, unit enum
+ *    variants as u32 ordinals,
+ *  - record shape (graph/prepared.rs:74-79, 25-36; graph/longedge.rs:36-48;
+ *    collections/compressed.rs:30-37; collections/treemap/serde.rs:9-20):
+ *    {{{
+ *    outgoing_edges: map<cell u64, vec<(edge u64, weight f64,
+ *        longedge: Option<(in u64, out u64,
+ *            IndexBlock{num u64, bytes: len-prefixed},
+ *            treemap: len-prefixed roaring bytes, weight f64)>)>>
+ *    h3_resolution: u8
+ *    graph_nodes: map<cell u64, NodeType ordinal u32>
+ *    }}}
+ *
+ * The long-edge payloads (shortcut adjuncts the reference derives during
+ * `prepare`) are length-skipped, not materialized: our own
+ * [[graft.graph.H3Graph.localGraph]] re-derives contraction from the base
+ * edges. Parsing is driver-side by necessity — bincode is a sequential
+ * format with no split points — and the parsed edge list immediately
+ * becomes a distributed DataFrame; at 100 TB graphs live in parquet
+ * (H3Graph P14), this reader exists for interchange with the reference's
+ * fixtures.
+ */
+object PreparedGraphBincode {
+
+  final case class ParsedGraph(
+      resolution: Int,
+      // (directed edge id, weight) of every simple edge
+      edges: Array[(Long, Double)],
+      longEdgeCount: Int,
+      // (cell, NodeType ordinal: 0=Origin 1=Destination 2=Both)
+      nodes: Array[(Long, Int)])
+
+  private final class Cursor(b: Array[Byte]) {
+    var pos = 0
+    private def need(n: Int): Unit =
+      if (pos + n > b.length)
+        throw new java.io.IOException(
+          s"truncated bincode record: need $n bytes at $pos of ${b.length}")
+    def u8(): Int = { need(1); val v = b(pos) & 0xFF; pos += 1; v }
+    def u32(): Long = {
+      need(4)
+      val v = (b(pos) & 0xFFL) | ((b(pos + 1) & 0xFFL) << 8) |
+        ((b(pos + 2) & 0xFFL) << 16) | ((b(pos + 3) & 0xFFL) << 24)
+      pos += 4; v
+    }
+    def u64(): Long = {
+      need(8)
+      var v = 0L
+      var i = 7
+      while (i >= 0) { v = (v << 8) | (b(pos + i) & 0xFFL); i -= 1 }
+      pos += 8; v
+    }
+    def f64(): Double = java.lang.Double.longBitsToDouble(u64())
+    def len(): Int = {
+      val v = u64()
+      if (v < 0 || v > Int.MaxValue)
+        throw new java.io.IOException(s"implausible bincode length $v at ${pos - 8}")
+      v.toInt
+    }
+    def skip(n: Int): Unit = { need(n); pos += n }
+    def atEnd: Boolean = pos == b.length
+  }
+
+  /** Decompress (LZ4 frame, detected by magic) and fully read `path`. */
+  private def readAllBytes(path: String): Array[Byte] = {
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val isLz4Frame = raw.length >= 4 &&
+      (raw(0) & 0xFF) == 0x04 && (raw(1) & 0xFF) == 0x22 &&
+      (raw(2) & 0xFF) == 0x4D && (raw(3) & 0xFF) == 0x18
+    if (!isLz4Frame) raw
+    else {
+      val in = new net.jpountz.lz4.LZ4FrameInputStream(
+        new java.io.ByteArrayInputStream(raw))
+      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      in.close()
+      out.toByteArray
+    }
+  }
+
+  def read(path: String): ParsedGraph = {
+    val c = new Cursor(readAllBytes(path))
+    val mapLen = c.len()
+    val edges = Array.newBuilder[(Long, Double)]
+    var longEdges = 0
+    var i = 0
+    while (i < mapLen) {
+      c.u64() // origin cell key (redundant with the edge ids; skip)
+      val vecLen = c.len()
+      var j = 0
+      while (j < vecLen) {
+        val edge = c.u64()
+        val weight = c.f64()
+        edges += ((edge, weight))
+        c.u8() match {
+          case 0 => ()
+          case 1 =>
+            // LongEdge { in_edge, out_edge, edge_path: IndexBlock,
+            //   cell_lookup: treemap bytes }, then the longedge weight
+            c.u64(); c.u64()
+            c.u64() // IndexBlock.num_indexes
+            c.skip(c.len()) // IndexBlock.block_data
+            c.skip(c.len()) // roaring treemap bytes
+            c.f64()
+            longEdges += 1
+          case t => throw new java.io.IOException(s"bad Option tag $t at ${c.pos - 1}")
+        }
+        j += 1
+      }
+      i += 1
+    }
+    val resolution = c.u8()
+    if (resolution < 0 || resolution > 15)
+      throw new java.io.IOException(s"implausible graph resolution $resolution")
+    val nodesLen = c.len()
+    val nodes = new Array[(Long, Int)](nodesLen)
+    var k = 0
+    while (k < nodesLen) {
+      val cell = c.u64()
+      val t = c.u32()
+      if (t < 0 || t > 2)
+        throw new java.io.IOException(s"bad NodeType ordinal $t at ${c.pos - 4}")
+      nodes(k) = (cell, t.toInt)
+      k += 1
+    }
+    if (!c.atEnd)
+      throw new java.io.IOException(s"trailing bytes after record at ${c.pos}")
+    ParsedGraph(resolution, edges.result(), longEdges, nodes)
+  }
+
+  val edgeSchema: StructType = StructType(Seq(
+    StructField("origin", LongType, nullable = false),
+    StructField("destination", LongType, nullable = false),
+    StructField("weight", DoubleType, nullable = false)))
+
+  /** The graph's simple edges as a distributed `(origin, destination,
+    * weight)` frame — directed-edge ids resolved to their cell endpoints,
+    * ready for [[graft.graph.H3Graph.graphFromEdgeList]]. */
+  def edgesDF(spark: SparkSession, path: String): DataFrame = {
+    val g = read(path)
+    val rows = g.edges.toSeq.map { case (edge, w) =>
+      Row(graft.h3.H3Core.edgeOrigin(edge), graft.h3.H3Traversal.edgeDestination(edge), w)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 32), edgeSchema)
+  }
+}

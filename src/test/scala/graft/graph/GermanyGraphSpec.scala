@@ -1,0 +1,76 @@
+package graft.graph
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+import graft.h3.H3Geo
+import graft.sources.bincode.PreparedGraphBincode
+
+/**
+ * Conformance against the reference's REAL prepared routing graph —
+ * `data/graph-germany_r7_f64.bincode.lz`, the exact fixture behind its
+ * `route_many_to_many` bench (h3ron-graph/benches/route_germany.rs:15-96).
+ * Until now every routing test ran on synthetic chains; this drives the
+ * same 75k-node OSM-derived street graph the reference routes, through the
+ * same Wangen im Allgaeu -> {Emden, Stralsund} many-to-many query.
+ */
+class GermanyGraphSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val fixturePath = "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+  private def fixture: String = {
+    assume(new java.io.File(fixturePath).isFile, s"$fixturePath not present")
+    fixturePath
+  }
+
+  // the bench's coordinates (route_germany.rs:28-45), res from the graph
+  private val wangen = H3Geo.latLngToCell(47.68708804564653, 9.834909439086914, 7)
+  private val emden = H3Geo.latLngToCell(53.3689915114596, 7.20600128173828, 7)
+  private val stralsund = H3Geo.latLngToCell(54.3153216473314, 13.092269897460938, 7)
+
+  test("bincode+lz4 record parses with pinned totals") {
+    val g = PreparedGraphBincode.read(fixture)
+    assert(g.resolution == 7)
+    assert(g.edges.length == 312397)
+    assert(g.longEdgeCount == 402)
+    assert(g.nodes.length == 75043)
+    // every edge id is a valid H3 directed edge at the graph's resolution
+    assert(g.edges.forall { case (e, _) =>
+      graft.h3.H3Core.isValidDirectedEdge(e) &&
+        graft.h3.H3Core.getResolution(e) == 7 })
+    // weights are positive travel costs
+    assert(g.edges.forall(_._2 > 0.0))
+    // node typing: overwhelmingly OriginAndDestination on a street graph
+    val byType = g.nodes.groupBy(_._2).map { case (k, v) => k -> v.length }
+    assert(byType(2) == 75038 && byType.getOrElse(0, 0) == 3 && byType.getOrElse(1, 0) == 2)
+  }
+
+  test("route across Germany: Wangen -> {Emden, Stralsund} finds both paths (bench parity)") {
+    val edges = PreparedGraphBincode.edgesDF(spark, fixture)
+    val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+    val paths = H3Graph.shortestPaths(spark, graph, Seq(wangen), Seq(emden, stralsund))
+      .collect().map(r => (r.getLong(1), r.getDouble(2), r.getSeq[Long](3)))
+      .sortBy(_._1)
+    // the bench's own assertion: both destinations reached
+    assert(paths.length == 2, s"expected 2 paths, got ${paths.length}")
+    info(paths.map { case (d, c, p) => s"dest=$d cost=$c len=${p.length}" }.mkString("; "))
+    paths.foreach { case (dest, cost, walk) =>
+      assert(cost > 0.0)
+      assert(walk.head == wangen && walk.last == dest)
+      // the walk is a connected cell chain: every hop is a neighbor pair
+      walk.sliding(2).foreach { case Seq(a, b) =>
+        assert(graft.h3.H3Traversal.areNeighborCells(a, b), s"gap between $a and $b")
+      }
+    }
+    // path-walk law: summing the normalized edge weights along the walk
+    // reproduces the Dijkstra cost exactly
+    val edgeW = edges.groupBy($"origin", $"destination").agg(min($"weight").as("w"))
+      .as[(Long, Long, Double)].collect()
+      .map { case (o, d, w) => (o, d) -> w }.toMap
+    paths.foreach { case (_, cost, walk) =>
+      val sum = walk.sliding(2).map { case Seq(a, b) => edgeW((a, b)) }.sum
+      assert(math.abs(sum - cost) < 1e-6, s"walk sum $sum vs cost $cost")
+    }
+  }
+}
