@@ -283,6 +283,58 @@ object GraphQueries {
         .orderBy(col("origin"), col("destination"))
     }),
 
+    // P12 parity for the DISTRIBUTED regime: shortestPathsIterativePaths
+    // on the p114 fixture (120-node chain + cost-neutral express edges).
+    // Costs are the same prefix-sum-difference oracle as p114; the walk is
+    // NOT pinned (express edges create equal-cost alternates — the
+    // argmin tie-break is deterministic in-engine but not an oracle law);
+    // instead walk_ok asserts the path CONTRACT in-plan: endpoints match
+    // and the walk's edge weights sum to the reported cost.
+    "p116_sssp_paths" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val M = 120
+      val base = s.read.parquet(s"$dir/events.parquet")
+        .filter(col("event_id") < M)
+        .select(col("event_id").as("k"),
+          expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
+          expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
+          expr(wSql).as("weight"))
+      val pfx = base.select(col("k"), col("origin").as("cell"),
+        coalesce(sum(col("weight")).over(
+          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0.0)).as("s"))
+      val express = pfx.as("a").join(pfx.as("b"), expr("b.k = a.k + 15"))
+        .select(col("a.cell").as("origin"), col("b.cell").as("destination"),
+          (col("b.s") - col("a.s")).as("weight"))
+      val fwd = base.select(col("origin"), col("destination"), col("weight"))
+        .unionByName(express)
+      val bwd = fwd.select(col("destination").as("origin"),
+        col("origin").as("destination"), col("weight"))
+      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd),
+        "origin", "destination", "weight").localCheckpoint(false)
+      val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = Seq(25L, 40L).map(SparkEntry.Synth.cell(_, 5))
+      val paths = H3Graph.shortestPathsIterativePaths(s, graph, origins, dests)
+        .localCheckpoint(false) // 4 rows; feeds the output AND the walk law
+      val hops = paths.select(col("origin"), col("destination"), posexplode(col("path")))
+        .select(col("origin"), col("destination"), col("pos"), col("col").as("cell"))
+      val pairs = hops.as("a").join(hops.as("b"),
+          expr("a.origin = b.origin AND a.destination = b.destination AND b.pos = a.pos + 1"))
+        .select(col("a.origin").as("po"), col("a.destination").as("pd"),
+          col("a.cell").as("o"), col("b.cell").as("d"))
+      val walkCost = pairs.join(graph,
+          pairs("o") === graph("origin") && pairs("d") === graph("destination"))
+        .groupBy(col("po"), col("pd")).agg(sum(col("weight")).as("walk_cost"))
+      paths.join(walkCost,
+          paths("origin") === walkCost("po") && paths("destination") === walkCost("pd"))
+        .select(paths("origin"), paths("destination"),
+          round(col("cost"), 4).as("cost"),
+          (abs(col("walk_cost") - col("cost")) < lit(1e-6) &&
+            expr("path[0]") === paths("origin") &&
+            expr("path[size(path) - 1]") === paths("destination")).as("walk_ok"))
+        .orderBy(col("origin"), col("destination"))
+    }),
+
     // P6/P14 on REAL data: the reference's own prepared Germany street
     // graph (75k nodes / 312k edges, bincode+lz4) routed through its
     // route_many_to_many bench query — Wangen im Allgaeu -> {Emden,
@@ -737,6 +789,15 @@ object GraphQueries {
          |SELECT o.cell AS origin, d.cell AS destination,
          |  round(abs(d.s - o.s), 4) AS cost
          |FROM origins o CROSS JOIN pfx d
+         |ORDER BY origin, destination""".stripMargin,
+
+    "p116_sssp_paths" ->
+      s"""WITH ${oracleChainN(120)},
+         |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 60)),
+         |dests AS (SELECT k, cell, s FROM pfx WHERE k IN (25, 40))
+         |SELECT o.cell AS origin, d.cell AS destination,
+         |  round(abs(d.s - o.s), 4) AS cost, TRUE AS walk_ok
+         |FROM origins o CROSS JOIN dests d
          |ORDER BY origin, destination""".stripMargin,
 
     // pinned from the fixture route (deterministic: unique-min Dijkstra

@@ -573,6 +573,104 @@ object H3Graph {
       .select(col("src").as("origin"), col("cell").as("destination"), col("cost"))
   }
 
+  /** [[shortestPathsIterative]] with P12 path parity: the relaxation
+    * additionally threads a PREDECESSOR column (argmin via
+    * `min(struct(cost, pred))` — ties break on the smaller pred cell, so
+    * the walk is deterministic), and paths are reconstructed after
+    * convergence by an iterative backward walk — ≤ diameter rounds, no
+    * driver state. Each reconstruction round joins the small
+    * (origins x destinations)-row walk table against the best-cost table;
+    * the walk side is broadcast, so the big table is scanned, never
+    * shuffled. That makes reconstruction cost `path-length x best-scan` —
+    * right for routing a bounded pair set; for bulk path materialization
+    * at 100 TB, persist the `(cell, src, pred)` table to parquet and walk
+    * it in storage instead (the reference's Path contract, path.rs:13-266,
+    * is per-query too). Output: `(origin, destination, cost, path)`. */
+  def shortestPathsIterativePaths(spark: SparkSession, graph: DataFrame,
+      origins: Seq[Long], destinations: Seq[Long], maxRounds: Int = 256,
+      checkpointDir: Option[String] = None): DataFrame = {
+    import spark.implicits._
+    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
+      graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+        col("weight").cast("double").as("__ew")))
+    var best = origins.distinct.toDF("cell")
+      .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),
+        lit(null).cast("long").as("pred"))
+      .localCheckpoint(false)
+    var frontier = best
+    var round = 0
+    var converged = false
+    var freeBest: () => Unit = () => ()
+    var freeFrontier: () => Unit = () => ()
+    def relax(f: DataFrame): DataFrame =
+      f.join(edges, col("cell") === col("__eo"))
+        .select(col("__ed").as("cell"), col("src"),
+          (col("cost") + col("__ew")).as("cost"), col("__eo").as("pred"))
+    def fold(b: DataFrame, r: DataFrame): DataFrame =
+      b.unionByName(r).groupBy(col("cell"), col("src"))
+        .agg(min(struct(col("cost"), col("pred"))).as("__m"))
+        .select(col("cell"), col("src"), col("__m.cost").as("cost"),
+          col("__m.pred").as("pred"))
+    def improved(nb: DataFrame, old: DataFrame): DataFrame =
+      nb.join(old.select(col("cell"), col("src"), col("cost").as("__old")),
+          Seq("cell", "src"), "left_outer")
+        .filter(col("__old").isNull || col("cost") < col("__old"))
+        .select(col("cell"), col("src"), col("cost"), col("pred"))
+    while (!converged && round < maxRounds) {
+      val (nb, freeNb) = graft.util.Barriers.roundBarrierFreeable(
+        fold(best, relax(frontier)), round, checkpointDir, eager = false)
+      val (nf, frontierSize, freeNf) = graft.util.Barriers.roundBarrierCountingFreeable(
+        improved(nb, best), round, None)(_ => true)
+      freeBest(); freeFrontier()
+      freeBest = freeNb
+      freeFrontier = freeNf
+      frontier = nf
+      converged = frontierSize == 0L
+      best = nb
+      round += 1
+    }
+    freeEdges(); freeFrontier()
+    // NOTE on fold's argmin vs the cost-only fold: `struct(cost, pred)`
+    // ordering compares cost first, so the settled costs are identical to
+    // [[shortestPathsIterative]] (spec-pinned); pred adds one column of
+    // shuffle width.
+    val dests = destinations.distinct.toDF("cell")
+    // backward walk: one row per reached (src, destination); `cur` is the
+    // cell whose predecessor extends the walk next; done when cur == src
+    var walk = best.join(broadcast(dests), "cell")
+      .select(col("src"), col("cell").as("destination"), col("cost"),
+        col("cell").as("cur"), array(col("cell")).as("path"))
+      .localCheckpoint(false)
+    var active = 1L
+    var wround = 0
+    var freeWalk: () => Unit = () => ()
+    val preds = best.select(col("cell").as("__pc"), col("src").as("__ps"),
+      col("pred").as("__pp"))
+    while (active > 0 && wround < maxRounds) {
+      val stepped = broadcast(walk)
+        .join(preds, col("cur") === col("__pc") && col("src") === col("__ps"), "left")
+        .select(col("src"), col("destination"), col("cost"),
+          when(col("cur") === col("src"), col("cur"))
+            .otherwise(col("__pp")).as("cur"),
+          when(col("cur") === col("src"), col("path"))
+            .otherwise(concat(array(col("__pp")), col("path"))).as("path"))
+      val (nw, nActive, freeNw) = graft.util.Barriers.roundBarrierCountingFreeable(
+        stepped, wround, checkpointDir)(r => r.getLong(0) != r.getLong(3))
+      freeWalk()
+      freeWalk = freeNw
+      walk = nw
+      active = nActive
+      wround += 1
+    }
+    require(active == 0L,
+      s"path reconstruction did not terminate in $maxRounds rounds " +
+        "(cyclic predecessor chain would indicate a relaxation bug)")
+    // the walk table is materialized (its own checkpoint); the best-cost
+    // generation that fed the reconstruction is dead
+    freeBest()
+    walk.select(col("src").as("origin"), col("destination"), col("cost"), col("path"))
+  }
+
   /** P9: differential routing — costs before and after excluding a cell
     * set (differential_shortest_path.rs:18-150 + the ExcludeCells view,
     * modifiers.rs:11-93). NULL cost_after = unreachable after exclusion. */

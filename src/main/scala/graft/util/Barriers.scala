@@ -19,6 +19,19 @@ object Barriers {
   /** Cadence of reliable checkpoints within an iterative loop. */
   val ReliableEvery = 5
 
+  /** Install `dir` as the session's reliable-checkpoint directory unless
+    * it already points there. The previous only-if-empty policy silently
+    * kept writing to whatever directory the FIRST loop of a long-lived
+    * session installed — a later caller's explicit `checkpointDir` was
+    * ignored. `getCheckpointDir` returns the installed path plus a random
+    * UUID child, hence the containment test. */
+  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit = {
+    val normalized = new org.apache.hadoop.fs.Path(dir).toUri.getPath
+    if (!sc.getCheckpointDir.exists(cur =>
+        new org.apache.hadoop.fs.Path(cur).toUri.getPath.startsWith(normalized)))
+      sc.setCheckpointDir(dir)
+  }
+
   /** Cut lineage for `df` at iteration `round` (0-based). An existing
     * session checkpoint dir is respected; otherwise `checkpointDir` is
     * installed on first reliable use.
@@ -63,8 +76,7 @@ object Barriers {
       eager: Boolean): (DataFrame, () => Unit) = {
     val cp = checkpointDir match {
       case Some(dir) if round % ReliableEvery == ReliableEvery - 1 =>
-        val sc = df.sparkSession.sparkContext
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        ensureCheckpointDir(df.sparkSession.sparkContext, dir)
         df.checkpoint(eager)
       case _ => df.localCheckpoint(eager)
     }
@@ -145,8 +157,7 @@ object Barriers {
     val marked = df.rdd.map { r => if (changed(r)) acc.add(1L); r }
     checkpointDir match {
       case Some(dir) if round % ReliableEvery == ReliableEvery - 1 =>
-        if (spark.sparkContext.getCheckpointDir.isEmpty)
-          spark.sparkContext.setCheckpointDir(dir)
+        ensureCheckpointDir(spark.sparkContext, dir)
         // cache first so the post-action reliable-checkpoint job re-reads
         // blocks instead of re-running lineage (and double-counting acc)
         marked.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)

@@ -153,6 +153,70 @@ class H3GraphSpec extends AnyFunSuite {
     assert(oneHop == viaIterative, "hopsPerRound=1 and =2 diverged")
   }
 
+  test("iterative SSSP under reliable checkpointing: identical fixpoint, ReliableEvery fires mid-loop") {
+    // hopsPerRound=1 forces one round per chain hop, so a chain longer
+    // than 2*ReliableEvery guarantees the reliable persist->checkpoint->
+    // count->unpersist branch (Barriers.scala) runs MID-loop, not just at
+    // the edges; the accumulator must not double-count across the cache +
+    // post-action checkpoint jobs or convergence would mis-detect
+    val dir = java.nio.file.Files.createTempDirectory("sssp_ck").toString
+    // a longer grid path than the shared fixture: > 2*ReliableEvery hops
+    val longChain: Array[Long] = {
+      val a = H3Geo.latLngToCell(37.7, -122.45, 8)
+      val g = H3Geo.cellToLatLng(a)
+      H3Traversal.gridPathCells(a, H3Geo.latLngToCell(g.lat + 0.13, g.lng + 0.06, 8))
+    }
+    assert(longChain.length > 2 * graft.util.Barriers.ReliableEvery)
+    val longGraph = H3Graph.graphFromCellChain(
+      longChain.zipWithIndex.toSeq.toDF("cell", "ord"), "cell", "ord")
+    val origins = Seq(longChain.head)
+    val dests = Seq(longChain.last, longChain(longChain.length / 2))
+    val plain = H3Graph.shortestPathsIterative(spark, longGraph, origins, dests,
+      hopsPerRound = 1).as[(Long, Long, Double)].collect().toSet
+    val ck = H3Graph.shortestPathsIterative(spark, longGraph, origins, dests,
+      hopsPerRound = 1, checkpointDir = Some(dir)).as[(Long, Long, Double)].collect().toSet
+    assert(ck == plain, "reliable-checkpoint run diverged from the local-checkpoint run")
+    // and both equal the broadcast-Dijkstra oracle
+    val oracle = H3Graph.shortestPaths(spark, longGraph, origins, dests)
+      .select($"origin", $"destination", $"cost").as[(Long, Long, Double)].collect().toSet
+    assert(ck.map(t => (t._1, t._2)) == oracle.map(t => (t._1, t._2)))
+    val om = oracle.map(t => (t._1, t._2) -> t._3).toMap
+    ck.foreach { case (o, d, c) => assert(math.abs(c - om((o, d))) < 1e-9) }
+    // reliable checkpoint files were actually written
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "no reliable checkpoint files written")
+  }
+
+  test("iterative SSSP path reconstruction matches Dijkstra paths exactly (P12 at scale)") {
+    val origins = Seq(chainCells.head, chainCells(2))
+    val dests = Seq(chainCells.last, chainCells(1))
+    val dir = java.nio.file.Files.createTempDirectory("sssp_paths_ck").toString
+    val got = H3Graph.shortestPathsIterativePaths(spark, chainGraph, origins, dests,
+      checkpointDir = Some(dir))
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getSeq[Long](3))))
+      .toMap
+    val oracle = H3Graph.shortestPaths(spark, chainGraph, origins, dests)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getSeq[Long](3))))
+      .toMap
+    // chain graph: shortest paths are unique, so the WALKS must be equal,
+    // not just the costs
+    assert(got.keySet == oracle.keySet)
+    got.foreach { case (k, (cost, path)) =>
+      val (ocost, opath) = oracle(k)
+      assert(math.abs(cost - ocost) < 1e-9, s"cost mismatch for $k")
+      assert(path == opath, s"path mismatch for $k")
+    }
+    // prefix-sum law: walk edge weights sum to the cost
+    val ew = chainGraph.select($"origin", $"destination", $"weight")
+      .as[(Long, Long, Double)].collect()
+      .map { case (o, d, w) => (o, d) -> w }.toMap
+    got.foreach { case (_, (cost, path)) =>
+      val s = path.sliding(2).map { case Seq(a, b) => ew((a, b)) }.sum
+      assert(math.abs(s - cost) < 1e-9)
+    }
+  }
+
   test("single-chain build is guarded by a declared size bound (VERDICT r03 #3)") {
     // the chainCol=None path runs a single-partition window by necessity;
     // a frame beyond the declared bound must fail fast, not silently
