@@ -588,7 +588,8 @@ object H3Graph {
     * is per-query too). Output: `(origin, destination, cost, path)`. */
   def shortestPathsIterativePaths(spark: SparkSession, graph: DataFrame,
       origins: Seq[Long], destinations: Seq[Long], maxRounds: Int = 256,
-      checkpointDir: Option[String] = None): DataFrame = {
+      checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
+    require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     import spark.implicits._
     val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
       graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
@@ -617,10 +618,24 @@ object H3Graph {
         .filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"), col("pred"))
     while (!converged && round < maxRounds) {
+      // same hopsPerRound trade as [[shortestPathsIterative]]: intra-round
+      // hops stay lazy behind statSafe, the last hop pays the barrier; the
+      // Bellman-Ford fixpoint argument is unchanged by the pred column
+      // (argmin rides the same fold)
+      var acc = best
+      var front = frontier
+      var freeIntermediates: List[() => Unit] = Nil
+      for (_ <- 1 until hopsPerRound) {
+        val (next, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
+        freeIntermediates ::= free
+        front = improved(next, acc)
+        acc = next
+      }
       val (nb, freeNb) = graft.util.Barriers.roundBarrierFreeable(
-        fold(best, relax(frontier)), round, checkpointDir, eager = false)
+        fold(acc, relax(front)), round, checkpointDir, eager = false)
       val (nf, frontierSize, freeNf) = graft.util.Barriers.roundBarrierCountingFreeable(
-        improved(nb, best), round, None)(_ => true)
+        improved(nb, acc), round, None)(_ => true)
+      freeIntermediates.foreach(_())
       freeBest(); freeFrontier()
       freeBest = freeNb
       freeFrontier = freeNf
@@ -646,14 +661,20 @@ object H3Graph {
     var freeWalk: () => Unit = () => ()
     val preds = best.select(col("cell").as("__pc"), col("src").as("__ps"),
       col("pred").as("__pp"))
+    // one backward pred-hop; done rows (cur == src) pass through unchanged,
+    // so composing the step is idempotent past the origin
+    def step(w: DataFrame): DataFrame = broadcast(w)
+      .join(preds, col("cur") === col("__pc") && col("src") === col("__ps"), "left")
+      .select(col("src"), col("destination"), col("cost"),
+        when(col("cur") === col("src"), col("cur"))
+          .otherwise(col("__pp")).as("cur"),
+        when(col("cur") === col("src"), col("path"))
+          .otherwise(concat(array(col("__pp")), col("path"))).as("path"))
     while (active > 0 && wround < maxRounds) {
-      val stepped = broadcast(walk)
-        .join(preds, col("cur") === col("__pc") && col("src") === col("__ps"), "left")
-        .select(col("src"), col("destination"), col("cost"),
-          when(col("cur") === col("src"), col("cur"))
-            .otherwise(col("__pp")).as("cur"),
-          when(col("cur") === col("src"), col("path"))
-            .otherwise(concat(array(col("__pp")), col("path"))).as("path"))
+      // hopsPerRound pred-hops per barrier: the walk table is tiny, so the
+      // extra hops are additional broadcast joins inside the SAME job —
+      // rounds (and their driver-side barrier latency) halve at equal work
+      val stepped = (1 to hopsPerRound).foldLeft(walk)((w, _) => step(w))
       val (nw, nActive, freeNw) = graft.util.Barriers.roundBarrierCountingFreeable(
         stepped, wround, checkpointDir)(r => r.getLong(0) != r.getLong(3))
       freeWalk()

@@ -207,6 +207,13 @@ class H3GraphSpec extends AnyFunSuite {
       assert(math.abs(cost - ocost) < 1e-9, s"cost mismatch for $k")
       assert(path == opath, s"path mismatch for $k")
     }
+    // the single-hop loop reconstructs the identical walks (the fixpoint
+    // and the pred chain are hop-count-invariant)
+    val oneHop = H3Graph.shortestPathsIterativePaths(spark, chainGraph, origins, dests,
+      hopsPerRound = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getSeq[Long](3))))
+      .toMap
+    assert(oneHop == got, "hopsPerRound=1 and =2 path reconstructions diverged")
     // prefix-sum law: walk edge weights sum to the cost
     val ew = chainGraph.select($"origin", $"destination", $"weight")
       .as[(Long, Long, Double)].collect()
