@@ -1338,6 +1338,17 @@ object PipelineQueries {
       graft.pipeline.Bpe.mergesFrame(docs(s, dir), model).orderBy(col("merge_rank"))
     }),
 
+    // the OVER-BOUND BPE regime: merge rounds stay distributed (one
+    // pair-aggregation + 1-row argmax job per merge, vocab never
+    // collected) — byte-identical to p90's driver loop, and gated by the
+    // SAME relational replay oracle
+    "p117_bpe_train_distributed" -> ((s, dir) => {
+      val model = graft.pipeline.Bpe.trainDistributed(
+        graft.pipeline.Bpe.wordCounts(docs(s, dir), col("text")), nMerges = 8,
+        mergesPerBarrier = 3)
+      graft.pipeline.Bpe.mergesFrame(docs(s, dir), model).orderBy(col("merge_rank"))
+    }),
+
     // BPE encoding with the trained model: the final vocab frame already
     // holds every word's merged form, so per-doc token counts are one
     // broadcast join against (word, n_symbols)
@@ -1767,6 +1778,15 @@ object PipelineQueries {
 
   def oracleSql: Map[String, String] = Map(
     "p90_bpe_train" ->
+      s"""WITH ${bpeCtes(8)}
+         |SELECT * FROM (${(1 to 8).map(t =>
+              s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+                s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
+         |ORDER BY merge_rank""".stripMargin,
+
+    // identical replay: the distributed regime must land on the same
+    // merges the driver loop (p90) does
+    "p117_bpe_train_distributed" ->
       s"""WITH ${bpeCtes(8)}
          |SELECT * FROM (${(1 to 8).map(t =>
               s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +

@@ -233,6 +233,91 @@ object Bpe {
     Model(merges.result(), vocab)
   }
 
+  /** Weighted adjacent-pair counts (overlaps included) of a padded
+    * symbol-string vocab frame — one distributed aggregation. `__a` is
+    * bound as its own projection column first so the transform lambda
+    * reads an attribute, not a re-evaluated subtree (the per-element
+    * lambda-capture pitfall). */
+  private def pairCountsFrame(vocab: DataFrame): DataFrame =
+    vocab
+      .withColumn("__a", filter(split(col("s"), " "), x => x =!= ""))
+      .filter(size(col("__a")) >= 2)
+      .select(col("cnt"), explode(expr(
+        "transform(slice(__a, 1, size(__a) - 1), (x, i) -> struct(x AS l, __a[i + 1] AS r))"))
+        .as("p"))
+      .groupBy(col("p.l").as("l"), col("p.r").as("r"))
+      .agg(sum(col("cnt")).as("pc"))
+
+  /**
+   * The OVER-BOUND regime of [[train]]: the vocab never leaves the
+   * cluster. Each merge round is one distributed job — the weighted
+   * adjacent-pair aggregation of [[pairCountsFrame]] plus a 1-ROW argmax
+   * collect — followed by a lazy [[applyMerge]] projection; lineage is
+   * cut every `mergesPerBarrier` merges (a round between barriers
+   * re-applies the chained replaces during its scan: cheap string ops
+   * traded for fewer materializations).
+   *
+   * Semantics are byte-identical to [[train]] (spec-pinned on shared
+   * corpora): same overlap-counted pair statistics, same left-to-right
+   * non-overlapping application, same (count desc, l asc, r asc)
+   * tie-break — Spark's string ordering IS UTF-8 byte order, which is
+   * exactly why [[train]]'s driver loop compares raw UTF-8 bytes.
+   *
+   * Scale contract: cost is `nMerges` distributed rounds over the
+   * word-frequency frame. That is the right trade ONLY when the vocab
+   * exceeds the driver bound (a >20M-distinct-word corpus); below it,
+   * [[train]]'s incremental driver loop does 32k-100k merges in seconds
+   * of CPU. The two regimes mirror the routing split: broadcast-local
+   * until the fail-fast bound, distributed rounds past it.
+   */
+  def trainDistributed(wordCounts: DataFrame, nMerges: Int,
+      mergesPerBarrier: Int = 8): Model = {
+    require(nMerges >= 1, s"nMerges must be >= 1, got $nMerges")
+    require(mergesPerBarrier >= 1, s"mergesPerBarrier must be >= 1, got $mergesPerBarrier")
+    val (vocab0, freeVocab0) = graft.util.Barriers.statSafeFreeable(
+      wordCounts.select(col("w"),
+        concat(lit(" "), regexp_replace(col("w"), "(.)", "$1 ")).as("s"),
+        col("cnt").cast("long").as("cnt")))
+    var vocab = vocab0
+    // generation bookkeeping: `freeGen` frees the CURRENT barrier
+    // generation's blocks; `freeSuperseded` the one it replaced, callable
+    // only after a job has materialized the current (lazy) checkpoint —
+    // the next round's argmax is that job
+    var freeGen: () => Unit = freeVocab0
+    var freeSuperseded: () => Unit = () => ()
+    val merges = Seq.newBuilder[Merge]
+    var rank = 1
+    var exhausted = false
+    var sinceBarrier = 0
+    while (rank <= nMerges && !exhausted) {
+      val top = pairCountsFrame(vocab)
+        .orderBy(col("pc").desc, col("l"), col("r")).limit(1).collect()
+      // that job materialized the current generation's lazy checkpoint:
+      // the generation it superseded is dead
+      freeSuperseded(); freeSuperseded = () => ()
+      if (top.isEmpty) exhausted = true
+      else {
+        val l = top(0).getString(0)
+        val r = top(0).getString(1)
+        merges += Merge(rank, l, r, top(0).getLong(2))
+        vocab = vocab.withColumn("s", applyMerge(col("s"), l, r))
+        sinceBarrier += 1
+        if (sinceBarrier >= mergesPerBarrier && rank < nMerges) {
+          val (cut, freeCut) = graft.util.Barriers.statSafeFreeable(vocab)
+          vocab = cut
+          freeSuperseded = freeGen
+          freeGen = freeCut
+          sinceBarrier = 0
+        }
+        rank += 1
+      }
+    }
+    // final vocab rides its last barrier generation (never freed here —
+    // the caller's Model reads it); one more lazy cut bounds the trailing
+    // applyMerge chain
+    Model(merges.result(), vocab.localCheckpoint(false))
+  }
+
   /** The merge list as a frame: `(merge_rank, lhs, rhs, merged,
     * pair_count)`. */
   def mergesFrame(df: DataFrame, model: Model): DataFrame = {

@@ -28,6 +28,7 @@ object PlanDump {
     "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
     "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
     "p112_char_entropy", "p113_ann_recall", "p114_sssp_iterative",
+    "p115_germany_route", "p116_sssp_paths", "p117_bpe_train_distributed",
     "h3_31_misc_laws")
 
   def main(args: Array[String]): Unit = {
@@ -133,6 +134,26 @@ Audited shapes pinned here against regression:
   eagerly, each a frontier-edges equi-join bounded by the frontier
   size, never materializing paths; round count is diameter-bound by the
   express-edge construction.
+- p115 (Germany real-data route): the parsed 312k-edge fixture is one
+  parallelized leaf feeding the dup-min aggregate behind a
+  localCheckpoint barrier that BOTH the Dijkstra collect and the
+  walk-law join read (the edge list materializes once); the walk-cost
+  verification joins the exploded 2-row path frame (broadcast) against
+  that barrier — the fixture is never re-parsed or re-shuffled.
+- p116 (iterative SSSP paths): relaxation keeps the p114 shape (frontier
+  -edges equi-join, argmin fold now carrying the pred column); the
+  reconstruction rounds each broadcast the 4-row walk table against the
+  converged best frame — `BroadcastHashJoin ... ExistingRDD` with the
+  walk side as build, so the best-cost table is scanned, never
+  exchanged; the final output joins the in-plan walk-cost law the same
+  way.
+- p117 (distributed BPE): each merge round's plan is the pair explode
+  (projection-bound transform over the bound `__a` attribute — no
+  re-evaluated subtree per element) into a two-phase partial/final
+  aggregate and a 1-row TakeOrdered argmax; applyMerge rounds stack as
+  pure projections between ExistingRDD barrier cuts — the vocab frame
+  never leaves the cluster and nothing corpus-sized appears after the
+  one wordCounts scan.
 - h3_31 (misc laws): the per-event law columns are one codegen'd
   projection over the events scan; the F5/G6 global booleans arrive as
   three broadcast 1-row frames — no shuffle over events except the

@@ -81,6 +81,32 @@ class BpeSpec extends AnyFunSuite {
     }
   }
 
+  test("trainDistributed (over-bound regime) is byte-identical to the driver trainer") {
+    for (seed <- Seq(41, 97)) {
+      val rnd = new scala.util.Random(seed)
+      val alphabet = "abc"
+      val words = (1 to 120).map { _ =>
+        (1 to (2 + rnd.nextInt(6))).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }.groupBy(identity).map { case (w, g) => w -> (g.size.toLong * (1 + rnd.nextInt(9))) }
+      val wc = words.toSeq.toDF("w", "cnt").repartition(5)
+      val driver = Bpe.train(wc, 12)
+      // mergesPerBarrier = 3 so the loop crosses barrier cuts mid-training
+      val dist = Bpe.trainDistributed(wc, 12, mergesPerBarrier = 3)
+      assert(dist.merges == driver.merges, s"seed $seed: merge lists diverged")
+      assert(gotVocab(dist) == gotVocab(driver), s"seed $seed: vocabs diverged")
+    }
+    // early exhaustion: a fully-merged vocab stops in both regimes
+    val tiny = Map("ab" -> 3L)
+    val d1 = Bpe.train(tiny.toSeq.toDF("w", "cnt"), 5)
+    val d2 = Bpe.trainDistributed(tiny.toSeq.toDF("w", "cnt"), 5)
+    assert(d2.merges == d1.merges && d1.merges.length == 1)
+    // single-symbol / empty words never produce pairs and never crash the
+    // pair explode (size(__a) < 2 rows are filtered, not sliced)
+    val edge = Map("a" -> 2L, "" -> 1L, "bb" -> 1L)
+    val d3 = Bpe.trainDistributed(edge.toSeq.toDF("w", "cnt"), 3)
+    assert(d3.merges.map(m => (m.l, m.r)) == Seq(("b", "b")))
+  }
+
   test("self-pair and interleaved merges apply left-to-right non-overlapping") {
     // "aaa" merging (a,a) -> [aa, a]; "abab" merging (a,b) -> [ab, ab]
     val words = Map("aaa" -> 1L, "abab" -> 100L)
