@@ -146,7 +146,10 @@ object Bench {
       // fixture (75k nodes / 312k edges), not a synthetic chain
       "routing_germany_real" -> "p115_germany_route",
       "spatial_filter_two_stage" -> "h3_25_spatial_bench",
-      "raster_compact" -> "r01_raster_to_cells").collect {
+      "raster_compact" -> "r01_raster_to_cells",
+      // the reference's convert_dataset_r bench on its OWN r.tiff
+      // (res 11, nodata 0, value-grouped, compact) — real data
+      "raster_real_r_tiff" -> "r03_r_tiff_compact").collect {
         case (m, q) if results.contains(q) => s""""$m":${num(results(q), 3)}"""
       }.mkString("{", ",", "}")
     // failure surface: the durable artifact carries EVERY failed name plus

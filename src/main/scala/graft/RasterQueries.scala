@@ -124,10 +124,33 @@ object RasterQueries {
 
       Seq((n > 0 && tiffMatchesMem, metaOk, resPickOk))
         .toDF("cells_match_ok", "meta_ok", "res_pick_ok")
+    }),
+
+    // the reference's convert_dataset_r bench EXACTLY (h3ron-ndarray/
+    // benches/convert_dataset_r.rs:9-33): data/r.tiff band 1 (u8, GDAL
+    // nodata 0) -> value-grouped cells at res 11 (its hardcoded bench
+    // res = SmallerThanPixel for this transform) -> compact. Output is
+    // the per-value compacted size plus the uncompacted res-11 coverage
+    // it expands back to — both pinned in the oracle. SF-independent:
+    // the input is the reference's fixture, not the testdata tables.
+    "r03_r_tiff_compact" -> ((s, dir) => {
+      val tiles = GeoTiff.readGeoTiff(s, "/root/reference/data/r.tiff")
+      val compacted = H3Raster.rasterToCompactedCells(tiles, res = 11)
+      compacted.select(
+        col("value").cast("long").as("value_q"), // mask values are 0/1
+        size(col("cells")).cast("long").as("n_compacted"),
+        expr("aggregate(cells, CAST(0 AS BIGINT), " +
+          "(acc, c) -> acc + CAST(pow(7, 11 - ((c >> 52) & 15)) AS BIGINT))")
+          .as("n_res11"))
+        .orderBy(col("value_q"))
     })
   )
 
   def oracleSql: Map[String, String] = Map(
+    "r03_r_tiff_compact" ->
+      """SELECT * FROM (VALUES (CAST(1 AS BIGINT), CAST(29628 AS BIGINT),
+        |  CAST(2133762 AS BIGINT))) AS t(value_q, n_compacted, n_res11)
+        |ORDER BY value_q""".stripMargin,
     "r01_raster_to_cells" ->
       """SELECT TRUE AS count_ok, TRUE AS values_ok, TRUE AS cells_ok,
         |  TRUE AS one_value_per_cell_ok, TRUE AS window_ok, TRUE AS compact_ok,
