@@ -144,39 +144,87 @@ object H3Raster {
         val hasNodata = !r.isNullAt(7)
         val nodata = if (hasNodata) r.getDouble(7) else 0.0
         val inv = t.invert
+        @inline def isNodata(v: Double): Boolean =
+          hasNodata && (v == nodata || (nodata.isNaN && v.isNaN))
 
-        // tile window corners -> geo bbox (1px margin for rotation safety);
-        // lat clamped to the valid range (a whole-globe tile's margin row
-        // would otherwise push past the pole)
-        val corners = Seq(
-          t.forward(x0 - 1, y0 - 1), t.forward(x0 + w + 1, y0 - 1),
-          t.forward(x0 - 1, y0 + h + 1), t.forward(x0 + w + 1, y0 + h + 1))
-        val lngMin = corners.map(_._1).min; val lngMax = corners.map(_._1).max
-        val latMin = math.max(-90.0, corners.map(_._2).min)
-        val latMax = math.min(90.0, corners.map(_._2).max)
-        // A window >= 180 deg of longitude would trip H3Polygon's
-        // antimeridian heuristic (a corner jump > 180 deg reads as a
-        // wrapped ring) and collapse a whole-globe strip to a sliver.
-        // Split wide windows into < 120-deg slabs — planar by
-        // construction — with a hair of overlap so a centroid exactly on
-        // a slab edge cannot fall between slabs; dedup makes the overlap
-        // harmless (each cell is emitted once, the pixel test is
-        // idempotent).
-        def slabPoly(a: Double, b: Double) = H3Polygon.Polygon(Array(Array(
-          (a, latMin), (b, latMin), (b, latMax), (a, latMax), (a, latMin))))
-        val slabCount = math.max(1, math.ceil((lngMax - lngMin) / 120.0).toInt)
-        val candidates: Iterator[Long] =
-          if (slabCount == 1) H3Polygon.polygonToCells(slabPoly(lngMin, lngMax), res).iterator
+        // Sub-tile data windows — the reference's find_boxes_containing_data
+        // rect decomposition (array.rs:166-244): polyfill only boxes that
+        // actually hold data pixels. A cell is only ever EMITTED when its
+        // centroid pixel is data, and that pixel lies inside some box, so
+        // the output is identical — the nodata regions just never pay the
+        // candidate-generation cost (on a 91%-nodata mask like the
+        // reference's r.tiff this is most of the work at fine res). One
+        // O(w*h) value scan finds the data row-range and the data columns;
+        // column runs split on gaps of >= 8 columns into separate boxes.
+        val boxes: Seq[(Int, Int, Int, Int)] =
+          if (!hasNodata) Seq((x0, y0, w, h))
           else {
-            val seen = new java.util.HashSet[Long]()
-            val step = (lngMax - lngMin) / slabCount
-            val eps = 1e-7
-            Iterator.range(0, slabCount).flatMap { i =>
-              val a = math.max(lngMin, lngMin + i * step - eps)
-              val b = math.min(lngMax, lngMin + (i + 1) * step + eps)
-              H3Polygon.polygonToCells(slabPoly(a, b), res).iterator.filter(seen.add)
+            var dy0 = Int.MaxValue; var dy1 = -1
+            val colHas = new Array[Boolean](w)
+            var yy = 0
+            while (yy < h) {
+              var xx = 0
+              while (xx < w) {
+                if (!isNodata(values(yy * w + xx))) {
+                  colHas(xx) = true
+                  if (yy < dy0) dy0 = yy
+                  if (yy > dy1) dy1 = yy
+                }
+                xx += 1
+              }
+              yy += 1
+            }
+            if (dy1 < 0) Seq.empty
+            else {
+              val runs = Seq.newBuilder[(Int, Int)]
+              var i = 0
+              while (i < w) {
+                if (colHas(i)) {
+                  var j = i
+                  var last = i
+                  while (j < w && (colHas(j) || j - last < 8)) {
+                    if (colHas(j)) last = j
+                    j += 1
+                  }
+                  runs += ((i, last))
+                  i = j
+                } else i += 1
+              }
+              runs.result().map { case (cx0, cx1) =>
+                (x0 + cx0, y0 + dy0, cx1 - cx0 + 1, dy1 - dy0 + 1) }
             }
           }
+
+        // per data box: window corners -> geo bbox (1px margin for
+        // rotation safety); lat clamped to the valid range (a whole-globe
+        // tile's margin row would otherwise push past the pole). A window
+        // >= 180 deg of longitude would trip H3Polygon's antimeridian
+        // heuristic (a corner jump > 180 deg reads as a wrapped ring) and
+        // collapse a whole-globe strip to a sliver — wide windows split
+        // into < 120-deg slabs, planar by construction, with a hair of
+        // overlap so a centroid exactly on a slab edge cannot fall
+        // between slabs. One dedup set spans boxes AND slabs (margins can
+        // overlap); the pixel test is idempotent, so each cell is
+        // evaluated once.
+        val seen = new java.util.HashSet[Long]()
+        val candidates: Iterator[Long] = boxes.iterator.flatMap { case (bx0, by0, bw, bh) =>
+          val corners = Seq(
+            t.forward(bx0 - 1, by0 - 1), t.forward(bx0 + bw + 1, by0 - 1),
+            t.forward(bx0 - 1, by0 + bh + 1), t.forward(bx0 + bw + 1, by0 + bh + 1))
+          val lngMin = corners.map(_._1).min; val lngMax = corners.map(_._1).max
+          val latMin = math.max(-90.0, corners.map(_._2).min)
+          val latMax = math.min(90.0, corners.map(_._2).max)
+          def slabPoly(a: Double, b: Double) = H3Polygon.Polygon(Array(Array(
+            (a, latMin), (b, latMin), (b, latMax), (a, latMax), (a, latMin))))
+          val slabCount = math.max(1, math.ceil((lngMax - lngMin) / 120.0).toInt)
+          val step = (lngMax - lngMin) / slabCount
+          val eps = 1e-7
+          Iterator.range(0, slabCount).flatMap { i =>
+            val a = math.max(lngMin, lngMin + i * step - eps)
+            val b = math.min(lngMax, lngMin + (i + 1) * step + eps)
+            H3Polygon.polygonToCells(slabPoly(a, b), res).iterator.filter(seen.add)
+          }
+        }
 
         candidates.flatMap { cell =>
           val g = H3Geo.cellToLatLng(cell)
@@ -186,7 +234,7 @@ object H3Raster {
           if (px < x0 || px >= x0 + w || py < y0 || py >= y0 + h) Iterator.empty
           else {
             val v = values((py - y0) * w + (px - x0))
-            if (hasNodata && (v == nodata || (nodata.isNaN && v.isNaN))) Iterator.empty
+            if (isNodata(v)) Iterator.empty
             else Iterator.single(Row(v, cell))
           }
         }
