@@ -20,8 +20,12 @@ import graft.h3.{H3Core, H3Geo, H3Polygon}
  * ordinary `groupBy(value)` (+ `h3_compact_agg`), where the shuffle
  * replaces the reference's merge-maps step.
  *
- * Nodata pruning (R2): tiles carry `has_data`; `WHERE has_data` prunes
- * before any H3 work — the analogue of `find_boxes_containing_data`.
+ * Nodata pruning (R2) happens at two granularities, mirroring the
+ * reference's `find_boxes_containing_data` rect decomposition
+ * (array.rs:166-244): tiles carry `has_data` so all-nodata tiles prune
+ * relationally (`WHERE has_data`) before any H3 work, and within a
+ * surviving tile [[rasterToCells]] polyfills only the data-holding
+ * sub-windows (data row range x column runs).
  */
 object H3Raster {
 

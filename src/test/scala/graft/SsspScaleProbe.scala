@@ -52,6 +52,31 @@ object SsspScaleProbe {
     val (h1, _) = run(60000, hops = 1)
     val (h2, _) = run(60000, hops = 2)
     println(f"[ssspProbe] 30x hopsPerRound=1: $h1%6.2f s, hopsPerRound=2: $h2%6.2f s (low-diameter expander)")
+
+    // path-reconstruction variant at the same two scales: the relaxation
+    // carries the pred column and the backward walk adds rounds ~ path
+    // HOP LENGTH (constant on the fixed-diameter expander), each a
+    // broadcast of the 64-row walk table against the best-cost scan —
+    // the paths overhead must stay roughly scale-INDEPENDENT
+    def runPaths(nNodes: Int): (Double, Long) = {
+      val edges = spark.range(nNodes).select(col("id").as("u"),
+          explode(sequence(lit(1), lit(8))).as("j"))
+        .select(
+          expr(SparkEntry.Synth.cellSql("u", 5)).as("origin"),
+          expr(SparkEntry.Synth.cellSql(s"(u * 31 + j * 97) % $nNodes", 5)).as("destination"),
+          (lit(1.0) + pmod(col("u") + col("j"), lit(10)).cast("double") / 10.0).as("weight"))
+      val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+        .localCheckpoint(false)
+      val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
+      val t0 = System.nanoTime()
+      val n = H3Graph.shortestPathsIterativePaths(spark, graph, origins, dests).count()
+      ((System.nanoTime() - t0) / 1e9, n)
+    }
+    val (p1, pn1) = runPaths(2000)
+    val (p30, pn30) = runPaths(60000)
+    println(f"[ssspProbe] paths 1x: $p1%6.2f s ($pn1 rows); paths 30x: $p30%6.2f s ($pn30 rows); " +
+      f"factor ${p30 / p1}%.2f x")
     spark.stop()
   }
 }
