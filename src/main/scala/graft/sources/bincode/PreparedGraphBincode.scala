@@ -1,6 +1,7 @@
 package graft.sources.bincode
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.types._
 
 /**
@@ -161,5 +162,83 @@ object PreparedGraphBincode {
     }
     spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 32), edgeSchema)
+  }
+
+  // ---- writer (interchange back to the reference) -------------------------
+
+  private final class Out(capacityHint: Int) {
+    private var b = new Array[Byte](math.max(64, capacityHint))
+    var pos = 0
+    private def ensure(n: Int): Unit =
+      if (pos + n > b.length) b = java.util.Arrays.copyOf(b, math.max(b.length * 2, pos + n))
+    def u8(v: Int): Unit = { ensure(1); b(pos) = v.toByte; pos += 1 }
+    def u32(v: Long): Unit = {
+      ensure(4)
+      var i = 0
+      while (i < 4) { b(pos + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      pos += 4
+    }
+    def u64(v: Long): Unit = {
+      ensure(8)
+      var i = 0
+      while (i < 8) { b(pos + i) = ((v >>> (8 * i)) & 0xFF).toByte; i += 1 }
+      pos += 8
+    }
+    def f64(v: Double): Unit = u64(java.lang.Double.doubleToLongBits(v))
+    def bytes: Array[Byte] = java.util.Arrays.copyOf(b, pos)
+  }
+
+  /** Serialize an `(origin, destination, weight)` edge frame as a
+    * reference-readable `PreparedH3EdgeGraph<f64>` record (LZ4 frame +
+    * bincode layout as in [[read]]) — the interchange direction back to
+    * the reference's P14 persistence (io/serde_util.rs serialize_into,
+    * compress = true). Long-edge shortcuts are the reference's internal
+    * derivation, so every `longedge` is written `None` (its own reader
+    * accepts that; `PreparedH3EdgeGraph::from_h3edge_graph` re-derives
+    * them). Node typing is derived from the edge list exactly as
+    * [[graft.graph.H3Graph.nodes]] does. Driver-side by necessity —
+    * bincode is sequential; the edge list is collected under the caller's
+    * responsibility (use the same bound discipline as broadcast routing:
+    * this format IS a single-machine interchange file). */
+  def writeBincode(edges: DataFrame, path: String): Unit = {
+    val rows = edges.select(col("origin"), col("destination"),
+      col("weight").cast("double")).collect()
+    require(rows.nonEmpty, "refusing to write an empty graph")
+    val res = graft.h3.H3Core.getResolution(rows.head.getLong(0))
+    // group per origin (the reference's outgoing_edges map)
+    val byOrigin = new java.util.TreeMap[Long, scala.collection.mutable.ArrayBuffer[(Long, Double)]]()
+    val nodes = new java.util.TreeMap[Long, Int]() // bit 0 = origin, bit 1 = destination
+    rows.foreach { r =>
+      val o = r.getLong(0); val d = r.getLong(1); val w = r.getDouble(2)
+      require(graft.h3.H3Core.getResolution(o) == res &&
+        graft.h3.H3Core.getResolution(d) == res,
+        "mixed-resolution edge list cannot serialize as a prepared graph")
+      var buf = byOrigin.get(o)
+      if (buf == null) { buf = scala.collection.mutable.ArrayBuffer.empty; byOrigin.put(o, buf) }
+      buf += ((d, w))
+      nodes.put(o, nodes.getOrDefault(o, 0) | 1)
+      nodes.put(d, nodes.getOrDefault(d, 0) | 2)
+    }
+    val out = new Out(rows.length * 24 + nodes.size() * 12 + 64)
+    out.u64(byOrigin.size().toLong)
+    byOrigin.forEach { (o, buf) =>
+      out.u64(o)
+      out.u64(buf.length.toLong)
+      buf.foreach { case (d, w) =>
+        out.u64(graft.h3.H3Traversal.cellsToDirectedEdge(o, d))
+        out.f64(w)
+        out.u8(0) // longedge: None
+      }
+    }
+    out.u8(res)
+    out.u64(nodes.size().toLong)
+    nodes.forEach { (cell, bits) =>
+      out.u64(cell)
+      // NodeType ordinals: 0 Origin, 1 Destination, 2 OriginAndDestination
+      out.u32(bits match { case 1 => 0L; case 2 => 1L; case _ => 2L })
+    }
+    val fos = new java.io.FileOutputStream(path)
+    val lz = new net.jpountz.lz4.LZ4FrameOutputStream(fos)
+    try lz.write(out.bytes) finally lz.close()
   }
 }

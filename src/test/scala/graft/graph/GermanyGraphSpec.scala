@@ -46,6 +46,26 @@ class GermanyGraphSpec extends AnyFunSuite {
     assert(byType(2) == 75038 && byType.getOrElse(0, 0) == 3 && byType.getOrElse(1, 0) == 2)
   }
 
+  test("bincode writer round-trips: our serialization re-reads identical to the fixture's edges") {
+    val g = PreparedGraphBincode.read(fixture)
+    val src = PreparedGraphBincode.edgesDF(spark, fixture)
+    val out = java.nio.file.Files.createTempDirectory("bincode_rt")
+      .resolve("germany_rt.bincode.lz").toString
+    PreparedGraphBincode.writeBincode(src, out)
+    val rt = PreparedGraphBincode.read(out)
+    assert(rt.resolution == g.resolution)
+    // edge sets identical (ids + weights); longedges are intentionally
+    // dropped (the reference re-derives them in from_h3edge_graph)
+    assert(rt.edges.sortBy(_._1).toSeq == g.edges.sortBy(_._1).toSeq)
+    assert(rt.longEdgeCount == 0)
+    // node typing re-derived from edges matches the fixture's map
+    assert(rt.nodes.sortBy(_._1).toSeq == g.nodes.sortBy(_._1).toSeq)
+    // and the LZ4-frame + bincode bytes are a valid input to the full
+    // DataFrame path too
+    val rtDf = PreparedGraphBincode.edgesDF(spark, out)
+    assert(rtDf.count() == src.count())
+  }
+
   test("route across Germany: Wangen -> {Emden, Stralsund} finds both paths (bench parity)") {
     val edges = PreparedGraphBincode.edgesDF(spark, fixture)
     val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
