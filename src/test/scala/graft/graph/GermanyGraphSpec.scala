@@ -66,6 +66,31 @@ class GermanyGraphSpec extends AnyFunSuite {
     assert(rtDf.count() == src.count())
   }
 
+  test("isochrone and covered-area laws hold on the real street graph (P8/P11)") {
+    val edges = PreparedGraphBincode.edgesDF(spark, fixture)
+    val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+      .localCheckpoint(false)
+    // P8 monotonicity: the 60-cost ball strictly contains the 30-cost ball
+    def ball(threshold: Double): Map[Long, Double] =
+      H3Graph.withinWeightThreshold(spark, graph, Seq(wangen), threshold)
+        .select($"cell", $"weight").as[(Long, Double)].collect().toMap
+    val b30 = ball(30.0)
+    val b60 = ball(60.0)
+    assert(b30.nonEmpty && b60.size > b30.size)
+    assert(b30.keySet.subsetOf(b60.keySet))
+    // shared cells carry the same accumulated cost in both floods
+    b30.foreach { case (c, w) => assert(math.abs(b60(c) - w) < 1e-9) }
+    assert(b60.values.forall(_ <= 60.0))
+    // P11: the covered area of the 60-ball's subgraph is a valid,
+    // non-empty multipolygon
+    val sub = edges.filter($"origin".isInCollection(b60.keySet) &&
+      $"destination".isInCollection(b60.keySet))
+    val wkt = H3Graph.coveredAreaWkt(
+      H3Graph.graphFromEdgeList(sub, "origin", "destination", "weight"), changeResBy = 2)
+      .as[String].head()
+    assert(wkt.startsWith("MULTIPOLYGON") && wkt.length > 50)
+  }
+
   test("route across Germany: Wangen -> {Emden, Stralsund} finds both paths (bench parity)") {
     val edges = PreparedGraphBincode.edgesDF(spark, fixture)
     val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
