@@ -81,7 +81,14 @@ object Bench {
     val prevTimes: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(benchOutPath)), "UTF-8")
-      """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+)""".r.findAllMatchIn(txt)
+      // comparable only when the predecessor ran at the SAME scale factor
+      // — otherwise every first run "regresses" vs a smaller-SF baseline
+      // and the whole catalog pays median-of-3
+      val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
+      if (!sameSf) Map.empty
+      // optional exponent: the full-precision artifact writes
+      // Double.toString, which renders small values as 9.5E-4
+      else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+(?:[eE]-?[0-9]+)?)""".r.findAllMatchIn(txt)
         .map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -607,9 +607,19 @@ object H3Graph {
       f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"),
           (col("cost") + col("__ew")).as("cost"), col("__eo").as("pred"))
+    // argmin fold with a priority lane: the accumulated best (prio 0)
+    // WINS cost ties against fresh relax candidates (prio 1). Keeping the
+    // already-settled pred on ties makes the predecessor graph provably
+    // acyclic even with zero-weight edges: a pred is only ever assigned
+    // on first appearance (where every candidate pred is from an older
+    // generation) or on a STRICT cost improvement — two equal-cost
+    // neighbors can never flip their preds onto each other, which would
+    // spin the backward walk forever. Fresh ties still break on the
+    // smaller pred id for determinism.
     def fold(b: DataFrame, r: DataFrame): DataFrame =
-      b.unionByName(r).groupBy(col("cell"), col("src"))
-        .agg(min(struct(col("cost"), col("pred"))).as("__m"))
+      b.withColumn("__prio", lit(0)).unionByName(r.withColumn("__prio", lit(1)))
+        .groupBy(col("cell"), col("src"))
+        .agg(min(struct(col("cost"), col("__prio"), col("pred"))).as("__m"))
         .select(col("cell"), col("src"), col("__m.cost").as("cost"),
           col("__m.pred").as("pred"))
     def improved(nb: DataFrame, old: DataFrame): DataFrame =

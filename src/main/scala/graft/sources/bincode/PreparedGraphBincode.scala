@@ -88,7 +88,10 @@ object PreparedGraphBincode {
     else {
       val in = new net.jpountz.lz4.LZ4FrameInputStream(
         new java.io.ByteArrayInputStream(raw))
-      val out = new java.io.ByteArrayOutputStream(raw.length * 4)
+      // long-checked sizing hint: Int arithmetic would overflow negative
+      // for compressed inputs >= 512 MiB and crash the constructor
+      val out = new java.io.ByteArrayOutputStream(
+        math.min(raw.length.toLong * 4, Int.MaxValue - 8L).toInt)
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }

@@ -26,10 +26,21 @@ object Barriers {
     * ignored. `getCheckpointDir` returns the installed path plus a random
     * UUID child, hence the containment test. */
   private def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit = {
-    val normalized = new org.apache.hadoop.fs.Path(dir).toUri.getPath
-    if (!sc.getCheckpointDir.exists(cur =>
-        new org.apache.hadoop.fs.Path(cur).toUri.getPath.startsWith(normalized)))
-      sc.setCheckpointDir(dir)
+    // the installed dir is `setCheckpointDir`'s argument plus a random
+    // UUID child, so compare the PARENT of the current dir — a bare
+    // prefix test would false-positive on siblings sharing a string
+    // prefix (/data/ckpt vs /data/ckpt-old). Scheme/authority must match
+    // too when the request specifies one (hdfs:// vs file:/ are
+    // different filesystems at the same path).
+    val want = new org.apache.hadoop.fs.Path(dir)
+    val matches = sc.getCheckpointDir.exists { cur =>
+      val parent = new org.apache.hadoop.fs.Path(cur).getParent
+      parent != null &&
+        parent.toUri.getPath == want.toUri.getPath &&
+        (want.toUri.getScheme == null ||
+          want.toUri.getScheme == parent.toUri.getScheme)
+    }
+    if (!matches) sc.setCheckpointDir(dir)
   }
 
   /** Cut lineage for `df` at iteration `round` (0-based). An existing

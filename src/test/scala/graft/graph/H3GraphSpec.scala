@@ -224,6 +224,36 @@ class H3GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("path reconstruction terminates on zero-weight edges (no pred cycle)") {
+    // adversarial shape: two equal-cost nodes joined by zero-weight edges
+    // in BOTH directions. A naive min(cost, pred) argmin can flip their
+    // preds onto each other (cost unchanged, so no frontier re-entry
+    // fixes it) and the backward walk spins to maxRounds. The fold's
+    // prio lane keeps the settled pred on ties.
+    val x = graft.SparkEntry.Synth.cell(10L, 5)
+    val a = graft.SparkEntry.Synth.cell(1L, 5)
+    val b = graft.SparkEntry.Synth.cell(2L, 5)
+    val c = graft.SparkEntry.Synth.cell(3L, 5)
+    val g = Seq(
+      (x, a, 1.0), (x, b, 1.0),
+      (a, b, 0.0), (b, a, 0.0),
+      (a, c, 1.0), (b, c, 1.0)).toDF("origin", "destination", "weight")
+    val got = H3Graph.shortestPathsIterativePaths(spark, g, Seq(x), Seq(a, b, c),
+      maxRounds = 32)
+      .collect().map(r => (r.getLong(1), (r.getDouble(2), r.getSeq[Long](3)))).toMap
+    assert(got.keySet == Set(a, b, c))
+    assert(got(a)._1 == 1.0 && got(b)._1 == 1.0 && got(c)._1 == 2.0)
+    // each walk starts at the origin, ends at its destination, and its
+    // edge weights sum to the cost
+    val ew = Map((x, a) -> 1.0, (x, b) -> 1.0, (a, b) -> 0.0, (b, a) -> 0.0,
+      (a, c) -> 1.0, (b, c) -> 1.0)
+    got.foreach { case (dest, (cost, walk)) =>
+      assert(walk.head == x && walk.last == dest)
+      val walkSum: Double = walk.sliding(2).map { case Seq(p, q) => ew((p, q)) }.sum
+      assert(math.abs(walkSum - cost) < 1e-9)
+    }
+  }
+
   test("single-chain build is guarded by a declared size bound (VERDICT r03 #3)") {
     // the chainCol=None path runs a single-partition window by necessity;
     // a frame beyond the declared bound must fail fast, not silently
