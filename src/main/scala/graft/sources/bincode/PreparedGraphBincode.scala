@@ -228,7 +228,15 @@ object PreparedGraphBincode {
       out.u64(o)
       out.u64(buf.length.toLong)
       buf.foreach { case (d, w) =>
-        out.u64(graft.h3.H3Traversal.cellsToDirectedEdge(o, d))
+        val e = graft.h3.H3Traversal.cellsToDirectedEdge(o, d)
+        // cellsToDirectedEdge returns H3Null for non-neighbor pairs and
+        // self-loops; writing that would produce a structurally valid but
+        // CORRUPT record (all-zero edge ids) — fail fast instead
+        require(e != 0L,
+          s"cells $o -> $d are not H3 neighbors: only grid-adjacent edge " +
+            "lists serialize as a prepared graph (contracted/synthetic " +
+            "graphs belong in parquet)")
+        out.u64(e)
         out.f64(w)
         out.u8(0) // longedge: None
       }
@@ -241,7 +249,14 @@ object PreparedGraphBincode {
       out.u32(bits match { case 1 => 0L; case 2 => 1L; case _ => 2L })
     }
     val fos = new java.io.FileOutputStream(path)
-    val lz = new net.jpountz.lz4.LZ4FrameOutputStream(fos)
-    try lz.write(out.bytes) finally lz.close()
+    // the LZ4 frame constructor itself performs I/O (frame header): keep
+    // fos guarded so a failure there can't leak the descriptor
+    try {
+      val lz = new net.jpountz.lz4.LZ4FrameOutputStream(fos)
+      try lz.write(out.bytes) finally lz.close()
+    } catch { case e: Throwable =>
+      try fos.close() catch { case _: Throwable => () }
+      throw e
+    }
   }
 }

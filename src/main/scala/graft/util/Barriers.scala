@@ -38,7 +38,8 @@ object Barriers {
       parent != null &&
         parent.toUri.getPath == want.toUri.getPath &&
         (want.toUri.getScheme == null ||
-          want.toUri.getScheme == parent.toUri.getScheme)
+          (want.toUri.getScheme == parent.toUri.getScheme &&
+            want.toUri.getAuthority == parent.toUri.getAuthority))
     }
     if (!matches) sc.setCheckpointDir(dir)
   }

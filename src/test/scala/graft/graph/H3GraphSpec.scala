@@ -254,6 +254,19 @@ class H3GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("bincode writer rejects non-neighbor edge lists instead of writing corrupt ids") {
+    // synthetic Synth-cell graphs route fine in-engine but are NOT
+    // grid-adjacent — serializing them would write all-zero edge ids
+    val g = Seq((graft.SparkEntry.Synth.cell(0L, 5), graft.SparkEntry.Synth.cell(50L, 5), 1.0))
+      .toDF("origin", "destination", "weight")
+    val out = java.nio.file.Files.createTempDirectory("bincode_bad")
+      .resolve("bad.bincode.lz").toString
+    val e = intercept[IllegalArgumentException] {
+      graft.sources.bincode.PreparedGraphBincode.writeBincode(g, out)
+    }
+    assert(e.getMessage.contains("not H3 neighbors"))
+  }
+
   test("single-chain build is guarded by a declared size bound (VERDICT r03 #3)") {
     // the chainCol=None path runs a single-partition window by necessity;
     // a frame beyond the declared bound must fail fast, not silently
