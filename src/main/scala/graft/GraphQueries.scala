@@ -35,6 +35,32 @@ object GraphQueries {
         expr(wSql).as("weight"))
   }
 
+  /** The p114/p116 fixture: an M-node bidirectional chain with
+    * cost-neutral express edges (k -> k+15 weighted by the chain-sum they
+    * span) — shortest-path costs stay prefix-sum differences while the
+    * graph converges in ~M/15 + 15 relaxation rounds instead of M. */
+  private def expressChainGraph(s: SparkSession, dir: String, m: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = s.read.parquet(s"$dir/events.parquet")
+      .filter(col("event_id") < m)
+      .select(col("event_id").as("k"),
+        expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
+        expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
+        expr(wSql).as("weight"))
+    val pfx = base.select(col("k"), col("origin").as("cell"),
+      coalesce(sum(col("weight")).over(
+        Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0.0)).as("s"))
+    val express = pfx.as("a").join(pfx.as("b"), expr("b.k = a.k + 15"))
+      .select(col("a.cell").as("origin"), col("b.cell").as("destination"),
+        (col("b.s") - col("a.s")).as("weight"))
+    val fwd = base.select(col("origin"), col("destination"), col("weight"))
+      .unionByName(express)
+    val bwd = fwd.select(col("destination").as("origin"),
+      col("origin").as("destination"), col("weight"))
+    H3Graph.graphFromEdgeList(fwd.unionByName(bwd), "origin", "destination", "weight")
+  }
+
   private def oracleChain: String = oracleChainN(N)
 
   private def oracleChainN(n: Int): String =
@@ -255,29 +281,9 @@ object GraphQueries {
     // pins the fallback regime hash-exact against DuckDB; p14 pins the
     // broadcast regime.
     "p114_sssp_iterative" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val M = 120
-      val base = s.read.parquet(s"$dir/events.parquet")
-        .filter(col("event_id") < M)
-        .select(col("event_id").as("k"),
-          expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
-          expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
-          expr(wSql).as("weight"))
-      val pfx = base.select(col("k"), col("origin").as("cell"),
-        coalesce(sum(col("weight")).over(
-          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0.0)).as("s"))
-      val express = pfx.as("a").join(pfx.as("b"), expr("b.k = a.k + 15"))
-        .select(col("a.cell").as("origin"), col("b.cell").as("destination"),
-          (col("b.s") - col("a.s")).as("weight"))
-      val fwd = base.select(col("origin"), col("destination"), col("weight"))
-        .unionByName(express)
-      val bwd = fwd.select(col("destination").as("origin"),
-        col("origin").as("destination"), col("weight"))
-      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd),
-        "origin", "destination", "weight")
+      val graph = expressChainGraph(s, dir, 120)
       val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
-      val dests = (0L to M.toLong).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L to 120L).map(SparkEntry.Synth.cell(_, 5))
       H3Graph.shortestPathsIterative(s, graph, origins, dests)
         .select(col("origin"), col("destination"), round(col("cost"), 4).as("cost"))
         .orderBy(col("origin"), col("destination"))
@@ -291,27 +297,7 @@ object GraphQueries {
     // instead walk_ok asserts the path CONTRACT in-plan: endpoints match
     // and the walk's edge weights sum to the reported cost.
     "p116_sssp_paths" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val M = 120
-      val base = s.read.parquet(s"$dir/events.parquet")
-        .filter(col("event_id") < M)
-        .select(col("event_id").as("k"),
-          expr(SparkEntry.Synth.cellSql("event_id", 5)).as("origin"),
-          expr(SparkEntry.Synth.cellSql("event_id + 1", 5)).as("destination"),
-          expr(wSql).as("weight"))
-      val pfx = base.select(col("k"), col("origin").as("cell"),
-        coalesce(sum(col("weight")).over(
-          Window.orderBy(col("k")).rowsBetween(Window.unboundedPreceding, -1)),
-          lit(0.0)).as("s"))
-      val express = pfx.as("a").join(pfx.as("b"), expr("b.k = a.k + 15"))
-        .select(col("a.cell").as("origin"), col("b.cell").as("destination"),
-          (col("b.s") - col("a.s")).as("weight"))
-      val fwd = base.select(col("origin"), col("destination"), col("weight"))
-        .unionByName(express)
-      val bwd = fwd.select(col("destination").as("origin"),
-        col("origin").as("destination"), col("weight"))
-      val graph = H3Graph.graphFromEdgeList(fwd.unionByName(bwd),
-        "origin", "destination", "weight").localCheckpoint(false)
+      val graph = expressChainGraph(s, dir, 120).localCheckpoint(false)
       val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
       val dests = Seq(25L, 40L).map(SparkEntry.Synth.cell(_, 5))
       val paths = H3Graph.shortestPathsIterativePaths(s, graph, origins, dests)

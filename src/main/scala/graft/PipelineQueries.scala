@@ -1776,22 +1776,19 @@ object PipelineQueries {
        |$rounds""".stripMargin
   }
 
-  def oracleSql: Map[String, String] = Map(
-    "p90_bpe_train" ->
-      s"""WITH ${bpeCtes(8)}
-         |SELECT * FROM (${(1 to 8).map(t =>
-              s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-                s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
-         |ORDER BY merge_rank""".stripMargin,
+  /** Shared by p90 (driver-loop training) and p117 (distributed
+    * training): both regimes must land on the SAME merges, so they run
+    * against one relational replay. */
+  private lazy val bpeTrainOracle: String =
+    s"""WITH ${bpeCtes(8)}
+       |SELECT * FROM (${(1 to 8).map(t =>
+            s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
+              s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
+       |ORDER BY merge_rank""".stripMargin
 
-    // identical replay: the distributed regime must land on the same
-    // merges the driver loop (p90) does
-    "p117_bpe_train_distributed" ->
-      s"""WITH ${bpeCtes(8)}
-         |SELECT * FROM (${(1 to 8).map(t =>
-              s"SELECT CAST($t AS BIGINT) AS merge_rank, l AS lhs, r AS rhs, " +
-                s"l||r AS merged, pc AS pair_count FROM b$t").mkString(" UNION ALL ")})
-         |ORDER BY merge_rank""".stripMargin,
+  def oracleSql: Map[String, String] = Map(
+    "p90_bpe_train" -> bpeTrainOracle,
+    "p117_bpe_train_distributed" -> bpeTrainOracle,
 
     "p95_prefix_jaccard_join" ->
       s"""WITH corpus AS (SELECT * FROM ($corpusSqlWithDups) WHERE len(text) < 150),

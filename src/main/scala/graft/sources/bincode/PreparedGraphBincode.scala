@@ -160,11 +160,14 @@ object PreparedGraphBincode {
     * ready for [[graft.graph.H3Graph.graphFromEdgeList]]. */
   def edgesDF(spark: SparkSession, path: String): DataFrame = {
     val g = read(path)
-    val rows = g.edges.toSeq.map { case (edge, w) =>
-      Row(graft.h3.H3Core.edgeOrigin(edge), graft.h3.H3Traversal.edgeDestination(edge), w)
+    // edge-id -> endpoint resolution runs on the EXECUTORS: the driver
+    // ships raw (edge, weight) pairs and never walks the H3 bit decode
+    // itself
+    val rdd = spark.sparkContext.parallelize(g.edges.toSeq, 32).map {
+      case (edge, w) =>
+        Row(graft.h3.H3Core.edgeOrigin(edge), graft.h3.H3Traversal.edgeDestination(edge), w)
     }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 32), edgeSchema)
+    spark.createDataFrame(rdd, edgeSchema)
   }
 
   // ---- writer (interchange back to the reference) -------------------------

@@ -24,17 +24,21 @@ object SsspScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import graft.graph.H3Graph
 
-    def run(nNodes: Int, hops: Int = 2): (Double, Long) = {
+    def expanderGraph(nNodes: Int) = {
       val edges = spark.range(nNodes).select(col("id").as("u"),
           explode(sequence(lit(1), lit(8))).as("j"))
         .select(
           expr(SparkEntry.Synth.cellSql("u", 5)).as("origin"),
           expr(SparkEntry.Synth.cellSql(s"(u * 31 + j * 97) % $nNodes", 5)).as("destination"),
           (lit(1.0) + pmod(col("u") + col("j"), lit(10)).cast("double") / 10.0).as("weight"))
-      val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
+      H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
         .localCheckpoint(false)
-      val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
-      val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
+    }
+    val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
+    val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
+
+    def run(nNodes: Int, hops: Int = 2): (Double, Long) = {
+      val graph = expanderGraph(nNodes)
       val t0 = System.nanoTime()
       val n = H3Graph.shortestPathsIterative(spark, graph, origins, dests,
         hopsPerRound = hops).count()
@@ -59,16 +63,7 @@ object SsspScaleProbe {
     // broadcast of the 64-row walk table against the best-cost scan —
     // the paths overhead must stay roughly scale-INDEPENDENT
     def runPaths(nNodes: Int): (Double, Long) = {
-      val edges = spark.range(nNodes).select(col("id").as("u"),
-          explode(sequence(lit(1), lit(8))).as("j"))
-        .select(
-          expr(SparkEntry.Synth.cellSql("u", 5)).as("origin"),
-          expr(SparkEntry.Synth.cellSql(s"(u * 31 + j * 97) % $nNodes", 5)).as("destination"),
-          (lit(1.0) + pmod(col("u") + col("j"), lit(10)).cast("double") / 10.0).as("weight"))
-      val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
-        .localCheckpoint(false)
-      val origins = Seq(0L, 1L).map(SparkEntry.Synth.cell(_, 5))
-      val dests = (0L until 32L).map(SparkEntry.Synth.cell(_, 5))
+      val graph = expanderGraph(nNodes)
       val t0 = System.nanoTime()
       val n = H3Graph.shortestPathsIterativePaths(spark, graph, origins, dests).count()
       ((System.nanoTime() - t0) / 1e9, n)
