@@ -152,52 +152,17 @@ object H3Raster {
           hasNodata && (v == nodata || (nodata.isNaN && v.isNaN))
 
         // Sub-tile data windows — the reference's find_boxes_containing_data
-        // rect decomposition (array.rs:166-244): polyfill only boxes that
-        // actually hold data pixels. A cell is only ever EMITTED when its
-        // centroid pixel is data, and that pixel lies inside some box, so
-        // the output is identical — the nodata regions just never pay the
-        // candidate-generation cost (on a 91%-nodata mask like the
-        // reference's r.tiff this is most of the work at fine res). One
-        // O(w*h) value scan finds the data row-range and the data columns;
-        // column runs split on gaps of >= 8 columns into separate boxes.
+        // rect decomposition, ported exactly (array.rs:44-125): polyfill
+        // only boxes that actually hold data pixels. A cell is only ever
+        // EMITTED when its centroid pixel is data, and that pixel lies
+        // inside some box, so the output is identical — the nodata regions
+        // just never pay the candidate-generation cost (on a 91%-nodata
+        // mask like the reference's r.tiff this is most of the work at
+        // fine res).
         val boxes: Seq[(Int, Int, Int, Int)] =
           if (!hasNodata) Seq((x0, y0, w, h))
-          else {
-            var dy0 = Int.MaxValue; var dy1 = -1
-            val colHas = new Array[Boolean](w)
-            var yy = 0
-            while (yy < h) {
-              var xx = 0
-              while (xx < w) {
-                if (!isNodata(values(yy * w + xx))) {
-                  colHas(xx) = true
-                  if (yy < dy0) dy0 = yy
-                  if (yy > dy1) dy1 = yy
-                }
-                xx += 1
-              }
-              yy += 1
-            }
-            if (dy1 < 0) Seq.empty
-            else {
-              val runs = Seq.newBuilder[(Int, Int)]
-              var i = 0
-              while (i < w) {
-                if (colHas(i)) {
-                  var j = i
-                  var last = i
-                  while (j < w && (colHas(j) || j - last < 8)) {
-                    if (colHas(j)) last = j
-                    j += 1
-                  }
-                  runs += ((i, last))
-                  i = j
-                } else i += 1
-              }
-              runs.result().map { case (cx0, cx1) =>
-                (x0 + cx0, y0 + dy0, cx1 - cx0 + 1, dy1 - dy0 + 1) }
-            }
-          }
+          else dataBoxes(values, w, h, isNodata)
+            .map { case (bx, by, bw, bh) => (x0 + bx, y0 + by, bw, bh) }
 
         // per data box: window corners -> geo bbox (1px margin for
         // rotation safety); lat clamped to the valid range (a whole-globe
@@ -244,6 +209,47 @@ object H3Raster {
         }
       }
     }
+  }
+
+  /** The reference's `find_boxes_containing_data` (array.rs:44-125),
+    * ported exactly: three passes of "continuous chunks" that split on any
+    * fully-empty line — column chunks, row chunks within each, then a
+    * column refinement per row chunk. Returns `(x, y, w, h)` boxes in
+    * TILE-relative pixel coordinates; the union of boxes covers every
+    * data pixel, and (as the reference's own test pins) fragmented data
+    * yields boxes far smaller than the tile. */
+  private[raster] def dataBoxes(values: scala.collection.Seq[Double], w: Int, h: Int,
+      isNodata: Double => Boolean): Seq[(Int, Int, Int, Int)] = {
+    // continuous index chunks [a, b] of lines with any data, where
+    // `hasData(i)` tests line i within [0, n)
+    def chunks(n: Int, hasData: Int => Boolean): Seq[(Int, Int)] = {
+      val out = Seq.newBuilder[(Int, Int)]
+      var start = -1
+      var i = 0
+      while (i < n) {
+        if (hasData(i)) { if (start < 0) start = i }
+        else if (start >= 0) { out += ((start, i - 1)); start = -1 }
+        i += 1
+      }
+      if (start >= 0) out += ((start, n - 1))
+      out.result()
+    }
+    @inline def pixelHasData(x: Int, y: Int): Boolean = !isNodata(values(y * w + x))
+    def colHasData(x: Int, yFrom: Int, yTo: Int): Boolean = {
+      var y = yFrom
+      while (y <= yTo) { if (pixelHasData(x, y)) return true; y += 1 }
+      false
+    }
+    def rowHasData(y: Int, xFrom: Int, xTo: Int): Boolean = {
+      var x = xFrom
+      while (x <= xTo) { if (pixelHasData(x, y)) return true; x += 1 }
+      false
+    }
+    for {
+      (cx0, cx1) <- chunks(w, x => colHasData(x, 0, h - 1))
+      (cy0, cy1) <- chunks(h, y => rowHasData(y, cx0, cx1))
+      (sx0, sx1) <- chunks(cx1 - cx0 + 1, i => colHasData(cx0 + i, cy0, cy1))
+    } yield (cx0 + sx0, cy0, sx1 - sx0 + 1, cy1 - cy0 + 1)
   }
 
   /** R1 tail: value-grouped compacted cells — `(value, cells array)`. */

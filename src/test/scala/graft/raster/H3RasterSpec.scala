@@ -88,6 +88,36 @@ class H3RasterSpec extends AnyFunSuite {
     assert(nanGroups.nonEmpty && nanGroups.forall(_.isNaN))
   }
 
+  test("find_boxes_containing_data fixture: boxes cover all data in far less than half the area (array.rs:378-411)") {
+    // the reference's exact 12x9 fragmented-clusters fixture
+    val rows = Seq(
+      "000000000000",
+      "010000001000",
+      "011000011100",
+      "000000011100",
+      "000000001000",
+      "000000000000",
+      "000100000000",
+      "000100000011",
+      "000110000011")
+    val w = 12; val h = 9
+    val values = rows.flatMap(_.map(_.toString.toDouble)).toArray
+    val boxes = H3Raster.dataBoxes(values, w, h, _ == 0.0)
+    // invariant 1: total box coverage is far below half the elements
+    val covered = boxes.map { case (_, _, bw, bh) => bw * bh }.sum
+    assert(covered < (w * h) / 2, s"boxes cover $covered of ${w * h}")
+    // invariant 2: every data pixel is inside some box
+    for (y <- 0 until h; x <- 0 until w if values(y * w + x) != 0.0)
+      assert(boxes.exists { case (bx, by, bw, bh) =>
+        x >= bx && x < bx + bw && y >= by && y < by + bh }, s"pixel ($x,$y) uncovered")
+    // and boxes never include an all-nodata column or row at their edges
+    // (each box is tight by construction of the three chunk passes)
+    boxes.foreach { case (bx, by, bw, bh) =>
+      assert((by until by + bh).exists(y => values(y * w + bx) != 0.0) ||
+        (by until by + bh).exists(y => values(y * w + (bx + bw - 1)) != 0.0))
+    }
+  }
+
   test("sampled cell values match direct pixel lookup (R1)") {
     val w = 16; val h = 16
     val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
