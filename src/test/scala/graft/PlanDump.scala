@@ -29,7 +29,7 @@ object PlanDump {
     "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
     "p112_char_entropy", "p113_ann_recall", "p114_sssp_iterative",
     "p115_germany_route", "p116_sssp_paths", "p117_bpe_train_distributed",
-    "h3_31_misc_laws")
+    "r03_r_tiff_compact", "h3_31_misc_laws")
 
   def main(args: Array[String]): Unit = {
     val dir = "/root/testdata/sf0.01"
@@ -154,6 +154,11 @@ Audited shapes pinned here against regression:
   pure projections between ExistingRDD barrier cuts — the vocab frame
   never leaves the cluster and nothing corpus-sized appears after the
   one wordCounts scan.
+- r03 (real-raster macro): the plan is segment-parallel end to end — the
+  500-strip ExistingRDD feeds the per-tile mapPartitions conversion
+  (data-box pruned), one partial/final compact aggregate on value, and a
+  projection computing the coverage sum; the only exchange carries the
+  per-value compacted buffers, never raw cells-by-pixel rows.
 - h3_31 (misc laws): the per-event law columns are one codegen'd
   projection over the events scan; the F5/G6 global booleans arrive as
   three broadcast 1-row frames — no shuffle over events except the

@@ -254,6 +254,27 @@ class H3GraphSpec extends AnyFunSuite {
     }
   }
 
+  test("routing to the origin itself: zero cost, empty walk (shortest_path.rs:427-464)") {
+    // the reference's micro-graph: ONE directed edge off a res-8 cell,
+    // weight 5; destinations = {origin itself, the neighbor}
+    val origin = H3Geo.latLngToCell(12.3, 23.3, 8)
+    val edge = H3Core.originToDirectedEdges(origin).head
+    val dest = H3Traversal.edgeDestination(edge)
+    val g = Seq((origin, dest, 5.0)).toDF("origin", "destination", "weight")
+    def check(rows: Array[org.apache.spark.sql.Row]): Unit = {
+      assert(rows.length == 2)
+      val byDest = rows.map(r => r.getLong(1) -> (r.getDouble(2), r.getSeq[Long](3))).toMap
+      // self path: cost 0 and an "empty" walk (just the origin — the
+      // reference's Path::is_empty means no edges traversed)
+      assert(byDest(origin)._1 == 0.0 && byDest(origin)._2 == Seq(origin))
+      assert(byDest(dest)._1 == 5.0 && byDest(dest)._2 == Seq(origin, dest))
+    }
+    check(H3Graph.shortestPaths(spark, g, Seq(origin), Seq(origin, dest)).collect())
+    // the distributed path-reconstruction regime agrees
+    check(H3Graph.shortestPathsIterativePaths(spark, g, Seq(origin), Seq(origin, dest))
+      .collect())
+  }
+
   test("bincode writer rejects non-neighbor edge lists instead of writing corrupt ids") {
     // synthetic Synth-cell graphs route fine in-engine but are NOT
     // grid-adjacent — serializing them would write all-zero edge ids
