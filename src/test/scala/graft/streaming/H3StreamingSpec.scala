@@ -1314,4 +1314,34 @@ class H3StreamingSpec extends AnyFunSuite {
       assert(got.map(_._2) == Set(0, 1, 2), s"all three steps complete: $got")
     } finally query.stop()
   }
+
+  test("streaming raster tiles convert per micro-batch, stream == batch (twin #29)") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.raster.H3Raster
+    val t = H3Raster.Transform.northUp(-122.5, 37.9, 0.02, 0.02)
+    val w = 16; val h = 16
+    // half nodata, half position-coded values; nodata -1 prunes
+    val values = Array.tabulate(w * h)(i => if (i % 3 == 0) -1.0 else (i % 7).toDouble)
+    val tiles = H3Raster.tileRaster(spark, w, h, t, values, nodata = -1.0, tile = 8)
+    val batch = H3Raster.rasterToCells(tiles, res = 8)
+      .as[(Double, Long)].collect().toSet
+
+    // the SAME tile rows arriving over two micro-batches
+    val rows = tiles.as[(Long, Int, Int, Int, Int, Seq[Double], Seq[Double], Option[Double], Boolean)]
+      .collect()
+    val input = MemoryStream[(Long, Int, Int, Int, Int, Seq[Double], Seq[Double], Option[Double], Boolean)]
+    val stream = H3Streaming.streamingRasterToCells(
+      input.toDF.toDF("tile_id", "x0", "y0", "width", "height", "transform",
+        "values", "nodata", "has_data"), res = 8)
+    val query = stream.writeStream.format("memory").queryName("rcells")
+      .outputMode("append").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      input.addData(a.toSeq); query.processAllAvailable()
+      input.addData(b.toSeq); query.processAllAvailable()
+      val got = spark.table("rcells").as[(Double, Long)].collect().toSet
+      assert(got == batch, "streamed conversion diverged from batch")
+      assert(got.nonEmpty && !got.exists(_._1 == -1.0))
+    } finally query.stop()
+  }
 }
