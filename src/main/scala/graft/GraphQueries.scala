@@ -281,9 +281,10 @@ object GraphQueries {
     // pins the fallback regime hash-exact against DuckDB; p14 pins the
     // broadcast regime.
     "p114_sssp_iterative" -> ((s, dir) => {
-      val graph = expressChainGraph(s, dir, 120)
+      val m = 120 // chain length — dests must span exactly the m+1 nodes
+      val graph = expressChainGraph(s, dir, m)
       val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
-      val dests = (0L to 120L).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L to m.toLong).map(SparkEntry.Synth.cell(_, 5))
       H3Graph.shortestPathsIterative(s, graph, origins, dests)
         .select(col("origin"), col("destination"), round(col("cost"), 4).as("cost"))
         .orderBy(col("origin"), col("destination"))

@@ -217,7 +217,12 @@ object H3Raster {
     * column refinement per row chunk. Returns `(x, y, w, h)` boxes in
     * TILE-relative pixel coordinates; the union of boxes covers every
     * data pixel, and (as the reference's own test pins) fragmented data
-    * yields boxes far smaller than the tile. */
+    * yields boxes far smaller than the tile. Worst case (data in every
+    * other column) emits one box per fragment, each paying polyfill
+    * setup plus a 1px-margin overlap with its neighbors — bounded at
+    * ~3x the merged-box candidate count, and the dedup set keeps the
+    * output exact; the reference accepts the same trade ("far from
+    * perfect", array.rs:73-76). */
   private[raster] def dataBoxes(values: scala.collection.Seq[Double], w: Int, h: Int,
       isNodata: Double => Boolean): Seq[(Int, Int, Int, Int)] = {
     // continuous index chunks [a, b] of lines with any data, where

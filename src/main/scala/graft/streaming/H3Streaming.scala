@@ -1300,17 +1300,6 @@ object H3Streaming {
     * `n_oov` (the batch op's inner join drops them from its word
     * count; the stream keeps the row and reports the miss — at ingest
     * the miss RATE is the drift signal a re-train triggers on). */
-  /** Streaming form of [[graft.raster.H3Raster.rasterToCells]] — raster
-    * tiles arriving as a stream (a live ingestion feed of
-    * [[graft.raster.H3Raster.tileSchema]] rows) convert per micro-batch.
-    * The operator is STATELESS per tile (window polyfill + centroid
-    * sampling, no cross-tile state), so the batch implementation runs
-    * unmodified on an unbounded frame: no watermark, no state store;
-    * downstream value-group rollups compose as ordinary watermarked
-    * aggregations. Stream == batch is spec-pinned per tile set. */
-  def streamingRasterToCells(tiles: DataFrame, res: Int): DataFrame =
-    graft.raster.H3Raster.rasterToCells(tiles, res)
-
   def streamingBpeEncode(stream: DataFrame, idCol: String, textCol: String,
       model: graft.pipeline.Bpe.Model): DataFrame = {
     import graft.pipeline.TextOps
@@ -1329,4 +1318,15 @@ object H3Streaming {
           (acc, t) => acc + element_at(col("__vm"), t)).as("n_bpe_tokens"),
         (size(col("__toks")) - size(col("__known"))).cast("long").as("n_oov"))
   }
+
+  /** Streaming form of [[graft.raster.H3Raster.rasterToCells]] — raster
+    * tiles arriving as a stream (a live ingestion feed of
+    * [[graft.raster.H3Raster.tileSchema]] rows) convert per micro-batch.
+    * The operator is STATELESS per tile (window polyfill + centroid
+    * sampling, no cross-tile state), so the batch implementation runs
+    * unmodified on an unbounded frame: no watermark, no state store;
+    * downstream value-group rollups compose as ordinary watermarked
+    * aggregations. Stream == batch is spec-pinned per tile set. */
+  def streamingRasterToCells(tiles: DataFrame, res: Int): DataFrame =
+    graft.raster.H3Raster.rasterToCells(tiles, res)
 }

@@ -110,12 +110,10 @@ class H3RasterSpec extends AnyFunSuite {
     for (y <- 0 until h; x <- 0 until w if values(y * w + x) != 0.0)
       assert(boxes.exists { case (bx, by, bw, bh) =>
         x >= bx && x < bx + bw && y >= by && y < by + bh }, s"pixel ($x,$y) uncovered")
-    // and boxes never include an all-nodata column or row at their edges
-    // (each box is tight by construction of the three chunk passes)
-    boxes.foreach { case (bx, by, bw, bh) =>
-      assert((by until by + bh).exists(y => values(y * w + bx) != 0.0) ||
-        (by until by + bh).exists(y => values(y * w + (bx + bw - 1)) != 0.0))
-    }
+    // the EXACT decomposition the three chunk passes produce on this
+    // fixture (hand-derived): any algorithm regression changes this set
+    assert(boxes.toSet == Set((1, 1, 2, 2), (3, 6, 2, 3), (7, 1, 3, 4), (10, 7, 2, 2)),
+      s"boxes: $boxes")
   }
 
   test("sampled cell values match direct pixel lookup (R1)") {
