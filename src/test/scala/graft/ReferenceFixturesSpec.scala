@@ -99,6 +99,39 @@ class ReferenceFixturesSpec extends AnyFunSuite {
   }
 
   // FIXTURES §6 — line-graph routing (within_weight_threshold.rs:117-184)
+  // directed_edge.rs:382-400 — boundary linestring vs centroid linestring
+  test("edge boundary linestring differs from the centroid linestring; centroid distance brackets (directed_edge.rs:383-400)") {
+    val edge = 0x149283080ddbffffL
+    val row = Seq(edge).toDF("edge").select(
+      h3_edge_boundary_wkt($"edge").as("bwkt"),
+      h3_edge_origin($"edge").as("o"),
+      h3_edge_destination($"edge").as("d"),
+      h3_edge_length_m($"edge").as("len_m"),
+      h3_edge_centroid_distance_km($"edge").as("cdist_km")).head()
+    // boundary LS: exactly 2 vertices (a hex-hex shared side)
+    val bPts = row.getString(0).stripPrefix("LINESTRING (").stripSuffix(")").split(", ")
+    assert(bPts.length == 2, s"boundary: ${row.getString(0)}")
+    // centroid LS: origin/destination centroids — 2 points, NOT equal to
+    // the boundary segment (assert_ne in the reference)
+    val og = H3Geo.cellToLatLng(row.getLong(1))
+    val dg = H3Geo.cellToLatLng(row.getLong(2))
+    val cPts = Array(s"${og.lng} ${og.lat}", s"${dg.lng} ${dg.lat}")
+    assert(bPts.toSet != cPts.toSet, "boundary segment must differ from the centroid segment")
+    // length_m < cell_centroid_distance_m < 2 * length_m
+    val lenM = row.getDouble(3)
+    val cdistM = row.getDouble(4) * 1000.0
+    assert(lenM < cdistM && cdistM < 2.0 * lenM, s"len=$lenM cdist=$cdistM")
+  }
+
+  // lib.rs:162-172 — the 5-point Mediterranean linestring at res 5
+  test("linestring trace across the Mediterranean yields > 200 cells (lib.rs:163-172)") {
+    val wkt = "LINESTRING (11.60 37.16, 3.86 39.63, -4.57 35.17, -20.74 34.88, -23.55 48.92)"
+    val n = Seq(wkt).toDF("wkt")
+      .select(explode(h3_linestring_to_cells($"wkt", lit(5))).as("cell"))
+      .distinct().count()
+    assert(n > 200, s"traced $n cells")
+  }
+
   test("within-weight-threshold flood over the traced line graph") {
     val cells = graft.h3.H3Polygon.lineStringToCells(Array((10.0, 20.0), (20.0, 20.0)), 4)
     assert(cells.length > 4)
