@@ -99,6 +99,27 @@ class ReferenceFixturesSpec extends AnyFunSuite {
   }
 
   // FIXTURES §6 — line-graph routing (within_weight_threshold.rs:117-184)
+  // to_geo.rs:252-263 — the donut dissolve's EXACT ring vertex counts
+  test("donut dissolve: exterior 19 closed vertices, one 7-vertex hole (to_geo.rs:253-263)") {
+    val ring = H3Traversal.gridRing(H3Geo.latLngToCell(12.3, 23.3, 6), 1)
+    val wkt = Seq(1).toDF("x")
+      .select(h3_cells_to_multipolygon_wkt(lit(ring), lit(false)).as("wkt"))
+      .as[String].head()
+    // one polygon with exactly two rings
+    val rings = wkt.stripPrefix("MULTIPOLYGON (").stripSuffix(")").split("\\), \\(")
+      .map(_.replaceAll("[()]", "").trim)
+    assert(rings.length == 2, s"expected outer + hole: ${wkt.take(120)}")
+    // closed-ring vertex counts as the reference's LineString lengths
+    // (first point repeated at the end, so 19 = 18 unique vertices)
+    def closedLen(r: String): Int = {
+      val pts = r.split(", ")
+      assert(pts.head == pts.last, s"ring not closed: ${pts.head} vs ${pts.last}")
+      pts.length
+    }
+    val lens = rings.map(closedLen).sorted
+    assert(lens.toSeq == Seq(7, 19), s"ring vertex counts: ${lens.mkString(",")}")
+  }
+
   // directed_edge.rs:382-400 — boundary linestring vs centroid linestring
   test("edge boundary linestring differs from the centroid linestring; centroid distance brackets (directed_edge.rs:383-400)") {
     val edge = 0x149283080ddbffffL
