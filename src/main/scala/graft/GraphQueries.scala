@@ -22,6 +22,10 @@ object GraphQueries {
 
   private val N = 300 // chain nodes 0..N
 
+  /** p114/p116 express-chain length — shared by BOTH drivers and BOTH
+    * oracle CTEs so the fixture cannot silently desynchronize. */
+  private val ExpressM = 120
+
   /** weight of the k -> k+1 edge; portable arithmetic. */
   private val wSql = "CAST((event_id * 37) % 100 AS DOUBLE) / 10.0 + 1.0"
 
@@ -281,10 +285,9 @@ object GraphQueries {
     // pins the fallback regime hash-exact against DuckDB; p14 pins the
     // broadcast regime.
     "p114_sssp_iterative" -> ((s, dir) => {
-      val m = 120 // chain length — dests must span exactly the m+1 nodes
-      val graph = expressChainGraph(s, dir, m)
+      val graph = expressChainGraph(s, dir, ExpressM)
       val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
-      val dests = (0L to m.toLong).map(SparkEntry.Synth.cell(_, 5))
+      val dests = (0L to ExpressM.toLong).map(SparkEntry.Synth.cell(_, 5))
       H3Graph.shortestPathsIterative(s, graph, origins, dests)
         .select(col("origin"), col("destination"), round(col("cost"), 4).as("cost"))
         .orderBy(col("origin"), col("destination"))
@@ -298,7 +301,7 @@ object GraphQueries {
     // instead walk_ok asserts the path CONTRACT in-plan: endpoints match
     // and the walk's edge weights sum to the reported cost.
     "p116_sssp_paths" -> ((s, dir) => {
-      val graph = expressChainGraph(s, dir, 120).localCheckpoint(false)
+      val graph = expressChainGraph(s, dir, ExpressM).localCheckpoint(false)
       val origins = Seq(0L, 60L).map(SparkEntry.Synth.cell(_, 5))
       val dests = Seq(25L, 40L).map(SparkEntry.Synth.cell(_, 5))
       val paths = H3Graph.shortestPathsIterativePaths(s, graph, origins, dests)
@@ -771,7 +774,7 @@ object GraphQueries {
          |ORDER BY origin, destination""".stripMargin,
 
     "p114_sssp_iterative" ->
-      s"""WITH ${oracleChainN(120)},
+      s"""WITH ${oracleChainN(ExpressM)},
          |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 60))
          |SELECT o.cell AS origin, d.cell AS destination,
          |  round(abs(d.s - o.s), 4) AS cost
@@ -779,7 +782,7 @@ object GraphQueries {
          |ORDER BY origin, destination""".stripMargin,
 
     "p116_sssp_paths" ->
-      s"""WITH ${oracleChainN(120)},
+      s"""WITH ${oracleChainN(ExpressM)},
          |origins AS (SELECT k, cell, s FROM pfx WHERE k IN (0, 60)),
          |dests AS (SELECT k, cell, s FROM pfx WHERE k IN (25, 40))
          |SELECT o.cell AS origin, d.cell AS destination,

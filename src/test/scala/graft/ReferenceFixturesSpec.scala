@@ -98,14 +98,16 @@ class ReferenceFixturesSpec extends AnyFunSuite {
     assert(byDisk == Map(1 -> 1L, 5 -> 1L))
   }
 
-  // FIXTURES §6 — line-graph routing (within_weight_threshold.rs:117-184)
   // to_geo.rs:252-263 — the donut dissolve's EXACT ring vertex counts
   test("donut dissolve: exterior 19 closed vertices, one 7-vertex hole (to_geo.rs:253-263)") {
     val ring = H3Traversal.gridRing(H3Geo.latLngToCell(12.3, 23.3, 6), 1)
     val wkt = Seq(1).toDF("x")
       .select(h3_cells_to_multipolygon_wkt(lit(ring), lit(false)).as("wkt"))
       .as[String].head()
-    // one polygon with exactly two rings
+    // exactly ONE polygon: a regression that reclassifies the hole as a
+    // second outer polygon would otherwise still split into two rings
+    assert(!wkt.contains(")), ((") , s"expected a single polygon: ${wkt.take(120)}")
+    // ...with exactly two rings
     val rings = wkt.stripPrefix("MULTIPOLYGON (").stripSuffix(")").split("\\), \\(")
       .map(_.replaceAll("[()]", "").trim)
     assert(rings.length == 2, s"expected outer + hole: ${wkt.take(120)}")
@@ -153,6 +155,7 @@ class ReferenceFixturesSpec extends AnyFunSuite {
     assert(n > 200, s"traced $n cells")
   }
 
+  // FIXTURES §6 — line-graph routing (within_weight_threshold.rs:117-184)
   test("within-weight-threshold flood over the traced line graph") {
     val cells = graft.h3.H3Polygon.lineStringToCells(Array((10.0, 20.0), (20.0, 20.0)), 4)
     assert(cells.length > 4)
