@@ -116,6 +116,26 @@ class H3RasterSpec extends AnyFunSuite {
       s"boxes: $boxes")
   }
 
+  test("data-box pruning law: pruned conversion == unpruned conversion minus nodata (3 seeds)") {
+    // with NO nodata declared, dataBoxes never runs (full-window path);
+    // declaring the marker must yield exactly the full conversion minus
+    // the marker-valued cells — pins the decomposition + margin logic
+    // end-to-end on arbitrary fragmented data
+    for (seed <- Seq(7, 21, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val w = 12 + rnd.nextInt(9); val h = 12 + rnd.nextInt(9)
+      val t = Transform.northUp(-120.0 + rnd.nextInt(10), 40.0 + rnd.nextInt(5), 0.03, 0.03)
+      val values = Array.fill(w * h)(rnd.nextInt(4).toDouble) // 0 = marker
+      val pruned = rasterToCells(
+        tileRaster(spark, w, h, t, values, nodata = 0.0, tile = 8), res = 7)
+        .as[(Double, Long)].collect().toSet
+      val full = rasterToCells(
+        tileRaster(spark, w, h, t, values, nodata = None, tile = 8), res = 7)
+        .as[(Double, Long)].collect().toSet
+      assert(pruned == full.filter(_._1 != 0.0), s"seed $seed (${w}x$h)")
+    }
+  }
+
   test("sampled cell values match direct pixel lookup (R1)") {
     val w = 16; val h = 16
     val t = Transform.northUp(-122.5, 37.9, 0.02, 0.02)
