@@ -66,6 +66,33 @@ class GermanyGraphSpec extends AnyFunSuite {
     assert(rtDf.count() == src.count())
   }
 
+  test("bincode writer round-trips seeded random grid graphs (property, 3 seeds)") {
+    for (seed <- Seq(5, 17, 91)) {
+      val rnd = new scala.util.Random(seed)
+      // random connected patch: a grid disk with random directed neighbor
+      // edges and awkward weights (tiny, huge, fractional)
+      val center = H3Geo.latLngToCell(30 + rnd.nextInt(30), rnd.nextInt(120) - 60, 7)
+      val cells = graft.h3.H3Traversal.gridDisk(center, 2)
+      val edges = cells.flatMap { c =>
+        graft.h3.H3Traversal.gridRing(c, 1).filter(cells.contains).filter(_ => rnd.nextBoolean())
+          .map(d => (c, d, rnd.nextInt(3) match {
+            case 0 => rnd.nextDouble() * 1e-9
+            case 1 => rnd.nextDouble() * 1e9
+            case _ => rnd.nextDouble()
+          }))
+      }.distinct
+      if (edges.nonEmpty) {
+        val df = edges.toSeq.toDF("origin", "destination", "weight")
+        val out = java.nio.file.Files.createTempDirectory(s"bc_prop$seed")
+          .resolve("g.bincode.lz").toString
+        PreparedGraphBincode.writeBincode(df, out)
+        val rt = PreparedGraphBincode.edgesDF(spark, out)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(rt == edges.toSet, s"seed $seed: ${edges.size} edges")
+      }
+    }
+  }
+
   test("isochrone and covered-area laws hold on the real street graph (P8/P11)") {
     val edges = PreparedGraphBincode.edgesDF(spark, fixture)
     val graph = H3Graph.graphFromEdgeList(edges, "origin", "destination", "weight")
