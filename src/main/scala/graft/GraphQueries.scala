@@ -751,11 +751,11 @@ object GraphQueries {
     },
 
     "p88_pagerank" ->
-      s"""WITH e AS (SELECT DISTINCT user_id AS src,
+      s"""${SparkEntry.OracleMemGuard}WITH e AS MATERIALIZED (SELECT DISTINCT user_id AS src,
          |  ('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15))::BIGINT % 150 AS dst
          |  FROM events),
-         |dg AS (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
-         |nodes AS (SELECT DISTINCT node FROM
+         |dg AS MATERIALIZED (SELECT src, count(*)::BIGINT AS deg FROM e GROUP BY src),
+         |nodes AS MATERIALIZED (SELECT DISTINCT node FROM
          |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
          |c0 AS (SELECT (1000000000 // count(*)) AS rinit,
          |  ((100 - 85)::BIGINT * 1000000000) // (100 * count(*)) AS tele FROM nodes),

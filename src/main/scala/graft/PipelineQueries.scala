@@ -3340,13 +3340,15 @@ object PipelineQueries {
         |FROM d GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "p87_props_extract" ->
+      (SparkEntry.OracleMemGuard +
       """WITH e AS (SELECT event_type,
         |  CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT) AS k FROM events)
         |SELECT event_type, k % 10 AS k_mod, CAST(count(*) AS BIGINT) AS n,
         |  CAST(sum(k) AS BIGINT) AS k_sum
-        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+        |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
 
     "p86_crawl_pipeline" ->
+      (SparkEntry.OracleMemGuard +
       """WITH docs2 AS (
         |  SELECT doc_id, source, text FROM documents
         |  UNION ALL
@@ -3380,7 +3382,7 @@ object PipelineQueries {
         |SELECT source, count(*)::BIGINT AS n_records,
         |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
         |  count(DISTINCT CASE WHEN keep THEN md5(s) END)::BIGINT AS n_unique
-        |FROM k GROUP BY source ORDER BY source""".stripMargin,
+        |FROM k GROUP BY source ORDER BY source""".stripMargin),
 
     "p85_html_extract" ->
       """WITH h AS (SELECT doc_id,

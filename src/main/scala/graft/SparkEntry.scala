@@ -16,6 +16,18 @@ import graft.df.H3DataFrameOps._
  */
 object SparkEntry {
 
+  /** Statement prefix for oracles that died of DuckDB OOM in the r13 driver
+    * run (p86/p87/p88): the sandbox runs the oracle while a Spark JVM may
+    * still hold most of RAM, and an unconfigured in-memory DuckDB neither
+    * caps its footprint nor spills (no temp_directory => no out-of-core).
+    * The duckdb Python API executes multi-statement strings and returns the
+    * last result, so a `SET ...;` prefix travels inside the oracle SQL
+    * itself — the one channel the driver actually reads. Verified against
+    * duckdb 1.0.0 through both `execute().df()` and `sql().df()`. */
+  val OracleMemGuard: String =
+    "SET memory_limit='2GB'; SET threads=2; " +
+      "SET temp_directory='/tmp/graft_duckdb_spill'; "
+
   /** Portable (Spark SQL ∩ DuckDB) cell synthesis from a non-negative
     * integer key expression. Produces valid H3 cells at `res` with base
     * cells 25..37 (a pentagon-free run) and digits derived from the key.

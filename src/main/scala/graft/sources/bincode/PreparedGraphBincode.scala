@@ -29,9 +29,10 @@ import org.apache.spark.sql.types._
  *    }}}
  *
  * The long-edge payloads (shortcut adjuncts the reference derives during
- * `prepare`) are length-skipped, not materialized: our own
- * [[graft.graph.H3Graph.localGraph]] re-derives contraction from the base
- * edges. Parsing is driver-side by necessity — bincode is a sequential
+ * `prepare`) are fully decoded — IndexBlock RLE + byte-transpose and the
+ * roaring-treemap cell lookup — so the reference's own contraction output
+ * is cross-validated against [[graft.graph.H3Graph.localGraph]]'s
+ * re-derivation (GermanyGraphSpec). Parsing is driver-side by necessity — bincode is a sequential
  * format with no split points — and the parsed edge list immediately
  * becomes a distributed DataFrame; at 100 TB graphs live in parquet
  * (H3Graph P14), this reader exists for interchange with the reference's
@@ -39,13 +40,38 @@ import org.apache.spark.sql.types._
  */
 object PreparedGraphBincode {
 
+  /** One decoded long-edge shortcut (graph/longedge.rs:36-48): the
+    * reference's contraction output, attached to the simple edge that
+    * starts the chain.
+    *
+    * @param edge      simple edge the shortcut is attached to (== inEdge)
+    * @param inEdge    first directed edge of the chain
+    * @param outEdge   last directed edge of the chain
+    * @param edgePath  the full chain as successive directed edges
+    *                  (IndexBlock, RLE over byte-transposed LE u64s,
+    *                  collections/compressed.rs:126-158)
+    * @param cellLookup cells touched by the chain (roaring treemap,
+    *                  collections/treemap/serde.rs:9-20; portable 32-bit
+    *                  roaring per RoaringFormatSpec)
+    * @param weight    total chain weight */
+  final case class RefLongEdge(
+      edge: Long,
+      inEdge: Long,
+      outEdge: Long,
+      edgePath: Array[Long],
+      cellLookup: Array[Long],
+      weight: Double)
+
   final case class ParsedGraph(
       resolution: Int,
       // (directed edge id, weight) of every simple edge
       edges: Array[(Long, Double)],
-      longEdgeCount: Int,
+      // the reference's own contraction output, fully decoded
+      longEdges: Array[RefLongEdge],
       // (cell, NodeType ordinal: 0=Origin 1=Destination 2=Both)
-      nodes: Array[(Long, Int)])
+      nodes: Array[(Long, Int)]) {
+    def longEdgeCount: Int = longEdges.length
+  }
 
   private final class Cursor(b: Array[Byte]) {
     var pos = 0
@@ -74,8 +100,114 @@ object PreparedGraphBincode {
         throw new java.io.IOException(s"implausible bincode length $v at ${pos - 8}")
       v.toInt
     }
+    def u16(): Int = { need(2); val v = (b(pos) & 0xFF) | ((b(pos + 1) & 0xFF) << 8); pos += 2; v }
     def skip(n: Int): Unit = { need(n); pos += n }
+    def bytes(n: Int): Array[Byte] = {
+      need(n); val out = java.util.Arrays.copyOfRange(b, pos, pos + n); pos += n; out
+    }
     def atEnd: Boolean = pos == b.length
+  }
+
+  /** Decode an `IndexBlock` payload: RLE pairs `(byte, repetitions)` expand
+    * to `num * 8` bytes, byte-transposed — byte j of index i sits at
+    * `i + j*num` (compressed.rs:256-271, 126-158). */
+  private def decodeIndexBlock(num: Int, rle: Array[Byte]): Array[Long] = {
+    if (rle.length % 2 != 0)
+      throw new java.io.IOException(s"odd IndexBlock RLE length ${rle.length}")
+    val buf = new Array[Byte](num * 8)
+    var bi = 0
+    var i = 0
+    while (i < rle.length) {
+      val byte = rle(i)
+      val rep = rle(i + 1) & 0xFF
+      if (bi + rep > buf.length)
+        throw new java.io.IOException(
+          s"IndexBlock decompresses past ${buf.length} bytes")
+      java.util.Arrays.fill(buf, bi, bi + rep, byte)
+      bi += rep
+      i += 2
+    }
+    if (bi != buf.length)
+      throw new java.io.IOException(
+        s"IndexBlock decompressed to $bi bytes, expected ${buf.length}")
+    val out = new Array[Long](num)
+    var p = 0
+    while (p < num) {
+      var v = 0L
+      var j = 7
+      while (j >= 0) { v = (v << 8) | (buf(p + j * num) & 0xFFL); j -= 1 }
+      out(p) = v
+      p += 1
+    }
+    out
+  }
+
+  /** Decode a serialized `RoaringTreemap` (roaring-rs `serialize_into`):
+    * u64 LE map size, then per entry a u32 LE high-word key and a portable
+    * 32-bit roaring bitmap (RoaringFormatSpec: cookie 12347 packs
+    * `size-1` in the upper 16 bits and carries a run-container bitset;
+    * cookie 12346 is the no-run layout with an explicit u32 size; offsets
+    * present for 12346 always, for 12347 only at size >= 4; containers are
+    * sorted u16 arrays at cardinality <= 4096, 1024-word bitsets above,
+    * or `(start, len)` runs covering `[start, start+len]`). */
+  private def decodeRoaringTreemap(bytes: Array[Byte]): Array[Long] = {
+    val c = new Cursor(bytes)
+    val nMaps = c.len()
+    val out = Array.newBuilder[Long]
+    var m = 0
+    while (m < nMaps) {
+      val hi = c.u32() << 32
+      val cookie = c.u32()
+      val (size, runBits): (Int, Array[Byte]) =
+        if ((cookie & 0xFFFFL) == 12347L) {
+          val n = ((cookie >>> 16) + 1).toInt
+          (n, c.bytes((n + 7) / 8))
+        } else if (cookie == 12346L) (c.u32().toInt, null)
+        else throw new java.io.IOException(s"bad roaring cookie $cookie")
+      val keys = new Array[Long](size)
+      val cards = new Array[Int](size)
+      var ci = 0
+      while (ci < size) {
+        keys(ci) = c.u16().toLong << 16
+        cards(ci) = c.u16() + 1
+        ci += 1
+      }
+      if (runBits == null || size >= 4) c.skip(4 * size) // offsets section
+      ci = 0
+      while (ci < size) {
+        val prefix = hi | keys(ci)
+        val isRun = runBits != null && (runBits(ci >> 3) & (1 << (ci & 7))) != 0
+        if (isRun) {
+          val nRuns = c.u16()
+          var r = 0
+          while (r < nRuns) {
+            val start = c.u16(); val len = c.u16()
+            var v = start
+            while (v <= start + len) { out += (prefix | v); v += 1 }
+            r += 1
+          }
+        } else if (cards(ci) <= 4096) {
+          var v = 0
+          while (v < cards(ci)) { out += (prefix | c.u16()); v += 1 }
+        } else {
+          var w = 0
+          while (w < 1024) {
+            val word = c.u64()
+            var bit = 0
+            while (bit < 64) {
+              if ((word & (1L << bit)) != 0) out += (prefix | (w * 64 + bit))
+              bit += 1
+            }
+            w += 1
+          }
+        }
+        ci += 1
+      }
+      m += 1
+    }
+    if (!c.atEnd)
+      throw new java.io.IOException(s"trailing roaring bytes at ${c.pos}")
+    out.result()
   }
 
   /** Decompress (LZ4 frame, detected by magic) and fully read `path`. */
@@ -104,7 +236,7 @@ object PreparedGraphBincode {
     val c = new Cursor(readAllBytes(path))
     val mapLen = c.len()
     val edges = Array.newBuilder[(Long, Double)]
-    var longEdges = 0
+    val longEdges = Array.newBuilder[RefLongEdge]
     var i = 0
     while (i < mapLen) {
       c.u64() // origin cell key (redundant with the edge ids; skip)
@@ -119,12 +251,13 @@ object PreparedGraphBincode {
           case 1 =>
             // LongEdge { in_edge, out_edge, edge_path: IndexBlock,
             //   cell_lookup: treemap bytes }, then the longedge weight
-            c.u64(); c.u64()
-            c.u64() // IndexBlock.num_indexes
-            c.skip(c.len()) // IndexBlock.block_data
-            c.skip(c.len()) // roaring treemap bytes
-            c.f64()
-            longEdges += 1
+            val inEdge = c.u64()
+            val outEdge = c.u64()
+            val numIndexes = c.len() // IndexBlock.num_indexes
+            val edgePath = decodeIndexBlock(numIndexes, c.bytes(c.len()))
+            val cellLookup = decodeRoaringTreemap(c.bytes(c.len()))
+            val w = c.f64()
+            longEdges += RefLongEdge(edge, inEdge, outEdge, edgePath, cellLookup, w)
           case t => throw new java.io.IOException(s"bad Option tag $t at ${c.pos - 1}")
         }
         j += 1
@@ -147,7 +280,7 @@ object PreparedGraphBincode {
     }
     if (!c.atEnd)
       throw new java.io.IOException(s"trailing bytes after record at ${c.pos}")
-    ParsedGraph(resolution, edges.result(), longEdges, nodes)
+    ParsedGraph(resolution, edges.result(), longEdges.result(), nodes)
   }
 
   val edgeSchema: StructType = StructType(Seq(

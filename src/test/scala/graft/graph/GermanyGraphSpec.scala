@@ -46,6 +46,71 @@ class GermanyGraphSpec extends AnyFunSuite {
     assert(byType(2) == 75038 && byType.getOrElse(0, 0) == 3 && byType.getOrElse(1, 0) == 2)
   }
 
+  test("long-edge payloads decode: 402 shortcuts, continuous edge chains, cell lookups exact") {
+    import graft.h3.{H3Core, H3Traversal}
+    val g = PreparedGraphBincode.read(fixture)
+    assert(g.longEdges.length == 402)
+    val weightOf = g.edges.toMap
+    g.longEdges.foreach { le =>
+      // the shortcut hangs off the first edge of its own chain
+      assert(le.edge == le.inEdge)
+      assert(le.edgePath.head == le.inEdge && le.edgePath.last == le.outEdge)
+      // prepared with PreparedH3EdgeGraph::try_from => min_longedge_length 4
+      // (graph_from_osm.rs:97, prepared.rs:433-436)
+      assert(le.edgePath.length >= 4)
+      le.edgePath.foreach(e => assert(H3Core.isValidDirectedEdge(e)))
+      // successive edges chain: each destination is the next origin
+      le.edgePath.sliding(2).foreach { case Array(a, b) =>
+        assert(H3Traversal.edgeDestination(a) == H3Core.edgeOrigin(b))
+      }
+      // every chain edge is a base edge, and the chain weight is their sum
+      // in traversal order (f64-commutative per step => bit-exact)
+      var sum = 0.0
+      le.edgePath.foreach { e => assert(weightOf.contains(e)); sum += weightOf(e) }
+      assert(java.lang.Double.doubleToLongBits(sum) ==
+        java.lang.Double.doubleToLongBits(le.weight),
+        s"chain weight $sum != serialized ${le.weight}")
+      // cell_lookup treemap == exactly the cells the chain touches
+      // (longedge.rs:14-29, 86: origin of the first edge + all destinations)
+      val chainCells = (H3Core.edgeOrigin(le.edgePath.head) +:
+        le.edgePath.map(H3Traversal.edgeDestination)).toSet
+      assert(le.cellLookup.toSet == chainCells)
+      // roaring decode emits sorted unique values
+      assert(le.cellLookup.toSeq == le.cellLookup.toSeq.sorted)
+      assert(le.cellLookup.length == chainCells.size)
+    }
+  }
+
+  test("contractLongEdges reproduces the reference's 402 shortcuts exactly (P5 conformance)") {
+    import graft.h3.{H3Core, H3Traversal}
+    val g = PreparedGraphBincode.read(fixture)
+    // adjacency from the fixture's own base edges, weights as serialized
+    val adj = g.edges.toSeq
+      .map { case (e, w) => (H3Core.edgeOrigin(e), H3Traversal.edgeDestination(e), w) }
+      .groupBy(_._1)
+      .map { case (o, ts) => o -> ts.map(t => (t._2, t._3)).toArray }
+    val ours = H3Graph.contractLongEdges(adj, minEdges = 4)
+    val oursFlat = ours.toSeq.flatMap { case (o, arr) =>
+      arr.map(le => (o, le.firstHop) -> le)
+    }.toMap
+    val refByKey = g.longEdges.map { le =>
+      (H3Core.edgeOrigin(le.inEdge), H3Traversal.edgeDestination(le.inEdge)) -> le
+    }.toMap
+    assert(refByKey.size == 402 && oursFlat.size == refByKey.size,
+      s"ours=${oursFlat.size} ref=${refByKey.size}")
+    assert(oursFlat.keySet == refByKey.keySet)
+    refByKey.foreach { case (key, ref) =>
+      val our = oursFlat(key)
+      assert(our.dest == H3Traversal.edgeDestination(ref.outEdge), s"dest at $key")
+      val refCellPath = H3Core.edgeOrigin(ref.edgePath.head) +:
+        ref.edgePath.map(H3Traversal.edgeDestination)
+      assert(our.cellPath.toSeq == refCellPath.toSeq, s"cell path at $key")
+      // same chain, same per-step accumulation => bit-identical f64
+      assert(java.lang.Double.doubleToLongBits(our.weight) ==
+        java.lang.Double.doubleToLongBits(ref.weight), s"weight at $key")
+    }
+  }
+
   test("bincode writer round-trips: our serialization re-reads identical to the fixture's edges") {
     val g = PreparedGraphBincode.read(fixture)
     val src = PreparedGraphBincode.edgesDF(spark, fixture)

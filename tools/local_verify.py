@@ -108,6 +108,9 @@ def connect(sf_dir: str, threads: int) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
     con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
     con.execute(f"SET threads={threads}")
+    # out-of-core: without a temp_directory an in-memory DuckDB cannot
+    # spill and hard-OOMs under external memory pressure (the r13 lesson)
+    con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
