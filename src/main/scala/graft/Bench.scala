@@ -86,10 +86,22 @@ object Bench {
       // and the whole catalog pays median-of-3
       val sameSf = """"sf":"([^"]+)"""".r.findFirstMatchIn(txt).exists(_.group(1) == sfDir)
       if (!sameSf) Map.empty
-      // optional exponent: the full-precision artifact writes
-      // Double.toString, which renders small values as 9.5E-4
-      else """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+(?:[eE]-?[0-9]+)?)""".r.findAllMatchIn(txt)
-        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      else {
+        // scope to the queries object only: the artifact also carries a
+        // top-level "value" total and "macro_shapes" entries, and a future
+        // query named like a macro key would otherwise inherit a bogus
+        // regression baseline
+        val qStart = txt.indexOf("\"queries\":{")
+        val qEnd = if (qStart < 0) -1 else txt.indexOf('}', qStart)
+        if (qStart < 0 || qEnd < 0) Map.empty[String, Double]
+        else {
+          val qTxt = txt.substring(qStart + "\"queries\":{".length, qEnd)
+          // optional exponent: the full-precision artifact writes
+          // Double.toString, which renders small values as 9.5E-4
+          """"([A-Za-z0-9_]+)":([0-9]+\.[0-9]+(?:[eE]-?[0-9]+)?)""".r.findAllMatchIn(qTxt)
+            .map(m => m.group(1) -> m.group(2).toDouble).toMap
+        }
+      }
     } catch { case _: Throwable => Map.empty }
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       (name, timeOnce(fn))

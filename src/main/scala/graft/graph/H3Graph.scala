@@ -565,6 +565,11 @@ object H3Graph {
       best = nb
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"shortestPathsIterative stopped after maxRounds=$maxRounds with the " +
+          "frontier still active: reported costs may be suboptimal upper " +
+          "bounds; raise maxRounds")
     // the result's lineage reads only the final best's checkpoint blocks:
     // the edge table and the last (empty-on-convergence) frontier are dead
     freeEdges(); freeFrontier()
@@ -654,6 +659,12 @@ object H3Graph {
       best = nb
       round += 1
     }
+    if (!converged)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"shortestPathsIterativePaths stopped after maxRounds=$maxRounds with " +
+          "the frontier still active: costs may be suboptimal upper bounds " +
+          "(the walk law cannot detect this — the walk sum matches the " +
+          "suboptimal cost); raise maxRounds")
     freeEdges(); freeFrontier()
     // NOTE on fold's argmin vs the cost-only fold: `struct(cost, pred)`
     // ordering compares cost first, so the settled costs are identical to

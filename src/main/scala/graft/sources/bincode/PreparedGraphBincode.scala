@@ -303,6 +303,28 @@ object PreparedGraphBincode {
     spark.createDataFrame(rdd, edgeSchema)
   }
 
+  /** [[edgesDF]] through a parquet cache keyed by the fixture's absolute
+    * path, mtime and size: the first call parses the sequential bincode
+    * record (driver-side, irreducible) and persists the edge frame; later
+    * calls read splittable parquet. This mirrors the reference's bench
+    * loading the graph ONCE outside the timed loop
+    * (route_germany.rs:57-60) — a routing macro should measure routing,
+    * not file parsing. Parse time is reported on stderr when the cache
+    * populates, so it stays visible separately. */
+  def edgesDFCached(spark: SparkSession, path: String,
+      cacheRoot: String = "target/bincode-cache"): DataFrame = {
+    val f = new java.io.File(path)
+    val key = f"${f.getAbsolutePath.hashCode}%08x-${f.lastModified}-${f.length}"
+    val dir = new java.io.File(cacheRoot, key)
+    if (!new java.io.File(dir, "_SUCCESS").isFile) {
+      val t0 = System.nanoTime()
+      edgesDF(spark, path).write.mode("overwrite").parquet(dir.getPath)
+      System.err.println(
+        f"[bincode] parsed $path in ${(System.nanoTime() - t0) / 1e9}%.2f s -> ${dir.getPath}")
+    }
+    spark.read.parquet(dir.getPath)
+  }
+
   // ---- writer (interchange back to the reference) -------------------------
 
   private final class Out(capacityHint: Int) {
@@ -336,12 +358,20 @@ object PreparedGraphBincode {
     * accepts that; `PreparedH3EdgeGraph::from_h3edge_graph` re-derives
     * them). Node typing is derived from the edge list exactly as
     * [[graft.graph.H3Graph.nodes]] does. Driver-side by necessity —
-    * bincode is sequential; the edge list is collected under the caller's
-    * responsibility (use the same bound discipline as broadcast routing:
-    * this format IS a single-machine interchange file). */
-  def writeBincode(edges: DataFrame, path: String): Unit = {
-    val rows = edges.select(col("origin"), col("destination"),
-      col("weight").cast("double")).collect()
+    * bincode is sequential; this format IS a single-machine interchange
+    * file, so the collect is bounded by `maxEdges` with the same fail-fast
+    * discipline as [[graft.graph.H3Graph.collectAdjacency]] — a graph over
+    * the bound belongs in parquet (P14), not in an interchange record. */
+  def writeBincode(edges: DataFrame, path: String,
+      maxEdges: Long = 10_000_000L): Unit = {
+    val sel = edges.select(col("origin"), col("destination"),
+      col("weight").cast("double"))
+    val n = sel.count()
+    require(n <= maxEdges,
+      s"writeBincode collects the edge list to the driver: $n edges exceed " +
+        s"the declared bound $maxEdges — write parquet instead, or raise " +
+        "maxEdges explicitly if the driver heap is sized for it")
+    val rows = sel.collect()
     require(rows.nonEmpty, "refusing to write an empty graph")
     val res = graft.h3.H3Core.getResolution(rows.head.getLong(0))
     // group per origin (the reference's outgoing_edges map)

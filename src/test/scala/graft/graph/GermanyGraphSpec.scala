@@ -129,6 +129,15 @@ class GermanyGraphSpec extends AnyFunSuite {
     // DataFrame path too
     val rtDf = PreparedGraphBincode.edgesDF(spark, out)
     assert(rtDf.count() == src.count())
+    // pin the written frame descriptor: interop with the reference's
+    // lz4_flex FrameDecoder rests on lz4-java's DEFAULT frame settings
+    // (v01 + block-independence FLG=0x60, 4 MB max block BD=0x70,
+    // xxh32 header checksum 0x73) — a silent lz4-java default change
+    // (e.g. enabling content checksums) must fail here, not in the
+    // reference's reader
+    val head = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(out)).take(7)
+    assert(head.map(b => f"${b & 0xFF}%02x").mkString(" ") == "04 22 4d 18 60 70 73",
+      s"LZ4 frame descriptor changed: ${head.map(b => f"${b & 0xFF}%02x").mkString(" ")}")
   }
 
   test("bincode writer round-trips seeded random grid graphs (property, 3 seeds)") {

@@ -146,11 +146,14 @@ class H3GraphSpec extends AnyFunSuite {
     viaIterative.foreach { case (o, d, c) =>
       assert(math.abs(c - dMap((o, d))) < 1e-9, s"cost mismatch for ($o,$d)")
     }
-    // both relaxation regimes converge to the identical fixpoint: the
-    // single-hop loop and the default two-hop loop must agree exactly
-    val oneHop = H3Graph.shortestPathsIterative(spark, chainGraph, origins, dests,
-      hopsPerRound = 1).as[(Long, Long, Double)].collect().toSet
-    assert(oneHop == viaIterative, "hopsPerRound=1 and =2 diverged")
+    // every relaxation regime converges to the identical fixpoint: the
+    // single-hop loop, the default two-hop loop, and the deep-hop loops
+    // p114/p116 use to cut round-barrier latency must agree exactly
+    for (hops <- Seq(1, 4, 8)) {
+      val got = H3Graph.shortestPathsIterative(spark, chainGraph, origins, dests,
+        hopsPerRound = hops).as[(Long, Long, Double)].collect().toSet
+      assert(got == viaIterative, s"hopsPerRound=$hops and =2 diverged")
+    }
   }
 
   test("iterative SSSP under reliable checkpointing: identical fixpoint, ReliableEvery fires mid-loop") {
@@ -207,13 +210,15 @@ class H3GraphSpec extends AnyFunSuite {
       assert(math.abs(cost - ocost) < 1e-9, s"cost mismatch for $k")
       assert(path == opath, s"path mismatch for $k")
     }
-    // the single-hop loop reconstructs the identical walks (the fixpoint
-    // and the pred chain are hop-count-invariant)
-    val oneHop = H3Graph.shortestPathsIterativePaths(spark, chainGraph, origins, dests,
-      hopsPerRound = 1)
-      .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getSeq[Long](3))))
-      .toMap
-    assert(oneHop == got, "hopsPerRound=1 and =2 path reconstructions diverged")
+    // the single-hop and deep-hop loops reconstruct the identical walks
+    // (the fixpoint and the pred chain are hop-count-invariant)
+    for (hops <- Seq(1, 4, 8)) {
+      val alt = H3Graph.shortestPathsIterativePaths(spark, chainGraph, origins, dests,
+        hopsPerRound = hops)
+        .collect().map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(2), r.getSeq[Long](3))))
+        .toMap
+      assert(alt == got, s"hopsPerRound=$hops and =2 path reconstructions diverged")
+    }
     // prefix-sum law: walk edge weights sum to the cost
     val ew = chainGraph.select($"origin", $"destination", $"weight")
       .as[(Long, Long, Double)].collect()
