@@ -112,32 +112,56 @@ object Dedup {
       .select(col("p.id_a"), col("p.id_b")).distinct()
   }
 
-  /** Exact n-gram Jaccard similarity for candidate pairs: distinct character
-    * `n`-gram sets, pairs sharing >= 1 gram, similarity >= `threshold`.
-    * This is the verification-quality op; at scale, feed it LSH candidates
-    * instead of the full corpus. */
+  /** Exact n-gram Jaccard similarity over the whole input: distinct
+    * character `n`-gram sets, every pair whose e4-quantized similarity
+    * reaches `threshold` — no false negatives.
+    *
+    * Candidates come from PREFIX FILTERING (same principle as
+    * [[prefixJaccardJoin]]): a pair at quantized similarity >= threshold
+    * has true similarity >= `(2*ceil(threshold*1e4) - 1) / 20000`, so the
+    * two documents must share a gram inside their rarity-ordered prefixes
+    * of length `|x| - ceil(t'*|x|) + 1`. The candidate join therefore runs
+    * only on each doc's rarest ~(1-t') gram fraction — the previous
+    * all-shared-grams self-join paid SUM(df^2) over EVERY gram, which is
+    * quadratic in duplicate-group size (measured: 117 s at the sf1.0
+    * rehearsal's 10-member near-dup groups vs ~2 s via prefixes, identical
+    * output). `t'` is lowered one e4 lattice step so double rounding at
+    * the quantize boundary can never drop a pair the final filter — the
+    * UNCHANGED float expression, hash-pinned by the p07 oracle — keeps. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
-    // grams participate only in equi-join + count: xxhash64 keys carry the
-    // same equality semantics as md5 (2^-64 collisions) at codegen speed.
-    // The slim (id, gram-hash) table is checkpointed once — it feeds the
-    // per-doc sizes and BOTH sides of the pair join, which would otherwise
-    // re-run the explode three times (aliased branches defeat exchange
-    // reuse). The streaming self-join beats bucket-local array explosion
-    // here (measured): a hot gram's C(m,2) pairs stream through the join
-    // instead of materializing one giant array in a single task.
+    val tE4 = math.ceil(threshold * 10000.0).toLong
+    require(tE4 >= 1 && tE4 <= 10000, s"threshold must be in (0, 1], got $threshold")
+    // loose rational bound: one lattice step below the quantize boundary
+    val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
     val grams = df.select(id.as("__id"),
       explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
       .localCheckpoint(false)
-    val sizes = grams.groupBy(col("__id")).agg(count(lit(1)).as("__n"))
-    val l = grams.select(col("__g"), col("__id").as("id_a"))
-    val r = grams.select(col("__g"), col("__id").as("id_b"))
-    val inter = l.join(r, Seq("__g")).filter(col("id_a") < col("id_b"))
-      .groupBy(col("id_a"), col("id_b")).agg(count(lit(1)).as("__inter"))
-    inter
-      .join(broadcast(sizes.withColumnRenamed("__id", "id_a").withColumnRenamed("__n", "__na")), "id_a")
-      .join(broadcast(sizes.withColumnRenamed("__id", "id_b").withColumnRenamed("__n", "__nb")), "id_b")
-      .select(col("id_a"), col("id_b"), col("__inter"), col("__na"), col("__nb"))
+    val dfreq = grams.groupBy(col("__g")).agg(count(lit(1)).as("__df"))
+    // per-doc gram list rarest-first; one frame feeds the prefix explode
+    // and both verify sides (barrier against re-derivation)
+    val docArr = grams.join(dfreq, Seq("__g"))
+      .groupBy(col("__id"))
+      .agg(sort_array(collect_list(struct(col("__df"), col("__g")))).as("__a"))
+      .select(col("__id"), transform(col("__a"), x => x.getField("__g")).as("__toks"),
+        size(col("__a")).cast("long").as("__n"))
+      .localCheckpoint(false)
+    val plen = (col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
+      .cast("int")
+    val pref = docArr.select(col("__id"),
+      explode(slice(col("__toks"), lit(1), plen)).as("__pt"))
+    val cand = pref.select(col("__pt"), col("__id").as("id_a"))
+      .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    cand
+      .join(docArr.select(col("__id").as("id_a"), col("__toks").as("__ta"),
+        col("__n").as("__na")), "id_a")
+      .join(docArr.select(col("__id").as("id_b"), col("__toks").as("__tb"),
+        col("__n").as("__nb")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("__inter"),
+        col("__na"), col("__nb"))
       .localCheckpoint(false) // barrier: keep the jaccard arithmetic out of pushdown
       .withColumn("jaccard", // floor-quantized: see TextOps.qualityScore note
         floor(col("__inter").cast("double") /
