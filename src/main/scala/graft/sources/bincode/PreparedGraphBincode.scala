@@ -111,7 +111,7 @@ object PreparedGraphBincode {
   /** Decode an `IndexBlock` payload: RLE pairs `(byte, repetitions)` expand
     * to `num * 8` bytes, byte-transposed — byte j of index i sits at
     * `i + j*num` (compressed.rs:256-271, 126-158). */
-  private def decodeIndexBlock(num: Int, rle: Array[Byte]): Array[Long] = {
+  private[bincode] def decodeIndexBlock(num: Int, rle: Array[Byte]): Array[Long] = {
     if (rle.length % 2 != 0)
       throw new java.io.IOException(s"odd IndexBlock RLE length ${rle.length}")
     val buf = new Array[Byte](num * 8)
@@ -150,7 +150,7 @@ object PreparedGraphBincode {
     * present for 12346 always, for 12347 only at size >= 4; containers are
     * sorted u16 arrays at cardinality <= 4096, 1024-word bitsets above,
     * or `(start, len)` runs covering `[start, start+len]`). */
-  private def decodeRoaringTreemap(bytes: Array[Byte]): Array[Long] = {
+  private[bincode] def decodeRoaringTreemap(bytes: Array[Byte]): Array[Long] = {
     val c = new Cursor(bytes)
     val nMaps = c.len()
     val out = Array.newBuilder[Long]
