@@ -130,9 +130,18 @@ object Dedup {
     * UNCHANGED float expression, hash-pinned by the p07 oracle — keeps. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
       threshold: Double): DataFrame = {
-    val tE4 = math.ceil(threshold * 10000.0).toLong
+    // the final filter keeps lattice value k/1e4 >= threshold, whose
+    // smallest surviving k is >= round(threshold*1e4) (proof: if t*1e4
+    // rounds up to k then t > (k-0.5)/1e4 > (k-1)/1e4, so k-1 cannot
+    // survive) — and k/1e4 >= threshold requires true similarity
+    // x >= (k-0.5)/1e4. ceil() here would OVERSHOOT for thresholds whose
+    // double renders as t*1e4 = k + 1e-12 (576 of the 10000 e4 lattice
+    // doubles), consuming the safety margin and dropping boundary pairs.
+    val tE4 = math.round(threshold * 10000.0)
     require(tE4 >= 1 && tE4 <= 10000, s"threshold must be in (0, 1], got $threshold")
-    // loose rational bound: one lattice step below the quantize boundary
+    // loose rational bound (tE4-1)/1e4: a full half lattice step (5e-5,
+    // >> any double rounding) below the smallest similarity the final
+    // filter can keep
     val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
     val grams = df.select(id.as("__id"),
       explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
@@ -148,8 +157,12 @@ object Dedup {
       .localCheckpoint(false)
     val plen = (col("__n") - expr(s"(($tNum * __n + ${tDen - 1}) div $tDen)") + 1)
       .cast("int")
+    // checkpointed: both aliased sides of the self-join read this frame,
+    // and aliased branches defeat exchange reuse (the lesson the previous
+    // implementation measured on its gram table)
     val pref = docArr.select(col("__id"),
       explode(slice(col("__toks"), lit(1), plen)).as("__pt"))
+      .localCheckpoint(false)
     val cand = pref.select(col("__pt"), col("__id").as("id_a"))
       .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
       .filter(col("id_a") < col("id_b"))
@@ -208,8 +221,11 @@ object Dedup {
       .localCheckpoint(false)
     val plen = (col("__sz") - expr(s"(($tNum * __sz + ${tDen - 1}) div $tDen)") + 1)
       .cast("int")
+    // checkpointed: both aliased sides of the self-join read this frame
+    // (aliased branches defeat exchange reuse)
     val pref = docArr.select(col("__id"),
       explode(slice(col("__toks"), lit(1), plen)).as("__pt"))
+      .localCheckpoint(false)
     val cand = pref.select(col("__pt"), col("__id").as("id_a"))
       .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
       .filter(col("id_a") < col("id_b"))

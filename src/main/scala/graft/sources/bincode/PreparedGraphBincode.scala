@@ -311,14 +311,30 @@ object PreparedGraphBincode {
     * (route_germany.rs:57-60) — a routing macro should measure routing,
     * not file parsing. Parse time is reported on stderr when the cache
     * populates, so it stays visible separately. */
+  /** Bump when [[read]]/[[edgesDF]] semantics change: the cache key must
+    * not serve a pre-fix parse after a parser fix (fixture mtime alone
+    * cannot see code changes). */
+  private val CacheFormatVersion = 2
+
   def edgesDFCached(spark: SparkSession, path: String,
       cacheRoot: String = "target/bincode-cache"): DataFrame = {
     val f = new java.io.File(path)
-    val key = f"${f.getAbsolutePath.hashCode}%08x-${f.lastModified}-${f.length}"
+    val key =
+      f"v$CacheFormatVersion-${f.getAbsolutePath.hashCode}%08x-${f.lastModified}-${f.length}"
     val dir = new java.io.File(cacheRoot, key)
     if (!new java.io.File(dir, "_SUCCESS").isFile) {
       val t0 = System.nanoTime()
-      edgesDF(spark, path).write.mode("overwrite").parquet(dir.getPath)
+      // populate via temp-dir + atomic rename: a concurrent reader can
+      // never observe a half-written cache directory
+      val tmp = new java.io.File(cacheRoot,
+        s"$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
+      edgesDF(spark, path).write.mode("overwrite").parquet(tmp.getPath)
+      if (!tmp.renameTo(dir)) {
+        // another JVM won the race (dir now exists) — discard ours
+        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
+        require(new java.io.File(dir, "_SUCCESS").isFile,
+          s"bincode cache populate failed: cannot rename $tmp to $dir")
+      }
       System.err.println(
         f"[bincode] parsed $path in ${(System.nanoTime() - t0) / 1e9}%.2f s -> ${dir.getPath}")
     }
@@ -363,15 +379,18 @@ object PreparedGraphBincode {
     * discipline as [[graft.graph.H3Graph.collectAdjacency]] — a graph over
     * the bound belongs in parquet (P14), not in an interchange record. */
   def writeBincode(edges: DataFrame, path: String,
-      maxEdges: Long = 10_000_000L): Unit = {
-    val sel = edges.select(col("origin"), col("destination"),
-      col("weight").cast("double"))
-    val n = sel.count()
-    require(n <= maxEdges,
-      s"writeBincode collects the edge list to the driver: $n edges exceed " +
-        s"the declared bound $maxEdges — write parquet instead, or raise " +
-        "maxEdges explicitly if the driver heap is sized for it")
-    val rows = sel.collect()
+      maxEdges: Int = 10_000_000): Unit = {
+    require(maxEdges >= 1 && maxEdges < Int.MaxValue, s"bad maxEdges $maxEdges")
+    // bound enforced in the SAME execution as the collect (limit one past
+    // the bound): a separate count() would both double the job and leave a
+    // TOCTOU window on non-deterministic inputs — the second run could
+    // materialize more rows than the one that was counted
+    val rows = edges.select(col("origin"), col("destination"),
+      col("weight").cast("double")).limit(maxEdges + 1).collect()
+    require(rows.length <= maxEdges,
+      s"writeBincode collects the edge list to the driver: more than " +
+        s"$maxEdges edges — write parquet instead, or raise maxEdges " +
+        "explicitly if the driver heap is sized for it")
     require(rows.nonEmpty, "refusing to write an empty graph")
     val res = graft.h3.H3Core.getResolution(rows.head.getLong(0))
     // group per origin (the reference's outgoing_edges map)

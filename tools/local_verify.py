@@ -135,6 +135,13 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
         err = None
         try:
             exp = con.execute(sql).df()
+            # a few oracles carry their own 'SET memory_limit/threads'
+            # statement prefix for the driver's fresh-connection harness
+            # (SparkEntry.OracleMemGuard); on THIS shared connection those
+            # settings would otherwise leak into every later oracle
+            if sql.lstrip().upper().startswith("SET"):
+                con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+                con.execute(f"SET threads={THREADS}")
         except Exception as exc:
             err = exc
             # retry once, single-threaded, on a fresh connection: most
