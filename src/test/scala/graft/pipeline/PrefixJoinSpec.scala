@@ -76,4 +76,64 @@ class PrefixJoinSpec extends AnyFunSuite {
     assert(run(docs, 1, 2).keySet == Set((10L, 11L)))
     assert(run(docs, 51, 100).isEmpty)
   }
+
+  // ---- ngramJaccardPairs (prefix-filtered since round 14): the quantized
+  // double-threshold op must keep EXACTLY the brute-force pair set under
+  // its own float filter, for thresholds ON the e4 lattice, ABOVE it, and
+  // the 576 lattice doubles whose t*1e4 renders as k + 1e-12 (the ceil()
+  // overshoot class that used to drop boundary pairs)
+
+  private def bruteQuantized(docs: Seq[(Long, String)],
+      threshold: Double): Map[(Long, Long), Double] = {
+    val gs = docs.map { case (i, t) => i -> gramSet(t) }.filter(_._2.nonEmpty)
+    (for {
+      (a, ga) <- gs; (b, gb) <- gs if a < b
+      inter = (ga & gb).size
+      uni = ga.size + gb.size - inter
+      // the operator's exact float pipeline: floor(i/u*1e4+0.5)/1e4
+      j = math.floor(inter.toDouble / uni.toDouble * 10000.0 + 0.5) / 10000.0
+      if j >= threshold
+    } yield (a, b) -> j).toMap
+  }
+
+  test("ngramJaccardPairs == brute force under the quantized filter (incl. overshoot thresholds)") {
+    val rnd = new scala.util.Random(43)
+    val base = (0L until 30L).map { i =>
+      i -> (1 to 14).map(_ => "abcd" (rnd.nextInt(4))).mkString
+    }
+    val docs = base ++
+      base.filter(_._1 % 2 == 0).map { case (i, t) => (i + 100) -> (t + "xz") } ++
+      base.filter(_._1 % 7 == 0).map { case (i, t) => (i + 200) -> t }
+    val df = docs.toDF("id", "text").repartition(5)
+    // 0.5016/0.5026: ceil-overshoot class (t*1e4 = 5016.000000000001);
+    // 0.50161: off-lattice; 1.0 and 0.0001: extremes
+    for (threshold <- Seq(0.3, 0.5, 0.5016, 0.5026, 0.50161, 0.9999, 1.0, 0.0001)) {
+      val got = Dedup.ngramJaccardPairs(df, col("id"), col("text"), n = N,
+          threshold = threshold)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = bruteQuantized(docs, threshold)
+      assert(got == want, s"threshold $threshold: got ${got.size}, want ${want.size}")
+    }
+    // the corpus actually exercises sub-1.0 and exact-1.0 hits at mid thresholds
+    assert(bruteQuantized(docs, 0.5).values.exists(_ < 1.0))
+    assert(bruteQuantized(docs, 0.5).values.exists(_ == 1.0))
+  }
+
+  test("ngramJaccardPairs boundary pair survives an off-lattice threshold") {
+    // deterministic boundary fixture: two 9-gram docs sharing exactly 6
+    // grams -> J = 6/12 = 0.5. Threshold 0.4999999999 is OFF the e4
+    // lattice just below 0.5: it rounds to lattice 5000 (candidate bound
+    // 0.4999), and the quantized J (0.5) passes the float filter — the
+    // pair MUST be returned. A ceil-style bound computed from a threshold
+    // rendering as 5000.000...01 would have pruned exactly this shape.
+    val a = "aabbccddeff" // 3-grams: aab,abb,bbc,bcc,ccd,cdd,dde,def,eff
+    val b = "bccddeffxyz" // 3-grams: bcc,ccd,cdd,dde,def,eff,ffx,fxy,xyz
+    val ga = gramSet(a); val gb = gramSet(b)
+    assert(ga.size == 9 && gb.size == 9 && (ga & gb).size == 6) // J = 0.5 exactly
+    val docs = Seq(20L -> a, 21L -> b)
+    val got = Dedup.ngramJaccardPairs(docs.toDF("id", "text"), col("id"),
+        col("text"), n = N, threshold = 0.4999999999)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(2))).toSet
+    assert(got == Set(((20L, 21L), 0.5)))
+  }
 }
