@@ -55,7 +55,8 @@ object SsspScaleProbe {
     // extra per-round plan depth can outweigh saved barriers)
     val (h1, _) = run(60000, hops = 1)
     val (h2, _) = run(60000, hops = 2)
-    println(f"[ssspProbe] 30x hopsPerRound=1: $h1%6.2f s, hopsPerRound=2: $h2%6.2f s (low-diameter expander)")
+    val (h8, _) = run(60000, hops = 8)
+    println(f"[ssspProbe] 30x hopsPerRound=1: $h1%6.2f s, =2: $h2%6.2f s, =8: $h8%6.2f s (low-diameter expander)")
 
     // path-reconstruction variant at the same two scales: the relaxation
     // carries the pred column and the backward walk adds rounds ~ path
