@@ -137,8 +137,9 @@ object Dedup {
     // x >= (k-0.5)/1e4. ceil() here would OVERSHOOT for thresholds whose
     // double renders as t*1e4 = k + 1e-12 (576 of the 10000 e4 lattice
     // doubles), consuming the safety margin and dropping boundary pairs.
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
     val tE4 = math.round(threshold * 10000.0)
-    require(tE4 >= 1 && tE4 <= 10000, s"threshold must be in (0, 1], got $threshold")
     // loose rational bound (tE4-1)/1e4: a full half lattice step (5e-5,
     // >> any double rounding) below the smallest similarity the final
     // filter can keep

@@ -313,9 +313,20 @@ object PreparedGraphBincode {
     * populates, so it stays visible separately. */
   /** Bump when [[read]]/[[edgesDF]] semantics change: the cache key must
     * not serve a pre-fix parse after a parser fix (fixture mtime alone
-    * cannot see code changes). */
+    * cannot see code changes). Keys [[edgesDFCached]]'s directories. */
   private val CacheFormatVersion = 2
 
+  /** [[edgesDF]] through a parquet cache keyed by (format version,
+    * absolute path, mtime, size): the first call parses the sequential
+    * bincode record (driver-side, irreducible) and persists the edge
+    * frame; later calls read splittable parquet. This mirrors the
+    * reference's bench loading the graph ONCE outside the timed loop
+    * (route_germany.rs:57-60) — a routing macro should measure routing,
+    * not file parsing. Parse time is reported on stderr when the cache
+    * populates. Populate goes through a temp dir + atomic rename so a
+    * concurrent reader never sees a half-written directory; a stale
+    * rename target without _SUCCESS (killed mid-populate under a
+    * committer that writes no marker) is deleted and rebuilt. */
   def edgesDFCached(spark: SparkSession, path: String,
       cacheRoot: String = "target/bincode-cache"): DataFrame = {
     val f = new java.io.File(path)
@@ -324,16 +335,23 @@ object PreparedGraphBincode {
     val dir = new java.io.File(cacheRoot, key)
     if (!new java.io.File(dir, "_SUCCESS").isFile) {
       val t0 = System.nanoTime()
-      // populate via temp-dir + atomic rename: a concurrent reader can
-      // never observe a half-written cache directory
       val tmp = new java.io.File(cacheRoot,
         s"$key.tmp-${java.util.UUID.randomUUID().toString.take(8)}")
-      edgesDF(spark, path).write.mode("overwrite").parquet(tmp.getPath)
-      if (!tmp.renameTo(dir)) {
-        // another JVM won the race (dir now exists) — discard ours
-        org.apache.commons.io.FileUtils.deleteQuietly(tmp)
-        require(new java.io.File(dir, "_SUCCESS").isFile,
-          s"bincode cache populate failed: cannot rename $tmp to $dir")
+      try {
+        edgesDF(spark, path).write.mode("overwrite").parquet(tmp.getPath)
+        if (!tmp.renameTo(dir)) {
+          // target exists: either another JVM won the race (has _SUCCESS —
+          // use theirs) or a previous populate died mid-write (no marker —
+          // self-heal by replacing it with ours)
+          if (!new java.io.File(dir, "_SUCCESS").isFile) {
+            org.apache.commons.io.FileUtils.deleteQuietly(dir)
+            require(tmp.renameTo(dir),
+              s"bincode cache populate failed: cannot rename $tmp to $dir")
+          }
+        }
+      } finally {
+        // failed populates (or a lost race) must not leak tmp dirs
+        if (tmp.exists()) org.apache.commons.io.FileUtils.deleteQuietly(tmp)
       }
       System.err.println(
         f"[bincode] parsed $path in ${(System.nanoTime() - t0) / 1e9}%.2f s -> ${dir.getPath}")

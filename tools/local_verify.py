@@ -138,10 +138,12 @@ def main(sf_dir: str, out_dir: str, only=None) -> int:
             # a few oracles carry their own 'SET memory_limit/threads'
             # statement prefix for the driver's fresh-connection harness
             # (SparkEntry.OracleMemGuard); on THIS shared connection those
-            # settings would otherwise leak into every later oracle
-            if sql.lstrip().upper().startswith("SET"):
-                con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
-                con.execute(f"SET threads={THREADS}")
+            # settings would otherwise leak into every later oracle.
+            # Restore unconditionally - sniffing for a SET prefix would
+            # silently miss a future comment/CTE-led variant
+            con.execute(f"SET memory_limit='{MEMORY_LIMIT}'")
+            con.execute(f"SET threads={THREADS}")
+            con.execute("SET temp_directory='/tmp/graft_duckdb_spill'")
         except Exception as exc:
             err = exc
             # retry once, single-threaded, on a fresh connection: most
