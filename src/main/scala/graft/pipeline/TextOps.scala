@@ -840,12 +840,22 @@ object TextOps {
     import spark.implicits._
 
     val byDoc = Window.partitionBy(col("doc_id"))
-    val feats = df.select(id.cast("long").as("doc_id"),
-        label.cast("long").as("y"),
-        explode(classifierFeatures(text)).as("f"))
-      .select(col("doc_id"), col("y"), (md5Long(col("f")) % lit(buckets)).as("b"))
-      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+    // The slim frame is consumed iters+1 times clustered-and-sorted by
+    // doc_id (each iteration's per-doc window sum; the final per-doc
+    // aggregate). Bake that layout in ONCE — one extra slim-frame shuffle
+    // + in-partition sort after the map-side-partial collapse — so every
+    // window downstream is exchange-free AND sort-free; the only
+    // per-iteration shuffle left is the per-bucket gradient groupBy.
+    // CheckpointLayout handles the two ways Spark silently drops the
+    // layout (AQE capture, redundant-alias exprId staleness).
+    val feats = CheckpointLayout.clusteredBy(
+      df.select(id.cast("long").as("doc_id"),
+          label.cast("long").as("y"),
+          explode(classifierFeatures(text)).as("f"))
+        .select(col("doc_id"), col("y"),
+          (md5Long(col("f")) % lit(buckets)).as("b"))
+        .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c")),
+      key = "doc_id")
     val nDocs = feats.select(col("doc_id")).distinct().count()
 
     def pE6(s: Column): Column = {

@@ -262,6 +262,26 @@ class TextScoringSpec extends AnyFunSuite {
     assert(loss < math.log(2.0) - 0.05, s"loss=$loss")
   }
 
+  test("classifierTrain plan: slim-frame layout makes per-doc stages shuffle-free") {
+    // The checkpointed slim frame is repartitioned+sorted by doc_id with
+    // AQE suspended for the capture, so the final per-doc aggregate (and
+    // each iteration's window, same requirement) needs no Exchange: the
+    // whole returned plan's only shuffles are broadcasts. Also pin that
+    // the AQE suspension is restored.
+    val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    val slice = docs.limit(50).select($"doc_id", $"text",
+      when($"lang" === "en", 1L).otherwise(0L).as("y"))
+    val out = TextOps.classifierTrain(slice, $"doc_id", $"text", $"y",
+      buckets = 128L, iters = 2)
+    out.collect() // finalize AQE
+    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+      "classifierTrain must restore spark.sql.adaptive.enabled")
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"expected no shuffle exchange above the doc_id-partitioned checkpoint in:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"), s"unexpected sort shuffle:\n$plan")
+  }
+
   test("classifierTrain: featureless docs score 0.5 and ride through training") {
     val d = Seq((1L, "alpha beta alpha", 1L), (2L, "", 0L),
       (3L, null.asInstanceOf[String], 1L), (4L, "gamma delta", 0L))
