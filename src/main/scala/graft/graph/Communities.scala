@@ -3,6 +3,7 @@ package graft.graph
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.CheckpointLayout
 import graft.util.Barriers
 
 /**
@@ -41,15 +42,41 @@ object Communities {
       iters: Int): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = Triangles.canonicalEdges(edges, src, dst)
-    // adjacency, both directions; checkpointed once, reused every round
-    val adj = Barriers.statSafe(
+    // Dual-regime layout (see CheckpointLayout.ClusterLayoutMinRows):
+    // small graphs keep the fully-adaptive statSafe loop (labels
+    // broadcast per round, adjacency streams). Past the bound, the
+    // adjacency is clustered ONCE by its JOIN side (b, the neighbor
+    // carrying the label lookup) and round labels leave their arg-max
+    // aggregate hash-partitioned by node and KEEP that layout — every
+    // round's adj⋈labels join is then co-partitioned and streams both
+    // sides in place, so the round's only exchanges are the two
+    // map-side-combined aggregates (the celebrity contract in the
+    // scaladoc is untouched: the first shuffle still carries
+    // (node, label) partial counts, never raw neighbor rows).
+    val (adj0, freeAdj0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    var labels = Barriers.statSafe(
-      adj.select(col("a").as("node")).distinct()
-        .select(col("node"), col("node").as("label")))
+    val cluster = adj0.count() > CheckpointLayout.clusterMinRows(edges.sparkSession)
+    val adj =
+      if (!cluster) adj0
+      else {
+        val ac = CheckpointLayout.statSafeClusteredBy(adj0, key = "b")._1
+        ac.count(); freeAdj0()
+        ac
+      }
+    def barrier(df: DataFrame): DataFrame =
+      if (cluster) CheckpointLayout.statSafeKeepingLayout(df)._1
+      else Barriers.statSafe(df)
+    var labels =
+      if (cluster)
+        CheckpointLayout.statSafeClusteredBy(
+            adj.select(col("a").as("node")), key = "node", distinct = true)._1
+          .select(col("node"), col("node").as("label"))
+      else Barriers.statSafe(
+        adj.select(col("a").as("node")).distinct()
+          .select(col("node"), col("node").as("label")))
     for (_ <- 1 to iters) {
-      labels = Barriers.statSafe(
+      labels = barrier(
         adj.join(labels, adj("b") === labels("node"))
           .select(adj("a").as("node"), col("label"))
           .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))

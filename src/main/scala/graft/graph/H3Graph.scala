@@ -496,9 +496,24 @@ object H3Graph {
       checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
     require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     import spark.implicits._
-    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
-      graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-        col("weight").cast("double").as("__ew")))
+    // Dual-regime edge layout (see CheckpointLayout.ClusterLayoutMinRows):
+    // small graphs keep the plain statSafe frame (the frontier broadcasts
+    // into the relax join under AQE, so the edge table streams anyway).
+    // Past the bound the table is re-clustered ONCE by the relax-join key
+    // so every hop's frontier⋈edges join streams it in place — no
+    // per-hop exchange or sort of the big side; the frontier (slim) is
+    // the only thing that moves. Stats stay dropped in both regimes.
+    val (edges, freeEdges) = {
+      val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
+        graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+          col("weight").cast("double").as("__ew")))
+      if (e0.count() <= graft.pipeline.CheckpointLayout.clusterMinRows(spark)) (e0, freeE0)
+      else {
+        val (ec, freeEc) = graft.pipeline.CheckpointLayout.statSafeClusteredBy(e0, key = "__eo")
+        ec.count(); freeE0()
+        (ec, freeEc)
+      }
+    }
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
       .localCheckpoint(false)
@@ -596,9 +611,24 @@ object H3Graph {
       checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
     require(hopsPerRound >= 1, s"hopsPerRound must be >= 1, got $hopsPerRound")
     import spark.implicits._
-    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
-      graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-        col("weight").cast("double").as("__ew")))
+    // Dual-regime edge layout (see CheckpointLayout.ClusterLayoutMinRows):
+    // small graphs keep the plain statSafe frame (the frontier broadcasts
+    // into the relax join under AQE, so the edge table streams anyway).
+    // Past the bound the table is re-clustered ONCE by the relax-join key
+    // so every hop's frontier⋈edges join streams it in place — no
+    // per-hop exchange or sort of the big side; the frontier (slim) is
+    // the only thing that moves. Stats stay dropped in both regimes.
+    val (edges, freeEdges) = {
+      val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
+        graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+          col("weight").cast("double").as("__ew")))
+      if (e0.count() <= graft.pipeline.CheckpointLayout.clusterMinRows(spark)) (e0, freeE0)
+      else {
+        val (ec, freeEc) = graft.pipeline.CheckpointLayout.statSafeClusteredBy(e0, key = "__eo")
+        ec.count(); freeE0()
+        (ec, freeEc)
+      }
+    }
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),
         lit(null).cast("long").as("pred"))

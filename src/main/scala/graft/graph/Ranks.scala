@@ -1,8 +1,10 @@
 package graft.graph
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.pipeline.CheckpointLayout
 import graft.util.Barriers
 
 /**
@@ -48,21 +50,51 @@ object Ranks {
       mkInitTele: Long => (Column, Column)): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
-    val e = edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
-      .distinct()
-    val withDeg = Barriers.statSafe(
-      e.join(e.groupBy(col("src")).agg(count(lit(1)).as("deg")), Seq("src")))
-    val nodes = Barriers.statSafe(
-      e.select(col("src").as("node")).unionAll(e.select(col("dst").as("node")))
+    // Dual-regime layout (the connectedComponents driverEdgeLimit
+    // pattern): below ClusterLayoutMinRows nodes, the rank frame
+    // broadcasts per round under AQE and the edge frame already streams —
+    // the loop stays fully adaptive with plain statSafe barriers. Past
+    // the bound nothing broadcasts and every round would re-shuffle the
+    // edge frame; the frames are then re-laid-out ONCE off their
+    // materialized checkpoints — edges clustered by src (the degree
+    // window rides it exchange-free), nodes by node — and round outputs
+    // keep their hash(node)+sorted layout through the barrier, making
+    // every round's two joins co-partitioned: the ONLY per-round exchange
+    // is the map-side-combined contribution sum. Stats are dropped at
+    // every barrier in both regimes (the statSafe contract).
+    val (e0, freeE0) = Barriers.statSafeFreeable(
+      edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
         .distinct())
-    val (init, tele) = mkInitTele(nodes.count())
-    var ranks = Barriers.statSafe(nodes.select(col("node"), init.as("r")))
+    val (nodes0, freeNodes0) = Barriers.statSafeFreeable(
+      e0.select(col("src").as("node")).unionAll(e0.select(col("dst").as("node")))
+        .distinct())
+    val n = nodes0.count()
+    // empty graph: no nodes to rank (and the teleport would divide by 0)
+    if (n == 0L)
+      return nodes0.select(col("node"), col("node").as("rank_e9"))
+    val cluster = n > CheckpointLayout.clusterMinRows(edges.sparkSession)
+    val (e, nodes) =
+      if (!cluster) (e0, nodes0)
+      else {
+        val ec = CheckpointLayout.statSafeClusteredBy(e0, key = "src")._1
+        val nc = CheckpointLayout.statSafeClusteredBy(nodes0, key = "node")._1
+        // materialize the re-laid-out copies, then free the originals
+        ec.count(); nc.count(); freeE0(); freeNodes0()
+        (ec, nc)
+      }
+    def barrier(df: DataFrame): DataFrame =
+      if (cluster) CheckpointLayout.statSafeKeepingLayout(df)._1
+      else Barriers.statSafe(df)
+    val withDeg = barrier(
+      e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
+    val (init, tele) = mkInitTele(n)
+    var ranks = barrier(nodes.select(col("node"), init.as("r")))
     for (_ <- 1 to iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"(r * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = Barriers.statSafe(
+      ranks = barrier(
         nodes.join(contrib, Seq("node"), "left")
           .select(col("node"), (tele + coalesce(col("s"), lit(0L))).as("r")))
     }

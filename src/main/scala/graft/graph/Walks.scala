@@ -40,17 +40,42 @@ object Walks {
   def walks(edges: DataFrame, src: Column, dst: Column, steps: Int): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val e = Triangles.canonicalEdges(edges, src, dst)
-    val und = Barriers.statSafe(
+    // Dual-regime layout (see CheckpointLayout.ClusterLayoutMinRows):
+    // small graphs keep the fully-adaptive statSafe frames (adj/deg
+    // broadcast into each step). Past the bound, the undirected frame is
+    // clustered by node ONCE — the neighbor-index window and the degree
+    // aggregate then run exchange-free over it, and each step's two
+    // joins (degree lookup, then neighbor pick on the SAME current-node
+    // key) stream the static sides in place, so a step's only exchange
+    // is the walk frame moving to its new key.
+    val (und0, freeUnd0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    val adj = Barriers.statSafe(und.select(col("a"), col("b"),
-      (row_number().over(org.apache.spark.sql.expressions.Window
-        .partitionBy(col("a")).orderBy(col("b"))) - 1).cast("long").as("rn")))
-    val deg = Barriers.statSafe(
-      und.groupBy(col("a")).agg(count(lit(1)).as("deg")))
+    val cluster = und0.count() >
+      graft.pipeline.CheckpointLayout.clusterMinRows(edges.sparkSession)
+    val und =
+      if (!cluster) und0
+      else {
+        val uc = graft.pipeline.CheckpointLayout.statSafeClusteredBy(und0, key = "a")._1
+        uc.count(); freeUnd0()
+        uc
+      }
+    def barrier(df: DataFrame): DataFrame =
+      if (cluster) graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)._1
+      else Barriers.statSafe(df)
+    val adj = barrier(
+      und.select(col("a"), col("b"),
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("a")).orderBy(col("b"))) - 1).cast("long").as("rn")))
+    val deg = barrier(und.groupBy(col("a")).agg(count(lit(1)).as("deg")))
 
-    var w: DataFrame = und.select(col("a").as("walk_id")).distinct()
-      .select(col("walk_id"), col("walk_id").as("s0"))
+    var w: DataFrame =
+      if (cluster)
+        graft.pipeline.CheckpointLayout.statSafeClusteredBy(
+            und.select(col("a").as("walk_id")), key = "walk_id", distinct = true)._1
+          .select(col("walk_id"), col("walk_id").as("s0"))
+      else und.select(col("a").as("walk_id")).distinct()
+        .select(col("walk_id"), col("walk_id").as("s0"))
     for (t <- 1 to steps) {
       val cur = col(s"s${t - 1}")
       val idx = pmod(md5Long(concat(col("walk_id").cast("string"),

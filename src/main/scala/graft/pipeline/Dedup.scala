@@ -521,22 +521,38 @@ object Dedup {
     // at the 30× probe, and an OOM at 100 TB. With the estimate reset,
     // AQE still broadcasts the genuinely-small side (labels) from exact
     // runtime sizes.
-    val (edges, freeEdges) = graft.util.Barriers.statSafeFreeable(
+    val (edges0, freeEdges0) = graft.util.Barriers.statSafeFreeable(
       pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
         .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
         .distinct())
-    val idType = edges.schema("__src").dataType
+    val idType = edges0.schema("__src").dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||
       idType == org.apache.spark.sql.types.IntegerType
     // the count doubles as the edge materialization the loop's first round
     // would otherwise pay (edges is a lazy localCheckpoint)
-    if (integral && driverEdgeLimit > 0 && edges.count() <= driverEdgeLimit) {
+    val edgeCount = edges0.count()
+    if (integral && driverEdgeLimit > 0 && edgeCount <= driverEdgeLimit) {
       // driverComponents collects the edges into a local result frame —
       // nothing downstream reads the checkpoint blocks
-      val out = driverComponents(edges, idType)
-      freeEdges()
+      val out = driverComponents(edges0, idType)
+      freeEdges0()
       return out
     }
+    // Distributed regime. Past ClusterLayoutMinRows the edge frame is
+    // re-laid-out ONCE clustered by __src off its materialized blocks: in
+    // the non-broadcast regime every relax round's edges⋈labels join then
+    // streams the edge frame in place (no per-round exchange OR sort of
+    // the big side) — each round shuffles only the slim label frame.
+    // Between driverEdgeLimit and the cluster bound, labels broadcast
+    // under AQE and the plain frame already streams.
+    val (edges, freeEdges) =
+      if (edgeCount <= CheckpointLayout.clusterMinRows(pairs.sparkSession))
+        (edges0, freeEdges0)
+      else {
+        val (ec, freeEc) = CheckpointLayout.statSafeClusteredBy(edges0, key = "__src")
+        ec.count(); freeEdges0()
+        (ec, freeEc)
+      }
     val (labels0, freeLabels0) = graft.util.Barriers.statSafeFreeable(
       edges.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))
@@ -736,7 +752,13 @@ object Dedup {
       refKey: Column, expectedRefItems: Long = 1000000L,
       fpp: Double = 0.01): DataFrame = {
     val refKeys = refDf.select(refKey.as("__rk"))
+    // the sentinel row keeps the sketch constructible on an EMPTY
+    // reference (Spark's stat.bloomFilter NPEs deserializing the null
+    // aggregation buffer of zero rows); the bloom only PRUNES — any false
+    // positive the sentinel induces is resolved by the exact anti-join
+    // below, so semantics are untouched
     val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
+      .unionByName(refDf.sparkSession.range(1).select(lit(0L).as("__h")))
       .stat.bloomFilter("__h", expectedRefItems, fpp)
     val might = udf((h: Long) => bf.mightContainLong(h))
     val keyed = newDf.withColumn("__maybe", might(xxhash64(newKey)))

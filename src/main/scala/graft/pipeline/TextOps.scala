@@ -492,7 +492,7 @@ object TextOps {
       .localCheckpoint(false)
     // corpus totals are two longs — driver-held by the same bounded-frame
     // contract as the bloom/centroid builders
-    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val totalsRow = vocab.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val denom = (totalsRow.getLong(0) + totalsRow.getLong(1)).toDouble
     val scored = vocab.select(col("__t").as("__tok"),
       floor(log((col("__c") + 1).cast("double") / denom) * 10000.0 + 0.5)
@@ -555,9 +555,9 @@ object TextOps {
       .localCheckpoint(false)
     // both denominators are two longs — driver-held by the same
     // bounded-frame contract as unigramLogProbScore's
-    val cRow = vocabC.agg(sum(col("__c")), count(lit(1))).head()
+    val cRow = vocabC.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val denomC = (cRow.getLong(0) + cRow.getLong(1)).toDouble
-    val tRow = vocabT.agg(sum(col("__c")), count(lit(1))).head()
+    val tRow = vocabT.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val denomT = (tRow.getLong(0) + tRow.getLong(1)).toDouble
     def lpE4(c: Column, denom: Double): Column =
       floor(log((c + 1).cast("double") / denom) * 10000.0 + 0.5).cast("long")
@@ -942,7 +942,7 @@ object TextOps {
     // first-token scores): one materialization
     val vocab = uni.groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)
-    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val totalsRow = vocab.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val T = totalsRow.getLong(0)
     val V = totalsRow.getLong(1)
     val uniDenom = (T + V).toDouble
@@ -1002,7 +1002,7 @@ object TextOps {
     val vocab = cbase.select(explode(col("__tk")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)
-    val totalsRow = vocab.agg(sum(col("__c")), count(lit(1))).head()
+    val totalsRow = vocab.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val T = totalsRow.getLong(0)
     val V = totalsRow.getLong(1)
     val uniDenom = (T + V).toDouble

@@ -42,6 +42,54 @@ class RanksSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("loop layout: one shuffle per extra iteration in the non-broadcast regime") {
+    // The clustered-edge + keep-layout-round design: withDeg (hash src,
+    // sorted) and nodes (hash node, sorted) stream in place through every
+    // round's joins even when nothing broadcasts, so each additional
+    // iteration adds exactly ONE shuffle stage — the per-node contribution
+    // sum. Measured as marginal completed-stage count between iteration
+    // budgets (threshold -1 forces the non-broadcast regime the 100 TB
+    // cluster lives in; the old unclustered loop paid ~4-5 exchanges per
+    // round here).
+    val thresholdWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
+        stages.incrementAndGet(); ()
+      }
+    }
+    def measured(iters: Int): Int = {
+      stages.set(0)
+      Ranks.pageRank(edges.toDF("s", "d").repartition(5), $"s", $"d", iters).collect()
+      Thread.sleep(1500) // listener bus is async; drain before reading
+      stages.get()
+    }
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("graft.layout.clusterMinRows", "0") // force the clustered regime
+      spark.sparkContext.addSparkListener(listener)
+      val s2 = measured(2)
+      val s6 = measured(6)
+      val marginalPerIter = (s6 - s2) / 4.0
+      assert(marginalPerIter <= 2.0,
+        s"expected ~1 shuffle stage per extra iteration, got $marginalPerIter (s2=$s2 s6=$s6)")
+      // and the clustered regime's values are identical to the default
+      // (broadcast, unclustered) regime's
+      val clusteredRun = Ranks.pageRank(edges.toDF("s", "d"), $"s", $"d", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      spark.conf.unset("graft.layout.clusterMinRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdWas)
+      val broadcastRun = Ranks.pageRank(edges.toDF("s", "d"), $"s", $"d", 3)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clusteredRun == broadcastRun && broadcastRun == refPageRank(edges, 3))
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      spark.conf.unset("graft.layout.clusterMinRows")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdWas)
+    }
+  }
+
   test("ranking laws: hub dominates; lattice mass bounded; partition-invariant") {
     val a = Ranks.pageRank(edges.toDF("s", "d").repartition(1), $"s", $"d", 3)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap

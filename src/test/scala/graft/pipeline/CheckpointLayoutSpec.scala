@@ -71,11 +71,85 @@ class CheckpointLayoutSpec extends AnyFunSuite {
     // leaf boundary) and satisfy a downstream clustering for free.
     val df = spark.range(200)
       .select(col("id").cast("long").as("k"), (col("id") % 7).as("v"))
-    val ck = CheckpointLayout.stableBoundaryCheckpoint(df, "k")
+    val ck = CheckpointLayout.stableBoundaryCheckpoint(df,
+      d => d.repartition(col("k")).sortWithinPartitions(col("k")))
     val (partOk, sortOk) = capturedLayout(ck)
     assert(partOk && sortOk, s"layout not captured: part=$partOk sort=$sortOk")
     shuffleFree(ck)
     assert(ck.count() == 200)
+  }
+
+  test("statSafeClusteredBy: layout survives the stats drop and feeds a join exchange-free") {
+    // The iterative-loop contract: the static big frame is shuffled+sorted
+    // ONCE at build; every round's equi-join against a slim evolving frame
+    // must then need no exchange and no sort on the big side, even in the
+    // non-broadcast regime (threshold disabled to force SMJ/SHJ).
+    val big = spark.range(2000)
+      .select((col("id") % 97).as("k"), (col("id") * 3).as("v"))
+    val (ck, free) = CheckpointLayout.statSafeClusteredBy(big, "k")
+    // stats dropped: the leaf must report the huge default, not the origin
+    // estimate — so the static planner can never broadcast-build this side
+    val leafStats = ck.queryExecution.optimizedPlan.collectFirst {
+      case l: LogicalRDD => l.stats.sizeInBytes
+    }
+    assert(leafStats.exists(_ >= BigInt(spark.sessionState.conf.defaultSizeInBytes)),
+      s"origin stats not dropped: $leafStats")
+    val (partOk, sortOk) = capturedLayout(ck)
+    assert(partOk && sortOk, s"layout lost in stats drop: part=$partOk sort=$sortOk")
+
+    val thresholdWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val slim = spark.range(97).select(col("id").as("k2"), lit(1L).as("w"))
+      val joined = ck.join(slim, ck("k") === slim("k2"))
+        .groupBy(col("k")).agg(sum(col("v") * col("w")).as("s"))
+      joined.collect()
+      val fin = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      // exactly ONE shuffle: the slim side; the big side streams in place
+      val shuffles = fin.linesIterator.count(_.contains("Exchange hashpartitioning"))
+      assert(shuffles == 1, s"expected only the slim side to exchange, got $shuffles in:\n$fin")
+      // and the big side is not re-sorted: at most one Sort (slim side's SMJ sort)
+      val sorts = fin.linesIterator.count(l => l.trim.matches("^[+:|\\-\\s*()0-9]*Sort \\[.*"))
+      assert(sorts <= 1, s"big side re-sorted:\n$fin")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thresholdWas)
+
+    assert(ck.count() == 2000)
+    free() // after materialization: must not throw
+  }
+
+  test("clustered regime is value-identical to the default regime across the loops") {
+    // Every dual-regime loop (CC, LPA, walks, SSSP) must return the exact
+    // same rows whether its static frames are clustered or not — the
+    // layout is a physical property only. Forced via the session conf the
+    // loops read their bound from.
+    val rnd = new scala.util.Random(7)
+    val es = (0 until 150).map { _ =>
+      (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong)
+    }.filter(p => p._1 != p._2).distinct
+    val pairDf = es.toDF("id_a", "id_b")
+    val graphDf = es.toDF("origin", "destination")
+      .withColumn("weight", (pmod(col("origin") * 31 + col("destination"), lit(7)) + 1).cast("double"))
+    def runAll(): Seq[Set[String]] = {
+      val cc = Dedup.connectedComponents(pairDf, driverEdgeLimit = 0)
+        .collect().map(_.toString).toSet
+      val lpa = graft.graph.Communities.labelPropagation(pairDf, $"id_a", $"id_b", 3)
+        .collect().map(_.toString).toSet
+      val wk = graft.graph.Walks.walks(pairDf, $"id_a", $"id_b", 3)
+        .collect().map(_.toString).toSet
+      val ss = graft.graph.H3Graph.shortestPathsIterative(spark, graphDf,
+        origins = Seq(es.head._1), destinations = es.map(_._2).distinct.take(5))
+        .collect().map(_.toString).toSet
+      Seq(cc, lpa, wk, ss)
+    }
+    val default = runAll()
+    try {
+      spark.conf.set("graft.layout.clusterMinRows", "0")
+      val clustered = runAll()
+      default.zip(clustered).zipWithIndex.foreach { case ((d, c), i) =>
+        assert(d == c, s"loop $i differs between regimes")
+      }
+    } finally spark.conf.unset("graft.layout.clusterMinRows")
   }
 
   test("restores spark.sql.adaptive.enabled and keeps rows intact") {

@@ -1,0 +1,124 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.expr.SparkTestSession
+
+/** Degenerate-shape robustness sweep over the public pipeline API: every
+  * operator must accept an EMPTY input frame (and an all-NULL-text one)
+  * and return an empty (resp. well-formed) result instead of dying in a
+  * driver-side `head()`/division ("empty in, empty out"). These shapes
+  * are not corner-case decoration: a 100 TB pipeline routinely produces
+  * empty partitions-of-work (a filter that matched nothing, a day with
+  * no crawl, a language with no documents) and feeds them onward.
+  */
+class EdgeShapeSpec extends AnyFunSuite {
+  lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private lazy val emptyDocs =
+    Seq.empty[(Long, String, String)].toDF("doc_id", "text", "lang")
+  private lazy val nullDocs =
+    Seq((1L, null.asInstanceOf[String], "en"), (2L, null.asInstanceOf[String], "de"))
+      .toDF("doc_id", "text", "lang")
+  private lazy val emptyEdges = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+  private lazy val emptyVecs =
+    Seq.empty[(Long, Array[Double])].toDF("id", "v")
+  private lazy val emptyGraph =
+    Seq.empty[(Long, Long, Double)].toDF("origin", "destination", "weight")
+
+  private def emptyOut(name: String)(f: => DataFrame): Unit =
+    test(s"empty in, empty out: $name") {
+      val out = f
+      assert(out.count() == 0L, s"$name returned rows for empty input")
+      assert(out.columns.nonEmpty)
+    }
+
+  // ---- text analysis ----
+  emptyOut("charEntropyE4")(TextOps.charEntropyE4(emptyDocs, $"doc_id", $"text"))
+  emptyOut("chunkText")(TextOps.chunkText(emptyDocs, $"doc_id", $"text", size = 64, overlap = 8))
+  emptyOut("repetitionStats")(TextOps.repetitionStats(emptyDocs, $"doc_id", $"text"))
+  emptyOut("redactPii")(TextOps.redactPii(emptyDocs, $"doc_id", $"text"))
+  emptyOut("gopherFilter")(TextOps.gopherFilter(emptyDocs, $"doc_id", $"text"))
+  emptyOut("lineDedup")(TextOps.lineDedup(emptyDocs, $"doc_id", $"text"))
+  emptyOut("corpusReport")(TextOps.corpusReport(emptyDocs, $"doc_id", $"text", $"lang"))
+  emptyOut("unigramLogProbScore")(TextOps.unigramLogProbScore(emptyDocs, $"doc_id", $"text"))
+  emptyOut("bigramLogProbScore")(TextOps.bigramLogProbScore(emptyDocs, $"doc_id", $"text"))
+  emptyOut("bigramLmScoreAgainst")(TextOps.bigramLmScoreAgainst(
+    emptyDocs, $"doc_id", $"text", emptyDocs, $"text"))
+  emptyOut("classifierScore")(TextOps.classifierScore(emptyDocs, $"doc_id", $"text"))
+  emptyOut("classifierTrain")(TextOps.classifierTrain(
+    emptyDocs, $"doc_id", $"text", lit(0L)))
+  emptyOut("importanceResample")(TextOps.importanceResample(
+    emptyDocs, $"doc_id", $"text", emptyDocs, $"text", k = 5))
+  emptyOut("topTerms")(TextOps.topTerms(emptyDocs, $"doc_id", $"text", k = 3))
+
+  // ---- dedup family ----
+  emptyOut("exactDedup")(Dedup.exactDedup(
+    emptyDocs.withColumn("fp", TextOps.fingerprint($"text")), $"fp", $"doc_id"))
+  emptyOut("minHashSignatures")(Dedup.minHashSignatures(emptyDocs, $"doc_id", $"text", k = 8))
+  emptyOut("lshCandidatePairs")(Dedup.lshCandidatePairs(emptyDocs, $"doc_id", $"text"))
+  emptyOut("ngramJaccardPairs")(Dedup.ngramJaccardPairs(
+    emptyDocs, $"doc_id", $"text", n = 2, threshold = 0.5))
+  emptyOut("nearDedup")(Dedup.nearDedup(emptyDocs, $"doc_id", $"text"))
+  emptyOut("simHash")(Dedup.simHash(emptyDocs, $"doc_id", $"text"))
+  emptyOut("embeddingNearDupPairs")(Dedup.embeddingNearDupPairs(
+    emptyVecs, $"id", $"v", threshold = 0.9))
+  emptyOut("connectedComponents")(Dedup.connectedComponents(emptyEdges))
+  emptyOut("connectedComponents distributed")(
+    Dedup.connectedComponents(emptyEdges, driverEdgeLimit = 0))
+  emptyOut("incrementalDedup")(Dedup.incrementalDedup(
+    emptyDocs, emptyDocs, TextOps.fingerprint($"text"), TextOps.fingerprint($"text")))
+  emptyOut("substringDedup")(Dedup.substringDedup(emptyDocs, $"doc_id", $"text"))
+
+  // ---- similarity / ANN ----
+  emptyOut("ivfCentroids")(Similarity.ivfCentroids(emptyVecs, $"id", $"v", m = 4))
+  emptyOut("kMeansCentroids")(Similarity.kMeansCentroids(emptyVecs, $"id", $"v", m = 4, iters = 2))
+  emptyOut("cosineTopK")(Similarity.cosineTopK(
+    emptyVecs, $"id", $"v", emptyVecs, $"id", $"v", k = 3))
+
+  // ---- graph features ----
+  emptyOut("pageRank")(graft.graph.Ranks.pageRank(emptyEdges, $"id_a", $"id_b", iters = 3))
+  emptyOut("personalizedPageRank")(graft.graph.Ranks.personalizedPageRank(
+    emptyEdges, $"id_a", $"id_b", seeds = Seq(1L), iters = 3))
+  emptyOut("labelPropagation")(graft.graph.Communities.labelPropagation(
+    emptyEdges, $"id_a", $"id_b", iters = 3))
+  emptyOut("walks")(graft.graph.Walks.walks(emptyEdges, $"id_a", $"id_b", steps = 3))
+  emptyOut("kCore")(graft.graph.Cores.kCore(emptyEdges, $"id_a", $"id_b", k = 2, rounds = 3))
+  emptyOut("triangles")(graft.graph.Triangles.nodeTriangles(emptyEdges, $"id_a", $"id_b"))
+  emptyOut("shortestPathsIterative")(graft.graph.H3Graph.shortestPathsIterative(
+    spark, emptyGraph, origins = Seq(1L), destinations = Seq(2L)))
+
+  // ---- mixing / packing ----
+  emptyOut("mixSample")(Mixing.mixSample(
+    emptyDocs, $"doc_id", $"lang", Map("en" -> 1.0), salt = "s"))
+  emptyOut("sourceCap")(Mixing.sourceCap(emptyDocs, $"doc_id", $"lang", cap = 3))
+  emptyOut("tokenBudgetSelect")(Mixing.tokenBudgetSelect(
+    emptyDocs.withColumn("score", lit(1.0)).withColumn("n_tok", lit(1L)),
+    $"doc_id", $"score", $"n_tok", budget = 100L))
+  emptyOut("tokenBudgetSelectPerStratum")(Mixing.tokenBudgetSelectPerStratum(
+    emptyDocs.withColumn("score", lit(1.0)).withColumn("n_tok", lit(1L)),
+    $"doc_id", $"score", $"n_tok", $"lang", Map("en" -> 100L)))
+  emptyOut("packSequences")(Packing.packSequences(
+    emptyDocs.withColumn("n_tok", lit(1L)), $"doc_id", $"n_tok", budget = 128L))
+
+  // ---- all-NULL text flows through without fabricating content ----
+  test("all-NULL text: scorers emit no token rows; per-doc ops keep the docs") {
+    assert(TextOps.unigramLogProbScore(nullDocs, $"doc_id", $"text").count() == 0)
+    assert(TextOps.bigramLogProbScore(nullDocs, $"doc_id", $"text").count() == 0)
+    assert(TextOps.charEntropyE4(nullDocs, $"doc_id", $"text").count() == 0)
+    val scored = TextOps.classifierScore(nullDocs, $"doc_id", $"text")
+      .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+    assert(scored == Map(1L -> 0.5, 2L -> 0.5)) // featureless => neutral
+    val trained = TextOps.classifierTrain(nullDocs, $"doc_id", $"text",
+      when($"lang" === "en", 1L).otherwise(0L))
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(trained == Map(1L -> 0.5, 2L -> 0.5))
+    // nearDedup returns SURVIVORS: null-text docs have no signatures, are
+    // duplicates of nothing, and both ride through
+    assert(Dedup.nearDedup(nullDocs, $"doc_id", $"text").count() == 2)
+    // simHash of null text is null and DROPS (explode-form semantics)
+    assert(Dedup.simHash(nullDocs, $"doc_id", $"text").count() == 0)
+  }
+}
