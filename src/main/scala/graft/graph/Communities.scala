@@ -39,7 +39,7 @@ object Communities {
    * so every label is some member's id.
    */
   def labelPropagation(edges: DataFrame, src: Column, dst: Column,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     val e = Triangles.canonicalEdges(edges, src, dst)
     // Dual-regime layout (see CheckpointLayout.ClusterLayoutMinRows):
@@ -64,26 +64,34 @@ object Communities {
         ac.count(); freeAdj0()
         ac
       }
-    def barrier(df: DataFrame): DataFrame =
-      if (cluster) CheckpointLayout.statSafeKeepingLayout(df)._1
-      else Barriers.statSafe(df)
+    // clustered regime: rounds are EAGER with the superseded generation's
+    // blocks freed each round, and a reliable checkpoint every
+    // ReliableEvery-th round for executor-loss durability — the CC
+    // discipline. Small regime keeps the lazy adaptive chain.
+    var freeLabels: () => Unit = () => ()
     var labels =
-      if (cluster)
-        CheckpointLayout.statSafeClusteredBy(
-            adj.select(col("a").as("node")), key = "node", distinct = true)._1
-          .select(col("node"), col("node").as("label"))
-      else Barriers.statSafe(
+      if (cluster) {
+        val (l0, free0) = CheckpointLayout.statSafeClusteredBy(
+          adj.select(col("a").as("node")), key = "node", distinct = true)
+        freeLabels = free0
+        l0.select(col("node"), col("node").as("label"))
+      } else Barriers.statSafe(
         adj.select(col("a").as("node")).distinct()
           .select(col("node"), col("node").as("label")))
-    for (_ <- 1 to iters) {
-      labels = barrier(
-        adj.join(labels, adj("b") === labels("node"))
-          .select(adj("a").as("node"), col("label"))
-          .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-          // arg-max by (count desc, label asc) == max of (c, -label)
-          .groupBy(col("node"))
-          .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
-          .select(col("node"), (-col("m.nl")).as("label")))
+    for (round <- 0 until iters) {
+      val next = adj.join(labels, adj("b") === labels("node"))
+        .select(adj("a").as("node"), col("label"))
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+        // arg-max by (count desc, label asc) == max of (c, -label)
+        .groupBy(col("node"))
+        .agg(max(struct(col("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+      if (cluster) {
+        val (nl, free) = CheckpointLayout.roundBarrierKeepingLayout(next, round, checkpointDir)
+        freeLabels() // nl is eager: the generation it superseded is dead
+        freeLabels = free
+        labels = nl
+      } else labels = Barriers.statSafe(next)
     }
     labels
   }

@@ -31,10 +31,13 @@ import graft.util.Barriers
  */
 object Ranks {
 
-  /** Returns `(node, rank_e9)` for every node appearing as src or dst. */
+  /** Returns `(node, rank_e9)` for every node appearing as src or dst.
+    * `checkpointDir` (clustered regime only): reliable-checkpoint cadence
+    * for executor-loss durability, as in connectedComponents. */
   def pageRank(edges: DataFrame, src: Column, dst: Column, iters: Int,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame =
-    rankLoop(edges, src, dst, iters, dampNum, dampDen) { n =>
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointDir: Option[String] = None): DataFrame =
+    rankLoop(edges, src, dst, iters, dampNum, dampDen, checkpointDir) { n =>
       (lit(1000000000L / n), lit(((dampDen - dampNum) * 1000000000L) / (dampDen * n)))
     }
 
@@ -46,7 +49,7 @@ object Ranks {
     * count and returns the (initial rank, per-node teleport)
     * expressions — the ONLY place the two ranks differ. */
   private def rankLoop(edges: DataFrame, src: Column, dst: Column, iters: Int,
-      dampNum: Long, dampDen: Long)(
+      dampNum: Long, dampDen: Long, checkpointDir: Option[String] = None)(
       mkInitTele: Long => (Column, Column)): DataFrame = {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(dampNum > 0 && dampNum < dampDen, s"need 0 < dampNum < dampDen")
@@ -82,21 +85,38 @@ object Ranks {
         ec.count(); nc.count(); freeE0(); freeNodes0()
         (ec, nc)
       }
-    def barrier(df: DataFrame): DataFrame =
-      if (cluster) CheckpointLayout.statSafeKeepingLayout(df)._1
-      else Barriers.statSafe(df)
-    val withDeg = barrier(
-      e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
+    val withDeg =
+      if (cluster) CheckpointLayout.statSafeKeepingLayout(
+        e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))._1
+      else Barriers.statSafe(
+        e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
     val (init, tele) = mkInitTele(n)
-    var ranks = barrier(nodes.select(col("node"), init.as("r")))
-    for (_ <- 1 to iters) {
+    // clustered regime: rounds are EAGER with the superseded generation's
+    // blocks freed each round (a lazy chain pins every generation for the
+    // session) and a reliable checkpoint every ReliableEvery-th round for
+    // executor-loss durability — the CC discipline. Small regime keeps
+    // the lazy adaptive chain (one job, broadcasts per round).
+    var freeRanks: () => Unit = () => ()
+    var ranks =
+      if (cluster) {
+        val (r0, free0) = CheckpointLayout.statSafeKeepingLayout(
+          nodes.select(col("node"), init.as("r")))
+        freeRanks = free0
+        r0
+      } else Barriers.statSafe(nodes.select(col("node"), init.as("r")))
+    for (round <- 0 until iters) {
       val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"(r * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      ranks = barrier(
-        nodes.join(contrib, Seq("node"), "left")
-          .select(col("node"), (tele + coalesce(col("s"), lit(0L))).as("r")))
+      val next = nodes.join(contrib, Seq("node"), "left")
+        .select(col("node"), (tele + coalesce(col("s"), lit(0L))).as("r"))
+      if (cluster) {
+        val (nr, free) = CheckpointLayout.roundBarrierKeepingLayout(next, round, checkpointDir)
+        freeRanks() // nr is eager: the generation it superseded is dead
+        freeRanks = free
+        ranks = nr
+      } else ranks = Barriers.statSafe(next)
     }
     ranks.select(col("node"), col("r").as("rank_e9"))
   }

@@ -183,6 +183,41 @@ object CheckpointLayout {
     (org.apache.spark.sql.graft.shims.dropOriginStats(out), freeThunk(ck))
   }
 
+  /** EAGER layout-keeping round barrier for the clustered regime of an
+    * iterative loop — [[statSafeKeepingLayout]] plus the
+    * `Barriers.roundBarrier` durability contract: every
+    * `Barriers.ReliableEvery`-th round writes a reliable checkpoint that
+    * survives executor loss (a localCheckpoint-only chain cannot
+    * recompute lost blocks — the CC lesson applied to rank/LPA), other
+    * rounds stay on cheap local blocks. Eager so the PREVIOUS
+    * generation's blocks can be freed as soon as this returns (a lazy
+    * chain pins every generation for the session); returns the frame
+    * plus that unpersist thunk (no-op effect on reliable rounds — their
+    * data lives in files).
+    */
+  def roundBarrierKeepingLayout(df: DataFrame, round: Int,
+      checkpointDir: Option[String]): (DataFrame, () => Unit) = {
+    val spark = df.sparkSession
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeWas = spark.conf.get(aqeKey, "true")
+    val names = df.columns.toSeq
+    def tag(n: String) = "__ckl_" + n
+    val tagged = df.select(names.map(n => col(n).as(tag(n))): _*)
+    val ck =
+      try {
+        spark.conf.set(aqeKey, "false")
+        checkpointDir match {
+          case Some(dir) if round % graft.util.Barriers.ReliableEvery ==
+              graft.util.Barriers.ReliableEvery - 1 =>
+            graft.util.Barriers.ensureCheckpointDir(spark.sparkContext, dir)
+            tagged.checkpoint(true)
+          case _ => tagged.localCheckpoint(true)
+        }
+      } finally spark.conf.set(aqeKey, aqeWas)
+    val out = ck.select(names.map(n => col(tag(n)).as(n)): _*)
+    (org.apache.spark.sql.graft.shims.dropOriginStats(out), freeThunk(ck))
+  }
+
   /** The double-materialization fallback: an inner lazy checkpoint whose
     * LogicalRDD leaf gives the outer clustering shape (`shape`: the
     * repartition+optional dedup+sort) a subtree with no aliases to

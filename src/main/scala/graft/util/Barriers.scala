@@ -25,7 +25,7 @@ object Barriers {
     * session installed — a later caller's explicit `checkpointDir` was
     * ignored. `getCheckpointDir` returns the installed path plus a random
     * UUID child, hence the containment test. */
-  private def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit = {
+  private[graft] def ensureCheckpointDir(sc: org.apache.spark.SparkContext, dir: String): Unit = {
     // the installed dir is `setCheckpointDir`'s argument plus a random
     // UUID child, so compare the PARENT of the current dir — a bare
     // prefix test would false-positive on siblings sharing a string

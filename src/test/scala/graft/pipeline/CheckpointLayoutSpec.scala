@@ -152,6 +152,32 @@ class CheckpointLayoutSpec extends AnyFunSuite {
     } finally spark.conf.unset("graft.layout.clusterMinRows")
   }
 
+  test("clustered eager rounds with a reliable checkpoint cadence stay value-exact") {
+    // iters=6 crosses the ReliableEvery boundary (round 4 writes a
+    // reliable checkpoint); values must match the default-regime run and
+    // the lattice reference exactly, and the checkpoint dir must be used.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckl-rel").toString
+    val rnd = new scala.util.Random(11)
+    val es = (0 until 200).map(_ => (rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(p => p._1 != p._2).distinct
+    val df = es.toDF("s", "d")
+    val default = graft.graph.Ranks.pageRank(df, $"s", $"d", iters = 6)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    try {
+      spark.conf.set("graft.layout.clusterMinRows", "0")
+      val clustered = graft.graph.Ranks.pageRank(df, $"s", $"d", iters = 6,
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(clustered == default)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "reliable checkpoint round wrote nothing")
+      val lpa = graft.graph.Communities.labelPropagation(df, $"s", $"d",
+        iters = 6, checkpointDir = Some(dir))
+      assert(lpa.count() > 0)
+    } finally spark.conf.unset("graft.layout.clusterMinRows")
+  }
+
   test("restores spark.sql.adaptive.enabled and keeps rows intact") {
     val key = "spark.sql.adaptive.enabled"
     val before = spark.conf.get(key, "true")
