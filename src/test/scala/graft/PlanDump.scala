@@ -17,7 +17,8 @@ object PlanDump {
     "p65_perplexity_buckets", "p66_token_budget", "p67_lang_token_budget",
     "p68_corpus_diff", "p69_ccnet_pipeline", "p70_classifier_score",
     "p71_bigram_lm", "p72_bigram_lm_cross",
-    "p73_asof_join", "p74_funnel", "p78_funnel_steps", "h3_30_spiral_window",
+    "p73_asof_join", "p74_funnel", "p77_classifier_train",
+    "p78_funnel_steps", "h3_30_spiral_window",
     "p76_hopping_stats", "p79_kmv_vocab",
     "p80_ann_pq", "p82_rolling_stats", "p83_event_features",
     "p86_crawl_pipeline", "p88_pagerank",
@@ -115,6 +116,13 @@ Audited shapes pinned here against regression:
   Exchange anywhere above the scan except the final output sort; the
   hashing-trick weight formula keeps inference a pure projection (the
   whole point at 100 TB: one pass, zero shuffle, no weight table).
+- p77 (classifier TRAIN): the returned plan's only shuffles are
+  broadcasts — the slim (doc_id, y, bucket, count) frame is checkpointed
+  hash-partitioned+sorted by doc_id (CheckpointLayout), so the final
+  per-doc aggregate (and each GD iteration's window, same requirement)
+  runs over `Scan ExistingRDD` with NO Exchange and NO Sort; the weight
+  table rides in as a LocalTableScan broadcast (4096-bucket bounded
+  driver-held frame).
 - p71/p72 (bigram LM): the gram-count aggregates show partial_count
   before their Exchange; context and right-unigram tables hang off the
   AGGREGATED gram/vocab frames (rowCount ≈ distinct grams, not token
