@@ -56,14 +56,13 @@ object Communities {
     val (adj0, freeAdj0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    val cluster = adj0.count() > CheckpointLayout.clusterMinRows(edges.sparkSession)
-    val adj =
-      if (!cluster) adj0
-      else {
-        val ac = CheckpointLayout.statSafeClusteredBy(adj0, key = "b")._1
-        ac.count(); freeAdj0()
-        ac
-      }
+    // gate on the SLIM side (one label row per node), not the adjacency —
+    // adjacency rows are 2x edges and over-trigger the clustered regime
+    // on dense graphs whose label frame still broadcasts fine; this count
+    // also materializes adj0, which round 1 needs anyway
+    val nNodes = adj0.select(col("a")).distinct().count()
+    val (adj, freeAdj, cluster) = CheckpointLayout.statSafeReclusterIfOver(
+      adj0, freeAdj0, measured = nNodes, key = "b")
     // clustered regime: rounds are EAGER with the superseded generation's
     // blocks freed each round, and a reliable checkpoint every
     // ReliableEvery-th round for executor-loss durability — the CC
@@ -93,6 +92,10 @@ object Communities {
         labels = nl
       } else labels = Barriers.statSafe(next)
     }
+    // clustered regime: the final labels generation is its own eager
+    // checkpoint, so the adjacency's blocks are dead now (the small
+    // regime's lazy chain still reads adj — nothing to free there)
+    if (cluster) freeAdj()
     labels
   }
 

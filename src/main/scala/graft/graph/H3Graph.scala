@@ -507,12 +507,11 @@ object H3Graph {
       val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
         graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
           col("weight").cast("double").as("__ew")))
-      if (e0.count() <= graft.pipeline.CheckpointLayout.clusterMinRows(spark)) (e0, freeE0)
-      else {
-        val (ec, freeEc) = graft.pipeline.CheckpointLayout.statSafeClusteredBy(e0, key = "__eo")
-        ec.count(); freeE0()
-        (ec, freeEc)
-      }
+      // the frontier's size is unknowable upfront, so the edge-frame row
+      // count gates the regime as a proxy (see ClusterLayoutMinRows)
+      val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+        e0, freeE0, measured = e0.count(), key = "__eo")
+      (ec, freeEc)
     }
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
@@ -622,12 +621,11 @@ object H3Graph {
       val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
         graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
           col("weight").cast("double").as("__ew")))
-      if (e0.count() <= graft.pipeline.CheckpointLayout.clusterMinRows(spark)) (e0, freeE0)
-      else {
-        val (ec, freeEc) = graft.pipeline.CheckpointLayout.statSafeClusteredBy(e0, key = "__eo")
-        ec.count(); freeE0()
-        (ec, freeEc)
-      }
+      // the frontier's size is unknowable upfront, so the edge-frame row
+      // count gates the regime as a proxy (see ClusterLayoutMinRows)
+      val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+        e0, freeE0, measured = e0.count(), key = "__eo")
+      (ec, freeEc)
     }
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),

@@ -75,21 +75,15 @@ object Ranks {
     // empty graph: no nodes to rank (and the teleport would divide by 0)
     if (n == 0L)
       return nodes0.select(col("node"), col("node").as("rank_e9"))
-    val cluster = n > CheckpointLayout.clusterMinRows(edges.sparkSession)
-    val (e, nodes) =
-      if (!cluster) (e0, nodes0)
-      else {
-        val ec = CheckpointLayout.statSafeClusteredBy(e0, key = "src")._1
-        val nc = CheckpointLayout.statSafeClusteredBy(nodes0, key = "node")._1
-        // materialize the re-laid-out copies, then free the originals
-        ec.count(); nc.count(); freeE0(); freeNodes0()
-        (ec, nc)
-      }
-    val withDeg =
-      if (cluster) CheckpointLayout.statSafeKeepingLayout(
-        e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))._1
-      else Barriers.statSafe(
-        e.withColumn("deg", count(lit(1)).over(Window.partitionBy(col("src")))))
+    val (e, freeE, cluster) = CheckpointLayout.statSafeReclusterIfOver(
+      e0, freeE0, measured = n, key = "src")
+    val (nodes, freeNodes, _) = CheckpointLayout.statSafeReclusterIfOver(
+      nodes0, freeNodes0, measured = n, key = "node")
+    val degFrame = e.withColumn("deg",
+      count(lit(1)).over(Window.partitionBy(col("src"))))
+    val (withDeg, freeWithDeg) =
+      if (cluster) CheckpointLayout.statSafeKeepingLayout(degFrame)
+      else (Barriers.statSafe(degFrame), () => ())
     val (init, tele) = mkInitTele(n)
     // clustered regime: rounds are EAGER with the superseded generation's
     // blocks freed each round (a lazy chain pins every generation for the
@@ -117,6 +111,12 @@ object Ranks {
         freeRanks = free
         ranks = nr
       } else ranks = Barriers.statSafe(next)
+    }
+    if (cluster) {
+      // the final ranks generation is its own eager checkpoint: the static
+      // frames are dead and their blocks can be released now (the small
+      // regime's lazy chain still reads them — nothing to free there)
+      freeE(); freeNodes(); freeWithDeg()
     }
     ranks.select(col("node"), col("r").as("rank_e9"))
   }

@@ -51,15 +51,13 @@ object Walks {
     val (und0, freeUnd0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    val cluster = und0.count() >
-      graft.pipeline.CheckpointLayout.clusterMinRows(edges.sparkSession)
-    val und =
-      if (!cluster) und0
-      else {
-        val uc = graft.pipeline.CheckpointLayout.statSafeClusteredBy(und0, key = "a")._1
-        uc.count(); freeUnd0()
-        uc
-      }
+    // gate on the SLIM side (one walk row per node), not the adjacency —
+    // adjacency rows are 2x edges and over-trigger the clustered regime
+    // on dense graphs; this count also materializes und0, which the
+    // degree/adjacency builds need anyway
+    val nNodes = und0.select(col("a")).distinct().count()
+    val (und, _, cluster) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+      und0, freeUnd0, measured = nNodes, key = "a")
     def barrier(df: DataFrame): DataFrame =
       if (cluster) graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)._1
       else Barriers.statSafe(df)

@@ -545,14 +545,12 @@ object Dedup {
     // the big side) — each round shuffles only the slim label frame.
     // Between driverEdgeLimit and the cluster bound, labels broadcast
     // under AQE and the plain frame already streams.
-    val (edges, freeEdges) =
-      if (edgeCount <= CheckpointLayout.clusterMinRows(pairs.sparkSession))
-        (edges0, freeEdges0)
-      else {
-        val (ec, freeEc) = CheckpointLayout.statSafeClusteredBy(edges0, key = "__src")
-        ec.count(); freeEdges0()
-        (ec, freeEc)
-      }
+    // the label set's size (distinct nodes) is what broadcast viability
+    // actually keys on, but the edge count is already materialized for
+    // the driver-regime gate and bounds it above — an accepted proxy
+    // (see ClusterLayoutMinRows)
+    val (edges, freeEdges, _) = CheckpointLayout.statSafeReclusterIfOver(
+      edges0, freeEdges0, measured = edgeCount, key = "__src")
     val (labels0, freeLabels0) = graft.util.Barriers.statSafeFreeable(
       edges.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))

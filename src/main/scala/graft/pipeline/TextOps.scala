@@ -559,6 +559,15 @@ object TextOps {
     val denomC = (cRow.getLong(0) + cRow.getLong(1)).toDouble
     val tRow = vocabT.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val denomT = (tRow.getLong(0) + tRow.getLong(1)).toDouble
+    // an EMPTY target trains no model: lpE4 with denomT = 0 would floor
+    // log(x/0) into Long.MaxValue per token and overflow the per-doc sum
+    // into garbage ranks — no token can be weighted, return the empty
+    // model (weights/resample then select nothing, the empty-out law).
+    // An empty CORPUS needs no guard: vocabC is empty, so zero rows ever
+    // evaluate lpE4 with denomC = 0.
+    if (denomT == 0.0)
+      return vocabC.select(col("__t").as("__tok"), lit(0L).as("__lr_e4"))
+        .filter(lit(false))
     def lpE4(c: Column, denom: Double): Column =
       floor(log((c + 1).cast("double") / denom) * 10000.0 + 0.5).cast("long")
     vocabC.select(col("__t").as("__tok"), lpE4(col("__c"), denomC).as("__lpc_e4"))
@@ -1005,6 +1014,13 @@ object TextOps {
     val totalsRow = vocab.agg(coalesce(sum(col("__c")), lit(0L)), count(lit(1))).head()
     val T = totalsRow.getLong(0)
     val V = totalsRow.getLong(1)
+    // an EMPTY training corpus trains no model: every denominator below
+    // would be 0 and the floor(log(x/0)) lattice values overflow into
+    // garbage scores — no document can be scored, return the empty frame
+    // with the output schema (the false filter prunes to a LocalRelation)
+    if (V == 0L)
+      return df.select(id.as("doc_id"), lit(0L).as("n_tokens"),
+        lit(0.0).as("avg_logprob")).filter(lit(false))
     val uniDenom = (T + V).toDouble
     val c12 = cbase.select(explode(wordNgramsOfTokens(col("__tk"), 2)).as("__g"))
       .groupBy(col("__g")).agg(count(lit(1)).as("__c12"))

@@ -52,18 +52,28 @@ class RanksSpec extends AnyFunSuite {
     // cluster lives in; the old unclustered loop paid ~4-5 exchanges per
     // round here).
     val thresholdWas = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
-    val stages = new java.util.concurrent.atomic.AtomicInteger(0)
+    // count SHUFFLE-WRITING stages only: the eager per-round barrier adds
+    // a result stage per round by design (the count job), but the layout
+    // claim is about data movement — only the contribution sum may write
+    // a shuffle each round; the edge/node/rank frames stream in place
+    val shuffleStages = new java.util.concurrent.atomic.AtomicInteger(0)
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onStageCompleted(
           e: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
-        stages.incrementAndGet(); ()
+        val m = e.stageInfo.taskMetrics
+        if (m != null && m.shuffleWriteMetrics.bytesWritten > 0)
+          shuffleStages.incrementAndGet()
+        ()
       }
     }
     def measured(iters: Int): Int = {
-      stages.set(0)
+      // deterministic drain of the async listener bus: both measurements
+      // must neither undercount nor inherit the other's late events
+      org.apache.spark.graft.TestBusShims.drainListenerBus(spark.sparkContext)
+      shuffleStages.set(0)
       Ranks.pageRank(edges.toDF("s", "d").repartition(5), $"s", $"d", iters).collect()
-      Thread.sleep(1500) // listener bus is async; drain before reading
-      stages.get()
+      org.apache.spark.graft.TestBusShims.drainListenerBus(spark.sparkContext)
+      shuffleStages.get()
     }
     try {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
@@ -72,8 +82,8 @@ class RanksSpec extends AnyFunSuite {
       val s2 = measured(2)
       val s6 = measured(6)
       val marginalPerIter = (s6 - s2) / 4.0
-      assert(marginalPerIter <= 2.0,
-        s"expected ~1 shuffle stage per extra iteration, got $marginalPerIter (s2=$s2 s6=$s6)")
+      assert(marginalPerIter <= 1.0,
+        s"expected <=1 shuffle-writing stage per extra iteration, got $marginalPerIter (s2=$s2 s6=$s6)")
       // and the clustered regime's values are identical to the default
       // (broadcast, unclustered) regime's
       val clusteredRun = Ranks.pageRank(edges.toDF("s", "d"), $"s", $"d", 3)

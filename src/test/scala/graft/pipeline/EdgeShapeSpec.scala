@@ -103,6 +103,28 @@ class EdgeShapeSpec extends AnyFunSuite {
   emptyOut("packSequences")(Packing.packSequences(
     emptyDocs.withColumn("n_tok", lit(1L)), $"doc_id", $"n_tok", budget = 128L))
 
+  // ---- EMPTY reference/target with a NON-empty input: the asymmetric
+  // shape an incremental pipeline hits on day one (nothing trained yet).
+  // Cross-corpus scorers must return empty (no model => nothing scorable),
+  // never garbage lattice values from log(x/0) overflow; incremental
+  // dedup against an empty corpus must keep everything. ----
+  test("empty reference, non-empty input: no garbage scores, no drops") {
+    val docs = Seq((1L, "alpha beta gamma", "en"), (2L, "delta epsilon", "en"))
+      .toDF("doc_id", "text", "lang")
+    assert(TextOps.importanceWeights(docs, $"doc_id", $"text", emptyDocs, $"text")
+      .count() == 0)
+    val resampled = TextOps.importanceResample(
+      docs, $"doc_id", $"text", emptyDocs, $"text", k = 1)
+    assert(resampled.count() == 0)
+    assert(TextOps.bigramLmScoreAgainst(docs, $"doc_id", $"text", emptyDocs, $"text")
+      .count() == 0)
+    val kept = Dedup.incrementalDedup(docs, emptyDocs,
+      TextOps.fingerprint($"text"), TextOps.fingerprint($"text"))
+    assert(kept.count() == 2, "empty reference must keep every new row")
+    assert(TextOps.bigramLmScoreAgainst(emptyDocs, $"doc_id", $"text", docs, $"text")
+      .count() == 0) // empty input, trained model: vacuous
+  }
+
   // ---- all-NULL text flows through without fabricating content ----
   test("all-NULL text: scorers emit no token rows; per-doc ops keep the docs") {
     assert(TextOps.unigramLogProbScore(nullDocs, $"doc_id", $"text").count() == 0)
