@@ -855,17 +855,22 @@ object TextOps {
     // + in-partition sort after the map-side-partial collapse — so every
     // window downstream is exchange-free AND sort-free; the only
     // per-iteration shuffle left is the per-bucket gradient groupBy.
-    // CheckpointLayout handles the two ways Spark silently drops the
-    // layout (AQE capture, redundant-alias exprId staleness).
-    val feats = CheckpointLayout.clusteredBy(
-      df.select(id.cast("long").as("doc_id"),
-          label.cast("long").as("y"),
-          explode(classifierFeatures(text)).as("f"))
-        .select(col("doc_id"), col("y"),
-          (md5Long(col("f")) % lit(buckets)).as("b"))
-        .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c")),
-      key = "doc_id")
+    // The corpus-side build (text explode + feature hashing + collapse)
+    // is checkpointed PLAINLY first so it keeps its fully-adaptive plan —
+    // clusteredBy captures with AQE suspended, which is fine for the slim
+    // LogicalRDD-leaf re-layout but must not cover the heavy scan; the
+    // leaf also makes the capture exprId-stable by construction. The
+    // slim inner copy is freed once the clustered frame is materialized.
+    val collapsed = df.select(id.cast("long").as("doc_id"),
+        label.cast("long").as("y"),
+        explode(classifierFeatures(text)).as("f"))
+      .select(col("doc_id"), col("y"),
+        (md5Long(col("f")) % lit(buckets)).as("b"))
+      .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
+    val feats = CheckpointLayout.clusteredBy(collapsed, key = "doc_id")
     val nDocs = feats.select(col("doc_id")).distinct().count()
+    CheckpointLayout.freeThunk(collapsed)() // feats materialized just above
 
     def pE6(s: Column): Column = {
       val logit = s.cast("double") / lit(1000000.0)
