@@ -56,11 +56,15 @@ object Communities {
     val (adj0, freeAdj0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    // gate on the SLIM side (one label row per node), not the adjacency —
+    // Gate on the SLIM side (one label row per node), not the adjacency —
     // adjacency rows are 2x edges and over-trigger the clustered regime
-    // on dense graphs whose label frame still broadcasts fine; this count
-    // also materializes adj0, which round 1 needs anyway
-    val nNodes = adj0.select(col("a")).distinct().count()
+    // on dense graphs whose label frame still broadcasts fine. The
+    // distinct node frame IS the initial label frame, so the gate's
+    // aggregate is reused, not redundant; its count also materializes
+    // adj0, which round 1 needs anyway.
+    val (nodes0, freeNodes0) = graft.util.Barriers.statSafeFreeable(
+      adj0.select(col("a").as("node")).distinct())
+    val nNodes = nodes0.count()
     val (adj, freeAdj, cluster) = CheckpointLayout.statSafeReclusterIfOver(
       adj0, freeAdj0, measured = nNodes, key = "b")
     // clustered regime: rounds are EAGER with the superseded generation's
@@ -71,12 +75,13 @@ object Communities {
     var labels =
       if (cluster) {
         val (l0, free0) = CheckpointLayout.statSafeClusteredBy(
-          adj.select(col("a").as("node")), key = "node", distinct = true)
+          nodes0, key = "node")
+        l0.queryExecution.toRdd.count() // materialize, then drop the source
+        freeNodes0()
         freeLabels = free0
         l0.select(col("node"), col("node").as("label"))
       } else Barriers.statSafe(
-        adj.select(col("a").as("node")).distinct()
-          .select(col("node"), col("node").as("label")))
+        nodes0.select(col("node"), col("node").as("label")))
     for (round <- 0 until iters) {
       val next = adj.join(labels, adj("b") === labels("node"))
         .select(adj("a").as("node"), col("label"))

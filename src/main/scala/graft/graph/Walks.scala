@@ -51,16 +51,25 @@ object Walks {
     val (und0, freeUnd0) = Barriers.statSafeFreeable(
       e.select(col("u").as("a"), col("v").as("b"))
         .unionAll(e.select(col("v").as("a"), col("u").as("b"))))
-    // gate on the SLIM side (one walk row per node), not the adjacency —
+    // Gate on the SLIM side (one walk row per node), not the adjacency —
     // adjacency rows are 2x edges and over-trigger the clustered regime
-    // on dense graphs; this count also materializes und0, which the
-    // degree/adjacency builds need anyway
-    val nNodes = und0.select(col("a")).distinct().count()
-    val (und, _, cluster) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
-      und0, freeUnd0, measured = nNodes, key = "a")
+    // on dense graphs. The distinct node frame IS the walk-init frame,
+    // so the gate's aggregate is reused, not redundant; its count also
+    // materializes und0, which the degree/adjacency builds need anyway.
+    val (nodes0, freeNodes0) = Barriers.statSafeFreeable(
+      und0.select(col("a").as("walk_id")).distinct())
+    val nNodes = nodes0.count()
+    val (und, freeUnd, cluster) =
+      graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+        und0, freeUnd0, measured = nNodes, key = "a")
     def barrier(df: DataFrame): DataFrame =
-      if (cluster) graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)._1
-      else Barriers.statSafe(df)
+      if (cluster) {
+        // adj/deg live in the result's lineage (every step reads them);
+        // materialize now so the clustered und copy can be freed below
+        val (ck, _) = graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)
+        ck.queryExecution.toRdd.count()
+        ck
+      } else Barriers.statSafe(df)
     val adj = barrier(
       und.select(col("a"), col("b"),
         (row_number().over(org.apache.spark.sql.expressions.Window
@@ -68,12 +77,17 @@ object Walks {
     val deg = barrier(und.groupBy(col("a")).agg(count(lit(1)).as("deg")))
 
     var w: DataFrame =
-      if (cluster)
-        graft.pipeline.CheckpointLayout.statSafeClusteredBy(
-            und.select(col("a").as("walk_id")), key = "walk_id", distinct = true)._1
-          .select(col("walk_id"), col("walk_id").as("s0"))
-      else und.select(col("a").as("walk_id")).distinct()
-        .select(col("walk_id"), col("walk_id").as("s0"))
+      if (cluster) {
+        // w0 lives in the result's lineage (step 1 reads it) — never
+        // freed here; once it is materialized the now-dead source copies
+        // can go: nodes0, and (adj/deg being materialized above) the
+        // clustered und copy
+        val w0 = graft.pipeline.CheckpointLayout.statSafeClusteredBy(
+          nodes0, key = "walk_id")._1
+        w0.queryExecution.toRdd.count()
+        freeNodes0(); freeUnd()
+        w0.select(col("walk_id"), col("walk_id").as("s0"))
+      } else nodes0.select(col("walk_id"), col("walk_id").as("s0"))
     for (t <- 1 to steps) {
       val cur = col(s"s${t - 1}")
       val idx = pmod(md5Long(concat(col("walk_id").cast("string"),

@@ -125,6 +125,16 @@ object CheckpointLayout {
   def clusteredBy(df: DataFrame, key: String, distinct: Boolean = false): DataFrame =
     clusteredByImpl(df, key, distinct)._1
 
+  /** [[clusteredBy]] that also returns every checkpoint Dataset created
+    * (head = the returned frame's own checkpoint; a second element is the
+    * fallback's inner boundary, unreachable from the returned plan).
+    * Callers that materialize the frame and keep it for their result's
+    * lifetime can still free the TAIL to avoid leaking the fallback's
+    * inner copy. */
+  private[pipeline] def clusteredByHeld(df: DataFrame, key: String,
+      distinct: Boolean = false): (DataFrame, Seq[DataFrame]) =
+    clusteredByImpl(df, key, distinct)
+
   /** [[clusteredBy]] for the STATIC frame of an iterative loop: the
     * layout-true checkpoint with its origin statistics DROPPED (the
     * `Barriers.statSafe` contract — an edges/pairs subtree routinely
@@ -160,14 +170,18 @@ object CheckpointLayout {
     */
   def statSafeReclusterIfOver(frame0: DataFrame, free0: () => Unit,
       measured: Long, key: String,
-      distinct: Boolean = false): (DataFrame, () => Unit, Boolean) =
-    if (measured <= clusterMinRows(frame0.sparkSession)) (frame0, free0, false)
+      distinct: Boolean = false): (DataFrame, () => Unit, Boolean) = {
+    // bound == 0 FORCES the clustered regime (the documented conf
+    // contract plan-shape specs rely on), even for an empty frame
+    val bound = clusterMinRows(frame0.sparkSession)
+    if (bound > 0 && measured <= bound) (frame0, free0, false)
     else {
       val (c, f) = statSafeClusteredBy(frame0, key, distinct)
       materialize(c) // then free the original
       free0()
       (c, f, true)
     }
+  }
 
   /** Shuffle-free eager materialization: `Dataset.count()` would add a
     * partial-count + SinglePartition exchange job on top of the scan —

@@ -868,9 +868,13 @@ object TextOps {
         (md5Long(col("f")) % lit(buckets)).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
-    val feats = CheckpointLayout.clusteredBy(collapsed, key = "doc_id")
+    val (feats, featsHeld) = CheckpointLayout.clusteredByHeld(collapsed, key = "doc_id")
     val nDocs = feats.select(col("doc_id")).distinct().count()
-    CheckpointLayout.freeThunk(collapsed)() // feats materialized just above
+    // feats materialized just above: the plain inner checkpoint and any
+    // fallback boundary (featsHeld tail) are dead; feats itself
+    // (featsHeld head) lives in the returned result's lineage
+    CheckpointLayout.freeThunk(collapsed)()
+    featsHeld.drop(1).foreach(f => CheckpointLayout.freeThunk(f)())
 
     def pE6(s: Column): Column = {
       val logit = s.cast("double") / lit(1000000.0)
