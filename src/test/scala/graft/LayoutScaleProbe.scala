@@ -31,10 +31,17 @@ object LayoutScaleProbe {
       .localCheckpoint(true)
     println(s"[layoutProbe] edges=${edges.count()}")
 
+    def storage(): (Int, Long) = {
+      val live = spark.sparkContext.getRDDStorageInfo
+        .filter(_.numCachedPartitions > 0)
+      (live.length, live.map(_.memSize).sum + live.map(_.diskSize).sum)
+    }
     def timed(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val rows = f
-      println(f"[layoutProbe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s ($rows rows)")
+      val (nRdds, bytes) = storage()
+      println(f"[layoutProbe] $name%-34s ${(System.nanoTime() - t0) / 1e9}%7.2f s " +
+        f"($rows rows; $nRdds persisted RDDs, ${bytes / 1048576}%d MiB after)")
     }
 
     for (pass <- 1 to 2; regime <- Seq("adaptive", "clustered")) {
