@@ -506,7 +506,10 @@ object H3Graph {
     val (edges, freeEdges) = {
       val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
         graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-          col("weight").cast("double").as("__ew")))
+          col("weight").cast("double").as("__ew"))
+          // a NULL endpoint is not an edge (a null-dest row would
+          // otherwise fold a phantom null cell into the best-cost table)
+          .filter(col("__eo").isNotNull && col("__ed").isNotNull))
       // the frontier's size is unknowable upfront, so the edge-frame row
       // count gates the regime as a proxy (see ClusterLayoutMinRows)
       val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
@@ -620,7 +623,10 @@ object H3Graph {
     val (edges, freeEdges) = {
       val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
         graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-          col("weight").cast("double").as("__ew")))
+          col("weight").cast("double").as("__ew"))
+          // a NULL endpoint is not an edge (a null-dest row would
+          // otherwise fold a phantom null cell into the best-cost table)
+          .filter(col("__eo").isNotNull && col("__ed").isNotNull))
       // the frontier's size is unknowable upfront, so the edge-frame row
       // count gates the regime as a proxy (see ClusterLayoutMinRows)
       val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(

@@ -67,6 +67,9 @@ object Ranks {
     // every barrier in both regimes (the statSafe contract).
     val (e0, freeE0) = Barriers.statSafeFreeable(
       edges.select(src.cast("long").as("src"), dst.cast("long").as("dst"))
+        // a NULL endpoint is not an edge (the other graph ops drop them
+        // via canonicalEdges' null-propagating comparisons; same contract)
+        .filter(col("src").isNotNull && col("dst").isNotNull)
         .distinct())
     val (nodes0, freeNodes0) = Barriers.statSafeFreeable(
       e0.select(col("src").as("node")).unionAll(e0.select(col("dst").as("node")))

@@ -524,6 +524,10 @@ object Dedup {
     val (edges0, freeEdges0) = graft.util.Barriers.statSafeFreeable(
       pairs.select(col("id_a").as("__src"), col("id_b").as("__dst"))
         .unionByName(pairs.select(col("id_b").as("__src"), col("id_a").as("__dst")))
+        // a NULL endpoint is not an edge: without this the driver
+        // union-find threw reading the id, and the distributed loop would
+        // propagate a phantom null node
+        .filter(col("__src").isNotNull && col("__dst").isNotNull)
         .distinct())
     val idType = edges0.schema("__src").dataType
     val integral = idType == org.apache.spark.sql.types.LongType ||

@@ -103,6 +103,37 @@ class EdgeShapeSpec extends AnyFunSuite {
   emptyOut("packSequences")(Packing.packSequences(
     emptyDocs.withColumn("n_tok", lit(1L)), $"doc_id", $"n_tok", budget = 128L))
 
+  // ---- NULL endpoints are not edges: every graph op must behave as if
+  // the null-endpoint rows were absent (previously pageRank ranked a
+  // phantom `null` node and connectedComponents' driver union-find threw
+  // reading the id; LPA/kCore/triangles/walks already dropped them via
+  // canonicalEdges' null-propagating comparisons). ----
+  test("null-endpoint edges behave as if absent across the graph ops") {
+    val dirty = Seq((Some(1L), Some(2L)), (Some(2L), Some(3L)),
+      (None: Option[Long], Some(4L)), (Some(5L), None: Option[Long]))
+      .toDF("s", "d")
+    val clean = Seq((1L, 2L), (2L, 3L)).toDF("s", "d")
+    def rows(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+    assert(rows(graft.graph.Ranks.pageRank(dirty, $"s", $"d", 2)) ==
+      rows(graft.graph.Ranks.pageRank(clean, $"s", $"d", 2)))
+    assert(rows(graft.graph.Communities.labelPropagation(dirty, $"s", $"d", 2)) ==
+      rows(graft.graph.Communities.labelPropagation(clean, $"s", $"d", 2)))
+    assert(rows(graft.graph.Walks.walks(dirty, $"s", $"d", 2)) ==
+      rows(graft.graph.Walks.walks(clean, $"s", $"d", 2)))
+    assert(rows(graft.graph.Cores.kCore(dirty, $"s", $"d", k = 1, rounds = 1)) ==
+      rows(graft.graph.Cores.kCore(clean, $"s", $"d", k = 1, rounds = 1)))
+    assert(rows(Dedup.connectedComponents(
+        dirty.select($"s".as("id_a"), $"d".as("id_b")))) ==
+      rows(Dedup.connectedComponents(
+        clean.select($"s".as("id_a"), $"d".as("id_b")))))
+    assert(rows(graft.graph.H3Graph.shortestPathsIterative(spark,
+        dirty.select($"s".as("origin"), $"d".as("destination"), lit(1.0).as("weight")),
+        origins = Seq(1L), destinations = Seq(3L, 4L))) ==
+      rows(graft.graph.H3Graph.shortestPathsIterative(spark,
+        clean.select($"s".as("origin"), $"d".as("destination"), lit(1.0).as("weight")),
+        origins = Seq(1L), destinations = Seq(3L, 4L))))
+  }
+
   // ---- EMPTY reference/target with a NON-empty input: the asymmetric
   // shape an incremental pipeline hits on day one (nothing trained yet).
   // Cross-corpus scorers must return empty (no model => nothing scorable),
