@@ -56,6 +56,14 @@ object CheckpointLayout {
     * same spirit as connectedComponents' driverEdgeLimit bound. Loops
     * whose slim-side size is unknowable upfront (SSSP's frontier, CC's
     * label set) gate on their big-frame row count as a proxy and say so.
+    *
+    * Skew trade the clustered regime accepts: the co-partitioned round
+    * join loses AQE's runtime skew-splitting, so a celebrity key's
+    * partition becomes one long task instead of being split. The
+    * per-round AGGREGATES still collapse hot keys map-side before their
+    * shuffle (the LPA/PR contract), bounding the damage to the join's
+    * probe work; a workload where join skew outweighs the per-round
+    * shuffle savings sets the conf high to stay adaptive.
     */
   val ClusterLayoutMinRows = 1000000L
 
