@@ -137,11 +137,12 @@ object Ranks {
    */
   def personalizedPageRank(edges: DataFrame, src: Column, dst: Column,
       seeds: Seq[Long], iters: Int,
-      dampNum: Long = 85L, dampDen: Long = 100L): DataFrame = {
+      dampNum: Long = 85L, dampDen: Long = 100L,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(seeds.nonEmpty, "need a non-empty seed set")
     val teleE9 = ((dampDen - dampNum) * 1000000000L) / (dampDen * seeds.length)
     def isSeed = col("node").isin(seeds: _*)
-    rankLoop(edges, src, dst, iters, dampNum, dampDen) { _ =>
+    rankLoop(edges, src, dst, iters, dampNum, dampDen, checkpointDir) { _ =>
       (when(isSeed, lit(1000000000L / seeds.length)).otherwise(lit(0L)),
         when(isSeed, lit(teleE9)).otherwise(lit(0L)))
     }

@@ -23,13 +23,19 @@ object LayoutScaleProbe {
     spark.sparkContext.setLogLevel("WARN")
     import spark.implicits._
 
-    // ~nEdges edges over ~nEdges/2 nodes; mild hub skew via the modulus
+    // ~nEdges edges over ~nEdges/2 nodes; mild hub skew via the modulus.
+    // Pass "skew" as arg 2 to give node 0 a celebrity degree (10% of all
+    // edges point FROM node 0) — quantifies the clustered regime's
+    // documented trade: the co-partitioned round join loses AQE's
+    // runtime skew split, so the hub's partition is one long task.
+    val skew = args.lift(1).contains("skew")
     val edges = spark.range(nEdges).select(
-        (pmod(hash(col("id")), lit(nEdges / 2)).cast("long")).as("s"),
+        (when(pmod(col("id"), lit(10)) === 0 && lit(skew), lit(0L))
+          .otherwise(pmod(hash(col("id")), lit(nEdges / 2)).cast("long"))).as("s"),
         (pmod(hash(col("id") * 31 + 7), lit(nEdges / 2)).cast("long")).as("d"))
       .filter(col("s") =!= col("d"))
       .localCheckpoint(true)
-    println(s"[layoutProbe] edges=${edges.count()}")
+    println(s"[layoutProbe] edges=${edges.count()} skew=$skew")
 
     def storage(): (Int, Long) = {
       val live = spark.sparkContext.getRDDStorageInfo
