@@ -80,8 +80,11 @@ object Communities {
         freeNodes0()
         freeLabels = free0
         l0.select(col("node"), col("node").as("label"))
-      } else Barriers.statSafe(
-        nodes0.select(col("node"), col("node").as("label")))
+      } else
+        // nodes0 is already a stat-safe checkpoint; the label frame is a
+        // trivial projection over it — a second barrier would only pin
+        // one more session-lifetime RDD
+        nodes0.select(col("node"), col("node").as("label"))
     for (round <- 0 until iters) {
       val next = adj.join(labels, adj("b") === labels("node"))
         .select(adj("a").as("node"), col("label"))

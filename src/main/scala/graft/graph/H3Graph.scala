@@ -491,6 +491,26 @@ object H3Graph {
     * predecessor reconstruction at this scale belongs in storage, not a
     * result column. Origins/destinations must be graph nodes (no snapping
     * on the distributed path). */
+  /** Shared edge build of both iterative SSSP variants: null-endpoint OR
+    * null-weight rows are not edges (a null destination folds a phantom
+    * null cell into the best-cost table; a null weight makes `min(cost)`
+    * carry nulls, so the frontier's improved-filter keeps the row forever
+    * and the loop never converges — and the paths variant's
+    * `min(struct(cost, ...))` argmin sorts a null cost FIRST, letting it
+    * beat real finite paths). The frontier's size is unknowable upfront,
+    * so the edge-frame row count gates the layout regime as a proxy (see
+    * CheckpointLayout.ClusterLayoutMinRows). */
+  private def iterativeEdges(graph: DataFrame): (DataFrame, () => Unit) = {
+    val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
+      graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
+        col("weight").cast("double").as("__ew"))
+        .filter(col("__eo").isNotNull && col("__ed").isNotNull &&
+          col("__ew").isNotNull))
+    val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+      e0, freeE0, measured = e0.count(), key = "__eo")
+    (ec, freeEc)
+  }
+
   def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
       destinations: Seq[Long], maxRounds: Int = 256,
       checkpointDir: Option[String] = None, hopsPerRound: Int = 2): DataFrame = {
@@ -503,19 +523,7 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges) = {
-      val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
-        graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-          col("weight").cast("double").as("__ew"))
-          // a NULL endpoint is not an edge (a null-dest row would
-          // otherwise fold a phantom null cell into the best-cost table)
-          .filter(col("__eo").isNotNull && col("__ed").isNotNull))
-      // the frontier's size is unknowable upfront, so the edge-frame row
-      // count gates the regime as a proxy (see ClusterLayoutMinRows)
-      val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
-        e0, freeE0, measured = e0.count(), key = "__eo")
-      (ec, freeEc)
-    }
+    val (edges, freeEdges) = iterativeEdges(graph)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
       .localCheckpoint(false)
@@ -620,19 +628,7 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges) = {
-      val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
-        graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
-          col("weight").cast("double").as("__ew"))
-          // a NULL endpoint is not an edge (a null-dest row would
-          // otherwise fold a phantom null cell into the best-cost table)
-          .filter(col("__eo").isNotNull && col("__ed").isNotNull))
-      // the frontier's size is unknowable upfront, so the edge-frame row
-      // count gates the regime as a proxy (see ClusterLayoutMinRows)
-      val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
-        e0, freeE0, measured = e0.count(), key = "__eo")
-      (ec, freeEc)
-    }
+    val (edges, freeEdges) = iterativeEdges(graph)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),
         lit(null).cast("long").as("pred"))

@@ -79,12 +79,16 @@ object Walks {
     var w: DataFrame =
       if (cluster) {
         // w0 lives in the result's lineage (step 1 reads it) — never
-        // freed here; once it is materialized the now-dead source copies
-        // can go: nodes0, and (adj/deg being materialized above) the
+        // freed here, but any fallback inner boundary (held tail) is
+        // releasable; once w0 is materialized the now-dead source copies
+        // can go too: nodes0, and (adj/deg being materialized above) the
         // clustered und copy
-        val w0 = graft.pipeline.CheckpointLayout.statSafeClusteredBy(
-          nodes0, key = "walk_id")._1
+        // nodes0 is already stat-safe (statSafeFreeable re-wrap), so the
+        // plain held variant suffices here
+        val (w0, w0Held) = graft.pipeline.CheckpointLayout.clusteredByHeld(
+          nodes0, key = "walk_id")
         w0.queryExecution.toRdd.count()
+        w0Held.drop(1).foreach(f => graft.pipeline.CheckpointLayout.freeThunk(f)())
         freeNodes0(); freeUnd()
         w0.select(col("walk_id"), col("walk_id").as("s0"))
       } else nodes0.select(col("walk_id"), col("walk_id").as("s0"))

@@ -139,7 +139,7 @@ object CheckpointLayout {
     * Callers that materialize the frame and keep it for their result's
     * lifetime can still free the TAIL to avoid leaking the fallback's
     * inner copy. */
-  private[pipeline] def clusteredByHeld(df: DataFrame, key: String,
+  private[graft] def clusteredByHeld(df: DataFrame, key: String,
       distinct: Boolean = false): (DataFrame, Seq[DataFrame]) =
     clusteredByImpl(df, key, distinct)
 
@@ -208,7 +208,7 @@ object CheckpointLayout {
   private def freeAll(held: Seq[DataFrame]): () => Unit =
     () => held.foreach(f => freeThunk(f)())
 
-  private[pipeline] def freeThunk(ck: DataFrame): () => Unit =
+  private[graft] def freeThunk(ck: DataFrame): () => Unit =
     () => try {
       ck.queryExecution.analyzed.foreach {
         case lr: LogicalRDD => lr.rdd.unpersist(blocking = false)

@@ -13,6 +13,7 @@ object QueryTimer {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: QueryTimer <queryName> [more...]")
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val warmDir = sys.env.getOrElse("SPARK_GRAFT_WARM_DIR", "/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
@@ -22,7 +23,7 @@ object QueryTimer {
     val names = args.toSeq
     names.foreach { n =>
       require(SparkEntry.queries.contains(n), s"unknown query: $n")
-      SparkEntry.queries(n)(spark, "/root/testdata/sf0.001").count()
+      SparkEntry.queries(n)(spark, warmDir).count()
     }
     (1 to 2).foreach { round =>
       names.foreach { n =>

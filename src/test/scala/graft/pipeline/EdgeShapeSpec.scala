@@ -126,12 +126,25 @@ class EdgeShapeSpec extends AnyFunSuite {
         dirty.select($"s".as("id_a"), $"d".as("id_b")))) ==
       rows(Dedup.connectedComponents(
         clean.select($"s".as("id_a"), $"d".as("id_b")))))
+    // SSSP additionally treats a NULL WEIGHT as no-edge: before the
+    // filter, min(cost) carried nulls so the frontier's improved-check
+    // was null-vs-null true forever (no convergence), and the paths
+    // variant's struct argmin sorted the null cost FIRST, beating real
+    // finite paths
+    val dirtyG = dirty.select($"s".as("origin"), $"d".as("destination"),
+        lit(1.0).as("weight"))
+      .unionByName(Seq((2L, 9L)).toDF("origin", "destination")
+        .select($"origin", $"destination", lit(null).cast("double").as("weight")))
+    val cleanG = clean.select($"s".as("origin"), $"d".as("destination"),
+      lit(1.0).as("weight"))
     assert(rows(graft.graph.H3Graph.shortestPathsIterative(spark,
-        dirty.select($"s".as("origin"), $"d".as("destination"), lit(1.0).as("weight")),
-        origins = Seq(1L), destinations = Seq(3L, 4L))) ==
+        dirtyG, origins = Seq(1L), destinations = Seq(3L, 4L, 9L))) ==
       rows(graft.graph.H3Graph.shortestPathsIterative(spark,
-        clean.select($"s".as("origin"), $"d".as("destination"), lit(1.0).as("weight")),
-        origins = Seq(1L), destinations = Seq(3L, 4L))))
+        cleanG, origins = Seq(1L), destinations = Seq(3L, 4L, 9L))))
+    assert(rows(graft.graph.H3Graph.shortestPathsIterativePaths(spark,
+        dirtyG, origins = Seq(1L), destinations = Seq(3L, 9L))) ==
+      rows(graft.graph.H3Graph.shortestPathsIterativePaths(spark,
+        cleanG, origins = Seq(1L), destinations = Seq(3L, 9L))))
   }
 
   // ---- EMPTY reference/target with a NON-empty input: the asymmetric
