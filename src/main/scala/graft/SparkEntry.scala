@@ -239,8 +239,16 @@ object SparkEntry {
   private def oracleSynthEvents(res: Int, k: String = "event_id"): String =
     s"SELECT *, ${Synth.oracleCellSql(k, res)} AS cell FROM events"
 
+  /** Every oracle runs under [[OracleMemGuard]]. The r13→r14 history showed
+    * the driver-sandbox OOM *migrates*: guarding only the current victims
+    * (p86/p87/p88 in r14) moved the failure to the heaviest unguarded
+    * token-unnest oracles (p58/p59). A bounded-memory + spill-enabled DuckDB
+    * is strictly safer for every query, so the guard is applied at the map
+    * boundary — no per-query whack-a-mole. Queries that already embed the
+    * prefix are stripped first so `SET` statements aren't doubled. */
   def oracleSql: Map[String, String] =
-    coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql ++ RasterQueries.oracleSql
+    (coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql ++ RasterQueries.oracleSql)
+      .map { case (name, sql) => name -> (OracleMemGuard + sql.stripPrefix(OracleMemGuard)) }
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->

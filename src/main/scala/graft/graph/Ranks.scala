@@ -75,9 +75,14 @@ object Ranks {
       e0.select(col("src").as("node")).unionAll(e0.select(col("dst").as("node")))
         .distinct())
     val n = nodes0.count()
-    // empty graph: no nodes to rank (and the teleport would divide by 0)
-    if (n == 0L)
+    // empty graph: no nodes to rank (and the teleport would divide by 0).
+    // nodes0.count() has already materialized e0's checkpoint blocks, and
+    // the returned frame reads only nodes0 — free e0 here or its blocks
+    // stay pinned for the session (nodes0 must stay: the result reads it).
+    if (n == 0L) {
+      freeE0()
       return nodes0.select(col("node"), col("node").as("rank_e9"))
+    }
     val (e, freeE, cluster) = CheckpointLayout.statSafeReclusterIfOver(
       e0, freeE0, measured = n, key = "src")
     val (nodes, freeNodes, _) = CheckpointLayout.statSafeReclusterIfOver(

@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions.col
   *     partitioning — `UnknownPartitioning` before the final plan exists —
   *     so the layout is lost. AQE is therefore suspended for just the
   *     checkpoint CAPTURE (checkpoints here are created lazily, so the
-  *     window covers planning only, never job execution), under a
-  *     process-wide lock so concurrent capture windows restore the conf
-  *     correctly; downstream queries and the materializing jobs run with
-  *     AQE untouched.
+  *     window covers planning only, never job execution) — via a
+  *     thread-local SQLConf override, so nothing outside this thread's
+  *     planning ever sees the suspension; downstream queries, concurrent
+  *     threads, and the materializing jobs run with AQE untouched.
   *  2. `LogicalRDD.fromDataset` copies the physical plan's
   *     outputPartitioning/outputOrdering VERBATIM — it rewrites origin
   *     statistics and constraints onto the new output attributes
@@ -73,22 +73,26 @@ object CheckpointLayout {
   def clusterMinRows(spark: SparkSession): Long =
     spark.conf.get("graft.layout.clusterMinRows", ClusterLayoutMinRows.toString).toLong
 
-  /** Process-wide lock for the AQE suspend/restore window: two threads
-    * interleaving get/set/restore on the session conf could otherwise
-    * leave AQE stuck off for the session. The window only ever covers
-    * PLANNING (lazy checkpoint creation), so holding a global lock for
-    * it is cheap; the caveat that an unrelated query PLANNED by another
-    * session thread inside the window compiles non-adaptive remains —
-    * the lock bounds that exposure to microseconds. */
-  private val aqeLock = new Object
-
-  private def withAqeSuspended[T](spark: SparkSession)(f: => T): T =
-    aqeLock.synchronized {
-      val aqeKey = "spark.sql.adaptive.enabled"
-      val aqeWas = spark.conf.get(aqeKey, "true")
-      try { spark.conf.set(aqeKey, "false"); f }
-      finally spark.conf.set(aqeKey, aqeWas)
-    }
+  /** AQE off for the capture via a THROWAWAY SESSION CLONE, never by
+    * mutating the shared session conf. `InsertAdaptiveSparkPlan` reads the
+    * plan's OWN session's conf directly (bypassing `SQLConf.get`'s
+    * thread-local hook — verified in the 4.1.2 bytecode), so re-rooting
+    * the frame under a clone with AQE off compiles the capture
+    * non-adaptive while queries planned concurrently by OTHER threads —
+    * or later, downstream — keep their adaptive plans: zero shared state,
+    * zero exposure window, no lock. `build` runs entirely under the
+    * clone; the returned checkpoint's LogicalRDD leaf is re-bound to the
+    * caller's session so nothing downstream ever plans against the
+    * clone's suspended conf. Spec-pinned both ways (CheckpointLayoutSpec:
+    * capture stays usable; a query planned on a second thread mid-window
+    * stays adaptive and the session conf never changes). */
+  private def captureAqeOff(spark: SparkSession, tagged: DataFrame)(
+      build: DataFrame => (DataFrame, Seq[DataFrame])): (DataFrame, Seq[DataFrame]) = {
+    val shims = org.apache.spark.sql.graft.shims
+    val clone = shims.cloneSessionWithConf(spark, "spark.sql.adaptive.enabled" -> "false")
+    val (ck, held) = build(shims.reRoot(tagged, clone))
+    (shims.rebindCheckpoint(ck, spark), held)
+  }
 
   private def tag(n: String) = "__ckl_" + n
 
@@ -112,13 +116,13 @@ object CheckpointLayout {
       val deduped = if (distinct) clustered.dropDuplicates() else clustered
       deduped.sortWithinPartitions(col(tag(key)))
     }
-    val (ck, held) = withAqeSuspended(spark) {
-      val candidate = shape(tagged).localCheckpoint(false)
+    val (ck, held) = captureAqeOff(spark, tagged) { cTagged =>
+      val candidate = shape(cTagged).localCheckpoint(false)
       if (layoutIsUsable(candidate)) (candidate, Seq(candidate))
       else {
         // planning-only candidate abandoned (never materialized);
         // rebuild over an exprId-stable LogicalRDD leaf
-        val inner = tagged.localCheckpoint(false)
+        val inner = cTagged.localCheckpoint(false)
         val outer = shape(inner).localCheckpoint(false)
         (outer, Seq(outer, inner))
       }
@@ -197,7 +201,7 @@ object CheckpointLayout {
     * (and noise in any stage-count plan pin). Counting the executed
     * plan's InternalRow RDD runs the captured plan and persists the
     * checkpoint blocks with no aggregation exchange at all. */
-  private def materialize(ck: DataFrame): Unit = {
+  private[pipeline] def materialize(ck: DataFrame): Unit = {
     ck.queryExecution.toRdd.count(); ()
   }
 
@@ -241,7 +245,9 @@ object CheckpointLayout {
     val spark = df.sparkSession
     val names = df.columns.toSeq
     val tagged = df.select(names.map(n => col(n).as(tag(n))): _*)
-    val ck = withAqeSuspended(spark)(tagged.localCheckpoint(false))
+    val (ck, _) = captureAqeOff(spark, tagged) { t =>
+      val c = t.localCheckpoint(false); (c, Seq(c))
+    }
     val out = ck.select(names.map(n => col(tag(n)).as(n)): _*)
     (org.apache.spark.sql.graft.shims.dropOriginStats(out), freeThunk(ck))
   }
@@ -265,16 +271,30 @@ object CheckpointLayout {
     val spark = df.sparkSession
     val names = df.columns.toSeq
     val tagged = df.select(names.map(n => col(n).as(tag(n))): _*)
-    val ck = withAqeSuspended(spark) {
-      checkpointDir match {
-        case Some(dir) if round % graft.util.Barriers.ReliableEvery ==
-            graft.util.Barriers.ReliableEvery - 1 =>
-          graft.util.Barriers.ensureCheckpointDir(spark.sparkContext, dir)
-          tagged.checkpoint(false)
-        case _ => tagged.localCheckpoint(false)
-      }
+    val reliable = checkpointDir.isDefined &&
+      round % graft.util.Barriers.ReliableEvery == graft.util.Barriers.ReliableEvery - 1
+    val (ck, _) = captureAqeOff(spark, tagged) { t =>
+      val c =
+        if (reliable) {
+          graft.util.Barriers.ensureCheckpointDir(spark.sparkContext, checkpointDir.get)
+          t.checkpoint(false)
+        } else t.localCheckpoint(false)
+      (c, Seq(c))
     }
-    materialize(ck) // outside the window (the plan is already captured)
+    if (reliable) {
+      // RDD.doCheckpoint re-RUNS the checkpoint-marked RDD after the
+      // materializing action to write its files — without a persist the
+      // round's full lineage executes twice (the
+      // Barriers.roundBarrierCountingFreeable lesson). Cache the marked
+      // RDD for the window between the two jobs, then drop the blocks:
+      // reads afterwards come off the checkpoint files.
+      val marked = ck.queryExecution.analyzed.collect {
+        case lr: LogicalRDD => lr.rdd
+      }
+      marked.foreach(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      materialize(ck) // outside the window (the plan is already captured)
+      marked.foreach(_.unpersist(blocking = false))
+    } else materialize(ck)
     val out = ck.select(names.map(n => col(tag(n)).as(n)): _*)
     (org.apache.spark.sql.graft.shims.dropOriginStats(out), freeThunk(ck))
   }
@@ -288,9 +308,10 @@ object CheckpointLayout {
     * not be used outside tests. */
   private[pipeline] def stableBoundaryCheckpoint(df: DataFrame,
       shape: DataFrame => DataFrame): DataFrame =
-    withAqeSuspended(df.sparkSession) {
-      shape(df.localCheckpoint(false)).localCheckpoint(false)
-    }
+    captureAqeOff(df.sparkSession, df) { d =>
+      val c = shape(d.localCheckpoint(false)).localCheckpoint(false)
+      (c, Seq(c))
+    }._1
 
   /** The checkpoint's captured layout references its own output (and is
     * a real partitioning, not Unknown/single-partition degenerate).

@@ -549,15 +549,19 @@ object Dedup {
     // the big side) — each round shuffles only the slim label frame.
     // Between driverEdgeLimit and the cluster bound, labels broadcast
     // under AQE and the plain frame already streams.
-    // the label set's size (distinct nodes) is what broadcast viability
-    // actually keys on, but the edge count is already materialized for
-    // the driver-regime gate and bounds it above — an accepted proxy
-    // (see ClusterLayoutMinRows)
-    val (edges, freeEdges, _) = CheckpointLayout.statSafeReclusterIfOver(
-      edges0, freeEdges0, measured = edgeCount, key = "__src")
+    // The regime gate keys on the LABEL frame's node count — what
+    // broadcast viability actually depends on — not the edge count: a
+    // dense graph (>1M edges, few distinct nodes) keeps AQE's runtime
+    // broadcast + skew-split for its rounds. The distinct-node count is
+    // cheap here (one count over the already-materialized edge blocks)
+    // and doubles as labels0's materialization, which round 1 would
+    // otherwise pay.
     val (labels0, freeLabels0) = graft.util.Barriers.statSafeFreeable(
-      edges.select(col("__src").as("id")).distinct()
+      edges0.select(col("__src").as("id")).distinct()
         .withColumn("component", col("id")))
+    val nodeCount = labels0.count()
+    val (edges, freeEdges, _) = CheckpointLayout.statSafeReclusterIfOver(
+      edges0, freeEdges0, measured = nodeCount, key = "__src")
     var labels = labels0
     // frees the superseded label generation once the round's action has
     // materialized its successor — blocks held at any moment: the current

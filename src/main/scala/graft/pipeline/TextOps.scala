@@ -851,10 +851,11 @@ object TextOps {
     val byDoc = Window.partitionBy(col("doc_id"))
     // The slim frame is consumed iters+1 times clustered-and-sorted by
     // doc_id (each iteration's per-doc window sum; the final per-doc
-    // aggregate). Bake that layout in ONCE — one extra slim-frame shuffle
-    // + in-partition sort after the map-side-partial collapse — so every
-    // window downstream is exchange-free AND sort-free; the only
-    // per-iteration shuffle left is the per-bucket gradient groupBy.
+    // aggregate). Past the regime bound, bake that layout in ONCE — one
+    // extra slim-frame shuffle + in-partition sort after the map-side-
+    // partial collapse — so every window downstream is exchange-free AND
+    // sort-free; the only per-iteration shuffle left is the per-bucket
+    // gradient groupBy.
     // The corpus-side build (text explode + feature hashing + collapse)
     // is checkpointed PLAINLY first so it keeps its fully-adaptive plan —
     // clusteredBy captures with AQE suspended, which is fine for the slim
@@ -868,13 +869,28 @@ object TextOps {
         (md5Long(col("f")) % lit(buckets)).as("b"))
       .groupBy(col("doc_id"), col("y"), col("b")).agg(count(lit(1)).as("c"))
       .localCheckpoint(false)
-    val (feats, featsHeld) = CheckpointLayout.clusteredByHeld(collapsed, key = "doc_id")
-    val nDocs = feats.select(col("doc_id")).distinct().count()
-    // feats materialized just above: the plain inner checkpoint and any
-    // fallback boundary (featsHeld tail) are dead; feats itself
-    // (featsHeld head) lives in the returned result's lineage
-    CheckpointLayout.freeThunk(collapsed)()
-    featsHeld.drop(1).foreach(f => CheckpointLayout.freeThunk(f)())
+    // this count doubles as collapsed's materialization (first iteration
+    // would otherwise pay it)
+    val nDocs = collapsed.select(col("doc_id")).distinct().count()
+    // Dual regime, gated on nDocs like every other loop
+    // (CheckpointLayout.ClusterLayoutMinRows): below the bound the slim
+    // frame fits AQE's runtime broadcast and the per-iteration window's
+    // shuffle is cheap — clustering would only add a build shuffle and
+    // cost the iterations their adaptive plans (measured +40-70% when
+    // clustered too early). Past it, bake the layout in once.
+    val clusterBound = CheckpointLayout.clusterMinRows(spark)
+    val feats =
+      if (clusterBound > 0 && nDocs <= clusterBound) collapsed
+      else {
+        val (f, featsHeld) = CheckpointLayout.clusteredByHeld(collapsed, key = "doc_id")
+        CheckpointLayout.materialize(f)
+        // f materialized: the plain inner checkpoint and any fallback
+        // boundary (featsHeld tail) are dead; f itself (featsHeld head)
+        // lives in the returned result's lineage
+        CheckpointLayout.freeThunk(collapsed)()
+        featsHeld.drop(1).foreach(h => CheckpointLayout.freeThunk(h)())
+        f
+      }
 
     def pE6(s: Column): Column = {
       val logit = s.cast("double") / lit(1000000.0)

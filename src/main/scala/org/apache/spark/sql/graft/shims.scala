@@ -44,4 +44,51 @@ object shims {
     }
     org.apache.spark.sql.classic.Dataset.ofRows(session, strip(df.queryExecution.analyzed))
   }
+
+  /** A THROWAWAY clone of `spark` (same SparkContext, shared state, and
+    * registered functions; independent copied conf) with `pairs` set —
+    * the only way to plan ONE query under a conf override without
+    * mutating anything shared. A thread-local `SQLConf.withExistingConf`
+    * override does NOT work for the AQE gate: `InsertAdaptiveSparkPlan`
+    * overrides `conf` to read `adaptiveExecutionContext.session
+    * .sessionState.conf` DIRECTLY (verified in the 4.1.2 bytecode),
+    * bypassing `SQLConf.get`'s thread-local hook. Planning a frame
+    * re-rooted under the clone sees the override through that exact
+    * path; the original session and every other thread are untouched.
+    * Needs this namespace for `cloneSession` (private[sql]). */
+  def cloneSessionWithConf(spark: SparkSession, pairs: (String, String)*): SparkSession = {
+    val clone = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession].cloneSession()
+    pairs.foreach { case (k, v) => clone.conf.set(k, v) }
+    clone
+  }
+
+  /** `df`'s ANALYZED plan re-rooted under `target` (a
+    * [[cloneSessionWithConf]] clone): subsequent planning/execution of the
+    * returned frame reads the target's conf. The analyzed (not raw) plan
+    * skips re-analysis, so resolution cannot drift between sessions. */
+  def reRoot(df: DataFrame, target: SparkSession): DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      target.asInstanceOf[org.apache.spark.sql.classic.SparkSession],
+      df.queryExecution.analyzed)
+
+  /** A checkpoint Dataset created under a throwaway clone, re-bound to
+    * `target`: the LogicalRDD leaf is rebuilt with the target session and
+    * the leaf's current stats carried over (origin constraints dropped —
+    * none of the capture paths rely on them). Downstream queries rooted
+    * at the result plan under `target`'s conf (AQE on), not the clone's.
+    * Non-LogicalRDD-rooted plans would indicate a Spark behavior change:
+    * fail fast rather than silently keep a frame whose downstream
+    * planning reads the clone's suspended conf. */
+  def rebindCheckpoint(ck: DataFrame, target: SparkSession): DataFrame = {
+    val session = target.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val plan = ck.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        new org.apache.spark.sql.execution.LogicalRDD(
+          l.output, l.rdd, l.outputPartitioning, l.outputOrdering,
+          l.isStreaming, l.stream)(session, Some(l.stats), None)
+      case other => throw new IllegalStateException(
+        s"checkpoint plan is not a LogicalRDD leaf: ${other.getClass.getName}")
+    }
+    org.apache.spark.sql.classic.Dataset.ofRows(session, plan)
+  }
 }

@@ -186,4 +186,75 @@ class CheckpointLayoutSpec extends AnyFunSuite {
     assert(spark.conf.get(key, "true") == before)
     assert(ck.agg(sum("v")).as[Long].head() == (0L until 50L).sum)
   }
+
+  test("AQE suspension is session-scoped to the capture: concurrent planning stays adaptive, session conf untouched") {
+    // The capture compiles under a throwaway session clone with AQE off —
+    // never by mutating the shared session conf (the round-14 exposure:
+    // every clustered round opened a session-conf mutation window in which
+    // a concurrently-planned query silently compiled non-adaptive). Pin
+    // it: while one thread runs captures back-to-back, a second thread
+    // plans queries continuously — EVERY concurrent plan must stay
+    // adaptive, and the session conf must never change. Also pin that the
+    // capture's DOWNSTREAM consumers plan adaptive (the re-bound leaf
+    // carries the caller's session, not the clone).
+    val key = "spark.sql.adaptive.enabled"
+    assert(spark.conf.get(key, "true") == "true", "precondition: AQE on")
+    def planString(): String = {
+      val a = spark.range(100).select((col("id") % 7).as("k"), col("id").as("v"))
+      val b = spark.range(7).select(col("id").as("k"), lit(1L).as("w"))
+      a.join(b, Seq("k")).groupBy(col("k")).agg(sum(col("v") * col("w")))
+        .queryExecution.executedPlan.toString
+    }
+    @volatile var done = false
+    @volatile var badPlan: String = null
+    @volatile var confFlipped = false
+    val watcher = new Thread(() => while (!done) {
+      val p = planString()
+      if (!p.contains("AdaptiveSparkPlan")) badPlan = p
+      if (spark.conf.get(key, "true") != "true") confFlipped = true
+    })
+    watcher.start()
+    try {
+      (0 until 4).foreach { i =>
+        val df = spark.range(500)
+          .select((col("id") % 13).as("k"), (col("id") + i).as("v"))
+        val (ck, free) = CheckpointLayout.statSafeClusteredBy(df, "k")
+        val (partOk, sortOk) = capturedLayout(ck)
+        assert(partOk && sortOk, s"capture $i lost its layout")
+        // downstream of the re-bound leaf must plan ADAPTIVE again
+        val down = ck.join(spark.range(13).select(col("id").as("k")), Seq("k"))
+          .groupBy(col("k")).agg(sum(col("v")))
+        assert(down.queryExecution.executedPlan.toString.contains("AdaptiveSparkPlan"),
+          s"downstream of capture $i planned non-adaptive: clone session leaked into the result")
+        assert(ck.count() == 500)
+        free()
+      }
+    } finally { done = true; watcher.join(60000) }
+    assert(!confFlipped, "shared session conf mutated during a capture window")
+    assert(badPlan == null,
+      s"concurrent thread lost AQE during a capture window:\n$badPlan")
+  }
+
+  test("reliable clustered round executes its lineage once (persist bridges count and file write)") {
+    // RDD.doCheckpoint re-runs the checkpoint-marked RDD after the
+    // materializing action to write its files; without the persist bridge
+    // the round's plan executes twice. An accumulator over the source rows
+    // counts evaluations: exactly one pass.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckl-once").toString
+    val acc = spark.sparkContext.longAccumulator("graft.spec.evals")
+    val rdd = spark.sparkContext.parallelize(0L until 400L, 4).map { i =>
+      acc.add(1L); org.apache.spark.sql.Row(i % 5, i)
+    }
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("v", org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(rdd, schema)
+    val reliableRound = graft.util.Barriers.ReliableEvery - 1
+    val (out, free) = CheckpointLayout.roundBarrierKeepingLayout(df, reliableRound, Some(dir))
+    assert(acc.value == 400L,
+      s"reliable round evaluated its lineage ${acc.value / 400.0} times, expected once")
+    assert(out.count() == 400L) // reads off checkpoint files, not lineage
+    assert(acc.value == 400L)
+    free()
+  }
 }

@@ -263,23 +263,33 @@ class TextScoringSpec extends AnyFunSuite {
   }
 
   test("classifierTrain plan: slim-frame layout makes per-doc stages shuffle-free") {
-    // The checkpointed slim frame is repartitioned+sorted by doc_id with
-    // AQE suspended for the capture, so the final per-doc aggregate (and
-    // each iteration's window, same requirement) needs no Exchange: the
-    // whole returned plan's only shuffles are broadcasts. Also pin that
-    // the AQE suspension is restored.
+    // Past the regime bound the checkpointed slim frame is
+    // repartitioned+sorted by doc_id (captured with AQE off in a
+    // throwaway session clone), so the final per-doc aggregate (and each
+    // iteration's window, same requirement) needs no Exchange: the whole
+    // returned plan's only shuffles are broadcasts. Forced via the regime
+    // conf (tiny corpora stay on the fully-adaptive plain path); the two
+    // regimes must agree on values. Also pin that the session's AQE conf
+    // is never disturbed.
     val aqeBefore = spark.conf.get("spark.sql.adaptive.enabled", "true")
     val slice = docs.limit(50).select($"doc_id", $"text",
       when($"lang" === "en", 1L).otherwise(0L).as("y"))
-    val out = TextOps.classifierTrain(slice, $"doc_id", $"text", $"y",
+    def train() = TextOps.classifierTrain(slice, $"doc_id", $"text", $"y",
       buckets = 128L, iters = 2)
-    out.collect() // finalize AQE
-    assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
-      "classifierTrain must restore spark.sql.adaptive.enabled")
-    val plan = out.queryExecution.executedPlan.toString
-    assert(!plan.contains("Exchange hashpartitioning"),
-      s"expected no shuffle exchange above the doc_id-partitioned checkpoint in:\n$plan")
-    assert(!plan.contains("Exchange rangepartitioning"), s"unexpected sort shuffle:\n$plan")
+    val plainRows = train().collect().map(_.toString).toSet
+    try {
+      spark.conf.set("graft.layout.clusterMinRows", "0")
+      val out = train()
+      val clusteredRows = out.collect() // finalize AQE
+      assert(clusteredRows.map(_.toString).toSet == plainRows,
+        "clustered and plain classifierTrain regimes disagree")
+      assert(spark.conf.get("spark.sql.adaptive.enabled", "true") == aqeBefore,
+        "classifierTrain must leave spark.sql.adaptive.enabled untouched")
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"expected no shuffle exchange above the doc_id-partitioned checkpoint in:\n$plan")
+      assert(!plan.contains("Exchange rangepartitioning"), s"unexpected sort shuffle:\n$plan")
+    } finally spark.conf.unset("graft.layout.clusterMinRows")
   }
 
   test("classifierTrain: featureless docs score 0.5 and ride through training") {
