@@ -17,8 +17,9 @@ import graft.util.Barriers
  * budget makes the operator a finite relational program: identical
  * results in any engine, SQL oracle unrolls rounds verbatim. (The true
  * k-core is the fixpoint; on real graphs peeling converges in a few
- * rounds — callers wanting the fixpoint run until the survivor count
- * stops changing, same contract as the CC loop.)
+ * rounds — the loop detects the fixpoint from the per-round survivor
+ * count and skips the remaining no-op rounds, so a generous budget
+ * costs nothing.)
  *
  * Scale shape per round: one degree aggregate (map-side combinable)
  * and two semi-joins of the edge frame against the slim survivor set,
@@ -27,20 +28,43 @@ import graft.util.Barriers
 object Cores {
 
   /** Nodes of the `rounds`-round k-core: `(node, degree)` with the
-    * degree measured in the surviving subgraph. */
+    * degree measured in the surviving subgraph.
+    *
+    * Rounds are EAGER with the superseded edge generation's blocks freed
+    * as soon as its successor is materialized — the lazy chain this
+    * replaced pinned every generation (`rounds` × edge-frame memory, the
+    * LayoutScaleProbe lesson) for the session. The row count rides the
+    * materializing job's accumulator for free and doubles as a FIXPOINT
+    * exit: `e` only ever shrinks under the semi-joins, so an unchanged
+    * count means an unchanged set and every remaining round is a no-op —
+    * results are identical to running the full budget (spec-pinned).
+    * `checkpointDir` gives the loop the same executor-loss durability
+    * cadence as CC/LPA/PR (a reliable file checkpoint every
+    * [[Barriers.ReliableEvery]]-th round; local blocks otherwise). */
   def kCore(edges: DataFrame, src: Column, dst: Column, k: Int,
-      rounds: Int): DataFrame = {
+      rounds: Int, checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k >= 1 and rounds >= 1, got $k/$rounds")
-    var e = Barriers.statSafe(Triangles.canonicalEdges(edges, src, dst))
-    for (_ <- 1 to rounds) {
+    var (e, freeE) = Barriers.statSafeFreeable(Triangles.canonicalEdges(edges, src, dst))
+    var prevRows = -1L
+    var round = 0
+    var fixpoint = false
+    while (round < rounds && !fixpoint) {
       val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-      val keep = Barriers.statSafe(
+      val (keep, freeKeep) = Barriers.statSafeFreeable(
         deg.filter(col("deg") >= k).select(col("n")))
-      e = Barriers.statSafe(
+      val (next, nRows, freeNext) = Barriers.roundBarrierCountingFreeable(
         e.join(keep.select(col("n").as("u")), Seq("u"), "leftsemi")
           .join(keep.select(col("n").as("v")), Seq("v"), "leftsemi")
-          .select(col("u"), col("v")))
+          .select(col("u"), col("v")), round, checkpointDir)(_ => true)
+      // next is materialized: the round's survivor set and the previous
+      // edge generation are dead (the final generation is never freed —
+      // the caller's result reads it)
+      freeKeep(); freeE()
+      e = next; freeE = freeNext
+      fixpoint = nRows == prevRows
+      prevRows = nRows
+      round += 1
     }
     e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("degree"))

@@ -37,7 +37,8 @@ object Walks {
    * ≥ 1 by construction (it appears in an edge), so walks never
    * strand.
    */
-  def walks(edges: DataFrame, src: Column, dst: Column, steps: Int): DataFrame = {
+  def walks(edges: DataFrame, src: Column, dst: Column, steps: Int,
+      checkpointDir: Option[String] = None): DataFrame = {
     require(steps >= 1, s"steps must be >= 1, got $steps")
     val e = Triangles.canonicalEdges(edges, src, dst)
     // Dual-regime layout (see CheckpointLayout.ClusterLayoutMinRows):
@@ -62,13 +63,27 @@ object Walks {
     val (und, freeUnd, cluster) =
       graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
         und0, freeUnd0, measured = nNodes, key = "a")
+    // Unlike the round loops (PR/LPA/CC/SSSP), walks materializes no
+    // per-round generations — the steps are a fixed-depth lazy join tree
+    // over three STATIC checkpoints (adj/deg/w0). The executor-loss
+    // durability parameter therefore applies to those: with
+    // `checkpointDir` set, the clustered regime writes them as RELIABLE
+    // file checkpoints (roundBarrierKeepingLayout with the cadence
+    // position pinned to the reliable slot) instead of local blocks, the
+    // same cadence contract the loops expose.
     def barrier(df: DataFrame): DataFrame =
       if (cluster) {
-        // adj/deg live in the result's lineage (every step reads them);
-        // materialize now so the clustered und copy can be freed below
-        val (ck, _) = graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)
-        ck.queryExecution.toRdd.count()
-        ck
+        if (checkpointDir.isDefined) {
+          val (ck, _) = graft.pipeline.CheckpointLayout.roundBarrierKeepingLayout(
+            df, Barriers.ReliableEvery - 1, checkpointDir)
+          ck
+        } else {
+          // adj/deg live in the result's lineage (every step reads them);
+          // materialize now so the clustered und copy can be freed below
+          val (ck, _) = graft.pipeline.CheckpointLayout.statSafeKeepingLayout(df)
+          ck.queryExecution.toRdd.count()
+          ck
+        }
       } else Barriers.statSafe(df)
     val adj = barrier(
       und.select(col("a"), col("b"),
@@ -85,10 +100,22 @@ object Walks {
         // clustered und copy
         // nodes0 is already stat-safe (statSafeFreeable re-wrap), so the
         // plain held variant suffices here
-        val (w0, w0Held) = graft.pipeline.CheckpointLayout.clusteredByHeld(
+        val (w0c, w0Held) = graft.pipeline.CheckpointLayout.clusteredByHeld(
           nodes0, key = "walk_id")
-        w0.queryExecution.toRdd.count()
-        w0Held.drop(1).foreach(f => graft.pipeline.CheckpointLayout.freeThunk(f)())
+        val w0 =
+          if (checkpointDir.isDefined) {
+            // durable variant: the reliable copy reads files, so EVERY
+            // local block behind it (the clustered copy and any fallback
+            // boundary) is dead once it materializes
+            val (ck, _) = graft.pipeline.CheckpointLayout.roundBarrierKeepingLayout(
+              w0c, Barriers.ReliableEvery - 1, checkpointDir)
+            w0Held.foreach(f => graft.pipeline.CheckpointLayout.freeThunk(f)())
+            ck
+          } else {
+            w0c.queryExecution.toRdd.count()
+            w0Held.drop(1).foreach(f => graft.pipeline.CheckpointLayout.freeThunk(f)())
+            w0c
+          }
         freeNodes0(); freeUnd()
         w0.select(col("walk_id"), col("walk_id").as("s0"))
       } else nodes0.select(col("walk_id"), col("walk_id").as("s0"))

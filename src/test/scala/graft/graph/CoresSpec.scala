@@ -56,4 +56,31 @@ class CoresSpec extends AnyFunSuite {
     // some probed k actually removes nodes (the peel is exercised)
     assert(Seq(3, 5, 7, 10).exists(k => brute(edges, k, 1).size < 45))
   }
+
+  test("fixpoint exit: a generous round budget equals the exact budget") {
+    // the 7-node path at k=2 empties by round 3; a 50-round budget must
+    // return the identical (empty) result without paying 47 no-op rounds,
+    // and on the clique fixture the budget past convergence is free
+    val path = (0L until 6L).map(i => (i, i + 1))
+    assert(run(path, 2, 50) == run(path, 2, 3))
+    val clique = for { i <- 0L until 5L; j <- (i + 1) until 5L } yield (i, j)
+    assert(run(clique ++ Seq((0L, 99L)), 4, 50) == run(clique ++ Seq((0L, 99L)), 4, 2))
+  }
+
+  test("reliable-checkpoint cadence keeps values exact") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-kcore-rel").toString
+    // a 16-node path peels exactly one layer per round at k=2, so the
+    // loop genuinely runs 6 rounds and crosses the ReliableEvery boundary
+    // (round index 4 writes files) before the fixpoint exit could fire
+    val edges = (0L until 15L).map(i => (i, i + 1))
+    val default = run(edges, 2, 6)
+    assert(default == brute(edges, 2, 6))
+    val withDir = Cores.kCore(edges.toDF("src", "dst"), col("src"), col("dst"),
+        k = 2, rounds = 6, checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(withDir == default)
+    val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+      .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+    assert(wrote > 0, "reliable kCore round wrote nothing")
+  }
 }

@@ -68,6 +68,28 @@ class WalksSpec extends AnyFunSuite {
     assert(got == Map(3L -> Seq(3L, 9L, 3L, 9L), 9L -> Seq(9L, 3L, 9L, 3L)))
   }
 
+  test("durable clustered walks (checkpointDir) are value-identical and write files") {
+    // the cadence-parity contract: with checkpointDir set, the clustered
+    // regime's static frames (adj/deg/w0) become reliable file
+    // checkpoints; values must not move
+    val dir = java.nio.file.Files.createTempDirectory("graft-walks-rel").toString
+    val rnd = new scala.util.Random(77)
+    val edges = (1 to 250).map(_ => (rnd.nextInt(50).toLong, rnd.nextInt(50).toLong))
+    val default = run(edges, 4)
+    try {
+      spark.conf.set("graft.layout.clusterMinRows", "0")
+      val durable = Walks.walks(edges.toDF("src", "dst"), col("src"), col("dst"),
+          steps = 4, checkpointDir = Some(dir))
+        .collect()
+        .map(r => r.getLong(0) -> (0 to 4).map(i => r.getAs[Long](s"s$i")))
+        .toMap
+      assert(durable == default)
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, "durable walks wrote no checkpoint files")
+    } finally spark.conf.unset("graft.layout.clusterMinRows")
+  }
+
   test("walkPmi matches the sequential count/PMI reference") {
     val rnd = new scala.util.Random(35)
     val edges = (1 to 200).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))

@@ -257,4 +257,25 @@ class CheckpointLayoutSpec extends AnyFunSuite {
     assert(acc.value == 400L)
     free()
   }
+
+  test("reliable round survives total block loss; local round cannot (executor-loss semantics)") {
+    // Executor loss simulated as the loss of every persisted block: a
+    // RELIABLE round's data lives in checkpoint FILES, so the frame still
+    // reads exactly after all blocks are dropped; a LOCAL round's
+    // truncated lineage cannot recompute — the cadence parameter is what
+    // separates a recoverable loop from a lost one.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckl-loss").toString
+    val df = spark.range(300).select((col("id") % 9).as("k"), col("id").as("v"))
+    val reliableRound = graft.util.Barriers.ReliableEvery - 1
+    val (rel, _) = CheckpointLayout.roundBarrierKeepingLayout(df, reliableRound, Some(dir))
+    val (loc, _) = CheckpointLayout.roundBarrierKeepingLayout(df, 0, Some(dir))
+    assert(rel.count() == 300 && loc.count() == 300)
+    // drop EVERY block (both rounds' local storage)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    assert(rel.agg(sum("v")).head().getLong(0) == (0L until 300L).sum,
+      "reliable round lost data after block loss")
+    val localSurvived = try { loc.count(); true } catch { case _: Throwable => false }
+    assert(!localSurvived,
+      "local round unexpectedly survived total block loss — the probe is vacuous")
+  }
 }
