@@ -2191,7 +2191,8 @@ object PipelineQueries {
     // integer DCT with the interpolated e4 cosine table -> 63 AC sign
     // bits -> identical-hash collapse (rep = min doc_id per phash) ->
     // banded pairs over reps WITH the keep-smallest-reps hot-band cap
-    // (rank within band by rep, join rank <= 1024, Hamming <= 2)
+    // (rank within band by rep, join rank <= 1024 plus linear
+    // overflow stars to the band min, Hamming <= 2)
     // -> recursive min-label components -> members inherit via hash
     "p61_image_phash_dedup" ->
       s"""WITH RECURSIVE ids AS (
@@ -2229,14 +2230,21 @@ object PipelineQueries {
          |  SELECT phash, min(doc_id) AS rep FROM h GROUP BY phash),
          |bc AS MATERIALIZED (
          |  SELECT rep, phash, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn,
+         |    count(*) OVER (PARTITION BY bi, bv) AS bn,
+         |    min(rep) OVER (PARTITION BY bi, bv) AS minrep,
+         |    arg_min(phash, rep) OVER (PARTITION BY bi, bv) AS minhash
          |  FROM (SELECT rep, phash, b.b AS bi,
          |      (phash >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
          |    FROM reps, generate_series(0, 2) AS b(b))),
          |pr AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
          |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
-         |    AND bit_count(xor(a.phash, b.phash)) <= 2),
+         |    AND bit_count(xor(a.phash, b.phash)) <= 2
+         |  UNION
+         |  SELECT minrep, rep FROM bc
+         |  WHERE bn > 1024 AND rep <> minrep
+         |    AND bit_count(xor(minhash, phash)) <= 2),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
          |  UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT src AS id, src AS label FROM edges
@@ -2253,7 +2261,7 @@ object PipelineQueries {
     // over 16x5 cells) -> double-difference sign bits -> identical-
     // fingerprint collapse (rep = min doc_id) -> banded pairs over reps
     // with the keep-smallest-reps hot-band cap (15-bit bands, rank <=
-    // 1024, Hamming <= 3) -> recursive min-label components -> members
+    // 1024 plus linear overflow stars to the band min, Hamming <= 3) -> recursive min-label components -> members
     // inherit their hash's rep component
     "p62_audio_fingerprint_dedup" ->
       s"""WITH RECURSIVE ids AS (
@@ -2287,14 +2295,21 @@ object PipelineQueries {
          |  SELECT fp, min(doc_id) AS rep FROM h GROUP BY fp),
          |bc AS MATERIALIZED (
          |  SELECT rep, fp, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn,
+         |    count(*) OVER (PARTITION BY bi, bv) AS bn,
+         |    min(rep) OVER (PARTITION BY bi, bv) AS minrep,
+         |    arg_min(fp, rep) OVER (PARTITION BY bi, bv) AS minhash
          |  FROM (SELECT rep, fp, b.b AS bi,
          |      (fp >> CAST(15 * b.b AS INTEGER)) & 32767 AS bv
          |    FROM reps, generate_series(0, 3) AS b(b))),
          |pr AS (SELECT DISTINCT a.rep AS id_a, b.rep AS id_b
          |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
-         |    AND bit_count(xor(a.fp, b.fp)) <= 3),
+         |    AND bit_count(xor(a.fp, b.fp)) <= 3
+         |  UNION
+         |  SELECT minrep, rep FROM bc
+         |  WHERE bn > 1024 AND rep <> minrep
+         |    AND bit_count(xor(minhash, fp)) <= 3),
          |edges AS (SELECT id_a AS src, id_b AS dst FROM pr
          |  UNION SELECT id_b, id_a FROM pr),
          |reach AS (SELECT src AS id, src AS label FROM edges
@@ -2355,14 +2370,21 @@ object PipelineQueries {
          |  WHERE vr <= 1024),
          |bc AS MATERIALIZED (
          |  SELECT rep, ph, bi, bv,
-         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn
+         |    row_number() OVER (PARTITION BY bi, bv ORDER BY rep) AS rn,
+         |    count(*) OVER (PARTITION BY bi, bv) AS bn,
+         |    min(rep) OVER (PARTITION BY bi, bv) AS minrep,
+         |    arg_min(ph, rep) OVER (PARTITION BY bi, bv) AS minhash
          |  FROM (SELECT rep, ph, b.b AS bi,
          |      (ph >> CAST(21 * b.b AS INTEGER)) & 2097151 AS bv
          |    FROM reps, generate_series(0, 2) AS b(b))),
          |hp AS (SELECT DISTINCT a.ph AS ha, b.ph AS hb
          |  FROM bc a JOIN bc b ON a.bi = b.bi AND a.bv = b.bv AND a.rep < b.rep
          |  WHERE a.rn <= 1024 AND b.rn <= 1024
-         |    AND bit_count(xor(a.ph, b.ph)) <= 2),
+         |    AND bit_count(xor(a.ph, b.ph)) <= 2
+         |  UNION
+         |  SELECT minhash, ph FROM bc
+         |  WHERE bn > 1024 AND rep <> minrep
+         |    AND bit_count(xor(minhash, ph)) <= 2),
          |contrib AS (
          |  SELECT x.vid AS vid_a, y.vid AS vid_b, x.cnt * y.cnt AS n
          |  FROM vc x JOIN vc y ON x.ph = y.ph AND x.vid < y.vid

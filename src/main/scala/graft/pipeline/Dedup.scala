@@ -78,14 +78,19 @@ object Dedup {
     sig.select(col("__id"), posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
   }
 
-  /** Hard ceiling on LSH bucket membership: a bucket larger than this is
-    * truncated (smallest `MaxLshBucket` ids kept) instead of exploding
-    * quadratically. A hot band value — near-empty or templated documents
-    * sharing one signature — would otherwise make a single task's pair
-    * expansion unbounded (OOM/straggler at scale). Truncation degrades
-    * candidate *recall* for that pathological bucket only; members beyond
-    * the cap are near-identical to the kept ones anyway, so their pairs are
-    * redundant for dedup purposes. */
+  /** Hard ceiling on PAIRWISE LSH bucket membership: a bucket larger than
+    * this has its quadratic pair expansion truncated (smallest
+    * `MaxLshBucket` ids kept) instead of exploding — a hot band value
+    * (near-empty or templated documents sharing one signature) would
+    * otherwise make a single task's pair expansion unbounded
+    * (OOM/straggler at scale). Members beyond the cap are NOT lost:
+    * every member of an overflowing bucket additionally gets a LINEAR
+    * "star" candidate pair against the bucket's minimum id, so a true
+    * mega-duplicate group still collapses to one representative under
+    * [[nearDedup]] (verified by DedupSkewProbe with a 10k-member clone
+    * group) while the bucket's candidate volume stays O(|bucket|).
+    * Truncation degrades only which NON-star pairs are enumerated for
+    * the pathological bucket. */
   val MaxLshBucket: Int = 4096
 
   /** Candidate near-dup pairs: documents sharing at least one LSH band.
@@ -98,18 +103,52 @@ object Dedup {
     * [[MaxLshBucket]] so it degrades recall instead of killing the job. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column, k: Int = 8,
       rowsPerBand: Int = 2, ngram: Int = 2, maxBucket: Int = MaxLshBucket): DataFrame = {
-    val bands = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
-    bands
+    val bands0 = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
+    // the star branch below reads the band frame a second time; checkpoint
+    // the slim (id, band_idx, band_val) rows so the whole signature
+    // pipeline does not re-run per consumer (uncapped callers — the p06
+    // oracle contract — keep the single-pass plan, no checkpoint)
+    val capped = maxBucket < Int.MaxValue
+    val bands = if (capped) bands0.localCheckpoint(false) else bands0
+    val pairwise = bands
       .groupBy(col("band_idx"), col("band_val"))
       // bounded min-k aggregate == slice(sort_array(collect_set), 1, cap)
       // but the buffer is O(cap) BY CONSTRUCTION: a degenerate hot band of a
       // billion members shuffles partitions×cap ids, not a billion
       .agg(graft.functions.collect_min_k(col("__id"), maxBucket).as("ids"))
       .filter(size(col("ids")) >= 2)
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("id_a"), y.as("id_b")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b")).distinct()
+      // two-level explode STREAMS the ordered pairs through codegen with
+      // O(cap) peak task memory (one ids array held per input row) — a
+      // flatten(transform(transform)) materialized the full O(cap^2) pair
+      // array per bucket row first (~8.4M structs / ~134 MB for a
+      // truncated 4096-member mega-dup bucket: one task's heap spike at
+      // scale). Identical pair set (p06 oracle-pinned).
+      .select(col("ids"), posexplode(col("ids")).as(Seq("__i", "id_a")))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("id_b"))
+    if (!capped) return pairwise.distinct()
+    // OVERFLOW STARS: truncation alone leaves every beyond-cap member of a
+    // mega-dup bucket in NO candidate pair — a 10k-member duplicate group
+    // would keep ~6k near-identical survivors (measured by DedupSkewProbe).
+    // For each overflowing bucket, emit the LINEAR star (bucket-min,
+    // member) for every member instead: the group's canonical minimum gets
+    // a verified pair with each clone, so a true mega-dup group collapses
+    // to one representative while the pair count stays O(|bucket|), never
+    // O(|bucket|^2). The overflow keys come from a LIGHT second aggregate
+    // over the checkpointed band rows (count+min, no array buffer — the
+    // min-k aggregate above keeps its original single-consumer shape).
+    // Overflow buckets number at most |bands| / cap — normally a handful,
+    // which AQE broadcasts from its exact runtime size; no forced hint,
+    // so the everything-overflows pathology still gets a safe shuffled
+    // join instead of an unbounded broadcast build.
+    val overflow = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+      .filter(col("__n") > maxBucket)
+      .select(col("band_idx"), col("band_val"), col("__min"))
+    val stars = bands.join(overflow, Seq("band_idx", "band_val"))
+      .filter(col("__id") =!= col("__min"))
+      .select(col("__min").as("id_a"), col("__id").as("id_b"))
+    pairwise.unionByName(stars).distinct()
   }
 
   /** Exact n-gram Jaccard similarity over the whole input: distinct
@@ -1170,20 +1209,41 @@ object Dedup {
     }
     // members ride through the aggregation as (id, hash) structs so the
     // pair explode emits hamming directly — no join-back to the hashes
-    val bands = sh.select(struct(col("__id").as("id"), col("__h").as("h")).as("m"),
+    val bands0 = sh.select(struct(col("__id").as("id"), col("__h").as("h")).as("m"),
       posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_val")))
-    bands
+    // star branch re-reads the band frame — checkpoint the slim rows
+    // (see lshCandidatePairs; the uncapped path keeps the single pass)
+    val capped = maxBand < Int.MaxValue
+    val bands = if (capped) bands0.localCheckpoint(false) else bands0
+    val pairwise = bands
       .groupBy(col("band_idx"), col("band_val"))
       // bounded min-k aggregate == slice(sort_array(collect_set), 1, cap)
       // with an O(cap) buffer — the hot-band (all-identical pHash) OOM guard
       .agg(graft.functions.collect_min_k(col("m"), maxBand).as("ms"))
       .filter(size(col("ms")) >= 2)
-      .select(explode(flatten(transform(col("ms"), (x, i) =>
-        transform(slice(col("ms"), i + lit(2), size(col("ms"))),
-          y => struct(x.getField("id").as("id_a"), y.getField("id").as("id_b"),
-            hammingDistance(x.getField("h"), y.getField("h")).cast("long").as("hamming")))))).as("p"))
-      .select(col("p.id_a"), col("p.id_b"), col("p.hamming"))
+      // streamed two-level explode: O(cap) peak task memory, not an
+      // O(cap^2) materialized pair array per hot band (see
+      // lshCandidatePairs) — identical pair set
+      .select(col("ms"), posexplode(col("ms")).as(Seq("__i", "a")))
+      .select(col("a"),
+        explode(slice(col("ms"), col("__i") + lit(2), size(col("ms")))).as("b"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
+        hammingDistance(col("a.h"), col("b.h")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .distinct()
+    if (!capped) return pairwise.distinct()
+    // overflow stars (the MaxLshBucket contract): beyond-cap members of a
+    // mega-band each get a LINEAR candidate against the band's minimum-id
+    // member, hamming-filtered like any pair — an all-identical-pHash
+    // group collapses fully instead of keeping its beyond-cap tail
+    val overflow = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("__n"), min(col("m")).as("__min"))
+      .filter(col("__n") > maxBand)
+      .select(col("band_idx"), col("band_val"), col("__min"))
+    val stars = bands.join(overflow, Seq("band_idx", "band_val"))
+      .filter(col("m.id") =!= col("__min.id"))
+      .select(col("__min.id").as("id_a"), col("m.id").as("id_b"),
+        hammingDistance(col("__min.h"), col("m.h")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+    pairwise.unionByName(stars).distinct()
   }
 }

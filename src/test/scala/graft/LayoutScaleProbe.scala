@@ -50,16 +50,20 @@ object LayoutScaleProbe {
         f"($rows rows; $nRdds persisted RDDs, ${bytes / 1048576}%d MiB after)")
     }
 
+    // SPARK_GRAFT_PROBE_LOOPS selects loops (comma list of pr,lpa,cc;
+    // default all) — the 30M-edge decade probe runs pr+cc only
+    val loops = sys.env.getOrElse("SPARK_GRAFT_PROBE_LOOPS", "pr,lpa,cc")
+      .split(",").map(_.trim).toSet
     for (pass <- 1 to 2; regime <- Seq("adaptive", "clustered")) {
       spark.conf.set("graft.layout.clusterMinRows",
         if (regime == "clustered") "0" else Long.MaxValue.toString)
-      timed(s"pass$pass pageRank(5) $regime") {
+      if (loops("pr")) timed(s"pass$pass pageRank(5) $regime") {
         graft.graph.Ranks.pageRank(edges, $"s", $"d", iters = 5).count()
       }
-      timed(s"pass$pass lpa(5) $regime") {
+      if (loops("lpa")) timed(s"pass$pass lpa(5) $regime") {
         graft.graph.Communities.labelPropagation(edges, $"s", $"d", iters = 5).count()
       }
-      timed(s"pass$pass cc $regime") {
+      if (loops("cc")) timed(s"pass$pass cc $regime") {
         graft.pipeline.Dedup.connectedComponents(
           edges.select(col("s").as("id_a"), col("d").as("id_b")),
           driverEdgeLimit = 0).count()

@@ -71,13 +71,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.SimHashBits >= 60)
     assert(Dedup.simHashBandWidth(3) >= 12, s"band width ${Dedup.simHashBandWidth(3)}")
     // hot band: byte-identical docs share one simhash -> one band bucket;
-    // a cap of 5 keeps the 5 smallest ids -> C(5,2)=10 pairs
+    // a cap of 5 keeps C(5,2)=10 pairwise pairs among the 5 smallest ids
+    // PLUS a linear star (0, x) for every other member — beyond-cap
+    // members still collapse onto the canonical minimum, never quadratic
     val hot = (0 until 40).map(i => (i.toLong, "identical text body of the hot band spam"))
       .toDF("doc_id", "text")
     val capped = Dedup.simHashNearDupPairs(hot, $"doc_id", $"text", maxHamming = 3, maxBand = 5)
       .select($"id_a", $"id_b").as[(Long, Long)].collect()
-    assert(capped.length == 10, s"expected C(5,2)=10 capped pairs, got ${capped.length}")
-    assert(capped.forall { case (a, b) => a < 5 && b < 5 })
+    assert(capped.length == 10 + 35, s"expected C(5,2)+35 star pairs, got ${capped.length}")
+    assert(capped.filter(_._2 >= 5).forall(_._1 == 0L), "stars must anchor at the bucket min")
+    assert(capped.map(_._2).toSet ++ Set(0L) == (0L until 40L).toSet,
+      "every member must appear in some candidate pair")
     // uncapped finds the full C(40,2) set (hamming 0 everywhere)
     assert(Dedup.simHashNearDupPairs(hot, $"doc_id", $"text", maxHamming = 3,
       maxBand = Int.MaxValue).count() == 40L * 39 / 2)
@@ -917,15 +921,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(sig.count() == 2) // only docs with >= 1 shingle produce rows
   }
 
-  test("hot LSH bucket is capped, not exploded quadratically (ADVICE r02)") {
+  test("hot LSH bucket is capped to pairwise-min-k plus linear stars (ADVICE r02 + r15 recall fix)") {
     // 40 byte-identical docs land in one bucket for every band; a cap of 5
-    // keeps the 5 smallest ids -> C(5,2)=10 pairs per band, deduped to 10
+    // keeps C(5,2)=10 pairwise pairs among the 5 smallest ids plus a
+    // linear star (0, x) for each of the 35 beyond-cap members — so
+    // nearDedup still collapses the mega-group to ONE representative
+    // (pre-r15 truncation silently kept every beyond-cap member)
     val hot = (0 until 40).map(i => (i.toLong, "identical text body of the hot bucket spam"))
       .toDF("doc_id", "text")
     val pairs = Dedup.lshCandidatePairs(hot, $"doc_id", $"text", k = 8, maxBucket = 5)
       .as[(Long, Long)].collect()
-    assert(pairs.length == 10, s"expected C(5,2)=10 capped pairs, got ${pairs.length}")
-    assert(pairs.forall { case (a, b) => a < 5 && b < 5 })
+    assert(pairs.length == 10 + 35, s"expected C(5,2)+35 star pairs, got ${pairs.length}")
+    assert(pairs.filter(_._2 >= 5).forall(_._1 == 0L), "stars must anchor at the bucket min")
+    // the mega-dup group fully collapses under the capped end-to-end dedup
+    val kept = Dedup.nearDedup(hot, $"doc_id", $"text", maxBucket = 5)
+      .select($"doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(0L), s"mega-dup group must keep only the min id, kept ${kept.length}")
     // and the uncapped default still produces the full C(40,2) set
     val full = Dedup.lshCandidatePairs(hot, $"doc_id", $"text", k = 8).count()
     assert(full == 40L * 39 / 2)
