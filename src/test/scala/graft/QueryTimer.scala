@@ -30,6 +30,11 @@ object QueryTimer {
         val t0 = System.nanoTime()
         val rows = SparkEntry.queries(n)(spark, dir).count()
         println(f"[queryTimer] round$round $n%-28s ${(System.nanoTime() - t0) / 1e9}%7.2f s  ($rows rows)")
+        // outside the timed window, like Bench: leaked localCheckpoint
+        // blocks from a previous query otherwise squeeze the next one's
+        // execution memory (measured: p07 at sf1.0 10 s clean vs 29 s
+        // under three heavy queries' leaked generations)
+        Bench.dropLeakedBlocks(spark)
       }
     }
     spark.stop()
