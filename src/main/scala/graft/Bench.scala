@@ -103,9 +103,14 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      (name, timeOnce(fn))
-    }
+    // SPARK_GRAFT_ONLY: comma-list restricting the TIMED pass (the warm
+    // pass stays full) — a session-state bisect aid, never set by the
+    // driver
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter(q => only.isEmpty || only.contains(q._1))
+      .map { case (name, fn) => (name, timeOnce(fn)) }
     val failedNames = firstPass.collect { case (name, (_, false)) => name }
     if (failedNames.nonEmpty)
       System.err.println(s"[bench] WARN: ${failedNames.length} queries FAILED: ${failedNames.mkString(",")}")
