@@ -201,7 +201,10 @@ object Bench {
     // count (ScaleProbe's documented trap: a rehearsal's "0.15 s at sf1.0"
     // for a full gram pipeline is a collapsed plan, not scale evidence) —
     // the noop column is what a scaling claim may cite.
-    val noopTop = sys.env.get("SPARK_GRAFT_NOOP_TOP").map(_.toInt).getOrElse(0)
+    // defensive parse: a malformed value must not throw AFTER the timed
+    // pass has run and lose the whole run's timings to a NumberFormatException
+    val noopTop = sys.env.get("SPARK_GRAFT_NOOP_TOP")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption).getOrElse(0)
     val noopExtra = if (noopTop <= 0) "" else {
       val heavy = sorted.filterNot(q => failedNames.contains(q._1))
         .sortBy(-_._2).take(noopTop).map(_._1).sorted

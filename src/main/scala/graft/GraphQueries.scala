@@ -20,6 +20,12 @@ import graft.graph.H3Graph
  */
 object GraphQueries {
 
+  /** The reference's prepared Germany street-graph fixture — the one
+    * non-testdata input. Shared with Verify's pre-warm (single source of
+    * truth for the path). */
+  private[graft] val GermanyFixture =
+    "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+
   private val N = 300 // chain nodes 0..N
 
   /** p114/p116 express-chain length — shared by BOTH drivers and BOTH
@@ -343,7 +349,7 @@ object GraphQueries {
     // contract law, path.rs:13-266). SF-independent by design: the input
     // is the fixture, not the testdata tables.
     "p115_germany_route" -> ((s, dir) => {
-      val fixture = "/root/reference/data/graph-germany_r7_f64.bincode.lz"
+      val fixture = GermanyFixture
       // cached parse (parquet under target/, keyed by fixture mtime): the
       // bench macro measures ROUTING, matching the reference's bench which
       // loads the graph once outside the timed loop (route_germany.rs:57-60);

@@ -26,9 +26,12 @@ object Verify {
     // every environment — matching the reference bench, which loads the
     // graph once outside its timed loop. p115's own run below would build
     // it anyway; doing it here is explicit and survives query reordering.
-    try graft.sources.bincode.PreparedGraphBincode.edgesDFCached(spark,
-      "/root/reference/data/graph-germany_r7_f64.bincode.lz").count()
-    catch { case scala.util.control.NonFatal(_) => () }
+    // Gated on the selection actually touching the fixture: a filtered
+    // local iteration run (e.g. only p01) should not pay the parse.
+    if (selected("p115_germany_route"))
+      try graft.sources.bincode.PreparedGraphBincode.edgesDFCached(spark,
+        GraphQueries.GermanyFixture).count()
+      catch { case scala.util.control.NonFatal(_) => () }
     SparkEntry.queries.filter(q => selected(q._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")

@@ -18,9 +18,14 @@ import org.apache.spark.sql.functions.col
   *     so the layout is lost. AQE is therefore suspended for just the
   *     checkpoint CAPTURE (checkpoints here are created lazily, so the
   *     window covers planning only, never job execution) — via a
-  *     thread-local SQLConf override, so nothing outside this thread's
-  *     planning ever sees the suspension; downstream queries, concurrent
-  *     threads, and the materializing jobs run with AQE untouched.
+  *     THROWAWAY SESSION CLONE whose conf has AQE off, with the captured
+  *     plan re-rooted back onto the caller's session afterwards
+  *     (`shims.cloneSessionWithConf`/`reRoot`/`rebindCheckpoint`; see
+  *     `captureAqeOff` for why a thread-local SQLConf override cannot
+  *     work on 4.1.2). No shared state is ever mutated, so downstream
+  *     queries, concurrent threads, and the materializing jobs run with
+  *     AQE untouched — pinned by CheckpointLayoutSpec's concurrent
+  *     watcher.
   *  2. `LogicalRDD.fromDataset` copies the physical plan's
   *     outputPartitioning/outputOrdering VERBATIM — it rewrites origin
   *     statistics and constraints onto the new output attributes

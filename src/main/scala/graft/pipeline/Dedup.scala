@@ -102,7 +102,20 @@ object Dedup {
     * construction; a pathological hot bucket is truncated at
     * [[MaxLshBucket]] so it degrades recall instead of killing the job. */
   def lshCandidatePairs(df: DataFrame, id: Column, text: Column, k: Int = 8,
-      rowsPerBand: Int = 2, ngram: Int = 2, maxBucket: Int = MaxLshBucket): DataFrame = {
+      rowsPerBand: Int = 2, ngram: Int = 2, maxBucket: Int = MaxLshBucket): DataFrame =
+    lshCandidatePairsFreeable(df, id, text, k, rowsPerBand, ngram, maxBucket)._1
+
+  /** [[lshCandidatePairs]] plus the release thunk for the band checkpoint
+    * the capped path pins (no-op when uncapped). Same contract as
+    * `CheckpointLayout.freeThunk`: invoke only after every consumer of the
+    * returned frame has materialized — the blocks ARE the frame's lineage.
+    * The thunk-less overload above leaves the blocks pinned for the
+    * session (the bench/oracle harnesses drop them between queries via
+    * `Bench.dropLeakedBlocks`); library callers composing further work in
+    * one session should use this variant ([[nearDedupFreeable]] does). */
+  def lshCandidatePairsFreeable(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      rowsPerBand: Int = 2, ngram: Int = 2,
+      maxBucket: Int = MaxLshBucket): (DataFrame, () => Unit) = {
     val bands0 = lshBands(minHashSignatures(df, id, text, k, ngram), k, rowsPerBand)
     // the star branch below reads the band frame a second time; checkpoint
     // the slim (id, band_idx, band_val) rows so the whole signature
@@ -126,7 +139,7 @@ object Dedup {
       .select(col("ids"), posexplode(col("ids")).as(Seq("__i", "id_a")))
       .select(col("id_a"),
         explode(slice(col("ids"), col("__i") + lit(2), size(col("ids")))).as("id_b"))
-    if (!capped) return pairwise.distinct()
+    if (!capped) return (pairwise.distinct(), NoopFree)
     // OVERFLOW STARS: truncation alone leaves every beyond-cap member of a
     // mega-dup bucket in NO candidate pair — a 10k-member duplicate group
     // would keep ~6k near-identical survivors (measured by DedupSkewProbe).
@@ -141,15 +154,28 @@ object Dedup {
     // which AQE broadcasts from its exact runtime size; no forced hint,
     // so the everything-overflows pathology still gets a safe shuffled
     // join instead of an unbounded broadcast build.
+    // countDistinct, not count: collect_min_k above is SET-semantic, so a
+    // caller feeding duplicate ids must not trip the overflow branch for a
+    // bucket whose distinct membership is within the cap (the oracle
+    // models one row per representative)
     val overflow = bands.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("__n"), min(col("__id")).as("__min"))
+      .agg(countDistinct(col("__id")).as("__n"), min(col("__id")).as("__min"))
       .filter(col("__n") > maxBucket)
       .select(col("band_idx"), col("band_val"), col("__min"))
     val stars = bands.join(overflow, Seq("band_idx", "band_val"))
       .filter(col("__id") =!= col("__min"))
       .select(col("__min").as("id_a"), col("__id").as("id_b"))
-    pairwise.unionByName(stars).distinct()
+    (pairwise.unionByName(stars).distinct(), freeAll(Seq(bands)))
   }
+
+  /** no-op release thunk (uncapped paths create no checkpoint). */
+  private val NoopFree: () => Unit = () => ()
+
+  /** One thunk releasing the MEMORY_AND_DISK blocks behind a set of lazy
+    * localCheckpoints. Contract as `CheckpointLayout.freeThunk`: call only
+    * after every consumer of the frames built over them has materialized. */
+  private def freeAll(held: Seq[DataFrame]): () => Unit =
+    () => held.foreach(f => CheckpointLayout.freeThunk(f)())
 
   /** Exact n-gram Jaccard similarity over the whole input: distinct
     * character `n`-gram sets, every pair whose e4-quantized similarity
@@ -288,7 +314,15 @@ object Dedup {
     * not the corpus). Output: (id_a, id_b, jaccard) for pairs at or above
     * `threshold`. */
   def ngramJaccardVerify(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double, pairs0: DataFrame): DataFrame = {
+      threshold: Double, pairs0: DataFrame): DataFrame =
+    ngramJaccardVerifyFreeable(df, id, text, n, threshold, pairs0)._1
+
+  /** [[ngramJaccardVerify]] plus the release thunk for its internal
+    * staging checkpoints (pairs/fingerprints/hash-join/intersections) —
+    * `CheckpointLayout.freeThunk` contract: call only after every consumer
+    * of the returned frame has materialized. */
+  def ngramJaccardVerifyFreeable(df: DataFrame, id: Column, text: Column, n: Int,
+      threshold: Double, pairs0: DataFrame): (DataFrame, () => Unit) = {
     // pairs feeds three consumers and grams three more; without a
     // materialization barrier Spark re-evaluates the full upstream pipeline
     // (the MinHash subtree for pairs, the md5 gram explode) once per
@@ -361,7 +395,7 @@ object Dedup {
           .cast("double") / 10000.0)
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
-    identical.unionByName(verified)
+    (identical.unionByName(verified), freeAll(Seq(pairs, textInfo, pairsH, inter)))
   }
 
   /** End-to-end near-duplicate removal: LSH candidate generation, exact
@@ -369,14 +403,36 @@ object Dedup {
     * every verified pair (keep the canonical minimum representative). */
   def nearDedup(df: DataFrame, id: Column, text: Column, k: Int = 8,
       rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
-      threshold: Double = 0.5, maxBucket: Int = MaxLshBucket): DataFrame = {
+      threshold: Double = 0.5, maxBucket: Int = MaxLshBucket): DataFrame =
+    nearDedupFreeable(df, id, text, k, rowsPerBand, ngram, verifyN, threshold,
+      maxBucket)._1
+
+  /** [[nearDedup]] plus one release thunk for EVERY lazy checkpoint the
+    * composition pins (the corpus barrier, the capped band frame, the
+    * verify staging frames). The thunk-less overload leaves those
+    * MEMORY_AND_DISK blocks pinned for the session — fine under the
+    * bench/verify harnesses, which drop leaked blocks between queries, but
+    * a library caller composing downstream work in one long-lived session
+    * (the 100 TB path: leaked generations squeeze later queries' execution
+    * memory, measured 10 s → 29 s at sf1.0) should use this variant and
+    * invoke the thunk once every consumer of the returned survivors frame
+    * has materialized. After the thunk runs the returned frame is DEAD
+    * (its lineage is truncated at the freed blocks) — write it out or
+    * re-checkpoint first. */
+  def nearDedupFreeable(df: DataFrame, id: Column, text: Column, k: Int = 8,
+      rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
+      threshold: Double = 0.5,
+      maxBucket: Int = MaxLshBucket): (DataFrame, () => Unit) = {
     // four consumers read the corpus (signatures, fingerprints, gram sets,
     // the final anti-join); one materialization replaces four scans of the
     // upstream plan (source union/filters re-run per consumer otherwise)
     val dfc = df.localCheckpoint(false)
-    val pairs = lshCandidatePairs(dfc, id, text, k, rowsPerBand, ngram, maxBucket)
-    val verified = ngramJaccardVerify(dfc, id, text, verifyN, threshold, pairs)
-    dropVerified(dfc, id, verified)
+    val (pairs, freePairs) =
+      lshCandidatePairsFreeable(dfc, id, text, k, rowsPerBand, ngram, maxBucket)
+    val (verified, freeVerify) =
+      ngramJaccardVerifyFreeable(dfc, id, text, verifyN, threshold, pairs)
+    (dropVerified(dfc, id, verified),
+      () => { freePairs(); freeVerify(); freeAll(Seq(dfc))() })
   }
 
   /** floor-quantized 4-decimal cosine from pre-computed norms — the
@@ -1196,7 +1252,16 @@ object Dedup {
     * going quadratic. The verify is a codegen'd xor/bit_count. Shared by
     * the text (SimHash, 60-bit) and image (pHash, 63-bit) near-dup paths. */
   def bandedHammingPairs(hashed: DataFrame, id: Column, hash: Column,
-      bits: Int, maxHamming: Int, maxBand: Int = MaxSimHashBand): DataFrame = {
+      bits: Int, maxHamming: Int, maxBand: Int = MaxSimHashBand): DataFrame =
+    bandedHammingPairsFreeable(hashed, id, hash, bits, maxHamming, maxBand)._1
+
+  /** [[bandedHammingPairs]] plus the release thunk for the checkpoints the
+    * capped path pins (hash projection + band frame) —
+    * `CheckpointLayout.freeThunk` contract: invoke only after every
+    * consumer of the returned frame has materialized. */
+  def bandedHammingPairsFreeable(hashed: DataFrame, id: Column, hash: Column,
+      bits: Int, maxHamming: Int,
+      maxBand: Int = MaxSimHashBand): (DataFrame, () => Unit) = {
     val nBands = maxHamming + 1
     // every band must carry >= 1 bit or the pigeonhole structure silently
     // degenerates (a 0-bit band matches EVERY pair)
@@ -1230,13 +1295,14 @@ object Dedup {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"),
         hammingDistance(col("a.h"), col("b.h")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    if (!capped) return pairwise.distinct()
+    if (!capped) return (pairwise.distinct(), freeAll(Seq(sh)))
     // overflow stars (the MaxLshBucket contract): beyond-cap members of a
     // mega-band each get a LINEAR candidate against the band's minimum-id
     // member, hamming-filtered like any pair — an all-identical-pHash
     // group collapses fully instead of keeping its beyond-cap tail
+    // countDistinct for the same set-semantics reason as lshCandidatePairs
     val overflow = bands.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("__n"), min(col("m")).as("__min"))
+      .agg(countDistinct(col("m")).as("__n"), min(col("m")).as("__min"))
       .filter(col("__n") > maxBand)
       .select(col("band_idx"), col("band_val"), col("__min"))
     val stars = bands.join(overflow, Seq("band_idx", "band_val"))
@@ -1244,6 +1310,6 @@ object Dedup {
       .select(col("__min.id").as("id_a"), col("m.id").as("id_b"),
         hammingDistance(col("__min.h"), col("m.h")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-    pairwise.unionByName(stars).distinct()
+    (pairwise.unionByName(stars).distinct(), freeAll(Seq(sh, bands)))
   }
 }

@@ -1719,4 +1719,49 @@ class PipelineSpec extends AnyFunSuite {
       cum += i + 1
     }
   }
+
+  test("nearDedupFreeable releases every checkpoint generation it pinned") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val d = docs.select($"doc_id", $"text").limit(60)
+    val corpus = d.unionAll(d.select($"doc_id" + 1000000, $"text"))
+    // tiny cap forces the capped band checkpoint AND the overflow-star path
+    val (survivors, free) =
+      Dedup.nearDedupFreeable(corpus, $"doc_id", $"text", maxBucket = 4)
+    val got = survivors.select($"doc_id").as[Long].collect().toSet
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty, "expected the composition to pin checkpoint blocks")
+    free()
+    val leaked = pinned.intersect(sc.getPersistentRDDs.keySet)
+    assert(leaked.isEmpty, s"free() left RDDs pinned: $leaked")
+    // identical survivor set to the thunk-less overload
+    val expected = Dedup.nearDedup(corpus, $"doc_id", $"text", maxBucket = 4)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("bandedHammingPairsFreeable releases its hash + band checkpoints") {
+    val sc = spark.sparkContext
+    val before = sc.getPersistentRDDs.keySet
+    val d = docs.select($"doc_id", $"text").limit(40)
+    val corpus = d.unionAll(d.select($"doc_id" + 1000000, $"text"))
+    val hashed = Dedup.simHash(corpus, $"doc_id", $"text")
+    val (pairs, free) = Dedup.bandedHammingPairsFreeable(hashed, $"__id",
+      $"simhash", Dedup.SimHashBits, maxHamming = 3, maxBand = 4)
+    val n = pairs.count()
+    assert(n >= 40, s"expected every identical clone pair, got $n")
+    val pinned = sc.getPersistentRDDs.keySet -- before
+    assert(pinned.nonEmpty)
+    free()
+    val leaked = pinned.intersect(sc.getPersistentRDDs.keySet)
+    assert(leaked.isEmpty, s"free() left RDDs pinned: $leaked")
+    // the uncapped path pins only the hash projection and frees it too
+    val before2 = sc.getPersistentRDDs.keySet
+    val (p2, free2) = Dedup.bandedHammingPairsFreeable(hashed, $"__id",
+      $"simhash", Dedup.SimHashBits, maxHamming = 3, maxBand = Int.MaxValue)
+    assert(p2.count() >= n)
+    free2()
+    val leaked2 = (sc.getPersistentRDDs.keySet -- before2)
+    assert(leaked2.isEmpty, s"uncapped free() left RDDs pinned: $leaked2")
+  }
 }
