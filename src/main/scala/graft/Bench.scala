@@ -18,6 +18,39 @@ object Bench {
       .foreach(_.unpersist(blocking = true))
     catch { case scala.util.control.NonFatal(_) => () }
 
+  /** One run of the fixed calibration workload: a deterministic CPU +
+    * shuffle micro-job on synthetic data (no I/O, no SF dependence) —
+    * 48M-row hash chain into an 8M-key aggregate — the HIGH-cardinality
+    * key defeats map-side partial aggregation, so the exchange moves real
+    * volume (a low-cardinality key collapsed the whole job to scheduling
+    * overhead: 16M and 48M rows both timed ~0.6 s). Sized so a 1.3x host
+    * inflation moves the median well beyond run-to-run noise while 7 runs
+    * stay ~15 s. Timed before and after
+    * the query pass so round-over-round totals can be normalized for
+    * HOST-LEVEL drift: uniform 1.25-1.4x inflations were adjudicated twice
+    * (r12, r15 — same commit, same data, same box, 396 s vs 522 s at
+    * sf1.0) as machine state, not code. All aggregated values are pmod-
+    * bounded so ANSI-mode sums cannot overflow. Returns seconds. */
+  private[graft] def calibrationOnce(spark: SparkSession): Double = {
+    import org.apache.spark.sql.functions._
+    val t0 = System.nanoTime()
+    spark.range(24L * 1000 * 1000).toDF("id")
+      .select(pmod(xxhash64(col("id")), lit(2097152L)).as("k"),
+        pmod(xxhash64(xxhash64(xxhash64(xxhash64(col("id"), lit(1)), lit(2)),
+          lit(3)), lit(4)), lit(1000000L)).as("h"))
+      .groupBy(col("k")).agg(sum(col("h")).as("s"), count(lit(1)).as("c"))
+      .agg(sum(pmod(xxhash64(col("k"), col("s"), col("c")), lit(1000000L))).as("t"))
+      .collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Median of three calibration runs (after one discarded codegen-warm
+    * run when `warm`), rounded via the caller's formatter. */
+  private def calibrationMedian3(spark: SparkSession, warm: Boolean): Double = {
+    if (warm) calibrationOnce(spark)
+    Seq.fill(3)(calibrationOnce(spark)).sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -108,6 +141,9 @@ object Bench {
     // driver
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // host-drift calibration, leg 1: timed immediately before the query
+    // pass (first calibration run discarded as codegen warm-up)
+    val calibBefore = calibrationMedian3(spark, warm = true)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
       .map { case (name, fn) => (name, timeOnce(fn)) }
@@ -219,9 +255,18 @@ object Bench {
       }
       s""","noop_top":${queriesJson(num(_, 3), timesNoop)}"""
     }
+    // host-drift calibration, leg 2: timed after ALL measured work. The
+    // artifact carries both legs raw; the ledger normalizes round-over-
+    // round totals by the ratio of calibration medians (a genuine code
+    // regression moves queries but not the fixed workload; host drift
+    // moves both) — see SURVEY's drift protocol.
+    val calibAfter = calibrationMedian3(spark, warm = false)
+    val calibExtra =
+      s""","calibration_before_s":${num(calibBefore, 3)},"calibration_after_s":${num(calibAfter, 3)}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
-    val fullJson = line(queriesJson(_.toString, sorted), failedJson(Int.MaxValue), noopExtra)
+    val fullJson = line(queriesJson(_.toString, sorted), failedJson(Int.MaxValue),
+      noopExtra + calibExtra)
     try {
       java.nio.file.Files.write(
         java.nio.file.Paths.get(benchOutPath), fullJson.getBytes("UTF-8"))
@@ -237,14 +282,14 @@ object Bench {
     // parsed:null). Full precision for every query still lands in
     // bench_latest.json above.
     val MaxStdoutBytes = 1800
-    var stdoutJson = line(queriesJson(num(_, 2), sorted), failedJson(10))
+    var stdoutJson = line(queriesJson(num(_, 2), sorted), failedJson(10), calibExtra)
     if (stdoutJson.length > MaxStdoutBytes) {
       var keep = sorted.length
       while (stdoutJson.length > MaxStdoutBytes && keep > 10) {
         keep -= 10
         val slowest = sorted.sortBy(-_._2).take(keep).sortBy(_._1)
         stdoutJson = line(queriesJson(num(_, 2), slowest), failedJson(10),
-          s""","queries_omitted":${sorted.length - keep}""")
+          s""","queries_omitted":${sorted.length - keep}""" + calibExtra)
       }
       // the loop bottoms out at keep=10 (or never engages on a tiny
       // catalog with an inflated failure suffix): if the line is STILL
@@ -253,7 +298,7 @@ object Bench {
       // fall back to totals + counts only
       if (stdoutJson.length > MaxStdoutBytes)
         stdoutJson = line("{}", failedJson(0),
-          s""","queries_omitted":${sorted.length}""")
+          s""","queries_omitted":${sorted.length}""" + calibExtra)
     }
     println(stdoutJson)
     spark.stop()
