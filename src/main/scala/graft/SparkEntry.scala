@@ -89,7 +89,7 @@ object SparkEntry {
   // ---------------------------------------------------------------------
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries ++ RasterQueries.queries
+    coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries ++ RasterQueries.queries ++ StreamingQueries.queries
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
@@ -247,7 +247,7 @@ object SparkEntry {
     * boundary — no per-query whack-a-mole. Queries that already embed the
     * prefix are stripped first so `SET` statements aren't doubled. */
   def oracleSql: Map[String, String] =
-    (coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql ++ RasterQueries.oracleSql)
+    (coreOracleSql ++ PipelineQueries.oracleSql ++ GeoQueries.oracleSql ++ GraphQueries.oracleSql ++ RasterQueries.oracleSql ++ StreamingQueries.oracleSql)
       .map { case (name, sql) => name -> (OracleMemGuard + sql.stripPrefix(OracleMemGuard)) }
 
   private def coreOracleSql: Map[String, String] = Map(
