@@ -20,18 +20,22 @@ import org.apache.spark.sql.functions._
   *  - connectedComponents over the candidate pairs: the giant component
   *    converges (pointer halving) and the node-count regime gate holds.
   *
-  * Run: `Test/runMain graft.DedupSkewProbe [nClones]` (default 10000).
+  * Run: `Test/runMain graft.DedupSkewProbe [nClones] [corpusDir]`
+  * (default 10000 over sf0.1; the r16 decade-up: 100000 over the sf1.0
+  * rehearsal corpus at target/sf1.0 — 50k organic docs in 10-member
+  * near-dup groups PLUS a 100k-member clone group).
   */
 object DedupSkewProbe {
   def main(args: Array[String]): Unit = {
     val nClones = args.headOption.map(_.toInt).getOrElse(10000)
+    val corpusDir = args.drop(1).headOption.getOrElse("/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val docs = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val docs = spark.read.parquet(s"$corpusDir/documents.parquet")
       .select(col("doc_id"), col("text"))
     val template = docs.filter(length(col("text")).between(200, 400))
       .orderBy(col("doc_id")).select("text").head().getString(0)
@@ -41,7 +45,8 @@ object DedupSkewProbe {
       concat(lit(template), lit(" zvariant"),
         pmod(col("id"), lit(7)).cast("string")).as("text"))
     val corpus = docs.unionByName(clones).repartition(32).localCheckpoint(true)
-    println(s"[dedupSkew] corpus=${corpus.count()} clones=$nClones cap=${graft.pipeline.Dedup.MaxLshBucket}")
+    val orgCount = docs.count()
+    println(s"[dedupSkew] corpus=${corpus.count()} organic=$orgCount clones=$nClones cap=${graft.pipeline.Dedup.MaxLshBucket}")
 
     def timed[T](name: String)(f: => T): T = {
       val t0 = System.nanoTime()
@@ -54,8 +59,10 @@ object DedupSkewProbe {
       graft.pipeline.Dedup.lshCandidatePairs(corpus, col("doc_id"), col("text")).count()
     }
     val cap = graft.pipeline.Dedup.MaxLshBucket.toLong
-    // 4 bands x C(cap,2) pairwise + 4 bands x |group| stars + organic pairs
-    val bound = 4 * cap * (cap - 1) / 2 + 4L * (nClones + 50000L)
+    // 4 bands x C(cap,2) pairwise + 4 bands x |group| stars + organic
+    // pairs (the sf1.0 rehearsal corpus carries 10-member near-dup groups
+    // by construction: <= C(10,2) x groups x 4 bands organic candidates)
+    val bound = 4 * cap * (cap - 1) / 2 + 4L * nClones + 45L * 4L * (orgCount / 10 + 1)
     println(s"[dedupSkew] pairs=$nPairs bound=$bound capped=${nPairs <= bound}")
 
     val kept = timed("nearDedup") {
