@@ -57,6 +57,42 @@ object StreamingQueries {
         .outputMode("complete").start()
       try q.processAllAvailable() finally q.stop()
       s.table("s01_sink").orderBy(col("window_start"), col("group"))
+    }),
+
+    // Watermarked windowed h3_compact_agg (F1's streaming form,
+    // SURVEY §2.10) driven as a StreamingQuery. The h3_05 identity makes
+    // it oracle-exact: each event contributes the FULL res-6 child set of
+    // its res-5 cell, so every window's cell set is complete-by-parent
+    // and the per-window compaction returns exactly the window's distinct
+    // res-5 parents — computable in DuckDB with the synth-cell bit
+    // arithmetic and no H3 library. Gates the stateful
+    // TypedImperativeAggregate path through the state store (serialize/
+    // deserialize of the compact buffer between micro-batches).
+    "s02_stream_compact" -> ((s, dir) => {
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val tsT = batch.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      val stream = s.readStream.schema(batch.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{events.parquet}")
+        .withColumn("__ts", tsT)
+        .withColumn("parent", expr(SparkEntry.Synth.cellSql("user_id", 5)))
+        .withColumn("cell",
+          explode(graft.functions.h3_uncompact_cell(col("parent"), lit(6))))
+      val out = H3Streaming.windowedCompact(stream, "__ts", "cell",
+        watermark = "1 hour", windowLen = "6 hours")
+      try s.catalog.dropTempView("s02_sink")
+      catch { case scala.util.control.NonFatal(_) => () }
+      val q = out.writeStream.format("memory").queryName("s02_sink")
+        .outputMode("complete").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("s02_sink")
+        .select(unix_micros(col("window.start")).as("window_start"),
+          explode(col("cells")).as("cell"))
+        .orderBy(col("window_start"), col("cell"))
     })
   )
 
@@ -72,6 +108,14 @@ object StreamingQueries {
         |SELECT window_start, grp AS "group", CAST(count(*) AS BIGINT) AS n_events,
         |  CAST(sum(v) AS BIGINT) AS value_sum_e2
         |FROM x WHERE window_start >= 0
-        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the uncompact(5->6)-then-compact identity: per 6 h window, the
+    // compacted set is exactly the window's distinct res-5 synth cells
+    "s02_stream_compact" ->
+      s"""WITH e AS (SELECT epoch_us(ts) AS ts,
+         |  ${SparkEntry.Synth.oracleCellSql("user_id", 5)} AS cell FROM events)
+         |SELECT ts - ((ts % 21600000000 + 21600000000) % 21600000000) AS window_start, cell
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
   )
 }

@@ -1089,6 +1089,13 @@ object Dedup {
     bandedHammingPairs(simHash(df, id, text), col("__id"), col("simhash"),
       SimHashBits, maxHamming, maxBand)
 
+  /** [[simHashNearDupPairs]] with the release thunk for its pinned
+    * checkpoints (the [[bandedHammingPairsFreeable]] contract). */
+  def simHashNearDupPairsFreeable(df: DataFrame, id: Column, text: Column,
+      maxHamming: Int = 3, maxBand: Int = MaxSimHashBand): (DataFrame, () => Unit) =
+    bandedHammingPairsFreeable(simHash(df, id, text), col("__id"), col("simhash"),
+      SimHashBits, maxHamming, maxBand)
+
   /** Incremental PERCEPTUAL dedup of a hashed batch against a reference
     * hash frame — the fingerprint-space sibling of [[incrementalDedup]]
     * (exact keys) and [[incrementalNearDedup]] (text shingles): drop
