@@ -93,6 +93,32 @@ object StreamingQueries {
         .select(unix_micros(col("window.start")).as("window_start"),
           explode(col("cells")).as("cell"))
         .orderBy(col("window_start"), col("cell"))
+    }),
+
+    // Streaming exact dedup (dropDuplicatesWithinWatermark) — the THIRD
+    // state-machinery type after windowed agg (s01) and the
+    // TypedImperativeAggregate store (s02). Every document text is
+    // exploded into two copies, so the dedup state must drop exactly one
+    // of each. Determinism: dropDuplicatesWithinWatermark keeps an
+    // ARBITRARY winner per key, so the stream is projected to
+    // content-only rows first — duplicate keys are then byte-identical
+    // rows and the winner is indistinguishable; the output is the
+    // distinct text set regardless of arrival order.
+    "s03_stream_dedup" -> ((s, dir) => {
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+      val stream = s.readStream.schema(batch.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{documents.parquet}")
+        .select(explode(array(col("text"), col("text"))).as("text"))
+        .withColumn("__ts", lit("2024-01-01 00:00:00").cast("timestamp"))
+      val out = H3Streaming.streamingExactDedup(stream, "__ts", "text",
+        watermark = "1 hour")
+      try s.catalog.dropTempView("s03_sink")
+      catch { case scala.util.control.NonFatal(_) => () }
+      val q = out.writeStream.format("memory").queryName("s03_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("s03_sink").select(col("text")).orderBy(col("text"))
     })
   )
 
@@ -116,6 +142,9 @@ object StreamingQueries {
       s"""WITH e AS (SELECT epoch_us(ts) AS ts,
          |  ${SparkEntry.Synth.oracleCellSql("user_id", 5)} AS cell FROM events)
          |SELECT ts - ((ts % 21600000000 + 21600000000) % 21600000000) AS window_start, cell
-         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+         |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "s03_stream_dedup" ->
+      """SELECT DISTINCT text FROM documents ORDER BY text""".stripMargin
   )
 }
