@@ -67,6 +67,12 @@ object Bench {
       .config("spark.sql.codegen.cache.maxEntries", "10000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // host-drift calibration, leg 1: BEFORE the warm pass — a 157-query
+    // warm pass leaves JVM state (old-gen occupancy, streaming state-store
+    // maintenance) that inflated a post-warm calibration ~2x on a quiet
+    // host, which is exactly the false positive the field must not emit;
+    // the discarded first run absorbs the fresh JVM's codegen/JIT
+    val calibBefore = calibrationMedian3(spark, warm = true)
     // warm the JVM / codegen / parquet reader so the timed queries measure
     // steady-state engine throughput, not session startup or per-plan
     // codegen compilation: one full catalog pass at the smallest SF
@@ -141,9 +147,6 @@ object Bench {
     // driver
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
-    // host-drift calibration, leg 1: timed immediately before the query
-    // pass (first calibration run discarded as codegen warm-up)
-    val calibBefore = calibrationMedian3(spark, warm = true)
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
       .map { case (name, fn) => (name, timeOnce(fn)) }
@@ -255,11 +258,14 @@ object Bench {
       }
       s""","noop_top":${queriesJson(num(_, 3), timesNoop)}"""
     }
-    // host-drift calibration, leg 2: timed after ALL measured work. The
-    // artifact carries both legs raw; the ledger normalizes round-over-
-    // round totals by the ratio of calibration medians (a genuine code
-    // regression moves queries but not the fixed workload; host drift
-    // moves both) — see SURVEY's drift protocol.
+    // host-drift calibration, leg 2: after ALL measured work, behind a
+    // block sweep + GC so accumulated session state is not misread as
+    // host drift. The artifact carries both legs raw; the ledger
+    // normalizes round-over-round totals by the ratio of calibration
+    // medians (a genuine code regression moves queries but not the fixed
+    // workload; host drift moves both) — see SURVEY's drift protocol.
+    dropLeakedBlocks(spark)
+    System.gc()
     val calibAfter = calibrationMedian3(spark, warm = false)
     val calibExtra =
       s""","calibration_before_s":${num(calibBefore, 3)},"calibration_after_s":${num(calibAfter, 3)}"""
