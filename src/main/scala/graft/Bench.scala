@@ -51,6 +51,24 @@ object Bench {
     Seq.fill(3)(calibrationOnce(spark)).sorted.apply(1)
   }
 
+  /** IO calibration: one full-scan aggregate over the target SF's
+    * lineitem parquet — the axis the CPU+shuffle job is blind to
+    * (measured: a cache-cold run read 131 s with BOTH cpu legs quiet;
+    * only the scan-heavy tail paid). SF-dependent by nature, so it is
+    * comparable round-over-round at the SAME sf only — exactly how the
+    * ledger reads it. Median of 3; a sum over a numeric column defeats
+    * a metadata-only count shortcut and touches every row group. */
+  private def scanCalibrationMedian3(spark: SparkSession, sfDir: String): Double = {
+    import org.apache.spark.sql.functions._
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .agg(sum(col("l_quantity")), count(lit(1))).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    Seq.fill(3)(once()).sorted.apply(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -73,6 +91,7 @@ object Bench {
     // host, which is exactly the false positive the field must not emit;
     // the discarded first run absorbs the fresh JVM's codegen/JIT
     val calibBefore = calibrationMedian3(spark, warm = true)
+    val calibScanBefore = scanCalibrationMedian3(spark, sfDir)
     // warm the JVM / codegen / parquet reader so the timed queries measure
     // steady-state engine throughput, not session startup or per-plan
     // codegen compilation: one full catalog pass at the smallest SF
@@ -267,8 +286,10 @@ object Bench {
     dropLeakedBlocks(spark)
     System.gc()
     val calibAfter = calibrationMedian3(spark, warm = false)
+    val calibScanAfter = scanCalibrationMedian3(spark, sfDir)
     val calibExtra =
-      s""","calibration_before_s":${num(calibBefore, 3)},"calibration_after_s":${num(calibAfter, 3)}"""
+      s""","calibration_before_s":${num(calibBefore, 3)},"calibration_after_s":${num(calibAfter, 3)}""" +
+      s""","calibration_scan_before_s":${num(calibScanBefore, 3)},"calibration_scan_after_s":${num(calibScanAfter, 3)}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)
     val fullJson = line(queriesJson(_.toString, sorted), failedJson(Int.MaxValue),
