@@ -209,6 +209,22 @@ object Dedup {
     // >> any double rounding) below the smallest similarity the final
     // filter can keep
     val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
+    ngramJaccardPairsImpl(df, id, text, n, threshold, tNum, tDen)._1
+  }
+
+  /** [[ngramJaccardPairs]] plus the release thunk for its four pinned
+    * staging checkpoints (grams / doc arrays / prefixes / intersections). */
+  def ngramJaccardPairsFreeable(df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): (DataFrame, () => Unit) = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"threshold must be in (0, 1], got $threshold")
+    val tE4 = math.round(threshold * 10000.0)
+    val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
+    ngramJaccardPairsImpl(df, id, text, n, threshold, tNum, tDen)
+  }
+
+  private def ngramJaccardPairsImpl(df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double, tNum: Long, tDen: Long): (DataFrame, () => Unit) = {
     val grams = df.select(id.as("__id"),
       explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
       .localCheckpoint(false)
@@ -233,7 +249,7 @@ object Dedup {
       .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    val inter = cand
       .join(docArr.select(col("__id").as("id_a"), col("__toks").as("__ta"),
         col("__n").as("__na")), "id_a")
       .join(docArr.select(col("__id").as("id_b"), col("__toks").as("__tb"),
@@ -242,12 +258,14 @@ object Dedup {
         size(array_intersect(col("__ta"), col("__tb"))).cast("long").as("__inter"),
         col("__na"), col("__nb"))
       .localCheckpoint(false) // barrier: keep the jaccard arithmetic out of pushdown
+    (inter
       .withColumn("jaccard", // floor-quantized: see TextOps.qualityScore note
         floor(col("__inter").cast("double") /
           (col("__na") + col("__nb") - col("__inter")).cast("double") * 10000.0 + 0.5)
           .cast("double") / 10000.0)
       .filter(col("jaccard") >= threshold)
-      .select(col("id_a"), col("id_b"), col("jaccard"))
+      .select(col("id_a"), col("id_b"), col("jaccard")),
+      freeAll(Seq(grams, docArr, pref, inter)))
   }
 
   /**
@@ -271,7 +289,13 @@ object Dedup {
    * `(id_a, id_b, inter, uni, jac_e6)`, each qualifying pair once.
    */
   def prefixJaccardJoin(df: DataFrame, id: Column, text: Column, n: Int,
-      tNum: Int, tDen: Int): DataFrame = {
+      tNum: Int, tDen: Int): DataFrame =
+    prefixJaccardJoinFreeable(df, id, text, n, tNum, tDen)._1
+
+  /** [[prefixJaccardJoin]] plus the release thunk for its three pinned
+    * staging checkpoints (grams / doc arrays / prefixes). */
+  def prefixJaccardJoinFreeable(df: DataFrame, id: Column, text: Column, n: Int,
+      tNum: Int, tDen: Int): (DataFrame, () => Unit) = {
     require(tNum > 0 && tNum <= tDen, s"need 0 < tNum/tDen <= 1, got $tNum/$tDen")
     val grams = df.select(id.cast("long").as("__id"),
       explode(graft.functions.sorted_distinct_ngram_hashes(lower(trim(text)), n)).as("__g"))
@@ -296,7 +320,7 @@ object Dedup {
       .join(pref.select(col("__pt"), col("__id").as("id_b")), Seq("__pt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    cand
+    (cand
       .join(docArr.select(col("__id").as("id_a"), col("__toks").as("__ta"),
         col("__sz").as("__sa")), "id_a")
       .join(docArr.select(col("__id").as("id_b"), col("__toks").as("__tb"),
@@ -305,7 +329,8 @@ object Dedup {
       .withColumn("uni", col("__sa") + col("__sb") - col("inter"))
       .filter(col("inter") * lit(tDen.toLong) >= col("uni") * lit(tNum.toLong))
       .select(col("id_a"), col("id_b"), col("inter"), col("uni"),
-        expr("(inter * 1000000) div uni").as("jac_e6"))
+        expr("(inter * 1000000) div uni").as("jac_e6")),
+      freeAll(Seq(grams, docArr, pref)))
   }
 
   /** Verify candidate pairs by exact character-n-gram Jaccard, computing
@@ -455,17 +480,23 @@ object Dedup {
     * projection is checkpointed before the threshold filter so pushdown
     * cannot inline the 64-dim cosine into both predicate and projection. */
   def embeddingNearDupPairs(df: DataFrame, id: Column, vec: Column,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    embeddingNearDupPairsFreeable(df, id, vec, threshold)._1
+
+  /** [[embeddingNearDupPairs]] plus the release thunk for the pinned sim
+    * barrier (`CheckpointLayout.freeThunk` contract). */
+  def embeddingNearDupPairsFreeable(df: DataFrame, id: Column, vec: Column,
+      threshold: Double): (DataFrame, () => Unit) = {
     val a = df.select(id.as("id_a"), vec.cast("array<double>").as("__va"))
       .withColumn("__na", Similarity.l2Norm(col("__va")))
     val b = df.select(id.as("id_b"), vec.cast("array<double>").as("__vb"))
       .withColumn("__nb", Similarity.l2Norm(col("__vb")))
-    a.crossJoin(broadcast(b))
+    val sims = a.crossJoin(broadcast(b))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
       .localCheckpoint(false)
-      .filter(col("sim") >= threshold)
+    (sims.filter(col("sim") >= threshold), freeAll(Seq(sims)))
   }
 
   /** Embedding near-dedup, scale path: bucket by deterministic
@@ -475,7 +506,13 @@ object Dedup {
     * each verified pair. Candidate cost ~ corpus^2 / 2^bits; recall is
     * bounded by bucket collisions (spec-checked against brute force). */
   def embeddingNearDupLsh(df: DataFrame, id: Column, vec: Column,
-      dim: Int, bits: Int, threshold: Double): DataFrame = {
+      dim: Int, bits: Int, threshold: Double): DataFrame =
+    embeddingNearDupLshFreeable(df, id, vec, dim, bits, threshold)._1
+
+  /** [[embeddingNearDupLsh]] plus the release thunk for its pinned
+    * checkpoints (bucket frame + sim barrier). */
+  def embeddingNearDupLshFreeable(df: DataFrame, id: Column, vec: Column,
+      dim: Int, bits: Int, threshold: Double): (DataFrame, () => Unit) = {
     val bk = Similarity.hyperplaneBuckets(df.select(id.as("__id"), vec.as("__v")),
       col("__id"), col("__v"), dim, bits).localCheckpoint(false)
     val a = bk.select(col("bucket"), col("vec_id").as("id_a"),
@@ -484,13 +521,13 @@ object Dedup {
     val b = bk.select(col("bucket"), col("vec_id").as("id_b"),
       col("embedding").cast("array<double>").as("__vb"))
       .withColumn("__nb", Similarity.l2Norm(col("__vb")))
-    val verified = a.join(b, "bucket")
+    val sims = a.join(b, "bucket")
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"),
         quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
       .localCheckpoint(false)
-      .filter(col("sim") >= threshold)
-    dropVerified(df, id, verified)
+    val verified = sims.filter(col("sim") >= threshold)
+    (dropVerified(df, id, verified), freeAll(Seq(bk, sims)))
   }
 
   /** SemDeDup-style SEMANTIC dedup (the Abbas et al. 2023 shape,
@@ -528,9 +565,17 @@ object Dedup {
     * hot-bucket cap. */
   def semanticDedup(df: DataFrame, id: Column, vec: Column, m: Int,
       iters: Int, threshold: Double, dim: Int = 0, refineBits: Int = 0,
-      refineMinSize: Long = Long.MaxValue): DataFrame = {
+      refineMinSize: Long = Long.MaxValue): DataFrame =
+    semanticDedupFreeable(df, id, vec, m, iters, threshold, dim, refineBits,
+      refineMinSize)._1
+
+  /** [[semanticDedup]] plus the release thunk for its pinned checkpoints
+    * (cluster assignment + sim barrier). */
+  def semanticDedupFreeable(df: DataFrame, id: Column, vec: Column, m: Int,
+      iters: Int, threshold: Double, dim: Int = 0, refineBits: Int = 0,
+      refineMinSize: Long = Long.MaxValue): (DataFrame, () => Unit) = {
     require(refineBits == 0 || dim > 0, "refineBits needs the vector dim")
-    val cents = Similarity.kMeansCentroids(df, id, vec, m, iters)
+    val (cents, freeCents) = Similarity.kMeansCentroidsFreeable(df, id, vec, m, iters)
     val assigned0 = Similarity.ivfAssign(
         df.select(id.as("vec_id"), vec.cast("array<double>").as("embedding")),
         col("vec_id"), col("embedding"), cents, nprobe = 1)
@@ -552,15 +597,16 @@ object Dedup {
     val b = assigned.select(col("centroid_id"), col("__bkt"),
       col("vec_id").as("id_b"), col("embedding").as("__vb"))
       .withColumn("__nb", Similarity.l2Norm(col("__vb")))
-    val verified = a.join(b, Seq("centroid_id", "__bkt"))
+    val sims = a.join(b, Seq("centroid_id", "__bkt"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_b"),
         quantizedCosine(col("__va"), col("__vb"), col("__na"), col("__nb")).as("sim"))
       .localCheckpoint(false)
-      .filter(col("sim") >= threshold)
-    assigned.join(verified.select(col("id_b").as("__drop")).distinct(),
+    val verified = sims.filter(col("sim") >= threshold)
+    (assigned.join(verified.select(col("id_b").as("__drop")).distinct(),
         col("vec_id") === col("__drop"), "left_anti")
-      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id"))
+      .select(col("vec_id"), col("centroid_id").cast("long").as("centroid_id")),
+      () => { freeCents(); freeAll(Seq(assigned0, sims))() })
   }
 
   /** Connected components over an undirected pair table: one row per
@@ -851,7 +897,15 @@ object Dedup {
     * the operator keeps a full-value oracle. */
   def incrementalDedup(newDf: DataFrame, refDf: DataFrame, newKey: Column,
       refKey: Column, expectedRefItems: Long = 1000000L,
-      fpp: Double = 0.01): DataFrame = {
+      fpp: Double = 0.01): DataFrame =
+    incrementalDedupFreeable(newDf, refDf, newKey, refKey, expectedRefItems,
+      fpp)._1
+
+  /** [[incrementalDedup]] plus the release thunk for the pinned
+    * bloom-probe barrier (`CheckpointLayout.freeThunk` contract). */
+  def incrementalDedupFreeable(newDf: DataFrame, refDf: DataFrame, newKey: Column,
+      refKey: Column, expectedRefItems: Long = 1000000L,
+      fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val refKeys = refDf.select(refKey.as("__rk"))
     // the sentinel row keeps the sketch constructible on an EMPTY
     // reference (Spark's stat.bloomFilter NPEs deserializing the null
@@ -869,7 +923,7 @@ object Dedup {
     // bloom): a 2^-64 hash collision must not drop a genuinely new row
     val survivors = keyed.filter(col("__maybe"))
       .join(refKeys.distinct(), newKey === col("__rk"), "left_anti")
-    definite.unionByName(survivors).drop("__maybe")
+    (definite.unionByName(survivors).drop("__maybe"), freeAll(Seq(keyed)))
   }
 
   /** SimHash width: all 60 bits of the portable md5-derived token hash
@@ -968,7 +1022,16 @@ object Dedup {
   def incrementalNearDedup(newDf: DataFrame, refDf: DataFrame,
       newId: Column, newText: Column, refId: Column, refText: Column,
       k: Int = 8, rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
-      threshold: Double = 0.5): DataFrame = {
+      threshold: Double = 0.5): DataFrame =
+    incrementalNearDedupFreeable(newDf, refDf, newId, newText, refId, refText,
+      k, rowsPerBand, ngram, verifyN, threshold)._1
+
+  /** [[incrementalNearDedup]] plus the release thunk for its pinned
+    * checkpoints (new-batch barrier + the verify staging frames). */
+  def incrementalNearDedupFreeable(newDf: DataFrame, refDf: DataFrame,
+      newId: Column, newText: Column, refId: Column, refText: Column,
+      k: Int = 8, rowsPerBand: Int = 2, ngram: Int = 2, verifyN: Int = 8,
+      threshold: Double = 0.5): (DataFrame, () => Unit) = {
     val newC = newDf.select(newId.as("__id"), newText.as("__text")).localCheckpoint(false)
     val refC = refDf.select(refId.as("__id"), refText.as("__text"))
     val newBands = lshBands(minHashSignatures(newC, col("__id"), col("__text"), k, ngram),
@@ -982,10 +1045,11 @@ object Dedup {
       .select(col("__id").as("id_a"), col("__nid").as("id_b"))
       .distinct()
     val union = newC.unionByName(refC)
-    val verified = ngramJaccardVerify(union, col("__id"), col("__text"),
-      verifyN, threshold, pairs)
-    newDf.join(verified.select(col("id_b").as("__dup")).distinct(),
-      newId === col("__dup"), "left_anti")
+    val (verified, freeVerify) = ngramJaccardVerifyFreeable(union, col("__id"),
+      col("__text"), verifyN, threshold, pairs)
+    (newDf.join(verified.select(col("id_b").as("__dup")).distinct(),
+      newId === col("__dup"), "left_anti"),
+      () => { freeVerify(); freeAll(Seq(newC))() })
   }
 
   /** Benchmark decontamination: flag corpus documents that share any word

@@ -136,10 +136,22 @@ object Similarity {
     * compares identical doubles. Empty clusters keep their previous
     * centroid. */
   def kMeansCentroids(corpus: DataFrame, id: Column, vec: Column, m: Int,
-      iters: Int): DataFrame = {
+      iters: Int): DataFrame =
+    kMeansCentroidsFreeable(corpus, id, vec, m, iters)._1
+
+  /** [[kMeansCentroids]] plus one release thunk for every checkpoint the
+    * loop pins (the corpus barrier and each centroid generation — the
+    * generations form a LAZY lineage chain, so none can be freed until a
+    * consumer of the returned frame has materialized; after the thunk
+    * runs the returned frame is dead). */
+  def kMeansCentroidsFreeable(corpus: DataFrame, id: Column, vec: Column, m: Int,
+      iters: Int): (DataFrame, () => Unit) = {
+    val held = scala.collection.mutable.ArrayBuffer[DataFrame]()
     var cents = ivfCentroids(corpus, id, vec, m).localCheckpoint(false)
+    held += cents
     val base = corpus.select(id.as("vec_id"), vec.cast("array<double>").as("embedding"))
       .localCheckpoint(false)
+    held += base
     for (_ <- 1 to iters) {
       val assigned = ivfAssign(base, col("vec_id"), col("embedding"), cents, nprobe = 1)
       val means = assigned
@@ -156,8 +168,11 @@ object Similarity {
         .join(means, Seq("centroid_id"), "left")
         .select(col("centroid_id"), coalesce(col("__new"), col("__prev")).as("centroid"))
         .localCheckpoint(false)
+      held += cents
     }
-    cents
+    val frames = held.toList
+    (cents, () => frames.foreach(f =>
+      graft.pipeline.CheckpointLayout.freeThunk(f)()))
   }
 
   /** IVF inverted-list assignment: each vector joins its `nprobe` nearest

@@ -1740,6 +1740,60 @@ class PipelineSpec extends AnyFunSuite {
     assert(got == expected)
   }
 
+  test("every remaining Freeable variant releases its blocks and matches the plain overload") {
+    val sc = spark.sparkContext
+    def check(name: String)(build: => (org.apache.spark.sql.DataFrame, () => Unit))(
+        plain: => org.apache.spark.sql.DataFrame): Unit = {
+      val before = sc.getPersistentRDDs.keySet
+      val (out, free) = build
+      val got = out.collect().map(_.toString).sorted.toSeq
+      val pinned = sc.getPersistentRDDs.keySet -- before
+      assert(pinned.nonEmpty, s"$name: expected pinned checkpoint blocks")
+      free()
+      val leaked = pinned.intersect(sc.getPersistentRDDs.keySet)
+      assert(leaked.isEmpty, s"$name: free() left RDDs pinned: $leaked")
+      val want = plain.collect().map(_.toString).sorted.toSeq
+      assert(got == want, s"$name: freeable variant diverged from plain overload")
+    }
+    val d = docs.select($"doc_id", $"text").limit(40)
+    val textCorpus = d.unionAll(d.filter($"doc_id" % 5 === 0)
+      .select($"doc_id" + 1000000, concat($"text", lit(" tail"))))
+    check("ngramJaccardPairs")(
+      Dedup.ngramJaccardPairsFreeable(textCorpus, $"doc_id", $"text", 2, 0.5))(
+      Dedup.ngramJaccardPairs(textCorpus, $"doc_id", $"text", 2, 0.5))
+    check("prefixJaccardJoin")(
+      Dedup.prefixJaccardJoinFreeable(textCorpus, $"doc_id", $"text", 2, 1, 2))(
+      Dedup.prefixJaccardJoin(textCorpus, $"doc_id", $"text", 2, 1, 2))
+    val e = embs.filter($"vec_id" < 60)
+      .select($"vec_id", $"embedding".cast("array<double>").as("v"))
+    val vecCorpus = e.unionAll(e.filter($"vec_id" % 5 === 0)
+      .select($"vec_id" + 1000000, transform($"v", x => x * 1.5d)))
+    check("embeddingNearDupPairs")(
+      Dedup.embeddingNearDupPairsFreeable(vecCorpus, $"vec_id", $"v", 0.995))(
+      Dedup.embeddingNearDupPairs(vecCorpus, $"vec_id", $"v", 0.995))
+    check("embeddingNearDupLsh")(
+      Dedup.embeddingNearDupLshFreeable(vecCorpus, $"vec_id", $"v", 64, 4, 0.995))(
+      Dedup.embeddingNearDupLsh(vecCorpus, $"vec_id", $"v", 64, 4, 0.995))
+    check("semanticDedup")(
+      Dedup.semanticDedupFreeable(vecCorpus, $"vec_id", $"v", m = 4, iters = 1,
+        threshold = 0.995))(
+      Dedup.semanticDedup(vecCorpus, $"vec_id", $"v", m = 4, iters = 1,
+        threshold = 0.995))
+    val ref = docs.select($"doc_id", $"text")
+    val newBatch = ref.filter($"doc_id" < 20).select(($"doc_id" + 5000).as("doc_id"),
+      when($"doc_id" % 2 === 0, $"text").otherwise(concat($"text", lit(" fresh"))).as("text"))
+    check("incrementalDedup")(
+      Dedup.incrementalDedupFreeable(newBatch, ref, $"text", $"text",
+        expectedRefItems = 10000L))(
+      Dedup.incrementalDedup(newBatch, ref, $"text", $"text",
+        expectedRefItems = 10000L))
+    check("incrementalNearDedup")(
+      Dedup.incrementalNearDedupFreeable(newBatch, ref, $"doc_id", $"text",
+        $"doc_id", $"text"))(
+      Dedup.incrementalNearDedup(newBatch, ref, $"doc_id", $"text",
+        $"doc_id", $"text"))
+  }
+
   test("bandedHammingPairsFreeable releases its hash + band checkpoints") {
     val sc = spark.sparkContext
     val before = sc.getPersistentRDDs.keySet
