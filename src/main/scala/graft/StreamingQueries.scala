@@ -119,6 +119,101 @@ object StreamingQueries {
         .outputMode("append").start()
       try q.processAllAvailable() finally q.stop()
       s.table("s03_sink").select(col("text")).orderBy(col("text"))
+    }),
+
+    // Streaming incremental dedup against a STATIC reference corpus — the
+    // FOURTH distinct machinery after windowed agg (s01), the
+    // TypedImperativeAggregate state store (s02), and dedup key state
+    // (s03): a stream-static left-anti join gated by a broadcast Bloom
+    // probe (the codegen'd BloomFilterMightContain expression, not a UDF).
+    // Stateless on the stream side, so append-mode output is the exact
+    // row set "stream rows whose text is not in ref" regardless of
+    // micro-batch boundaries; doc_id uniqueness makes the snapshot
+    // deterministic. Ref = every third document, so both the bloom's
+    // definite-no fast path and the anti-join's candidate path carry rows.
+    "s04_stream_incremental" -> ((s, dir) => {
+      val batch = s.read.parquet(s"$dir/documents.parquet")
+      val ref = batch.filter(col("doc_id") % 3 === 0)
+      val stream = s.readStream.schema(batch.schema)
+        .option("basePath", dir)
+        .parquet(s"$dir/{documents.parquet}")
+      val out = H3Streaming.streamingIncrementalDedup(stream, "text",
+        ref, "text", expectedRefItems = 100000L)
+      try s.catalog.dropTempView("s04_sink")
+      catch { case scala.util.control.NonFatal(_) => () }
+      val q = out.writeStream.format("memory").queryName("s04_sink")
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+      s.table("s04_sink").select(col("doc_id"), col("text"))
+        .orderBy(col("doc_id"))
+    }),
+
+    // Gap sessionization via flatMapGroupsWithState with EVENT-TIME
+    // timeout — the FIFTH machinery: arbitrary per-key state (one open
+    // session) closed by watermark progress. Determinism of the final
+    // snapshot needs every organic session CLOSED, so the stream is
+    // staged as three files with controlled modification order and
+    // maxFilesPerTrigger=1: the whole organic event table (one batch, so
+    // watermark 0 drops nothing), then two far-future flush events on a
+    // sentinel key — the first advances the watermark past every
+    // last+gap horizon, the second's batch fires the resulting timeouts
+    // (the same double-flush the SessionsSpec MemoryStream law uses; a
+    // no-data micro-batch may close sessions one batch earlier, which
+    // only moves WHEN rows are emitted, never the emitted set). Each
+    // session is emitted exactly once (gap-close or timeout-with-remove),
+    // so the append snapshot minus the sentinel is the batch gap
+    // sessionization of the full table — p41's semantics at the
+    // operator's millisecond grain.
+    "s05_stream_sessions" -> ((s, dir) => {
+      val batch = s.read.parquet(s"$dir/events.parquet")
+      val tsT = batch.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          expr("timestamp_micros(ts div 1000)")
+        case _ => col("ts").cast("timestamp")
+      }
+      val ev = batch.select(col("user_id").cast("long").as("user_id"),
+        tsT.as("ts"), col("value").cast("double").as("value"))
+      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val gapMs = 86400000L // 24 h, the p41 gap
+      val root = java.nio.file.Files.createTempDirectory("graft_s05_")
+      val streamDir = root.resolve("in")
+      java.nio.file.Files.createDirectories(streamDir)
+      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+        val st = root.resolve(s"stage_$name").toString
+        df.coalesce(1).write.mode("overwrite").parquet(st)
+        val part = new java.io.File(st).listFiles()
+          .find(_.getName.endsWith(".parquet"))
+          .getOrElse(sys.error(s"no parquet part under $st"))
+        val dst = streamDir.resolve(s"$name.parquet")
+        java.nio.file.Files.move(part.toPath, dst)
+        dst.toFile.setLastModified(mtime) // FileStreamSource batches in mtime order
+      }
+      import s.implicits._
+      val now = System.currentTimeMillis()
+      val flush1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600000L)
+      val flush2 = new java.sql.Timestamp(flush1.getTime + gapMs + 3600000L)
+      stage(ev, "0_organic", now - 60000L)
+      stage(Seq((-1L, flush1, 0.0)).toDF("user_id", "ts", "value"), "1_flush", now - 40000L)
+      stage(Seq((-1L, flush2, 0.0)).toDF("user_id", "ts", "value"), "2_flush", now - 20000L)
+      try {
+        val stream = s.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", "1")
+          .parquet(streamDir.toString)
+        val out = H3Streaming.streamingSessionize(stream, "user_id", "ts",
+          "value", gapMillis = gapMs, watermark = "1 second")
+        try s.catalog.dropTempView("s05_sink")
+        catch { case scala.util.control.NonFatal(_) => () }
+        val q = out.toDF.writeStream.format("memory").queryName("s05_sink")
+          .outputMode("append").start()
+        try q.processAllAvailable() finally q.stop()
+        s.table("s05_sink").filter(col("key") >= 0L)
+          .orderBy(col("key"), col("start_ns"))
+      } finally { // the snapshot lives in the memory sink; the staging can go
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(root.toFile)
+      }
     })
   )
 
@@ -145,6 +240,33 @@ object StreamingQueries {
          |FROM e GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "s03_stream_dedup" ->
-      """SELECT DISTINCT text FROM documents ORDER BY text""".stripMargin
+      """SELECT DISTINCT text FROM documents ORDER BY text""".stripMargin,
+
+    // exact "not in ref" semantics (the bloom only prunes); NOT EXISTS
+    // rather than NOT IN so a hypothetical NULL text cannot void the set
+    "s04_stream_incremental" ->
+      """SELECT d.doc_id, d.text FROM documents d
+        |WHERE NOT EXISTS (SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 3 = 0 AND r.text = d.text)
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // p41's gap sessionization at the streaming operator's MILLISECOND
+    // grain (event-time timeouts are ms-grained, so the op folds
+    // ms-floored times; the oracle mirrors with epoch_ms and a 24 h gap
+    // in ms). Bounds are int64 nanoseconds per the SessionRow contract.
+    "s05_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |m AS (SELECT user_id, ms, v,
+        |  CASE WHEN lag(ms) OVER w IS NULL
+        |       OR ms - lag(ms) OVER w > 86400000 THEN 1 ELSE 0 END AS nw
+        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sx AS (SELECT user_id, ms, v,
+        |  sum(nw) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sidx
+        |  FROM m)
+        |SELECT user_id AS key, CAST(min(ms) * 1000000 AS BIGINT) AS start_ns,
+        |  CAST(max(ms) * 1000000 AS BIGINT) AS end_ns,
+        |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum_e2
+        |FROM sx GROUP BY user_id, sidx ORDER BY key, start_ns""".stripMargin
   )
 }

@@ -915,8 +915,10 @@ object Dedup {
     val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
       .unionByName(refDf.sparkSession.range(1).select(lit(0L).as("__h")))
       .stat.bloomFilter("__h", expectedRefItems, fpp)
-    val might = udf((h: Long) => bf.mightContainLong(h))
-    val keyed = newDf.withColumn("__maybe", might(xxhash64(newKey)))
+    // codegen'd probe (BloomFilterMightContain via the shim) — the former
+    // Scala UDF split the whole-stage span around every bloom-gated filter
+    val keyed = newDf.withColumn("__maybe",
+        org.apache.spark.sql.graft.shims.bloomMightContain(bf, xxhash64(newKey)))
       .localCheckpoint(false) // evaluate the bloom probe once per row
     val definite = keyed.filter(!col("__maybe"))
     // exact verification joins on the FULL key (hashes only gate the

@@ -319,10 +319,16 @@ object H3Streaming {
       ref: DataFrame, refContentCol: String,
       expectedRefItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val refKeys = ref.select(col(refContentCol).as("__rk"))
+    // sentinel row: stat.bloomFilter NPEs deserializing the null buffer of
+    // an EMPTY reference; any false positive it induces is resolved by the
+    // exact anti-join below (same guard as the batch twin)
     val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
+      .unionByName(ref.sparkSession.range(1).select(lit(0L).as("__h")))
       .stat.bloomFilter("__h", expectedRefItems, fpp)
-    val might = udf((h: Long) => bf.mightContainLong(h))
-    val keyed = stream.withColumn("__maybe", might(xxhash64(col(contentCol))))
+    // codegen'd probe (BloomFilterMightContain via the shim) — the former
+    // Scala UDF split the whole-stage span around every bloom-gated filter
+    val keyed = stream.withColumn("__maybe",
+      org.apache.spark.sql.graft.shims.bloomMightContain(bf, xxhash64(col(contentCol))))
     val definite = keyed.filter(!col("__maybe"))
     val survivors = keyed.filter(col("__maybe"))
       .join(refKeys.distinct(), col(contentCol) === col("__rk"), "left_anti")

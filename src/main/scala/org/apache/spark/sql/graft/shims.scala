@@ -17,6 +17,26 @@ object shims {
   def aggColumnDistinct(f: AggregateFunction): Column =
     ExpressionUtils.column(f.toAggregateExpression(isDistinct = true))
 
+  /** Codegen'd bloom probe: `BloomFilterMightContain` over a pre-built
+    * sketch serialized into a foldable binary literal. Replaces the Scala
+    * UDF probe (`udf(h => bf.mightContainLong(h))`), whose non-codegen
+    * boundary split the whole-stage span around every bloom-gated filter:
+    * the expression deserializes the sketch ONCE per codegen instance
+    * (transient lazy on the expression object) and probes inline in
+    * generated code. `hash` must be a 64-bit hash column (the expression
+    * probes with `mightContainLong`; pair it with `xxhash64` exactly like
+    * the UDF did). Needs this namespace only for uniformity — the
+    * expression class itself is public catalyst API used by Spark's own
+    * runtime row-level filtering. */
+  def bloomMightContain(bf: org.apache.spark.util.sketch.BloomFilter, hash: Column): Column = {
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    column(org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+      org.apache.spark.sql.catalyst.expressions.Literal(
+        bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+      expression(hash)))
+  }
+
   /** Drop the origin statistics (and constraints) carried by every
     * LogicalRDD in `df`'s plan while KEEPING the captured
     * outputPartitioning/outputOrdering — the stats-reset every iterative

@@ -1386,6 +1386,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(small == want)
   }
 
+  test("bloom probe is the codegen'd BloomFilterMightContain, not a Scala UDF") {
+    val bf = docs.select(xxhash64($"text").as("__h")).stat.bloomFilter("__h", 1000L, 0.01)
+    val probed = docs.withColumn("__maybe",
+      org.apache.spark.sql.graft.shims.bloomMightContain(bf, xxhash64($"text")))
+    // the probe must be the catalyst expression (prettyName might_contain)
+    // inside the codegen span, not a ScalaUDF boundary
+    val plan = probed.queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan.take(800))
+    assert(!plan.contains("UDF"), plan.take(800))
+    // no false negatives: every inserted key probes true
+    assert(probed.filter(!$"__maybe").count() == 0L)
+    // executor-side expression agrees with the driver-side sketch on
+    // uninserted keys too (FP or not, bit-identical decision)
+    val fresh = docs
+      .select(xxhash64(concat($"text", lit(" zzz"))).as("h"))
+      .withColumn("__maybe", org.apache.spark.sql.graft.shims.bloomMightContain(
+        bf, $"h"))
+      .collect()
+    fresh.foreach { r => assert(r.getBoolean(1) == bf.mightContainLong(r.getLong(0))) }
+  }
+
   test("incrementalNearDedup: drops near/exact copies of ref, keeps novel and within-batch dups") {
     val ref = docs.select($"doc_id", $"text")
     val novel = "entirely fresh words that appear nowhere in the reference corpus " +
