@@ -166,18 +166,36 @@ object StreamingQueries {
     // operator's millisecond grain.
     "s05_stream_sessions" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/events.parquet")
-      val tsT = batch.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("timestamp_micros(ts div 1000)")
-        case _ => col("ts").cast("timestamp")
-      }
-      val ev = batch.select(col("user_id").cast("long").as("user_id"),
-        tsT.as("ts"), col("value").cast("double").as("value"))
-      val maxTs = ev.agg(max(col("ts"))).head().getTimestamp(0)
+      val isNanos =
+        batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
+      val tsT =
+        if (isNanos) expr("timestamp_micros(ts div 1000)")
+        else col("ts").cast("timestamp")
+      val maxTs = batch.agg(max(tsT)).head().getTimestamp(0)
       val gapMs = 86400000L // 24 h, the p41 gap
       val root = java.nio.file.Files.createTempDirectory("graft_s05_")
       val streamDir = root.resolve("in")
       java.nio.file.Files.createDirectories(streamDir)
+      // batch 0 is a RAW byte copy of the source file — no single-threaded
+      // decode/re-encode of the whole table just to stage it (at sf1.0
+      // that rewrite costs more than the sessionization itself); the
+      // nanos-vs-micros physical-type branch moves to the stream side
+      val organic = streamDir.resolve("0_organic.parquet")
+      java.nio.file.Files.copy(
+        java.nio.file.Paths.get(dir, "events.parquet"), organic)
+      // sentinel rows in the RAW schema (sessionize reads only
+      // user_id/ts/value; the rest ride as typed nulls)
+      def sentinel(t: java.sql.Timestamp): DataFrame =
+        s.range(1).select(batch.schema.fields.map { f =>
+          (f.name match {
+            case "user_id" => lit(-1L).cast(f.dataType)
+            case "ts" =>
+              if (isNanos) lit(t.getTime * 1000000L).cast(f.dataType)
+              else lit(t).cast(f.dataType)
+            case "value" => lit(0.0).cast(f.dataType)
+            case _ => lit(null).cast(f.dataType)
+          }).as(f.name)
+        }.toSeq: _*)
       def stage(df: DataFrame, name: String, mtime: Long): Unit = {
         val st = root.resolve(s"stage_$name").toString
         df.coalesce(1).write.mode("overwrite").parquet(st)
@@ -186,20 +204,21 @@ object StreamingQueries {
           .getOrElse(sys.error(s"no parquet part under $st"))
         val dst = streamDir.resolve(s"$name.parquet")
         java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime) // FileStreamSource batches in mtime order
+        dst.toFile.setLastModified(mtime); ()
       }
-      import s.implicits._
       val now = System.currentTimeMillis()
       val flush1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600000L)
       val flush2 = new java.sql.Timestamp(flush1.getTime + gapMs + 3600000L)
-      stage(ev, "0_organic", now - 60000L)
-      stage(Seq((-1L, flush1, 0.0)).toDF("user_id", "ts", "value"), "1_flush", now - 40000L)
-      stage(Seq((-1L, flush2, 0.0)).toDF("user_id", "ts", "value"), "2_flush", now - 20000L)
+      // FileStreamSource batches in mtime order under maxFilesPerTrigger=1
+      organic.toFile.setLastModified(now - 60000L)
+      stage(sentinel(flush1), "1_flush", now - 40000L)
+      stage(sentinel(flush2), "2_flush", now - 20000L)
       try {
-        val stream = s.readStream.schema(ev.schema)
+        val stream = s.readStream.schema(batch.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString)
-        val out = H3Streaming.streamingSessionize(stream, "user_id", "ts",
+          .withColumn("__ts", tsT)
+        val out = H3Streaming.streamingSessionize(stream, "user_id", "__ts",
           "value", gapMillis = gapMs, watermark = "1 second")
         try s.catalog.dropTempView("s05_sink")
         catch { case scala.util.control.NonFatal(_) => () }
