@@ -56,9 +56,13 @@ object Bench {
     * (measured: a cache-cold run read 131 s with BOTH cpu legs quiet;
     * only the scan-heavy tail paid). SF-dependent by nature, so it is
     * comparable round-over-round at the SAME sf only — exactly how the
-    * ledger reads it. Median of 3; a sum over a numeric column defeats
-    * a metadata-only count shortcut and touches every row group. */
-  private def scanCalibrationMedian3(spark: SparkSession, sfDir: String): Double = {
+    * ledger reads it. Returns (first, median-of-3): run 1 itself warms
+    * the page cache, so ONLY the first run can see the cache-cold state
+    * this leg exists to detect — the median alone would read quiet on a
+    * cold cache and misattribute the scan-heavy tail's inflation to a
+    * code regression. A sum over a numeric column defeats a
+    * metadata-only count shortcut and touches every row group. */
+  private def scanCalibration(spark: SparkSession, sfDir: String): (Double, Double) = {
     import org.apache.spark.sql.functions._
     def once(): Double = {
       val t0 = System.nanoTime()
@@ -66,7 +70,8 @@ object Bench {
         .agg(sum(col("l_quantity")), count(lit(1))).collect()
       (System.nanoTime() - t0) / 1e9
     }
-    Seq.fill(3)(once()).sorted.apply(1)
+    val runs = Seq.fill(3)(once())
+    (runs.head, runs.sorted.apply(1))
   }
 
   def main(args: Array[String]): Unit = {
@@ -91,7 +96,7 @@ object Bench {
     // host, which is exactly the false positive the field must not emit;
     // the discarded first run absorbs the fresh JVM's codegen/JIT
     val calibBefore = calibrationMedian3(spark, warm = true)
-    val calibScanBefore = scanCalibrationMedian3(spark, sfDir)
+    val (calibScanCold, calibScanBefore) = scanCalibration(spark, sfDir)
     // warm the JVM / codegen / parquet reader so the timed queries measure
     // steady-state engine throughput, not session startup or per-plan
     // codegen compilation: one full catalog pass at the smallest SF
@@ -135,7 +140,14 @@ object Bench {
     // (r12: ~0.3 s added to dozens of sub-1.5 s queries, adjudicated as
     // noise by an independent re-run) self-corrects instead of burning a
     // judge cycle
-    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/root/repo/bench_latest.json")
+    // a filtered (SPARK_GRAFT_ONLY) run must not overwrite the default
+    // full-catalog artifact: the next full run's prevTimes would find only
+    // the filtered queries (same sf passes the sameSf guard), disarming
+    // the adaptive rerun rule for the rest of the catalog and destroying
+    // the round-over-round baseline — divert to a sibling file
+    val onlyFiltered = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
+    val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      if (onlyFiltered) "/root/repo/bench_only.json" else "/root/repo/bench_latest.json")
     val prevTimes: Map[String, Double] = try {
       val txt = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(benchOutPath)), "UTF-8")
@@ -286,9 +298,10 @@ object Bench {
     dropLeakedBlocks(spark)
     System.gc()
     val calibAfter = calibrationMedian3(spark, warm = false)
-    val calibScanAfter = scanCalibrationMedian3(spark, sfDir)
+    val calibScanAfter = scanCalibration(spark, sfDir)._2
     val calibExtra =
       s""","calibration_before_s":${num(calibBefore, 3)},"calibration_after_s":${num(calibAfter, 3)}""" +
+      s""","calibration_scan_cold_s":${num(calibScanCold, 3)}""" +
       s""","calibration_scan_before_s":${num(calibScanBefore, 3)},"calibration_scan_after_s":${num(calibScanAfter, 3)}"""
     // full-precision artifact to the repo file — per-query numbers are
     // never lost to capture limits (BENCH_r07 dropped 35 of 96 timings)

@@ -171,49 +171,58 @@ object StreamingQueries {
       val tsT =
         if (isNanos) expr("timestamp_micros(ts div 1000)")
         else col("ts").cast("timestamp")
-      val maxTs = batch.agg(max(tsT)).head().getTimestamp(0)
+      // empty/all-null-ts table: no sessions to close — any flush anchor
+      // works, the snapshot is empty either way
+      val maxTs = Option(batch.agg(max(tsT)).head().getTimestamp(0))
+        .getOrElse(new java.sql.Timestamp(0L))
       val gapMs = 86400000L // 24 h, the p41 gap
+      // a key no organic row plausibly carries (the oracle shares no
+      // assumption about user_id's sign, so don't burn -1 on it);
+      // Int.MinValue survives BOTH int32 and int64 physical user_id
+      // types bit-faithfully, unlike Long.MinValue which would truncate
+      // to 0 under an int32 cast and corrupt that key's sessions
+      val sentinelKey = Int.MinValue.toLong
       val root = java.nio.file.Files.createTempDirectory("graft_s05_")
-      val streamDir = root.resolve("in")
-      java.nio.file.Files.createDirectories(streamDir)
-      // batch 0 is a RAW byte copy of the source file — no single-threaded
-      // decode/re-encode of the whole table just to stage it (at sf1.0
-      // that rewrite costs more than the sessionization itself); the
-      // nanos-vs-micros physical-type branch moves to the stream side
-      val organic = streamDir.resolve("0_organic.parquet")
-      java.nio.file.Files.copy(
-        java.nio.file.Paths.get(dir, "events.parquet"), organic)
-      // sentinel rows in the RAW schema (sessionize reads only
-      // user_id/ts/value; the rest ride as typed nulls)
-      def sentinel(t: java.sql.Timestamp): DataFrame =
-        s.range(1).select(batch.schema.fields.map { f =>
-          (f.name match {
-            case "user_id" => lit(-1L).cast(f.dataType)
-            case "ts" =>
-              if (isNanos) lit(t.getTime * 1000000L).cast(f.dataType)
-              else lit(t).cast(f.dataType)
-            case "value" => lit(0.0).cast(f.dataType)
-            case _ => lit(null).cast(f.dataType)
-          }).as(f.name)
-        }.toSeq: _*)
-      def stage(df: DataFrame, name: String, mtime: Long): Unit = {
-        val st = root.resolve(s"stage_$name").toString
-        df.coalesce(1).write.mode("overwrite").parquet(st)
-        val part = new java.io.File(st).listFiles()
-          .find(_.getName.endsWith(".parquet"))
-          .getOrElse(sys.error(s"no parquet part under $st"))
-        val dst = streamDir.resolve(s"$name.parquet")
-        java.nio.file.Files.move(part.toPath, dst)
-        dst.toFile.setLastModified(mtime); ()
-      }
-      val now = System.currentTimeMillis()
-      val flush1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600000L)
-      val flush2 = new java.sql.Timestamp(flush1.getTime + gapMs + 3600000L)
-      // FileStreamSource batches in mtime order under maxFilesPerTrigger=1
-      organic.toFile.setLastModified(now - 60000L)
-      stage(sentinel(flush1), "1_flush", now - 40000L)
-      stage(sentinel(flush2), "2_flush", now - 20000L)
       try {
+        val streamDir = root.resolve("in")
+        java.nio.file.Files.createDirectories(streamDir)
+        // batch 0 is a RAW byte copy of the source file — no single-threaded
+        // decode/re-encode of the whole table just to stage it (at sf1.0
+        // that rewrite costs more than the sessionization itself); the
+        // nanos-vs-micros physical-type branch moves to the stream side
+        val organic = streamDir.resolve("0_organic.parquet")
+        java.nio.file.Files.copy(
+          java.nio.file.Paths.get(dir, "events.parquet"), organic)
+        // sentinel rows in the RAW schema (sessionize reads only
+        // user_id/ts/value; the rest ride as typed nulls)
+        def sentinel(t: java.sql.Timestamp): DataFrame =
+          s.range(1).select(batch.schema.fields.map { f =>
+            (f.name match {
+              case "user_id" => lit(sentinelKey).cast(f.dataType)
+              case "ts" =>
+                if (isNanos) lit(t.getTime * 1000000L).cast(f.dataType)
+                else lit(t).cast(f.dataType)
+              case "value" => lit(0.0).cast(f.dataType)
+              case _ => lit(null).cast(f.dataType)
+            }).as(f.name)
+          }.toSeq: _*)
+        def stage(df: DataFrame, name: String, mtime: Long): Unit = {
+          val st = root.resolve(s"stage_$name").toString
+          df.coalesce(1).write.mode("overwrite").parquet(st)
+          val part = new java.io.File(st).listFiles()
+            .find(_.getName.endsWith(".parquet"))
+            .getOrElse(sys.error(s"no parquet part under $st"))
+          val dst = streamDir.resolve(s"$name.parquet")
+          java.nio.file.Files.move(part.toPath, dst)
+          dst.toFile.setLastModified(mtime); ()
+        }
+        val now = System.currentTimeMillis()
+        val flush1 = new java.sql.Timestamp(maxTs.getTime + gapMs + 3600000L)
+        val flush2 = new java.sql.Timestamp(flush1.getTime + gapMs + 3600000L)
+        // FileStreamSource batches in mtime order under maxFilesPerTrigger=1
+        organic.toFile.setLastModified(now - 60000L)
+        stage(sentinel(flush1), "1_flush", now - 40000L)
+        stage(sentinel(flush2), "2_flush", now - 20000L)
         val stream = s.readStream.schema(batch.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString)
@@ -225,7 +234,7 @@ object StreamingQueries {
         val q = out.toDF.writeStream.format("memory").queryName("s05_sink")
           .outputMode("append").start()
         try q.processAllAvailable() finally q.stop()
-        s.table("s05_sink").filter(col("key") >= 0L)
+        s.table("s05_sink").filter(col("key") =!= sentinelKey)
           .orderBy(col("key"), col("start_ns"))
       } finally { // the snapshot lives in the memory sink; the staging can go
         def rm(f: java.io.File): Unit = {

@@ -194,7 +194,13 @@ object Dedup {
     * the quantize boundary can never drop a pair the final filter — the
     * UNCHANGED float expression, hash-pinned by the p07 oracle — keeps. */
   def ngramJaccardPairs(df: DataFrame, id: Column, text: Column, n: Int,
-      threshold: Double): DataFrame = {
+      threshold: Double): DataFrame =
+    ngramJaccardPairsFreeable(df, id, text, n, threshold)._1
+
+  /** [[ngramJaccardPairs]] plus the release thunk for its four pinned
+    * staging checkpoints (grams / doc arrays / prefixes / intersections). */
+  def ngramJaccardPairsFreeable(df: DataFrame, id: Column, text: Column,
+      n: Int, threshold: Double): (DataFrame, () => Unit) = {
     // the final filter keeps lattice value k/1e4 >= threshold, whose
     // smallest surviving k is >= round(threshold*1e4) (proof: if t*1e4
     // rounds up to k then t > (k-0.5)/1e4 > (k-1)/1e4, so k-1 cannot
@@ -208,17 +214,6 @@ object Dedup {
     // loose rational bound (tE4-1)/1e4: a full half lattice step (5e-5,
     // >> any double rounding) below the smallest similarity the final
     // filter can keep
-    val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
-    ngramJaccardPairsImpl(df, id, text, n, threshold, tNum, tDen)._1
-  }
-
-  /** [[ngramJaccardPairs]] plus the release thunk for its four pinned
-    * staging checkpoints (grams / doc arrays / prefixes / intersections). */
-  def ngramJaccardPairsFreeable(df: DataFrame, id: Column, text: Column,
-      n: Int, threshold: Double): (DataFrame, () => Unit) = {
-    require(threshold > 0.0 && threshold <= 1.0,
-      s"threshold must be in (0, 1], got $threshold")
-    val tE4 = math.round(threshold * 10000.0)
     val (tNum, tDen) = (math.max(2 * tE4 - 2, 1L), 20000L)
     ngramJaccardPairsImpl(df, id, text, n, threshold, tNum, tDen)
   }
