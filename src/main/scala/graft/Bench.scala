@@ -20,7 +20,7 @@ object Bench {
 
   /** One run of the fixed calibration workload: a deterministic CPU +
     * shuffle micro-job on synthetic data (no I/O, no SF dependence) —
-    * 48M-row hash chain into an 8M-key aggregate — the HIGH-cardinality
+    * 24M-row hash chain into a 2M-key aggregate — the HIGH-cardinality
     * key defeats map-side partial aggregation, so the exchange moves real
     * volume (a low-cardinality key collapsed the whole job to scheduling
     * overhead: 16M and 48M rows both timed ~0.6 s). Sized so a 1.3x host
@@ -326,7 +326,9 @@ object Bench {
     if (stdoutJson.length > MaxStdoutBytes) {
       var keep = sorted.length
       while (stdoutJson.length > MaxStdoutBytes && keep > 10) {
-        keep -= 10
+        // floor at 10 exactly: a bare `keep -= 10` from e.g. 17 would land
+        // on 7 and ship fewer slowest-queries than the protocol promises
+        keep = math.max(keep - 10, 10)
         val slowest = sorted.sortBy(-_._2).take(keep).sortBy(_._1)
         stdoutJson = line(queriesJson(num(_, 2), slowest), failedJson(10),
           s""","queries_omitted":${sorted.length - keep}""" + calibExtra)

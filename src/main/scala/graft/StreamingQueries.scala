@@ -17,6 +17,32 @@ import graft.streaming.H3Streaming
   */
 object StreamingQueries {
 
+  /** events.ts physical-type branch shared by every streaming query (same
+    * branch as PipelineQueries.eventsUs, but producing a TIMESTAMP — the
+    * streaming windows need one): driver testdata generations have shifted
+    * between TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS). One place to
+    * fix when the next generation shifts again. */
+  private def eventTime(schema: org.apache.spark.sql.types.StructType)
+      : org.apache.spark.sql.Column =
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        expr("timestamp_micros(ts div 1000)")
+      case _ => col("ts").cast("timestamp")
+    }
+
+  /** Shared memory-sink lifecycle: drop a stale sink view (it survives a
+    * previous invocation in this session — bench warm pass, median-of-3
+    * reruns), run `out` to completion, return the final snapshot table. */
+  private def runToSnapshot(s: SparkSession, out: DataFrame, name: String,
+      mode: String): DataFrame = {
+    try s.catalog.dropTempView(name)
+    catch { case scala.util.control.NonFatal(_) => () }
+    val q = out.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name)
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Watermarked hopping-window rollup driven as a StreamingQuery — the
     // streaming twin of p76_hopping_stats with the identical output
@@ -30,14 +56,6 @@ object StreamingQueries {
     // H3StreamingSpec pins them with MemoryStream batch boundaries).
     "s01_stream_hopping" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/events.parquet")
-      // same physical-type branch as PipelineQueries.eventsUs: driver
-      // generations have shifted between TIMESTAMP(NANOS)-as-long and
-      // TIMESTAMP(MICROS); the streaming window needs a real timestamp
-      val tsT = batch.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("timestamp_micros(ts div 1000)")
-        case _ => col("ts").cast("timestamp")
-      }
       // the table is a single parquet FILE; FileStreamSource force-sets
       // basePath to the (non-directory) path unless the path is a GLOB —
       // the {name} alternation makes it one while matching exactly that
@@ -45,18 +63,12 @@ object StreamingQueries {
       val stream = s.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}")
-        .withColumn("__ts", tsT)
+        .withColumn("__ts", eventTime(batch.schema))
       val out = H3Streaming.streamingHoppingStats(stream, "__ts",
         "event_type", "value", windowLen = "6 hours", slide = "2 hours",
         watermark = "1 hour")
-      // the sink view may survive a previous invocation in this session
-      // (bench warm pass, median-of-3 reruns)
-      try s.catalog.dropTempView("s01_sink")
-      catch { case scala.util.control.NonFatal(_) => () }
-      val q = out.writeStream.format("memory").queryName("s01_sink")
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("s01_sink").orderBy(col("window_start"), col("group"))
+      runToSnapshot(s, out, "s01_sink", "complete")
+        .orderBy(col("window_start"), col("group"))
     }),
 
     // Watermarked windowed h3_compact_agg (F1's streaming form,
@@ -70,26 +82,16 @@ object StreamingQueries {
     // deserialize of the compact buffer between micro-batches).
     "s02_stream_compact" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/events.parquet")
-      val tsT = batch.schema("ts").dataType match {
-        case org.apache.spark.sql.types.LongType =>
-          expr("timestamp_micros(ts div 1000)")
-        case _ => col("ts").cast("timestamp")
-      }
       val stream = s.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}")
-        .withColumn("__ts", tsT)
+        .withColumn("__ts", eventTime(batch.schema))
         .withColumn("parent", expr(SparkEntry.Synth.cellSql("user_id", 5)))
         .withColumn("cell",
           explode(graft.functions.h3_uncompact_cell(col("parent"), lit(6))))
       val out = H3Streaming.windowedCompact(stream, "__ts", "cell",
         watermark = "1 hour", windowLen = "6 hours")
-      try s.catalog.dropTempView("s02_sink")
-      catch { case scala.util.control.NonFatal(_) => () }
-      val q = out.writeStream.format("memory").queryName("s02_sink")
-        .outputMode("complete").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("s02_sink")
+      runToSnapshot(s, out, "s02_sink", "complete")
         .select(unix_micros(col("window.start")).as("window_start"),
           explode(col("cells")).as("cell"))
         .orderBy(col("window_start"), col("cell"))
@@ -113,12 +115,8 @@ object StreamingQueries {
         .withColumn("__ts", lit("2024-01-01 00:00:00").cast("timestamp"))
       val out = H3Streaming.streamingExactDedup(stream, "__ts", "text",
         watermark = "1 hour")
-      try s.catalog.dropTempView("s03_sink")
-      catch { case scala.util.control.NonFatal(_) => () }
-      val q = out.writeStream.format("memory").queryName("s03_sink")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("s03_sink").select(col("text")).orderBy(col("text"))
+      runToSnapshot(s, out, "s03_sink", "append")
+        .select(col("text")).orderBy(col("text"))
     }),
 
     // Streaming incremental dedup against a STATIC reference corpus — the
@@ -139,13 +137,8 @@ object StreamingQueries {
         .parquet(s"$dir/{documents.parquet}")
       val out = H3Streaming.streamingIncrementalDedup(stream, "text",
         ref, "text", expectedRefItems = 100000L)
-      try s.catalog.dropTempView("s04_sink")
-      catch { case scala.util.control.NonFatal(_) => () }
-      val q = out.writeStream.format("memory").queryName("s04_sink")
-        .outputMode("append").start()
-      try q.processAllAvailable() finally q.stop()
-      s.table("s04_sink").select(col("doc_id"), col("text"))
-        .orderBy(col("doc_id"))
+      runToSnapshot(s, out, "s04_sink", "append")
+        .select(col("doc_id"), col("text")).orderBy(col("doc_id"))
     }),
 
     // Gap sessionization via flatMapGroupsWithState with EVENT-TIME
@@ -168,9 +161,7 @@ object StreamingQueries {
       val batch = s.read.parquet(s"$dir/events.parquet")
       val isNanos =
         batch.schema("ts").dataType == org.apache.spark.sql.types.LongType
-      val tsT =
-        if (isNanos) expr("timestamp_micros(ts div 1000)")
-        else col("ts").cast("timestamp")
+      val tsT = eventTime(batch.schema)
       // empty/all-null-ts table: no sessions to close — any flush anchor
       // works, the snapshot is empty either way
       val maxTs = Option(batch.agg(max(tsT)).head().getTimestamp(0))
@@ -229,12 +220,8 @@ object StreamingQueries {
           .withColumn("__ts", tsT)
         val out = H3Streaming.streamingSessionize(stream, "user_id", "__ts",
           "value", gapMillis = gapMs, watermark = "1 second")
-        try s.catalog.dropTempView("s05_sink")
-        catch { case scala.util.control.NonFatal(_) => () }
-        val q = out.toDF.writeStream.format("memory").queryName("s05_sink")
-          .outputMode("append").start()
-        try q.processAllAvailable() finally q.stop()
-        s.table("s05_sink").filter(col("key") =!= sentinelKey)
+        runToSnapshot(s, out.toDF, "s05_sink", "append")
+          .filter(col("key") =!= sentinelKey)
           .orderBy(col("key"), col("start_ns"))
       } finally { // the snapshot lives in the memory sink; the staging can go
         def rm(f: java.io.File): Unit = {
