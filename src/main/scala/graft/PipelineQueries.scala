@@ -3271,19 +3271,28 @@ object PipelineQueries {
          |FROM x ORDER BY doc_id, seq_id""".stripMargin
     },
 
+    // TIE-SAFE form (same fix as the s05 streaming oracle): collapse to
+    // distinct (user, ts) BEFORE the windows — `lag` and the running
+    // `sum` are two separate window sorts whose arbitrary tie orders can
+    // split a duplicate-timestamp boundary group across sessions, while
+    // Sessions.sessionize's two Spark windows share ONE window spec (one
+    // sort, consistent tie order: the nw=1 row leads its tie group in the
+    // same order the running sum consumes, so ties never split)
     "p41_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
         |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
-        |m AS (SELECT user_id, ts, v,
+        |d AS (SELECT user_id, ts, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, ts, c, sv,
         |  CASE WHEN lag(ts) OVER w IS NULL
         |       OR ts - lag(ts) OVER w > 86400000000 THEN 1 ELSE 0 END AS nw
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
-        |s AS (SELECT user_id, ts, v,
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |s AS (SELECT user_id, ts, c, sv,
         |  sum(nw) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) - 1 AS sidx
         |  FROM m)
         |SELECT user_id AS key, CAST(sidx AS BIGINT) AS session_idx,
         |  min(ts) AS start_ts, max(ts) AS end_ts,
-        |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum_e2
+        |  CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(sv) AS BIGINT) AS value_sum_e2
         |FROM s GROUP BY user_id, sidx ORDER BY key, session_idx""".stripMargin,
 
     "p73_asof_join" ->

@@ -269,19 +269,28 @@ object StreamingQueries {
     // grain (event-time timeouts are ms-grained, so the op folds
     // ms-floored times; the oracle mirrors with epoch_ms and a 24 h gap
     // in ms). Bounds are int64 nanoseconds per the SessionRow contract.
+    // TIE-SAFE form: rows collapse to distinct (user, ms) BEFORE the
+    // windows, because `lag` and the running `sum` are two SEPARATE
+    // window sorts — with duplicate timestamps (sf1.0's 10x-replicated
+    // events) their arbitrary tie orders can disagree and split a
+    // boundary tie group across two sessions, while the engine's single
+    // ordered fold keeps equal-ts events together (gap 0 extends). Over
+    // distinct ms both sorts are over unique keys, hence deterministic.
     "s05_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
         |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
-        |m AS (SELECT user_id, ms, v,
+        |d AS (SELECT user_id, ms, CAST(count(*) AS BIGINT) AS c,
+        |  CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
+        |m AS (SELECT user_id, ms, c, sv,
         |  CASE WHEN lag(ms) OVER w IS NULL
         |       OR ms - lag(ms) OVER w > 86400000 THEN 1 ELSE 0 END AS nw
-        |  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
-        |sx AS (SELECT user_id, ms, v,
+        |  FROM d WINDOW w AS (PARTITION BY user_id ORDER BY ms)),
+        |sx AS (SELECT user_id, ms, c, sv,
         |  sum(nw) OVER (PARTITION BY user_id ORDER BY ms ROWS UNBOUNDED PRECEDING) AS sidx
         |  FROM m)
         |SELECT user_id AS key, CAST(min(ms) * 1000000 AS BIGINT) AS start_ns,
         |  CAST(max(ms) * 1000000 AS BIGINT) AS end_ns,
-        |  CAST(count(*) AS BIGINT) AS n_events, CAST(sum(v) AS BIGINT) AS value_sum_e2
+        |  CAST(sum(c) AS BIGINT) AS n_events, CAST(sum(sv) AS BIGINT) AS value_sum_e2
         |FROM sx GROUP BY user_id, sidx ORDER BY key, start_ns""".stripMargin
   )
 }
