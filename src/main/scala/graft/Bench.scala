@@ -145,7 +145,14 @@ object Bench {
     // the filtered queries (same sf passes the sameSf guard), disarming
     // the adaptive rerun rule for the rest of the catalog and destroying
     // the round-over-round baseline — divert to a sibling file
-    val onlyFiltered = sys.env.get("SPARK_GRAFT_ONLY").exists(_.trim.nonEmpty)
+    // ONE parse for both decisions: an empty-but-set var (SPARK_GRAFT_ONLY=
+    // intending "unset") must mean "no filter", not Set("") — which would
+    // filter out every query while onlyFiltered=false still wrote the
+    // empty result over the full-catalog baseline
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(Set.empty[String])
+    val onlyFiltered = only.nonEmpty
     val benchOutPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
       if (onlyFiltered) "/root/repo/bench_only.json" else "/root/repo/bench_latest.json")
     val prevTimes: Map[String, Double] = try {
@@ -173,11 +180,10 @@ object Bench {
         }
       }
     } catch { case _: Throwable => Map.empty }
-    // SPARK_GRAFT_ONLY: comma-list restricting the TIMED pass (the warm
-    // pass stays full) — a session-state bisect aid, never set by the
-    // driver
-    val only = sys.env.get("SPARK_GRAFT_ONLY")
-      .map(_.split(",").map(_.trim).toSet).getOrElse(Set.empty[String])
+    // SPARK_GRAFT_ONLY (parsed once above, next to the artifact-path
+    // decision that must agree with it): comma-list restricting the TIMED
+    // pass (the warm pass stays full) — a session-state bisect aid, never
+    // set by the driver
     val firstPass = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter(q => only.isEmpty || only.contains(q._1))
       .map { case (name, fn) => (name, timeOnce(fn)) }

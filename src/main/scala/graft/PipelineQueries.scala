@@ -3280,7 +3280,8 @@ object PipelineQueries {
     // same order the running sum consumes, so ties never split)
     "p41_sessions" ->
       """WITH e AS (SELECT user_id, epoch_us(ts) AS ts,
-        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events
+        |  WHERE ts IS NOT NULL),
         |d AS (SELECT user_id, ts, CAST(count(*) AS BIGINT) AS c,
         |  CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
         |m AS (SELECT user_id, ts, c, sv,

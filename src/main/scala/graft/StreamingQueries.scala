@@ -17,17 +17,17 @@ import graft.streaming.H3Streaming
   */
 object StreamingQueries {
 
-  /** events.ts physical-type branch shared by every streaming query (same
-    * branch as PipelineQueries.eventsUs, but producing a TIMESTAMP — the
-    * streaming windows need one): driver testdata generations have shifted
-    * between TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS). One place to
-    * fix when the next generation shifts again. */
-  private def eventTime(schema: org.apache.spark.sql.types.StructType)
-      : org.apache.spark.sql.Column =
-    schema("ts").dataType match {
+  /** Event-time column for `name` under its physical type in `schema`
+    * (same branch as PipelineQueries.eventsUs, but producing a TIMESTAMP —
+    * the streaming windows need one): driver testdata generations have
+    * shifted between TIMESTAMP(NANOS)-as-long and TIMESTAMP(MICROS). One
+    * place to fix when the next generation shifts again. */
+  private def eventTime(schema: org.apache.spark.sql.types.StructType,
+      name: String = "ts"): org.apache.spark.sql.Column =
+    schema(name).dataType match {
       case org.apache.spark.sql.types.LongType =>
-        expr("timestamp_micros(ts div 1000)")
-      case _ => col("ts").cast("timestamp")
+        expr(s"timestamp_micros($name div 1000)")
+      case _ => col(name).cast("timestamp")
     }
 
   /** Shared memory-sink lifecycle: drop a stale sink view (it survives a
@@ -218,6 +218,10 @@ object StreamingQueries {
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString)
           .withColumn("__ts", tsT)
+          // null-ts rows would NPE inside the sessionize fold's timestamp
+          // decode; the oracle mirrors with WHERE ts IS NOT NULL — this is
+          // what makes the all-null-ts guard above actually hold
+          .filter(col("__ts").isNotNull)
         val out = H3Streaming.streamingSessionize(stream, "user_id", "__ts",
           "value", gapMillis = gapMs, watermark = "1 second")
         runToSnapshot(s, out.toDF, "s05_sink", "append")
@@ -278,7 +282,8 @@ object StreamingQueries {
     // distinct ms both sorts are over unique keys, hence deterministic.
     "s05_stream_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms,
-        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events),
+        |  CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v FROM events
+        |  WHERE ts IS NOT NULL),
         |d AS (SELECT user_id, ms, CAST(count(*) AS BIGINT) AS c,
         |  CAST(sum(v) AS BIGINT) AS sv FROM e GROUP BY 1, 2),
         |m AS (SELECT user_id, ms, c, sv,

@@ -877,6 +877,21 @@ object Dedup {
       .drop("__jid", "__gid", "__rn")
   }
 
+  /** Guarded xxhash64 Bloom over `key`: the sentinel row keeps the sketch
+    * constructible on an EMPTY reference (Spark's stat.bloomFilter NPEs
+    * deserializing the null aggregation buffer of zero rows). The bloom
+    * only PRUNES; the sentinel's own contribution is a false positive for
+    * keys hashing to exactly 0L (probability 2^-64 per key) — resolved
+    * exactly by the anti-join consumers, and far below the configured
+    * `fpp` for the bloom-approximate consumers (streaming line/substring
+    * strip). Shared by the batch and streaming incremental dedups and the
+    * streaming boilerplate strippers. */
+  private[graft] def keyBloom(ref: DataFrame, key: Column, expectedItems: Long,
+      fpp: Double): org.apache.spark.util.sketch.BloomFilter =
+    ref.select(xxhash64(key).as("__h"))
+      .unionByName(ref.sparkSession.range(1).select(lit(0L).as("__h")))
+      .stat.bloomFilter("__h", expectedItems, fpp)
+
   /** Incremental exact dedup of a new batch against an existing reference
     * corpus: keep new rows whose `newKey` does not appear in `refKeys`
     * (the "dedup tonight's crawl against the 100 TB corpus" op).
@@ -902,14 +917,7 @@ object Dedup {
       refKey: Column, expectedRefItems: Long = 1000000L,
       fpp: Double = 0.01): (DataFrame, () => Unit) = {
     val refKeys = refDf.select(refKey.as("__rk"))
-    // the sentinel row keeps the sketch constructible on an EMPTY
-    // reference (Spark's stat.bloomFilter NPEs deserializing the null
-    // aggregation buffer of zero rows); the bloom only PRUNES — any false
-    // positive the sentinel induces is resolved by the exact anti-join
-    // below, so semantics are untouched
-    val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
-      .unionByName(refDf.sparkSession.range(1).select(lit(0L).as("__h")))
-      .stat.bloomFilter("__h", expectedRefItems, fpp)
+    val bf = keyBloom(refKeys, col("__rk"), expectedRefItems, fpp)
     // codegen'd probe (BloomFilterMightContain via the shim) — the former
     // Scala UDF split the whole-stage span around every bloom-gated filter
     val keyed = newDf.withColumn("__maybe",

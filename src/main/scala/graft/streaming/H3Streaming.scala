@@ -319,12 +319,9 @@ object H3Streaming {
       ref: DataFrame, refContentCol: String,
       expectedRefItems: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val refKeys = ref.select(col(refContentCol).as("__rk"))
-    // sentinel row: stat.bloomFilter NPEs deserializing the null buffer of
-    // an EMPTY reference; any false positive it induces is resolved by the
-    // exact anti-join below (same guard as the batch twin)
-    val bf = refKeys.select(xxhash64(col("__rk")).as("__h"))
-      .unionByName(ref.sparkSession.range(1).select(lit(0L).as("__h")))
-      .stat.bloomFilter("__h", expectedRefItems, fpp)
+    // empty-ref guarded sketch (Dedup.keyBloom), same guard as the batch twin
+    val bf = graft.pipeline.Dedup.keyBloom(refKeys, col("__rk"),
+      expectedRefItems, fpp)
     // codegen'd probe (BloomFilterMightContain via the shim) — the former
     // Scala UDF split the whole-stage span around every bloom-gated filter
     val keyed = stream.withColumn("__maybe",
@@ -363,8 +360,10 @@ object H3Streaming {
       expectedRefLines: Long = 1000000L, fpp: Double = 0.01): DataFrame = {
     val refLines = ref.select(explode(split(col(refTextCol), "\n")).as("__rl"))
       .filter(length(col("__rl")) >= minLineChars)
-    val bf = refLines.select(xxhash64(col("__rl")).as("__h"))
-      .stat.bloomFilter("__h", expectedRefLines, fpp)
+    // empty-ref guarded sketch (Dedup.keyBloom): an all-short or empty
+    // reference previously NPE'd in stat.bloomFilter's null-buffer decode
+    val bf = graft.pipeline.Dedup.keyBloom(refLines, col("__rl"),
+      expectedRefLines, fpp)
     val seed = 42L // xxhash64's fixed seed
     val strip = udf { (text: String) =>
       // null text: null stays null with ZERO counts (batch lineDedup's
@@ -412,8 +411,10 @@ object H3Streaming {
     require(n >= 2, s"n must be >= 2, got $n")
     val refGrams = ref.select(
       explode(graft.pipeline.TextOps.wordNgrams(col(refTextCol), n)).as("__g"))
-    val bf = refGrams.select(xxhash64(col("__g")).as("__h"))
-      .stat.bloomFilter("__h", expectedRefGrams, fpp)
+    // empty-ref guarded sketch (Dedup.keyBloom): a reference with no
+    // n-gram-long document previously NPE'd in stat.bloomFilter
+    val bf = graft.pipeline.Dedup.keyBloom(refGrams, col("__g"),
+      expectedRefGrams, fpp)
     val seed = 42L // xxhash64's fixed seed
     val strip = udf { (text: String) =>
       // null text: null stays null with ZERO counts (same null-doc

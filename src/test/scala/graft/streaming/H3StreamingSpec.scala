@@ -245,6 +245,42 @@ class H3StreamingSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming line/substring strip survive an EMPTY reference (guarded bloom)") {
+    implicit val sqlCtx = spark.sqlContext
+    // an empty ref previously NPE'd in stat.bloomFilter's null-buffer
+    // decode (the guard the incremental dedups already had); with the
+    // shared Dedup.keyBloom everything passes through untouched
+    val emptyRef = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val inLine = MemoryStream[(Long, String)]
+    val line = H3Streaming.streamingLineDedup(
+      inLine.toDF.toDF("doc_id", "text"), "text", emptyRef, "text",
+      minLineChars = 5, expectedRefLines = 100L, fpp = 0.001)
+    val q1 = line.writeStream.format("memory").queryName("linestrip_empty")
+      .outputMode("append").start()
+    try {
+      inLine.addData((1L, "keep this line\nand this one"))
+      q1.processAllAvailable()
+      val r = spark.table("linestrip_empty")
+        .select($"text", $"n_kept").collect()
+      assert(r.length == 1 && r(0).getString(0) == "keep this line\nand this one"
+        && r(0).getLong(1) == 2L)
+    } finally q1.stop()
+    val inSub = MemoryStream[(Long, String)]
+    val sub = H3Streaming.streamingSubstringDedup(
+      inSub.toDF.toDF("doc_id", "text"), "text", emptyRef, "text", n = 2,
+      expectedRefGrams = 100L)
+    val q2 = sub.writeStream.format("memory").queryName("substrip_empty")
+      .outputMode("append").start()
+    try {
+      inSub.addData((1L, "alpha beta gamma"))
+      q2.processAllAvailable()
+      val r = spark.table("substrip_empty")
+        .select($"text", $"n_removed").collect()
+      assert(r.length == 1 && r(0).getString(0) == "alpha beta gamma"
+        && r(0).getLong(1) == 0L)
+    } finally q2.stop()
+  }
+
   test("streaming source cap admits first-cap per source across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String, String)]
