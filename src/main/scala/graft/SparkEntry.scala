@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions._
 import graft.df.H3DataFrameOps._
@@ -91,6 +91,21 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries ++ RasterQueries.queries ++ StreamingQueries.queries
 
+  // Revenue sums aggregate in DECIMAL, not double: the source prices are
+  // 2-dp decimals stored as their nearest doubles, so the decimal(18,4)
+  // cast recovers the intended values EXACTLY, and the decimal sum is
+  // order-independent. A double sum is not — at sf1.0 a ~4.5e10 group sum
+  // lands within one addition-order perturbation (~1e-2) of the 2-dp
+  // rounding boundary and the last cent flips between Spark and DuckDB
+  // (and between Spark runs with different partition orders); at 100 TB
+  // the double result is irreproducible by construction. sum_qty stays
+  // double: quantities are small integers, exact in binary at any SF.
+  private def discPrice: Column =
+    (col("l_extendedprice").cast("decimal(18,4)") *
+      (lit(1) - col("l_discount")).cast("decimal(18,4)"))
+
+  private val DiscPriceSql = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
       t(s, dir, "lineitem")
@@ -98,7 +113,7 @@ object SparkEntry {
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           round(sum(col("l_quantity")), 2).as("sum_qty"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(discPrice), 2).cast("double").as("sum_disc_price"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     }),
@@ -112,7 +127,7 @@ object SparkEntry {
         .join(c, o("o_custkey") === c("c_custkey"))
         .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
         .groupBy(col("n_name"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"),
           count(lit(1)).as("n_rows"))
         .orderBy(col("n_name"))
     }),
@@ -120,7 +135,7 @@ object SparkEntry {
     "q03_top_orders" -> ((s, dir) => {
       val li = t(s, dir, "lineitem")
       li.groupBy(col("l_orderkey"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(discPrice), 2).cast("double").as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey"))
         .limit(10)
     }),
@@ -252,16 +267,16 @@ object SparkEntry {
 
   private def coreOracleSql: Map[String, String] = Map(
     "q01_lineitem_agg" ->
-      """SELECT l_returnflag, l_linestatus,
+      s"""SELECT l_returnflag, l_linestatus,
         |  round(sum(l_quantity), 2) AS sum_qty,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+        |  CAST(round(sum($DiscPriceSql), 2) AS DOUBLE) AS sum_disc_price,
         |  count(*) AS n_rows
         |FROM lineitem WHERE l_quantity > 5
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q02_revenue_by_nation" ->
-      """SELECT n_name,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+      s"""SELECT n_name,
+        |  CAST(round(sum($DiscPriceSql), 2) AS DOUBLE) AS revenue,
         |  count(*) AS n_rows
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -270,8 +285,8 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q03_top_orders" ->
-      """SELECT l_orderkey,
-        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      s"""SELECT l_orderkey,
+        |  CAST(round(sum($DiscPriceSql), 2) AS DOUBLE) AS revenue
         |FROM lineitem GROUP BY 1
         |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
 
