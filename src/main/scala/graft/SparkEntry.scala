@@ -91,20 +91,24 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     coreQueries ++ PipelineQueries.queries ++ GeoQueries.queries ++ GraphQueries.queries ++ RasterQueries.queries ++ StreamingQueries.queries
 
-  // Revenue sums aggregate in DECIMAL, not double: the source prices are
-  // 2-dp decimals stored as their nearest doubles, so the decimal(18,4)
-  // cast recovers the intended values EXACTLY, and the decimal sum is
-  // order-independent. A double sum is not — at sf1.0 a ~4.5e10 group sum
-  // lands within one addition-order perturbation (~1e-2) of the 2-dp
-  // rounding boundary and the last cent flips between Spark and DuckDB
-  // (and between Spark runs with different partition orders); at 100 TB
-  // the double result is irreproducible by construction. sum_qty stays
-  // double: quantities are small integers, exact in binary at any SF.
+  // Revenue sums aggregate in DECIMAL, not double: the true per-row
+  // product price*(1-discount) is an exact 4-dp decimal (2 dp x 2 dp),
+  // and the double product computed from the nearest-double sources is
+  // within ~1e-10 of it — far inside the 5e-5 recovery threshold — so ONE
+  // decimal(18,4) cast of the product recovers the intended value EXACTLY
+  // and the decimal sum is order-independent. (Casting both operands and
+  // multiplying in decimal is equally exact but pays a per-row BigDecimal
+  // multiply — measured 1.8x on q03's 1.5M-group aggregate.) A double sum
+  // is not order-independent — at sf1.0 a ~4.5e10 group sum lands within
+  // one addition-order perturbation (~1e-2) of the 2-dp rounding boundary
+  // and the last cent flips between Spark and DuckDB (and between Spark
+  // runs with different partition orders); at 100 TB the double result is
+  // irreproducible by construction. sum_qty stays double: quantities are
+  // small integers, exact in binary at any SF.
   private def discPrice: Column =
-    (col("l_extendedprice").cast("decimal(18,4)") *
-      (lit(1) - col("l_discount")).cast("decimal(18,4)"))
+    (col("l_extendedprice") * (lit(1) - col("l_discount"))).cast("decimal(18,4)")
 
-  private val DiscPriceSql = "CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(1 - l_discount AS DECIMAL(18,4))"
+  private val DiscPriceSql = "CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))"
 
   private def coreQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q01_lineitem_agg" -> ((s, dir) => {
