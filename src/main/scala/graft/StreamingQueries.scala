@@ -30,17 +30,67 @@ object StreamingQueries {
       case _ => col(name).cast("timestamp")
     }
 
+  /** Session the streaming job runs under: a throwaway clone (the
+    * CheckpointLayout mechanism) whose shuffle-partition count — which for
+    * a streaming query is the STATE STORE partition count, fixed at query
+    * start and beyond AQE's reach — is derived from the measured input
+    * size instead of inherited from the batch session. Measured (r16
+    * StreamProbe, sf0.1): per-micro-batch state store commits dominate the
+    * gates' wall — e.g. s03's micro-batches spend 26-54 s of SUMMED
+    * commitTimeMs across 32 partitions on a 0.6 MB input, each partition
+    * paying file create + rename + fsync per batch for KBs of state. The
+    * derivation (one ~64 MB-of-input state partition, floored at 1, capped
+    * at 4× the cluster's cores) scales the fsync fan-out with the data: a
+    * production stream sizes state partitions to per-trigger volume, never
+    * to a session-wide constant (guide §2 — scale-adaptive partitioning).
+    * `graft.stream.statePartitions` overrides: "auto" (default), "session"
+    * (inherit the batch session's value — the pre-r16 behavior, kept for
+    * A/B), or an explicit count for production tuning.
+    *
+    * The clone also disables no-data micro-batches: these gates are
+    * bounded replay-to-snapshot jobs whose emission set is complete once
+    * every DATA batch has run (s03's dedup emits on arrival; s05's organic
+    * timeouts fire in the second flush file's data batch — the double-
+    * flush protocol's own design), so the trailing no-data batch only
+    * re-commits every state partition to move WHEN already-emitted-or-
+    * filtered state evicts, never WHAT is emitted (measured: 2.1-2.8 s per
+    * gate). Oracle equality at three SFs re-pins the emitted set. */
+  private def streamSession(s: SparkSession, dir: String,
+      table: String): SparkSession = {
+    val parts = s.conf.get("graft.stream.statePartitions", "auto") match {
+      case "session" => s.conf.get("spark.sql.shuffle.partitions")
+      case "auto" =>
+        val f = new java.io.File(dir, table)
+        val bytes =
+          if (f.isFile) f.length
+          else Option(f.listFiles).map(_.map(_.length).sum).getOrElse(0L)
+        val cores = s.sparkContext.defaultParallelism.toLong
+        math.max(1L, math.min(bytes / (64L << 20) + 1L, 4L * cores)).toString
+      case n => n
+    }
+    org.apache.spark.sql.graft.shims.cloneSessionWithConf(s,
+      "spark.sql.shuffle.partitions" -> parts,
+      "spark.sql.streaming.noDataMicroBatches.enabled" ->
+        s.conf.get("graft.stream.noDataBatches", "false"))
+  }
+
   /** Shared memory-sink lifecycle: drop a stale sink view (it survives a
     * previous invocation in this session — bench warm pass, median-of-3
-    * reruns), run `out` to completion, return the final snapshot table. */
+    * reruns), run `out` to completion, return the final snapshot table.
+    * All catalog traffic goes through the frame's OWN session — under a
+    * [[streamSession]] clone the memory sink registers its view there,
+    * not in the batch session. */
   private def runToSnapshot(s: SparkSession, out: DataFrame, name: String,
       mode: String): DataFrame = {
-    try s.catalog.dropTempView(name)
+    val ss = out.sparkSession
+    try ss.catalog.dropTempView(name)
     catch { case scala.util.control.NonFatal(_) => () }
     val q = out.writeStream.format("memory").queryName(name)
       .outputMode(mode).start()
     try q.processAllAvailable() finally q.stop()
-    s.table(name)
+    if (ss.conf.get("graft.stream.probe", "false") == "true")
+      q.recentProgress.foreach(p => println(s"[streamprobe] $name ${p.json}"))
+    ss.table(name)
   }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -56,11 +106,12 @@ object StreamingQueries {
     // H3StreamingSpec pins them with MemoryStream batch boundaries).
     "s01_stream_hopping" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/events.parquet")
+      val s2 = streamSession(s, dir, "events.parquet")
       // the table is a single parquet FILE; FileStreamSource force-sets
       // basePath to the (non-directory) path unless the path is a GLOB —
       // the {name} alternation makes it one while matching exactly that
       // file, and the explicit directory basePath then survives
-      val stream = s.readStream.schema(batch.schema)
+      val stream = s2.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}")
         .withColumn("__ts", eventTime(batch.schema))
@@ -82,7 +133,8 @@ object StreamingQueries {
     // deserialize of the compact buffer between micro-batches).
     "s02_stream_compact" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/events.parquet")
-      val stream = s.readStream.schema(batch.schema)
+      val s2 = streamSession(s, dir, "events.parquet")
+      val stream = s2.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{events.parquet}")
         .withColumn("__ts", eventTime(batch.schema))
@@ -108,7 +160,8 @@ object StreamingQueries {
     // distinct text set regardless of arrival order.
     "s03_stream_dedup" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/documents.parquet")
-      val stream = s.readStream.schema(batch.schema)
+      val s2 = streamSession(s, dir, "documents.parquet")
+      val stream = s2.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{documents.parquet}")
         .select(explode(array(col("text"), col("text"))).as("text"))
@@ -132,7 +185,8 @@ object StreamingQueries {
     "s04_stream_incremental" -> ((s, dir) => {
       val batch = s.read.parquet(s"$dir/documents.parquet")
       val ref = batch.filter(col("doc_id") % 3 === 0)
-      val stream = s.readStream.schema(batch.schema)
+      val s2 = streamSession(s, dir, "documents.parquet")
+      val stream = s2.readStream.schema(batch.schema)
         .option("basePath", dir)
         .parquet(s"$dir/{documents.parquet}")
       val out = H3Streaming.streamingIncrementalDedup(stream, "text",
@@ -214,7 +268,8 @@ object StreamingQueries {
         organic.toFile.setLastModified(now - 60000L)
         stage(sentinel(flush1), "1_flush", now - 40000L)
         stage(sentinel(flush2), "2_flush", now - 20000L)
-        val stream = s.readStream.schema(batch.schema)
+        val stream = streamSession(s, dir, "events.parquet")
+          .readStream.schema(batch.schema)
           .option("maxFilesPerTrigger", "1")
           .parquet(streamDir.toString)
           .withColumn("__ts", tsT)

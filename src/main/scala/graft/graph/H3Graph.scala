@@ -500,16 +500,34 @@ object H3Graph {
     * beat real finite paths). The frontier's size is unknowable upfront,
     * so the edge-frame row count gates the layout regime as a proxy (see
     * CheckpointLayout.ClusterLayoutMinRows). */
-  private def iterativeEdges(graph: DataFrame): (DataFrame, () => Unit) = {
+  private def iterativeEdges(graph: DataFrame): (DataFrame, () => Unit, Boolean) = {
     val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
       graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
         col("weight").cast("double").as("__ew"))
         .filter(col("__eo").isNotNull && col("__ed").isNotNull &&
           col("__ew").isNotNull))
-    val (ec, freeEc, _) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
+    val (ec, freeEc, clustered) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
       e0, freeE0, measured = e0.count(), key = "__eo")
-    (ec, freeEc)
+    (ec, freeEc, clustered)
   }
+
+  /** Frontier-side hint for the relax/improved joins, gated on the SAME
+    * measured regime decision as the edge layout: below the cluster bound
+    * the edge count is measured small, so the frontier/best frames (≤
+    * |nodes| × |origins| rows of 3-4 longs) are broadcast-safe BY
+    * MEASUREMENT and the static hint removes the per-hop edge-side
+    * shuffle stage AQE would otherwise materialize before its own runtime
+    * broadcast decision (measured at sf0.1: p116 ran 172 jobs for 0.18 s
+    * of parallel task work — the wall was stage scheduling). Past the
+    * bound the hint would broadcast an unbounded frontier: clustered
+    * regime keeps the co-partitioned streaming join, hint-free.
+    * `graft.sssp.frontierHint=false` restores the unhinted small-regime
+    * joins (A/B instrumentation; the default is the measured winner). */
+  private def frontierHint(spark: org.apache.spark.sql.SparkSession,
+      clustered: Boolean): DataFrame => DataFrame =
+    if (clustered ||
+      spark.conf.get("graft.sssp.frontierHint", "true") != "true") identity
+    else broadcast
 
   def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
       destinations: Seq[Long], maxRounds: Int = 256,
@@ -523,7 +541,8 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges) = iterativeEdges(graph)
+    val (edges, freeEdges, clustered) = iterativeEdges(graph)
+    val hinted = frontierHint(spark, clustered)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
       .localCheckpoint(false)
@@ -535,12 +554,12 @@ object H3Graph {
     var freeBest: () => Unit = () => ()
     var freeFrontier: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
-      f.join(edges, col("cell") === col("__eo"))
+      hinted(f).join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
     def fold(b: DataFrame, r: DataFrame): DataFrame =
       b.unionByName(r).groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost"))
     def improved(nb: DataFrame, old: DataFrame): DataFrame =
-      nb.join(old.withColumnRenamed("cost", "__old"), Seq("cell", "src"), "left_outer")
+      nb.join(hinted(old.withColumnRenamed("cost", "__old")), Seq("cell", "src"), "left_outer")
         .filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"))
     while (!converged && round < maxRounds) {
@@ -628,7 +647,8 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges) = iterativeEdges(graph)
+    val (edges, freeEdges, clustered) = iterativeEdges(graph)
+    val hinted = frontierHint(spark, clustered)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),
         lit(null).cast("long").as("pred"))
@@ -639,7 +659,7 @@ object H3Graph {
     var freeBest: () => Unit = () => ()
     var freeFrontier: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
-      f.join(edges, col("cell") === col("__eo"))
+      hinted(f).join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"),
           (col("cost") + col("__ew")).as("cost"), col("__eo").as("pred"))
     // argmin fold with a priority lane: the accumulated best (prio 0)
@@ -658,7 +678,7 @@ object H3Graph {
         .select(col("cell"), col("src"), col("__m.cost").as("cost"),
           col("__m.pred").as("pred"))
     def improved(nb: DataFrame, old: DataFrame): DataFrame =
-      nb.join(old.select(col("cell"), col("src"), col("cost").as("__old")),
+      nb.join(hinted(old.select(col("cell"), col("src"), col("cost").as("__old"))),
           Seq("cell", "src"), "left_outer")
         .filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"), col("pred"))

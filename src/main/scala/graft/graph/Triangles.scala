@@ -115,25 +115,40 @@ object Triangles {
   def commonNeighborScores(edges: DataFrame, src: Column, dst: Column,
       minCommon: Long, maxDegree: Long = Long.MaxValue): DataFrame = {
     val e = graft.util.Barriers.statSafe(canonicalEdges(edges, src, dst))
-    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
-      .groupBy(col("n")).agg(count(lit(1)).as("deg"))
-    // each sub-cap wedge middle w contributes its neighbor pairs
-    val adj = graft.util.Barriers.statSafe(
-      e.select(col("u").as("w"), col("v").as("nb"))
-        .unionAll(e.select(col("v").as("w"), col("u").as("nb")))
-        .join(deg.select(col("n").as("w"), col("deg")), Seq("w"))
-        .filter(col("deg") <= maxDegree)
-        // per-term quantization: floor(1e6 / ln(deg) + 0.5). A deg-1
-        // node never forms a wedge pair, but its adjacency row still
-        // evaluates the projection — guard it (ln 1 = 0 would make an
-        // Inf the ANSI cast rejects)
-        .select(col("w"), col("nb"),
-          when(col("deg") >= 2,
-            floor(lit(1000000.0) / log(col("deg").cast("double")) + 0.5)
-              .cast("long")).otherwise(lit(0L)).as("aa_e6")))
-    val a = adj.select(col("w"), col("nb").as("u"), col("aa_e6"))
-    val b = adj.select(col("w"), col("nb").as("v"))
-    val wedges = a.join(b, Seq("w")).filter(col("u") < col("v"))
+    // ONE bounded groupBy replaces the former degree aggregate + degree
+    // join + adjacency self-join (4 exchanges -> 2): a middle's sorted
+    // neighbor list IS its degree (canonical edges are distinct and
+    // loop-free), and the Adamic–Adar term depends only on deg(w), so it
+    // is one constant per group, not a per-adjacency-row column. The
+    // bounded min-k aggregate keeps the cap's scale guarantee — a
+    // celebrity middle's buffer holds maxDegree+1 ids, never its true
+    // neighbor set, and map-side combine means the exchange carries at
+    // most cap+1 ids per (map partition, middle) where the old shape
+    // shuffled every adjacency row twice. Overflowing middles (size =
+    // cap+1) are dropped exactly as the old deg-filter dropped them.
+    val capK =
+      if (maxDegree >= Int.MaxValue - 1) Int.MaxValue else (maxDegree + 1).toInt
+    val grouped = e.select(col("u").as("w"), col("v").as("nb"))
+      .unionAll(e.select(col("v").as("w"), col("u").as("nb")))
+      .groupBy(col("w"))
+      .agg(graft.functions.collect_min_k(col("nb"), capK).as("nbs"))
+      .filter(size(col("nbs")) >= 2 &&
+        size(col("nbs")).cast("long") <= lit(maxDegree))
+      // per-term quantization: floor(1e6 / ln(deg) + 0.5); deg >= 2 here,
+      // so ln never hits 0 (deg-1 middles form no pair and are skipped)
+      .select(col("nbs"),
+        floor(lit(1000000.0) / log(size(col("nbs")).cast("double")) + 0.5)
+          .cast("long").as("aa_e6"))
+    // two-level explode streams each middle's ordered pairs (u < v by the
+    // aggregate's ascending sort) through codegen with O(cap) task memory
+    // — the Dedup streamed-explode pattern, replacing the deg² join rows
+    val wedges = grouped
+      .select(col("nbs"), col("aa_e6"),
+        posexplode(col("nbs")).as(Seq("__i", "u")))
+      .select(col("u"),
+        explode(slice(col("nbs"), col("__i") + lit(2), size(col("nbs"))))
+          .as("v"),
+        col("aa_e6"))
     wedges.groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("n_common"), sum(col("aa_e6")).as("adamic_adar_e6"))
       .filter(col("n_common") >= minCommon)
