@@ -18,6 +18,12 @@ object PlanProbe {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // GRAFT_PLAN_CONF=k=v,k=v — session conf overrides, so a conf-gated
+    // optimization's before/after plans can both be captured from one build
+    sys.env.get("GRAFT_PLAN_CONF").foreach(_.split(",").map(_.trim)
+      .filter(_.nonEmpty).foreach { kv =>
+        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+      })
     names.foreach { name =>
       // build_ms matters: iterative graph queries (PageRank/LPA/k-core)
       // run their checkpointed rounds EAGERLY inside the constructor, so

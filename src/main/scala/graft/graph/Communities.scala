@@ -86,7 +86,11 @@ object Communities {
         // one more session-lifetime RDD
         nodes0.select(col("node"), col("node").as("label"))
     for (round <- 0 until iters) {
-      val next = adj.join(labels, adj("b") === labels("node"))
+      // slim-side hint (CheckpointLayout.slimHint): small regime = node
+      // count measured ≤ the cluster bound, so the label frame broadcasts
+      // by measurement and the adjacency never re-exchanges per round
+      val next = adj.join(CheckpointLayout.slimHint(labels, cluster),
+          adj("b") === labels("node"))
         .select(adj("a").as("node"), col("label"))
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
         // arg-max by (count desc, label asc) == max of (c, -label)

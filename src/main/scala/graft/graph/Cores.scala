@@ -53,9 +53,19 @@ object Cores {
         .groupBy(col("n")).agg(count(lit(1)).as("deg"))
       val (keep, freeKeep) = Barriers.statSafeFreeable(
         deg.filter(col("deg") >= k).select(col("n")))
+      // slim-side hint (CheckpointLayout.slimHint): this loop has no
+      // upfront regime gate (the edge frame only shrinks), so the previous
+      // round's measured row count stands in — round 0 runs unhinted, and
+      // from round 1 the keep set (≤ distinct nodes ≤ 2× the measured
+      // edges) broadcasts when the survivors are measured under the
+      // cluster bound. A shrinking frame can only ENTER the hinted regime.
+      val bound = graft.pipeline.CheckpointLayout.clusterMinRows(e.sparkSession)
+      val big = prevRows < 0 || bound <= 0 || prevRows > bound
+      def hinted(c: String) = graft.pipeline.CheckpointLayout.slimHint(
+        keep.select(col("n").as(c)), clustered = big)
       val (next, nRows, freeNext) = Barriers.roundBarrierCountingFreeable(
-        e.join(keep.select(col("n").as("u")), Seq("u"), "leftsemi")
-          .join(keep.select(col("n").as("v")), Seq("v"), "leftsemi")
+        e.join(hinted("u"), Seq("u"), "leftsemi")
+          .join(hinted("v"), Seq("v"), "leftsemi")
           .select(col("u"), col("v")), round, checkpointDir)(_ => true)
       // next is materialized: the round's survivor set and the previous
       // edge generation are dead (the final generation is never freed —

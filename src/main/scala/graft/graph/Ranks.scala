@@ -107,11 +107,18 @@ object Ranks {
         r0
       } else Barriers.statSafe(nodes.select(col("node"), init.as("r")))
     for (round <- 0 until iters) {
-      val contrib = withDeg.join(ranks, withDeg("src") === ranks("node"))
+      // slim-side hints (CheckpointLayout.slimHint): in the small regime
+      // the rank frame (|nodes| rows, 2 longs) and the aggregated contrib
+      // frame are broadcast-safe by measurement — without the hint every
+      // round re-exchanges the EDGE frame for the contrib join (AQE only
+      // broadcasts after materializing the big side's shuffle stage)
+      val contrib = withDeg.join(CheckpointLayout.slimHint(ranks, cluster),
+          withDeg("src") === ranks("node"))
         .select(col("dst").as("node"),
           expr(s"(r * $dampNum) div ($dampDen * deg)").as("c"))
         .groupBy(col("node")).agg(sum(col("c")).as("s"))
-      val next = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(CheckpointLayout.slimHint(contrib, cluster),
+          Seq("node"), "left")
         .select(col("node"), (tele + coalesce(col("s"), lit(0L))).as("r"))
       if (cluster) {
         val (nr, free) = CheckpointLayout.roundBarrierKeepingLayout(next, round, checkpointDir)

@@ -174,6 +174,23 @@ object CheckpointLayout {
     (org.apache.spark.sql.graft.shims.dropOriginStats(out), freeAll(held))
   }
 
+  /** Regime-gated broadcast hint for a loop's SLIM evolving side (labels,
+    * ranks, keep-sets — the r16 SSSP frontier-hint generalized): in the
+    * small regime the loop's inputs are MEASURED at or under
+    * [[ClusterLayoutMinRows]] (≤ 1M rows of 2-3 longs ≈ tens of MB), so
+    * the slim side is broadcast-safe by measurement and the static hint
+    * removes the per-round big-side exchange AQE would otherwise
+    * materialize before its own runtime broadcast decision (measured on
+    * SSSP: the wall of a tiny-regime loop is stage scheduling, not task
+    * work). In the clustered regime the hint would broadcast an unbounded
+    * frame — identity keeps the co-partitioned streaming join.
+    * `graft.loops.slimHint=false` restores the unhinted small-regime plans
+    * (A/B instrumentation; the default is the measured winner). */
+  def slimHint(df: DataFrame, clustered: Boolean): DataFrame =
+    if (clustered ||
+      df.sparkSession.conf.get("graft.loops.slimHint", "true") != "true") df
+    else org.apache.spark.sql.functions.broadcast(df)
+
   /** The dual-regime step every loop shares: keep the already-measured
     * statSafe frame when `measured` is at or under the session bound;
     * past it, re-lay the frame out clustered by `key` off its

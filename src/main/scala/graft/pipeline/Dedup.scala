@@ -713,6 +713,13 @@ object Dedup {
       // max() recovers it exactly) — convergence is then read off the same
       // materialized frame instead of a per-round join-against-old-labels
       // job, halving driver-side actions per round
+      // NO slim-side hint here, deliberately (r16): unlike the PR/LPA
+      // loops (lazy small-regime chains, where the hint wins 1.11-1.17x),
+      // CC materializes every round via roundBarrierCounting and the
+      // measured A/B read the forced broadcast as a 5-7% LOSS on
+      // p13/p24 — AQE's runtime broadcast already serves the per-round
+      // jobs here without putting a blocking broadcast build on each
+      // round's critical path.
       val msgs = edges.join(labels, edges("__src") === labels("id"))
         .select(col("__dst").as("id"), col("component"),
           lit(null).cast(labelType).as("__prev"))
@@ -1120,6 +1127,13 @@ object Dedup {
     * removal, never a missed duplicate — is the right trade for a dedup
     * pass; callers needing zero spurious cuts can verify flagged spans by
     * re-joining gram STRINGS on the (tiny) duplicated-gram frame. */
+  // r16 note: barriers on this operator's shared subtrees (tokenized
+  // frame, gram-occurrence frame) were tried and MEASURED SLOWER at sf0.1
+  // (p58 warm 0.15 s -> 0.33 s with both; still ~2x worse with the token
+  // barrier alone) — the lazy double evaluation of the cheap tokenize/
+  // explode kernels beats materializing either frame, so the pre-r16
+  // shape stands (guide §5: cache only when recompute costs more than the
+  // memory pressure the cache creates).
   def substringDedup(df: DataFrame, id: Column, text: Column, n: Int = 10): DataFrame = {
     require(n >= 2, s"n must be >= 2, got $n")
     val base = df.select(id.as("__id"), TextOps.tokens(text).as("__ts"))

@@ -969,8 +969,12 @@ object TextOps {
     *
     * Output: `doc_id, n_tokens, avg_logprob`. */
   def bigramLogProbScore(df: DataFrame, id: Column, text: Column): DataFrame = {
+    // barrier (r16): the tokenized frame feeds THREE consumers (unigram
+    // explode, bigram explode, first-token scores) — without it the
+    // cleanTokens kernel re-tokenizes the whole corpus per consumer
     val base = df.select(id.as("__id"), cleanTokens(text).as("__tk"))
       .filter(size(col("__tk")) >= 1)
+      .localCheckpoint(false)
     val uni = base.select(col("__id"), explode(col("__tk")).as("__t"))
     // unigram vocab feeds three consumers (totals, backoff component,
     // first-token scores): one materialization
@@ -1031,8 +1035,11 @@ object TextOps {
   def bigramLmScoreAgainst(df: DataFrame, id: Column, text: Column,
       corpus: DataFrame, corpusText: Column): DataFrame = {
     // ----- train on corpus (same tables as bigramLogProbScore) -----
+    // barrier (r16): the tokenized corpus feeds the unigram AND bigram
+    // aggregates — one tokenize pass, not two
     val cbase = corpus.select(cleanTokens(corpusText).as("__tk"))
       .filter(size(col("__tk")) >= 1)
+      .localCheckpoint(false)
     val vocab = cbase.select(explode(col("__tk")).as("__t"))
       .groupBy(col("__t")).agg(count(lit(1)).as("__c"))
       .localCheckpoint(false)
@@ -1053,8 +1060,10 @@ object TextOps {
     val ctx = c12.groupBy(element_at(split(col("__g"), " "), 1).as("__w1"))
       .agg(sum(col("__c12")).as("__c1"))
     // ----- score df (left joins; unseen keys coalesce to count 0) -----
+    // barrier (r16): feeds the bigram explode AND the first-token branch
     val base = df.select(id.as("__id"), cleanTokens(text).as("__tk"))
       .filter(size(col("__tk")) >= 1)
+      .localCheckpoint(false)
     val bg = base.select(col("__id"),
       explode(wordNgramsOfTokens(col("__tk"), 2)).as("__dg"))
       .withColumn("__dw1", element_at(split(col("__dg"), " "), 1))
