@@ -22,7 +22,10 @@ object PlanProbe {
     // optimization's before/after plans can both be captured from one build
     sys.env.get("GRAFT_PLAN_CONF").foreach(_.split(",").map(_.trim)
       .filter(_.nonEmpty).foreach { kv =>
-        val Array(k, v) = kv.split("=", 2); spark.conf.set(k, v)
+        kv.split("=", 2) match {
+          case Array(k, v) => spark.conf.set(k, v)
+          case _ => sys.error(s"GRAFT_PLAN_CONF: bad conf pair (need k=v): $kv")
+        }
       })
     names.foreach { name =>
       // build_ms matters: iterative graph queries (PageRank/LPA/k-core)

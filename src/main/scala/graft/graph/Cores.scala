@@ -59,13 +59,17 @@ object Cores {
       // from round 1 the keep set (≤ distinct nodes ≤ 2× the measured
       // edges) broadcasts when the survivors are measured under the
       // cluster bound. A shrinking frame can only ENTER the hinted regime.
+      // ONE broadcast frame serves BOTH semi-joins: the u- and v-joins
+      // reference the same subtree, so exchange reuse builds the keep
+      // set's broadcast once per round (the former per-side `.as(c)`
+      // aliases made the subtrees canonically distinct and the broadcast
+      // was built twice — the r16 advisor's finding).
       val bound = graft.pipeline.CheckpointLayout.clusterMinRows(e.sparkSession)
       val big = prevRows < 0 || bound <= 0 || prevRows > bound
-      def hinted(c: String) = graft.pipeline.CheckpointLayout.slimHint(
-        keep.select(col("n").as(c)), clustered = big)
+      val hintedKeep = graft.pipeline.CheckpointLayout.slimHint(keep, clustered = big)
       val (next, nRows, freeNext) = Barriers.roundBarrierCountingFreeable(
-        e.join(hinted("u"), Seq("u"), "leftsemi")
-          .join(hinted("v"), Seq("v"), "leftsemi")
+        e.join(hintedKeep, col("u") === col("n"), "leftsemi")
+          .join(hintedKeep, col("v") === col("n"), "leftsemi")
           .select(col("u"), col("v")), round, checkpointDir)(_ => true)
       // next is materialized: the round's survivor set and the previous
       // edge generation are dead (the final generation is never freed —

@@ -500,27 +500,33 @@ object H3Graph {
     * beat real finite paths). The frontier's size is unknowable upfront,
     * so the edge-frame row count gates the layout regime as a proxy (see
     * CheckpointLayout.ClusterLayoutMinRows). */
-  private def iterativeEdges(graph: DataFrame): (DataFrame, () => Unit, Boolean) = {
+  private def iterativeEdges(graph: DataFrame): (DataFrame, () => Unit, Boolean, Long) = {
     val (e0, freeE0) = graft.util.Barriers.statSafeFreeable(
       graph.select(col("origin").as("__eo"), col("destination").as("__ed"),
         col("weight").cast("double").as("__ew"))
         .filter(col("__eo").isNotNull && col("__ed").isNotNull &&
           col("__ew").isNotNull))
+    val measured = e0.count()
     val (ec, freeEc, clustered) = graft.pipeline.CheckpointLayout.statSafeReclusterIfOver(
-      e0, freeE0, measured = e0.count(), key = "__eo")
-    (ec, freeEc, clustered)
+      e0, freeE0, measured = measured, key = "__eo")
+    (ec, freeEc, clustered, measured)
   }
 
-  /** Frontier-side hint for the relax/improved joins, gated on the SAME
-    * measured regime decision as the edge layout: below the cluster bound
-    * the edge count is measured small, so the frontier/best frames (≤
-    * |nodes| × |origins| rows of 3-4 longs) are broadcast-safe BY
-    * MEASUREMENT and the static hint removes the per-hop edge-side
-    * shuffle stage AQE would otherwise materialize before its own runtime
-    * broadcast decision (measured at sf0.1: p116 ran 172 jobs for 0.18 s
-    * of parallel task work — the wall was stage scheduling). Past the
-    * bound the hint would broadcast an unbounded frontier: clustered
-    * regime keeps the co-partitioned streaming join, hint-free.
+  /** Small-regime broadcast hint for the relax join's STATIC side (the
+    * edge table), gated on the SAME measured regime decision as the edge
+    * layout: below the cluster bound the edge count is MEASURED ≤
+    * ClusterLayoutMinRows (≈ tens of MB of 3 longs), so the static hint
+    * removes the per-hop edge-side shuffle stage AQE would otherwise
+    * materialize before its own runtime broadcast decision (measured at
+    * sf0.1: p116 ran 172 jobs for 0.18 s of parallel task work — the wall
+    * was stage scheduling). Hinting the STATIC side rather than the
+    * evolving frontier (the r16 shape) matters for the same reason: a
+    * frontier hint paid one broadcast-BUILD job per hop (the frontier
+    * changes every hop), while the edge broadcast is built once per
+    * materializing job and REUSED by every hop's join inside it
+    * (exchange reuse over the identical subtree). Past the bound the
+    * hint would broadcast an unbounded edge table: clustered regime
+    * keeps the co-partitioned streaming join, hint-free.
     * `graft.sssp.frontierHint=false` restores the unhinted small-regime
     * joins (A/B instrumentation; the default is the measured winner). */
   private def frontierHint(spark: org.apache.spark.sql.SparkSession,
@@ -528,6 +534,25 @@ object H3Graph {
     if (clustered ||
       spark.conf.get("graft.sssp.frontierHint", "true") != "true") identity
     else broadcast
+
+  /** [[frontierHint]] for the walk-reconstruction join's static side (the
+    * predecessor table): bounded by |nodes| × |origins| rows, and
+    * |origins| is CALLER-controlled — a small-regime graph with a large
+    * origin set could force a multi-GB static broadcast AQE's runtime
+    * size check would have declined (the r16 advisor's finding). The gate
+    * therefore also requires `2 × measuredEdges × |origins|` (nodes ≤
+    * 2·edges, so an upper bound on the broadcast rows) at or under
+    * `graft.sssp.frontierRowBudget` (default 4M rows of 3-4 longs ≈ low
+    * hundreds of MB built). Over budget the walk falls back to
+    * broadcasting the WALK side (bounded by the origins × destinations
+    * pair set — always slim), one build per hop. */
+  private def predsHintOn(spark: org.apache.spark.sql.SparkSession,
+      clustered: Boolean, measuredEdges: Long, nOrigins: Int): Boolean = {
+    val budget = spark.conf.get("graft.sssp.frontierRowBudget", "4000000").toLong
+    !clustered &&
+      2L * measuredEdges * math.max(nOrigins, 1) <= budget &&
+      spark.conf.get("graft.sssp.frontierHint", "true") == "true"
+  }
 
   def shortestPathsIterative(spark: SparkSession, graph: DataFrame, origins: Seq[Long],
       destinations: Seq[Long], maxRounds: Int = 256,
@@ -541,26 +566,39 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges, clustered) = iterativeEdges(graph)
-    val hinted = frontierHint(spark, clustered)
+    val (edges0, freeEdges, clustered, measuredEdges) = iterativeEdges(graph)
+    // static-side hint: built once per materializing job, reused by every
+    // hop's relax join inside it — see frontierHint
+    val edges = frontierHint(spark, clustered)(edges0)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"))
       .localCheckpoint(false)
     var frontier = best
     var round = 0
     var converged = false
-    // frees the superseded best/frontier generations' blocks (no-ops before
-    // round 1; the FINAL best is never freed — the caller's result reads it)
+    // frees the superseded fold generation's blocks (no-op before round 1;
+    // the FINAL generation is never freed — the caller's result reads it)
     var freeBest: () => Unit = () => ()
-    var freeFrontier: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
-      hinted(f).join(edges, col("cell") === col("__eo"))
+      f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"), (col("cost") + col("__ew")).as("cost"))
+    // The fold carries the PRE-fold best as a second agg column: `b` has
+    // unique (cell, src) — origins are distinct and every later `b` is a
+    // fold output — so `min(cost over b's lane)` IS the old best cost, and
+    // the former improved-join (per hop: one broadcast build of the old
+    // best + one join; per round at scale: a full shuffle join) collapses
+    // into one agg column plus a filter (guide §2.4 — remove shuffles
+    // outright). The improvement test `__old IS NULL OR cost < __old` is
+    // verbatim the old join's filter.
     def fold(b: DataFrame, r: DataFrame): DataFrame =
-      b.unionByName(r).groupBy(col("cell"), col("src")).agg(min(col("cost")).as("cost"))
-    def improved(nb: DataFrame, old: DataFrame): DataFrame =
-      nb.join(hinted(old.withColumnRenamed("cost", "__old")), Seq("cell", "src"), "left_outer")
-        .filter(col("__old").isNull || col("cost") < col("__old"))
+      b.withColumn("__prio", lit(0)).unionByName(r.withColumn("__prio", lit(1)))
+        .groupBy(col("cell"), col("src"))
+        .agg(min(col("cost")).as("cost"),
+          min(when(col("__prio") === 0, col("cost"))).as("__old"))
+    def bestOf(f: DataFrame): DataFrame =
+      f.select(col("cell"), col("src"), col("cost"))
+    def improvedOf(f: DataFrame): DataFrame =
+      f.filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"))
     while (!converged && round < maxRounds) {
       // hopsPerRound relaxation hops per materialized round: the per-round
@@ -578,35 +616,31 @@ object H3Graph {
       var front = frontier
       var freeIntermediates: List[() => Unit] = Nil
       for (_ <- 1 until hopsPerRound) {
-        val (next, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
+        val (f, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
         freeIntermediates ::= free
-        front = improved(next, acc)
-        acc = next
+        front = improvedOf(f)
+        acc = bestOf(f)
       }
-      // checkpointDir upgrades every few rounds to a reliable checkpoint
-      // (executor-loss-safe); see graft.util.Barriers
-      val (nb, freeNb) = graft.util.Barriers.roundBarrierFreeable(
-        fold(acc, relax(front)), round, checkpointDir, eager = false)
-      // the frontier's materializing job doubles as the convergence
-      // check (accumulator row count — see Barriers.roundBarrierCounting):
-      // one action per round, and the frontier blocks it caches are the
-      // ones next round's edge join reads. The frontier is the LAST hop's
-      // improvement set only — earlier hops' improvements were already
-      // re-relaxed within the round.
-      val (nf, frontierSize, freeNf) = graft.util.Barriers.roundBarrierCountingFreeable(
-        improved(nb, acc), round, None)(_ => true)
-      // that action materialized nb and nf; every generation it superseded
-      // — the previous round's best-cost table and frontier, and this
-      // round's intra-round intermediates — is dead and its blocks can be
-      // freed. Blocks held at any moment: current best + frontier, not one
-      // generation per round.
+      // ONE barrier materializes the round: the fold-with-__old frame is
+      // checkpointed (reliable every few rounds when checkpointDir is
+      // set — see graft.util.Barriers), its materializing job counts the
+      // improved rows via the accumulator (the convergence check), and
+      // BOTH next-round frames — the best table and the frontier — are
+      // projections of its blocks. Previously the frontier was a second
+      // checkpoint fed by a per-round join against the best table.
+      val (ff, nImproved, freeF) = graft.util.Barriers.roundBarrierCountingFreeable(
+        fold(acc, relax(front)), round, checkpointDir)(
+        r => r.isNullAt(3) || r.getDouble(2) < r.getDouble(3))
+      // that action materialized ff; every generation it superseded — the
+      // previous round's fold and this round's intra-round intermediates —
+      // is dead and its blocks can be freed. Blocks held at any moment:
+      // the current fold generation, not one per round.
       freeIntermediates.foreach(_())
-      freeBest(); freeFrontier()
-      freeBest = freeNb
-      freeFrontier = freeNf
-      frontier = nf
-      converged = frontierSize == 0L
-      best = nb
+      freeBest()
+      freeBest = freeF
+      frontier = improvedOf(ff)
+      converged = nImproved == 0L
+      best = bestOf(ff)
       round += 1
     }
     if (!converged)
@@ -614,9 +648,9 @@ object H3Graph {
         s"shortestPathsIterative stopped after maxRounds=$maxRounds with the " +
           "frontier still active: reported costs may be suboptimal upper " +
           "bounds; raise maxRounds")
-    // the result's lineage reads only the final best's checkpoint blocks:
-    // the edge table and the last (empty-on-convergence) frontier are dead
-    freeEdges(); freeFrontier()
+    // the result's lineage reads only the final fold's checkpoint blocks
+    // (best is a projection of them): the edge table is dead
+    freeEdges()
     val dests = destinations.distinct.toDF("cell")
     best.join(broadcast(dests), "cell")
       .select(col("src").as("origin"), col("cell").as("destination"), col("cost"))
@@ -647,8 +681,10 @@ object H3Graph {
     // so every hop's frontier⋈edges join streams it in place — no
     // per-hop exchange or sort of the big side; the frontier (slim) is
     // the only thing that moves. Stats stay dropped in both regimes.
-    val (edges, freeEdges, clustered) = iterativeEdges(graph)
-    val hinted = frontierHint(spark, clustered)
+    val (edges0, freeEdges, clustered, measuredEdges) = iterativeEdges(graph)
+    // static-side hint: built once per materializing job, reused by every
+    // hop's relax join inside it — see frontierHint
+    val edges = frontierHint(spark, clustered)(edges0)
     var best = origins.distinct.toDF("cell")
       .select(col("cell"), col("cell").as("src"), lit(0.0).as("cost"),
         lit(null).cast("long").as("pred"))
@@ -657,9 +693,8 @@ object H3Graph {
     var round = 0
     var converged = false
     var freeBest: () => Unit = () => ()
-    var freeFrontier: () => Unit = () => ()
     def relax(f: DataFrame): DataFrame =
-      hinted(f).join(edges, col("cell") === col("__eo"))
+      f.join(edges, col("cell") === col("__eo"))
         .select(col("__ed").as("cell"), col("src"),
           (col("cost") + col("__ew")).as("cost"), col("__eo").as("pred"))
     // argmin fold with a priority lane: the accumulated best (prio 0)
@@ -671,16 +706,21 @@ object H3Graph {
     // neighbors can never flip their preds onto each other, which would
     // spin the backward walk forever. Fresh ties still break on the
     // smaller pred id for determinism.
+    // same fused fold as [[shortestPathsIterative]]: `b` has unique
+    // (cell, src), so the old best cost rides the argmin aggregate as a
+    // second column and the former improved-join (one broadcast build per
+    // hop; a shuffle join per round at scale) becomes a filter
     def fold(b: DataFrame, r: DataFrame): DataFrame =
       b.withColumn("__prio", lit(0)).unionByName(r.withColumn("__prio", lit(1)))
         .groupBy(col("cell"), col("src"))
-        .agg(min(struct(col("cost"), col("__prio"), col("pred"))).as("__m"))
+        .agg(min(struct(col("cost"), col("__prio"), col("pred"))).as("__m"),
+          min(when(col("__prio") === 0, col("cost"))).as("__old"))
         .select(col("cell"), col("src"), col("__m.cost").as("cost"),
-          col("__m.pred").as("pred"))
-    def improved(nb: DataFrame, old: DataFrame): DataFrame =
-      nb.join(hinted(old.select(col("cell"), col("src"), col("cost").as("__old"))),
-          Seq("cell", "src"), "left_outer")
-        .filter(col("__old").isNull || col("cost") < col("__old"))
+          col("__m.pred").as("pred"), col("__old"))
+    def bestOf(f: DataFrame): DataFrame =
+      f.select(col("cell"), col("src"), col("cost"), col("pred"))
+    def improvedOf(f: DataFrame): DataFrame =
+      f.filter(col("__old").isNull || col("cost") < col("__old"))
         .select(col("cell"), col("src"), col("cost"), col("pred"))
     while (!converged && round < maxRounds) {
       // same hopsPerRound trade as [[shortestPathsIterative]]: intra-round
@@ -691,22 +731,23 @@ object H3Graph {
       var front = frontier
       var freeIntermediates: List[() => Unit] = Nil
       for (_ <- 1 until hopsPerRound) {
-        val (next, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
+        val (f, free) = graft.util.Barriers.statSafeFreeable(fold(acc, relax(front)))
         freeIntermediates ::= free
-        front = improved(next, acc)
-        acc = next
+        front = improvedOf(f)
+        acc = bestOf(f)
       }
-      val (nb, freeNb) = graft.util.Barriers.roundBarrierFreeable(
-        fold(acc, relax(front)), round, checkpointDir, eager = false)
-      val (nf, frontierSize, freeNf) = graft.util.Barriers.roundBarrierCountingFreeable(
-        improved(nb, acc), round, None)(_ => true)
+      // one barrier per round: best and frontier are projections of the
+      // fold-with-__old checkpoint, the convergence count rides its
+      // materializing job (see [[shortestPathsIterative]])
+      val (ff, nImproved, freeF) = graft.util.Barriers.roundBarrierCountingFreeable(
+        fold(acc, relax(front)), round, checkpointDir)(
+        r => r.isNullAt(4) || r.getDouble(2) < r.getDouble(4))
       freeIntermediates.foreach(_())
-      freeBest(); freeFrontier()
-      freeBest = freeNb
-      freeFrontier = freeNf
-      frontier = nf
-      converged = frontierSize == 0L
-      best = nb
+      freeBest()
+      freeBest = freeF
+      frontier = improvedOf(ff)
+      converged = nImproved == 0L
+      best = bestOf(ff)
       round += 1
     }
     if (!converged)
@@ -715,7 +756,7 @@ object H3Graph {
           "the frontier still active: costs may be suboptimal upper bounds " +
           "(the walk law cannot detect this — the walk sum matches the " +
           "suboptimal cost); raise maxRounds")
-    freeEdges(); freeFrontier()
+    freeEdges()
     // NOTE on fold's argmin vs the cost-only fold: `struct(cost, pred)`
     // ordering compares cost first, so the settled costs are identical to
     // [[shortestPathsIterative]] (spec-pinned); pred adds one column of
@@ -730,11 +771,18 @@ object H3Graph {
     var active = 1L
     var wround = 0
     var freeWalk: () => Unit = () => ()
-    val preds = best.select(col("cell").as("__pc"), col("src").as("__ps"),
+    val preds0 = best.select(col("cell").as("__pc"), col("src").as("__ps"),
       col("pred").as("__pp"))
+    // Which side of the pred-hop join broadcasts: the STATIC pred table
+    // when it fits the origins budget (built once per job, reused by
+    // every hop inside it — see predsHintOn), else the evolving walk
+    // side (bounded by the origins × destinations pair set — always
+    // slim, but it changes per hop so each hop pays its own build job).
+    val predsB = predsHintOn(spark, clustered, measuredEdges, origins.distinct.size)
+    val preds = if (predsB) broadcast(preds0) else preds0
     // one backward pred-hop; done rows (cur == src) pass through unchanged,
     // so composing the step is idempotent past the origin
-    def step(w: DataFrame): DataFrame = broadcast(w)
+    def step(w: DataFrame): DataFrame = (if (predsB) w else broadcast(w))
       .join(preds, col("cur") === col("__pc") && col("src") === col("__ps"), "left")
       .select(col("src"), col("destination"), col("cost"),
         when(col("cur") === col("src"), col("cur"))

@@ -20,7 +20,12 @@ object AqeProbe {
         "p98_graph_features", "p93_lpa_communities", "p96_random_walks")
     val confB = sys.env.getOrElse("GRAFT_PROBE_CONF", "spark.sql.adaptive.enabled=false")
       .split(",").map(_.trim).filter(_.nonEmpty)
-      .map { kv => val Array(k, v) = kv.split("=", 2); (k, v) }.toSeq
+      .map { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => (k, v)
+          case _ => sys.error(s"GRAFT_PROBE_CONF: bad conf pair (need k=v): $kv")
+        }
+      }.toSeq
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
